@@ -1,0 +1,37 @@
+"""Shared helpers for query implementations.
+
+Determinism conventions shared with the DuckDB oracles:
+
+- ``dec(col, p, s)``: cast a double to DECIMAL(p,s) before aggregating. A
+  decimal sum is exact and therefore independent of Spark's partition /
+  combine order — the oracle's single-threaded sum matches bit-for-bit. The
+  final value is cast back to DOUBLE (exact decimal -> correctly-rounded
+  double is deterministic in both engines) so schemas stay comparable.
+- Precisions are chosen so chained multiplies stay inside 38 digits and are
+  never rounded: price DECIMAL(12,2) * rate DECIMAL(8,6) -> (21,8); one more
+  rate -> (30,14); sum caps at (38,14) without scale loss.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one of the driver-provided parquet tables."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def dec(col, p: int = 12, s: int = 2):
+    """Exact-decimal view of a double column (see module docstring)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({p},{s})")
+
+
+PRICE = (12, 2)  # covers 999,999,999.99
+QTY = (12, 2)
+RATE = (8, 6)  # discount / tax in [0, 1], up to 6 significant decimals
+VALUE = (18, 6)  # events.value and other generic measures

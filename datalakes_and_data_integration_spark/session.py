@@ -1,0 +1,88 @@
+"""SparkSession factory.
+
+One place to configure the engine. Tuned knobs:
+
+- AQE on (runtime re-plan: skew joins, partition coalescing) — at 100 TB the
+  static plan is always wrong somewhere; AQE fixes it from runtime stats.
+- shuffle.partitions sized from cores for local runs; on a real cluster this
+  is overridden (AQE coalescing makes the initial number less critical).
+- Arrow on for every pandas interop path (Pandas UDFs, toPandas).
+- UTC session timezone so timestamp semantics match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "datalakes_and_data_integration_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) the session.
+
+    ``cores`` defaults to $SPARK_GRAFT_CPUS or all local cores. On a real
+    cluster, pass ``master`` via spark-submit and this factory only sets SQL
+    conf (builder.master is skipped when spark.master is already set).
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 8)
+
+    builder = SparkSession.builder.appName(app_name)
+    if "spark.master" not in os.environ.get("SPARK_CONF", "") and not os.environ.get(
+        "SPARK_MASTER_URL"
+    ):
+        builder = builder.master(f"local[{cores}]")
+
+    conf = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "spark.ui.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # files.maxPartitionBytes default 128m is right for the 100 TB design
+        # point; do not shrink it for tiny local files (AQE coalesces instead).
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Register each parquet table under ``sf_dir`` as a temp view and return
+    a dict name -> DataFrame. Mirrors the driver's DuckDB-side registration."""
+    names = names or [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    out = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

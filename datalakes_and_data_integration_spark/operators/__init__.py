@@ -1,0 +1,48 @@
+"""Reusable DataFrame operators.
+
+Each module re-expresses one operator family from the reference inventory
+(SURVEY.md §2) as pure, lazy DataFrame transformations — Catalyst sees through
+all of them (no UDFs on the parity surface, SURVEY.md §2.9).
+"""
+
+from datalakes_and_data_integration_spark.operators.normalize import (
+    normalize_column_name,
+    normalize_columns,
+)
+from datalakes_and_data_integration_spark.operators.dedup import (
+    dedup_full_row,
+    dedup_keep_first,
+)
+from datalakes_and_data_integration_spark.operators.merge import (
+    drop_columns,
+    full_outer_merge,
+    prefix_columns,
+)
+from datalakes_and_data_integration_spark.operators.impute import impute_mean
+from datalakes_and_data_integration_spark.operators.convert import (
+    horizontal_sum,
+    map_convert,
+)
+from datalakes_and_data_integration_spark.operators.windows import (
+    bfill,
+    ffill,
+    lag_diff,
+    lag_pct_change,
+)
+
+__all__ = [
+    "normalize_column_name",
+    "normalize_columns",
+    "dedup_full_row",
+    "dedup_keep_first",
+    "drop_columns",
+    "full_outer_merge",
+    "prefix_columns",
+    "impute_mean",
+    "horizontal_sum",
+    "map_convert",
+    "bfill",
+    "ffill",
+    "lag_diff",
+    "lag_pct_change",
+]

@@ -1,0 +1,46 @@
+"""Mean imputation (reference A3 / F6).
+
+The reference computes each numeric column's global mean over the merged
+frame and fills nulls with it (`/root/reference/src/process_to_curated.py:
+98-106`) — notably *before* unit conversion, an ordering that is observable
+in outputs and preserved by the gold pipeline (SURVEY.md §7.4).
+
+The mean is a global (ungrouped) aggregate: one map-side-combined pass, a
+few bytes per column to the driver, then a literal in the fill projection —
+no second shuffle. For hash-exactness with SQL oracles the mean is computed
+as an exact DECIMAL sum divided by the count in double arithmetic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def impute_mean(
+    df: DataFrame,
+    cols: Sequence[str],
+    precision: tuple[int, int] = (25, 6),
+) -> DataFrame:
+    """Fill nulls in each of ``cols`` with that column's global mean.
+
+    One aggregate job computes all means at once; the fill itself is a
+    narrow projection.
+    """
+    p, s = precision
+    aggs = [
+        (
+            F.sum(F.col(c).cast(f"decimal({p},{s})")).cast("double")
+            / F.count(F.col(c))
+        ).alias(c)
+        for c in cols
+    ]
+    means = df.agg(*aggs).collect()[0].asDict()
+    return df.select(
+        *[
+            F.coalesce(F.col(c), F.lit(means[c])).alias(c) if c in cols else F.col(c)
+            for c in df.columns
+        ]
+    )

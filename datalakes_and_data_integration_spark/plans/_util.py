@@ -21,8 +21,17 @@ from pyspark.sql import functions as F
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one of the driver-provided parquet tables."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one of the driver-provided parquet tables.
+
+    Parquet TIMESTAMP(NANOS) columns arrive as long (session sets
+    ``spark.sql.legacy.parquet.nanosAsLong``); convert them back to proper
+    microsecond timestamps so downstream semantics match DuckDB, which reads
+    the same column as TIMESTAMP (values are µs-aligned).
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def dec(col, p: int = 12, s: int = 2):

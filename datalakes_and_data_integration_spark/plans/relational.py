@@ -1,1 +1,288 @@
-"""Placeholder — populated in this round."""
+"""Relational operator queries: joins, set ops, dedup, casts, rollup.
+
+Each query re-expresses one reference operator family (SURVEY.md §2) on the
+driver's synthetic tables, with a DuckDB oracle. The Spark implementations
+go through the reusable operators in ``operators/`` where one exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalakes_and_data_integration_spark.operators import (
+    dedup_full_row,
+    dedup_keep_first,
+    full_outer_merge,
+    prefix_columns,
+)
+from datalakes_and_data_integration_spark.plans._util import PRICE, T, dec
+from datalakes_and_data_integration_spark.plans.registry import register
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+# ---------------------------------------------------------------------------
+# J1 — multi-way full-outer equi-join (the reference's only join).
+# Reference: pd.merge left-fold over per-pollutant frames on
+# (code_site, date_de_debut) — process_to_curated.py:176-186. Here: one
+# aggregate frame per event type, outer-merged on user_id; the HAVING
+# threshold makes users missing from some sides so the null fan-out is real.
+# ---------------------------------------------------------------------------
+
+_MERGE_MIN = 12
+
+
+def _per_type_agg(spark, sf_dir, etype):
+    ev = T(spark, sf_dir, "events").filter(F.col("event_type") == etype)
+    agg = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(dec("value", 18, 6)), 4).cast("double").alias("val"),
+        )
+        .filter(F.col("cnt") >= _MERGE_MIN)
+    )
+    return prefix_columns(agg, etype, ["user_id"])
+
+
+def _merge_oracle_ctes():
+    ctes = ", ".join(
+        f"""t_{t} AS (
+          SELECT user_id, count(*) AS {t}_cnt,
+                 CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS {t}_val
+          FROM events WHERE event_type = '{t}'
+          GROUP BY user_id HAVING count(*) >= {_MERGE_MIN}
+        )"""
+        for t in EVENT_TYPES
+    )
+    joins = "t_click"
+    for t in EVENT_TYPES[1:]:
+        joins += f" FULL JOIN t_{t} USING (user_id)"
+    cols = ", ".join(f"{t}_cnt, {t}_val" for t in EVENT_TYPES)
+    return f"WITH {ctes} SELECT user_id, {cols} FROM {joins}"
+
+
+@register(
+    "full_outer_merge_events",
+    oracle=_merge_oracle_ctes(),
+    description="N-way full-outer equi-join of per-event-type user aggregates "
+    "(reference J1: the curated-zone pandas outer merge), with join-key "
+    "coalescing and null fan-out.",
+    tags=("join", "outer", "parity"),
+    bench=True,
+)
+def full_outer_merge_events(spark, sf_dir):
+    frames = [_per_type_agg(spark, sf_dir, t) for t in EVENT_TYPES]
+    merged = full_outer_merge(frames, ["user_id"])
+    return merged.select(
+        "user_id",
+        *[c for t in EVENT_TYPES for c in (f"{t}_cnt", f"{t}_val")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1 + A1 — union of overlapping slices, then full-row distinct.
+# Reference: per-file row lists appended then set-deduped
+# (preprocess_to_staging.py:171,193-197).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "union_dedup_events",
+    oracle="""
+    SELECT DISTINCT * FROM (
+      SELECT * FROM events WHERE event_id < 7000
+      UNION ALL
+      SELECT * FROM events WHERE event_id >= 3000
+    )
+    """,
+    description="Union of two overlapping event slices then DISTINCT over all "
+    "columns (reference U1+A1: re-ingested files deduped row-wise).",
+    tags=("set", "dedup", "parity"),
+)
+def union_dedup_events(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") < 7000)
+    b = ev.filter(F.col("event_id") >= 3000)
+    return dedup_full_row(a.unionByName(b))
+
+
+# ---------------------------------------------------------------------------
+# A2 / S15 — keyed dedup with deterministic first-writer-wins.
+# Reference: Cassandra INSERT IF NOT EXISTS keeps the first row per PK in
+# S3-listing order (preprocess_to_staging.py:140); rebuilt with an explicit
+# total order (SURVEY.md §7.4).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pk_dedup_first_writer",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id, event_type ORDER BY ts, event_id
+    ) = 1
+    """,
+    description="Keep the first row per (user_id, event_type) under an "
+    "explicit (ts, event_id) order — deterministic first-writer-wins "
+    "(reference A2/S15 LWT insert).",
+    tags=("dedup", "window", "parity"),
+)
+def pk_dedup_first_writer(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    out = dedup_keep_first(ev, ["user_id", "event_type"], [F.col("ts"), F.col("event_id")])
+    return out.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins. The reference's LWT insert acts as a left-anti join of
+# incoming rows against existing PKs (SURVEY.md §2.3).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "semi_join_big_spenders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    """,
+    description="Customers having at least one order over 400k (left-semi "
+    "join / EXISTS).",
+    tags=("join", "semi"),
+)
+def semi_join_big_spenders(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "anti_join_inactive_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    )
+    """,
+    description="Customers with no order since 2000 (left-anti join / NOT "
+    "EXISTS — the reference's incoming-vs-existing-PK filter, SURVEY.md §2.3).",
+    tags=("join", "anti"),
+)
+def anti_join_inactive_customers(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2/F2/F3/P3 — typed casts with null-on-error, two-format timestamp parse,
+# empty-string -> null, empty-row filter.
+# Reference: preprocess_to_staging.py:35-63 (casts), :195 (empty-row filter).
+# The date strings are derived deterministically from events.ts (even ids get
+# date-only strings, exercising the format fallback).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "typed_cast_null_on_error",
+    oracle="""
+    WITH raw AS (
+      SELECT event_id,
+             CASE WHEN event_id % 2 = 0 THEN strftime(ts, '%Y/%m/%d')
+                  ELSE strftime(ts, '%Y/%m/%d %H:%M:%S') END AS ts_str,
+             CASE WHEN event_id % 97 = 0 THEN 'not-a-number'
+                  WHEN event_id % 89 = 0 THEN ''
+                  ELSE CAST(value AS VARCHAR) END AS val_str,
+             CASE WHEN event_id % 13 = 0 THEN '' ELSE event_type END AS type_str
+      FROM events
+    )
+    SELECT event_id,
+           COALESCE(try_strptime(ts_str, '%Y/%m/%d %H:%M:%S'),
+                    try_strptime(ts_str, '%Y/%m/%d')) AS ts_parsed,
+           TRY_CAST(NULLIF(val_str, '') AS DOUBLE) AS val_parsed,
+           NULLIF(type_str, '') AS type_parsed
+    FROM raw
+    WHERE NOT (NULLIF(trim(val_str), '') IS NULL
+               AND NULLIF(trim(type_str), '') IS NULL)
+    """,
+    description="Reference silver-zone casts: two-format timestamp parse with "
+    "fallback, float parse null-on-error, empty-string->null, and the "
+    "all-blank row filter (P2/P3/F2/F3).",
+    tags=("cast", "parity"),
+)
+def typed_cast_null_on_error(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    raw = ev.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 2 == 0, F.date_format("ts", "yyyy/MM/dd")
+        )
+        .otherwise(F.date_format("ts", "yyyy/MM/dd HH:mm:ss"))
+        .alias("ts_str"),
+        F.when(F.col("event_id") % 97 == 0, F.lit("not-a-number"))
+        .when(F.col("event_id") % 89 == 0, F.lit(""))
+        .otherwise(F.col("value").cast("string"))
+        .alias("val_str"),
+        F.when(F.col("event_id") % 13 == 0, F.lit("")).otherwise(
+            F.col("event_type")
+        ).alias("type_str"),
+    )
+    parsed = raw.select(
+        "event_id",
+        F.coalesce(
+            F.try_to_timestamp("ts_str", F.lit("yyyy/MM/dd HH:mm:ss")),
+            F.try_to_timestamp("ts_str", F.lit("yyyy/MM/dd")),
+        ).alias("ts_parsed"),
+        F.nullif("val_str", F.lit("")).cast("double").alias("val_parsed"),
+        F.nullif("type_str", F.lit("")).alias("type_parsed"),
+        "val_str",
+        "type_str",
+    )
+    kept = parsed.filter(
+        ~(
+            F.nullif(F.trim("val_str"), F.lit("")).isNull()
+            & F.nullif(F.trim("type_str"), F.lit("")).isNull()
+        )
+    )
+    return kept.select("event_id", "ts_parsed", "val_parsed", "type_parsed")
+
+
+# ---------------------------------------------------------------------------
+# Rollup — multi-level aggregate (engine capability beyond the reference's
+# single global mean; SURVEY.md §2.4 notes the reference has no group-by at
+# all, so this is pure added surface).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           CAST(ROUND(sum(CAST(o_totalprice AS DECIMAL(25,2))), 4) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    description="ROLLUP over (status, priority) with exact decimal totals — "
+    "hierarchical aggregate in one pass.",
+    tags=("aggregate", "rollup"),
+)
+def orders_rollup(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum(dec("o_totalprice", *PRICE)), 4).cast("double").alias(
+            "total_price"
+        ),
+    )

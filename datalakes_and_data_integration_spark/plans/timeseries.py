@@ -1,1 +1,340 @@
-"""Placeholder — populated in this round."""
+"""Time-series queries: the analytical heart of the reference's curated zone
+(SURVEY.md §2.5), rebuilt as per-key time-ordered windows.
+
+The reference shifts positionally over an unspecified global row order
+(process_to_curated.py:109-157); these implement the *intended* semantics —
+`lag(n)` over Window.partitionBy(user).orderBy(ts, id) — as SURVEY.md §7.4
+prescribes, with the same fillna quirks (diff backfills the first n rows with
+0; pct-change leaves them null).
+
+All window queries share one window spec, so a pipeline combining them
+shuffles exactly once on user_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalakes_and_data_integration_spark.operators import (
+    bfill,
+    ffill,
+    horizontal_sum,
+    impute_mean,
+    lag_diff,
+    lag_pct_change,
+)
+from datalakes_and_data_integration_spark.operators.windows import ordered_window
+from datalakes_and_data_integration_spark.plans._util import T, dec
+from datalakes_and_data_integration_spark.plans.registry import register
+
+_W_SQL = "PARTITION BY user_id ORDER BY ts, event_id"
+
+
+def _w():
+    return ordered_window(["user_id"], [F.col("ts"), F.col("event_id")])
+
+
+# ---------------------------------------------------------------------------
+# W1 — lag-6 difference with first-rows-backfill.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lag6_diff",
+    oracle=f"""
+    SELECT event_id, user_id, ts, value,
+           value - COALESCE(lag(value, 6) OVER ({_W_SQL}), value) AS diff_6
+    FROM events
+    """,
+    description="Per-user 6-step lag difference; rows without a 6-back "
+    "predecessor diff against themselves -> 0 (reference W1 fillna, "
+    "process_to_curated.py:123-129).",
+    tags=("window", "timeseries", "parity"),
+    bench=True,
+)
+def lag6_diff(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", "user_id", "ts", "value", lag_diff("value", _w()).alias("diff_6")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2 — lag-6 percent change (first rows stay null).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lag6_pct_change",
+    oracle=f"""
+    SELECT event_id, user_id, ts, value,
+           (value - lag(value, 6) OVER ({_W_SQL}))
+             / lag(value, 6) OVER ({_W_SQL}) * 100 AS pct_change_6
+    FROM events
+    """,
+    description="Per-user 6-step percent change; no backfill — first 6 rows "
+    "per key are null (reference W2, process_to_curated.py:148-152).",
+    tags=("window", "timeseries", "parity"),
+)
+def lag6_pct_change(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        lag_pct_change("value", _w()).alias("pct_change_6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4 — ordered forward-fill then backward-fill.
+# Values are deterministically nulled (error events) to create gaps, mirroring
+# the reference's missing unit cells (process_to_curated.py:48-54).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ffill_bfill",
+    oracle=f"""
+    WITH nulled AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id, user_id, ts, v,
+           COALESCE(
+             last_value(v IGNORE NULLS) OVER
+               ({_W_SQL} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             first_value(v IGNORE NULLS) OVER
+               ({_W_SQL} ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           ) AS v_filled
+    FROM nulled
+    """,
+    description="Per-user ordered ffill-then-bfill over gapped values "
+    "(reference W4 unit-column fill, rebuilt per-key as §7.4 prescribes).",
+    tags=("window", "timeseries", "parity"),
+)
+def ffill_bfill(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    nulled = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "error", F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    w = _w()
+    return nulled.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "v",
+        F.coalesce(ffill("v", w), bfill("v", w)).alias("v_filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3/F6 — global mean imputation (computed over non-null values, applied as a
+# literal — one aggregate pass + a narrow projection, reference
+# process_to_curated.py:98-106).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mean_impute",
+    oracle="""
+    WITH nulled AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id,
+           COALESCE(v, (SELECT CAST(sum(CAST(v AS DECIMAL(25,6))) AS DOUBLE)
+                               / count(v) FROM nulled)) AS v_imputed
+    FROM nulled
+    """,
+    description="Fill nulls with the global column mean (reference A3/F6; "
+    "mean as exact decimal sum / count).",
+    tags=("aggregate", "impute", "parity"),
+)
+def mean_impute(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    nulled = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    return impute_mean(nulled, ["v"]).select(
+        "event_id", F.col("v").alias("v_imputed")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4/F5/A4 — unit-map conversion (unmapped -> null) + horizontal NaN-skipping
+# total across the per-type converted sums (the curated-zone wide shape).
+# ---------------------------------------------------------------------------
+
+_FACTORS = {"click": "0.001", "purchase": "1.0", "signup": "0.001", "view": "0.000001"}
+# 'error' deliberately unmapped -> null (reference F4: the µg/m3 variant,
+# process_to_curated.py:35-39).
+_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _convert_oracle():
+    sums = []
+    for t in _TYPES:
+        if t in _FACTORS:
+            sums.append(
+                f"CAST(ROUND(sum(CASE WHEN event_type = '{t}' THEN "
+                f"CAST(value AS DECIMAL(18,6)) * CAST({_FACTORS[t]} AS DECIMAL(9,6)) "
+                f"END), 4) AS DOUBLE) AS {t}_total"
+            )
+        else:
+            sums.append(f"CAST(NULL AS DOUBLE) AS {t}_total")
+    cols = ", ".join(sums)
+    co = " + ".join(f"COALESCE({t}_total, 0.0)" for t in _TYPES)
+    notnull = " OR ".join(f"{t}_total IS NOT NULL" for t in _TYPES)
+    return f"""
+    WITH per_user AS (
+      SELECT user_id, {cols}
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, {', '.join(t + '_total' for t in _TYPES)},
+           CASE WHEN {notnull} THEN {co} ELSE NULL END AS grand_total
+    FROM per_user
+    """
+
+
+@register(
+    "unit_convert_horizontal_total",
+    oracle=_convert_oracle(),
+    description="Unit-factor map conversion with unmapped-type->null "
+    "(reference F4/F5) and row-wise NaN-skipping total across the converted "
+    "column group (reference A4 horizontal sum).",
+    tags=("convert", "horizontal", "parity"),
+)
+def unit_convert_horizontal_total(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    # Same shape as operators.convert.map_convert, but with decimal factor
+    # literals so per-type sums are exact (map_convert's double factors are
+    # the production path; the decimal form is the oracle-exact one).
+    conv = ev.select(
+        "user_id",
+        "event_type",
+        *[
+            F.when(
+                F.col("event_type") == t,
+                dec("value", 18, 6) * F.lit(_FACTORS[t]).cast("decimal(9,6)"),
+            ).alias(f"_{t}")
+            for t in _FACTORS
+        ],
+    )
+    agg = conv.groupBy("user_id").agg(
+        *[
+            F.round(F.sum(f"_{t}"), 4).cast("double").alias(f"{t}_total")
+            if t in _FACTORS
+            else F.lit(None).cast("double").alias(f"{t}_total")
+            for t in _TYPES
+        ]
+    )
+    return agg.withColumn(
+        "grand_total", horizontal_sum([f"{t}_total" for t in _TYPES])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization — gap-based sessions (engine surface the reference lacks;
+# the natural streaming-state analogue of its time-series zone).
+# ---------------------------------------------------------------------------
+
+_GAP_MS = 30 * 60 * 1000
+
+
+@register(
+    "sessionization",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER ({_W_SQL})
+                       > {_GAP_MS}
+                  OR lag(epoch_ms(ts)) OVER ({_W_SQL}) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER ({_W_SQL}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    description="Gap-based sessionization (30-min inactivity): lag + running "
+    "sum to assign session ids, then per-session aggregates.",
+    tags=("window", "timeseries", "session"),
+    bench=True,
+)
+def sessionization(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    w = _w()
+    ms = F.unix_millis("ts")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            (ms - F.lag(ms).over(w) > _GAP_MS) | F.lag(ms).over(w).isNull(),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    from pyspark.sql import Window
+
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("is_new")
+        .over(_w().rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tumbling-window aggregate — hourly rollup per event type (batch twin of the
+# streaming query in plans/streaming_queries.py).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tumbling_hourly_agg",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n_events,
+           CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    description="Hourly tumbling-window aggregate per event type (exact "
+    "decimal totals); batch twin of the Structured Streaming variant.",
+    tags=("window", "timeseries", "streaming-twin"),
+    bench=True,
+)
+def tumbling_hourly_agg(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(dec("value", 18, 6)), 4).cast("double").alias("total_value"),
+    )

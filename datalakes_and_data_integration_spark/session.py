@@ -46,6 +46,13 @@ def get_spark(
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
+        # Reference semantics are null-on-error for casts/parses
+        # (preprocess_to_staging.py:35-63); ANSI mode (Spark 4 default) throws.
+        "spark.sql.ansi.enabled": "false",
+        # events.parquet stores TIMESTAMP(NANOS); Spark's vectorized reader
+        # rejects it. Read as long and convert in the loader (values are
+        # µs-aligned, so the conversion is lossless — verified in TESTDATA).
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         "spark.ui.enabled": "false",

@@ -1,1 +1,317 @@
-"""Placeholder — populated in this round."""
+"""Deduplication queries over ``documents`` — the LLM-training-data dedup
+suite (BASELINE.json north star): exact, MinHash+LSH, SimHash, and n-gram
+Jaccard set-similarity join.
+
+Scale design (100 TB):
+- exact: one hash-shuffle on a 16-byte digest, map-side combined.
+- MinHash+LSH: per-doc signatures are a narrow scan (k md5s per shingle);
+  the only shuffle is the band-bucket self-join — candidates, not the
+  corpus, hit the network. Bands/rows trade recall vs cost (4 bands x 2
+  rows here; threshold s where collision prob = 1/2 is (1/b)^(1/r) ≈ 0.5).
+- SimHash: pure scan -> 60-bit signature; near-dup = hamming<=k on a
+  self-join that would use bit-sampling buckets at scale (exact pair scan
+  here, LSH-bucketed variant in plans/similarity.py shows the bucket form).
+- Jaccard join: inverted-index (explode shingles, self-join on shingle,
+  count shared) — the classic set-similarity-join shape; skew on stop-
+  shingles is the scale hazard, bounded here by distinct-shingling.
+
+All hashes are md5-derived (functions/hashing.py) so the DuckDB oracle
+reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalakes_and_data_integration_spark.functions.hashing import (
+    hash60_sql_duck,
+    hash60_sql_spark,
+)
+from datalakes_and_data_integration_spark.functions.text import (
+    shingles_expr_spark,
+    shingles_sql_duck,
+    tokens_sql_duck,
+)
+from datalakes_and_data_integration_spark.plans._util import T
+from datalakes_and_data_integration_spark.plans.registry import register
+
+_TOK_SPARK = "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
+_TOK_DUCK = tokens_sql_duck("text")
+
+# ---------------------------------------------------------------------------
+# Exact dedup: group on content digest, keep the smallest doc_id.
+# (Reference A1 full-row distinct, restated content-wise for documents.)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, count(*) AS n_copies,
+           min(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    description="Exact content dedup: hash-groupBy on md5(text), smallest "
+    "doc_id kept per group (one map-side-combined shuffle on the digest).",
+    tags=("dedup", "llm-pipeline"),
+    bench=True,
+)
+def dedup_exact(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.count("*").alias("n_copies"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup: word-3-shingles -> k=8 minhash signatures ->
+# 4 bands x 2 rows -> band-bucket candidate pairs -> exact Jaccard verify.
+# ---------------------------------------------------------------------------
+
+_K = 8  # signatures
+_BANDS = 4  # bands of 2 rows each
+_JACCARD_MIN = 0.2
+
+
+def _minhash_oracle() -> str:
+    shing = shingles_sql_duck("toks", 3)
+    sig_cols = ", ".join(
+        f"list_min(list_transform(sh, x -> {hash60_sql_duck('x', seed=k)})) AS s{k}"
+        for k in range(_K)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat(s{2 * b}, ',', s{2 * b + 1}) AS bv FROM sigs"
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, {_TOK_DUCK} AS toks FROM documents),
+    shingled AS (SELECT doc_id, {shing} AS sh FROM tok),
+    sigs AS (SELECT doc_id, sh, {sig_cols} FROM shingled WHERE len(sh) > 0),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+      WHERE a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS inter,
+             len(sa.sh) AS la, len(sb.sh) AS lb
+      FROM cand c
+      JOIN shingled sa ON sa.doc_id = c.doc_a
+      JOIN shingled sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (la + lb - inter) AS jaccard
+    FROM verified
+    WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= {_JACCARD_MIN}
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_minhash_oracle(),
+    description=f"MinHash({_K})+LSH({_BANDS}x2) near-dup detection over word "
+    "3-shingles with exact Jaccard verification of band-collision candidates "
+    f"(threshold {_JACCARD_MIN}); only candidates shuffle, never the corpus.",
+    tags=("dedup", "lsh", "llm-pipeline"),
+    bench=True,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    shing = shingles_expr_spark(_TOK_SPARK, 3)
+    shingled = d.select("doc_id", F.expr(shing).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    sigs = shingled.select(
+        "doc_id",
+        "sh",
+        *[
+            F.expr(
+                f"array_min(transform(sh, x -> {hash60_sql_spark('x', seed=k)}))"
+            ).alias(f"s{k}")
+            for k in range(_K)
+        ],
+    )
+    bands = None
+    for b in range(_BANDS):
+        part = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat_ws(",", f"s{2 * b}", f"s{2 * b + 1}").alias("bv"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = shingled.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    sb = shingled.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            F.size("sh_a").alias("la"),
+            F.size("sh_b").alias("lb"),
+        )
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("la") + F.col("lb") - F.col("inter")
+    )
+    return verified.select(
+        "doc_a", "doc_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= _JACCARD_MIN)
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 60-bit signature = sign of per-bit tf-weighted sums of token
+# hashes. Pure scan; token hashes computed once per token, then 60 bit-sums.
+# ---------------------------------------------------------------------------
+
+_BITS = 60
+
+
+def _simhash_oracle() -> str:
+    h = hash60_sql_duck("t")
+    bit_sums = ", ".join(
+        f"list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) AS b{b}"
+        for b in range(_BITS)
+    )
+    recompose = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_BITS)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, {_TOK_DUCK} AS toks FROM documents),
+    hashed AS (
+      SELECT doc_id, list_transform(toks, t -> {h}) AS hs
+      FROM tok WHERE len(toks) > 0
+    ),
+    bits AS (SELECT doc_id, {bit_sums} FROM hashed)
+    SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash
+    FROM bits
+    """
+
+
+@register(
+    "dedup_simhash",
+    oracle=_simhash_oracle(),
+    description=f"{_BITS}-bit SimHash signature per document (tf-weighted "
+    "bit votes over md5-derived token hashes) — near-dup candidates are "
+    "signatures within small hamming distance.",
+    tags=("dedup", "simhash", "llm-pipeline"),
+)
+def dedup_simhash(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    h = hash60_sql_spark("t")
+    hashed = d.select(
+        "doc_id",
+        F.expr(f"transform({_TOK_SPARK}, t -> {h})").alias("hs"),
+    ).filter(F.size("hs") > 0)
+    bits = hashed.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"aggregate(hs, 0, (a, h) -> a + (CASE WHEN (shiftright(h, {b}) & 1) = 1 "
+                f"THEN 1 ELSE -1 END))"
+            ).alias(f"b{b}")
+            for b in range(_BITS)
+        ],
+    )
+    recompose = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b}L ELSE 0L END)" for b in range(_BITS)
+    )
+    return bits.select(
+        "doc_id", F.expr(f"CAST({recompose} AS BIGINT)").alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard set-similarity join: inverted index on word-2-shingles,
+# pair counts from the index self-join, exact Jaccard — no hashing involved,
+# the classic exact set-similarity join.
+# ---------------------------------------------------------------------------
+
+_JOIN_MIN = 0.15
+
+
+def _jaccard_oracle() -> str:
+    shing = shingles_sql_duck("toks", 2)
+    return f"""
+    WITH tok AS (SELECT doc_id, {_TOK_DUCK} AS toks FROM documents),
+    shingled AS (SELECT doc_id, {shing} AS sh FROM tok WHERE len({shing}) > 0),
+    sizes AS (SELECT doc_id, len(sh) AS sz FROM shingled),
+    inverted AS (SELECT doc_id, unnest(sh) AS g FROM shingled),
+    pair_common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM inverted a JOIN inverted b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(p.common AS DOUBLE) / (sa.sz + sb.sz - p.common) AS jaccard
+    FROM pair_common p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE CAST(p.common AS DOUBLE) / (sa.sz + sb.sz - p.common) >= {_JOIN_MIN}
+    """
+
+
+@register(
+    "dedup_ngram_jaccard_join",
+    oracle=_jaccard_oracle(),
+    description="Exact n-gram Jaccard similarity join via inverted index on "
+    f"word 2-shingles (threshold {_JOIN_MIN}): explode -> self-join on "
+    "shingle -> pair counts -> Jaccard.",
+    tags=("dedup", "similarity-join", "llm-pipeline"),
+)
+def dedup_ngram_jaccard_join(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    shing = shingles_expr_spark(_TOK_SPARK, 2)
+    shingled = d.select("doc_id", F.expr(shing).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    sizes = shingled.select("doc_id", F.size("sh").alias("sz"))
+    inverted = shingled.select("doc_id", F.explode("sh").alias("g"))
+    a = inverted.alias("a")
+    b = inverted.alias("b")
+    pair_common = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    jac = F.col("common").cast("double") / (
+        F.col("sza") + F.col("szb") - F.col("common")
+    )
+    return (
+        pair_common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _JOIN_MIN)
+    )

@@ -1,1 +1,275 @@
-"""Placeholder — populated in this round."""
+"""Similarity search over the ``embeddings`` table (64-dim float vectors).
+
+- Brute-force cosine top-k: the exactness baseline. All arithmetic is
+  performed in double with an identical operation order in Spark and DuckDB
+  (sequential left-fold dot products), so values match bit-for-bit; ranking
+  additionally orders on the 6-decimal-rounded cosine to be robust.
+- Hyperplane-LSH-bucketed top-k: the scale path. 8 random-hyperplane signs
+  (constants derived from md5 at plan-build time — functions/hashing.py, so
+  both engines see identical planes) bucket vectors; candidates come only
+  from the same bucket, turning the O(n^2) cross join into a per-bucket
+  join. At 100 TB: repartition by bucket, broadcast nothing, and the
+  quadratic term is bounded by the largest bucket.
+- Near-dup pairs: cosine threshold over the bucketed candidates' exact
+  scores — the embedding analogue of MinHash verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalakes_and_data_integration_spark.functions.hashing import hash60_py
+from datalakes_and_data_integration_spark.plans._util import T
+from datalakes_and_data_integration_spark.plans.registry import register
+
+_DIM = 64
+_TOPK = 5
+
+# --- shared expression builders (Spark SQL | DuckDB SQL kept adjacent) -----
+
+
+def _norm2_spark(col: str) -> str:
+    return (
+        f"aggregate(transform({col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+    )
+
+
+def _norm2_duck(col: str) -> str:
+    return (
+        f"list_reduce(list_transform({col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        f"(a, v) -> a + v)"
+    )
+
+
+def _dot_spark(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _dot_duck(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {_DIM} + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (acc, v) -> acc + v)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_topk_bruteforce",
+    oracle=f"""
+    WITH normed AS (
+      SELECT vec_id, embedding, sqrt({_norm2_duck('embedding')}) AS nrm
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             round({_dot_duck('a.embedding', 'b.embedding')} / a.nrm / b.nrm, 6)
+               AS cos_sim
+      FROM normed a JOIN normed b ON a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, neighbor_id, cos_sim, rank FROM (
+      SELECT vec_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM pairs
+    ) WHERE rank <= {_TOPK}
+    """,
+    description=f"Exact cosine top-{_TOPK} neighbors per vector (brute-force "
+    "baseline): double-precision sequential-fold dot products, deterministic "
+    "rank tiebreak on neighbor id.",
+    tags=("similarity", "ann", "llm-pipeline"),
+    bench=True,
+)
+def ann_topk_bruteforce(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    normed = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(f"sqrt({_norm2_spark('embedding')})").alias("nrm"),
+    )
+    a = normed.alias("a")
+    b = normed.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        F.round(
+            F.expr(_dot_spark("a.embedding", "b.embedding"))
+            / F.col("a.nrm")
+            / F.col("b.nrm"),
+            6,
+        ).alias("cos_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select("vec_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane-LSH bucketing + in-bucket top-k (the scale path).
+# Planes are ±1 vectors: component (p, d) = +1 iff md5-bit of "plane:p:d".
+# ---------------------------------------------------------------------------
+
+_PLANES = 8
+_SIGNS = [
+    [1 if hash60_py(f"plane:{p}:{d}") & 1 else -1 for d in range(_DIM)]
+    for p in range(_PLANES)
+]
+
+
+def _bucket_spark(col: str) -> str:
+    terms = []
+    for p in range(_PLANES):
+        arr = f"array({', '.join(str(s) for s in _SIGNS[p])})"
+        dot = (
+            f"aggregate(zip_with({col}, {arr}, (x, s) -> CAST(x AS DOUBLE) * s), "
+            f"CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _bucket_duck(col: str) -> str:
+    terms = []
+    for p in range(_PLANES):
+        arr = f"[{', '.join(str(s) for s in _SIGNS[p])}]"
+        dot = (
+            f"list_reduce(list_transform(range(1, {_DIM} + 1), "
+            f"i -> CAST({col}[i] AS DOUBLE) * ({arr})[i]), (a, v) -> a + v)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@register(
+    "ann_topk_lsh_bucketed",
+    oracle=f"""
+    WITH normed AS (
+      SELECT vec_id, embedding, sqrt({_norm2_duck('embedding')}) AS nrm,
+             {_bucket_duck('embedding')} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_id, a.bucket AS bucket, b.vec_id AS neighbor_id,
+             round({_dot_duck('a.embedding', 'b.embedding')} / a.nrm / b.nrm, 6)
+               AS cos_sim
+      FROM normed a JOIN normed b
+        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, bucket, neighbor_id, cos_sim, rank FROM (
+      SELECT vec_id, bucket, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM pairs
+    ) WHERE rank <= {_TOPK}
+    """,
+    description=f"LSH-bucketed approximate top-{_TOPK}: {_PLANES} md5-derived "
+    "random-hyperplane signs bucket the vectors; candidates and the "
+    "quadratic cost stay inside buckets (the 100 TB path).",
+    tags=("similarity", "ann", "lsh", "llm-pipeline"),
+    bench=True,
+)
+def ann_topk_lsh_bucketed(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    normed = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(f"sqrt({_norm2_spark('embedding')})").alias("nrm"),
+        F.expr(_bucket_spark("embedding")).alias("bucket"),
+    )
+    a = normed.alias("a")
+    b = normed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("a.bucket").alias("bucket"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        F.round(
+            F.expr(_dot_spark("a.embedding", "b.embedding"))
+            / F.col("a.nrm")
+            / F.col("b.nrm"),
+            6,
+        ).alias("cos_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select("vec_id", "bucket", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cosine near-duplicate pairs (threshold over exact scores).
+# ---------------------------------------------------------------------------
+
+_NEAR_DUP_MIN = 0.35
+
+
+@register(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH normed AS (
+      SELECT vec_id, embedding, label, sqrt({_norm2_duck('embedding')}) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           a.label AS label_a, b.label AS label_b,
+           round({_dot_duck('a.embedding', 'b.embedding')} / a.nrm / b.nrm, 6)
+             AS cos_sim
+    FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+    WHERE round({_dot_duck('a.embedding', 'b.embedding')} / a.nrm / b.nrm, 6)
+          >= {_NEAR_DUP_MIN}
+    """,
+    description=f"Embedding-cosine near-duplicate pairs (cosine >= "
+    f"{_NEAR_DUP_MIN}) with label agreement — the embedding analogue of "
+    "MinHash verify.",
+    tags=("similarity", "dedup", "llm-pipeline"),
+)
+def embedding_near_dup(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    normed = e.select(
+        "vec_id",
+        "embedding",
+        "label",
+        F.expr(f"sqrt({_norm2_spark('embedding')})").alias("nrm"),
+    )
+    a = normed.alias("a")
+    b = normed.alias("b")
+    cos = F.round(
+        F.expr(_dot_spark("a.embedding", "b.embedding"))
+        / F.col("a.nrm")
+        / F.col("b.nrm"),
+        6,
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _NEAR_DUP_MIN)
+    )

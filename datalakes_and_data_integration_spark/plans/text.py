@@ -1,1 +1,248 @@
-"""Placeholder — populated in this round."""
+"""Text-analysis queries over the ``documents`` table — the training-data
+pipeline surface (BASELINE.json north star: language ID, quality scoring,
+token counting, fingerprinting).
+
+All expressions are native Spark SQL (codegen, no UDFs, no shuffle except
+the final grouping queries) and every hash shared with the oracle is
+md5-derived (functions/hashing.py). At 100 TB these are embarrassingly
+parallel scans — per-document work, zero data movement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalakes_and_data_integration_spark.functions.text import (
+    LANG_ORDER,
+    STOPWORDS,
+    _BPE_RE,
+    argmax_lang,
+    argmax_lang_sql_duck,
+    bpe_token_count,
+    bpe_token_count_sql_duck,
+    lang_scores,
+    lang_scores_sql_duck,
+    tokens,
+    tokens_sql_duck,
+)
+from datalakes_and_data_integration_spark.functions.hashing import (
+    hash60_sql_duck,
+    hash60_sql_spark,
+)
+from datalakes_and_data_integration_spark.plans._util import T
+from datalakes_and_data_integration_spark.plans.registry import register
+
+_TOK_DUCK = tokens_sql_duck("text")
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace tokens + BPE-ish regex tokens + avg token length.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, n_chars, {_TOK_DUCK} AS toks FROM documents)
+    SELECT doc_id, n_chars,
+           len(toks) AS n_tokens,
+           (SELECT {bpe_token_count_sql_duck('d.text')}
+            FROM documents d WHERE d.doc_id = tok.doc_id) AS n_bpe_tokens,
+           CASE WHEN len(toks) > 0 THEN
+             CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+               / len(toks)
+           END AS avg_token_len
+    FROM tok
+    """,
+    description="Whitespace token count, BPE-ish regex token count, and mean "
+    "token length per document.",
+    tags=("text", "llm-pipeline"),
+    bench=True,
+)
+def text_token_stats(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "n_chars", "text", tokens("text").alias("toks"))
+    return tok.select(
+        "doc_id",
+        "n_chars",
+        F.size("toks").alias("n_tokens"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
+        F.when(
+            F.size("toks") > 0,
+            F.expr(
+                "CAST(aggregate(transform(toks, t -> length(t)), 0, (a, x) -> a + x) AS DOUBLE)"
+            )
+            / F.size("toks"),
+        ).alias("avg_token_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID: stopword-lexicon scoring with deterministic argmax.
+# ---------------------------------------------------------------------------
+
+
+def _lang_oracle() -> str:
+    scores = lang_scores_sql_duck("toks")
+    cols = ", ".join(f"{scores[lang]} AS score_{lang}" for lang in LANG_ORDER)
+    pred = argmax_lang_sql_duck(scores)
+    return f"""
+    WITH tok AS (SELECT doc_id, lang, {_TOK_DUCK} AS toks FROM documents)
+    SELECT doc_id, lang, {cols}, {pred} AS lang_pred
+    FROM tok
+    """
+
+
+@register(
+    "text_lang_id",
+    oracle=_lang_oracle(),
+    description="N-gram-heuristic language ID: per-language stopword-lexicon "
+    "scores and deterministic arg-max prediction (tiebreak = fixed language "
+    "order, all-zero -> 'und').",
+    tags=("text", "llm-pipeline"),
+)
+def text_lang_id(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", tokens("text").alias("toks"))
+    scores = lang_scores(F.col("toks"))
+    return tok.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_ORDER],
+        argmax_lang(scores).alias("lang_pred"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: length/punctuation/stopword components + composite.
+# Component ratios are int/int -> double divisions (deterministic IEEE);
+# the composite applies the same literal weights in the same order on both
+# engines.
+# ---------------------------------------------------------------------------
+
+_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOK_DUCK} AS toks, length(text) AS n,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct_cnt
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           punct_cnt,
+           CASE WHEN len(toks) > 0 THEN
+             CAST(len(list_filter(toks, t -> list_contains([{_EN}], t))) AS DOUBLE)
+               / len(toks) ELSE 0.0 END AS stopword_ratio,
+           CASE WHEN n > 0 THEN CAST(punct_cnt AS DOUBLE) / n ELSE 0.0 END
+             AS punct_ratio,
+           least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) AS len_score,
+           0.4 * (CASE WHEN len(toks) > 0 THEN
+                    CAST(len(list_filter(toks, t -> list_contains([{_EN}], t))) AS DOUBLE)
+                      / len(toks) ELSE 0.0 END)
+           + 0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+           + 0.3 * (1.0 - (CASE WHEN n > 0 THEN CAST(punct_cnt AS DOUBLE) / n
+                           ELSE 0.0 END)) AS quality
+    FROM tok
+    """,
+    description="Document quality heuristics: stopword ratio, punctuation "
+    "ratio, length score, and a fixed-weight composite in [0, 1].",
+    tags=("text", "llm-pipeline"),
+)
+def text_quality_score(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        tokens("text").alias("toks"),
+        F.length("text").alias("n"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0)).alias(
+            "punct_cnt"
+        ),
+    )
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_tok = F.size("toks")
+    stop_ratio = F.when(
+        n_tok > 0,
+        F.size(F.filter("toks", lambda t: F.array_contains(en, t))).cast("double")
+        / n_tok,
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        F.col("n") > 0, F.col("punct_cnt").cast("double") / F.col("n")
+    ).otherwise(F.lit(0.0))
+    len_score = F.least(F.lit(1.0), n_tok.cast("double") / F.lit(100.0))
+    return tok.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        "punct_cnt",
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        len_score.alias("len_score"),
+        (
+            0.4 * stop_ratio + 0.3 * len_score + 0.3 * (F.lit(1.0) - punct_ratio)
+        ).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting: full-content md5 + min-hash over character 8-grams (a
+# winnowing-style rolling fingerprint — the minimum of a rolling window of
+# substring hashes).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(text) AS content_md5,
+           CASE WHEN length(text) >= 8 THEN
+             list_min(list_transform(range(1, length(text) - 8 + 2),
+               i -> {hash60_sql_duck("substr(text, i, 8)")}))
+           END AS rolling_min_hash
+    FROM documents
+    """,
+    description="Content fingerprints: exact md5 plus min-over-rolling-8-gram "
+    "hash (winnowing-style), md5-derived so both engines agree bit-for-bit.",
+    tags=("text", "fingerprint", "llm-pipeline"),
+)
+def doc_fingerprint(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    h = hash60_sql_spark("substr(text, i, 8)")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.expr(
+            f"CASE WHEN length(text) >= 8 THEN "
+            f"array_min(transform(sequence(1, length(text) - 8 + 1), i -> {h})) "
+            f"END"
+        ).alias("rolling_min_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus stats: CUBE over (lang, source) — counts and char volume at every
+# grouping level in one pass.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_stats_cube",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+           count(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY CUBE (lang, source)
+    """,
+    description="CUBE aggregate over (lang, source): corpus composition at "
+    "all grouping levels in one pass.",
+    tags=("text", "aggregate", "cube"),
+)
+def doc_stats_cube(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.cube("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )

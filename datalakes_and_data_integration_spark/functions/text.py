@@ -46,11 +46,24 @@ def bpe_token_count_sql_duck(col: str = "text") -> str:
 
 
 def shingles_expr_spark(tokens_expr: str, n: int = 3) -> str:
-    parts = ", ".join(f"{tokens_expr}[i + {k}]" for k in range(n))
+    """Word n-grams via zip_with over shifted slices.
+
+    Deliberately avoids ``toks[i]`` indexing inside a lambda: Catalyst's
+    CollapseProject inlines upstream expressions, and an array-index access
+    inside a lambda then re-evaluates the whole tokenizer per element —
+    O(tokens^2) per row (measured 22s -> 0.7s at sf0.1 for 5k docs). Slices
+    reference the input only at the top level of the projection, keeping the
+    cost linear no matter what Catalyst inlines.
+    """
+    m = f"(size({tokens_expr}) - {n - 1})"
+    acc = f"slice({tokens_expr}, 1, {m})"
+    for k in range(2, n + 1):
+        acc = (
+            f"zip_with({acc}, slice({tokens_expr}, {k}, {m}), "
+            f"(a, b) -> concat(a, ' ', b))"
+        )
     return (
-        f"CASE WHEN size({tokens_expr}) >= {n} THEN "
-        f"array_distinct(transform(sequence(0, size({tokens_expr}) - {n}), "
-        f"i -> concat_ws(' ', {parts}))) "
+        f"CASE WHEN size({tokens_expr}) >= {n} THEN array_distinct({acc}) "
         f"ELSE CAST(array() AS ARRAY<STRING>) END"
     )
 

@@ -1,0 +1,135 @@
+"""Gold zone: the curated wide table (reference process_to_curated.py).
+
+Operator order is FIXED and observable in outputs (reference
+`process_to_curated.py:245-260`, SURVEY.md §7.4): outer-merge -> mean-impute
+(in RAW units, before conversion) -> unit ffill/bfill + convert -> horizontal
+total -> lag diff -> lag pct-change. The lag features use per-site
+time-ordered windows — the reference's *intended* semantics; its positional
+shift over an unspecified global order (and the np.roll wrap-around bug in
+the faster variant, W3) are documented divergences, not behaviors to keep.
+
+Shuffle budget: one shuffle per outer-join step (N-1 for N pollutants, all
+on the same key so exchanges reuse), one aggregate pass for the means (tiny
+result to the driver), and ONE window shuffle on code_site shared by
+ffill/bfill/lag/pct (same window spec). Gold is written partitioned-free
+(single wide table, like the reference's one `curated` table) but sorted by
+(code_site, date_de_debut) for scan locality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalakes_and_data_integration_spark.operators import (
+    drop_columns,
+    full_outer_merge,
+    horizontal_sum,
+    impute_mean,
+    lag_diff,
+    lag_pct_change,
+    prefix_columns,
+)
+from datalakes_and_data_integration_spark.operators.windows import (
+    bfill,
+    ffill,
+    ordered_window,
+)
+from datalakes_and_data_integration_spark.sources.catalog import (
+    CODE_TO_TABLE,
+    UNIT_FACTORS,
+    list_tables,
+)
+from datalakes_and_data_integration_spark.sources.sinks import write_partitioned
+
+KEYS = ["code_site", "date_de_debut"]
+TOTAL = "total_valeur_particule_g_par_L"
+
+
+def _unit_factor_col(unit_col: str):
+    """Unit -> g/L factor; unmapped -> null (reference F4,
+    process_to_curated.py:35-39)."""
+    expr = F.lit(None).cast("double")
+    chain = None
+    for unit in sorted(UNIT_FACTORS):
+        cond = F.col(unit_col) == unit
+        lit = F.lit(UNIT_FACTORS[unit])
+        chain = F.when(cond, lit) if chain is None else chain.when(cond, lit)
+    return chain.otherwise(expr)
+
+
+def build_gold(
+    spark: SparkSession, silver_dir: str, gold_dir: str
+) -> DataFrame:
+    tables = list_tables(silver_dir)  # pollutant_code=XX partition dirs
+    frames = []
+    for t in tables:
+        code = t.split("=", 1)[1] if "=" in t else t
+        # staging tables are named by normalized short name, not raw-zone
+        # code (preprocess_to_staging.py:155): 01 -> so2
+        name = CODE_TO_TABLE.get(code, code)
+        df = spark.read.parquet(f"{silver_dir}/{t}")
+        # P5: drop date_de_fin/polluant before merge (process_to_curated.py:167)
+        df = drop_columns(df, ["date_de_fin", "polluant"])
+        # P6: prefix every non-key column (process_to_curated.py:170-171)
+        frames.append(prefix_columns(df, name, KEYS))
+
+    # J1: N-way full outer merge (process_to_curated.py:176-186)
+    wide = full_outer_merge(frames, KEYS)
+
+    # A3/F6: mean-impute numeric columns IN RAW UNITS, before conversion —
+    # the reference's observable ordering (process_to_curated.py:245-251).
+    value_cols = [
+        c
+        for c in wide.columns
+        if c.endswith("_valeur") or c.endswith("_valeur_brute")
+        or c.endswith("_taux_de_saisie")
+    ]
+    wide = impute_mean(wide, value_cols)
+
+    # W4: fill unit columns per site along time, then F4/F5 convert.
+    # Null timestamps (unparseable dates, P2) sort LAST so they never shift
+    # the lag index of real time-ordered rows.
+    w = ordered_window(["code_site"], [F.col("date_de_debut").asc_nulls_last()])
+    converted_cols = []
+    for c in [c for c in wide.columns if c.endswith("_unite_de_mesure")]:
+        filled = F.coalesce(ffill(c, w), bfill(c, w))
+        wide = wide.withColumn(c, filled)
+        prefix = c[: -len("_unite_de_mesure")]
+        factor = _unit_factor_col(c)
+        for vc in (f"{prefix}_valeur", f"{prefix}_valeur_brute"):
+            if vc in wide.columns:
+                out = f"{vc}_g_par_L"
+                wide = wide.withColumn(out, F.col(vc) * factor)
+                converted_cols.append(out)
+
+    # A4: horizontal NaN-skipping total over the converted column group
+    # (process_to_curated.py:71-95).
+    wide = wide.withColumn(TOTAL, horizontal_sum(converted_cols))
+
+    # W1/W2: per-site 6-step lag features over `_valeur` columns + total —
+    # note `_valeur` only, not `_valeur_brute`/`_g_par_L` (the suffix filter
+    # at process_to_curated.py:116,142 — SURVEY.md §1.3).
+    lag_targets = [c for c in wide.columns if c.endswith("_valeur")] + [TOTAL]
+    for c in lag_targets:
+        wide = wide.withColumn(f"{c}_diff_6hrs", lag_diff(c, w, 6))
+    for c in lag_targets:
+        wide = wide.withColumn(
+            f"{c}_percent_change_6hrs", lag_pct_change(c, w, 6)
+        )
+
+    write_partitioned(wide, gold_dir, sort_within=KEYS)
+    return spark.read.parquet(gold_dir)
+
+
+def run_pipeline(
+    spark: SparkSession, landing_dir: str, work_dir: str
+) -> DataFrame:
+    """Full bronze -> silver -> gold run (the reference DAG's three tasks,
+    dags/datalake_pipeline.py:54: unpack >> preprocess >> process)."""
+    from datalakes_and_data_integration_spark.pipeline.bronze import build_bronze
+    from datalakes_and_data_integration_spark.pipeline.silver import build_silver
+
+    build_bronze(spark, landing_dir, f"{work_dir}/bronze")
+    build_silver(spark, f"{work_dir}/bronze", f"{work_dir}/silver")
+    return build_gold(spark, f"{work_dir}/silver", f"{work_dir}/gold")

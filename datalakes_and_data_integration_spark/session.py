@@ -54,6 +54,9 @@ def get_spark(
         # µs-aligned, so the conversion is lossless — verified in TESTDATA).
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Partition values stay strings: pollutant codes like "01" must not
+        # round-trip to int 1 between zones (dir pollutant_code=01 -> col "01").
+        "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         "spark.ui.enabled": "false",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),

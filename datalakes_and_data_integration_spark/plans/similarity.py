@@ -101,7 +101,15 @@ def ann_topk_bruteforce(spark, sf_dir):
         "embedding",
         F.expr(f"sqrt({_norm2_spark('embedding')})").alias("nrm"),
     )
-    a = normed.alias("a")
+    # The non-equi self-join is a BroadcastNestedLoopJoin: parallelism = the
+    # STREAM side's partition count, and a small parquet file is 1 partition.
+    # Hash-repartition the probe side by vec_id — every core gets a slice of
+    # the O(n^2) work, and the top-k window (partitionBy vec_id) inherits the
+    # partitioning instead of shuffling all n^2 pair rows again. At 100 TB
+    # this becomes block-wise: probe partitions stream against a broadcast
+    # (or chunked) corpus; the quadratic term is per-block.
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = normed.repartition(shuffle_n, "vec_id").alias("a")
     b = normed.alias("b")
     pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
         F.col("a.vec_id").alias("vec_id"),
@@ -259,7 +267,9 @@ def embedding_near_dup(spark, sf_dir):
         "label",
         F.expr(f"sqrt({_norm2_spark('embedding')})").alias("nrm"),
     )
-    a = normed.alias("a")
+    # Same BroadcastNestedLoopJoin parallelism fix as ann_topk_bruteforce.
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = normed.repartition(shuffle_n, "vec_id").alias("a")
     b = normed.alias("b")
     cos = F.round(
         F.expr(_dot_spark("a.embedding", "b.embedding"))

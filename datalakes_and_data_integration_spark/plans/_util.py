@@ -34,6 +34,21 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, spark: SparkSession, *, by: str | None = None) -> DataFrame:
+    """Ensure at least one partition per core before CPU-heavy per-row work.
+
+    A small parquet file scans as ONE partition, serializing everything
+    downstream (tokenize/shingle/hash pipelines measured 32x slower). On a
+    real cluster the input already has >= cores splits and this is a no-op —
+    the repartition only fires when the scan is narrower than the session's
+    parallelism, so no 100 TB-scale shuffle is ever introduced by it.
+    """
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, by) if by else df.repartition(n)
+
+
 def dec(col, p: int = 12, s: int = 2):
     """Exact-decimal view of a double column (see module docstring)."""
     c = F.col(col) if isinstance(col, str) else col

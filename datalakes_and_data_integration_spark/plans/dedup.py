@@ -32,7 +32,7 @@ from datalakes_and_data_integration_spark.functions.text import (
     shingles_sql_duck,
     tokens_sql_duck,
 )
-from datalakes_and_data_integration_spark.plans._util import T
+from datalakes_and_data_integration_spark.plans._util import T, spread
 from datalakes_and_data_integration_spark.plans.registry import register
 
 _TOK_SPARK = "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
@@ -131,15 +131,21 @@ def _minhash_oracle() -> str:
 )
 def dedup_minhash_lsh(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
-    # Materialize tokens as a column BEFORE shingling: the shingle expression
-    # references its input many times, and Spark re-evaluates a full
-    # split/filter expression inside lambda bodies (no CSE there) — O(n^2)
-    # if inlined, O(n) against a bound column.
-    tok_df = d.select("doc_id", F.expr(_TOK_SPARK).alias("toks"))
+    # The spread() exchange sits AFTER tokenization on purpose: CollapseProject
+    # merges adjacent projections, re-inlining the split/filter expression into
+    # every lambda reference of the shingle stage (measured 3.8s -> 1.1s at
+    # sf0.1). An exchange is an optimizer barrier, and it also ships the
+    # narrow (doc_id, toks) pair instead of raw text.
+    tok_df = spread(d.select("doc_id", F.expr(_TOK_SPARK).alias("toks")), spark)
     shing = shingles_expr_spark("toks", 3)
     shingled = tok_df.select("doc_id", F.expr(shing).alias("sh")).filter(
         F.size("sh") > 0
-    )
+    ).persist()
+    # shingled is consumed 3x (signature path + both verify sides) and the
+    # band self-join evaluates its build side as a broadcast — without
+    # persist, the whole tokenize->shingle->hash subtree runs 4-5x (measured
+    # 9.2s -> 3s at sf0.1). At 100 TB this intermediate is a materialized
+    # signatures table; persist is the single-job equivalent.
     exploded = shingled.select("doc_id", F.explode("sh").alias("x")).select(
         "doc_id",
         F.expr(hash60_sql_spark("x", seed=0)).alias("h1"),
@@ -153,14 +159,18 @@ def dedup_minhash_lsh(spark, sf_dir):
             for k in range(_K)
         ]
     )
-    bands = None
-    for b in range(_BANDS):
-        part = sigs.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.concat_ws(",", f"s{2 * b}", f"s{2 * b + 1}").alias("bv"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # One posexplode, NOT a 4-way union: each union branch would re-evaluate
+    # the whole tokenize->shingle->hash->groupBy pipeline (x2 again for the
+    # self-join sides); exploding an inline array evaluates sigs once per side.
+    band_array = F.array(
+        *[
+            F.concat_ws(",", f"s{2 * b}", f"s{2 * b + 1}")
+            for b in range(_BANDS)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.posexplode(band_array).alias("band", "bv")
+    ).persist()
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -241,10 +251,16 @@ def _simhash_oracle() -> str:
 def dedup_simhash(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     h = hash60_sql_spark("t")
-    hashed = d.select(
-        "doc_id",
-        F.expr(f"transform({_TOK_SPARK}, t -> {h})").alias("hs"),
-    ).filter(F.size("hs") > 0)
+    # Exchange between hashing and the 60 bit-sum references: without it,
+    # CollapseProject re-inlines the tokenize+md5 pipeline into EVERY one of
+    # the 60 aggregate() expressions (see dedup_minhash_lsh).
+    hashed = spread(
+        d.select(
+            "doc_id",
+            F.expr(f"transform({_TOK_SPARK}, t -> {h})").alias("hs"),
+        ).filter(F.size("hs") > 0),
+        spark,
+    )
     bits = hashed.select(
         "doc_id",
         *[
@@ -304,12 +320,12 @@ def _jaccard_oracle() -> str:
 )
 def dedup_ngram_jaccard_join(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
-    # Two-step tokenize-then-shingle: see dedup_minhash_lsh for why.
-    tok_df = d.select("doc_id", F.expr(_TOK_SPARK).alias("toks"))
+    # Exchange after tokenize, before shingle: see dedup_minhash_lsh.
+    tok_df = spread(d.select("doc_id", F.expr(_TOK_SPARK).alias("toks")), spark)
     shing = shingles_expr_spark("toks", 3)
     shingled = tok_df.select("doc_id", F.expr(shing).alias("sh")).filter(
         F.size("sh") > 0
-    )
+    ).persist()  # consumed 4x: sizes (both sides) + inverted (both sides)
     sizes = shingled.select("doc_id", F.size("sh").alias("sz"))
     inverted = shingled.select("doc_id", F.explode("sh").alias("g"))
     a = inverted.alias("a")

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from datalakes_and_data_integration_spark.functions.hashing import hash60_py
-from datalakes_and_data_integration_spark.plans._util import T
+from datalakes_and_data_integration_spark.plans._util import T, spread
 from datalakes_and_data_integration_spark.plans.registry import register
 
 _DIM = 64
@@ -108,8 +108,7 @@ def ann_topk_bruteforce(spark, sf_dir):
     # partitioning instead of shuffling all n^2 pair rows again. At 100 TB
     # this becomes block-wise: probe partitions stream against a broadcast
     # (or chunked) corpus; the quadratic term is per-block.
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    a = normed.repartition(shuffle_n, "vec_id").alias("a")
+    a = spread(normed, spark, by="vec_id").alias("a")
     b = normed.alias("b")
     pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
         F.col("a.vec_id").alias("vec_id"),
@@ -268,8 +267,7 @@ def embedding_near_dup(spark, sf_dir):
         F.expr(f"sqrt({_norm2_spark('embedding')})").alias("nrm"),
     )
     # Same BroadcastNestedLoopJoin parallelism fix as ann_topk_bruteforce.
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    a = normed.repartition(shuffle_n, "vec_id").alias("a")
+    a = spread(normed, spark, by="vec_id").alias("a")
     b = normed.alias("b")
     cos = F.round(
         F.expr(_dot_spark("a.embedding", "b.embedding"))

@@ -29,7 +29,7 @@ from datalakes_and_data_integration_spark.functions.hashing import (
     hash60_sql_duck,
     hash60_sql_spark,
 )
-from datalakes_and_data_integration_spark.plans._util import T
+from datalakes_and_data_integration_spark.plans._util import T, spread
 from datalakes_and_data_integration_spark.plans.registry import register
 
 _TOK_DUCK = tokens_sql_duck("text")

@@ -19,6 +19,7 @@ from datalakes_and_data_integration_spark.plans.registry import (
 from datalakes_and_data_integration_spark.plans import (  # noqa: E402,F401
     tpch,
     relational,
+    temporal,
     timeseries,
     dedup,
     similarity,

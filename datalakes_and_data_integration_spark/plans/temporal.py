@@ -1,0 +1,282 @@
+"""Temporal join operators over the ``events`` clickstream + per-group
+ranking, pivot, and set operations.
+
+The reference has exactly one join (full outer equi, SURVEY.md §2.3) and no
+as-of/range/ranking operators; these are the custom operators the brief
+calls for ("as-of join, range join"), expressed as compositions of existing
+DataFrame ops — no UDFs.
+
+Scale notes (100 TB):
+- as-of join: the union+ordered-window form — both sides shuffle ONCE on
+  the entity key and are processed in time order; no range-explosion, no
+  per-row probing. This is the standard scalable as-of shape (a sort-merge
+  as-of). Skewed users bound the partition; salting would split them.
+- range join: equi-key join with the range as a post-join filter — Spark
+  executes shuffle-hash/SMJ on user_id, and the time predicate prunes pairs
+  in the stream. Bounded windows keep the per-key fan-out small; at 100 TB
+  the win is bucketing both sides by user_id so the shuffle disappears.
+- top-n per group: window row_number + filter, executed as
+  WindowGroupLimit (partial per-partition top-n before the shuffle).
+- pivot: groupBy().pivot() with an explicit value list — one shuffle, no
+  second pass to discover values (discovery is a full extra scan at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from datalakes_and_data_integration_spark.plans._util import T, VALUE, dec
+from datalakes_and_data_integration_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# As-of join: for each purchase event, the most recent click by the same
+# user at or before the purchase time.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_last_click",
+    oracle="""
+    SELECT purchase_id, user_id, purchase_ts, click_id, click_ts
+    FROM (
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+             c.event_id AS click_id, c.ts AS click_ts,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY c.ts DESC, c.event_id DESC
+             ) AS rn
+      FROM events p
+      LEFT JOIN events c
+        ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+      WHERE p.event_type = 'purchase'
+    ) WHERE rn = 1
+    """,
+    description="As-of join: latest click at-or-before each purchase, per "
+    "user (ties broken by event_id). Spark side is the scalable union+"
+    "ordered-window form — one shuffle on user_id, no range explosion; the "
+    "oracle is the O(n*m) correlated form.",
+    tags=("asof-join", "temporal", "window"),
+    bench=True,
+)
+def asof_join_last_click(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.lit(0).alias("is_probe"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.lit(1).alias("is_probe"),
+    )
+    # Union both streams, order per user by (ts, is_probe, event id): at an
+    # equal timestamp clicks sort BEFORE the purchase (<= semantics), and
+    # among equal-ts clicks the largest event_id wins (matches the oracle's
+    # DESC, DESC tiebreak). last(ignorenulls) carries the most recent click
+    # forward onto each purchase row.
+    both = clicks.select(
+        "user_id", "ts", "is_probe",
+        F.col("click_id").alias("ev_click_id"),
+        F.col("ts").alias("ev_click_ts"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    ).unionByName(
+        purchases.select(
+            "user_id", "ts", "is_probe",
+            F.lit(None).cast("long").alias("ev_click_id"),
+            F.lit(None).cast("timestamp").alias("ev_click_ts"),
+            "purchase_id",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").asc(),
+            F.col("is_probe").asc(),
+            F.col("ev_click_id").asc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        both.withColumn(
+            "click_id", F.last("ev_click_id", ignorenulls=True).over(w)
+        )
+        .withColumn("click_ts", F.last("ev_click_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_probe") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "click_id",
+            "click_ts",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join: views within the hour before each purchase.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "range_join_views_before_purchase",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           count(v.event_id) AS views_1h,
+           CAST(ROUND(sum(COALESCE(CAST(v.value AS DECIMAL(18,6)),
+                                   CAST(0 AS DECIMAL(18,6)))), 4) AS DOUBLE)
+             AS view_value_1h
+    FROM events p
+    LEFT JOIN events v
+      ON v.user_id = p.user_id AND v.event_type = 'view'
+      AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id
+    """,
+    description="Range join: count and value of views in the hour before "
+    "each purchase, per user — equi-join on user_id with the time range as "
+    "a join-time filter (bucketing both sides by user_id removes the "
+    "shuffle at scale).",
+    tags=("range-join", "temporal", "aggregate"),
+)
+def range_join_views(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("v_event_id"),
+        F.col("value").alias("v_value"),
+    )
+    joined = p.join(
+        v,
+        (p.user_id == v.v_user_id)
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") < F.col("p_ts")),
+        "left_outer",
+    )
+    return joined.groupBy("purchase_id", "user_id").agg(
+        F.count("v_event_id").alias("views_1h"),
+        F.round(
+            F.sum(F.coalesce(dec("v_value", *VALUE), F.lit(0).cast("decimal(18,6)"))),
+            4,
+        )
+        .cast("double")
+        .alias("view_value_1h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-N per group: 3 biggest orders per customer (ranking window).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topn_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    description="Top-3 orders by price per customer: ranking window with "
+    "total-order tiebreak; Spark executes WindowGroupLimit (per-partition "
+    "partial top-n before the shuffle).",
+    tags=("window", "ranking", "topk"),
+)
+def topn_orders_per_customer(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot: daily event counts by type (wide table from tall).
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "events_pivot_daily_by_type",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           {", ".join(
+               f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}_cnt"
+               for t in _EVENT_TYPES
+           )}
+    FROM events
+    GROUP BY date_trunc('day', ts)
+    """,
+    description="Daily event counts pivoted to one column per event type: "
+    "groupBy().pivot() with an explicit value list (no extra "
+    "value-discovery scan); one shuffle on day.",
+    tags=("pivot", "aggregate"),
+)
+def events_pivot_daily(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    wide = (
+        e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    out = wide.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"{t}_cnt") for t in _EVENT_TYPES],
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT over user populations.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_ops_user_cohorts",
+    oracle="""
+    SELECT 'purchaser_and_error' AS cohort, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'error'
+    )
+    UNION ALL
+    SELECT 'purchaser_never_error' AS cohort, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'error'
+    )
+    """,
+    description="INTERSECT and EXCEPT cohorts of purchasers vs error-hitters "
+    "(distinct set semantics), tagged and unioned into one result.",
+    tags=("set-ops",),
+)
+def set_ops_user_cohorts(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id")
+    errs = e.filter(F.col("event_type") == "error").select("user_id")
+    both = buyers.intersect(errs).select(
+        F.lit("purchaser_and_error").alias("cohort"), "user_id"
+    )
+    only = buyers.subtract(errs).select(
+        F.lit("purchaser_never_error").alias("cohort"), "user_id"
+    )
+    return both.unionByName(only)

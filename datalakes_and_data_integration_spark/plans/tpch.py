@@ -230,3 +230,382 @@ def top_customers(spark, sf_dir):
         .limit(25)
         .select("c_custkey", "c_name", "n_name", "orders_cnt", "total_spent")
     )
+
+
+# ---------------------------------------------------------------------------
+# q4 — order priority checking (EXISTS -> left semi join)
+# ---------------------------------------------------------------------------
+
+_Q4_LO, _Q4_HI = "1996-01-01 00:00:00", "1996-04-01 00:00:00"
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle=f"""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '{_Q4_LO}'
+      AND o.o_orderdate < TIMESTAMP '{_Q4_HI}'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+    description="Order counts by priority where at least one line shipped "
+    "after the order date (TPC-H Q4 shape): EXISTS decorrelates to a left "
+    "semi join on orderkey; the date filter pushes to the orders scan.",
+    tags=("join", "semi-join", "aggregate"),
+)
+def q4(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q4_LO))
+        & (F.col("o_orderdate") < F.lit(_Q4_HI))
+    )
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q6 — forecasting revenue change (pure scan + pushed filters, no join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(25,2))
+             * CAST(l_discount AS DECIMAL(8,6))), 4) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    description="Revenue from discounted small-quantity lines in one year "
+    "(TPC-H Q6 shape): every predicate reaches the parquet scan as a pushed "
+    "filter; single global aggregate, no shuffle beyond the final reduce.",
+    tags=("aggregate", "scan", "pushdown"),
+    bench=True,
+)
+def q6(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    revenue = dec("l_extendedprice", *PRICE) * dec("l_discount", *RATE)
+    return li.agg(F.round(F.sum(revenue), 4).cast("double").alias("revenue"))
+
+
+# ---------------------------------------------------------------------------
+# q10 — returned item reporting (join + aggregate + top-k)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, revenue, n_name, c_acctbal
+    FROM (
+      SELECT c.c_custkey, c.c_name,
+             CAST(ROUND(sum(CAST(l.l_extendedprice AS DECIMAL(25,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(8,6)))), 4) AS DOUBLE)
+               AS revenue,
+             n.n_name, c.c_acctbal
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        AND l.l_returnflag = 'R'
+      GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    )
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    description="Top-20 customers by revenue lost to returns in a half-year "
+    "window (TPC-H Q10 shape): returnflag filter pushes to the lineitem "
+    "scan; nation broadcasts; top-k is partial-top-k + single reduce.",
+    tags=("join", "aggregate", "topk"),
+    bench=True,
+)
+def q10(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00"))
+    )
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = T(spark, sf_dir, "nation")
+    revenue = dec("l_extendedprice", *PRICE) * (1 - dec("l_discount", *RATE))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.round(F.sum(revenue), 4).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name", "c_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13 — customer order-count distribution (left outer join + double group-by)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    description="Distribution of per-customer order counts excluding urgent "
+    "orders (TPC-H Q13 shape): left outer join keeps order-less customers "
+    "(count 0); two grouped aggregations, the second over a tiny domain.",
+    tags=("join", "outer-join", "aggregate"),
+)
+def q13(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14 — promotion effect (join + conditional aggregate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle="""
+    SELECT CAST(ROUND(
+             100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+               THEN CAST(l.l_extendedprice AS DECIMAL(25,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(8,6)))
+               ELSE CAST(0 AS DECIMAL(25,2)) END) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(25,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(8,6)))) AS DOUBLE),
+           6) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    """,
+    description="Percent of one month's revenue from PROMO parts (TPC-H Q14 "
+    "shape): part broadcasts against the date-pruned lineitem scan; "
+    "conditional decimal aggregate keeps both engines exact.",
+    tags=("join", "aggregate", "conditional"),
+)
+def q14(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00"))
+    )
+    p = T(spark, sf_dir, "part")
+    rev = dec("l_extendedprice", *PRICE) * (1 - dec("l_discount", *RATE))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(25,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            )
+            .cast("double")
+            .alias("promo_revenue_pct")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — large volume customers (group-HAVING semi join back to facts)
+# ---------------------------------------------------------------------------
+
+_Q18_MIN_QTY = 300
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle=f"""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM (
+      SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice,
+             CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > {_Q18_MIN_QTY}
+      )
+      GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    )
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    description=f"Orders whose total quantity exceeds {_Q18_MIN_QTY} with "
+    "their customers (TPC-H Q18 shape): the HAVING subquery becomes an "
+    "aggregate + left semi join on orderkey; exchange on orderkey reused "
+    "between the HAVING aggregate and the outer aggregate.",
+    tags=("join", "semi-join", "aggregate", "topk"),
+)
+def q18(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity", *QTY)).alias("q"))
+        .filter(F.col("q") > _Q18_MIN_QTY)
+        .select("l_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(big.withColumnRenamed("l_orderkey", "bk"),
+              F.col("o_orderkey") == F.col("bk"), "left_semi")
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(dec("l_quantity", *QTY)).cast("double").alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 — discounted revenue, disjunctive predicates (OR-of-ANDs join filter)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q19_disjunctive_filter",
+    oracle="""
+    SELECT CAST(ROUND(sum(CAST(l.l_extendedprice AS DECIMAL(25,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(8,6)))), 4) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE
+      (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+        AND l.l_quantity BETWEEN 1 AND 11)
+      OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+        AND l.l_quantity BETWEEN 10 AND 20)
+      OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+        AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    description="Revenue under an OR-of-ANDs brand/size/quantity predicate "
+    "(TPC-H Q19 shape): Catalyst extracts the common join key, broadcasts "
+    "part, and evaluates the disjunction as a post-join filter.",
+    tags=("join", "aggregate", "disjunction"),
+)
+def q19(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    revenue = dec("l_extendedprice", *PRICE) * (1 - dec("l_discount", *RATE))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.round(F.sum(revenue), 4).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22 — global sales opportunity (scalar subquery + anti join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q22_idle_customers",
+    oracle="""
+    SELECT c_nationkey, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT CAST(avg(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c_nationkey
+    """,
+    description="Well-funded customers with no urgent orders, by nation "
+    "(TPC-H Q22 shape; every synthetic customer has some order, so the anti "
+    "join keys on urgent orders to keep the result non-empty): scalar "
+    "aggregate broadcast into the filter + left anti join.",
+    tags=("anti-join", "aggregate", "subquery"),
+)
+def q22(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    # Scalar subquery: exact decimal avg, cast to double on both sides.
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg(dec("c_acctbal", *PRICE)).cast("double").alias("v"))
+        .collect()[0][0]
+    )
+    return (
+        c.filter(F.col("c_acctbal") > avg_bal)
+        .join(
+            o.filter(F.col("o_orderpriority") == "1-URGENT"),
+            c.c_custkey == o.o_custkey,
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(dec("c_acctbal", *PRICE)).cast("double").alias("totacctbal"),
+        )
+    )

@@ -32,3 +32,105 @@ def streaming_hourly_agg(spark, sf_dir):
     stream = events_stream(spark, sf_dir)
     agg = hourly_agg_stream(stream)
     return run_available_now(agg, spark, name="streaming_hourly_agg_out")
+
+
+@register(
+    "streaming_sliding_agg",
+    oracle="""
+    SELECT wstart AS window_start, event_type, count(*) AS n_events,
+           CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+    FROM (
+      SELECT unnest([
+               time_bucket(INTERVAL 30 MINUTE, ts),
+               time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE
+             ]) AS wstart,
+             event_type, value
+      FROM events
+    )
+    GROUP BY wstart, event_type
+    """,
+    description="1-hour window sliding every 30 minutes per event type "
+    "(each event lands in exactly two windows), run to completion with "
+    "Trigger.AvailableNow; the oracle expands the two window starts per "
+    "event explicitly.",
+    tags=("streaming", "window", "sliding"),
+)
+def streaming_sliding_agg(spark, sf_dir):
+    from datalakes_and_data_integration_spark.streaming import (
+        sliding_agg_stream,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    return run_available_now(
+        sliding_agg_stream(stream), spark, name="streaming_sliding_agg_out"
+    )
+
+
+@register(
+    "streaming_dedup_first_event",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    description="Streaming dropDuplicates on (user_id, event_type) within "
+    "the watermark horizon — the streaming twin of the reference's LWT "
+    "first-writer-wins (A2); only key columns are emitted so the result is "
+    "order-independent.",
+    tags=("streaming", "dedup", "parity"),
+)
+def streaming_dedup_first_event(spark, sf_dir):
+    from datalakes_and_data_integration_spark.streaming import dedup_stream
+
+    stream = events_stream(spark, sf_dir)
+    return run_available_now(
+        dedup_stream(stream), spark, name="streaming_dedup_out",
+        output_mode="append",
+    )
+
+
+@register(
+    "streaming_stateful_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+                  OR lag(epoch_ms(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events
+      FROM numbered GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, n_events
+    FROM sessions
+    WHERE sid < (SELECT max(s2.sid) FROM sessions s2
+                 WHERE s2.user_id = sessions.user_id)
+       OR sid IS NULL
+    """,
+    description="Custom stateful streaming operator: gap-based (30 min) "
+    "sessionization via applyInPandasWithState. Append mode emits a session "
+    "only when a later event closes it, so each user's final session stays "
+    "in state at end-of-stream — the oracle is all-but-the-last session per "
+    "user. State is per-user, timeout-bounded (the operator class the "
+    "reference cannot express, SURVEY.md 2.8).",
+    tags=("streaming", "stateful", "session"),
+)
+def streaming_stateful_sessions(spark, sf_dir):
+    from datalakes_and_data_integration_spark.streaming import (
+        stateful_sessions_stream,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    return run_available_now(
+        stateful_sessions_stream(stream),
+        spark,
+        name="streaming_stateful_sessions_out",
+        output_mode="append",
+    )

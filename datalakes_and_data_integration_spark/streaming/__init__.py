@@ -6,9 +6,19 @@ to a file-source stream with watermarked windows and drop-duplicates here.
 """
 
 from datalakes_and_data_integration_spark.streaming.file_stream import (
+    dedup_stream,
     events_stream,
     hourly_agg_stream,
     run_available_now,
+    sliding_agg_stream,
+    stateful_sessions_stream,
 )
 
-__all__ = ["events_stream", "hourly_agg_stream", "run_available_now"]
+__all__ = [
+    "dedup_stream",
+    "events_stream",
+    "hourly_agg_stream",
+    "run_available_now",
+    "sliding_agg_stream",
+    "stateful_sessions_stream",
+]

@@ -58,7 +58,10 @@ def hourly_agg_stream(stream: DataFrame) -> DataFrame:
 
 
 def run_available_now(
-    agg: DataFrame, spark: SparkSession, name: str = "stream_out"
+    agg: DataFrame,
+    spark: SparkSession,
+    name: str = "stream_out",
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Run the streaming query to completion (AvailableNow) into a memory
     sink and return the result as a batch DataFrame."""
@@ -66,10 +69,119 @@ def run_available_now(
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def sliding_agg_stream(stream: DataFrame) -> DataFrame:
+    """Watermarked 1-hour window sliding every 30 minutes, per event type.
+    Every event lands in exactly two windows."""
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(dec("value", 18, 6)), 4).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_stream(stream: DataFrame) -> DataFrame:
+    """Streaming key-dedup: first event per (user_id, event_type) within the
+    watermark horizon — the streaming twin of the reference's LWT
+    first-writer-wins (SURVEY.md §2.4 A2). Only the key columns are emitted
+    so the result is deterministic regardless of which row arrives first."""
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
+def stateful_sessions_stream(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful operator: gap-based sessionization with
+    ``applyInPandasWithState`` — per-user session state survives across
+    micro-batches, closed sessions are emitted when the gap passes or the
+    stream ends.
+
+    This is the operator class the reference cannot express at all (it has
+    no streaming state, SURVEY.md §2.8); at scale, state is partitioned by
+    user and bounded by the timeout, and the same code serves a continuous
+    stream.
+    """
+    import pandas as pd  # noqa: PLC0415 - worker-side import
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    # NoTimeout: a session is emitted only when a later event closes it; each
+    # user's open final session stays in state (in a continuous deployment a
+    # ProcessingTimeTimeout would flush it — with AvailableNow the run ends
+    # first, and the oracle counts all-but-the-last session per user).
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = (
+        "user_id bigint, session_start timestamp, session_end timestamp, "
+        "n_events bigint"
+    )
+    state_schema = "start bigint, end bigint, n bigint"
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        sessions = []
+        if state.exists:
+            cur_start, cur_end, cur_n = state.get
+        else:
+            cur_start = cur_end = cur_n = None
+        # Accumulate the whole micro-batch before sorting: group rows can
+        # arrive split across Arrow chunks in no guaranteed order.
+        all_ts = [ts for pdf in pdf_iter for ts in pdf["ts"]]
+        all_ts.sort()
+        for ts in all_ts:
+                us = int(ts.value // 1000)  # pandas ns -> µs
+                if cur_start is None:
+                    cur_start, cur_end, cur_n = us, us, 1
+                elif us - cur_end > gap_us:
+                    sessions.append((cur_start, cur_end, cur_n))
+                    cur_start, cur_end, cur_n = us, us, 1
+                else:
+                    cur_end = us
+                    cur_n += 1
+        state.update((cur_start, cur_end, cur_n))
+        if sessions:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(sessions),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in sessions],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in sessions],
+                    "n_events": [n for _, _, n in sessions],
+                }
+            )
+
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,81 @@
+"""Keyed upsert — the reference's Cassandra LWT ``INSERT ... IF NOT EXISTS``
+(S15, `/root/reference/src/preprocess_to_staging.py:133-146`) restated as a
+MERGE-style operation.
+
+The LWT gives first-writer-wins per primary key: a row whose
+``(code_site, date_de_debut)`` already exists is silently dropped. The
+Spark-native equivalents:
+
+- ``merge_new_only(existing, updates, keys)``: a left anti join — the
+  incoming batch minus keys already present — appended to the table. This
+  IS ``MERGE INTO t USING u ON pk WHEN NOT MATCHED THEN INSERT`` on an
+  engine without Delta's transaction log.
+- ``upsert_parquet``: the same, against a parquet directory, rewritten
+  atomically (write to a staging dir then swap). On a Delta/Iceberg table
+  the swap is replaced by a real MERGE; the dataflow is identical.
+
+Scale: the anti join shuffles on the PK unless the table layout already
+co-locates it (bucket both sides by key and the join is shuffle-free); the
+incoming batch is typically << the table, so broadcast of the BATCH (not
+the table) keeps the table scan local.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datalakes_and_data_integration_spark.operators.dedup import (
+    dedup_keep_first,
+)
+
+
+def merge_new_only(
+    existing: DataFrame | None,
+    updates: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence | None = None,
+) -> DataFrame:
+    """Rows of ``updates`` whose key is absent from ``existing`` (appended to
+    existing), with first-writer-wins inside the batch.
+
+    ``order_by`` makes the within-batch winner deterministic (the reference's
+    winner was S3 listing order — unspecified; SURVEY.md §7.4).
+    """
+    if order_by is None:
+        order_by = [c for c in updates.columns]  # total order over all cols
+    fresh = dedup_keep_first(updates, keys=list(keys), order_by=order_by)
+    if existing is None:
+        return fresh
+    fresh = fresh.join(
+        existing.select(*keys), on=list(keys), how="left_anti"
+    )
+    return existing.unionByName(fresh)
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence | None = None,
+) -> DataFrame:
+    """MERGE-new-only into a parquet directory, atomically (stage + swap)."""
+    existing = (
+        spark.read.parquet(table_dir) if os.path.isdir(table_dir) else None
+    )
+    merged = merge_new_only(existing, updates, keys, order_by=order_by)
+    staging = tempfile.mkdtemp(
+        prefix=".upsert_", dir=os.path.dirname(table_dir) or "."
+    )
+    out = os.path.join(staging, "data")
+    merged.write.mode("overwrite").parquet(out)
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    shutil.move(out, table_dir)
+    shutil.rmtree(staging, ignore_errors=True)
+    return spark.read.parquet(table_dir)

@@ -1,0 +1,108 @@
+"""Tests for the ingest API (reference S7-S10) and keyed upsert (S15)."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+import uuid
+
+from pyspark.sql import functions as F
+
+from datalakes_and_data_integration_spark.operators.upsert import (
+    merge_new_only,
+    upsert_parquet,
+)
+from datalakes_and_data_integration_spark.sources.ingest_api import serve
+
+
+def _post(url: str, body: bytes, content_type: str):
+    req = urllib.request.Request(url, data=body, method="POST")
+    req.add_header("Content-Type", content_type)
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def _multipart(files: dict[str, bytes]) -> tuple[bytes, str]:
+    boundary = uuid.uuid4().hex
+    parts = []
+    for name, payload in files.items():
+        parts.append(
+            f'--{boundary}\r\nContent-Disposition: form-data; '
+            f'name="file"; filename="{name}"\r\n'
+            f"Content-Type: text/csv\r\n\r\n".encode() + payload + b"\r\n"
+        )
+    body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+    return body, f"multipart/form-data; boundary={boundary}"
+
+
+def test_ingest_api_stores_and_triggers(tmp_path):
+    triggered = []
+    server = serve(str(tmp_path / "landing"), trigger=triggered.append)
+    port = server.server_address[1]
+    try:
+        csv = "﻿Date de début;valeur\n2025/03/07 00:00:00;10.0\n".encode()
+        body, ctype = _multipart(
+            {"polluant-01_2025-03-07.csv": csv, "notes.txt": b"junk"}
+        )
+        status, out = _post(f"http://127.0.0.1:{port}/ingest", body, ctype)
+        assert status == 200
+        assert out["stored"] == ["polluant-01_2025-03-07.csv"]
+        assert out["skipped"] == ["notes.txt"]  # P8 filename filter
+        assert (tmp_path / "landing" / "polluant-01_2025-03-07.csv").read_bytes() == csv
+
+        status, out = _post(f"http://127.0.0.1:{port}/ingest/fast", body, ctype)
+        assert status == 200
+        import time
+
+        for _ in range(50):
+            if len(triggered) >= 2:
+                break
+            time.sleep(0.05)
+        assert sorted(triggered) == ["fast", "regular"]
+
+        status, out = _post(f"http://127.0.0.1:{port}/ingest/csv", body, ctype)
+        assert status == 200
+        assert out["parsed"] == {"polluant-01_2025-03-07.csv": 1}
+
+        status, out = _post(
+            f"http://127.0.0.1:{port}/ingest/blob",
+            json.dumps([{"b": 1}, {"b": 2}]).encode(),
+            "application/json",
+        )
+        assert status == 200 and out["accepted"] == 2
+    finally:
+        server.shutdown()
+
+
+def test_merge_new_only_first_writer_wins(spark):
+    existing = spark.createDataFrame(
+        [("s1", 1, "old")], ["site", "t", "payload"]
+    )
+    updates = spark.createDataFrame(
+        [
+            ("s1", 1, "clobber-attempt"),  # key exists -> dropped (LWT)
+            ("s1", 2, "b-first"),
+            ("s1", 2, "a-dup-second"),  # in-batch dup -> deterministic winner
+            ("s2", 1, "new-site"),
+        ],
+        ["site", "t", "payload"],
+    )
+    out = merge_new_only(
+        existing, updates, keys=["site", "t"], order_by=[F.col("payload")]
+    ).orderBy("site", "t")
+    rows = [(r.site, r.t, r.payload) for r in out.collect()]
+    assert rows == [
+        ("s1", 1, "old"),  # existing row wins over the update
+        ("s1", 2, "a-dup-second"),  # smallest payload under the order
+        ("s2", 1, "new-site"),
+    ]
+
+
+def test_upsert_parquet_roundtrip(spark, tmp_path):
+    table = str(tmp_path / "t")
+    b1 = spark.createDataFrame([("k1", "v1"), ("k2", "v2")], ["k", "v"])
+    upsert_parquet(spark, table, b1, keys=["k"])
+    b2 = spark.createDataFrame([("k2", "CLOBBER"), ("k3", "v3")], ["k", "v"])
+    out = upsert_parquet(spark, table, b2, keys=["k"])
+    rows = {(r.k, r.v) for r in out.collect()}
+    assert rows == {("k1", "v1"), ("k2", "v2"), ("k3", "v3")}

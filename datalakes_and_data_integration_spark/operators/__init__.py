@@ -16,6 +16,7 @@ from datalakes_and_data_integration_spark.operators.dedup import (
 from datalakes_and_data_integration_spark.operators.merge import (
     drop_columns,
     full_outer_merge,
+    outer_merge_pivot,
     prefix_columns,
 )
 from datalakes_and_data_integration_spark.operators.impute import impute_mean
@@ -37,6 +38,7 @@ __all__ = [
     "dedup_keep_first",
     "drop_columns",
     "full_outer_merge",
+    "outer_merge_pivot",
     "prefix_columns",
     "impute_mean",
     "horizontal_sum",

@@ -8,8 +8,10 @@ time-ordered windows — the reference's *intended* semantics; its positional
 shift over an unspecified global order (and the np.roll wrap-around bug in
 the faster variant, W3) are documented divergences, not behaviors to keep.
 
-Shuffle budget: one shuffle per outer-join step (N-1 for N pollutants, all
-on the same key so exchanges reuse), one aggregate pass for the means (tiny
+Shuffle budget: N-1 join shuffles for the merge (the single-shuffle
+union+regroup alternative, operators.merge.outer_merge_pivot, trades those
+for a very wide hash aggregation — measured slower at N=5, better for
+large N / network-bound clusters), one aggregate pass for the means (tiny
 result to the driver), and ONE window shuffle on code_site shared by
 ffill/bfill/lag/pct (same window spec). Gold is written partitioned-free
 (single wide table, like the reference's one `curated` table) but sorted by
@@ -74,7 +76,12 @@ def build_gold(
         # P6: prefix every non-key column (process_to_curated.py:170-171)
         frames.append(prefix_columns(df, name, KEYS))
 
-    # J1: N-way full outer merge (process_to_curated.py:176-186)
+    # J1: N-way full outer merge (process_to_curated.py:176-186). Join-fold
+    # form: measured 2.5x faster than the single-shuffle union+regroup
+    # (outer_merge_pivot) at N=5 — the 130-aggregate hash map costs more CPU
+    # than the extra shuffles at this width. Switch to outer_merge_pivot for
+    # large N or network-bound clusters (it moves ~1x the wide table instead
+    # of the ~3x a widening join chain re-shuffles).
     wide = full_outer_merge(frames, KEYS)
 
     # A3/F6: mean-impute numeric columns IN RAW UNITS, before conversion —

@@ -153,3 +153,25 @@ class TestWindows:
         )
         assert [r.f for r in out] == [None, 1.0, 1.0, 3.0, 3.0]
         assert [r.b for r in out] == [1.0, 1.0, 3.0, 3.0, None]
+
+
+def test_outer_merge_pivot_equals_join_fold(spark):
+    from datalakes_and_data_integration_spark.operators.merge import (
+        full_outer_merge,
+        outer_merge_pivot,
+    )
+
+    a = spark.createDataFrame(
+        [("s1", 1, 10.0), ("s1", 2, 20.0), ("s2", 1, 30.0)],
+        ["site", "t", "a_v"],
+    )
+    b = spark.createDataFrame(
+        [("s1", 1, "x"), ("s3", 9, "y")], ["site", "t", "b_v"]
+    )
+    c = spark.createDataFrame([("s2", 1, 7)], ["site", "t", "c_v"])
+    keys = ["site", "t"]
+    fold = full_outer_merge([a, b, c], keys)
+    pivot = outer_merge_pivot([a, b, c], keys).select(*fold.columns)
+    rows_f = sorted(map(tuple, fold.collect()))
+    rows_p = sorted(map(tuple, pivot.collect()))
+    assert rows_f == rows_p and len(rows_f) == 4

@@ -58,6 +58,13 @@ def get_spark(
         # round-trip to int 1 between zones (dir pollutant_code=01 -> col "01").
         "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        # Large generated expressions (64-dim unrolled dot products) compile
+        # to >8KB-bytecode methods, which HotSpot refuses to JIT by default —
+        # they run in the bytecode interpreter, ~8x slower (measured 9.9s ->
+        # 1.2s warm on the 4M-pair scan). Only effective at JVM launch; in
+        # local mode driver == executor. On a real cluster set the same flag
+        # in spark.executor.extraJavaOptions.
+        "spark.driver.extraJavaOptions": "-XX:-DontCompileHugeMethods",
         "spark.ui.enabled": "false",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         # files.maxPartitionBytes default 128m is right for the 100 TB design

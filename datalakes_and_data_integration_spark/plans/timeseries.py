@@ -338,3 +338,70 @@ def tumbling_hourly_agg(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.round(F.sum(dec("value", 18, 6)), 4).cast("double").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill + last-observation-carried-forward: a dense hourly spine per user
+# with locf'd purchase values (TimescaleDB time_bucket_gapfill/locf shape —
+# the continuous-aggregate operator class the reference's TimescaleDB sink
+# implies but never uses).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gapfill_hourly_locf",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS v
+      FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    bounds AS (
+      SELECT user_id, min(hour) AS lo, max(hour) AS hi FROM hourly
+      GROUP BY user_id
+    ),
+    spine AS (
+      SELECT b.user_id, unnest(generate_series(b.lo, b.hi,
+                                               INTERVAL 1 HOUR)) AS hour
+      FROM bounds b
+    )
+    SELECT s.user_id, s.hour,
+           h.v AS v_raw,
+           last_value(h.v IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf
+    FROM spine s
+    LEFT JOIN hourly h ON h.user_id = s.user_id AND h.hour = s.hour
+    """,
+    description="Dense hourly spine per user (sequence + explode between "
+    "each user's min and max purchase hour) left-joined to the sparse "
+    "hourly sums, gaps filled by last-observation-carried-forward — the "
+    "TimescaleDB gapfill/locf shape on native Spark (no UDF: sequence(), "
+    "explode, window last(ignorenulls)).",
+    tags=("timeseries", "gapfill", "window"),
+)
+def gapfill_hourly_locf(spark, sf_dir):
+    ev = T(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.round(F.sum(dec("value", 18, 6)), 4).cast("double").alias("v"))
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    joined = spine.join(hourly, ["user_id", "hour"], "left_outer")
+    w = ordered_window(["user_id"], [F.col("hour")])
+    return joined.select(
+        "user_id",
+        "hour",
+        F.col("v").alias("v_raw"),
+        ffill("v", w).alias("v_locf"),
+    )

@@ -609,3 +609,83 @@ def q22(spark, sf_dir):
             F.sum(dec("c_acctbal", *PRICE)).cast("double").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q7 — volume shipping between two nations (dim self-join, both directions)
+# ---------------------------------------------------------------------------
+
+_Q7_N1, _Q7_N2 = "NATION_1", "NATION_2"
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(ROUND(sum(volume), 4) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l.l_shipdate) AS l_year,
+             CAST(l.l_extendedprice AS DECIMAL(25,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(8,6))) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = '{_Q7_N1}' AND n2.n_name = '{_Q7_N2}')
+          OR (n1.n_name = '{_Q7_N2}' AND n2.n_name = '{_Q7_N1}'))
+        AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                             AND TIMESTAMP '1997-12-31 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    description="Trade volume between two nations in both directions by "
+    "year (TPC-H Q7 shape): the nation dim joins twice under different "
+    "roles (broadcast both), disjunctive pair filter after the joins.",
+    tags=("join", "self-join", "aggregate"),
+)
+def q7(spark, sf_dir):
+    s = T(spark, sf_dir, "supplier")
+    li = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            "1996-01-01 00:00:00", "1997-12-31 00:00:00"
+        )
+    )
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n1 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    volume = dec("l_extendedprice", *PRICE) * (1 - dec("l_discount", *RATE))
+    joined = (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, F.col("o_orderkey") == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == _Q7_N1)
+                & (F.col("cust_nation") == _Q7_N2)
+            )
+            | (
+                (F.col("supp_nation") == _Q7_N2)
+                & (F.col("cust_nation") == _Q7_N1)
+            )
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            volume.alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 4).cast("double").alias("revenue"))
+    )

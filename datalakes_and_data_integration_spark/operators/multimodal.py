@@ -107,3 +107,118 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_offset", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+_N_FRAMES = 3
+_FRAME_LEN = 32
+
+
+def sample_frames(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Video frame sampling, stubbed: N evenly spaced fixed-length slices of
+    the decoded payload stand in for decoded frames (a real codec replaces
+    the slice with an av/ffmpeg frame grab — same 1-to-many Arrow batch
+    shape). Slices are CHARACTER-offset so the digest is well-defined for
+    any text encoding (and SQL-oracle-checkable; DuckDB's md5 is
+    VARCHAR-only).
+
+    Demonstrates row-expanding mapInPandas: each input row yields
+    ``_N_FRAMES`` output rows, partition-locally, no shuffle.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_offset": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                text = bytes(payload).decode("utf-8")
+                step = len(text) // _N_FRAMES
+                for i in range(_N_FRAMES):
+                    off = i * step
+                    frame = text[off : off + _FRAME_LEN]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_offset"].append(off)
+                    out["frame_md5"].append(
+                        hashlib.md5(frame.encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(_sample, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("resized_width", T.LongType()),
+        T.StructField("resized_height", T.LongType()),
+        T.StructField("thumb_md5", T.StringType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, id_col: str = "doc_id", max_dim: int = 128
+) -> DataFrame:
+    """Image resize, stubbed: halve the (fake-decoded) dimensions until both
+    fit ``max_dim`` and emit a thumbnail digest (md5 of the payload head —
+    a real codec emits re-encoded bytes; the batch shape is identical)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in RESIZE_SCHEMA.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(payload)
+                w, h = decode_image(b, fake=True)
+                rw, rh = w, h
+                while rw > max_dim or rh > max_dim:
+                    rw, rh = rw // 2, rh // 2
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["resized_width"].append(rw)
+                rows["resized_height"].append(rh)
+                rows["thumb_md5"].append(hashlib.md5(b[:64]).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, "payload").mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("mean_level", T.DoubleType()),
+        T.StructField("peak_level", T.LongType()),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame, id_col: str = "doc_id", sample_rate: int = 16_000
+) -> DataFrame:
+    """Audio feature extraction, stubbed: bytes play the role of PCM samples
+    (duration = n/rate, mean/peak over the raw byte values; librosa replaces
+    the arithmetic, the Arrow plumbing stays)."""
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in AUDIO_SCHEMA.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(payload)
+                rows["doc_id"].append(doc_id)
+                rows["duration_s"].append(len(b) / sample_rate)
+                rows["mean_level"].append(sum(b) / len(b) if b else 0.0)
+                rows["peak_level"].append(max(b) if b else 0)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, "payload").mapInPandas(_features, AUDIO_SCHEMA)

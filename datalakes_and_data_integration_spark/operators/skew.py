@@ -1,0 +1,45 @@
+"""Skew-aware join: key salting.
+
+At 100 TB a handful of hot keys (the null site, the default user, the
+viral document) can put most of a shuffle into one task. AQE's skew-join
+handling (enabled in the session factory) splits oversized SORT-MERGE
+partitions at runtime, but it cannot help when the skewed side must
+aggregate first or when the join is hash-partitioned by an upstream
+operator. Salting is the explicit form:
+
+- fact side: append a random salt in [0, n) to the key;
+- dim side: explode each row into n copies, one per salt value;
+- join on (key, salt) — each hot key now spreads over n tasks.
+
+``salt_count`` trades fan-out (dim side replicated n×) against the largest
+task. The salt is deterministic (hash of a monotonically increasing row id,
+not rand()) so retried tasks produce identical output — a correctness
+requirement under speculative execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt_count: int = 8,
+) -> DataFrame:
+    """Equi-join ``fact`` and ``dim`` on column ``on`` with the fact side
+    salted ``salt_count`` ways. Output columns = fact columns + dim's
+    non-key columns (like a plain ``join(on=...)``)."""
+    salt = (
+        F.abs(F.hash(F.monotonically_increasing_id())) % salt_count
+    ).alias("__salt")
+    fact_s = fact.withColumn("__salt", salt)
+    dim_s = dim.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_count)])),
+    )
+    out = fact_s.join(dim_s, [on, "__salt"], how)
+    return out.drop("__salt")

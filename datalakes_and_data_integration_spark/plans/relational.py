@@ -286,3 +286,67 @@ def orders_rollup(spark, sf_dir):
             "total_price"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (sort-based aggregate class; linear interpolation).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "value_percentiles_by_type",
+    oracle="""
+    SELECT event_type,
+           CAST(ROUND(quantile_cont(value, 0.50), 6) AS DOUBLE) AS p50,
+           CAST(ROUND(quantile_cont(value, 0.90), 6) AS DOUBLE) AS p90,
+           CAST(ROUND(quantile_cont(value, 0.99), 6) AS DOUBLE) AS p99
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+    description="Exact interpolated p50/p90/p99 of event value per type "
+    "(sort-based aggregate; Spark percentile() and DuckDB quantile_cont "
+    "share the linear-interpolation definition). Exact percentiles sort "
+    "per group — at 100 TB swap in approx_percentile (t-digest, "
+    "mergeable, one pass).",
+    tags=("aggregate", "percentile"),
+)
+def value_percentiles_by_type(spark, sf_dir):
+    ev = T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.50)"), 6).cast("double").alias("p50"),
+        F.round(F.expr("percentile(value, 0.90)"), 6).cast("double").alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).cast("double").alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Min-per-group membership (correlated scalar subquery -> window form).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cheapest_part_per_size",
+    oracle="""
+    SELECT p_partkey, p_name, p_size, p_retailprice
+    FROM part p
+    WHERE p_retailprice = (
+      SELECT min(p2.p_retailprice) FROM part p2 WHERE p2.p_size = p.p_size
+    )
+    """,
+    description="Parts at their size-class minimum price: the correlated "
+    "scalar subquery decorrelates to a per-group window min — one shuffle "
+    "on p_size, no join (Catalyst's RewriteCorrelatedScalarSubquery does "
+    "the same to the SQL form).",
+    tags=("window", "subquery", "aggregate"),
+)
+def cheapest_part_per_size(spark, sf_dir):
+    from pyspark.sql import Window
+
+    p = T(spark, sf_dir, "part")
+    w = Window.partitionBy("p_size")
+    return (
+        p.withColumn("_min_price", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("_min_price"))
+        .select("p_partkey", "p_name", "p_size", "p_retailprice")
+    )

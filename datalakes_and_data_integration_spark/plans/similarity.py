@@ -286,3 +286,134 @@ def embedding_near_dup(spark, sf_dir):
         )
         .filter(F.col("cos_sim") >= _NEAR_DUP_MIN)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: deterministic k-means coarse quantizer (Lloyd iterations as
+# DataFrame jobs), then probe the nearest inverted lists only.
+# ---------------------------------------------------------------------------
+
+_IVF_K = 8  # centroids / inverted lists
+_IVF_ITERS = 1  # Lloyd iterations
+_IVF_PROBE = 2  # lists probed per query
+
+
+def _dist2_to_centroid(cvec: list[float]) -> "F.Column":
+    """Squared L2 distance from `embedding` to a centroid literal, unrolled
+    (stays in codegen; 64 terms x K=16 evaluated per row)."""
+    return F.expr(
+        " + ".join(
+            f"(CAST(embedding[{i}] AS DOUBLE) - ({cvec[i]!r})) * "
+            f"(CAST(embedding[{i}] AS DOUBLE) - ({cvec[i]!r}))"
+            for i in range(_DIM)
+        )
+    )
+
+
+@register(
+    "ann_topk_ivf",
+    # K-means is iterative — not SQL-expressible; rows-only check.
+    oracle=None,
+    description=f"IVF ANN: {_IVF_K}-centroid k-means coarse quantizer "
+    f"({_IVF_ITERS} Lloyd iterations as DataFrame aggregates, deterministic "
+    f"md5-seeded init), each query probes its {_IVF_PROBE} nearest inverted "
+    "lists and ranks exact cosines inside them — the candidate set is "
+    "~PROBE/K of the corpus, the 100 TB shape for embedding retrieval.",
+    tags=("similarity", "ann", "ivf", "llm-pipeline"),
+)
+def ann_topk_ivf(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    normed = spread(
+        e.select(
+            "vec_id",
+            "embedding",
+            F.expr(f"sqrt({_norm2_spark('embedding')})").alias("nrm"),
+        ),
+        spark,
+        by="vec_id",
+    ).persist()
+
+    # Deterministic init: the K vectors with the smallest md5(vec_id).
+    seeds = (
+        normed.select(
+            "vec_id", "embedding", F.md5(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy("h", "vec_id")
+        .limit(_IVF_K)
+        .collect()
+    )
+    centroids = [[float(x) for x in r.embedding] for r in seeds]
+
+    def assign(df):
+        """Nearest centroid by squared L2 (ties -> smallest centroid id) and
+        the PROBE nearest lists, from one distance-array column."""
+        dists = F.array(*[_dist2_to_centroid(c) for c in centroids])
+        return (
+            df.withColumn("d", dists)
+            .withColumn(
+                "cluster",
+                F.expr("CAST(array_position(d, array_min(d)) - 1 AS INT)"),
+            )
+            .withColumn(
+                "probe_lists",
+                F.expr(
+                    f"transform(slice(array_sort(arrays_zip("
+                    f"d, sequence(0, {_IVF_K - 1}))), 1, {_IVF_PROBE}), "
+                    f"x -> CAST(x['1'] AS INT))"
+                ),
+            )
+            .drop("d")
+        )
+
+    for _ in range(_IVF_ITERS):
+        # Update step: per-cluster mean (distributed agg, K rows collected —
+        # the standard Spark k-means shape: tiny driver state, big data stays
+        # distributed).
+        means = (
+            assign(normed)
+            .groupBy("cluster")
+            .agg(
+                *[
+                    F.avg(F.expr(f"CAST(embedding[{i}] AS DOUBLE)")).alias(f"m{i}")
+                    for i in range(_DIM)
+                ]
+            )
+            .collect()
+        )
+        by_id = {r.cluster: [r[f"m{i}"] for i in range(_DIM)] for r in means}
+        centroids = [by_id.get(k, centroids[k]) for k in range(_IVF_K)]
+
+    final = assign(normed).persist()
+    queries = final.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.explode("probe_lists").alias("cluster"),
+    )
+    members = final.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+        "cluster",
+    )
+    cand = queries.join(members, "cluster").filter(
+        F.col("q_id") != F.col("n_id")
+    )
+    cos = F.round(
+        F.expr(_dot_spark("q_emb", "n_emb")) / F.col("q_nrm") / F.col("n_nrm"), 6
+    )
+    from pyspark.sql import Window
+
+    scored = cand.select(
+        F.col("q_id").alias("vec_id"),
+        F.col("n_id").alias("neighbor_id"),
+        cos.alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select("vec_id", "neighbor_id", "cos_sim", "rank")
+    )

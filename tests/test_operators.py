@@ -175,3 +175,22 @@ def test_outer_merge_pivot_equals_join_fold(spark):
     rows_f = sorted(map(tuple, fold.collect()))
     rows_p = sorted(map(tuple, pivot.collect()))
     assert rows_f == rows_p and len(rows_f) == 4
+
+
+def test_salted_join_matches_plain_join(spark):
+    from datalakes_and_data_integration_spark.operators.skew import salted_join
+
+    # heavily skewed fact: 900 rows of one key, a few of others
+    fact = spark.createDataFrame(
+        [("hot", i) for i in range(900)] + [("cold", i) for i in range(5)],
+        ["k", "v"],
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("cold", "C"), ("unused", "U")], ["k", "label"]
+    )
+    out = salted_join(fact, dim, on="k", salt_count=4)
+    plain = fact.join(dim, "k")
+    assert out.count() == plain.count() == 905
+    got = sorted((r.k, r.v, r.label) for r in out.collect())
+    want = sorted((r.k, r.v, r.label) for r in plain.collect())
+    assert got == want

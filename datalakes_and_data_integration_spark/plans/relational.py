@@ -350,3 +350,79 @@ def cheapest_part_per_size(spark, sf_dir):
         .filter(F.col("p_retailprice") == F.col("_min_price"))
         .select("p_partkey", "p_name", "p_size", "p_retailprice")
     )
+
+
+# ---------------------------------------------------------------------------
+# One-pass column profile (the lakehouse data-quality scan).
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(f"""
+        SELECT '{c}' AS col_name, count(*) AS n_rows,
+               count(*) - count({c}) AS n_null,
+               CAST(min({c}) AS DOUBLE) AS min_v,
+               CAST(max({c}) AS DOUBLE) AS max_v,
+               count(DISTINCT {c}) AS n_distinct
+        FROM lineitem""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "table_profile_lineitem",
+    oracle=_profile_oracle(),
+    description="Column profile (rows, nulls, min/max, exact distinct) for "
+    "three lineitem columns in ONE scan: all aggregates computed together, "
+    "then unpivoted with stack(). At 100 TB exact distinct is the costly "
+    "one — swap in approx_count_distinct (HLL, mergeable) and the scan "
+    "stays single-pass.",
+    tags=("aggregate", "profile", "quality"),
+)
+def table_profile_lineitem(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count("*").alias(f"{c}__n"),
+            (F.count("*") - F.count(c)).alias(f"{c}__null"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+        ]
+    one = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__null, {c}__min, {c}__max, {c}__nd"
+        for c in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+            "(col_name, n_rows, n_null, min_v, max_v, n_distinct)"
+        )
+    )
+
+
+@register(
+    "distinct_users_per_day",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY date_trunc('day', ts)
+    """,
+    description="Exact daily active users (count-distinct shuffles on "
+    "(day, user) then regroups; at 100 TB approx_count_distinct keeps it "
+    "one mergeable pass).",
+    tags=("aggregate", "distinct"),
+)
+def distinct_users_per_day(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )

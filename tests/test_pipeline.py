@@ -158,3 +158,47 @@ def test_gold_impute_before_convert(zones):
     assert math.isclose(
         imputed.so2_valeur_g_par_L, imputed.so2_valeur * 1e-6, rel_tol=1e-12
     )
+
+
+def test_silver_incremental_idempotent(spark, tmp_path):
+    """Re-ingesting an overlapping window must not duplicate or update rows
+    (the reference's LWT idempotency, SURVEY.md §2.8)."""
+    from datalakes_and_data_integration_spark.pipeline.silver import (
+        build_silver_incremental,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    day1 = [HEADER] + [_row("FR001", h, "SO2", float(h + 1), "µg-m3") for h in range(4)]
+    (landing / "polluant-01_2025-03-07.csv").write_text(
+        "\n".join(day1), encoding="utf-8"
+    )
+    work = tmp_path / "zones"
+    build_bronze(spark, str(landing), f"{work}/bronze")
+    s1 = build_silver_incremental(
+        spark, f"{work}/bronze", f"{work}/silver", ingest_dates=["2025-03-07"]
+    )
+    assert s1.count() == 4
+
+    # Day 2 re-fetches day 1 (values CHANGED upstream -> must be dropped,
+    # first-writer-wins) plus new day-2 rows.
+    day1_again = [HEADER] + [
+        _row("FR001", h, "SO2", 999.0, "µg-m3") for h in range(4)
+    ]
+    day2 = [_row("FR001", h, "SO2", float(100 + h), "µg-m3", date="2025/03/08")
+            for h in range(3)]
+    (landing / "polluant-01_2025-03-08.csv").write_text(
+        "\n".join(day1_again + day2), encoding="utf-8"
+    )
+    build_bronze(spark, str(landing), f"{work}/bronze")
+    s2 = build_silver_incremental(
+        spark, f"{work}/bronze", f"{work}/silver", ingest_dates=["2025-03-08"]
+    )
+    assert s2.count() == 7  # 4 original + 3 new; the 4 re-fetched dropped
+    vals = {
+        (str(r.date_de_debut), r.valeur)
+        for r in s2.filter("code_site = 'FR001'").collect()
+    }
+    assert ("2025-03-07 00:00:00", 1.0) in vals  # first write kept
+    assert not any(v == 999.0 for _, v in vals)  # clobber attempt dropped
+    assert ("2025-03-08 02:00:00", 102.0) in vals  # new day landed

@@ -74,3 +74,49 @@ def multimodal_audio_features(spark, sf_dir):
 
     d = T(spark, sf_dir, "documents")
     return audio_features(attach_payload(d))
+
+
+@register(
+    "multimodal_metadata_stats",
+    oracle="""
+    SELECT media_type, count(*) AS n_docs,
+           CAST(sum(declared_len) AS BIGINT) AS total_bytes,
+           CAST(min(declared_len) AS BIGINT) AS min_bytes,
+           CAST(max(declared_len) AS BIGINT) AS max_bytes
+    FROM (
+      SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             ELSE 'video' END AS media_type,
+             octet_length(encode(text)) AS declared_len
+      FROM documents
+    )
+    GROUP BY media_type
+    """,
+    description="Typed media-metadata struct column (media_type, source, "
+    "declared_len) attached to binary payloads, then grouped stats over the "
+    "struct fields — the metadata side of the multimodal column design "
+    "(operators.multimodal.MEDIA_METADATA).",
+    tags=("multimodal", "struct", "llm-pipeline"),
+)
+def multimodal_metadata_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    d = T(spark, sf_dir, "documents")
+    with_meta = attach_payload(d).withColumn(
+        "media_meta",
+        F.struct(
+            F.element_at(
+                F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("media_type"),
+            F.col("source").alias("source"),
+            F.length("payload").cast("long").alias("declared_len"),
+        ),
+    )
+    return with_meta.groupBy(
+        F.col("media_meta.media_type").alias("media_type")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("media_meta.declared_len").alias("total_bytes"),
+        F.min("media_meta.declared_len").alias("min_bytes"),
+        F.max("media_meta.declared_len").alias("max_bytes"),
+    )

@@ -246,3 +246,45 @@ def doc_stats_cube(spark, sf_dir):
         F.sum("n_chars").alias("total_chars"),
         F.countDistinct("source").alias("n_sources"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document top terms (tf ranking — the keyword-extraction shape).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_top_terms",
+    oracle=f"""
+    SELECT doc_id, term, tf, rnk FROM (
+      SELECT doc_id, term, tf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tf DESC, term) AS rnk
+      FROM (
+        SELECT doc_id, t AS term, count(*) AS tf
+        FROM (SELECT doc_id, unnest({_TOK_DUCK}) AS t FROM documents)
+        GROUP BY doc_id, t
+      )
+    ) WHERE rnk <= 3
+    """,
+    description="Top-3 terms per document by term frequency (explode -> "
+    "count -> per-doc ranking window with WindowGroupLimit partial top-k; "
+    "ties broken lexically). The inverted (term, doc, tf) intermediate is "
+    "the index shape tf-idf and BM25 build on.",
+    tags=("text", "topk", "llm-pipeline"),
+)
+def doc_top_terms(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = spread(T(spark, sf_dir, "documents"), spark)
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term"))
+    return (
+        tf.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "rnk")
+    )

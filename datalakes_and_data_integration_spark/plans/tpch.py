@@ -689,3 +689,189 @@ def q7(spark, sf_dir):
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(F.round(F.sum("volume"), 4).cast("double").alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q8 — national market share within a region
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(ROUND(
+             CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+                      ELSE CAST(0 AS DECIMAL(25,2)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT year(o.o_orderdate) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(25,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(8,6))) AS volume,
+             n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'EUROPE'
+        AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                              AND TIMESTAMP '1997-12-31 00:00:00'
+        AND p.p_type = 'ECONOMY'
+    )
+    GROUP BY o_year
+    """,
+    description="One supplier nation's share of a region's ECONOMY-part "
+    "revenue per year (TPC-H Q8 shape): 8-way join, nation joined twice "
+    "under different roles, conditional share aggregate.",
+    tags=("join", "aggregate", "conditional"),
+)
+def q8(spark, sf_dir):
+    p = T(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    o = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            "1996-01-01 00:00:00", "1997-12-31 00:00:00"
+        )
+    )
+    c = T(spark, sf_dir, "customer")
+    n1 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    volume = dec("l_extendedprice", *PRICE) * (1 - dec("l_discount", *RATE))
+    joined = (
+        F.broadcast(p)
+        .join(li, p.p_partkey == li.l_partkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("n1_key") == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == F.col("n1_region"))
+        .join(F.broadcast(n2), F.col("n2_key") == s.s_nationkey)
+    )
+    share_num = F.when(F.col("nation") == "NATION_3", volume).otherwise(
+        F.lit(0).cast("decimal(25,2)")
+    )
+    return (
+        joined.select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            share_num.alias("share_num"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum("share_num").cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15 — top supplier(s) by quarterly revenue (agg -> global max -> join back)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(25,2))
+                      * (1 - CAST(l_discount AS DECIMAL(8,6)))), 4) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    description="Supplier(s) with the maximum quarterly revenue (TPC-H Q15 "
+    "shape): grouped revenue view, global-max scalar subquery (broadcast "
+    "back as a filter), join to the supplier dim.",
+    tags=("join", "aggregate", "subquery"),
+)
+def q15(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00"))
+    )
+    s = T(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(
+                    dec("l_extendedprice", *PRICE)
+                    * (1 - dec("l_discount", *RATE))
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    max_rev = rev.agg(F.max("total_revenue")).collect()[0][0]
+    return (
+        s.join(rev, s.s_suppkey == rev.supplier_no)
+        .filter(F.col("total_revenue") == max_rev)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — small-quantity-order revenue (per-part avg subquery)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q17_small_quantity",
+    oracle="""
+    SELECT CAST(ROUND(sum(CAST(l.l_extendedprice AS DECIMAL(25,2))) / 7.0, 4)
+             AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#5'
+      AND l.l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+    description="Yearly revenue lost if small-quantity orders of one brand "
+    "were not taken (TPC-H Q17 shape): the correlated per-part average "
+    "decorrelates to an aggregate + join on partkey.",
+    tags=("join", "aggregate", "subquery"),
+)
+def q17(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("ap_key"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice", *PRICE)).cast("double") / 7.0, 4
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )

@@ -28,7 +28,14 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microsecond timestamps so downstream semantics match DuckDB, which reads
     the same column as TIMESTAMP (values are µs-aligned).
     """
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+        # outright unless it may read it as long. The caller's session (the
+        # driver builds its own, without our factory's conf) might not have
+        # the flag — it is runtime-settable, so set it here defensively.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df

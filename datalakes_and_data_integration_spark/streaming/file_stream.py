@@ -24,6 +24,9 @@ from datalakes_and_data_integration_spark.plans._util import T, dec
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet, with the same nanos->timestamp
     normalization as the batch loader (_util.T)."""
+    # Defensive for driver-built sessions (see plans/_util.T): nanos
+    # timestamps are unreadable without this runtime-settable flag.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     # The file source wants a directory; select just the events file via
     # pathGlobFilter so sibling tables in sf_dir aren't picked up.

@@ -141,6 +141,7 @@ def asof_join_last_click(spark, sf_dir):
     "a join-time filter (bucketing both sides by user_id removes the "
     "shuffle at scale).",
     tags=("range-join", "temporal", "aggregate"),
+    bench=True,
 )
 def range_join_views(spark, sf_dir):
     e = T(spark, sf_dir, "events")

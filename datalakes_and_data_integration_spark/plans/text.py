@@ -272,6 +272,7 @@ def doc_stats_cube(spark, sf_dir):
     "ties broken lexically). The inverted (term, doc, tf) intermediate is "
     "the index shape tf-idf and BM25 build on.",
     tags=("text", "topk", "llm-pipeline"),
+    bench=True,
 )
 def doc_top_terms(spark, sf_dir):
     from pyspark.sql import Window

@@ -381,6 +381,7 @@ def tumbling_hourly_agg(spark, sf_dir):
     "TimescaleDB gapfill/locf shape on native Spark (no UDF: sequence(), "
     "explode, window last(ignorenulls)).",
     tags=("timeseries", "gapfill", "window"),
+    bench=True,
 )
 def gapfill_hourly_locf(spark, sf_dir):
     ev = T(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")

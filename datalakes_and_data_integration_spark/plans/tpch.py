@@ -484,6 +484,7 @@ _Q18_MIN_QTY = 300
     "aggregate + left semi join on orderkey; exchange on orderkey reused "
     "between the HAVING aggregate and the outer aggregate.",
     tags=("join", "semi-join", "aggregate", "topk"),
+    bench=True,
 )
 def q18(spark, sf_dir):
     c = T(spark, sf_dir, "customer")
@@ -728,6 +729,7 @@ def q7(spark, sf_dir):
     "revenue per year (TPC-H Q8 shape): 8-way join, nation joined twice "
     "under different roles, conditional share aggregate.",
     tags=("join", "aggregate", "conditional"),
+    bench=True,
 )
 def q8(spark, sf_dir):
     p = T(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")

@@ -426,3 +426,43 @@ def distinct_users_per_day(spark, sf_dir):
         F.countDistinct("user_id").alias("n_users"),
         F.count("*").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction from a string column (semi-structured payloads).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS min_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY event_type
+    """,
+    description="Semi-structured payloads: parse the JSON props column with "
+    "from_json into a typed struct and aggregate an extracted field. "
+    "from_json beats per-field get_json_object when several fields are "
+    "needed (one parse per row, not per field).",
+    tags=("json", "aggregate", "semi-structured"),
+)
+def json_props_extract(spark, sf_dir):
+    from pyspark.sql import types as T_
+
+    ev = T(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    schema = T_.StructType([T_.StructField("k", T_.LongType())])
+    parsed = ev.withColumn("p", F.from_json("props", schema))
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("p.k").alias("sum_k"),
+        F.min("p.k").alias("min_k"),
+        F.max("p.k").alias("max_k"),
+    )

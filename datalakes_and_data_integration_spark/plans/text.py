@@ -277,7 +277,11 @@ def doc_stats_cube(spark, sf_dir):
 def doc_top_terms(spark, sf_dir):
     from pyspark.sql import Window
 
-    d = spread(T(spark, sf_dir, "documents"), spark)
+    # spread BY doc_id: hash(doc_id) partitioning satisfies the groupBy's
+    # (doc_id, term) clustering AND the ranking window's doc_id clustering,
+    # so the whole query runs on the one spread exchange (verified: 1
+    # exchange total vs 3 with round-robin spread).
+    d = spread(T(spark, sf_dir, "documents"), spark, by="doc_id")
     tf = (
         d.select("doc_id", F.explode(tokens("text")).alias("term"))
         .groupBy("doc_id", "term")
@@ -288,4 +292,68 @@ def doc_top_terms(spark, sf_dir):
         tf.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tf", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking: fixed-size token windows with overlap — the canonical
+# LLM-training-data op (context-window packing), fully native (no UDF).
+# ---------------------------------------------------------------------------
+
+_CHUNK = 64  # tokens per chunk
+_STRIDE = 48  # chunk start step (overlap = _CHUNK - _STRIDE)
+
+
+@register(
+    "doc_chunking",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOK_DUCK} AS toks FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             unnest(generate_series(0,
+               CASE WHEN len(toks) = 0 THEN 0
+                    ELSE CAST(floor((len(toks) - 1) / {_STRIDE}) AS BIGINT)
+                         * {_STRIDE} END,
+               {_STRIDE})) AS start
+      FROM tok WHERE len(toks) > 0
+    )
+    SELECT doc_id, CAST(start AS BIGINT) AS chunk_start,
+           CAST(least(start + {_CHUNK}, n) - start AS BIGINT) AS chunk_len,
+           md5(array_to_string(toks[start + 1 : start + {_CHUNK}], ' '))
+             AS chunk_md5
+    FROM starts
+    """,
+    description=f"Context-window packing: overlapping {_CHUNK}-token chunks "
+    f"every {_STRIDE} tokens per document, fully native (sequence + explode "
+    "+ slice + concat_ws; chunk content fingerprinted with md5). The "
+    "explode is partition-local — chunking 100 TB never shuffles.",
+    tags=("text", "chunking", "llm-pipeline"),
+)
+def doc_chunking(spark, sf_dir):
+    d = spread(T(spark, sf_dir, "documents"), spark)
+    tok = d.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    starts = tok.select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n"),
+        F.explode(
+            F.expr(
+                f"sequence(0, CAST(floor((size(toks) - 1) / {_STRIDE}) AS BIGINT)"
+                f" * {_STRIDE}, {_STRIDE})"
+            )
+        ).alias("start"),
+    )
+    return starts.select(
+        "doc_id",
+        F.col("start").cast("long").alias("chunk_start"),
+        (F.least(F.col("start") + _CHUNK, F.col("n")) - F.col("start"))
+        .cast("long")
+        .alias("chunk_len"),
+        F.md5(
+            F.concat_ws(" ", F.expr(f"slice(toks, start + 1, {_CHUNK})"))
+        ).alias("chunk_md5"),
     )

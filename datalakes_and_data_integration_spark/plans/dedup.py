@@ -352,3 +352,93 @@ def dedup_ngram_jaccard_join(spark, sf_dir):
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= _JOIN_MIN)
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster assignment: connected components over the MinHash
+# candidate graph — the step that turns pairs into keep/drop decisions.
+# ---------------------------------------------------------------------------
+
+
+def _cluster_oracle() -> str:
+    pairs = _minhash_oracle()
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(doc, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, r.root FROM reach r JOIN edges e ON e.b = r.doc
+    )
+    SELECT doc, CAST(min(root) AS BIGINT) AS cluster_id,
+           CAST(count(*) > 1 AS BOOLEAN) AS has_near_dup
+    FROM reach GROUP BY doc
+    """
+
+
+@register(
+    "dedup_cluster_assignment",
+    oracle=_cluster_oracle(),
+    description="Connected components over the verified MinHash near-dup "
+    "pairs: every document gets cluster_id = smallest doc_id reachable "
+    "through near-dup edges (itself if isolated) — the keep-one-per-cluster "
+    "decision LLM dedup pipelines act on. Spark side is iterated min-label "
+    "propagation (fixpoint, diameter-bounded); the oracle is a recursive "
+    "CTE. At 100 TB swap the loop for alternating large-star/small-star "
+    "rounds — same convergence, fewer iterations.",
+    tags=("dedup", "graph", "llm-pipeline"),
+)
+def dedup_cluster_assignment(spark, sf_dir):
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).persist()
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    # Min-label propagation to fixpoint. Iteration count = graph diameter;
+    # near-dup clusters are shallow (pairs share a band), so this converges
+    # in a handful of rounds. Checksum-based convergence check keeps the
+    # driver round-trip to one scalar per iteration.
+    prev_sum = None
+    for _ in range(20):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "doc_b"), "doc_b"
+            )
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(neighbor_min, "doc_id", "left_outer")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    in_pairs = edges.select(F.col("doc_a").alias("doc_id")).distinct()
+    return (
+        labels.join(
+            in_pairs.withColumn("has_near_dup", F.lit(True)),
+            "doc_id",
+            "left_outer",
+        )
+        .select(
+            F.col("doc_id").alias("doc"),
+            "cluster_id",
+            F.coalesce("has_near_dup", F.lit(False)).alias("has_near_dup"),
+        )
+    )

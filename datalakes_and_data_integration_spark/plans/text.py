@@ -357,3 +357,144 @@ def doc_chunking(spark, sf_dir):
             F.concat_ws(" ", F.expr(f"slice(toks, start + 1, {_CHUNK})"))
         ).alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic dataset splits + stratified sampling + tf-idf.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dataset_split_assignment",
+    oracle=f"""
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT n_chars,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT n_chars,
+               {hash60_sql_duck("CAST(doc_id AS VARCHAR)", seed=7)} % 100
+                 AS bucket
+        FROM documents
+      )
+    )
+    GROUP BY split
+    """,
+    description="Reproducible 80/10/10 train/val/test split: bucket = "
+    "md5-derived hash of doc_id mod 100 — stable across runs, machines, "
+    "and engines (no rand()), the only sane way to split 100 TB. Grouped "
+    "counts verify the assignment.",
+    tags=("sampling", "split", "llm-pipeline"),
+)
+def dataset_split_assignment(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    bucket = F.expr(
+        hash60_sql_spark("CAST(doc_id AS STRING)", seed=7)
+    ) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(F.col("n_chars"), split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "stratified_sample_per_lang",
+    oracle=f"""
+    SELECT doc_id, lang, rnk FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {hash60_sql_duck("CAST(doc_id AS VARCHAR)", seed=11)},
+                        doc_id
+             ) AS rnk
+      FROM documents
+    ) WHERE rnk <= 20
+    """,
+    description="Deterministic stratified sample: 20 documents per language, "
+    "chosen by ranking on an md5-derived hash (a reproducible shuffle) — "
+    "per-stratum WindowGroupLimit, no rand(), identical sample every run.",
+    tags=("sampling", "stratified", "llm-pipeline"),
+)
+def stratified_sample_per_lang(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    h = F.expr(hash60_sql_spark("CAST(doc_id AS STRING)", seed=11))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id"))
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("doc_id", "lang", "rnk")
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK_DUCK} AS toks FROM documents),
+    n_docs AS (SELECT count(*) AS n FROM documents),
+    tf AS (
+      SELECT doc_id, t AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS t FROM tok)
+      GROUP BY doc_id, t
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+    SELECT doc_id, term,
+           CAST(ROUND(tfidf_raw, 6) AS DOUBLE) AS tfidf, rnk
+    FROM (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(CAST((SELECT n FROM n_docs) AS DOUBLE) / df.df)
+               AS tfidf_raw,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln(CAST((SELECT n FROM n_docs) AS DOUBLE)
+                                   / df.df) DESC, tf.term
+             ) AS rnk
+      FROM tf JOIN df ON tf.term = df.term
+    )
+    WHERE rnk <= 3
+    """,
+    description="Top-3 tf-idf terms per document: term frequency x "
+    "ln(N/doc-frequency), document-frequency table broadcast back onto the "
+    "inverted index, per-doc ranking window. Rounded to 6 decimals so the "
+    "ln() arithmetic is engine-portable.",
+    tags=("text", "tfidf", "llm-pipeline"),
+)
+def tfidf_top_terms(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = spread(T(spark, sf_dir, "documents"), spark, by="doc_id")
+    n_docs = T(spark, sf_dir, "documents").count()
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").withColumn(
+        "tfidf_raw",
+        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_raw").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.round("tfidf_raw", 6).cast("double").alias("tfidf"),
+            "rnk",
+        )
+    )

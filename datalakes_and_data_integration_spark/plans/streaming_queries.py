@@ -7,11 +7,10 @@ makes the streaming path oracle-checkable, not just rows-only."""
 from __future__ import annotations
 
 from datalakes_and_data_integration_spark.plans.registry import register
-from datalakes_and_data_integration_spark.streaming import (
-    events_stream,
-    hourly_agg_stream,
-    run_available_now,
-)
+
+# streaming imports happen inside each query function: the streaming package
+# imports plans._util, so a module-level import here would be circular when
+# the streaming package is imported first.
 
 
 @register(
@@ -29,6 +28,12 @@ from datalakes_and_data_integration_spark.streaming import (
     tags=("streaming", "window"),
 )
 def streaming_hourly_agg(spark, sf_dir):
+    from datalakes_and_data_integration_spark.streaming import (
+        events_stream,
+        hourly_agg_stream,
+        run_available_now,
+    )
+
     stream = events_stream(spark, sf_dir)
     agg = hourly_agg_stream(stream)
     return run_available_now(agg, spark, name="streaming_hourly_agg_out")
@@ -57,6 +62,8 @@ def streaming_hourly_agg(spark, sf_dir):
 )
 def streaming_sliding_agg(spark, sf_dir):
     from datalakes_and_data_integration_spark.streaming import (
+        events_stream,
+        run_available_now,
         sliding_agg_stream,
     )
 
@@ -78,7 +85,11 @@ def streaming_sliding_agg(spark, sf_dir):
     tags=("streaming", "dedup", "parity"),
 )
 def streaming_dedup_first_event(spark, sf_dir):
-    from datalakes_and_data_integration_spark.streaming import dedup_stream
+    from datalakes_and_data_integration_spark.streaming import (
+        dedup_stream,
+        events_stream,
+        run_available_now,
+    )
 
     stream = events_stream(spark, sf_dir)
     return run_available_now(
@@ -124,6 +135,8 @@ def streaming_dedup_first_event(spark, sf_dir):
 )
 def streaming_stateful_sessions(spark, sf_dir):
     from datalakes_and_data_integration_spark.streaming import (
+        events_stream,
+        run_available_now,
         stateful_sessions_stream,
     )
 
@@ -132,5 +145,40 @@ def streaming_stateful_sessions(spark, sf_dir):
         stateful_sessions_stream(stream),
         spark,
         name="streaming_stateful_sessions_out",
+        output_mode="append",
+    )
+
+
+@register(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click'
+      AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    """,
+    description="Stream-stream interval join: purchases x same-user clicks "
+    "in the preceding 30 minutes, both sides watermarked (bounded join "
+    "state), run to completion with Trigger.AvailableNow; equals the batch "
+    "interval join (the oracle).",
+    tags=("streaming", "stream-stream-join", "temporal"),
+)
+def streaming_stream_stream_join(spark, sf_dir):
+    from datalakes_and_data_integration_spark.streaming import (
+        events_stream,
+        run_available_now,
+    )
+    from datalakes_and_data_integration_spark.streaming.file_stream import (
+        purchases_with_recent_click_stream,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    return run_available_now(
+        purchases_with_recent_click_stream(stream),
+        spark,
+        name="streaming_ssj_out",
         output_mode="append",
     )

@@ -188,3 +188,41 @@ def stateful_sessions_stream(stream: DataFrame, gap_minutes: int = 30) -> DataFr
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def purchases_with_recent_click_stream(stream: DataFrame) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to the same user's
+    clicks in the preceding 30 minutes. Both sides are watermarked so the
+    join state is bounded (clicks older than the interval + watermark are
+    evicted) — the canonical Structured Streaming interval join."""
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") < F.col("purchase_ts")),
+        "inner",
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+    )

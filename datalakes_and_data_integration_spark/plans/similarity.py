@@ -196,12 +196,14 @@ def _bucket_duck(col: str) -> str:
 )
 def ann_topk_lsh_bucketed(spark, sf_dir):
     e = T(spark, sf_dir, "embeddings")
+    # persist: both self-join sides evaluate the 8x64-term bucket expression
+    # otherwise (broadcast + stream subplans don't share).
     normed = e.select(
         "vec_id",
         "embedding",
         F.expr(f"sqrt({_norm2_spark('embedding')})").alias("nrm"),
         F.expr(_bucket_spark("embedding")).alias("bucket"),
-    )
+    ).persist()
     a = normed.alias("a")
     b = normed.alias("b")
     pairs = a.join(

@@ -498,3 +498,84 @@ def tfidf_top_terms(spark, sf_dir):
             "rnk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel: the composed keep/drop pipeline with per-stage counts —
+# what a training-data run reports after each filter.
+# ---------------------------------------------------------------------------
+
+_MIN_TOKENS = 20
+_MIN_STOPWORD_RATIO = 0.10
+
+
+def _funnel_oracle() -> str:
+    base = f"""
+    WITH tok AS (
+      SELECT doc_id, lang, text, md5(text) AS h, {_TOK_DUCK} AS toks
+      FROM documents
+    ),
+    s1 AS (SELECT * FROM tok WHERE len(toks) >= {_MIN_TOKENS}),
+    s2 AS (SELECT * FROM s1 WHERE lang = 'en'),
+    s3 AS (SELECT * FROM s2 WHERE doc_id IN (
+             SELECT min(doc_id) FROM s2 GROUP BY h)),
+    s4 AS (SELECT * FROM s3 WHERE
+             CAST(len(list_filter(toks, t -> list_contains([{_EN}], t)))
+                  AS DOUBLE) / len(toks) >= {_MIN_STOPWORD_RATIO})
+    """
+    stages = [
+        ("0_all", "tok"),
+        ("1_min_length", "s1"),
+        ("2_lang_en", "s2"),
+        ("3_exact_dedup", "s3"),
+        ("4_stopword_quality", "s4"),
+    ]
+    unions = " UNION ALL ".join(
+        f"SELECT '{name}' AS stage, count(*) AS n_docs FROM {rel}"
+        for name, rel in stages
+    )
+    return base + unions
+
+
+@register(
+    "curation_funnel",
+    oracle=_funnel_oracle(),
+    description=f"Training-data curation funnel with per-stage survivor "
+    f"counts: all -> >= {_MIN_TOKENS} tokens -> lang=en -> exact dedup "
+    f"(keep smallest doc_id per content hash) -> stopword ratio >= "
+    f"{_MIN_STOPWORD_RATIO}. One tokenize pass feeds every stage; counts "
+    "are cheap grouped aggregates of the same cached frame.",
+    tags=("text", "curation", "dedup", "llm-pipeline"),
+)
+def curation_funnel(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("h"),
+        tokens("text").alias("toks"),
+    ).persist()
+    s1 = tok.filter(F.size("toks") >= _MIN_TOKENS)
+    s2 = s1.filter(F.col("lang") == "en").persist()
+    keepers = s2.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    s3 = s2.join(keepers, ["h", "doc_id"], "left_semi").persist()
+    # NOT array_intersect (it dedups) — the ratio counts occurrences:
+    stop_cnt = F.size(F.filter("toks", lambda t: F.array_contains(en, t)))
+    s4 = s3.filter(
+        stop_cnt.cast("double") / F.size("toks") >= _MIN_STOPWORD_RATIO
+    )
+    stages = [
+        ("0_all", tok),
+        ("1_min_length", s1),
+        ("2_lang_en", s2),
+        ("3_exact_dedup", s3),
+        ("4_stopword_quality", s4),
+    ]
+    out = None
+    for name, frame in stages:
+        c = frame.agg(F.count("*").alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+        out = c if out is None else out.unionByName(c)
+    return out

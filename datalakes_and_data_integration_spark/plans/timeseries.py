@@ -24,7 +24,7 @@ from datalakes_and_data_integration_spark.operators import (
     lag_pct_change,
 )
 from datalakes_and_data_integration_spark.operators.windows import ordered_window
-from datalakes_and_data_integration_spark.plans._util import T, dec
+from datalakes_and_data_integration_spark.plans._util import PRICE, T, dec
 from datalakes_and_data_integration_spark.plans.registry import register
 
 _W_SQL = "PARTITION BY user_id ORDER BY ts, event_id"
@@ -405,4 +405,87 @@ def gapfill_hourly_locf(spark, sf_dir):
         "hour",
         F.col("v").alias("v_raw"),
         ffill("v", w).alias("v_locf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range-frame rolling window: per-user 1-hour trailing sum (RANGE frame over
+# event time, not row counts).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_1h_value_sum",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ), 4) AS DOUBLE) AS value_1h
+    FROM events
+    """,
+    description="Per-user trailing 1-hour value sum with a RANGE window "
+    "frame (time-based, not row-count-based): Spark orders on unix "
+    "microseconds with rangeBetween(-1h, 0) — exact decimal sum so frame "
+    "membership and totals match the oracle bit-for-bit.",
+    tags=("window", "range-frame", "timeseries"),
+)
+def rolling_1h_value_sum(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    hour_us = 3_600 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-hour_us, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum(dec("value", 18, 6)).over(w), 4)
+        .cast("double")
+        .alias("value_1h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ntile: spend quartiles per customer.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_spend_quartiles",
+    oracle="""
+    SELECT c_custkey, total_spent, quartile FROM (
+      SELECT c_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE)
+               AS total_spent,
+             ntile(4) OVER (
+               ORDER BY CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE)
+                        DESC, c_custkey
+             ) AS quartile
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    """,
+    description="Customer lifetime-spend quartiles via ntile(4) over a "
+    "total order (spend desc, custkey) — a single global window; at scale "
+    "ntile over a global order sorts once, or approx via percentile cuts.",
+    tags=("window", "ntile", "aggregate"),
+)
+def customer_spend_quartiles(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    spend = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey")
+        .agg(F.sum(dec("o_totalprice", *PRICE)).cast("double").alias("total_spent"))
+    )
+    w = Window.orderBy(F.col("total_spent").desc(), F.col("c_custkey"))
+    return spend.select(
+        "c_custkey", "total_spent", F.ntile(4).over(w).alias("quartile")
     )

@@ -466,3 +466,26 @@ def json_props_extract(spark, sf_dir):
         F.min("p.k").alias("min_k"),
         F.max("p.k").alias("max_k"),
     )
+
+
+@register(
+    "approx_stats_scale_path",
+    # Sketch values (HLL, t-digest) are engine-specific by construction —
+    # rows-only check; the exact twins (distinct_users_per_day,
+    # value_percentiles_by_type) are the hash-checked versions.
+    oracle=None,
+    description="The 100 TB scale path for distinct counts and percentiles: "
+    "approx_count_distinct (HLL) and approx_percentile (t-digest) per event "
+    "type — one mergeable pass, no sort, no (day,user) expansion. Exact "
+    "twins are oracle-checked separately.",
+    tags=("aggregate", "approx", "sketch"),
+)
+def approx_stats_scale_path(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").alias(
+            "approx_pcts"
+        ),
+        F.count("*").alias("n"),
+    )

@@ -442,3 +442,49 @@ def dedup_cluster_assignment(spark, sf_dir):
             F.coalesce("has_near_dup", F.lit(False)).alias("has_near_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs: hamming distance over the 60-bit signatures.
+# ---------------------------------------------------------------------------
+
+_HAMMING_MAX = 6
+
+
+def _simhash_pairs_oracle() -> str:
+    sigs = _simhash_oracle()
+    return f"""
+    WITH sigs AS ({sigs})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+    """
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=_simhash_pairs_oracle(),
+    description=f"SimHash near-dup pairs: hamming(xor of 60-bit signatures) "
+    f"<= {_HAMMING_MAX}. The exact pair scan here is the verify step; at "
+    "100 TB candidates come from bit-sampling buckets first (split the "
+    "signature into HAMMING_MAX+1 bands — any pair within the distance "
+    "shares at least one exact band, the pigeonhole guarantee).",
+    tags=("dedup", "simhash", "llm-pipeline"),
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    sigs = dedup_simhash(spark, sf_dir).persist()
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("int")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+    )

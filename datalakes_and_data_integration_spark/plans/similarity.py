@@ -419,3 +419,142 @@ def ann_topk_ivf(spark, sf_dir):
         .filter(F.col("rank") <= _TOPK)
         .select("vec_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid exact top-k: numpy candidate generation + Spark exact re-scoring.
+# Same oracle as ann_topk_bruteforce — the result is IDENTICAL, only the
+# physical strategy changes (this is the block-wise 100 TB shape).
+# ---------------------------------------------------------------------------
+
+_MARGIN = 2e-6  # > 2 * max rounding perturbation (round-6 moves < 5e-7)
+
+
+@register(
+    "ann_topk_bruteforce_hybrid",
+    oracle=f"""
+    WITH normed AS (
+      SELECT vec_id, embedding, sqrt({_norm2_duck('embedding')}) AS nrm
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             round({_dot_duck('a.embedding', 'b.embedding')} / a.nrm / b.nrm, 6)
+               AS cos_sim
+      FROM normed a JOIN normed b ON a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, neighbor_id, cos_sim, rank FROM (
+      SELECT vec_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM pairs
+    ) WHERE rank <= {_TOPK}
+    """,
+    description=f"Exact cosine top-{_TOPK}, hybrid strategy: an Arrow-batched "
+    "numpy kernel computes all cosines with the SAME sequential-fold "
+    "operation order as the SQL expression (one accumulation step per "
+    "dimension, vectorized across pairs — bit-identical doubles) and emits "
+    f"a per-query candidate set with a {_MARGIN} raw-cosine margin below "
+    f"the {_TOPK}th best (rounding moves values < 5e-7, so the exact "
+    "rounded top-k is provably inside); Spark then re-scores candidates "
+    "with the codegen expression and ranks. Same oracle as "
+    "ann_topk_bruteforce — identical result, block-wise physical plan "
+    "(probe blocks x broadcast corpus block at 100 TB).",
+    tags=("similarity", "ann", "hybrid", "llm-pipeline"),
+    bench=True,
+)
+def ann_topk_bruteforce_hybrid(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    e = T(spark, sf_dir, "embeddings")
+    corpus_rows = e.select("vec_id", "embedding").collect()
+    corpus_ids = np.array([r.vec_id for r in corpus_rows], dtype=np.int64)
+    corpus = np.array(
+        [r.embedding for r in corpus_rows], dtype=np.float32
+    ).astype(np.float64)
+    # Norms with the oracle's operation order: sequential sum over dims.
+    c_norm2 = np.zeros(len(corpus))
+    for d_i in range(corpus.shape[1]):
+        c_norm2 += corpus[:, d_i] * corpus[:, d_i]
+    c_nrm = np.sqrt(c_norm2)
+    bc = spark.sparkContext.broadcast((corpus_ids, corpus, c_nrm))
+
+    def gen_candidates(batches):
+        ids, C, nb = bc.value
+        for pdf in batches:
+            q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            Q = np.array(
+                [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]]
+            ).astype(np.float64)
+            if len(Q) == 0:
+                continue
+            # acc_d+1 = acc_d + Q[:,d] * C[:,d] — the left-fold order of the
+            # unrolled SQL expression, vectorized across the pair block.
+            acc = np.zeros((len(Q), len(C)))
+            for d_i in range(Q.shape[1]):
+                acc += Q[:, d_i : d_i + 1] * C[:, d_i][None, :]
+            q_norm2 = np.zeros(len(Q))
+            for d_i in range(Q.shape[1]):
+                q_norm2 += Q[:, d_i] * Q[:, d_i]
+            cos = (acc / np.sqrt(q_norm2)[:, None]) / nb[None, :]
+            out_q, out_n = [], []
+            for i in range(len(Q)):
+                row = cos[i]
+                mask = ids != q_ids[i]
+                vals = row[mask]
+                nbr = ids[mask]
+                if len(vals) == 0:
+                    continue
+                k = min(_TOPK, len(vals))
+                kth = np.partition(vals, -k)[-k]
+                keep = vals >= (kth - _MARGIN)
+                out_q.extend([q_ids[i]] * int(keep.sum()))
+                out_n.extend(nbr[keep].tolist())
+            yield pd.DataFrame({"vec_id": out_q, "neighbor_id": out_n})
+
+    probe = spread(e.select("vec_id", "embedding"), spark, by="vec_id")
+    cand = probe.mapInPandas(
+        gen_candidates, "vec_id long, neighbor_id long"
+    )
+    # Exact re-scoring of the tiny candidate set with the oracle-order
+    # codegen expression, then the final rounded ranking.
+    normed = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(f"sqrt({_norm2_spark('embedding')})").alias("nrm"),
+    )
+    qa = normed.select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    nb_ = normed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    scored = (
+        cand.join(F.broadcast(qa), "vec_id")
+        .join(F.broadcast(nb_), "neighbor_id")
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(
+                F.expr(_dot_spark("q_emb", "n_emb"))
+                / F.col("q_nrm")
+                / F.col("n_nrm"),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select("vec_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -489,3 +489,35 @@ def approx_stats_scale_path(spark, sf_dir):
         ),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "orders_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE)
+             AS total_price,
+           grouping(o_orderstatus) AS g_status,
+           grouping(o_orderpriority) AS g_priority
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
+    """,
+    description="Explicit GROUPING SETS over (status, priority) — all four "
+    "combinations in one pass with grouping() flags disambiguating the "
+    "null rows (rollup/cube's general form; one shuffle, expand-then-agg).",
+    tags=("aggregate", "grouping-sets"),
+)
+def orders_grouping_sets(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_ogs_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE)
+                 AS total_price,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_priority
+        FROM _ogs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
+    """)

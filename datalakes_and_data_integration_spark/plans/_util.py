@@ -50,7 +50,10 @@ def spread(df: DataFrame, spark: SparkSession, *, by: str | None = None) -> Data
     the repartition only fires when the scan is narrower than the session's
     parallelism, so no 100 TB-scale shuffle is ever introduced by it.
     """
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Cap at 64: spread exists for CPU parallelism on small scans, and a
+    # session with the default 200 shuffle partitions (e.g. a harness-built
+    # one) would otherwise pay 200-task scheduling overhead per tiny stage.
+    n = min(int(spark.conf.get("spark.sql.shuffle.partitions")), 64)
     if df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n, by) if by else df.repartition(n)

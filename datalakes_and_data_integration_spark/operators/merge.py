@@ -35,10 +35,36 @@ def prefix_columns(df: DataFrame, prefix: str, keys: Sequence[str]) -> DataFrame
 
 
 def full_outer_merge(dfs: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame:
-    """Left-fold full-outer join on ``keys`` (join-column coalescing form)."""
+    """Left-fold full-outer join on ``keys``, null-safe.
+
+    NULL-SAFE equality (<=>) matters for parity: pandas ``merge`` matches
+    NaN keys to each other (reference J1 merges rows whose date failed to
+    parse), and SQL GROUP BY groups nulls — plain join equality would
+    instead emit one unmatched row per side. ``outer_merge_pivot`` gets the
+    same semantics for free from GROUP BY.
+    """
     if not dfs:
         raise ValueError("need at least one DataFrame")
-    return reduce(lambda a, b: a.join(b, list(keys), "full"), dfs)
+    keys = list(keys)
+
+    def step(left: DataFrame, right: DataFrame) -> DataFrame:
+        la, rb = left.alias("l"), right.alias("r")
+        cond = reduce(
+            lambda acc, k: acc & F.col(f"l.{k}").eqNullSafe(F.col(f"r.{k}")),
+            keys[1:],
+            F.col(f"l.{keys[0]}").eqNullSafe(F.col(f"r.{keys[0]}")),
+        )
+        joined = la.join(rb, cond, "full")
+        return joined.select(
+            *[
+                F.coalesce(F.col(f"l.{k}"), F.col(f"r.{k}")).alias(k)
+                for k in keys
+            ],
+            *[F.col(f"l.{c}") for c in left.columns if c not in keys],
+            *[F.col(f"r.{c}") for c in right.columns if c not in keys],
+        )
+
+    return reduce(step, dfs)
 
 
 def outer_merge_pivot(dfs: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame:

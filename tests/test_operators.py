@@ -194,3 +194,32 @@ def test_salted_join_matches_plain_join(spark):
     got = sorted((r.k, r.v, r.label) for r in out.collect())
     want = sorted((r.k, r.v, r.label) for r in plain.collect())
     assert got == want
+
+
+def test_full_outer_merge_null_keys_match(spark):
+    """Pandas merge matches NaN keys (reference J1); the null-safe join must
+    merge null-key rows across frames instead of emitting one per side."""
+    from datalakes_and_data_integration_spark.operators.merge import (
+        full_outer_merge,
+        outer_merge_pivot,
+    )
+
+    a = spark.createDataFrame(
+        [("s1", None, 1.0), ("s1", "t1", 2.0)], ["site", "t", "a_v"]
+    )
+    b = spark.createDataFrame(
+        [("s1", None, "x"), ("s2", "t2", "y")], ["site", "t", "b_v"]
+    )
+    keys = ["site", "t"]
+    fold = full_outer_merge([a, b], keys)
+    rows = sorted(map(tuple, fold.collect()), key=repr)
+    # 3 rows: the null-t rows MERGED, plus the two unmatched.
+    assert len(rows) == 3
+    merged = [r for r in rows if r[1] is None][0]
+    assert merged == ("s1", None, 1.0, "x")
+    # pivot form agrees (GROUP BY already groups nulls)
+    pivot = sorted(
+        map(tuple, outer_merge_pivot([a, b], keys).select(*fold.columns).collect()),
+        key=repr,
+    )
+    assert pivot == rows

@@ -15,7 +15,6 @@ from pyspark.sql import functions as F
 from datalakes_and_data_integration_spark.functions.text import (
     LANG_ORDER,
     STOPWORDS,
-    _BPE_RE,
     argmax_lang,
     argmax_lang_sql_duck,
     bpe_token_count,

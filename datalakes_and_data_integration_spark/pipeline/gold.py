@@ -98,17 +98,24 @@ def build_gold(
     # Null timestamps (unparseable dates, P2) sort LAST so they never shift
     # the lag index of real time-ordered rows.
     w = ordered_window(["code_site"], [F.col("date_de_debut").asc_nulls_last()])
+    unit_cols = [c for c in wide.columns if c.endswith("_unite_de_mesure")]
+    filled_units = {
+        c: F.coalesce(ffill(c, w), bfill(c, w)).alias(c) for c in unit_cols
+    }
+    wide = wide.select(
+        *[filled_units.get(c, F.col(c)) for c in wide.columns]
+    )
     converted_cols = []
-    for c in [c for c in wide.columns if c.endswith("_unite_de_mesure")]:
-        filled = F.coalesce(ffill(c, w), bfill(c, w))
-        wide = wide.withColumn(c, filled)
+    conversions = []
+    for c in unit_cols:
         prefix = c[: -len("_unite_de_mesure")]
         factor = _unit_factor_col(c)
         for vc in (f"{prefix}_valeur", f"{prefix}_valeur_brute"):
             if vc in wide.columns:
                 out = f"{vc}_g_par_L"
-                wide = wide.withColumn(out, F.col(vc) * factor)
+                conversions.append((F.col(vc) * factor).alias(out))
                 converted_cols.append(out)
+    wide = wide.select("*", *conversions)
 
     # A4: horizontal NaN-skipping total over the converted column group
     # (process_to_curated.py:71-95).
@@ -116,14 +123,17 @@ def build_gold(
 
     # W1/W2: per-site 6-step lag features over `_valeur` columns + total —
     # note `_valeur` only, not `_valeur_brute`/`_g_par_L` (the suffix filter
-    # at process_to_curated.py:116,142 — SURVEY.md §1.3).
+    # at process_to_curated.py:116,142 — SURVEY.md §1.3). One select, not a
+    # withColumn chain: 2N chained projections cost O(N^2) analysis time.
     lag_targets = [c for c in wide.columns if c.endswith("_valeur")] + [TOTAL]
-    for c in lag_targets:
-        wide = wide.withColumn(f"{c}_diff_6hrs", lag_diff(c, w, 6))
-    for c in lag_targets:
-        wide = wide.withColumn(
-            f"{c}_percent_change_6hrs", lag_pct_change(c, w, 6)
-        )
+    wide = wide.select(
+        "*",
+        *[lag_diff(c, w, 6).alias(f"{c}_diff_6hrs") for c in lag_targets],
+        *[
+            lag_pct_change(c, w, 6).alias(f"{c}_percent_change_6hrs")
+            for c in lag_targets
+        ],
+    )
 
     write_partitioned(wide, gold_dir, sort_within=KEYS)
     return spark.read.parquet(gold_dir)

@@ -521,3 +521,68 @@ def orders_grouping_sets(spark, sf_dir):
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                 (o_orderstatus), (o_orderpriority), ())
     """)
+
+
+@register(
+    "lineitem_unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure,
+           CAST(val AS DOUBLE) AS val
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+             l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    )
+    WHERE l_orderkey <= 1000
+    """,
+    description="Unpivot (melt): three lineitem measures to tall "
+    "(key, measure, value) form with df.unpivot — the inverse of pivot, "
+    "one scan, no shuffle (filtered to a key range to keep the oracle "
+    "comparison bounded).",
+    tags=("unpivot", "reshape"),
+)
+def lineitem_unpivot_measures(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    ).withColumn(
+        "measure",
+        F.expr(
+            "CASE measure WHEN 'l_quantity' THEN 'quantity' "
+            "WHEN 'l_extendedprice' THEN 'extendedprice' "
+            "ELSE 'discount' END"
+        ),
+    ).select("l_orderkey", "l_linenumber", "measure", F.col("val").cast("double"))
+
+
+@register(
+    "daily_event_type_set",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',')
+             AS types_seen,
+           count(DISTINCT event_type) AS n_types
+    FROM events
+    GROUP BY date_trunc('day', ts)
+    """,
+    description="Set aggregation with deterministic output: distinct event "
+    "types per day collected, sorted, and joined to a string "
+    "(sort_array(collect_set) — collection order is partition-dependent, "
+    "the sort makes it comparable).",
+    tags=("aggregate", "collect", "array"),
+)
+def daily_event_type_set(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias(
+            "types_seen"
+        ),
+        F.countDistinct("event_type").alias("n_types"),
+    )

@@ -77,6 +77,15 @@ def cmd_fetch(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    from datalakes_and_data_integration_spark.session import load_tables
+
+    spark = _spark()
+    load_tables(spark, args.sf_dir)
+    spark.sql(args.statement).show(args.rows, truncate=False)
+    return 0
+
+
 def cmd_query(args) -> int:
     from datalakes_and_data_integration_spark import plans
 
@@ -109,6 +118,12 @@ def main(argv: list[str] | None = None) -> int:
     ft.add_argument("--landing", required=True)
     ft.add_argument("--days", type=int, default=3)
     ft.set_defaults(fn=cmd_fetch)
+
+    sq = sub.add_parser("sql", help="run SQL over the registered tables")
+    sq.add_argument("statement")
+    sq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sq.add_argument("--rows", type=int, default=20)
+    sq.set_defaults(fn=cmd_sql)
 
     q = sub.add_parser("query", help="run a registry query")
     q.add_argument("name")

@@ -79,3 +79,55 @@ def upsert_parquet(
     shutil.move(out, table_dir)
     shutil.rmtree(staging, ignore_errors=True)
     return spark.read.parquet(table_dir)
+
+
+def merge_additive(
+    existing: DataFrame | None,
+    updates: DataFrame,
+    keys: Sequence[str],
+    sums: Sequence[str],
+) -> DataFrame:
+    """Additive MERGE for partial aggregates: on key collision the measure
+    columns ADD instead of first-writer-wins — the maintenance rule for an
+    incrementally materialized aggregate (counts/sums are mergeable;
+    avg = sum/count at read time; min/max via a GREATEST/LEAST variant).
+
+    ``MERGE INTO t USING u ON pk WHEN MATCHED THEN UPDATE SET x = t.x + u.x
+    WHEN NOT MATCHED THEN INSERT`` without a table format's transaction log:
+    union the frames and re-aggregate on the key. One shuffle; at scale the
+    table is bucketed by key so the shuffle only moves the (small) update
+    batch.
+    """
+    from pyspark.sql import functions as F
+
+    keys = list(keys)
+    sums = list(sums)
+    both = updates if existing is None else existing.unionByName(updates)
+    return both.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sums]
+    )
+
+
+def upsert_parquet_additive(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    sums: Sequence[str],
+) -> DataFrame:
+    """merge_additive against a parquet directory (stage + swap, like
+    upsert_parquet)."""
+    existing = (
+        spark.read.parquet(table_dir) if os.path.isdir(table_dir) else None
+    )
+    merged = merge_additive(existing, updates, keys, sums)
+    staging = tempfile.mkdtemp(
+        prefix=".upsert_", dir=os.path.dirname(table_dir) or "."
+    )
+    out = os.path.join(staging, "data")
+    merged.write.mode("overwrite").parquet(out)
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    shutil.move(out, table_dir)
+    shutil.rmtree(staging, ignore_errors=True)
+    return spark.read.parquet(table_dir)

@@ -578,3 +578,46 @@ def curation_funnel(spark, sf_dir):
         )
         out = c if out is None else out.unionByName(c)
     return out
+
+
+# ---------------------------------------------------------------------------
+# PII masking: regex scrubbing before training (emails, long digit runs).
+# Patterns kept in the portable subset shared by Java regex and RE2.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_NUM_RE = "[0-9]{4,}"
+
+
+@register(
+    "text_pii_mask",
+    oracle=f"""
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>',
+                                             'g'),
+                              '{_NUM_RE}', '<NUM>', 'g')) AS masked_md5,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{_NUM_RE}')) AS n_long_numbers
+    FROM documents
+    """,
+    description="PII scrubbing before training: mask emails and 4+-digit "
+    "runs with regexp_replace (patterns in the Java-regex/RE2-portable "
+    "subset), fingerprint the masked text, count what was masked. Pure "
+    "scan, no shuffle.",
+    tags=("text", "pii", "cleaning", "llm-pipeline"),
+)
+def text_pii_mask(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    masked = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _NUM_RE, "<NUM>"
+    )
+    return d.select(
+        "doc_id",
+        F.md5(masked).alias("masked_md5"),
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(_NUM_RE), 0)).alias(
+            "n_long_numbers"
+        ),
+    )

@@ -586,3 +586,84 @@ def daily_event_type_set(spark, sf_dir):
         ),
         F.countDistinct("event_type").alias("n_types"),
     )
+
+
+@register(
+    "value_histogram_by_type",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(value) AS lo, max(value) AS hi FROM events
+      WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(least(floor((value - (SELECT lo FROM bounds))
+                 / ((SELECT hi FROM bounds) - (SELECT lo FROM bounds)) * 10),
+               9) AS INT) AS bucket,
+           count(*) AS n
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type, bucket
+    """,
+    description="10-bin value histogram per event type over the global "
+    "min/max (scalar-subquery bounds folded into the binning expression — "
+    "identical double arithmetic on both engines; the max value clamps "
+    "into the last bin); one scan + one grouped aggregate.",
+    tags=("aggregate", "histogram"),
+)
+def value_histogram_by_type(spark, sf_dir):
+    ev = T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    lo, hi = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    bucket = F.expr(
+        f"CAST(least(floor((value - ({lo!r})) / (({hi!r}) - ({lo!r})) * 10), 9) AS INT)"
+    )
+    return ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count("*").alias("n")
+    )
+
+
+@register(
+    "referential_integrity_check",
+    oracle="""
+    SELECT 'lineitem_without_order' AS violation, count(*) AS n FROM (
+      SELECT l_orderkey FROM lineitem
+      EXCEPT SELECT o_orderkey FROM orders
+    )
+    UNION ALL
+    SELECT 'order_without_customer', count(*) FROM (
+      SELECT o_custkey FROM orders EXCEPT SELECT c_custkey FROM customer
+    )
+    UNION ALL
+    SELECT 'customer_without_nation', count(*) FROM (
+      SELECT c_nationkey FROM customer EXCEPT SELECT n_nationkey FROM nation
+    )
+    """,
+    description="Referential-integrity audit: orphaned foreign keys across "
+    "three relationships via anti joins on the distinct key sets (the "
+    "data-quality gate a lakehouse runs after every load).",
+    tags=("anti-join", "quality", "audit"),
+)
+def referential_integrity_check(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    checks = [
+        ("lineitem_without_order",
+         li.select("l_orderkey").distinct().join(
+             o.select("o_orderkey"),
+             li.l_orderkey == o.o_orderkey, "left_anti")),
+        ("order_without_customer",
+         o.select("o_custkey").distinct().join(
+             c.select("c_custkey"), o.o_custkey == c.c_custkey, "left_anti")),
+        ("customer_without_nation",
+         c.select("c_nationkey").distinct().join(
+             n.select("n_nationkey"),
+             c.c_nationkey == n.n_nationkey, "left_anti")),
+    ]
+    out = None
+    for name, df in checks:
+        row = df.agg(F.count("*").alias("n")).select(
+            F.lit(name).alias("violation"), "n"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

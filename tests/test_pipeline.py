@@ -202,3 +202,25 @@ def test_silver_incremental_idempotent(spark, tmp_path):
     assert ("2025-03-07 00:00:00", 1.0) in vals  # first write kept
     assert not any(v == 999.0 for _, v in vals)  # clobber attempt dropped
     assert ("2025-03-08 02:00:00", 102.0) in vals  # new day landed
+
+
+def test_orchestration_tasks_run_pipeline(spark, tmp_path):
+    """The Airflow-shaped task callables run the three stages in order
+    (build_dag itself returns None here — airflow is not installed)."""
+    from datalakes_and_data_integration_spark import orchestration
+
+    assert orchestration.build_dag("x", "y") is None  # import-gated
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rows = [HEADER] + [
+        _row("FR001", h, "SO2", float(h + 1), "µg-m3") for h in range(3)
+    ]
+    (landing / "polluant-01_2025-03-07.csv").write_text(
+        "\n".join(rows), encoding="utf-8"
+    )
+    work = str(tmp_path / "zones")
+    orchestration.task_preprocess(str(landing), work)
+    orchestration.task_process(work)
+    gold = spark.read.parquet(f"{work}/gold")
+    assert gold.count() == 3 and "so2_valeur_diff_6hrs" in gold.columns

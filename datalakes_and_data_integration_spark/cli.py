@@ -77,6 +77,19 @@ def cmd_fetch(args) -> int:
     return 0
 
 
+def cmd_list(args) -> int:
+    from datalakes_and_data_integration_spark import plans
+
+    for name, q in sorted(plans.QUERIES.items()):
+        flags = []
+        if q.bench:
+            flags.append("bench")
+        flags.append("oracle" if q.oracle else "rows-only")
+        print(f"{name:38s} [{', '.join(flags)}] {', '.join(q.tags)}")
+    print(f"\n{len(plans.QUERIES)} queries")
+    return 0
+
+
 def cmd_sql(args) -> int:
     from datalakes_and_data_integration_spark.session import load_tables
 
@@ -118,6 +131,9 @@ def main(argv: list[str] | None = None) -> int:
     ft.add_argument("--landing", required=True)
     ft.add_argument("--days", type=int, default=3)
     ft.set_defaults(fn=cmd_fetch)
+
+    ls = sub.add_parser("list", help="list the query inventory")
+    ls.set_defaults(fn=cmd_list)
 
     sq = sub.add_parser("sql", help="run SQL over the registered tables")
     sq.add_argument("statement")

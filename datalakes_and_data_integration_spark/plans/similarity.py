@@ -301,14 +301,17 @@ _IVF_PROBE = 2  # lists probed per query
 
 
 def _dist2_to_centroid(cvec: list[float]) -> "F.Column":
-    """Squared L2 distance from `embedding` to a centroid literal, unrolled
-    (stays in codegen; 64 terms x K=16 evaluated per row)."""
+    """Squared L2 distance from `embedding` to a centroid literal, as a
+    higher-order aggregate over an array literal. Interpreted per element —
+    deliberately NOT unrolled: the distance runs over n rows (not n^2
+    pairs), so execution is cheap, while K unrolled 64-term expressions per
+    assignment dominated the query with Janino compile time (measured ~4s
+    of the ~13s gate cost)."""
+    lits = ", ".join(repr(v) for v in cvec)
     return F.expr(
-        " + ".join(
-            f"(CAST(embedding[{i}] AS DOUBLE) - ({cvec[i]!r})) * "
-            f"(CAST(embedding[{i}] AS DOUBLE) - ({cvec[i]!r}))"
-            for i in range(_DIM)
-        )
+        f"aggregate(zip_with(embedding, array({lits}), "
+        f"(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), "
+        f"0D, (a, v) -> a + v)"
     )
 
 

@@ -131,3 +131,85 @@ def upsert_parquet_additive(
     shutil.move(out, table_dir)
     shutil.rmtree(staging, ignore_errors=True)
     return spark.read.parquet(table_dir)
+
+
+def scd2_merge(
+    existing: DataFrame | None,
+    updates: DataFrame,
+    key: str,
+    attrs: Sequence[str],
+    effective_ts: str,
+    end_of_time: str = "9999-12-31 00:00:00",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: keep full attribute history.
+
+    ``existing`` carries ``(key, attrs..., valid_from, valid_to,
+    is_current)``; ``updates`` carries ``(key, attrs..., effective_ts)``.
+    A changed attribute set closes the current version (valid_to =
+    effective_ts, is_current = false) and opens a new one; an unchanged
+    row is a no-op; a new key opens its first version.
+
+    Expressed as two joins + a union (MERGE WHEN MATCHED AND <changed>
+    semantics without a table format). One shuffle on the key; history
+    tables should be bucketed by key so only the update batch moves.
+    """
+    from pyspark.sql import functions as F
+
+    attrs = list(attrs)
+    upd = updates.select(
+        F.col(key),
+        *[F.col(a) for a in attrs],
+        F.col(effective_ts).alias("__eff"),
+    )
+    if existing is None:
+        return upd.select(
+            key,
+            *attrs,
+            F.col("__eff").alias("valid_from"),
+            F.lit(end_of_time).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+
+    cur = existing.filter(F.col("is_current"))
+    hist = existing.filter(~F.col("is_current"))
+    changed_cond = " OR ".join(
+        f"NOT (cur.{a} <=> upd.{a})" for a in attrs
+    )
+    joined = cur.alias("cur").join(
+        upd.alias("upd"), F.col(f"cur.{key}") == F.col(f"upd.{key}"), "full"
+    )
+    # 1. untouched current rows (no update, or update identical)
+    untouched = joined.filter(
+        F.col(f"upd.{key}").isNull()
+        | (F.col(f"cur.{key}").isNotNull() & ~F.expr(changed_cond))
+    ).select("cur.*")
+    # 2. closed versions: current rows whose update differs
+    closed = (
+        joined.filter(
+            F.col(f"cur.{key}").isNotNull()
+            & F.col(f"upd.{key}").isNotNull()
+            & F.expr(changed_cond)
+        )
+        .select(
+            F.col(f"cur.{key}").alias(key),
+            *[F.col(f"cur.{a}").alias(a) for a in attrs],
+            F.col("cur.valid_from").alias("valid_from"),
+            F.col("upd.__eff").alias("valid_to"),
+            F.lit(False).alias("is_current"),
+        )
+    )
+    # 3. opened versions: changed updates + brand-new keys
+    opened = (
+        joined.filter(
+            F.col(f"upd.{key}").isNotNull()
+            & (F.col(f"cur.{key}").isNull() | F.expr(changed_cond))
+        )
+        .select(
+            F.col(f"upd.{key}").alias(key),
+            *[F.col(f"upd.{a}").alias(a) for a in attrs],
+            F.col("upd.__eff").alias("valid_from"),
+            F.lit(end_of_time).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    return hist.unionByName(untouched).unionByName(closed).unionByName(opened)

@@ -281,3 +281,73 @@ def set_ops_user_cohorts(spark, sf_dir):
         F.lit("purchaser_never_error").alias("cohort"), "user_id"
     )
     return both.unionByName(only)
+
+
+# ---------------------------------------------------------------------------
+# Sequential conversion funnel: signup -> later view -> later purchase.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "conversion_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS t_signup FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    v AS (
+      SELECT e.user_id, min(e.ts) AS t_view
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'view' AND e.ts > s.t_signup
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    )
+    SELECT 'signed_up' AS stage, count(*) AS n_users FROM s
+    UNION ALL
+    SELECT 'viewed_after_signup', count(*) FROM v
+    UNION ALL
+    SELECT 'purchased_after_view', count(*) FROM p
+    """,
+    description="Sequential conversion funnel: first signup, first view "
+    "strictly after it, first purchase strictly after that — per-user "
+    "ordered-event matching via chained conditional-min aggregates and "
+    "joins (each stage's frame is small and broadcasts into the next).",
+    tags=("funnel", "temporal", "aggregate"),
+)
+def conversion_funnel(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .join(F.broadcast(s), "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    out = None
+    for name, frame in (
+        ("signed_up", s),
+        ("viewed_after_signup", v),
+        ("purchased_after_view", p),
+    ):
+        row = frame.agg(F.count("*").alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

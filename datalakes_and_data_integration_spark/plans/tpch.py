@@ -877,3 +877,62 @@ def q17(spark, sf_dir):
             .alias("avg_yearly")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q9 — product-type profit by nation and year (adapted: no partsupp table,
+# so p_retailprice stands in for supply cost)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle="""
+    SELECT nation, o_year,
+           CAST(ROUND(sum(amount), 4) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(25,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(8,6)))
+             - CAST(p.p_retailprice AS DECIMAL(25,2))
+               * CAST(l.l_quantity AS DECIMAL(12,2)) * CAST(0.1 AS DECIMAL(3,1))
+               AS amount
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_type = 'PROMO'
+    )
+    GROUP BY nation, o_year
+    """,
+    description="Profit by supplier nation and year for one product type "
+    "(TPC-H Q9 shape; p_retailprice*qty*0.1 stands in for the missing "
+    "partsupp supply cost): 5-way join, exact decimal profit arithmetic.",
+    tags=("join", "aggregate"),
+)
+def q9(spark, sf_dir):
+    p = T(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    o = T(spark, sf_dir, "orders")
+    n = T(spark, sf_dir, "nation")
+    amount = dec("l_extendedprice", *PRICE) * (
+        1 - dec("l_discount", *RATE)
+    ) - dec("p_retailprice", *PRICE) * dec("l_quantity", *QTY) * F.lit(
+        0.1
+    ).cast("decimal(3,1)")
+    return (
+        F.broadcast(p)
+        .join(li, p.p_partkey == li.l_partkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 4).cast("double").alias("sum_profit"))
+    )

@@ -25,4 +25,7 @@ def build_bronze(
     write_partitioned(
         raw, bronze_dir, partition_by=["pollutant_code", "ingest_date"]
     )
-    return spark.read.parquet(bronze_dir)
+    # Schema-specified read-back: an empty landing zone writes only
+    # _SUCCESS, and schema inference on that raises — a no-new-files day
+    # must yield an empty frame, not an error.
+    return spark.read.schema(raw.schema).parquet(bronze_dir)

@@ -68,7 +68,19 @@ def drop_empty_rows(df: DataFrame, data_cols: list[str]) -> DataFrame:
 def build_silver(
     spark: SparkSession, bronze_dir: str, silver_dir: str
 ) -> DataFrame:
-    bronze = spark.read.parquet(bronze_dir)
+    from datalakes_and_data_integration_spark.sources.csv_landing import (
+        RAW_SCHEMA,
+    )
+    from pyspark.sql import types as T_
+
+    bronze_schema = T_.StructType(
+        list(RAW_SCHEMA.fields)
+        + [
+            T_.StructField("pollutant_code", T_.StringType(), True),
+            T_.StructField("ingest_date", T_.StringType(), True),
+        ]
+    )
+    bronze = spark.read.schema(bronze_schema).parquet(bronze_dir)
     df = normalize_columns(bronze)
     data_cols = [c for c in df.columns if c not in ("pollutant_code", "ingest_date")]
     df = drop_empty_rows(df, data_cols)
@@ -90,7 +102,7 @@ def build_silver(
         partition_by=["pollutant_code"],
         sort_within=PK,
     )
-    return spark.read.parquet(silver_dir)
+    return spark.read.schema(df.schema).parquet(silver_dir)
 
 
 def build_silver_incremental(

@@ -621,3 +621,82 @@ def text_pii_mask(spark, sf_dir):
             "n_long_numbers"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition (Gopher/RefinedWeb-style quality rule) and the
+# language-ID confusion matrix.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "intradoc_repetition",
+    oracle="""
+    WITH sent AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, '.'),
+                                        s -> trim(s)), s -> s <> '')
+               AS sentences
+      FROM documents
+    )
+    SELECT doc_id,
+           len(sentences) AS n_sentences,
+           len(list_distinct(sentences)) AS n_distinct,
+           CASE WHEN len(sentences) > 0 THEN
+             CAST(len(sentences) - len(list_distinct(sentences)) AS DOUBLE)
+               / len(sentences)
+           ELSE 0.0 END AS dup_sentence_fraction
+    FROM sent
+    """,
+    description="Intra-document repetition (the Gopher-style quality rule): "
+    "sentence-split each document, count exact duplicate sentences, report "
+    "the duplicate fraction — high values flag boilerplate/spam for the "
+    "curation funnel. Pure scan, array ops only.",
+    tags=("text", "quality", "repetition", "llm-pipeline"),
+)
+def intradoc_repetition(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    sentences = F.filter(
+        F.transform(F.split("text", r"\."), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    out = d.select("doc_id", sentences.alias("sentences"))
+    n = F.size("sentences")
+    nd = F.size(F.array_distinct("sentences"))
+    return out.select(
+        "doc_id",
+        n.alias("n_sentences"),
+        nd.alias("n_distinct"),
+        F.when(n > 0, (n - nd).cast("double") / n)
+        .otherwise(F.lit(0.0))
+        .alias("dup_sentence_fraction"),
+    )
+
+
+def _confusion_oracle() -> str:
+    scores = lang_scores_sql_duck("toks")
+    pred = argmax_lang_sql_duck(scores)
+    return f"""
+    WITH tok AS (SELECT doc_id, lang, {_TOK_DUCK} AS toks FROM documents),
+    pred AS (SELECT doc_id, lang, {pred} AS lang_pred FROM tok)
+    SELECT lang AS labeled, lang_pred AS predicted, count(*) AS n
+    FROM pred GROUP BY lang, lang_pred
+    """
+
+
+@register(
+    "lang_confusion_matrix",
+    oracle=_confusion_oracle(),
+    description="Label-vs-prediction confusion matrix for the heuristic "
+    "language ID over the stored lang column — the evaluation query a "
+    "curation pipeline runs before trusting a classifier as a filter.",
+    tags=("text", "evaluation", "llm-pipeline"),
+)
+def lang_confusion_matrix(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", tokens("text").alias("toks"))
+    scores = lang_scores(F.col("toks"))
+    pred = tok.select("lang", argmax_lang(scores).alias("lang_pred"))
+    return pred.groupBy(
+        F.col("lang").alias("labeled"), F.col("lang_pred").alias("predicted")
+    ).agg(F.count("*").alias("n"))

@@ -224,3 +224,16 @@ def test_orchestration_tasks_run_pipeline(spark, tmp_path):
     orchestration.task_process(work)
     gold = spark.read.parquet(f"{work}/gold")
     assert gold.count() == 3 and "so2_valeur_diff_6hrs" in gold.columns
+
+
+def test_empty_landing_zone_is_graceful(spark, tmp_path):
+    """An empty (or all-nonconforming) landing dir must yield empty zones,
+    not an exception — a daily run with no new files is normal."""
+    landing = tmp_path / "empty_landing"
+    landing.mkdir()
+    (landing / "not-matching.txt").write_text("junk")
+    work = tmp_path / "zones"
+    bronze = build_bronze(spark, str(landing), f"{work}/bronze")
+    assert bronze.count() == 0
+    silver = build_silver(spark, f"{work}/bronze", f"{work}/silver")
+    assert silver.count() == 0

@@ -47,3 +47,48 @@ def write_jdbc_overwrite(
     if properties:
         props.update(properties)
     df.write.jdbc(url, table, mode="overwrite", properties=props)
+
+
+def compact_parquet(
+    spark,
+    table_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within: Sequence[str] = (),
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files (the OPTIMIZE half of Delta's
+    OPTIMIZE/ZORDER; pair with operators.layout.zorder_layout for the
+    clustering half).
+
+    Small files are the silent killer of 100 TB scans — every file costs a
+    task, a footer read, and an object-store request; streaming and
+    incremental writers produce them constantly. Returns the new file
+    count. Atomic via stage-and-swap like the upsert sinks.
+    """
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(table_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(table_dir)
+    out = df.repartition(n_files)
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    staging = tempfile.mkdtemp(
+        prefix=".compact_", dir=os.path.dirname(table_dir) or "."
+    )
+    tmp = os.path.join(staging, "data")
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(table_dir)
+    shutil.move(tmp, table_dir)
+    shutil.rmtree(staging, ignore_errors=True)
+    return len(
+        [f for f in os.listdir(table_dir) if f.endswith(".parquet")]
+    )

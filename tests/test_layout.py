@@ -45,3 +45,22 @@ def test_zorder_narrows_file_ranges(spark, tmp_path):
         # every dimension narrows substantially (8 files, 2 dims -> each
         # file should cover well under half the domain per dimension)
         assert z_span < 0.6 < plain_span, (col, z_span, plain_span)
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from datalakes_and_data_integration_spark.sources.sinks import (
+        compact_parquet,
+    )
+
+    table = str(tmp_path / "frag")
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(5000)], ["k", "v"])
+    df.repartition(40).write.parquet(table)  # 40 tiny files
+    before = len(glob.glob(f"{table}/*.parquet"))
+    assert before == 40
+    rows_before = {tuple(r) for r in spark.read.parquet(table).collect()}
+
+    n_after = compact_parquet(spark, table, target_file_bytes=10 * 1024 * 1024)
+    assert n_after < before and n_after >= 1
+    assert len(glob.glob(f"{table}/*.parquet")) == n_after
+    rows_after = {tuple(r) for r in spark.read.parquet(table).collect()}
+    assert rows_after == rows_before  # data identical

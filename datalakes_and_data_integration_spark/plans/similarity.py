@@ -483,37 +483,55 @@ def ann_topk_bruteforce_hybrid(spark, sf_dir):
     c_nrm = np.sqrt(c_norm2)
     bc = spark.sparkContext.broadcast((corpus_ids, corpus, c_nrm))
 
+    _PROBE_BLOCK = 1024  # rows of Q per inner block
+    _CORPUS_BLOCK = 4096  # rows of C per inner block
+
     def gen_candidates(batches):
+        # Double-blocked scan: temporaries are bounded by
+        # PROBE_BLOCK x CORPUS_BLOCK doubles (~32 MB) regardless of corpus
+        # size — the shape that survives a 100x corpus. Per probe block,
+        # every corpus block's cosines are concatenated before the top-k
+        # cut, so the margin guarantee is unchanged.
         ids, C, nb = bc.value
         for pdf in batches:
-            q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            Q = np.array(
+            all_q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            all_Q = np.array(
                 [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]]
             ).astype(np.float64)
-            if len(Q) == 0:
+            if len(all_Q) == 0:
                 continue
-            # acc_d+1 = acc_d + Q[:,d] * C[:,d] — the left-fold order of the
-            # unrolled SQL expression, vectorized across the pair block.
-            acc = np.zeros((len(Q), len(C)))
-            for d_i in range(Q.shape[1]):
-                acc += Q[:, d_i : d_i + 1] * C[:, d_i][None, :]
-            q_norm2 = np.zeros(len(Q))
-            for d_i in range(Q.shape[1]):
-                q_norm2 += Q[:, d_i] * Q[:, d_i]
-            cos = (acc / np.sqrt(q_norm2)[:, None]) / nb[None, :]
             out_q, out_n = [], []
-            for i in range(len(Q)):
-                row = cos[i]
-                mask = ids != q_ids[i]
-                vals = row[mask]
-                nbr = ids[mask]
-                if len(vals) == 0:
-                    continue
-                k = min(_TOPK, len(vals))
-                kth = np.partition(vals, -k)[-k]
-                keep = vals >= (kth - _MARGIN)
-                out_q.extend([q_ids[i]] * int(keep.sum()))
-                out_n.extend(nbr[keep].tolist())
+            for p0 in range(0, len(all_Q), _PROBE_BLOCK):
+                Q = all_Q[p0 : p0 + _PROBE_BLOCK]
+                q_ids = all_q_ids[p0 : p0 + _PROBE_BLOCK]
+                q_norm2 = np.zeros(len(Q))
+                for d_i in range(Q.shape[1]):
+                    q_norm2 += Q[:, d_i] * Q[:, d_i]
+                q_nrm = np.sqrt(q_norm2)
+                cos_blocks = []
+                for c0 in range(0, len(C), _CORPUS_BLOCK):
+                    Cb = C[c0 : c0 + _CORPUS_BLOCK]
+                    # acc_d+1 = acc_d + Q[:,d] * Cb[:,d] — the left-fold
+                    # order of the unrolled SQL expression, vectorized.
+                    acc = np.zeros((len(Q), len(Cb)))
+                    for d_i in range(Q.shape[1]):
+                        acc += Q[:, d_i : d_i + 1] * Cb[:, d_i][None, :]
+                    cos_blocks.append(
+                        (acc / q_nrm[:, None]) / nb[c0 : c0 + _CORPUS_BLOCK][None, :]
+                    )
+                cos = np.concatenate(cos_blocks, axis=1)
+                for i in range(len(Q)):
+                    row = cos[i]
+                    mask = ids != q_ids[i]
+                    vals = row[mask]
+                    nbr = ids[mask]
+                    if len(vals) == 0:
+                        continue
+                    k = min(_TOPK, len(vals))
+                    kth = np.partition(vals, -k)[-k]
+                    keep = vals >= (kth - _MARGIN)
+                    out_q.extend([q_ids[i]] * int(keep.sum()))
+                    out_n.extend(nbr[keep].tolist())
             yield pd.DataFrame({"vec_id": out_q, "neighbor_id": out_n})
 
     probe = spread(e.select("vec_id", "embedding"), spark, by="vec_id")

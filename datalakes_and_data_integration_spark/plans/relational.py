@@ -667,3 +667,32 @@ def referential_integrity_check(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "supplier_diversity_by_brand",
+    oracle="""
+    SELECT p.p_brand, count(DISTINCT l.l_suppkey) AS n_suppliers,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size >= 25
+    GROUP BY p.p_brand
+    """,
+    description="Distinct suppliers serving each brand's large parts "
+    "(TPC-H Q16 shape without partsupp): broadcast dim join then a "
+    "distinct aggregate — the distinct expands to (brand, suppkey) grain "
+    "before the final regroup.",
+    tags=("join", "distinct", "aggregate"),
+)
+def supplier_diversity_by_brand(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").filter(F.col("p_size") >= 25)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count("*").alias("n_lines"),
+        )
+    )

@@ -12,9 +12,12 @@ operator. Salting is the explicit form:
 - join on (key, salt) — each hot key now spreads over n tasks.
 
 ``salt_count`` trades fan-out (dim side replicated n×) against the largest
-task. Measured: 5M rows with one key carrying 80%%, AQE skew handling off —
-plain SMJ 2.1 s vs salted(8) 1.0 s on local[32]; the gap widens with
-executor count since the hot task's length is the job's length. The salt is deterministic (hash of a monotonically increasing row id,
+task. Measured: 5M rows with one key carrying 80 percent, AQE skew
+handling off — plain SMJ 2.1 s vs salted(8) 1.0 s on local[32]; the gap
+widens with executor count since the hot task's length is the job's
+length.
+
+The salt is deterministic (hash of a monotonically increasing row id,
 not rand()) so retried tasks produce identical output — a correctness
 requirement under speculative execution.
 """

@@ -579,3 +579,116 @@ def ann_topk_bruteforce_hybrid(spark, sf_dir):
         .filter(F.col("rank") <= _TOPK)
         .select("vec_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid near-dup: the blocked numpy kernel generates threshold candidates
+# (margin-guarded), Spark re-scores exactly. Same oracle as
+# embedding_near_dup — identical result, scales like the hybrid top-k.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_near_dup_hybrid",
+    oracle=f"""
+    WITH normed AS (
+      SELECT vec_id, embedding, label, sqrt({_norm2_duck('embedding')}) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           a.label AS label_a, b.label AS label_b,
+           round({_dot_duck('a.embedding', 'b.embedding')} / a.nrm / b.nrm, 6)
+             AS cos_sim
+    FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+    WHERE round({_dot_duck('a.embedding', 'b.embedding')} / a.nrm / b.nrm, 6)
+          >= {_NEAR_DUP_MIN}
+    """,
+    description=f"Embedding near-duplicate pairs (cosine >= {_NEAR_DUP_MIN}) "
+    "by the hybrid strategy: the double-blocked numpy kernel (sequential "
+    f"per-dimension accumulation, bit-identical doubles) emits pairs above "
+    f"{_NEAR_DUP_MIN} - 2e-6 and Spark re-scores them with the codegen "
+    "expression for the exact rounded threshold — identical result to "
+    "embedding_near_dup, block-wise cost.",
+    tags=("similarity", "dedup", "hybrid", "llm-pipeline"),
+)
+def embedding_near_dup_hybrid(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    e = T(spark, sf_dir, "embeddings")
+    corpus_rows = e.select("vec_id", "embedding").collect()
+    corpus_ids = np.array([r.vec_id for r in corpus_rows], dtype=np.int64)
+    corpus = np.array(
+        [r.embedding for r in corpus_rows], dtype=np.float32
+    ).astype(np.float64)
+    c_norm2 = np.zeros(len(corpus))
+    for d_i in range(corpus.shape[1]):
+        c_norm2 += corpus[:, d_i] * corpus[:, d_i]
+    c_nrm = np.sqrt(c_norm2)
+    bc = spark.sparkContext.broadcast((corpus_ids, corpus, c_nrm))
+    cut = _NEAR_DUP_MIN - _MARGIN
+
+    def gen_pairs(batches):
+        ids, C, nb = bc.value
+        for pdf in batches:
+            all_q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            all_Q = np.array(
+                [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]]
+            ).astype(np.float64)
+            if len(all_Q) == 0:
+                continue
+            out_a, out_b = [], []
+            for p0 in range(0, len(all_Q), 1024):
+                Q = all_Q[p0 : p0 + 1024]
+                q_ids = all_q_ids[p0 : p0 + 1024]
+                q_norm2 = np.zeros(len(Q))
+                for d_i in range(Q.shape[1]):
+                    q_norm2 += Q[:, d_i] * Q[:, d_i]
+                q_nrm = np.sqrt(q_norm2)
+                for c0 in range(0, len(C), 4096):
+                    Cb = C[c0 : c0 + 4096]
+                    acc = np.zeros((len(Q), len(Cb)))
+                    for d_i in range(Q.shape[1]):
+                        acc += Q[:, d_i : d_i + 1] * Cb[:, d_i][None, :]
+                    cos = (acc / q_nrm[:, None]) / nb[c0 : c0 + 4096][None, :]
+                    ids_b = ids[c0 : c0 + 4096]
+                    # a.vec_id < b.vec_id ordering + threshold with margin
+                    hit_q, hit_c = np.nonzero(
+                        (cos >= cut) & (q_ids[:, None] < ids_b[None, :])
+                    )
+                    out_a.extend(q_ids[hit_q].tolist())
+                    out_b.extend(ids_b[hit_c].tolist())
+            yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b})
+
+    probe = spread(e.select("vec_id", "embedding"), spark, by="vec_id")
+    cand = probe.mapInPandas(gen_pairs, "vec_a long, vec_b long")
+    normed = e.select(
+        "vec_id",
+        "embedding",
+        "label",
+        F.expr(f"sqrt({_norm2_spark('embedding')})").alias("nrm"),
+    )
+    a = normed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("a_emb"),
+        F.col("label").alias("label_a"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = normed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("b_emb"),
+        F.col("label").alias("label_b"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    cos = F.round(
+        F.expr(_dot_spark("a_emb", "b_emb")) / F.col("a_nrm") / F.col("b_nrm"),
+        6,
+    )
+    return (
+        cand.join(F.broadcast(a), "vec_a")
+        .join(F.broadcast(b), "vec_b")
+        .select(
+            "vec_a", "vec_b", "label_a", "label_b", cos.alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= _NEAR_DUP_MIN)
+    )

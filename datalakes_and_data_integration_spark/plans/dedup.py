@@ -488,3 +488,46 @@ def dedup_simhash_pairs(spark, sf_dir):
         )
         .filter(F.col("hamming") <= _HAMMING_MAX)
     )
+
+
+@register(
+    "dedup_kept_corpus",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(doc, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, r.root FROM reach r JOIN edges e ON e.b = r.doc
+    ),
+    clusters AS (
+      SELECT doc, CAST(min(root) AS BIGINT) AS cluster_id FROM reach
+      GROUP BY doc
+    )
+    SELECT d.doc_id, d.lang, d.n_chars,
+           CAST(c.doc = c.cluster_id AS BOOLEAN) AS kept
+    FROM documents d JOIN clusters c ON c.doc = d.doc_id
+    """,
+    description="The dedup DECISION applied: every document tagged "
+    "kept/dropped — kept iff it is its near-dup cluster's smallest doc_id "
+    "(cluster representative). The downstream training-data writer filters "
+    "on `kept`; this is the keep-one-per-cluster output the whole dedup "
+    "suite exists to produce.",
+    tags=("dedup", "graph", "llm-pipeline"),
+)
+def dedup_kept_corpus(spark, sf_dir):
+    clusters = dedup_cluster_assignment(spark, sf_dir).select(
+        F.col("doc").alias("doc_id"),
+        "cluster_id",
+    )
+    d = T(spark, sf_dir, "documents")
+    return d.join(clusters, "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.col("doc_id") == F.col("cluster_id")).alias("kept"),
+    )

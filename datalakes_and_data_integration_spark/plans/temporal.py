@@ -351,3 +351,39 @@ def conversion_funnel(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "dau_by_nation",
+    oracle="""
+    SELECT CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS day,
+           n.n_name AS nation,
+           count(DISTINCT e.user_id) AS n_users,
+           count(*) AS n_events
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY day, n.n_name
+    """,
+    description="Daily active users by nation: the clickstream joined to "
+    "the relational dims (events.user_id -> customer -> nation, both dims "
+    "broadcast) — cross-domain enrichment between the star schema and the "
+    "event stream.",
+    tags=("join", "distinct", "cross-domain"),
+)
+def dau_by_nation(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )

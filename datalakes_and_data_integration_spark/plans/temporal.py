@@ -387,3 +387,104 @@ def dau_by_nation(spark, sf_dir):
             F.count("*").alias("n_events"),
         )
     )
+
+
+@register(
+    "user_first_last_event",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn_first,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn_last
+      FROM events
+    )
+    SELECT f.user_id,
+           f.event_type AS first_type, f.ts AS first_ts,
+           l.event_type AS last_type, l.ts AS last_ts
+    FROM (SELECT * FROM ranked WHERE rn_first = 1) f
+    JOIN (SELECT * FROM ranked WHERE rn_last = 1) l
+      ON f.user_id = l.user_id
+    """,
+    description="First and last event per user (the arg-min/arg-max "
+    "pattern): two ranking windows over ONE shuffle on user_id (same "
+    "partitioning, opposite orders), deterministic (ts, event_id) "
+    "tiebreaks.",
+    tags=("window", "ranking", "argmax"),
+)
+def user_first_last_event(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    w_f = Window.partitionBy("user_id").orderBy(
+        F.col("ts"), F.col("event_id")
+    )
+    w_l = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.row_number().over(w_f).alias("rn_first"),
+        F.row_number().over(w_l).alias("rn_last"),
+    )
+    f = ranked.filter(F.col("rn_first") == 1).select(
+        "user_id",
+        F.col("event_type").alias("first_type"),
+        F.col("ts").alias("first_ts"),
+    )
+    last = ranked.filter(F.col("rn_last") == 1).select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.col("ts").alias("last_ts"),
+    )
+    return f.join(last, "user_id")
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, date_trunc('week', e.ts) AS active_week
+      FROM events e
+    )
+    SELECT CAST(f.cohort_week AS TIMESTAMP) AS cohort_week,
+           CAST(datediff('week', f.cohort_week, a.active_week) AS INT)
+             AS week_offset,
+           count(DISTINCT a.user_id) AS n_active
+    FROM first_seen f
+    JOIN activity a ON a.user_id = f.user_id
+    GROUP BY f.cohort_week,
+             datediff('week', f.cohort_week, a.active_week)
+    """,
+    description="Cohort retention matrix: users grouped by first-seen week, "
+    "counted distinct in each later week (offset in weeks) — first-seen "
+    "aggregate broadcast back onto the distinct activity set.",
+    tags=("cohort", "retention", "temporal", "aggregate"),
+)
+def cohort_retention(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    return (
+        activity.join(F.broadcast(first_seen), "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

@@ -15,17 +15,22 @@ from datalakes_and_data_integration_spark.plans.registry import (
     register,
 )
 
-# Importing these modules populates the registry.
+# Importing these modules populates the registry. ORDER MATTERS: the driver
+# verifies the first 50 entries of ``all_queries()`` against the oracles, so
+# the suites that were driver-unreached in round 1 (dedup / similarity / text /
+# multimodal / streaming / timeseries — see VERDICT.md "Next round #1")
+# register first; the 45 tpch/relational/temporal queries that already earned
+# green CORRECTNESS_r01 rows take the back seats this round.
 from datalakes_and_data_integration_spark.plans import (  # noqa: E402,F401
-    tpch,
-    relational,
-    temporal,
-    timeseries,
     dedup,
     similarity,
     text,
     multimodal,
     streaming_queries,
+    timeseries,
+    tpch,
+    relational,
+    temporal,
 )
 
 __all__ = ["QUERIES", "Query", "all_queries", "all_oracle_sql", "register"]

@@ -244,7 +244,11 @@ def typed_cast_null_on_error(spark, sf_dir):
             F.try_to_timestamp("ts_str", F.lit("yyyy/MM/dd HH:mm:ss")),
             F.try_to_timestamp("ts_str", F.lit("yyyy/MM/dd")),
         ).alias("ts_parsed"),
-        F.nullif("val_str", F.lit("")).cast("double").alias("val_parsed"),
+        # try_cast, NOT cast: the driver runs a bare Spark 4 session where
+        # ANSI mode is ON by default, so CAST('not-a-number' AS DOUBLE) would
+        # throw CAST_INVALID_INPUT. try_cast yields NULL — the reference's
+        # null-on-error float parse (preprocess_to_staging.py:35-63, F3).
+        F.nullif("val_str", F.lit("")).try_cast("double").alias("val_parsed"),
         F.nullif("type_str", F.lit("")).alias("type_parsed"),
         "val_str",
         "type_str",
@@ -482,12 +486,22 @@ def json_props_extract(spark, sf_dir):
 )
 def approx_stats_scale_path(spark, sf_dir):
     ev = T(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").alias(
             "approx_pcts"
         ),
         F.count("*").alias("n"),
+    )
+    # Flatten the t-digest output to scalar columns: the driver canonicalizer
+    # (pandas sort_values) cannot hash an array-typed cell.
+    return agg.select(
+        "event_type",
+        "approx_users",
+        F.col("approx_pcts")[0].alias("approx_p50"),
+        F.col("approx_pcts")[1].alias("approx_p90"),
+        F.col("approx_pcts")[2].alias("approx_p99"),
+        "n",
     )
 
 

@@ -80,16 +80,37 @@ def compare(name: str, spark_df, con) -> tuple[bool, str]:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument(
+        "--bare",
+        action="store_true",
+        help="Build a bare SparkSession like the driver does (Spark 4 ANSI "
+        "default ON, stock confs) instead of the package session factory — "
+        "queries must survive both.",
+    )
+    ap.add_argument("--first", type=int, default=0, help="Check only the first N registry entries (driver window).")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
     import __spark_entry__ as e
-    from datalakes_and_data_integration_spark.session import get_spark
 
-    spark = get_spark("check_correctness")
+    if args.bare:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check_correctness_bare")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from datalakes_and_data_integration_spark.session import get_spark
+
+        spark = get_spark("check_correctness")
     con = duck_connect(args.sf)
     qs = e.queries()
     names = args.names or list(qs)
+    if args.first:
+        names = names[: args.first]
     failed = []
     for name in names:
         t0 = time.time()

@@ -63,6 +63,49 @@ def _dot_duck(a: str, b: str) -> str:
     )
 
 
+# Rows of corpus per driver-side chunk: 250k rows x 64 dims x 8 B ≈ 128 MB of
+# float64 per broadcast — bounds peak driver heap regardless of corpus size.
+_CORPUS_CHUNK_ROWS = 250_000
+
+
+def _corpus_chunk_broadcasts(spark, e):
+    """Broadcast the corpus in bounded driver-side chunks.
+
+    The hybrid kernels need the corpus resident next to every probe
+    partition. A single ``collect()`` of the whole table is a driver-OOM at
+    100 TB, so instead: chunk ci = rows with pmod(vec_id, n_chunks) == ci (a
+    distributed filter evaluated on the executors), pulled one chunk at a
+    time, converted to numpy, broadcast, and the driver-side reference
+    dropped before the next chunk is pulled — broadcast payloads live in the
+    block manager, so peak driver heap is ONE chunk (~128 MB), not the
+    corpus. Yields a Broadcast[(ids, C, nrm)] per chunk; norms use the
+    oracle's sequential per-dimension accumulation order.
+    """
+    import numpy as np
+
+    n = e.count()
+    n_chunks = max(1, -(-n // _CORPUS_CHUNK_ROWS))
+    base = e.select("vec_id", "embedding")
+    for ci in range(n_chunks):
+        chunk = (
+            base
+            if n_chunks == 1
+            else base.filter(F.pmod(F.col("vec_id"), F.lit(n_chunks)) == ci)
+        )
+        rows = chunk.collect()
+        if not rows:
+            continue
+        ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+        C = np.array([r.embedding for r in rows], dtype=np.float32).astype(
+            np.float64
+        )
+        del rows
+        norm2 = np.zeros(len(C))
+        for d_i in range(C.shape[1]):
+            norm2 += C[:, d_i] * C[:, d_i]
+        yield spark.sparkContext.broadcast((ids, C, np.sqrt(norm2)))
+
+
 # ---------------------------------------------------------------------------
 # Brute-force cosine top-k.
 # ---------------------------------------------------------------------------
@@ -467,77 +510,75 @@ _MARGIN = 2e-6  # > 2 * max rounding perturbation (round-6 moves < 5e-7)
     bench=True,
 )
 def ann_topk_bruteforce_hybrid(spark, sf_dir):
-    import numpy as np
     import pandas as pd
 
     e = T(spark, sf_dir, "embeddings")
-    corpus_rows = e.select("vec_id", "embedding").collect()
-    corpus_ids = np.array([r.vec_id for r in corpus_rows], dtype=np.int64)
-    corpus = np.array(
-        [r.embedding for r in corpus_rows], dtype=np.float32
-    ).astype(np.float64)
-    # Norms with the oracle's operation order: sequential sum over dims.
-    c_norm2 = np.zeros(len(corpus))
-    for d_i in range(corpus.shape[1]):
-        c_norm2 += corpus[:, d_i] * corpus[:, d_i]
-    c_nrm = np.sqrt(c_norm2)
-    bc = spark.sparkContext.broadcast((corpus_ids, corpus, c_nrm))
 
     _PROBE_BLOCK = 1024  # rows of Q per inner block
     _CORPUS_BLOCK = 4096  # rows of C per inner block
 
-    def gen_candidates(batches):
-        # Double-blocked scan: temporaries are bounded by
-        # PROBE_BLOCK x CORPUS_BLOCK doubles (~32 MB) regardless of corpus
-        # size — the shape that survives a 100x corpus. Per probe block,
-        # every corpus block's cosines are concatenated before the top-k
-        # cut, so the margin guarantee is unchanged.
-        ids, C, nb = bc.value
-        for pdf in batches:
-            all_q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            all_Q = np.array(
-                [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]]
-            ).astype(np.float64)
-            if len(all_Q) == 0:
-                continue
-            out_q, out_n = [], []
-            for p0 in range(0, len(all_Q), _PROBE_BLOCK):
-                Q = all_Q[p0 : p0 + _PROBE_BLOCK]
-                q_ids = all_q_ids[p0 : p0 + _PROBE_BLOCK]
-                q_norm2 = np.zeros(len(Q))
-                for d_i in range(Q.shape[1]):
-                    q_norm2 += Q[:, d_i] * Q[:, d_i]
-                q_nrm = np.sqrt(q_norm2)
-                cos_blocks = []
-                for c0 in range(0, len(C), _CORPUS_BLOCK):
-                    Cb = C[c0 : c0 + _CORPUS_BLOCK]
-                    # acc_d+1 = acc_d + Q[:,d] * Cb[:,d] — the left-fold
-                    # order of the unrolled SQL expression, vectorized.
-                    acc = np.zeros((len(Q), len(Cb)))
+    def make_gen(bc):
+        def gen_candidates(batches):
+            # Double-blocked scan: temporaries are bounded by
+            # PROBE_BLOCK x CORPUS_BLOCK doubles (~32 MB) regardless of
+            # corpus size — the shape that survives a 100x corpus. Per probe
+            # block, every corpus CHUNK's candidates are a superset of the
+            # global top-k members inside that chunk: the chunk-local kth
+            # best cosine is <= the global kth best, so the (kth - margin)
+            # cut can only keep MORE than the global cut would; Spark's
+            # exact re-scoring then ranks the union.
+            import numpy as np
+
+            ids, C, nb = bc.value
+            for pdf in batches:
+                all_q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                all_Q = np.array(
+                    [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]]
+                ).astype(np.float64)
+                if len(all_Q) == 0:
+                    continue
+                out_q, out_n = [], []
+                for p0 in range(0, len(all_Q), _PROBE_BLOCK):
+                    Q = all_Q[p0 : p0 + _PROBE_BLOCK]
+                    q_ids = all_q_ids[p0 : p0 + _PROBE_BLOCK]
+                    q_norm2 = np.zeros(len(Q))
                     for d_i in range(Q.shape[1]):
-                        acc += Q[:, d_i : d_i + 1] * Cb[:, d_i][None, :]
-                    cos_blocks.append(
-                        (acc / q_nrm[:, None]) / nb[c0 : c0 + _CORPUS_BLOCK][None, :]
-                    )
-                cos = np.concatenate(cos_blocks, axis=1)
-                for i in range(len(Q)):
-                    row = cos[i]
-                    mask = ids != q_ids[i]
-                    vals = row[mask]
-                    nbr = ids[mask]
-                    if len(vals) == 0:
-                        continue
-                    k = min(_TOPK, len(vals))
-                    kth = np.partition(vals, -k)[-k]
-                    keep = vals >= (kth - _MARGIN)
-                    out_q.extend([q_ids[i]] * int(keep.sum()))
-                    out_n.extend(nbr[keep].tolist())
-            yield pd.DataFrame({"vec_id": out_q, "neighbor_id": out_n})
+                        q_norm2 += Q[:, d_i] * Q[:, d_i]
+                    q_nrm = np.sqrt(q_norm2)
+                    cos_blocks = []
+                    for c0 in range(0, len(C), _CORPUS_BLOCK):
+                        Cb = C[c0 : c0 + _CORPUS_BLOCK]
+                        # acc_d+1 = acc_d + Q[:,d] * Cb[:,d] — the left-fold
+                        # order of the unrolled SQL expression, vectorized.
+                        acc = np.zeros((len(Q), len(Cb)))
+                        for d_i in range(Q.shape[1]):
+                            acc += Q[:, d_i : d_i + 1] * Cb[:, d_i][None, :]
+                        cos_blocks.append(
+                            (acc / q_nrm[:, None])
+                            / nb[c0 : c0 + _CORPUS_BLOCK][None, :]
+                        )
+                    cos = np.concatenate(cos_blocks, axis=1)
+                    for i in range(len(Q)):
+                        row = cos[i]
+                        mask = ids != q_ids[i]
+                        vals = row[mask]
+                        nbr = ids[mask]
+                        if len(vals) == 0:
+                            continue
+                        k = min(_TOPK, len(vals))
+                        kth = np.partition(vals, -k)[-k]
+                        keep = vals >= (kth - _MARGIN)
+                        out_q.extend([q_ids[i]] * int(keep.sum()))
+                        out_n.extend(nbr[keep].tolist())
+                yield pd.DataFrame({"vec_id": out_q, "neighbor_id": out_n})
+
+        return gen_candidates
 
     probe = spread(e.select("vec_id", "embedding"), spark, by="vec_id")
-    cand = probe.mapInPandas(
-        gen_candidates, "vec_id long, neighbor_id long"
-    )
+    cand = None
+    for bc in _corpus_chunk_broadcasts(spark, e):
+        part = probe.mapInPandas(make_gen(bc), "vec_id long, neighbor_id long")
+        cand = part if cand is None else cand.unionAll(part)
     # Exact re-scoring of the tiny candidate set with the oracle-order
     # codegen expression, then the final rounded ranking.
     normed = e.select(
@@ -612,56 +653,57 @@ def ann_topk_bruteforce_hybrid(spark, sf_dir):
     tags=("similarity", "dedup", "hybrid", "llm-pipeline"),
 )
 def embedding_near_dup_hybrid(spark, sf_dir):
-    import numpy as np
     import pandas as pd
 
     e = T(spark, sf_dir, "embeddings")
-    corpus_rows = e.select("vec_id", "embedding").collect()
-    corpus_ids = np.array([r.vec_id for r in corpus_rows], dtype=np.int64)
-    corpus = np.array(
-        [r.embedding for r in corpus_rows], dtype=np.float32
-    ).astype(np.float64)
-    c_norm2 = np.zeros(len(corpus))
-    for d_i in range(corpus.shape[1]):
-        c_norm2 += corpus[:, d_i] * corpus[:, d_i]
-    c_nrm = np.sqrt(c_norm2)
-    bc = spark.sparkContext.broadcast((corpus_ids, corpus, c_nrm))
     cut = _NEAR_DUP_MIN - _MARGIN
 
-    def gen_pairs(batches):
-        ids, C, nb = bc.value
-        for pdf in batches:
-            all_q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            all_Q = np.array(
-                [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]]
-            ).astype(np.float64)
-            if len(all_Q) == 0:
-                continue
-            out_a, out_b = [], []
-            for p0 in range(0, len(all_Q), 1024):
-                Q = all_Q[p0 : p0 + 1024]
-                q_ids = all_q_ids[p0 : p0 + 1024]
-                q_norm2 = np.zeros(len(Q))
-                for d_i in range(Q.shape[1]):
-                    q_norm2 += Q[:, d_i] * Q[:, d_i]
-                q_nrm = np.sqrt(q_norm2)
-                for c0 in range(0, len(C), 4096):
-                    Cb = C[c0 : c0 + 4096]
-                    acc = np.zeros((len(Q), len(Cb)))
+    def make_gen(bc):
+        def gen_pairs(batches):
+            # Fixed-threshold cut: chunking the corpus is trivially safe —
+            # each chunk emits exactly the pairs above the margin-guarded
+            # threshold against its own slice; the union over chunks is the
+            # same candidate set the single-broadcast kernel produced.
+            import numpy as np
+
+            ids, C, nb = bc.value
+            for pdf in batches:
+                all_q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                all_Q = np.array(
+                    [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]]
+                ).astype(np.float64)
+                if len(all_Q) == 0:
+                    continue
+                out_a, out_b = [], []
+                for p0 in range(0, len(all_Q), 1024):
+                    Q = all_Q[p0 : p0 + 1024]
+                    q_ids = all_q_ids[p0 : p0 + 1024]
+                    q_norm2 = np.zeros(len(Q))
                     for d_i in range(Q.shape[1]):
-                        acc += Q[:, d_i : d_i + 1] * Cb[:, d_i][None, :]
-                    cos = (acc / q_nrm[:, None]) / nb[c0 : c0 + 4096][None, :]
-                    ids_b = ids[c0 : c0 + 4096]
-                    # a.vec_id < b.vec_id ordering + threshold with margin
-                    hit_q, hit_c = np.nonzero(
-                        (cos >= cut) & (q_ids[:, None] < ids_b[None, :])
-                    )
-                    out_a.extend(q_ids[hit_q].tolist())
-                    out_b.extend(ids_b[hit_c].tolist())
-            yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b})
+                        q_norm2 += Q[:, d_i] * Q[:, d_i]
+                    q_nrm = np.sqrt(q_norm2)
+                    for c0 in range(0, len(C), 4096):
+                        Cb = C[c0 : c0 + 4096]
+                        acc = np.zeros((len(Q), len(Cb)))
+                        for d_i in range(Q.shape[1]):
+                            acc += Q[:, d_i : d_i + 1] * Cb[:, d_i][None, :]
+                        cos = (acc / q_nrm[:, None]) / nb[c0 : c0 + 4096][None, :]
+                        ids_b = ids[c0 : c0 + 4096]
+                        # a.vec_id < b.vec_id ordering + threshold with margin
+                        hit_q, hit_c = np.nonzero(
+                            (cos >= cut) & (q_ids[:, None] < ids_b[None, :])
+                        )
+                        out_a.extend(q_ids[hit_q].tolist())
+                        out_b.extend(ids_b[hit_c].tolist())
+                yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b})
+
+        return gen_pairs
 
     probe = spread(e.select("vec_id", "embedding"), spark, by="vec_id")
-    cand = probe.mapInPandas(gen_pairs, "vec_a long, vec_b long")
+    cand = None
+    for bc in _corpus_chunk_broadcasts(spark, e):
+        part = probe.mapInPandas(make_gen(bc), "vec_a long, vec_b long")
+        cand = part if cand is None else cand.unionAll(part)
     normed = e.select(
         "vec_id",
         "embedding",

@@ -406,6 +406,7 @@ def dedup_cluster_assignment(spark, sf_dir):
     # in a handful of rounds. Checksum-based convergence check keeps the
     # driver round-trip to one scalar per iteration.
     prev_sum = None
+    prev_labels = None
     for _ in range(20):
         neighbor_min = (
             edges.join(
@@ -425,7 +426,13 @@ def dedup_cluster_assignment(spark, sf_dir):
             )
             .persist()
         )
+        # The sum() materializes the new generation, after which the previous
+        # one is dead weight — unpersist it or 20 iterations pin 20 cached
+        # lineages (memory-pressure bug on a real cluster, VERDICT r1 #6).
         cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if prev_labels is not None:
+            prev_labels.unpersist()
+        prev_labels = labels
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
@@ -466,26 +473,55 @@ def _simhash_pairs_oracle() -> str:
     "dedup_simhash_pairs",
     oracle=_simhash_pairs_oracle(),
     description=f"SimHash near-dup pairs: hamming(xor of 60-bit signatures) "
-    f"<= {_HAMMING_MAX}. The exact pair scan here is the verify step; at "
-    "100 TB candidates come from bit-sampling buckets first (split the "
-    "signature into HAMMING_MAX+1 bands — any pair within the distance "
-    "shares at least one exact band, the pigeonhole guarantee).",
+    f"<= {_HAMMING_MAX}. Scale shape: the signature is split into "
+    f"{_HAMMING_MAX + 1} bands — any pair within the distance differs in at "
+    f"most {_HAMMING_MAX} bands, so it shares at least one exact band "
+    "(pigeonhole). Candidates come from an equi-join on (band, value) — a "
+    "hash-partitioned shuffle bounded by bucket sizes, never the all-pairs "
+    "cross product — then the exact hamming check verifies.",
     tags=("dedup", "simhash", "llm-pipeline"),
 )
 def dedup_simhash_pairs(spark, sf_dir):
     sigs = dedup_simhash(spark, sf_dir).persist()
-    a = sigs.alias("a")
-    b = sigs.alias("b")
-    hamming = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    ).cast("int")
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+    # 60 bits -> 7 bands (4x9 + 3x8 bits). A pair at hamming <= 6 has its
+    # differing bits in at most 6 bands, leaving >= 1 band bit-identical.
+    n_bands = _HAMMING_MAX + 1
+    base, extra = divmod(_BITS, n_bands)
+    bands, off = [], 0
+    for i in range(n_bands):
+        w = base + (1 if i < extra else 0)
+        bands.append(F.expr(f"shiftright(simhash, {off}) & {(1 << w) - 1}"))
+        off += w
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(F.array(*bands)).alias("band", "val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    # Equi-join on the band key (Catalyst picks a hash/sort-merge join on
+    # (band, val)); the doc_id ordering is a post-join filter. A pair that
+    # matches in k bands appears k times -> distinct before the verify.
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
         )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast(
+        "int"
+    )
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= _HAMMING_MAX)
     )
 

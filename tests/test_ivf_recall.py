@@ -1,0 +1,38 @@
+"""IVF ANN recall gate.
+
+ann_topk_ivf is rows-only checked by the driver (k-means is not
+SQL-expressible), so this test is its quality bar: recall vs the exact
+brute-force top-k must stay >= 0.9 at gate scale. The corpus is
+near-isotropic (hardest case for IVF) — the multi-assignment design
+(REP corpus lists, PROBE query lists) is what clears the bar.
+"""
+
+from __future__ import annotations
+
+import datalakes_and_data_integration_spark.plans.similarity as sim
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    exact = {
+        (r.vec_id, r.neighbor_id)
+        for r in sim.ann_topk_bruteforce(spark, SF).collect()
+    }
+    ivf = {
+        (r.vec_id, r.neighbor_id)
+        for r in sim.ann_topk_ivf(spark, SF).collect()
+    }
+    assert exact
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.9, f"IVF recall {recall:.3f} < 0.9"
+
+
+def test_ivf_no_duplicate_neighbors(spark):
+    rows = sim.ann_topk_ivf(spark, SF).collect()
+    pairs = [(r.vec_id, r.neighbor_id) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    per_query: dict[int, int] = {}
+    for q, _ in pairs:
+        per_query[q] = per_query.get(q, 0) + 1
+    assert max(per_query.values()) <= sim._TOPK

@@ -37,7 +37,18 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join ``fact`` and ``dim`` on column ``on`` with the fact side
     salted ``salt_count`` ways. Output columns = fact columns + dim's
-    non-key columns (like a plain ``join(on=...)``)."""
+    non-key columns (like a plain ``join(on=...)``).
+
+    Only ``inner`` and ``left`` (outer) joins are supported: the dim side
+    is exploded into ``salt_count`` copies, so a right/full outer join
+    would emit every unmatched dim row once per salt value — duplicated
+    output, silently. Those variants raise instead."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only (got {how!r}): "
+            "the exploded dim side would duplicate unmatched rows "
+            "salt_count times under right/full outer semantics"
+        )
     salt = (
         F.abs(F.hash(F.monotonically_increasing_id())) % salt_count
     ).alias("__salt")

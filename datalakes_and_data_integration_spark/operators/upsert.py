@@ -34,6 +34,33 @@ from datalakes_and_data_integration_spark.operators.dedup import (
 )
 
 
+def swap_dir(staged: str, table_dir: str) -> None:
+    """Replace ``table_dir`` with ``staged`` via a tombstone rename.
+
+    ``rmtree(table) ; move(staged, table)`` has a window where a crash
+    loses the table entirely. Instead: rename the live dir aside (atomic
+    on one filesystem), move the staged dir into place, then delete the
+    tombstone — a crash at any step leaves either the old or the new data
+    recoverable on disk. True multi-reader atomicity needs a table format
+    (Delta/Iceberg log); this is the strongest contract a bare directory
+    supports.
+    """
+    tomb = table_dir.rstrip("/") + ".tombstone"
+    if os.path.isdir(tomb):  # leftover from a previous crash
+        shutil.rmtree(tomb)
+    had_old = os.path.isdir(table_dir)
+    if had_old:
+        os.rename(table_dir, tomb)
+    try:
+        shutil.move(staged, table_dir)
+    except BaseException:
+        if had_old and not os.path.isdir(table_dir):
+            os.rename(tomb, table_dir)  # roll back
+        raise
+    if had_old:
+        shutil.rmtree(tomb)
+
+
 def merge_new_only(
     existing: DataFrame | None,
     updates: DataFrame,
@@ -74,9 +101,7 @@ def upsert_parquet(
     )
     out = os.path.join(staging, "data")
     merged.write.mode("overwrite").parquet(out)
-    if os.path.isdir(table_dir):
-        shutil.rmtree(table_dir)
-    shutil.move(out, table_dir)
+    swap_dir(out, table_dir)
     shutil.rmtree(staging, ignore_errors=True)
     return spark.read.parquet(table_dir)
 
@@ -126,9 +151,7 @@ def upsert_parquet_additive(
     )
     out = os.path.join(staging, "data")
     merged.write.mode("overwrite").parquet(out)
-    if os.path.isdir(table_dir):
-        shutil.rmtree(table_dir)
-    shutil.move(out, table_dir)
+    swap_dir(out, table_dir)
     shutil.rmtree(staging, ignore_errors=True)
     return spark.read.parquet(table_dir)
 
@@ -160,6 +183,15 @@ def scd2_merge(
         F.col(key),
         *[F.col(a) for a in attrs],
         F.col(effective_ts).alias("__eff"),
+    )
+    # One update row per key per batch, or the full join below fans out
+    # (multiple closed copies of the current version, multiple simultaneous
+    # is_current rows). Keep the LATEST effective_ts per key; ties break on
+    # the attribute values for determinism.
+    upd = dedup_keep_first(
+        upd,
+        keys=[key],
+        order_by=[F.col("__eff").desc(), *[F.col(a) for a in attrs]],
     )
     if existing is None:
         return upd.select(

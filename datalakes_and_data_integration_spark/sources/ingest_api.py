@@ -70,6 +70,10 @@ def parse_csv_records(payload: bytes, sep: str = ";") -> list[dict[str, str]]:
 class IngestHandler(BaseHTTPRequestHandler):
     landing_dir: Path
     trigger: Callable[[str], None] | None = None
+    # Reject oversized bodies BEFORE reading them: a single huge POST must
+    # not exhaust driver memory (mitigated otherwise only by the 127.0.0.1
+    # bind). 100 MB covers the reference's largest monthly CSV ~50x over.
+    max_body_bytes: int = 100 * 1024 * 1024
 
     def log_message(self, *a):  # quiet test output
         pass
@@ -82,30 +86,51 @@ class IngestHandler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(data)
 
-    def _files(self) -> list[tuple[str, bytes]]:
+    def _body_length(self) -> int | None:
+        """Declared body size, or None (413 already sent) if over the cap."""
         length = int(self.headers.get("Content-Length", 0))
+        if length > self.max_body_bytes:
+            self._reply(
+                413,
+                {"error": f"body exceeds {self.max_body_bytes} bytes"},
+            )
+            return None
+        return length
+
+    def _files(self) -> list[tuple[str, bytes]] | None:
+        length = self._body_length()
+        if length is None:
+            return None
         body = self.rfile.read(length)
         return parse_multipart(body, self.headers.get("Content-Type", ""))
 
     def do_POST(self) -> None:  # noqa: N802 - http.server contract
         try:
             if self.path == "/ingest/csv":
+                files = self._files()
+                if files is None:
+                    return
                 records = {
                     name: parse_csv_records(payload)
-                    for name, payload in self._files()
+                    for name, payload in files
                     if name.endswith(".csv")
                 }
                 self._reply(200, {"parsed": {k: len(v) for k, v in records.items()}})
             elif self.path == "/ingest/blob":
-                length = int(self.headers.get("Content-Length", 0))
+                length = self._body_length()
+                if length is None:
+                    return
                 blobs = json.loads(self.rfile.read(length) or b"[]")
                 if not isinstance(blobs, list):
                     self._reply(400, {"error": "expected a JSON array"})
                     return
                 self._reply(200, {"accepted": len(blobs)})
             elif self.path in ("/ingest", "/ingest/fast"):
+                files = self._files()
+                if files is None:
+                    return
                 stored, skipped = [], []
-                for name, payload in self._files():
+                for name, payload in files:
                     if _FILENAME_RE.match(name):
                         (self.landing_dir / name).write_bytes(payload)
                         stored.append(name)

@@ -63,12 +63,14 @@ def compact_parquet(
     Small files are the silent killer of 100 TB scans — every file costs a
     task, a footer read, and an object-store request; streaming and
     incremental writers produce them constantly. Returns the new file
-    count. Atomic via stage-and-swap like the upsert sinks.
+    count. Crash-safe via the upsert sinks' tombstone swap.
     """
     import math
     import os
     import shutil
     import tempfile
+
+    from datalakes_and_data_integration_spark.operators.upsert import swap_dir
 
     total = sum(
         os.path.getsize(os.path.join(root, f))
@@ -86,8 +88,7 @@ def compact_parquet(
     )
     tmp = os.path.join(staging, "data")
     out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(table_dir)
-    shutil.move(tmp, table_dir)
+    swap_dir(tmp, table_dir)
     shutil.rmtree(staging, ignore_errors=True)
     return len(
         [f for f in os.listdir(table_dir) if f.endswith(".parquet")]

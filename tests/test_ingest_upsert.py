@@ -142,3 +142,104 @@ def test_scd2_merge_versions_history(spark):
     assert (2, "MACHINERY", True) in rows  # unchanged row untouched
     assert rows[(2, "MACHINERY", True)][0] == t1  # original valid_from kept
     assert (3, "HOUSEHOLD", True) in rows
+
+
+def test_scd2_merge_duplicate_keys_in_batch(spark):
+    """A batch with several rows per key must not fan the full join out
+    (multiple closed copies / multiple is_current rows): the latest
+    effective_ts per key wins."""
+    import datetime as dt
+
+    from datalakes_and_data_integration_spark.operators.upsert import (
+        scd2_merge,
+    )
+
+    t1, t2, t3 = (
+        dt.datetime(2024, 1, 1),
+        dt.datetime(2024, 6, 1),
+        dt.datetime(2024, 9, 1),
+    )
+    dim = scd2_merge(
+        None,
+        spark.createDataFrame([(1, "BUILDING", t1)], ["custkey", "segment", "eff"]),
+        "custkey",
+        ["segment"],
+        "eff",
+    )
+    batch = spark.createDataFrame(
+        [(1, "AUTOMOBILE", t2), (1, "HOUSEHOLD", t3)],  # two updates, one key
+        ["custkey", "segment", "eff"],
+    )
+    out = scd2_merge(dim, batch, "custkey", ["segment"], "eff").collect()
+    current = [r for r in out if r.is_current]
+    assert len(current) == 1  # exactly one open version
+    assert current[0].segment == "HOUSEHOLD"  # the later update won
+    closed = [r for r in out if not r.is_current]
+    assert len(closed) == 1  # exactly one closed copy of BUILDING
+    assert closed[0].valid_to == t3
+
+
+def test_swap_dir_tombstone_rollback(spark, tmp_path):
+    import os
+
+    from datalakes_and_data_integration_spark.operators.upsert import swap_dir
+
+    table = tmp_path / "t"
+    table.mkdir()
+    (table / "old.txt").write_text("old")
+    staged = tmp_path / "staged"
+    staged.mkdir()
+    (staged / "new.txt").write_text("new")
+    swap_dir(str(staged), str(table))
+    assert (table / "new.txt").read_text() == "new"
+    assert not os.path.isdir(str(table) + ".tombstone")  # cleaned up
+
+    # A failed move must roll the tombstone back so the table survives.
+    missing_staged = str(tmp_path / "does_not_exist")
+    try:
+        swap_dir(missing_staged, str(table))
+    except Exception:
+        pass
+    assert (table / "new.txt").read_text() == "new"  # table still intact
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    from datalakes_and_data_integration_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([(1, "a")], ["k", "x"])
+    dim = spark.createDataFrame([(1, "d")], ["k", "y"])
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError):
+            salted_join(fact, dim, on="k", how=how)
+    # inner and left still work and do not duplicate
+    assert salted_join(fact, dim, on="k", how="inner").count() == 1
+    assert salted_join(fact, dim, on="k", how="left").count() == 1
+
+
+def test_ingest_api_rejects_oversized_body(tmp_path, monkeypatch):
+    import urllib.error
+
+    from datalakes_and_data_integration_spark.sources.ingest_api import (
+        IngestHandler,
+    )
+
+    monkeypatch.setattr(IngestHandler, "max_body_bytes", 1024)
+    server = serve(str(tmp_path / "landing"))
+    port = server.server_address[1]
+    try:
+        body, ctype = _multipart(
+            {"polluant-01_2025-03-07.csv": b"x" * 4096}
+        )
+        try:
+            _post(f"http://127.0.0.1:{port}/ingest", body, ctype)
+            raise AssertionError("expected HTTP 413")
+        except urllib.error.HTTPError as e:
+            assert e.code == 413
+        # Under-cap requests still work after a rejected one.
+        small, ctype2 = _multipart({"polluant-01_2025-03-07.csv": b"a;b\n1;2\n"})
+        status, out = _post(f"http://127.0.0.1:{port}/ingest", small, ctype2)
+        assert status == 200
+    finally:
+        server.shutdown()

@@ -38,6 +38,14 @@ class TestNormalize:
         assert normalize_column_name("PM2.5") == "pm2_5"
         assert normalize_column_name("2theta") == "_2theta"
 
+    def test_edge_punctuation_matches_reference(self):
+        # The reference does NOT strip leading/trailing underscores
+        # (preprocess_to_staging.py:26 has no .strip("_")) — byte-identical
+        # parity pinned here (VERDICT r1 "What's wrong #7").
+        assert normalize_column_name("pm2.5!") == "pm2_5_"
+        assert normalize_column_name("--x--") == "_x_"
+        assert normalize_column_name("!2x") == "_2x"
+
     def test_dataframe_rename(self, spark):
         df = spark.createDataFrame([(1, 2)], ["Date de début", "Valeur"])
         assert normalize_columns(df).columns == ["date_de_debut", "valeur"]

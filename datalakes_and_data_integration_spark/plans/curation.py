@@ -1,0 +1,278 @@
+"""Corpus-curation queries for the training-data pipeline.
+
+Beyond dedup/text-analysis (plans/dedup.py, plans/text.py), a large-scale
+training corpus needs:
+
+- **benchmark decontamination** — detect documents whose n-grams overlap an
+  evaluation set, so eval answers don't leak into training data;
+- **cross-document span duplication** — n-grams shared by many documents
+  (boilerplate, templates), the C4-style signal for span-level cleaning;
+- **source mixture weights** — per-(source, lang) token accounting and
+  temperature-scaled sampling weights for corpus mixing;
+- **label centroids** — per-class mean embedding (long form: one row per
+  (label, dim) so results stay canonicalizer-safe), the seed statistic for
+  clustering-based curation.
+
+All native DataFrame expressions (no UDFs); every query has a DuckDB
+oracle. The evaluation set is deterministic: doc_id % 97 == 0 stands in
+for "the benchmark" so both engines agree on membership.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalakes_and_data_integration_spark.functions.text import (
+    shingles_expr_spark,
+    shingles_sql_duck,
+    tokens_sql_duck,
+)
+from datalakes_and_data_integration_spark.plans._util import T, dec, spread
+from datalakes_and_data_integration_spark.plans.registry import register
+
+_TOK_SPARK = "filter(split(lower(text), '\\\\s+'), t -> t != '')"
+_TOK_DUCK = tokens_sql_duck("text")
+
+_NGRAM = 5  # span width for contamination / duplication
+_EVAL_MOD = 97  # doc_id % 97 == 0 -> "the benchmark docs"
+_CONTAM_MIN = 0.05  # ratio above which a doc counts as contaminated
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination.
+# ---------------------------------------------------------------------------
+
+
+def _contamination_oracle() -> str:
+    shing = shingles_sql_duck("toks", _NGRAM)
+    return f"""
+    WITH tok AS (SELECT doc_id, {_TOK_DUCK} AS toks FROM documents),
+    shingled AS (
+      SELECT doc_id, {shing} AS sh FROM tok WHERE len({shing}) > 0
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(sh) AS g FROM shingled
+      WHERE doc_id % {_EVAL_MOD} = 0
+    ),
+    corpus AS (SELECT doc_id, sh FROM shingled WHERE doc_id % {_EVAL_MOD} <> 0),
+    inverted AS (SELECT doc_id, unnest(sh) AS g FROM corpus),
+    hits AS (
+      SELECT i.doc_id, count(*) AS n_hits
+      FROM inverted i JOIN bench b ON i.g = b.g
+      GROUP BY i.doc_id
+    )
+    SELECT c.doc_id, len(c.sh) AS n_grams,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / len(c.sh), 6)
+             AS contamination,
+           CAST(round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / len(c.sh), 6)
+                >= {_CONTAM_MIN} AS BOOLEAN) AS is_contaminated
+    FROM corpus c LEFT JOIN hits h ON h.doc_id = c.doc_id
+    """
+
+
+@register(
+    "benchmark_ngram_contamination",
+    oracle=_contamination_oracle(),
+    description=f"Eval-set decontamination: per corpus document, the share "
+    f"of its distinct word {_NGRAM}-grams that also occur in the benchmark "
+    f"docs (doc_id % {_EVAL_MOD} == 0 stands in for the eval set); "
+    f"contaminated = ratio >= {_CONTAM_MIN}. Scale shape: the benchmark "
+    "gram set is tiny relative to the corpus -> broadcast semi-join "
+    "against the exploded corpus grams; the corpus-side explode shuffles "
+    "once for the per-doc count.",
+    tags=("curation", "decontamination", "llm-pipeline"),
+)
+def benchmark_ngram_contamination(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    tok_df = spread(d.select("doc_id", F.expr(_TOK_SPARK).alias("toks")), spark)
+    shing = shingles_expr_spark("toks", _NGRAM)
+    shingled = tok_df.select("doc_id", F.expr(shing).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    bench_grams = (
+        shingled.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    corpus = shingled.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    inverted = corpus.select("doc_id", F.explode("sh").alias("g"))
+    # The eval set is orders of magnitude smaller than the corpus:
+    # broadcast it so the contamination probe never shuffles corpus grams
+    # by gram value.
+    hits = (
+        inverted.join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    ratio = F.round(
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("n_grams"),
+        6,
+    )
+    return (
+        corpus.select("doc_id", F.size("sh").alias("n_grams"))
+        .join(hits, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            ratio.alias("contamination"),
+            (ratio >= _CONTAM_MIN).alias("is_contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document span duplication.
+# ---------------------------------------------------------------------------
+
+
+def _interdoc_oracle() -> str:
+    shing = shingles_sql_duck("toks", _NGRAM)
+    return f"""
+    WITH tok AS (SELECT doc_id, {_TOK_DUCK} AS toks FROM documents),
+    shingled AS (
+      SELECT doc_id, {shing} AS sh FROM tok WHERE len({shing}) > 0
+    ),
+    inverted AS (SELECT doc_id, unnest(sh) AS g FROM shingled)
+    SELECT g AS gram, count(DISTINCT doc_id) AS n_docs
+    FROM inverted
+    GROUP BY g
+    HAVING count(DISTINCT doc_id) >= 2
+    """
+
+
+@register(
+    "interdoc_duplicate_ngrams",
+    oracle=_interdoc_oracle(),
+    description=f"Cross-document span duplication: word {_NGRAM}-grams "
+    "occurring in >= 2 distinct documents, with their document frequency — "
+    "the C4-style signal for boilerplate/template spans that span-level "
+    "cleaning removes. One explode + one map-side-combined count per gram; "
+    "shingles are per-doc distinct so the count IS the document frequency.",
+    tags=("curation", "dedup", "llm-pipeline"),
+)
+def interdoc_duplicate_ngrams(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    tok_df = spread(d.select("doc_id", F.expr(_TOK_SPARK).alias("toks")), spark)
+    shing = shingles_expr_spark("toks", _NGRAM)
+    shingled = tok_df.select("doc_id", F.expr(shing).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    # shingles_expr_spark applies array_distinct per doc, so count(*) per
+    # gram equals count(DISTINCT doc_id) — no distinct-aggregate expansion.
+    return (
+        shingled.select(F.explode("sh").alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source mixture weights.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_mixture_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, lang, len({_TOK_DUCK}) AS n_tok FROM documents
+    ),
+    per AS (
+      SELECT source, lang, count(*) AS n_docs, sum(n_tok) AS n_tokens
+      FROM tok GROUP BY source, lang
+    ),
+    tot AS (SELECT sum(n_tokens) AS total FROM per),
+    scored AS (
+      SELECT p.source, p.lang, p.n_docs, p.n_tokens,
+             round(CAST(p.n_tokens AS DOUBLE) / t.total, 6) AS token_share,
+             sqrt(CAST(p.n_tokens AS DOUBLE) / t.total) AS raw_w
+      FROM per p CROSS JOIN tot t
+    )
+    SELECT source, lang, n_docs, n_tokens, token_share,
+           round(raw_w / sum(raw_w) OVER (), 6) AS sample_weight
+    FROM scored
+    """,
+    description="Corpus mixing table: per (source, lang) document and token "
+    "counts, token share, and a temperature-0.5 sampling weight "
+    "(sqrt-scaled share, normalized) — how a training pipeline rebalances "
+    "head sources against the tail. sqrt is IEEE-correctly-rounded in both "
+    "engines (unlike pow), so the oracle matches bit-for-bit. Token counts "
+    "are exact integers; one tiny aggregate, the total is a scalar.",
+    tags=("curation", "mixing", "llm-pipeline"),
+)
+def source_mixture_weights(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    per = (
+        d.select(
+            "source", "lang", F.size(F.expr(_TOK_SPARK)).alias("n_tok")
+        )
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+    total = per.agg(F.sum("n_tokens")).collect()[0][0]  # scalar, group count rows
+    share = F.col("n_tokens").cast("double") / F.lit(float(total))
+    scored = per.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.sqrt(share).alias("raw_w"),
+    )
+    # Normalizer via broadcast of a 1-row aggregate, not a global window:
+    # the grouped frame is tiny (|source| x |lang|) but a partitionBy()-less
+    # window would still funnel it through one task.
+    wsum = scored.agg(F.sum("raw_w").alias("w_total"))
+    return scored.crossJoin(F.broadcast(wsum)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "token_share",
+        F.round(F.col("raw_w") / F.col("w_total"), 6).alias("sample_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids (long form).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "label_centroids",
+    oracle="""
+    WITH elems AS (
+      SELECT label, d.dim AS dim,
+             CAST(embedding[d.dim + 1] AS DOUBLE) AS x
+      FROM embeddings, (SELECT unnest(range(64)) AS dim) d
+    )
+    SELECT label, dim,
+           round(CAST(sum(CAST(x AS DECIMAL(25,12))) AS DOUBLE) / count(*), 6)
+             AS centroid,
+           count(*) AS n_vectors
+    FROM elems
+    GROUP BY label, dim
+    """,
+    description="Per-class mean embedding, long form (label, dim, centroid, "
+    "n_vectors) — one row per coordinate so the result is canonicalizer- "
+    "safe. Element sums go through DECIMAL(25,12) so the aggregate is "
+    "order-independent and matches the single-threaded oracle exactly. "
+    "Scale shape: posexplode is a narrow map (64 rows per vector), the "
+    "single shuffle is the (label, dim) aggregate with map-side combine — "
+    "the centroid statistic clustering-based curation starts from.",
+    tags=("curation", "embedding", "llm-pipeline"),
+)
+def label_centroids(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    elems = e.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).select("label", "dim", F.col("x").cast("double").alias("x"))
+    return elems.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(dec("x", 25, 12)).cast("double") / F.count("*"), 6
+        ).alias("centroid"),
+        F.count("*").alias("n_vectors"),
+    )

@@ -710,3 +710,39 @@ def supplier_diversity_by_brand(spark, sf_dir):
             F.count("*").alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted join, verified against the plain-join oracle: proof at the query
+# level that salting is a pure physical rewrite (operators/skew.py).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_join_user_profile",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, min(ts) AS first_ts, count(*) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.event_type, d.first_ts, d.n_events
+    FROM events e JOIN dim d ON d.user_id = e.user_id
+    """,
+    description="Fact (events) joined to a per-user profile dim through "
+    "salted_join (8 salts): the fact side gets a deterministic salt, the "
+    "dim side explodes once per salt, and the equi-join runs on "
+    "(user_id, salt) so a hot user spreads over 8 tasks. The oracle is the "
+    "PLAIN join — salting must be invisible in the result, which is the "
+    "operator's correctness contract (it is unit-tested for how-restriction "
+    "separately; this pins row-level equivalence).",
+    tags=("join", "skew", "salting"),
+)
+def salted_join_user_profile(spark, sf_dir):
+    from datalakes_and_data_integration_spark.operators.skew import salted_join
+
+    ev = T(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.count("*").alias("n_events")
+    )
+    fact = ev.select("event_id", "user_id", "event_type")
+    return salted_join(fact, dim, on="user_id", salt_count=8)

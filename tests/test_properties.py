@@ -51,6 +51,36 @@ def test_hash60_range_and_determinism(s):
     assert hash60_py(s, seed=1) != h or s == ""  # seeds separate (md5 collision-free here)
 
 
+def _simhash_bands(sig: int) -> list[int]:
+    """The same 60-bit -> 7-band split dedup_simhash_pairs builds in SQL
+    (4x9 + 3x8 bits)."""
+    n_bands = 7
+    base, extra = divmod(60, n_bands)
+    out, off = [], 0
+    for i in range(n_bands):
+        w = base + (1 if i < extra else 0)
+        out.append((sig >> off) & ((1 << w) - 1))
+        off += w
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=(1 << 60) - 1),
+    st.sets(st.integers(min_value=0, max_value=59), min_size=0, max_size=6),
+)
+def test_simhash_band_pigeonhole(sig, flip_bits):
+    """Any pair at hamming <= 6 must share at least one exact band — the
+    candidate-generation guarantee dedup_simhash_pairs relies on (7 bands,
+    <= 6 differing bits, so one band is untouched)."""
+    other = sig
+    for b in flip_bits:
+        other ^= 1 << b
+    assert bin(sig ^ other).count("1") <= 6
+    a, b_ = _simhash_bands(sig), _simhash_bands(other)
+    assert any(x == y for x, y in zip(a, b_))
+
+
 @settings(max_examples=100, deadline=None)
 @given(
     st.integers(min_value=1, max_value=400),

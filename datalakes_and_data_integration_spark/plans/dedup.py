@@ -567,3 +567,137 @@ def dedup_kept_corpus(spark, sf_dir):
         "n_chars",
         (F.col("doc_id") == F.col("cluster_id")).alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash calibration: estimated vs exact Jaccard per candidate pair — the
+# quality evidence for the sketch parameters (K signatures, band shape).
+# ---------------------------------------------------------------------------
+
+
+def _minhash_calibration_oracle() -> str:
+    shing = shingles_sql_duck("toks", 3)
+    sig_cols = ", ".join(
+        f"min((h1 + {k} * h2) & {_MASK}) AS s{k}" for k in range(_K)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat(s{2 * b}, ',', s{2 * b + 1}) AS bv FROM sigs"
+        for b in range(_BANDS)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.s{k} = sb.s{k} THEN 1 ELSE 0 END)" for k in range(_K)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, {_TOK_DUCK} AS toks FROM documents),
+    shingled AS (SELECT doc_id, {shing} AS sh FROM tok),
+    exploded AS (
+      SELECT doc_id, {hash60_sql_duck('x', seed=0)} AS h1,
+             {hash60_sql_duck('x', seed=1)} AS h2
+      FROM (SELECT doc_id, unnest(sh) AS x FROM shingled)
+    ),
+    sigs AS (SELECT doc_id, {sig_cols} FROM exploded GROUP BY doc_id),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(CAST({agree} AS DOUBLE) / {_K}, 6) AS est_jaccard,
+           round(CAST(len(list_filter(ga.sh, x -> list_contains(gb.sh, x)))
+                      AS DOUBLE)
+                 / (len(ga.sh) + len(gb.sh)
+                    - len(list_filter(ga.sh, x -> list_contains(gb.sh, x)))),
+                 6) AS exact_jaccard
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.doc_a
+    JOIN sigs sb ON sb.doc_id = c.doc_b
+    JOIN shingled ga ON ga.doc_id = c.doc_a
+    JOIN shingled gb ON gb.doc_id = c.doc_b
+    """
+
+
+@register(
+    "minhash_jaccard_calibration",
+    oracle=_minhash_calibration_oracle(),
+    description=f"Sketch calibration for the MinHash({_K}) near-dup path: "
+    "per band-collision candidate pair, the signature-agreement estimate "
+    "of Jaccard next to the exact shingle-set Jaccard — the measurement "
+    "that justifies (or indicts) the K/band parameters. Same candidate "
+    "generation as dedup_minhash_lsh; the signature and shingle tables are "
+    "corpus-sized, so their join strategy is left to AQE (broadcast at "
+    "gate scale, shuffle on doc id at 100 TB) — no broadcast hints.",
+    tags=("dedup", "lsh", "sketch-quality", "llm-pipeline"),
+)
+def minhash_jaccard_calibration(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    tok_df = spread(d.select("doc_id", F.expr(_TOK_SPARK).alias("toks")), spark)
+    shing = shingles_expr_spark("toks", 3)
+    shingled = tok_df.select("doc_id", F.expr(shing).alias("sh")).filter(
+        F.size("sh") > 0
+    ).persist()
+    exploded = shingled.select("doc_id", F.explode("sh").alias("x")).select(
+        "doc_id",
+        F.expr(hash60_sql_spark("x", seed=0)).alias("h1"),
+        F.expr(hash60_sql_spark("x", seed=1)).alias("h2"),
+    )
+    sigs = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.col("h1") + F.lit(k) * F.col("h2")).bitwiseAND(F.lit(_MASK))
+            ).alias(f"s{k}")
+            for k in range(_K)
+        ]
+    ).persist()
+    band_array = F.array(
+        *[
+            F.concat_ws(",", f"s{2 * b}", f"s{2 * b + 1}")
+            for b in range(_BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.posexplode(band_array).alias("band", "bv"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"s{k}").alias(f"a{k}") for k in range(_K)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"s{k}").alias(f"b{k}") for k in range(_K)],
+    )
+    ga = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    gb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    agree = sum(
+        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+        for k in range(_K)
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree.cast("double") / _K, 6).alias("est_jaccard"),
+            F.round(
+                inter.cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - inter),
+                6,
+            ).alias("exact_jaccard"),
+        )
+    )

@@ -37,7 +37,7 @@ def impute_mean(
         ).alias(c)
         for c in cols
     ]
-    means = df.agg(*aggs).collect()[0].asDict()
+    means = df.agg(*aggs).collect()[0].asDict()  # scale-ok: 1-row global means
     return df.select(
         *[
             F.coalesce(F.col(c), F.lit(means[c])).alias(c) if c in cols else F.col(c)

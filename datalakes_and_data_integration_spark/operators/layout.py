@@ -50,6 +50,7 @@ def _bucket_boundaries(df: DataFrame, c: str, n_buckets: int) -> list:
             return []
         frac = min(1.0, _SAMPLE_TARGET / n)
         sample = sorted(
+            # scale-ok: sample bounded by _SAMPLE_TARGET rows
             r[0] for r in vals.sample(False, frac, seed=42).collect()
         )
         if not sample:

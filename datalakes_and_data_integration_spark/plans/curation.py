@@ -212,7 +212,7 @@ def source_mixture_weights(spark, sf_dir):
         .groupBy("source", "lang")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
     )
-    total = per.agg(F.sum("n_tokens")).collect()[0][0]  # scalar, group count rows
+    total = per.agg(F.sum("n_tokens")).collect()[0][0]  # scale-ok: 1-row scalar
     share = F.col("n_tokens").cast("double") / F.lit(float(total))
     scored = per.select(
         "source",

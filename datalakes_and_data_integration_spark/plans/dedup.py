@@ -429,7 +429,7 @@ def dedup_cluster_assignment(spark, sf_dir):
         # The sum() materializes the new generation, after which the previous
         # one is dead weight — unpersist it or 20 iterations pin 20 cached
         # lineages (memory-pressure bug on a real cluster, VERDICT r1 #6).
-        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]  # scale-ok: 1-row convergence checksum
         if prev_labels is not None:
             prev_labels.unpersist()
         prev_labels = labels

@@ -626,7 +626,7 @@ def daily_event_type_set(spark, sf_dir):
 )
 def value_histogram_by_type(spark, sf_dir):
     ev = T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    lo, hi = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    lo, hi = ev.agg(F.min("value"), F.max("value")).collect()[0]  # scale-ok: 1-row min/max
     bucket = F.expr(
         f"CAST(least(floor((value - ({lo!r})) / (({hi!r}) - ({lo!r})) * 10), 9) AS INT)"
     )

@@ -92,7 +92,7 @@ def _corpus_chunk_broadcasts(spark, e):
             if n_chunks == 1
             else base.filter(F.pmod(F.col("vec_id"), F.lit(n_chunks)) == ci)
         )
-        rows = chunk.collect()
+        rows = chunk.collect()  # scale-ok: bounded by _CORPUS_CHUNK_ROWS
         if not rows:
             continue
         ids = np.array([r.vec_id for r in rows], dtype=np.int64)
@@ -396,7 +396,7 @@ def ann_topk_ivf(spark, sf_dir):
         )
         .orderBy("h", "vec_id")
         .limit(_IVF_K)
-        .collect()
+        .collect()  # scale-ok: K seed rows
     )
     centroids = [[float(x) for x in r.embedding] for r in seeds]
 
@@ -444,7 +444,7 @@ def ann_topk_ivf(spark, sf_dir):
                     for i in range(_DIM)
                 ]
             )
-            .collect()
+            .collect()  # scale-ok: K centroid rows per Lloyd iteration
         )
         by_id = {r.cluster: [r[f"m{i}"] for i in range(_DIM)] for r in means}
         centroids = [by_id.get(k, centroids[k]) for k in range(_IVF_K)]

@@ -470,10 +470,13 @@ def rolling_1h_value_sum(spark, sf_dir):
       GROUP BY c_custkey
     )
     """,
-    description="Customer lifetime-spend quartiles via ntile(4) over a "
-    "total order (spend desc, custkey) — a single global window; at scale "
-    "ntile over a global order sorts once, or approx via percentile cuts.",
-    tags=("window", "ntile", "aggregate"),
+    description="Customer lifetime-spend quartiles with exact ntile(4) "
+    "semantics, computed WITHOUT a global window: range-partition on the "
+    "total order, rank locally per partition, add per-partition offsets "
+    "(a |partitions|-row aggregate joined back), and map the global rank "
+    "through ntile's first-r-buckets-get-one-extra rule. The oracle is "
+    "plain ntile(4); the distributed rank must be indistinguishable.",
+    tags=("window", "ntile", "aggregate", "distributed-rank"),
 )
 def customer_spend_quartiles(spark, sf_dir):
     from pyspark.sql import Window
@@ -485,7 +488,43 @@ def customer_spend_quartiles(spark, sf_dir):
         .groupBy("c_custkey")
         .agg(F.sum(dec("o_totalprice", *PRICE)).cast("double").alias("total_spent"))
     )
-    w = Window.orderBy(F.col("total_spent").desc(), F.col("c_custkey"))
-    return spend.select(
-        "c_custkey", "total_spent", F.ntile(4).over(w).alias("quartile")
+    # Two-level global rank. persist() pins one set of range boundaries so
+    # the offsets branch and the main branch see the same partitioning
+    # (RangePartitioner samples per job; the exchange is also reusable).
+    parts = (
+        spend.repartitionByRange(
+            32, F.col("total_spent").desc(), F.col("c_custkey")
+        )
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    wl = Window.partitionBy("__pid").orderBy(
+        F.col("total_spent").desc(), F.col("c_custkey")
+    )
+    ranked = parts.withColumn("__lrank", F.row_number().over(wl))
+    counts = parts.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    # scale-ok: global window over one row PER RANGE PARTITION (|parts| rows)
+    wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__cnt").over(wo), F.lit(0)).alias("__off")
+    )
+    tot = counts.agg(F.sum("__cnt").alias("__n"))
+    with_rank = (
+        ranked.join(F.broadcast(offsets), "__pid")
+        .crossJoin(F.broadcast(tot))  # scale-ok: 1-row total
+        .withColumn("__rank", F.col("__lrank") + F.col("__off"))
+    )
+    # Exact ntile(k) distribution: q = n div k, r = n mod k; the first r
+    # buckets hold q+1 rows, the rest q. (floor((rank-1)*k/n)+1 is NOT
+    # ntile — it splits remainders evenly, not front-loaded.)
+    q = F.floor(F.col("__n") / 4).cast("long")
+    r = F.col("__n") % 4
+    big = r * (q + F.lit(1))
+    quartile = F.when(
+        F.col("__rank") <= big, F.ceil(F.col("__rank") / (q + F.lit(1)))
+    ).otherwise(r + F.ceil((F.col("__rank") - big) / q))
+    return with_rank.select(
+        "c_custkey",
+        "total_spent",
+        quartile.cast("int").alias("quartile"),
     )

@@ -595,7 +595,7 @@ def q22(spark, sf_dir):
     avg_bal = (
         c.filter(F.col("c_acctbal") > 0.0)
         .agg(F.avg(dec("c_acctbal", *PRICE)).cast("double").alias("v"))
-        .collect()[0][0]
+        .collect()[0][0]  # scale-ok: 1-row scalar subquery
     )
     return (
         c.filter(F.col("c_acctbal") > avg_bal)
@@ -828,7 +828,7 @@ def q15(spark, sf_dir):
             .alias("total_revenue")
         )
     )
-    max_rev = rev.agg(F.max("total_revenue")).collect()[0][0]
+    max_rev = rev.agg(F.max("total_revenue")).collect()[0][0]  # scale-ok: 1-row scalar subquery
     return (
         s.join(rev, s.s_suppkey == rev.supplier_no)
         .filter(F.col("total_revenue") == max_rev)

@@ -1,0 +1,85 @@
+"""Scale lint: mechanical guard against 100 TB anti-patterns.
+
+Greps the engine package for constructs that are correct on test data but
+break at cluster scale, the exact classes the round-1 review flagged by
+hand (driver-side corpus collects, global windows, cartesian joins):
+
+- ``.collect()`` / ``.toPandas()`` — driver materialization. Legitimate
+  only for scalars / bounded metadata (per-partition counts, k centroids,
+  sketch boundaries, bounded corpus chunks).
+- ``Window.orderBy(...)`` without a ``partitionBy`` (incl. empty
+  ``partitionBy()``) — funnels the frame through ONE task.
+- ``.crossJoin(`` — cartesian unless the broadcast side is bounded.
+
+A legitimate site must carry a ``# scale-ok: <why>`` marker on the same
+line or the line above; the reason is the reviewable artifact. crossJoin
+of a ``F.broadcast(...)`` argument on the same line passes without a
+marker (the bounded-side idiom).
+
+Usage: python tools/scale_lint.py   (exit 1 + report on violations)
+Wired into pytest via tests/test_scale_lint.py.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+PKG = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "datalakes_and_data_integration_spark",
+)
+SCAN_DIRS = ["plans", "operators", "streaming", "functions", "pipeline", "sources"]
+
+_COLLECT = re.compile(r"\.collect\(\)|\.toPandas\(\)")
+_CROSS = re.compile(r"\.crossJoin\(")
+_GLOBAL_WINDOW = re.compile(r"Window\s*\.\s*orderBy\(")
+_MARKER = "scale-ok"
+
+
+def lint_file(path: str) -> list[tuple[int, str, str]]:
+    with open(path, encoding="utf-8") as f:
+        lines = f.readlines()
+    out = []
+    for i, line in enumerate(lines):
+        stripped = line.strip()
+        if stripped.startswith("#"):
+            continue
+        ok = _MARKER in line or (i > 0 and _MARKER in lines[i - 1])
+        if _COLLECT.search(line) and not ok:
+            out.append((i + 1, "driver-collect", stripped))
+        if _CROSS.search(line) and not ok and "broadcast" not in line:
+            out.append((i + 1, "cross-join", stripped))
+        if _GLOBAL_WINDOW.search(line) and not ok:
+            # Window.orderBy(...) chained after partitionBy is fine; the
+            # pattern only matches orderBy called directly on the class.
+            out.append((i + 1, "global-window", stripped))
+    return out
+
+
+def main() -> int:
+    violations = []
+    for d in SCAN_DIRS:
+        root = os.path.join(PKG, d)
+        if not os.path.isdir(root):
+            continue
+        for dirpath, _, files in os.walk(root):
+            for fn in sorted(files):
+                if not fn.endswith(".py"):
+                    continue
+                path = os.path.join(dirpath, fn)
+                for lineno, kind, text in lint_file(path):
+                    rel = os.path.relpath(path, os.path.dirname(PKG))
+                    violations.append(f"{rel}:{lineno} [{kind}] {text}")
+    if violations:
+        print("scale-lint violations (annotate with '# scale-ok: <why>' if bounded):")
+        for v in violations:
+            print(" ", v)
+        return 1
+    print("scale-lint clean")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

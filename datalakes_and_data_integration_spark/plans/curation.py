@@ -276,3 +276,91 @@ def label_centroids(spark, sf_dir):
         ).alias("centroid"),
         F.count("*").alias("n_vectors"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 scalar quantization: per-dimension symmetric scales
+# (max |x_d| over the corpus), quantize q = round(x/s*127), reconstruct
+# x' = q*s/127, report per-vector reconstruction error. The storage
+# decision this feeds: whether 4x-smaller int8 embeddings are safe for the
+# ANN/near-dup suite. Both engines evaluate the error fold sequentially
+# over the array (Spark `aggregate`, DuckDB `list_reduce`), so the double
+# arithmetic is order-pinned and bit-identical.
+# ---------------------------------------------------------------------------
+
+_QDIM = 64
+
+
+@register(
+    "embedding_quantization_error",
+    oracle=f"""
+    WITH ex AS (
+      SELECT i, max(abs(CAST(embedding[i] AS DOUBLE))) AS s
+      FROM embeddings, range(1, {_QDIM} + 1) t(i)
+      GROUP BY i
+    ),
+    scales AS (SELECT list(s ORDER BY i) AS sc FROM ex),
+    errs AS (
+      SELECT vec_id, label,
+             list_transform(range(1, {_QDIM} + 1), j ->
+               CASE WHEN sc[j] = 0 THEN CAST(embedding[j] AS DOUBLE)
+                    ELSE CAST(embedding[j] AS DOUBLE)
+                         - round(CAST(embedding[j] AS DOUBLE) / sc[j] * 127)
+                           * sc[j] / 127
+               END) AS e
+      FROM embeddings CROSS JOIN scales
+    )
+    SELECT vec_id, label,
+           round(list_reduce(list_transform(e, v -> v * v),
+                             (a, v) -> a + v) / {_QDIM}, 9) AS mse_q8,
+           round(list_reduce(list_transform(e, v -> abs(v)),
+                             (a, v) -> greatest(a, v)), 9) AS linf_q8
+    FROM errs
+    """,
+    description="Int8 scalar-quantization error per vector: per-dimension "
+    "symmetric scales from one posexplode + 64-row max aggregate "
+    "(broadcast back as a single array literal row), then a narrow scan "
+    "computing MSE and L-infinity reconstruction error via order-pinned "
+    "sequential array folds. No UDFs, no driver-side data.",
+    tags=("similarity", "quantization", "llm-pipeline"),
+)
+def embedding_quantization_error(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    dims = (
+        e.select(F.posexplode("embedding").alias("d", "x"))
+        .groupBy("d")
+        .agg(F.max(F.abs(F.col("x").cast("double"))).alias("s"))
+    )
+    sc = dims.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, s))), p -> p.s)"
+        ).alias("sc")
+    )
+    err_arr = f"""
+      transform(sequence(0, {_QDIM} - 1), d ->
+        CASE WHEN sc[d] = 0D THEN CAST(embedding[d] AS DOUBLE)
+             ELSE CAST(embedding[d] AS DOUBLE)
+                  - round(CAST(embedding[d] AS DOUBLE) / sc[d] * 127)
+                    * sc[d] / 127
+        END)
+    """
+    out = (
+        spread(e, spark, by="vec_id")
+        .crossJoin(F.broadcast(sc))  # scale-ok: 1-row scales array
+        .withColumn("e", F.expr(err_arr))
+    )
+    return out.select(
+        "vec_id",
+        "label",
+        F.round(
+            F.expr("aggregate(transform(e, v -> v * v), 0D, (a, v) -> a + v)")
+            / _QDIM,
+            9,
+        ).alias("mse_q8"),
+        F.round(
+            F.expr(
+                "aggregate(transform(e, v -> abs(v)), 0D, (a, v) -> greatest(a, v))"
+            ),
+            9,
+        ).alias("linf_q8"),
+    )

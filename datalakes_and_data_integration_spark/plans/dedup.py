@@ -701,3 +701,81 @@ def minhash_jaccard_calibration(spark, sf_dir):
             ).alias("exact_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix: which sources copy each other's content.
+# The curation decision this feeds: when two crawls overlap heavily, dedup
+# priority (which source "owns" shared content) and mixture weights must be
+# set jointly, not per-source.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cross_source_duplication",
+    oracle="""
+    WITH ds AS (SELECT DISTINCT md5(text) AS h, source FROM documents),
+    per_source AS (
+      SELECT source, count(*) AS n_contents FROM ds GROUP BY source
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_shared
+      FROM ds a JOIN ds b ON a.h = b.h AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT p.source_a, p.source_b, p.n_shared,
+           round(CAST(p.n_shared AS DOUBLE) / pa.n_contents, 6) AS frac_of_a,
+           round(CAST(p.n_shared AS DOUBLE) / pb.n_contents, 6) AS frac_of_b
+    FROM pairs p
+    JOIN per_source pa ON pa.source = p.source_a
+    JOIN per_source pb ON pb.source = p.source_b
+    """,
+    description="Source-pair duplicate-content matrix: distinct md5(text) "
+    "per source, self-joined on the digest (fan-out bounded by the source "
+    "count per digest, never the corpus), with each pair's shared-content "
+    "count as a fraction of both sides' distinct contents. One digest "
+    "shuffle + a broadcast of the tiny per-source totals.",
+    tags=("dedup", "provenance", "llm-pipeline"),
+)
+def cross_source_duplication(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    # Distinct (digest, source): map-side-combined shuffle on the pair; the
+    # digest self-join then reuses the digest as its key. Per-digest fan-out
+    # is bounded by the number of SOURCES carrying that content (small and
+    # structural), so the join output is O(#dup contents x sources^2/pair),
+    # not O(corpus^2).
+    ds = d.select(F.md5("text").alias("h"), "source").distinct()
+    per_source = ds.groupBy("source").agg(F.count("*").alias("n_contents"))
+    a = ds.alias("a")
+    b = ds.alias("b")
+    pairs = (
+        a.join(b, "h")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    pa = per_source.select(
+        F.col("source").alias("source_a"), F.col("n_contents").alias("__na")
+    )
+    pb = per_source.select(
+        F.col("source").alias("source_b"), F.col("n_contents").alias("__nb")
+    )
+    return (
+        pairs.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(F.col("n_shared").cast("double") / F.col("__na"), 6).alias(
+                "frac_of_a"
+            ),
+            F.round(F.col("n_shared").cast("double") / F.col("__nb"), 6).alias(
+                "frac_of_b"
+            ),
+        )
+    )

@@ -700,3 +700,180 @@ def lang_confusion_matrix(spark, sf_dir):
     return pred.groupBy(
         F.col("lang").alias("labeled"), F.col("lang_pred").alias("predicted")
     ).agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: GPT-style concat-and-split. Documents are concatenated
+# per language in doc_id order and the token stream is cut every _SEQ_LEN
+# tokens; each document therefore occupies sequences [seq_first, seq_last].
+# The training-relevant outputs: which sequence(s) each doc lands in and
+# whether it straddles a cut (attention-mask / doc-boundary bookkeeping).
+# ---------------------------------------------------------------------------
+
+_SEQ_LEN = 512
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, len({_TOK_DUCK}) AS n_tokens FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS tok_start
+      FROM tok
+    )
+    SELECT doc_id, lang, n_tokens, tok_start,
+           CAST(floor(tok_start / {_SEQ_LEN}) AS BIGINT) AS seq_first,
+           CAST(greatest(
+             floor(tok_start / {_SEQ_LEN}),
+             floor((tok_start + n_tokens - 1) / {_SEQ_LEN})
+           ) AS BIGINT) AS seq_last
+    FROM packed
+    """,
+    description=f"Sequence packing (concat-and-split, budget {_SEQ_LEN} "
+    "tokens): per-language running token offset in doc_id order, computed "
+    "WITHOUT a per-language global window — range-partition on (lang, "
+    "doc_id), window per range partition, then add per-(partition, lang) "
+    "token offsets from a small aggregate joined back (same two-level "
+    "scheme as customer_spend_quartiles' distributed rank). The oracle is "
+    "the plain prefix-sum window.",
+    tags=("text", "packing", "distributed-rank", "llm-pipeline"),
+)
+def sequence_packing(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.size(tokens("text")).alias("n_tokens")
+    )
+    # Two-level distributed prefix sum. persist() pins one set of range
+    # boundaries so the offsets branch and the main branch agree on the
+    # partitioning (RangePartitioner samples per job).
+    parts = (
+        tok.repartitionByRange(32, "lang", "doc_id")
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    wl = Window.partitionBy("__pid", "lang").orderBy("doc_id")
+    local = parts.withColumn(
+        "__lsum", F.sum("n_tokens").over(wl) - F.col("n_tokens")
+    )
+    totals = parts.groupBy("__pid", "lang").agg(
+        F.sum("n_tokens").alias("__ptok")
+    )
+    # scale-ok: window over one row per (range partition, lang) — tiny
+    wo = (
+        Window.partitionBy("lang")
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__pid",
+        "lang",
+        F.coalesce(F.sum("__ptok").over(wo), F.lit(0)).alias("__off"),
+    )
+    packed = local.join(F.broadcast(offsets), ["__pid", "lang"]).withColumn(
+        "tok_start", F.col("__lsum") + F.col("__off")
+    )
+    seq_first = F.floor(F.col("tok_start") / _SEQ_LEN)
+    seq_last = F.greatest(
+        seq_first,
+        F.floor((F.col("tok_start") + F.col("n_tokens") - 1) / _SEQ_LEN),
+    )
+    return packed.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "tok_start",
+        seq_first.cast("long").alias("seq_first"),
+        seq_last.cast("long").alias("seq_last"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary / Zipf statistics: corpus-level term-frequency head with
+# rank-frequency coordinates, plus vocabulary-size and hapax counts. The
+# tokenizer-design evidence: how head-heavy the corpus is and how much of
+# the token mass the top of the vocabulary covers.
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 200
+
+
+@register(
+    "vocab_zipf_stats",
+    oracle=f"""
+    WITH tok AS (SELECT {_TOK_DUCK} AS toks FROM documents),
+    terms AS (SELECT unnest(toks) AS term FROM tok),
+    counts AS (SELECT term, count(*) AS freq FROM terms GROUP BY term),
+    tot AS (
+      SELECT CAST(sum(freq) AS DOUBLE) AS total_tokens,
+             count(*) AS vocab_size,
+             sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS hapax_count
+      FROM counts
+    ),
+    ranked AS (
+      SELECT term, freq,
+             row_number() OVER (ORDER BY freq DESC, term) AS rank
+      FROM counts
+    )
+    SELECT r.rank, r.term, r.freq,
+           round(ln(r.rank), 6) AS ln_rank,
+           round(ln(r.freq), 6) AS ln_freq,
+           round(sum(r.freq) OVER (ORDER BY r.rank) / t.total_tokens, 6)
+             AS cum_share,
+           t.vocab_size, t.hapax_count
+    FROM ranked r CROSS JOIN tot t
+    WHERE r.rank <= {_ZIPF_TOP}
+    """,
+    description=f"Zipf head: top-{_ZIPF_TOP} terms by corpus frequency with "
+    "log-log rank-frequency coordinates, cumulative token-mass share, and "
+    "constant vocab-size / hapax columns. Term counts are one map-side-"
+    "combined shuffle; the head is a distributed TakeOrdered (never a "
+    "global window over the vocabulary); the cumulative window runs on "
+    f"{_ZIPF_TOP} rows.",
+    tags=("text", "vocab", "llm-pipeline"),
+)
+def vocab_zipf_stats(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    tot = counts.agg(
+        F.sum("freq").cast("double").alias("total_tokens"),
+        F.count("*").alias("vocab_size"),
+        F.sum(F.when(F.col("freq") == 1, 1).otherwise(0)).alias(
+            "hapax_count"
+        ),
+    )
+    head = (
+        counts.orderBy(F.col("freq").desc(), "term").limit(_ZIPF_TOP)
+    )
+    # scale-ok: windows below run on the _ZIPF_TOP-row head only
+    wr = Window.orderBy(F.col("freq").desc(), "term")
+    wc = Window.orderBy("rank")  # scale-ok: _ZIPF_TOP-row head only
+    return (
+        head.withColumn("rank", F.row_number().over(wr))
+        .crossJoin(F.broadcast(tot))  # scale-ok: 1-row totals
+        .select(
+            "rank",
+            "term",
+            "freq",
+            F.round(F.log("rank"), 6).alias("ln_rank"),
+            F.round(F.log("freq"), 6).alias("ln_freq"),
+            F.round(F.sum("freq").over(wc) / F.col("total_tokens"), 6).alias(
+                "cum_share"
+            ),
+            "vocab_size",
+            "hapax_count",
+        )
+    )

@@ -364,3 +364,170 @@ def embedding_quantization_error(spark, sf_dir):
             9,
         ).alias("linf_q8"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the "hashing trick"): tokens -> fixed-width sparse
+# feature space without a vocabulary pass. bucket = md5-hash(token) mod
+# _FH_BUCKETS; a second seeded hash supplies the +-1 sign that unbiases
+# collisions (Weinberger et al. 2009). Long-form COO output — the shape a
+# downstream trainer ingests directly, and the only shape that stays
+# canonicalizer-safe.
+# ---------------------------------------------------------------------------
+
+_FH_BUCKETS = 1024
+
+from datalakes_and_data_integration_spark.functions.hashing import (  # noqa: E402
+    hash60_sql_duck,
+    hash60_sql_spark,
+)
+
+
+@register(
+    "feature_hashing",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK_DUCK} AS toks FROM documents),
+    terms AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+    hashed AS (
+      SELECT doc_id,
+             {hash60_sql_duck('term')} % {_FH_BUCKETS} AS bucket,
+             CASE WHEN ({hash60_sql_duck('term', seed=2)} & 1) = 1
+                  THEN 1 ELSE -1 END AS sgn
+      FROM terms
+    )
+    SELECT doc_id, bucket,
+           count(*) AS cnt,
+           sum(sgn) AS signed_sum
+    FROM hashed
+    GROUP BY doc_id, bucket
+    """,
+    description=f"Hashing-trick featurization into {_FH_BUCKETS} buckets: "
+    "md5-derived bucket plus an independent md5-derived +-1 collision-"
+    "unbiasing sign, aggregated to long-form (doc_id, bucket) counts and "
+    "signed sums. Vocabulary-free — one explode + one map-side-combined "
+    "shuffle regardless of corpus size.",
+    tags=("text", "features", "llm-pipeline"),
+)
+def feature_hashing(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    terms = spread(
+        d.select("doc_id", F.expr(_TOK_SPARK).alias("toks")), spark
+    ).select("doc_id", F.explode("toks").alias("term"))
+    hashed = terms.select(
+        "doc_id",
+        (F.expr(hash60_sql_spark("term")) % _FH_BUCKETS).alias("bucket"),
+        F.when(
+            F.expr(hash60_sql_spark("term", seed=2)).bitwiseAND(F.lit(1)) == 1,
+            1,
+        )
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    return hashed.groupBy("doc_id", "bucket").agg(
+        F.count("*").alias("cnt"),
+        F.sum("sgn").alias("signed_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality vs duplication: does low-quality content duplicate more? Joins
+# the quality-score scan with exact-dedup group structure and reports
+# per-quality-bucket duplicate and drop rates — the evidence for ordering
+# curation stages (dedup-then-filter vs filter-then-dedup).
+# ---------------------------------------------------------------------------
+
+
+def _quality_duck() -> str:
+    """The text_quality_score composite, as a doc_id -> quality CTE body."""
+    from datalakes_and_data_integration_spark.functions.text import (
+        STOPWORDS,
+    )
+
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+    SELECT doc_id,
+           0.4 * (CASE WHEN len(toks) > 0 THEN
+                    CAST(len(list_filter(toks, t -> list_contains([{en}], t))) AS DOUBLE)
+                      / len(toks) ELSE 0.0 END)
+           + 0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+           + 0.3 * (1.0 - (CASE WHEN n > 0 THEN CAST(punct_cnt AS DOUBLE) / n
+                           ELSE 0.0 END)) AS quality
+    FROM (
+      SELECT doc_id, {_TOK_DUCK} AS toks, length(text) AS n,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct_cnt
+      FROM documents
+    )
+    """
+
+
+@register(
+    "quality_vs_duplication",
+    oracle=f"""
+    WITH quality AS ({{}}),
+    grp AS (
+      SELECT md5(text) AS h, count(*) AS n_copies, min(doc_id) AS keeper
+      FROM documents GROUP BY md5(text)
+    ),
+    flags AS (
+      SELECT d.doc_id,
+             g.n_copies > 1 AS is_dup,
+             g.n_copies > 1 AND d.doc_id <> g.keeper AS is_dropped
+      FROM documents d JOIN grp g ON md5(d.text) = g.h
+    )
+    SELECT CAST(least(9, floor(q.quality * 10)) AS BIGINT) AS quality_bucket,
+           count(*) AS n_docs,
+           sum(CASE WHEN f.is_dup THEN 1 ELSE 0 END) AS n_dup,
+           sum(CASE WHEN f.is_dropped THEN 1 ELSE 0 END) AS n_dropped,
+           round(CAST(sum(CASE WHEN f.is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS dup_rate,
+           round(CAST(sum(CASE WHEN f.is_dropped THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS drop_rate
+    FROM flags f JOIN quality q ON q.doc_id = f.doc_id
+    GROUP BY 1
+    """.format(_quality_duck()),
+    description="Per-quality-decile duplication: the text_quality_score "
+    "composite bucketed to 10 bins (identical double arithmetic on both "
+    "engines, so bin edges agree exactly), joined to exact-dedup group "
+    "structure (md5 groupBy; keeper = smallest doc_id); reports dup and "
+    "drop rates per bin. Two shuffles total: the digest groupBy and the "
+    "final 10-row aggregate; the doc_id join co-partitions with the scan.",
+    tags=("text", "dedup", "curation", "llm-pipeline"),
+)
+def quality_vs_duplication(spark, sf_dir):
+    from datalakes_and_data_integration_spark.plans.text import (
+        text_quality_score,
+    )
+
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    grp = d.groupBy("h").agg(
+        F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper")
+    )
+    flags = d.join(grp, "h").select(
+        "doc_id",
+        (F.col("n_copies") > 1).alias("is_dup"),
+        ((F.col("n_copies") > 1) & (F.col("doc_id") != F.col("keeper"))).alias(
+            "is_dropped"
+        ),
+    )
+    n_dup = F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+    n_dropped = F.sum(F.when(F.col("is_dropped"), 1).otherwise(0))
+    return (
+        flags.join(q, "doc_id")
+        .groupBy(
+            F.least(F.lit(9), F.floor(F.col("quality") * 10))
+            .cast("long")
+            .alias("quality_bucket")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            n_dup.alias("n_dup"),
+            n_dropped.alias("n_dropped"),
+            F.round(n_dup.cast("double") / F.count("*"), 6).alias("dup_rate"),
+            F.round(n_dropped.cast("double") / F.count("*"), 6).alias(
+                "drop_rate"
+            ),
+        )
+    )

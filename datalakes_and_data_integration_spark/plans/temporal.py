@@ -488,3 +488,107 @@ def cohort_retention(spark, sf_dir):
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection: per event type, each value scored
+# against the trailing-24h mean/std. The monitoring primitive for a
+# continuously-ingesting pipeline (alert on metric excursions) — pure
+# RANGE-frame windows, no state, no UDFs.
+# Float determinism: both frame sums go through DECIMAL (order-independent),
+# are rounded at 6dp, and only then enter double arithmetic written
+# identically on both engines — so mean/std/z agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_zscore_anomaly",
+    oracle="""
+    WITH framed AS (
+      SELECT event_id, event_type, ts, value,
+             count(*) OVER w AS n_24h,
+             CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))) OVER w, 6)
+                  AS DOUBLE) AS s1,
+             CAST(ROUND(sum(CAST(value * value AS DECIMAL(27,6))) OVER w, 6)
+                  AS DOUBLE) AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                   RANGE BETWEEN INTERVAL 24 HOUR PRECEDING AND CURRENT ROW)
+    ),
+    scored AS (
+      SELECT event_id, event_type, ts, value, n_24h,
+             s1 / n_24h AS mean_24h,
+             sqrt(greatest(s2 / n_24h - (s1 / n_24h) * (s1 / n_24h), 0))
+               AS std_24h
+      FROM framed
+    )
+    SELECT event_id, event_type, ts, value, n_24h,
+           round(mean_24h, 6) AS mean_24h,
+           round(std_24h, 6) AS std_24h,
+           round(CASE WHEN std_24h > 0 THEN (value - mean_24h) / std_24h END,
+                 6) AS zscore,
+           coalesce(
+             CASE WHEN std_24h > 0
+                  THEN abs((value - mean_24h) / std_24h) > 3 END,
+             false) AS is_anomaly
+    FROM scored
+    """,
+    description="Trailing-24h z-score per event: RANGE-frame count/sum/"
+    "sum-of-squares per event_type (decimal-exact, rounded before double "
+    "math so both engines agree), variance via the sums, anomaly flag at "
+    "|z| > 3. One shuffle on event_type; the frame is time-bounded so "
+    "state per key is bounded regardless of history length.",
+    tags=("window", "range-frame", "anomaly", "monitoring"),
+)
+def rolling_zscore_anomaly(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    day_us = 24 * 3_600 * 1_000_000
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-day_us, 0)
+    )
+    framed = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.count("*").over(w).alias("n_24h"),
+        F.round(F.sum(dec("value", 18, 6)).over(w), 6)
+        .cast("double")
+        .alias("s1"),
+        F.round(
+            F.sum(F.expr("CAST(value * value AS DECIMAL(27,6))")).over(w), 6
+        )
+        .cast("double")
+        .alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_24h")
+    std = F.sqrt(
+        F.greatest(
+            F.col("s2") / F.col("n_24h") - mean * mean, F.lit(0.0)
+        )
+    )
+    scored = framed.withColumn("mean_24h_raw", mean).withColumn(
+        "std_24h_raw", std
+    )
+    z = F.when(
+        F.col("std_24h_raw") > 0,
+        (F.col("value") - F.col("mean_24h_raw")) / F.col("std_24h_raw"),
+    )
+    return scored.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        "n_24h",
+        F.round("mean_24h_raw", 6).alias("mean_24h"),
+        F.round("std_24h_raw", 6).alias("std_24h"),
+        F.round(z, 6).alias("zscore"),
+        F.coalesce(
+            F.when(
+                F.col("std_24h_raw") > 0, F.abs(z) > 3
+            ),
+            F.lit(False),
+        ).alias("is_anomaly"),
+    )

@@ -32,6 +32,7 @@ from datalakes_and_data_integration_spark.plans import (  # noqa: E402,F401
     relational,
     temporal,
     curation,
+    streaming_extra,
 )
 
 __all__ = ["QUERIES", "Query", "all_queries", "all_oracle_sql", "register"]

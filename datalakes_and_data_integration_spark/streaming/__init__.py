@@ -12,6 +12,7 @@ from datalakes_and_data_integration_spark.streaming.file_stream import (
     run_available_now,
     sliding_agg_stream,
     stateful_sessions_stream,
+    static_enriched_stream,
 )
 
 __all__ = [
@@ -21,4 +22,5 @@ __all__ = [
     "run_available_now",
     "sliding_agg_stream",
     "stateful_sessions_stream",
+    "static_enriched_stream",
 ]

@@ -226,3 +226,35 @@ def purchases_with_recent_click_stream(stream: DataFrame) -> DataFrame:
         "click_id",
         "click_ts",
     )
+
+
+def static_enriched_stream(
+    stream: DataFrame, spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-static join: the event stream enriched against the batch
+    customer->nation dimensions, then a watermarked hourly aggregate per
+    nation. The static side is re-read per micro-batch (so a dim update is
+    picked up on the next trigger) and broadcast — no streaming state for
+    the join itself; only the (hour x nation) aggregate keeps state."""
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dims = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "n_name"
+    )
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .join(F.broadcast(dims), stream.user_id == dims.c_custkey)
+        .groupBy(F.window("ts", "1 hour"), F.col("n_name"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(dec("value", 18, 6)), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("hour"),
+            F.col("n_name").alias("nation"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -33,6 +33,7 @@ from datalakes_and_data_integration_spark.plans import (  # noqa: E402,F401
     temporal,
     curation,
     streaming_extra,
+    sketches,
 )
 
 __all__ = ["QUERIES", "Query", "all_queries", "all_oracle_sql", "register"]

@@ -1,0 +1,271 @@
+"""Mergeable sketches built from engine primitives — no UDFs, no native
+sketch types, so the DuckDB oracle can run the IDENTICAL construction.
+
+Why build them when Spark ships approx_count_distinct / approx_percentile
+(exercised in approx_stats_scale_path)? Because a 100 TB pipeline needs
+sketches it can (a) persist and merge across days/partitions and (b)
+reproduce bit-for-bit in another engine for audit. A sketch expressed as
+a plain grouped aggregate over md5-derived hashes is exactly that: the
+count-min table and the HLL register file below are small DataFrames a
+daily job unions + re-aggregates (max/sum) to merge.
+
+Determinism notes:
+- All hashing is md5-derived (functions/hashing.py) — identical in Spark,
+  DuckDB, and Python.
+- The HLL harmonic sum is computed in INTEGER arithmetic: sum_j 2^(55 -
+  rho_j) fits in int64 exactly (64 registers x 2^54 < 2^63), so the only
+  float ops are a final division and log, written identically on both
+  engines.
+- The leading-zero rank uses an unrolled integer-compare CASE, never
+  floating log2 (whose boundary rounding differs per libm).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalakes_and_data_integration_spark.functions.hashing import (
+    hash60_sql_duck,
+    hash60_sql_spark,
+)
+from datalakes_and_data_integration_spark.plans._util import T, spread
+from datalakes_and_data_integration_spark.plans.registry import register
+from datalakes_and_data_integration_spark.functions.text import tokens_sql_duck
+
+_TOK_SPARK = "filter(split(lower(text), '\\\\s+'), t -> t != '')"
+_TOK_DUCK = tokens_sql_duck("text")
+
+# --------------------------------------------------------------------------
+# Count-min sketch: d=4 rows x w=1024 buckets over corpus term frequencies.
+# --------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 1024
+_CMS_SEED0 = 100  # seeds 100..103 — disjoint from minhash/simhash seeds
+_CMS_TOP = 20
+
+
+def _cms_oracle() -> str:
+    sketch_rows = " UNION ALL ".join(
+        f"SELECT {s} AS seed, "
+        f"{hash60_sql_duck('term', seed=_CMS_SEED0 + s)} % {_CMS_W} AS bucket, "
+        "cnt FROM term_counts"
+        for s in range(_CMS_D)
+    )
+    est = ", ".join(
+        f"(SELECT sk.total FROM sketch sk WHERE sk.seed = {s} AND "
+        f"sk.bucket = {hash60_sql_duck('t.term', seed=_CMS_SEED0 + s)} % {_CMS_W})"
+        for s in range(_CMS_D)
+    )
+    return f"""
+    WITH tok AS (SELECT {_TOK_DUCK} AS toks FROM documents),
+    term_counts AS (
+      SELECT term, count(*) AS cnt
+      FROM (SELECT unnest(toks) AS term FROM tok)
+      GROUP BY term
+    ),
+    pre AS ({sketch_rows}),
+    sketch AS (
+      SELECT seed, bucket, sum(cnt) AS total FROM pre GROUP BY seed, bucket
+    ),
+    top_terms AS (
+      SELECT term, cnt FROM term_counts
+      ORDER BY cnt DESC, term LIMIT {_CMS_TOP}
+    )
+    SELECT t.term, t.cnt AS exact_freq,
+           least({est}) AS cms_est
+    FROM top_terms t
+    """
+
+
+@register(
+    "heavy_hitters_cms",
+    oracle=_cms_oracle(),
+    description=f"Count-min sketch ({_CMS_D} x {_CMS_W}, md5-seeded) over "
+    f"corpus term frequencies: the sketch is a grouped aggregate (<= "
+    f"{_CMS_D * _CMS_W} rows, mergeable by summing buckets across "
+    "partitions/days), estimates for the top terms are min-over-rows "
+    "lookups against the broadcast sketch. CMS guarantees est >= exact; "
+    "the output carries both so the overestimate is auditable.",
+    tags=("sketch", "cms", "heavy-hitters", "llm-pipeline"),
+)
+def heavy_hitters_cms(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    term_counts = (
+        spread(d.select(F.expr(_TOK_SPARK).alias("toks")), spark)
+        .select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # d sketch rows per term: posexplode of the d bucket ids.
+    buckets = F.array(
+        *[
+            F.expr(hash60_sql_spark("term", seed=_CMS_SEED0 + s))
+            % _CMS_W
+            for s in range(_CMS_D)
+        ]
+    )
+    sketch = (
+        term_counts.select("cnt", F.posexplode(buckets).alias("seed", "bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.sum("cnt").alias("total"))
+    )
+    top_terms = term_counts.orderBy(F.col("cnt").desc(), "term").limit(
+        _CMS_TOP
+    )
+    est = top_terms
+    for s in range(_CMS_D):
+        sk = sketch.filter(F.col("seed") == s).select(
+            F.col("bucket").alias(f"__b{s}"), F.col("total").alias(f"__t{s}")
+        )
+        est = est.join(
+            F.broadcast(sk),
+            F.expr(hash60_sql_spark("term", seed=_CMS_SEED0 + s)) % _CMS_W
+            == F.col(f"__b{s}"),
+        )
+    return est.select(
+        "term",
+        F.col("cnt").alias("exact_freq"),
+        F.least(*[F.col(f"__t{s}") for s in range(_CMS_D)]).alias("cms_est"),
+    )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog from scratch: m=64 registers, integer-exact harmonic sum.
+# --------------------------------------------------------------------------
+
+_HLL_M = 64  # registers (b = 6 index bits)
+_HLL_VBITS = 54  # value bits left after the index
+_HLL_ALPHA = 0.709  # alpha_64
+
+
+def _rho_case(v: str) -> str:
+    """rank = leading-zero count of the 54-bit value + 1, as integer
+    compares (identical in Spark SQL and DuckDB)."""
+    branches = " ".join(
+        f"WHEN {v} >= {1 << (_HLL_VBITS - k)} THEN {k}"
+        for k in range(1, _HLL_VBITS + 1)
+    )
+    return f"CASE {branches} ELSE {_HLL_VBITS + 1} END"
+
+
+def _hll_core(h: str) -> tuple[str, str]:
+    """(register index expr, rho expr) from a 60-bit hash expr."""
+    reg = f"({h}) % {_HLL_M}"
+    val = f"({h}) // {_HLL_M} % {1 << _HLL_VBITS}"
+    return reg, val
+
+
+def _hll_oracle() -> str:
+    h = hash60_sql_duck("CAST(user_id AS VARCHAR)", seed=7)
+    reg = f"({h}) % {_HLL_M}"
+    val = f"(({h}) // {_HLL_M}) % {1 << _HLL_VBITS}"
+    rho = _rho_case("val")
+    return f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type, {reg} AS reg, {val} AS val FROM events
+    ),
+    ranked AS (SELECT event_type, reg, {rho} AS rho FROM hashed),
+    regs AS (
+      SELECT event_type, reg, max(rho) AS mrho FROM ranked
+      GROUP BY event_type, reg
+    ),
+    summed AS (
+      SELECT event_type,
+             sum(CAST(2 AS BIGINT) ** (55 - mrho)) AS s_present,
+             count(*) AS v_present
+      FROM regs GROUP BY event_type
+    ),
+    est AS (
+      SELECT event_type,
+             {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+               * CAST({1 << 55} AS DOUBLE)
+               / (s_present + (CAST({_HLL_M} AS BIGINT) - v_present)
+                              * CAST({1 << 55} AS BIGINT)) AS e_raw,
+             v_present
+      FROM summed
+    ),
+    corrected AS (
+      SELECT event_type,
+             CASE WHEN e_raw <= 2.5 * {_HLL_M}
+                       AND v_present < {_HLL_M}
+                  THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE)
+                                     / ({_HLL_M} - v_present))
+                  ELSE e_raw END AS e
+      FROM est
+    )
+    SELECT c.event_type,
+           round(c.e, 4) AS hll_est,
+           x.exact_distinct,
+           round(abs(c.e - x.exact_distinct) / x.exact_distinct, 4)
+             AS rel_err
+    FROM corrected c
+    JOIN (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+          FROM events GROUP BY event_type) x
+      ON x.event_type = c.event_type
+    """
+
+
+@register(
+    "distinct_count_hll",
+    oracle=_hll_oracle(),
+    description=f"HyperLogLog from primitives: md5-derived 60-bit hash -> "
+    f"{_HLL_M} registers x max leading-zero rank (a grouped max — the "
+    "register file is the mergeable sketch), bias-corrected harmonic "
+    "estimate with linear counting below 2.5m. The harmonic sum runs in "
+    "exact int64 (sum of 2^(55-rho) <= 64*2^54), so both engines divide "
+    "the same integers — float enters only at the final estimate. Output "
+    "carries the exact distinct count and relative error per event type.",
+    tags=("sketch", "hll", "distinct", "llm-pipeline"),
+)
+def distinct_count_hll(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    h = hash60_sql_spark("CAST(user_id AS STRING)", seed=7)
+    reg = F.expr(f"({h}) % {_HLL_M}")
+    val = F.expr(f"(({h}) div {_HLL_M}) % {1 << _HLL_VBITS}")
+    hashed = ev.select(
+        "event_type", reg.alias("reg"), val.alias("val")
+    ).distinct()
+    ranked = hashed.select(
+        "event_type", "reg", F.expr(_rho_case("val")).alias("rho")
+    )
+    regs = ranked.groupBy("event_type", "reg").agg(F.max("rho").alias("mrho"))
+    summed = regs.groupBy("event_type").agg(
+        F.sum(F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 55 - mrho) AS BIGINT)")).alias(
+            "s_present"
+        ),
+        F.count("*").alias("v_present"),
+    )
+    e_raw = (
+        F.lit(_HLL_ALPHA)
+        * _HLL_M
+        * _HLL_M
+        * F.lit(float(1 << 55))
+        / (
+            F.col("s_present")
+            + (F.lit(_HLL_M).cast("bigint") - F.col("v_present"))
+            * F.lit(1 << 55).cast("bigint")
+        )
+    )
+    est = summed.select("event_type", e_raw.alias("e_raw"), "v_present")
+    e = F.when(
+        (F.col("e_raw") <= 2.5 * _HLL_M) & (F.col("v_present") < _HLL_M),
+        F.lit(float(_HLL_M))
+        * F.log(
+            F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("v_present"))
+        ),
+    ).otherwise(F.col("e_raw"))
+    corrected = est.select("event_type", e.alias("e"))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return corrected.join(exact, "event_type").select(
+        "event_type",
+        F.round("e", 4).alias("hll_est"),
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("e") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err"),
+    )

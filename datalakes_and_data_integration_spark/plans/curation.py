@@ -531,3 +531,75 @@ def quality_vs_duplication(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted sampling without replacement (Efraimidis-Spirakis 2006):
+# key_i = ln(u_i) / w_i with u_i an md5-derived uniform in (0, 1]; the k
+# largest keys ARE a weighted sample without replacement. Deterministic —
+# no rand(), so the sample is reproducible across runs, engines, and
+# machines, and the top-k is a distributed TakeOrdered (per-partition
+# heads then a global merge), never a sort of the corpus.
+# ---------------------------------------------------------------------------
+
+_WS_K = 100
+
+
+def _weighted_sample_oracle() -> str:
+    u = f"(CAST({hash60_sql_duck('CAST(doc_id AS VARCHAR)', seed=11)} AS DOUBLE) + 1) / {float(1 << 60)}"
+    return f"""
+    WITH quality AS ({_quality_duck()}),
+    keyed AS (
+      SELECT q.doc_id, q.quality,
+             ln({u}) / q.quality AS es_key
+      FROM quality q
+      WHERE q.quality > 0
+    ),
+    ranked AS (
+      SELECT doc_id, quality, es_key,
+             row_number() OVER (ORDER BY es_key DESC, doc_id) AS rank
+      FROM keyed
+    )
+    SELECT doc_id, round(quality, 6) AS quality,
+           round(es_key, 6) AS es_key, rank
+    FROM ranked WHERE rank <= {_WS_K}
+    """
+
+
+@register(
+    "weighted_sample_quality",
+    oracle=_weighted_sample_oracle(),
+    description=f"Reproducible quality-weighted sample (top-{_WS_K}, "
+    "Efraimidis-Spirakis): exponential-race keys ln(u)/quality with "
+    "md5-derived uniforms — higher-quality docs win proportionally more "
+    "often, the sample is without replacement, and zero randomness state "
+    "is needed; the selection is a distributed TakeOrdered over the "
+    "keyed scan.",
+    tags=("sampling", "curation", "llm-pipeline"),
+)
+def weighted_sample_quality(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from datalakes_and_data_integration_spark.plans.text import (
+        text_quality_score,
+    )
+
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    u = (
+        F.expr(
+            hash60_sql_spark("CAST(doc_id AS STRING)", seed=11)
+        ).cast("double")
+        + 1
+    ) / float(1 << 60)
+    keyed = q.filter(F.col("quality") > 0).select(
+        "doc_id", "quality", (F.log(u) / F.col("quality")).alias("es_key")
+    )
+    head = keyed.orderBy(F.col("es_key").desc(), "doc_id").limit(_WS_K)
+    # scale-ok: rank window runs on the _WS_K-row head only
+    wr = Window.orderBy(F.col("es_key").desc(), "doc_id")
+    return head.select(
+        "doc_id",
+        F.round("quality", 6).alias("quality"),
+        F.round("es_key", 6).alias("es_key"),
+        F.row_number().over(wr).alias("rank"),
+    )

@@ -592,3 +592,66 @@ def rolling_zscore_anomaly(spark, sf_dir):
             F.lit(False),
         ).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing: exponentially weighted moving average over the last 20
+# observations per event type. True recursive EWMA is a sequential scan; the
+# 20-term truncated form (weights 0.3 * 0.7^j, renormalized over available
+# lags at the series head) is window-expressible, embarrassingly parallel
+# per key, and within 0.7^20 ~ 8e-4 of the recursion. Weights are baked as
+# identical float literals into both engines and the sum is a fixed-order
+# expression chain — bit-identical doubles.
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+_EWMA_LAGS = 20
+_EWMA_W = [_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** j for j in range(_EWMA_LAGS)]
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        f"(CASE WHEN lag(value, {j}) OVER w IS NOT NULL THEN "
+        f"{w!r} * lag(value, {j}) OVER w ELSE 0 END)"
+        for j, w in enumerate(_EWMA_W)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(value, {j}) OVER w IS NOT NULL THEN {w!r} "
+        "ELSE 0 END)"
+        for j, w in enumerate(_EWMA_W)
+    )
+    return f"""
+    SELECT event_id, event_type, ts, value,
+           round(({num}) / ({den}), 6) AS ewma20
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    """
+
+
+@register(
+    "ewma_smoothing",
+    oracle=_ewma_oracle(),
+    description=f"Truncated EWMA (alpha={_EWMA_ALPHA}, {_EWMA_LAGS} lags, "
+    "head-renormalized) per event type: a fixed-order chain of lag() terms "
+    "over one window — one shuffle on event_type, no recursion, no state; "
+    "each key's series smooths independently at any scale.",
+    tags=("window", "timeseries", "smoothing"),
+)
+def ewma_smoothing(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lags = [F.lag("value", j).over(w) for j in range(_EWMA_LAGS)]
+    num = None
+    den = None
+    for lj, wj in zip(lags, _EWMA_W):
+        nterm = F.when(lj.isNotNull(), F.lit(wj) * lj).otherwise(F.lit(0.0))
+        dterm = F.when(lj.isNotNull(), F.lit(wj)).otherwise(F.lit(0.0))
+        num = nterm if num is None else num + nterm
+        den = dterm if den is None else den + dterm
+    return ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.round(num / den, 6).alias("ewma20"),
+    )

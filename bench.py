@@ -19,6 +19,21 @@ import sys
 import time
 
 
+def _cpu_calibration() -> float:
+    """Seconds for a fixed pure-python loop — a host-speed anchor.
+
+    Host throughput on this box swings >2x between runs of UNTOUCHED
+    queries (see NOTES.md "Host-speed variance"); comparing BENCH_r{N}
+    totals without normalizing by this anchor misreads noise as
+    regression. Typical fast-host value ~0.55 s.
+    """
+    t0 = time.time()
+    s = 0
+    for i in range(10_000_000):
+        s += i * i
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -56,6 +71,7 @@ def main() -> None:
         "cold_queries": cold,
         "cold_value": round(sum(cold.values()), 3),
         "sf": sf,
+        "cpu_calib_sec": _cpu_calibration(),
     }
     print(json.dumps(out))
     sys.stdout.flush()

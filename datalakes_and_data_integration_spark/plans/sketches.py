@@ -269,3 +269,150 @@ def distinct_count_hll(spark, sf_dir):
             4,
         ).alias("rel_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter join prefilter: the runtime-filter pattern, built as data.
+# The filter over the dim keys is a 66-row (word, bits) bitmap — built with
+# one grouped bit_or (mergeable the same way), broadcast to probe the fact
+# side before the real join. 63 bits per word keeps every mask positive in
+# int64, sidestepping engine differences in sign-bit shifts.
+# --------------------------------------------------------------------------
+
+_BF_BITS = 4096
+_BF_WPB = 63  # bits per word (avoid the int64 sign bit)
+_BF_K = 3
+_BF_SEED0 = 200
+
+
+def _bf_pos_duck(col: str, s: int) -> str:
+    return f"{hash60_sql_duck(col, seed=_BF_SEED0 + s)} % {_BF_BITS}"
+
+
+def _bf_pos_spark(col: str, s: int) -> str:
+    return f"{hash60_sql_spark(col, seed=_BF_SEED0 + s)} % {_BF_BITS}"
+
+
+def _bloom_oracle() -> str:
+    build_rows = " UNION ALL ".join(
+        f"SELECT {_bf_pos_duck('k', s)} AS pos FROM dim_keys"
+        for s in range(_BF_K)
+    )
+    checks = " AND ".join(
+        f"""coalesce((
+          SELECT (w.bits & (CAST(1 AS BIGINT) << CAST(({_bf_pos_duck('p.k', s)}) % {_BF_WPB} AS INT))) != 0
+          FROM bloom w
+          WHERE w.word = ({_bf_pos_duck('p.k', s)}) // {_BF_WPB}
+        ), false)"""
+        for s in range(_BF_K)
+    )
+    return f"""
+    WITH dim_keys AS (
+      SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k FROM customer
+    ),
+    positions AS ({build_rows}),
+    bloom AS (
+      SELECT pos // {_BF_WPB} AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BF_WPB} AS INT)) AS bits
+      FROM positions GROUP BY pos // {_BF_WPB}
+    ),
+    probes AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) AS k, user_id FROM events
+    ),
+    tested AS (
+      SELECT p.user_id,
+             ({checks}) AS bloom_pass,
+             EXISTS (SELECT 1 FROM dim_keys d WHERE d.k = p.k) AS is_member
+      FROM probes p
+    )
+    SELECT count(*) AS n_probe_keys,
+           sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS n_bloom_pass,
+           sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS n_members,
+           sum(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)
+             AS n_false_pos,
+           round(CAST(sum(CASE WHEN bloom_pass AND NOT is_member
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS fp_rate
+    FROM tested
+    """
+
+
+@register(
+    "bloom_prefilter_audit",
+    oracle=_bloom_oracle(),
+    description=f"Bloom-filter join prefilter as data: {_BF_K} md5-derived "
+    f"hashes into {_BF_BITS} bits stored as ~66 (word, bits) rows via one "
+    "grouped bit_or (mergeable across partitions/days by OR-ing words), "
+    "broadcast against the distinct probe keys; output audits the "
+    "no-false-negative guarantee and the realized false-positive rate. "
+    "The pattern that skips the fact-side shuffle for keys the dim can "
+    "never match.",
+    tags=("sketch", "bloom", "join", "llm-pipeline"),
+)
+def bloom_prefilter_audit(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    ev = T(spark, sf_dir, "events")
+    dim_keys = c.select(
+        F.col("c_custkey").cast("string").alias("k")
+    ).distinct()
+    positions = dim_keys.select(
+        F.explode(
+            F.array(
+                *[F.expr(_bf_pos_spark("k", s)) for s in range(_BF_K)]
+            )
+        ).alias("pos")
+    )
+    bloom = positions.groupBy(
+        F.expr(f"pos div {_BF_WPB}").alias("word")
+    ).agg(
+        F.expr(
+            f"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BF_WPB} AS INT)))"
+        ).alias("bits")
+    )
+    probes = ev.select(
+        "user_id", F.col("user_id").cast("string").alias("k")
+    ).distinct()
+    tested = probes
+    for s in range(_BF_K):
+        w = bloom.select(
+            F.col("word").alias(f"__w{s}"), F.col("bits").alias(f"__bits{s}")
+        )
+        tested = (
+            tested.join(
+                F.broadcast(w),
+                F.expr(f"({_bf_pos_spark('k', s)}) div {_BF_WPB}")
+                == F.col(f"__w{s}"),
+                "left",
+            )
+            .withColumn(
+                f"__pass{s}",
+                F.coalesce(
+                    F.expr(
+                        f"(__bits{s} & shiftleft(CAST(1 AS BIGINT), "
+                        f"CAST(({_bf_pos_spark('k', s)}) % {_BF_WPB} AS INT))) != 0"
+                    ),
+                    F.lit(False),
+                ),
+            )
+            .drop(f"__w{s}", f"__bits{s}")
+        )
+    member = dim_keys.withColumn("__is_member", F.lit(True))
+    tested = tested.join(F.broadcast(member), "k", "left").select(
+        "user_id",
+        (
+            F.col("__pass0") & F.col("__pass1") & F.col("__pass2")
+        ).alias("bloom_pass"),
+        F.coalesce(F.col("__is_member"), F.lit(False)).alias("is_member"),
+    )
+    n_pass = F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+    n_member = F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+    n_fp = F.sum(
+        F.when(F.col("bloom_pass") & ~F.col("is_member"), 1).otherwise(0)
+    )
+    return tested.agg(
+        F.count("*").alias("n_probe_keys"),
+        n_pass.alias("n_bloom_pass"),
+        n_member.alias("n_members"),
+        n_fp.alias("n_false_pos"),
+        F.round(n_fp.cast("double") / F.count("*"), 6).alias("fp_rate"),
+    )

@@ -14,8 +14,14 @@ from datalakes_and_data_integration_spark.streaming.file_stream import (
     stateful_sessions_stream,
     static_enriched_stream,
 )
+from datalakes_and_data_integration_spark.streaming.incremental_dedup import (
+    incremental_minhash_dedup,
+    minhash_bands,
+)
 
 __all__ = [
+    "incremental_minhash_dedup",
+    "minhash_bands",
     "dedup_stream",
     "events_stream",
     "hourly_agg_stream",

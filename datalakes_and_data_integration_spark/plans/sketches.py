@@ -416,3 +416,181 @@ def bloom_prefilter_audit(spark, sf_dir):
         n_fp.alias("n_false_pos"),
         F.round(n_fp.cast("double") / F.count("*"), 6).alias("fp_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# HLL set algebra: union by register max (the merge), intersection by
+# inclusion-exclusion — the reason the register file beats exact distinct
+# at 100 TB: per-day/per-partition sketches combine WITHOUT re-touching
+# the data. Same integer-exact harmonic sums as distinct_count_hll.
+# --------------------------------------------------------------------------
+
+_HLL_A = "click"
+_HLL_B = "purchase"
+
+
+def _hll_est_duck(regs: str) -> str:
+    """Corrected HLL estimate (double) from a (reg, mrho) relation."""
+    return f"""(
+      SELECT CASE WHEN e_raw <= 2.5 * {_HLL_M} AND v_present < {_HLL_M}
+                  THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE)
+                                     / ({_HLL_M} - v_present))
+                  ELSE e_raw END
+      FROM (
+        SELECT {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+                 * CAST({1 << 55} AS DOUBLE)
+                 / (s_present + (CAST({_HLL_M} AS BIGINT) - v_present)
+                                * CAST({1 << 55} AS BIGINT)) AS e_raw,
+               v_present
+        FROM (
+          SELECT sum(CAST(2 AS BIGINT) ** (55 - mrho)) AS s_present,
+                 count(*) AS v_present
+          FROM {regs}
+        )
+      )
+    )"""
+
+
+def _hll_merge_oracle() -> str:
+    h = hash60_sql_duck("CAST(user_id AS VARCHAR)", seed=7)
+    reg = f"({h}) % {_HLL_M}"
+    val = f"(({h}) // {_HLL_M}) % {1 << _HLL_VBITS}"
+    rho = _rho_case("val")
+    return f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type, {reg} AS reg, {val} AS val FROM events
+      WHERE event_type IN ('{_HLL_A}', '{_HLL_B}')
+    ),
+    ranked AS (SELECT event_type, reg, {rho} AS rho FROM hashed),
+    regs_a AS (
+      SELECT reg, max(rho) AS mrho FROM ranked
+      WHERE event_type = '{_HLL_A}' GROUP BY reg
+    ),
+    regs_b AS (
+      SELECT reg, max(rho) AS mrho FROM ranked
+      WHERE event_type = '{_HLL_B}' GROUP BY reg
+    ),
+    regs_u AS (
+      SELECT reg, max(mrho) AS mrho FROM (
+        SELECT reg, mrho FROM regs_a UNION ALL SELECT reg, mrho FROM regs_b
+      ) GROUP BY reg
+    ),
+    ests AS (
+      SELECT {_hll_est_duck('regs_a')} AS e_a,
+             {_hll_est_duck('regs_b')} AS e_b,
+             {_hll_est_duck('regs_u')} AS e_u
+    ),
+    exact AS (
+      SELECT count(DISTINCT CASE WHEN event_type = '{_HLL_A}'
+                                 THEN user_id END) AS x_a,
+             count(DISTINCT CASE WHEN event_type = '{_HLL_B}'
+                                 THEN user_id END) AS x_b,
+             count(DISTINCT user_id) AS x_u
+      FROM events WHERE event_type IN ('{_HLL_A}', '{_HLL_B}')
+    )
+    SELECT round(e_a, 4) AS est_a, round(e_b, 4) AS est_b,
+           round(e_u, 4) AS est_union,
+           round(e_a + e_b - e_u, 4) AS est_intersection,
+           x_a AS exact_a, x_b AS exact_b, x_u AS exact_union,
+           x_a + x_b - x_u AS exact_intersection
+    FROM ests CROSS JOIN exact
+    """
+
+
+def _hll_regs_spark(ev, event_type: str):
+    h = hash60_sql_spark("CAST(user_id AS STRING)", seed=7)
+    hashed = (
+        ev.filter(F.col("event_type") == event_type)
+        .select(
+            F.expr(f"({h}) % {_HLL_M}").alias("reg"),
+            F.expr(f"(({h}) div {_HLL_M}) % {1 << _HLL_VBITS}").alias("val"),
+        )
+        .distinct()
+    )
+    return (
+        hashed.select("reg", F.expr(_rho_case("val")).alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("mrho"))
+    )
+
+
+def _hll_est_spark(regs, name: str):
+    summed = regs.agg(
+        F.sum(
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 55 - mrho) AS BIGINT)")
+        ).alias("s_present"),
+        F.count("*").alias("v_present"),
+    )
+    e_raw = (
+        F.lit(_HLL_ALPHA)
+        * _HLL_M
+        * _HLL_M
+        * F.lit(float(1 << 55))
+        / (
+            F.col("s_present")
+            + (F.lit(_HLL_M).cast("bigint") - F.col("v_present"))
+            * F.lit(1 << 55).cast("bigint")
+        )
+    )
+    est = summed.select(e_raw.alias("e_raw"), "v_present")
+    e = F.when(
+        (F.col("e_raw") <= 2.5 * _HLL_M) & (F.col("v_present") < _HLL_M),
+        F.lit(float(_HLL_M))
+        * F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("v_present"))),
+    ).otherwise(F.col("e_raw"))
+    return est.select(e.alias(name))
+
+
+@register(
+    "hll_set_algebra",
+    oracle=_hll_merge_oracle(),
+    description="HLL register-file merge: union cardinality by per-"
+    "register max over two sketches (the mergeable-across-partitions/"
+    "days operation), intersection by inclusion-exclusion — estimates "
+    "vs exact for the click/purchase user sets in one row. The merge "
+    "touches 64-row register files, never the data; same integer-exact "
+    "harmonic sums as distinct_count_hll.",
+    tags=("sketch", "hll", "set-ops", "llm-pipeline"),
+)
+def hll_set_algebra(spark, sf_dir):
+    ev = T(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_HLL_A, _HLL_B)
+    )
+    regs_a = _hll_regs_spark(ev, _HLL_A)
+    regs_b = _hll_regs_spark(ev, _HLL_B)
+    regs_u = (
+        regs_a.unionByName(regs_b).groupBy("reg").agg(
+            F.max("mrho").alias("mrho")
+        )
+    )
+    e_a = _hll_est_spark(regs_a, "e_a")
+    e_b = _hll_est_spark(regs_b, "e_b")
+    e_u = _hll_est_spark(regs_u, "e_u")
+    exact = ev.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == _HLL_A, F.col("user_id"))
+        ).alias("x_a"),
+        F.countDistinct(
+            F.when(F.col("event_type") == _HLL_B, F.col("user_id"))
+        ).alias("x_b"),
+        F.countDistinct("user_id").alias("x_u"),
+    )
+    return (
+        e_a.crossJoin(e_b)  # scale-ok: 1-row estimate frames
+        .crossJoin(e_u)  # scale-ok: 1-row estimate frames
+        .crossJoin(exact)  # scale-ok: 1-row exact frame
+        .select(
+            F.round("e_a", 4).alias("est_a"),
+            F.round("e_b", 4).alias("est_b"),
+            F.round("e_u", 4).alias("est_union"),
+            F.round(
+                F.col("e_a") + F.col("e_b") - F.col("e_u"), 4
+            ).alias("est_intersection"),
+            F.col("x_a").alias("exact_a"),
+            F.col("x_b").alias("exact_b"),
+            F.col("x_u").alias("exact_union"),
+            (F.col("x_a") + F.col("x_b") - F.col("x_u")).alias(
+                "exact_intersection"
+            ),
+        )
+    )

@@ -48,3 +48,29 @@ def streaming_static_enrich(spark, sf_dir):
     return run_available_now(
         enriched, spark, name="streaming_static_enrich_out"
     )
+
+
+@register(
+    "streaming_incremental_dedup",
+    oracle=None,  # greedy arrival-order keeper is iterative, not SQL
+    description="Incremental MinHash near-dedup (streaming/"
+    "incremental_dedup.py) run over the documents table as one batch "
+    "against a fresh band index: accepts every doc that doesn't band-"
+    "collide with a smaller-id doc. State is the (band, bv) sketch; "
+    "redelivered batches are no-ops (idempotency pinned in tests). "
+    "Rows-only: the greedy keeper rule is order-iterative, not "
+    "SQL-expressible.",
+    tags=("streaming", "dedup", "incremental", "llm-pipeline"),
+)
+def streaming_incremental_dedup(spark, sf_dir):
+    import tempfile
+
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.streaming.incremental_dedup import (
+        incremental_minhash_dedup,
+    )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    state = tempfile.mkdtemp(prefix="incdedup_q_")
+    kept = incremental_minhash_dedup(spark, state, docs)
+    return kept.select("doc_id")

@@ -655,3 +655,52 @@ def ewma_smoothing(spark, sf_dir):
         "value",
         F.round(num / den, 6).alias("ewma20"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking-function coverage: every rank-family window function Spark ships,
+# one partitioned pass. (rank/dense_rank/percent_rank/cume_dist/ntile/
+# nth_value; row_number is exercised all over the suite.) One shuffle on
+# event_type; all six functions share the single sorted partition pass.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_family",
+    oracle="""
+    SELECT event_id, event_type, value,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           round(percent_rank() OVER w, 6) AS prnk,
+           round(cume_dist() OVER w, 6) AS cdist,
+           ntile(4) OVER w AS quartile,
+           nth_value(value, 2) OVER (
+             PARTITION BY event_type ORDER BY value DESC, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_highest
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+    """,
+    description="The rank family in one partitioned window pass: rank, "
+    "dense_rank, percent_rank, cume_dist, ntile(4), and a full-frame "
+    "nth_value — deterministic total order (value desc, event_id), one "
+    "shuffle on event_type, zero extra exchanges for the six functions.",
+    tags=("window", "rank"),
+)
+def window_rank_family(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), "event_id"
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.nth_value("value", 2).over(wf).alias("second_highest"),
+    )

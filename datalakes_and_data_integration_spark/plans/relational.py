@@ -746,3 +746,63 @@ def salted_join_user_profile(spark, sf_dir):
     )
     fact = ev.select("event_id", "user_id", "event_type")
     return salted_join(fact, dim, on="user_id", salt_count=8)
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy entity matching: supplier-name pairs within edit distance 2. The
+# blocking is COMPLETE for the predicate (levenshtein <= 2 implies length
+# difference <= 2), so the Spark side's length-bucket candidate join is a
+# pure optimization against the oracle's O(n^2) form. At 100 TB, fixed-
+# width keys degenerate length blocking to one bucket — the full scale
+# path is position-aware segment blocking (PassJoin-style, the same
+# pigeonhole as the simhash bands); length blocking is the first tier.
+# ---------------------------------------------------------------------------
+
+_FUZZY_MAX_DIST = 1
+
+
+@register(
+    "fuzzy_name_match",
+    oracle=f"""
+    SELECT a.s_suppkey AS suppkey_a, b.s_suppkey AS suppkey_b,
+           a.s_name AS name_a, b.s_name AS name_b,
+           levenshtein(a.s_name, b.s_name) AS edit_distance
+    FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= {_FUZZY_MAX_DIST}
+    """,
+    description=f"Edit-distance entity matching (levenshtein <= "
+    f"{_FUZZY_MAX_DIST}) over supplier names: candidates come from an "
+    "equi-join on length buckets (one side explodes its +-2 length "
+    "range — complete, because the distance bound caps length drift), "
+    "then the exact distance verifies. The oracle is the unblocked "
+    "quadratic form.",
+    tags=("join", "fuzzy", "entity-resolution"),
+)
+def fuzzy_name_match(spark, sf_dir):
+    s = T(spark, sf_dir, "supplier")
+    a = s.select(
+        F.col("s_suppkey").alias("suppkey_a"),
+        F.col("s_name").alias("name_a"),
+        F.explode(
+            F.array(
+                *[
+                    F.length("s_name") + F.lit(d)
+                    for d in range(-_FUZZY_MAX_DIST, _FUZZY_MAX_DIST + 1)
+                ]
+            )
+        ).alias("lb"),
+    )
+    b = s.select(
+        F.col("s_suppkey").alias("suppkey_b"),
+        F.col("s_name").alias("name_b"),
+        F.length("s_name").alias("lb"),
+    )
+    cand = a.join(b, "lb").filter(F.col("suppkey_a") < F.col("suppkey_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        cand.withColumn("edit_distance", dist)
+        .filter(F.col("edit_distance") <= _FUZZY_MAX_DIST)
+        .select(
+            "suppkey_a", "suppkey_b", "name_a", "name_b", "edit_distance"
+        )
+    )

@@ -704,3 +704,138 @@ def window_rank_family(spark, sf_dir):
         F.ntile(4).over(w).alias("quartile"),
         F.nth_value("value", 2).over(wf).alias("second_highest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix: first-order Markov transition counts and
+# probabilities over each user's time-ordered event sequence. One lag
+# window per user + one grouped count — the sequence-mining primitive
+# (path analysis, next-event prediction features).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type, count(*) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, event_type, n_transitions,
+           round(CAST(n_transitions AS DOUBLE)
+                 / sum(n_transitions) OVER (PARTITION BY prev_type), 6) AS p
+    FROM trans
+    """,
+    description="First-order Markov transitions over per-user time-ordered "
+    "event sequences: lag window (one shuffle on user_id), grouped "
+    "transition counts, and row-normalized probabilities via a window over "
+    "the |event types|^2 transition table.",
+    tags=("window", "sequence", "markov"),
+)
+def event_transition_matrix(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", "event_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    # scale-ok: normalization window over the |types|^2 transition table
+    wp = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "event_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wp),
+            6,
+        ).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed popularity: exponentially decayed count/value per event
+# type (half-life 7 days from a fixed anchor). The decay factor per
+# whole-day age is a PRECOMPUTED python float literal baked into a CASE
+# on both engines — no runtime pow()/exp(), whose libm rounding differs —
+# and the decayed sums go through DECIMAL so partition order can't move
+# the result.
+# ---------------------------------------------------------------------------
+
+_DECAY_ANCHOR = "2024-02-01"
+_DECAY_HALF_LIFE_D = 7
+_DECAY_MAX_D = 45
+_DECAY_F = [0.5 ** (d / _DECAY_HALF_LIFE_D) for d in range(_DECAY_MAX_D + 1)]
+
+
+def _decay_case(day_expr: str) -> str:
+    branches = " ".join(
+        f"WHEN {day_expr} = {d} THEN {f!r}" for d, f in enumerate(_DECAY_F)
+    )
+    return f"CASE {branches} ELSE 0.0 END"
+
+
+@register(
+    "time_decayed_popularity",
+    oracle=f"""
+    WITH aged AS (
+      SELECT event_type, value,
+             date_diff('day', CAST(ts AS DATE), DATE '{_DECAY_ANCHOR}')
+               AS age_d
+      FROM events
+    ),
+    weighted AS (
+      SELECT event_type,
+             {_decay_case('age_d')} AS w,
+             value
+      FROM aged
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(ROUND(sum(CAST(w AS DECIMAL(28,12))), 6) AS DOUBLE)
+             AS decayed_count,
+           CAST(ROUND(sum(CAST(w * value AS DECIMAL(28,12))), 6) AS DOUBLE)
+             AS decayed_value
+    FROM weighted GROUP BY event_type
+    """,
+    description=f"Exponentially time-decayed popularity (half-life "
+    f"{_DECAY_HALF_LIFE_D} d, anchor {_DECAY_ANCHOR}): per-whole-day decay "
+    "factors precomputed as float literals (no runtime pow/exp — libm "
+    "rounding differs per engine), decayed count and value summed through "
+    "DECIMAL for partition-order independence. One grouped scan; the "
+    "trending-content primitive.",
+    tags=("aggregate", "decay", "temporal"),
+)
+def time_decayed_popularity(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    aged = ev.select(
+        "event_type",
+        "value",
+        F.datediff(
+            F.lit(_DECAY_ANCHOR).cast("date"), F.col("ts").cast("date")
+        ).alias("age_d"),
+    )
+    weighted = aged.select(
+        "event_type",
+        F.expr(_decay_case("age_d")).alias("w"),
+        "value",
+    )
+    return weighted.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.expr("CAST(w AS DECIMAL(28,12))")), 6)
+        .cast("double")
+        .alias("decayed_count"),
+        F.round(F.sum(F.expr("CAST(w * value AS DECIMAL(28,12))")), 6)
+        .cast("double")
+        .alias("decayed_value"),
+    )

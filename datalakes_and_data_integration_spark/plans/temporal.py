@@ -839,3 +839,92 @@ def time_decayed_popularity(spark, sf_dir):
         .cast("double")
         .alias("decayed_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trend estimation: per-type OLS slope of value over time. Built from the
+# closed-form sums — NOT covar_pop/var_pop, whose streaming accumulators
+# are partition-order-dependent floats on both engines. Each moment sum
+# routes through DECIMAL (exact, order-free), is rounded once, and the
+# closed form runs on the rounded doubles with identical expression text.
+# ---------------------------------------------------------------------------
+
+_TREND_ANCHOR = "2024-01-01"
+
+
+@register(
+    "trend_slope_by_type",
+    oracle=f"""
+    WITH xy AS (
+      SELECT event_type,
+             CAST(date_diff('second', TIMESTAMP '{_TREND_ANCHOR} 00:00:00',
+                            ts) AS DOUBLE) / 86400.0 AS x,
+             value AS y
+      FROM events
+    ),
+    sums AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(ROUND(sum(CAST(x AS DECIMAL(27,12))), 6) AS DOUBLE) AS sx,
+             CAST(ROUND(sum(CAST(y AS DECIMAL(27,12))), 6) AS DOUBLE) AS sy,
+             CAST(ROUND(sum(CAST(x * x AS DECIMAL(27,12))), 6) AS DOUBLE)
+               AS sxx,
+             CAST(ROUND(sum(CAST(x * y AS DECIMAL(27,12))), 6) AS DOUBLE)
+               AS sxy
+      FROM xy GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS intercept
+    FROM sums
+    """,
+    description="Per-type OLS trend (slope/intercept of value over days "
+    f"since {_TREND_ANCHOR}) from closed-form moment sums: each sum is "
+    "decimal-exact and rounded once, so the regression is partition-order-"
+    "independent — unlike covar_pop/var_pop streaming accumulators. One "
+    "grouped scan.",
+    tags=("aggregate", "regression", "temporal"),
+)
+def trend_slope_by_type(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    # Whole seconds (exact integer division), matching DuckDB's
+    # date_diff('second', ...); then one double division — identical x.
+    xy = ev.select(
+        "event_type",
+        F.expr(
+            f"(unix_micros(ts) - unix_micros(CAST('{_TREND_ANCHOR} 00:00:00'"
+            " AS TIMESTAMP))) div 1000000"
+        ).alias("x_s"),
+        F.col("value").alias("y"),
+    ).select(
+        "event_type",
+        (F.col("x_s").cast("double") / 86400.0).alias("x"),
+        "y",
+    )
+    sums = xy.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.expr("CAST(x AS DECIMAL(27,12))")), 6)
+        .cast("double")
+        .alias("sx"),
+        F.round(F.sum(F.expr("CAST(y AS DECIMAL(27,12))")), 6)
+        .cast("double")
+        .alias("sy"),
+        F.round(F.sum(F.expr("CAST(x * x AS DECIMAL(27,12))")), 6)
+        .cast("double")
+        .alias("sxx"),
+        F.round(F.sum(F.expr("CAST(x * y AS DECIMAL(27,12))")), 6)
+        .cast("double")
+        .alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+        ).alias("intercept"),
+    )

@@ -35,6 +35,7 @@ from datalakes_and_data_integration_spark.plans import (  # noqa: E402,F401
     streaming_extra,
     sketches,
     graph,
+    drift,
 )
 
 __all__ = ["QUERIES", "Query", "all_queries", "all_oracle_sql", "register"]

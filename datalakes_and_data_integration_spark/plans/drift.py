@@ -1,0 +1,203 @@
+"""Distribution-drift monitoring — the guardrails a continuously-fed
+training corpus needs: "did this source's length distribution shift?"
+(two-sample Kolmogorov-Smirnov) and "are language and source still
+independent?" (chi-square) as plain grouped/windowed aggregates.
+
+Scale notes:
+- The KS statistic needs cumulative counts over the VALUE order. That is
+  a global prefix sum — computed with the same two-level scheme as
+  sequence_packing / customer_spend_quartiles (range-partition on value,
+  window per partition, add per-partition offsets), never a
+  single-task global window over the raw distribution.
+- The chi-square table is |langs x sources| cells — structural, tiny;
+  the only big operation is the one grouped count over the corpus.
+
+Determinism: counts are integers; CDF fractions are single double
+divisions of integers (identical in both engines); the chi-square sum
+routes through DECIMAL so cell order can't move it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalakes_and_data_integration_spark.plans._util import T
+from datalakes_and_data_integration_spark.plans.registry import register
+
+_KS_A = "src0"
+_KS_B = "src1"
+
+
+@register(
+    "ks_drift_n_chars",
+    oracle=f"""
+    WITH counts AS (
+      SELECT n_chars AS v,
+             sum(CASE WHEN source = '{_KS_A}' THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN source = '{_KS_B}' THEN 1 ELSE 0 END) AS cb
+      FROM documents
+      WHERE source IN ('{_KS_A}', '{_KS_B}')
+      GROUP BY n_chars
+    ),
+    tot AS (
+      SELECT sum(ca) AS na, sum(cb) AS nb FROM counts
+    ),
+    cdf AS (
+      SELECT v,
+             sum(ca) OVER (ORDER BY v) AS cum_a,
+             sum(cb) OVER (ORDER BY v) AS cum_b
+      FROM counts
+    ),
+    diffs AS (
+      SELECT v,
+             abs(CAST(cum_a AS DOUBLE) / na - CAST(cum_b AS DOUBLE) / nb)
+               AS d
+      FROM cdf CROSS JOIN tot
+    )
+    SELECT t.na AS n_a, t.nb AS n_b,
+           round((SELECT max(d) FROM diffs), 6) AS ks_stat,
+           (SELECT min(v) FROM diffs
+            WHERE d = (SELECT max(d) FROM diffs)) AS ks_at_value
+    FROM tot t
+    """,
+    description=f"Two-sample Kolmogorov-Smirnov over n_chars "
+    f"({_KS_A} vs {_KS_B}): per-value counts (one grouped shuffle), "
+    "cumulative counts via the two-level distributed prefix sum (range-"
+    "partition on value + per-partition offsets — no single-task global "
+    "window), max |CDF difference| with its smallest attaining value. "
+    "Counts are integers and each CDF fraction is one double division, "
+    "so both engines agree exactly.",
+    tags=("drift", "ks", "monitoring", "llm-pipeline"),
+)
+def ks_drift_n_chars(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents").filter(
+        F.col("source").isin(_KS_A, _KS_B)
+    )
+    counts = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.sum(F.when(F.col("source") == _KS_A, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("source") == _KS_B, 1).otherwise(0)).alias("cb"),
+    )
+    # Two-level distributed prefix sum over the value order.
+    parts = (
+        counts.repartitionByRange(32, "v")
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    wl = Window.partitionBy("__pid").orderBy("v")
+    local = parts.withColumn("__la", F.sum("ca").over(wl)).withColumn(
+        "__lb", F.sum("cb").over(wl)
+    )
+    totals = parts.groupBy("__pid").agg(
+        F.sum("ca").alias("__pa"), F.sum("cb").alias("__pb")
+    )
+    # scale-ok: window over one row per range partition
+    wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__pa").over(wo), F.lit(0)).alias("__oa"),
+        F.coalesce(F.sum("__pb").over(wo), F.lit(0)).alias("__ob"),
+    )
+    cdf = local.join(F.broadcast(offsets), "__pid").select(
+        "v",
+        (F.col("__la") + F.col("__oa")).alias("cum_a"),
+        (F.col("__lb") + F.col("__ob")).alias("cum_b"),
+    )
+    tot = counts.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    diffs = cdf.crossJoin(F.broadcast(tot)).select(  # scale-ok: 1-row totals
+        "v",
+        "na",
+        "nb",
+        F.abs(
+            F.col("cum_a").cast("double") / F.col("na")
+            - F.col("cum_b").cast("double") / F.col("nb")
+        ).alias("d"),
+    )
+    best = diffs.agg(F.max("d").alias("dmax"))
+    at = (
+        diffs.join(F.broadcast(best), F.col("d") == F.col("dmax"))
+        .agg(F.min("v").alias("ks_at_value"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(best))  # scale-ok: 1-row frames
+        .crossJoin(F.broadcast(at))  # scale-ok: 1-row frames
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            F.round("dmax", 6).alias("ks_stat"),
+            "ks_at_value",
+        )
+    )
+
+
+@register(
+    "chi2_lang_source",
+    oracle="""
+    WITH obs AS (
+      SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source
+    ),
+    rows_t AS (SELECT lang, sum(o) AS rl FROM obs GROUP BY lang),
+    cols_t AS (SELECT source, sum(o) AS cs FROM obs GROUP BY source),
+    n_t AS (SELECT sum(o) AS n FROM obs),
+    cells AS (
+      SELECT o.lang, o.source, o.o,
+             CAST(r.rl AS DOUBLE) * c.cs / t.n AS e
+      FROM obs o
+      JOIN rows_t r ON r.lang = o.lang
+      JOIN cols_t c ON c.source = o.source
+      CROSS JOIN n_t t
+    )
+    SELECT (SELECT count(*) FROM rows_t) AS n_langs,
+           (SELECT count(*) FROM cols_t) AS n_sources,
+           ((SELECT count(*) FROM rows_t) - 1)
+             * ((SELECT count(*) FROM cols_t) - 1) AS dof,
+           CAST(ROUND(sum(CAST((o - e) * (o - e) / e AS DECIMAL(27,12))), 4)
+                AS DOUBLE) AS chi2
+    FROM cells
+    """,
+    description="Chi-square independence test for lang x source: one "
+    "grouped count over the corpus, then expected counts from broadcast "
+    "row/column totals over the structural |langs x sources| cell table; "
+    "the statistic sums through DECIMAL so cell order can't move it. "
+    "The drift alarm for 'did the language mix of a source change'.",
+    tags=("drift", "chi2", "monitoring", "llm-pipeline"),
+)
+def chi2_lang_source(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    rows_t = obs.groupBy("lang").agg(F.sum("o").alias("rl"))
+    cols_t = obs.groupBy("source").agg(F.sum("o").alias("cs"))
+    n_t = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rows_t), "lang")
+        .join(F.broadcast(cols_t), "source")
+        .crossJoin(F.broadcast(n_t))  # scale-ok: 1-row total
+        .withColumn(
+            "e", F.col("rl").cast("double") * F.col("cs") / F.col("n")
+        )
+    )
+    nl = rows_t.agg(F.count("*").alias("n_langs"))
+    ns = cols_t.agg(F.count("*").alias("n_sources"))
+    stat = cells.agg(
+        F.round(
+            F.sum(
+                F.expr("CAST((o - e) * (o - e) / e AS DECIMAL(27,12))")
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("chi2")
+    )
+    return (
+        nl.crossJoin(F.broadcast(ns))  # scale-ok: 1-row frames
+        .crossJoin(F.broadcast(stat))  # scale-ok: 1-row frames
+        .select(
+            "n_langs",
+            "n_sources",
+            ((F.col("n_langs") - 1) * (F.col("n_sources") - 1)).alias("dof"),
+            "chi2",
+        )
+    )

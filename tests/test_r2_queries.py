@@ -98,3 +98,59 @@ def test_quality_vs_duplication_partitions_corpus(spark, queries):
     assert sum(r.n_docs for r in out) == n_docs
     for r in out:
         assert 0 <= r.n_dropped <= r.n_dup <= r.n_docs
+
+
+def test_cms_never_underestimates(spark, queries):
+    rows = queries["heavy_hitters_cms"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.cms_est >= r.exact_freq
+
+
+def test_bloom_has_no_false_negatives(spark, queries):
+    (r,) = queries["bloom_prefilter_audit"](spark, SF).collect()
+    assert r.n_bloom_pass >= r.n_members
+    assert r.n_false_pos == r.n_bloom_pass - r.n_members
+    assert 0.0 <= r.fp_rate <= 1.0
+
+
+def test_hll_set_algebra_bounds(spark, queries):
+    (r,) = queries["hll_set_algebra"](spark, SF).collect()
+    # Union estimate can't exceed the sum of the parts (register max is
+    # dominated by the per-set registers), and inclusion-exclusion holds
+    # by construction.
+    assert r.est_union <= r.est_a + r.est_b + 1e-9
+    assert r.exact_intersection == r.exact_a + r.exact_b - r.exact_union
+    assert abs(
+        r.est_intersection - (r.est_a + r.est_b - r.est_union)
+    ) < 1e-3
+
+
+def test_pagerank_mass_and_floor(spark, queries):
+    rows = queries["pagerank_dup_hubs"](spark, SF).collect()
+    assert rows
+    scale = 10**12
+    n = len(rows)
+    base = (15 * (scale // n)) // 100
+    total = sum(r.pr_fixed for r in rows)
+    # Damping leaks mass (floor division + no dangling redistribution):
+    # total never exceeds the initial mass, every node keeps >= base.
+    assert total <= scale
+    for r in rows:
+        assert r.pr_fixed >= base
+
+
+def test_ks_stat_in_unit_interval(spark, queries):
+    (r,) = queries["ks_drift_n_chars"](spark, SF).collect()
+    assert 0.0 <= r.ks_stat <= 1.0
+    assert r.n_a > 0 and r.n_b > 0
+
+
+def test_transition_probabilities_normalize(spark, queries):
+    rows = queries["event_transition_matrix"](spark, SF).collect()
+    by_prev: dict[str, float] = {}
+    for r in rows:
+        by_prev[r.prev_type] = by_prev.get(r.prev_type, 0.0) + r.p
+    assert by_prev
+    for prev, total in by_prev.items():
+        assert abs(total - 1.0) < 1e-4, (prev, total)

@@ -201,3 +201,79 @@ def chi2_lang_source(spark, sf_dir):
             "chi2",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index — the standard ML-monitoring drift score.
+# Fixed-width buckets (no quantile estimation to disagree on); per-bucket
+# terms are identical double expressions; the final sum runs over the
+# bounded bucket table through DECIMAL. Empty buckets use the standard
+# epsilon floor so ln() stays finite on both engines.
+# ---------------------------------------------------------------------------
+
+_PSI_BUCKET_W = 100  # n_chars per bucket
+_PSI_EPS = 1e-6
+
+
+@register(
+    "psi_drift_n_chars",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT CAST(n_chars // {_PSI_BUCKET_W} AS BIGINT) AS bucket,
+             sum(CASE WHEN source = '{_KS_A}' THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN source = '{_KS_B}' THEN 1 ELSE 0 END) AS cb
+      FROM documents
+      WHERE source IN ('{_KS_A}', '{_KS_B}')
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM bucketed),
+    terms AS (
+      SELECT bucket,
+             greatest(CAST(ca AS DOUBLE) / na, {_PSI_EPS}) AS pa,
+             greatest(CAST(cb AS DOUBLE) / nb, {_PSI_EPS}) AS pb
+      FROM bucketed CROSS JOIN tot
+    )
+    SELECT (SELECT count(*) FROM bucketed) AS n_buckets,
+           CAST(ROUND(sum(CAST((pa - pb) * ln(pa / pb)
+                               AS DECIMAL(27,12))), 6) AS DOUBLE) AS psi
+    FROM terms
+    """,
+    description=f"Population Stability Index over n_chars ({_KS_A} vs "
+    f"{_KS_B}), fixed {_PSI_BUCKET_W}-wide buckets with the standard "
+    "epsilon floor for empty cells: one grouped count, per-bucket "
+    "(pa-pb)*ln(pa/pb) terms as identical double expressions, summed "
+    "through DECIMAL over the bounded bucket table. PSI > 0.2 is the "
+    "conventional retrain/investigate alarm.",
+    tags=("drift", "psi", "monitoring", "llm-pipeline"),
+)
+def psi_drift_n_chars(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").filter(
+        F.col("source").isin(_KS_A, _KS_B)
+    )
+    bucketed = d.groupBy(
+        F.expr(f"CAST(n_chars div {_PSI_BUCKET_W} AS BIGINT)").alias("bucket")
+    ).agg(
+        F.sum(F.when(F.col("source") == _KS_A, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("source") == _KS_B, 1).otherwise(0)).alias("cb"),
+    )
+    tot = bucketed.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    terms = bucketed.crossJoin(F.broadcast(tot)).select(  # scale-ok: 1-row totals
+        F.greatest(
+            F.col("ca").cast("double") / F.col("na"), F.lit(_PSI_EPS)
+        ).alias("pa"),
+        F.greatest(
+            F.col("cb").cast("double") / F.col("nb"), F.lit(_PSI_EPS)
+        ).alias("pb"),
+    )
+    nb = bucketed.agg(F.count("*").alias("n_buckets"))
+    psi = terms.agg(
+        F.round(
+            F.sum(
+                F.expr("CAST((pa - pb) * ln(pa / pb) AS DECIMAL(27,12))")
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("psi")
+    )
+    return nb.crossJoin(F.broadcast(psi))  # scale-ok: 1-row frames

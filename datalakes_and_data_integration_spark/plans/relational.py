@@ -806,3 +806,109 @@ def fuzzy_name_match(spark, sf_dir):
             "suppkey_a", "suppkey_b", "name_a", "name_b", "edit_distance"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized statistics: per-type mean/min/max after clipping values to the
+# [p01, p99] NEAREST-RANK percentiles. Nearest-rank (value at row
+# ceil(p * n) of the sorted order) is integer-deterministic — no
+# interpolation arithmetic to disagree on — and the clipped mean routes
+# through DECIMAL. The outlier-robust summary a feature pipeline computes
+# before normalization.
+# ---------------------------------------------------------------------------
+
+_WINSOR_LO = 0.01
+_WINSOR_HI = 0.99
+
+
+@register(
+    "winsorized_stats_by_type",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    cuts AS (
+      SELECT event_type,
+             max(CASE WHEN rn = CAST(ceil({_WINSOR_LO} * n) AS BIGINT)
+                      THEN value END) AS p_lo,
+             max(CASE WHEN rn = CAST(ceil({_WINSOR_HI} * n) AS BIGINT)
+                      THEN value END) AS p_hi
+      FROM ranked GROUP BY event_type
+    )
+    SELECT e.event_type,
+           c.p_lo, c.p_hi,
+           count(*) AS n,
+           sum(CASE WHEN e.value < c.p_lo OR e.value > c.p_hi
+                    THEN 1 ELSE 0 END) AS n_clipped,
+           CAST(ROUND(sum(CAST(least(greatest(e.value, c.p_lo), c.p_hi)
+                               AS DECIMAL(27,12))) / count(*), 6) AS DOUBLE)
+             AS winsorized_mean
+    FROM events e JOIN cuts c ON c.event_type = e.event_type
+    GROUP BY e.event_type, c.p_lo, c.p_hi
+    """,
+    description="Per-type winsorized mean with nearest-rank p01/p99 cut "
+    "points (value at row ceil(p*n) — integer-deterministic, no "
+    "interpolation): one ranking window per type, the 5-row cut table "
+    "broadcast back, clipped sum through DECIMAL. The outlier-robust "
+    "pre-normalization summary.",
+    tags=("aggregate", "percentile", "robust"),
+)
+def winsorized_stats_by_type(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    cuts = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.ceil(F.lit(_WINSOR_LO) * F.col("n")).cast("long"),
+                F.col("value"),
+            )
+        ).alias("p_lo"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.ceil(F.lit(_WINSOR_HI) * F.col("n")).cast("long"),
+                F.col("value"),
+            )
+        ).alias("p_hi"),
+    )
+    clipped = ev.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        "p_lo",
+        "p_hi",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("p_lo")), F.col("p_hi")).alias(
+            "cv"
+        ),
+    )
+    return clipped.groupBy("event_type", "p_lo", "p_hi").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(
+                (F.col("value") < F.col("p_lo"))
+                | (F.col("value") > F.col("p_hi")),
+                1,
+            ).otherwise(0)
+        ).alias("n_clipped"),
+        (
+            F.round(
+                F.sum(F.expr("CAST(cv AS DECIMAL(27,12))")) / F.count("*"), 6
+            )
+        )
+        .cast("double")
+        .alias("winsorized_mean"),
+    )

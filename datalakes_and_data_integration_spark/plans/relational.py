@@ -912,3 +912,80 @@ def winsorized_stats_by_type(spark, sf_dir):
         .cast("double")
         .alias("winsorized_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnostics: the report you run BEFORE choosing between a
+# plain shuffle join, AQE skew splitting, and salting (operators/skew.py).
+# Pure grouped aggregates — no global window, no sort: key frequencies,
+# concentration (Herfindahl = sum of squared frequency shares,
+# decimal-routed), and the max/mean skew ratio that sizes the salt count.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_key_skew_report",
+    oracle="""
+    WITH freq AS (
+      SELECT user_id, count(*) AS f FROM events GROUP BY user_id
+    ),
+    tot AS (
+      SELECT count(*) AS n_keys, sum(f) AS n_rows, max(f) AS max_freq
+      FROM freq
+    )
+    SELECT t.n_keys, t.n_rows, t.max_freq,
+           round(CAST(t.max_freq AS DOUBLE) / t.n_rows, 6) AS top1_share,
+           round(CAST(t.max_freq AS DOUBLE) * t.n_keys / t.n_rows, 6)
+             AS skew_ratio,
+           CAST(ROUND(sum(CAST((CAST(f.f AS DOUBLE) / t.n_rows)
+                               * (CAST(f.f AS DOUBLE) / t.n_rows)
+                               AS DECIMAL(27,18))), 9) AS DOUBLE)
+             AS herfindahl
+    FROM freq f CROSS JOIN tot t
+    GROUP BY t.n_keys, t.n_rows, t.max_freq
+    """,
+    description="Join-key skew report for events.user_id: key count, row "
+    "count, hottest-key frequency and share, max/mean skew ratio (the "
+    "salt-count sizing input), and the Herfindahl concentration index "
+    "(decimal-routed sum of squared shares). Two grouped aggregates, "
+    "zero sorts/windows — runs on any key column at any scale.",
+    tags=("skew", "diagnostics", "aggregate"),
+)
+def join_key_skew_report(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    freq = ev.groupBy("user_id").agg(F.count("*").alias("f"))
+    tot = freq.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("f").alias("n_rows"),
+        F.max("f").alias("max_freq"),
+    )
+    share = F.col("f").cast("double") / F.col("n_rows")
+    return (
+        freq.crossJoin(F.broadcast(tot))  # scale-ok: 1-row totals
+        .groupBy("n_keys", "n_rows", "max_freq")
+        .agg(
+            F.round(
+                F.sum(
+                    (share * share).cast("decimal(27,18)")
+                ),
+                9,
+            )
+            .cast("double")
+            .alias("herfindahl"),
+        )
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_freq",
+            F.round(
+                F.col("max_freq").cast("double") / F.col("n_rows"), 6
+            ).alias("top1_share"),
+            F.round(
+                F.col("max_freq").cast("double")
+                * F.col("n_keys")
+                / F.col("n_rows"),
+                6,
+            ).alias("skew_ratio"),
+            "herfindahl",
+        )
+    )

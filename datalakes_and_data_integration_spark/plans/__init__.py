@@ -36,6 +36,7 @@ from datalakes_and_data_integration_spark.plans import (  # noqa: E402,F401
     sketches,
     graph,
     drift,
+    similarity_extra,
 )
 
 __all__ = ["QUERIES", "Query", "all_queries", "all_oracle_sql", "register"]

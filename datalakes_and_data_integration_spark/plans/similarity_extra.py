@@ -73,3 +73,86 @@ def label_cov_top_eigen(spark, sf_dir):
             "trace double, top_share double",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH recall audit: how many of the TRUE top-k does the bucketed path
+# return per query vector? Composes the two registered kernels (same
+# oracles composed on the DuckDB side), reports the full hit-count
+# distribution — integers, so the audit is exact. The sketch-quality
+# evidence for choosing _PLANES, exactly like minhash_jaccard_calibration
+# is for the band shape.
+# ---------------------------------------------------------------------------
+
+
+def _lsh_recall_oracle() -> str:
+    from datalakes_and_data_integration_spark.plans.registry import QUERIES
+
+    exact_sql = QUERIES["ann_topk_bruteforce"].oracle
+    approx_sql = QUERIES["ann_topk_lsh_bucketed"].oracle
+    return f"""
+    WITH exact_tk AS ({exact_sql}),
+    approx_tk AS ({approx_sql}),
+    hits AS (
+      SELECT e.vec_id, count(a.neighbor_id) AS n_hits
+      FROM exact_tk e
+      LEFT JOIN approx_tk a
+        ON a.vec_id = e.vec_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.vec_id
+    ),
+    tot AS (SELECT count(*) AS n_queries FROM hits)
+    SELECT h.n_hits, count(*) AS n_vecs,
+           round(CAST(count(*) AS DOUBLE) / t.n_queries, 6) AS share
+    FROM hits h CROSS JOIN tot t
+    GROUP BY h.n_hits, t.n_queries
+    """
+
+
+@register(
+    "ann_lsh_recall_audit",
+    oracle=_lsh_recall_oracle(),
+    description="Recall distribution of the LSH-bucketed ANN against the "
+    "exact brute-force top-k: per query vector, how many true neighbors "
+    "the bucketed path returned (0..k), aggregated to exact integer "
+    "counts. Composes the two registered kernels and their oracles — the "
+    "plane-count quality evidence.",
+    tags=("similarity", "ann", "lsh", "sketch-quality", "llm-pipeline"),
+)
+def ann_lsh_recall_audit(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_lsh_bucketed,
+    )
+
+    exact = ann_topk_bruteforce(spark, sf_dir).select(
+        "vec_id", "neighbor_id"
+    )
+    approx = ann_topk_lsh_bucketed(spark, sf_dir).select(
+        "vec_id", "neighbor_id"
+    )
+    matched = exact.join(
+        approx, ["vec_id", "neighbor_id"], "left_semi"
+    ).groupBy("vec_id").agg(F.count("*").alias("__m"))
+    hits = (
+        exact.groupBy("vec_id")
+        .agg(F.count("*").alias("__k"))
+        .join(matched, "vec_id", "left")
+        .select(
+            "vec_id", F.coalesce(F.col("__m"), F.lit(0)).alias("n_hits")
+        )
+    )
+    tot = hits.agg(F.count("*").alias("n_queries"))
+    return (
+        hits.groupBy("n_hits")
+        .agg(F.count("*").alias("n_vecs"))
+        .crossJoin(F.broadcast(tot))  # scale-ok: 1-row total
+        .select(
+            "n_hits",
+            "n_vecs",
+            F.round(
+                F.col("n_vecs").cast("double") / F.col("n_queries"), 6
+            ).alias("share"),
+        )
+    )

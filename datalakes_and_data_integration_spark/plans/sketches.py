@@ -88,6 +88,7 @@ def _cms_oracle() -> str:
     "lookups against the broadcast sketch. CMS guarantees est >= exact; "
     "the output carries both so the overestimate is auditable.",
     tags=("sketch", "cms", "heavy-hitters", "llm-pipeline"),
+    bench=True,
 )
 def heavy_hitters_cms(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
@@ -217,6 +218,7 @@ def _hll_oracle() -> str:
     "the same integers — float enters only at the final estimate. Output "
     "carries the exact distinct count and relative error per event type.",
     tags=("sketch", "hll", "distinct", "llm-pipeline"),
+    bench=True,
 )
 def distinct_count_hll(spark, sf_dir):
     ev = T(spark, sf_dir, "events")

@@ -743,6 +743,7 @@ _SEQ_LEN = 512
     "scheme as customer_spend_quartiles' distributed rank). The oracle is "
     "the plain prefix-sum window.",
     tags=("text", "packing", "distributed-rank", "llm-pipeline"),
+    bench=True,
 )
 def sequence_packing(spark, sf_dir):
     from pyspark.sql import Window

@@ -523,10 +523,13 @@ def cohort_retention(spark, sf_dir):
       FROM framed
     )
     SELECT event_id, event_type, ts, value, n_24h,
-           round(mean_24h, 6) AS mean_24h,
-           round(std_24h, 6) AS std_24h,
-           round(CASE WHEN std_24h > 0 THEN (value - mean_24h) / std_24h END,
-                 6) AS zscore,
+           CAST(ROUND(CAST(mean_24h AS DECIMAL(27,12)), 6) AS DOUBLE)
+             AS mean_24h,
+           CAST(ROUND(CAST(std_24h AS DECIMAL(27,12)), 6) AS DOUBLE)
+             AS std_24h,
+           CAST(ROUND(CAST(
+                  CASE WHEN std_24h > 0 THEN (value - mean_24h) / std_24h END
+                  AS DECIMAL(27,12)), 6) AS DOUBLE) AS zscore,
            coalesce(
              CASE WHEN std_24h > 0
                   THEN abs((value - mean_24h) / std_24h) > 3 END,
@@ -582,9 +585,13 @@ def rolling_zscore_anomaly(spark, sf_dir):
         "ts",
         "value",
         "n_24h",
-        F.round("mean_24h_raw", 6).alias("mean_24h"),
-        F.round("std_24h_raw", 6).alias("std_24h"),
-        F.round(z, 6).alias("zscore"),
+        F.round(F.col("mean_24h_raw").cast("decimal(27,12)"), 6)
+        .cast("double")
+        .alias("mean_24h"),
+        F.round(F.col("std_24h_raw").cast("decimal(27,12)"), 6)
+        .cast("double")
+        .alias("std_24h"),
+        F.round(z.cast("decimal(27,12)"), 6).cast("double").alias("zscore"),
         F.coalesce(
             F.when(
                 F.col("std_24h_raw") > 0, F.abs(z) > 3

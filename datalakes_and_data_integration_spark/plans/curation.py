@@ -478,10 +478,12 @@ def _quality_duck() -> str:
            count(*) AS n_docs,
            sum(CASE WHEN f.is_dup THEN 1 ELSE 0 END) AS n_dup,
            sum(CASE WHEN f.is_dropped THEN 1 ELSE 0 END) AS n_dropped,
-           round(CAST(sum(CASE WHEN f.is_dup THEN 1 ELSE 0 END) AS DOUBLE)
-                 / count(*), 6) AS dup_rate,
-           round(CAST(sum(CASE WHEN f.is_dropped THEN 1 ELSE 0 END) AS DOUBLE)
-                 / count(*), 6) AS drop_rate
+           CAST(ROUND(CAST(CAST(sum(CASE WHEN f.is_dup THEN 1 ELSE 0 END)
+                                AS DOUBLE) / count(*) AS DECIMAL(27,12)), 6)
+                AS DOUBLE) AS dup_rate,
+           CAST(ROUND(CAST(CAST(sum(CASE WHEN f.is_dropped THEN 1 ELSE 0 END)
+                                AS DOUBLE) / count(*) AS DECIMAL(27,12)), 6)
+                AS DOUBLE) AS drop_rate
     FROM flags f JOIN quality q ON q.doc_id = f.doc_id
     GROUP BY 1
     """.format(_quality_duck()),
@@ -525,10 +527,20 @@ def quality_vs_duplication(spark, sf_dir):
             F.count("*").alias("n_docs"),
             n_dup.alias("n_dup"),
             n_dropped.alias("n_dropped"),
-            F.round(n_dup.cast("double") / F.count("*"), 6).alias("dup_rate"),
-            F.round(n_dropped.cast("double") / F.count("*"), 6).alias(
-                "drop_rate"
-            ),
+            F.round(
+                (n_dup.cast("double") / F.count("*")).cast("decimal(27,12)"),
+                6,
+            )
+            .cast("double")
+            .alias("dup_rate"),
+            F.round(
+                (n_dropped.cast("double") / F.count("*")).cast(
+                    "decimal(27,12)"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("drop_rate"),
         )
     )
 

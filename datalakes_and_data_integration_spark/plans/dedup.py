@@ -725,8 +725,10 @@ def minhash_jaccard_calibration(spark, sf_dir):
       GROUP BY a.source, b.source
     )
     SELECT p.source_a, p.source_b, p.n_shared,
-           round(CAST(p.n_shared AS DOUBLE) / pa.n_contents, 6) AS frac_of_a,
-           round(CAST(p.n_shared AS DOUBLE) / pb.n_contents, 6) AS frac_of_b
+           CAST(ROUND(CAST(CAST(p.n_shared AS DOUBLE) / pa.n_contents
+                           AS DECIMAL(27,12)), 6) AS DOUBLE) AS frac_of_a,
+           CAST(ROUND(CAST(CAST(p.n_shared AS DOUBLE) / pb.n_contents
+                           AS DECIMAL(27,12)), 6) AS DOUBLE) AS frac_of_b
     FROM pairs p
     JOIN per_source pa ON pa.source = p.source_a
     JOIN per_source pb ON pb.source = p.source_b
@@ -771,11 +773,21 @@ def cross_source_duplication(spark, sf_dir):
             "source_a",
             "source_b",
             "n_shared",
-            F.round(F.col("n_shared").cast("double") / F.col("__na"), 6).alias(
-                "frac_of_a"
-            ),
-            F.round(F.col("n_shared").cast("double") / F.col("__nb"), 6).alias(
-                "frac_of_b"
-            ),
+            F.round(
+                (F.col("n_shared").cast("double") / F.col("__na")).cast(
+                    "decimal(27,12)"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("frac_of_a"),
+            F.round(
+                (F.col("n_shared").cast("double") / F.col("__nb")).cast(
+                    "decimal(27,12)"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("frac_of_b"),
         )
     )

@@ -934,9 +934,10 @@ def winsorized_stats_by_type(spark, sf_dir):
       FROM freq
     )
     SELECT t.n_keys, t.n_rows, t.max_freq,
-           round(CAST(t.max_freq AS DOUBLE) / t.n_rows, 6) AS top1_share,
-           round(CAST(t.max_freq AS DOUBLE) * t.n_keys / t.n_rows, 6)
-             AS skew_ratio,
+           CAST(ROUND(CAST(CAST(t.max_freq AS DOUBLE) / t.n_rows
+                           AS DECIMAL(27,12)), 6) AS DOUBLE) AS top1_share,
+           CAST(ROUND(CAST(CAST(t.max_freq AS DOUBLE) * t.n_keys / t.n_rows
+                           AS DECIMAL(27,12)), 6) AS DOUBLE) AS skew_ratio,
            CAST(ROUND(sum(CAST((CAST(f.f AS DOUBLE) / t.n_rows)
                                * (CAST(f.f AS DOUBLE) / t.n_rows)
                                AS DECIMAL(27,18))), 9) AS DOUBLE)
@@ -978,14 +979,23 @@ def join_key_skew_report(spark, sf_dir):
             "n_rows",
             "max_freq",
             F.round(
-                F.col("max_freq").cast("double") / F.col("n_rows"), 6
-            ).alias("top1_share"),
-            F.round(
-                F.col("max_freq").cast("double")
-                * F.col("n_keys")
-                / F.col("n_rows"),
+                (F.col("max_freq").cast("double") / F.col("n_rows")).cast(
+                    "decimal(27,12)"
+                ),
                 6,
-            ).alias("skew_ratio"),
+            )
+            .cast("double")
+            .alias("top1_share"),
+            F.round(
+                (
+                    F.col("max_freq").cast("double")
+                    * F.col("n_keys")
+                    / F.col("n_rows")
+                ).cast("decimal(27,12)"),
+                6,
+            )
+            .cast("double")
+            .alias("skew_ratio"),
             "herfindahl",
         )
     )

@@ -102,7 +102,8 @@ def _lsh_recall_oracle() -> str:
     ),
     tot AS (SELECT count(*) AS n_queries FROM hits)
     SELECT h.n_hits, count(*) AS n_vecs,
-           round(CAST(count(*) AS DOUBLE) / t.n_queries, 6) AS share
+           CAST(ROUND(CAST(CAST(count(*) AS DOUBLE) / t.n_queries
+                           AS DECIMAL(27,12)), 6) AS DOUBLE) AS share
     FROM hits h CROSS JOIN tot t
     GROUP BY h.n_hits, t.n_queries
     """
@@ -152,7 +153,12 @@ def ann_lsh_recall_audit(spark, sf_dir):
             "n_hits",
             "n_vecs",
             F.round(
-                F.col("n_vecs").cast("double") / F.col("n_queries"), 6
-            ).alias("share"),
+                (F.col("n_vecs").cast("double") / F.col("n_queries")).cast(
+                    "decimal(27,12)"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("share"),
         )
     )

@@ -737,8 +737,9 @@ def window_rank_family(spark, sf_dir):
       GROUP BY prev_type, event_type
     )
     SELECT prev_type, event_type, n_transitions,
-           round(CAST(n_transitions AS DOUBLE)
-                 / sum(n_transitions) OVER (PARTITION BY prev_type), 6) AS p
+           CAST(ROUND(CAST(CAST(n_transitions AS DOUBLE)
+                           / sum(n_transitions) OVER (PARTITION BY prev_type)
+                           AS DECIMAL(27,12)), 6) AS DOUBLE) AS p
     FROM trans
     """,
     description="First-order Markov transitions over per-user time-ordered "
@@ -763,10 +764,14 @@ def event_transition_matrix(spark, sf_dir):
         "event_type",
         "n_transitions",
         F.round(
-            F.col("n_transitions").cast("double")
-            / F.sum("n_transitions").over(wp),
+            (
+                F.col("n_transitions").cast("double")
+                / F.sum("n_transitions").over(wp)
+            ).cast("decimal(27,12)"),
             6,
-        ).alias("p"),
+        )
+        .cast("double")
+        .alias("p"),
     )
 
 

@@ -826,7 +826,8 @@ _ZIPF_TOP = 200
     SELECT r.rank, r.term, r.freq,
            round(ln(r.rank), 6) AS ln_rank,
            round(ln(r.freq), 6) AS ln_freq,
-           round(sum(r.freq) OVER (ORDER BY r.rank) / t.total_tokens, 6)
+           CAST(ROUND(CAST(sum(r.freq) OVER (ORDER BY r.rank)
+                           / t.total_tokens AS DECIMAL(27,12)), 6) AS DOUBLE)
              AS cum_share,
            t.vocab_size, t.hapax_count
     FROM ranked r CROSS JOIN tot t
@@ -871,9 +872,14 @@ def vocab_zipf_stats(spark, sf_dir):
             "freq",
             F.round(F.log("rank"), 6).alias("ln_rank"),
             F.round(F.log("freq"), 6).alias("ln_freq"),
-            F.round(F.sum("freq").over(wc) / F.col("total_tokens"), 6).alias(
-                "cum_share"
-            ),
+            F.round(
+                (F.sum("freq").over(wc) / F.col("total_tokens")).cast(
+                    "decimal(27,12)"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("cum_share"),
             "vocab_size",
             "hapax_count",
         )

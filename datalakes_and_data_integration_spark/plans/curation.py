@@ -615,3 +615,137 @@ def weighted_sample_quality(spark, sf_dir):
         F.round("es_key", 6).alias("es_key"),
         F.row_number().over(wr).alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The capstone: one manifest row per document with EVERY curation decision
+# — language gate, quality gate, exact-dedup keeper, near-dup cluster
+# representative, eval-set membership, contamination, split assignment,
+# and the final kept verdict. This is the table the training-data writer
+# actually consumes; every stage reuses the registered operator it audits
+# (same expressions, same oracles composed). Output is booleans/strings
+# only — no floats to round.
+# ---------------------------------------------------------------------------
+
+_MANIFEST_QUALITY_MIN = 0.5
+
+
+def _manifest_oracle() -> str:
+    from datalakes_and_data_integration_spark.plans.dedup import (
+        _minhash_oracle,
+    )
+
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(doc, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, r.root FROM reach r JOIN edges e ON e.b = r.doc
+    ),
+    clusters AS (
+      SELECT doc, CAST(min(root) AS BIGINT) AS cluster_id FROM reach
+      GROUP BY doc
+    ),
+    quality AS ({_quality_duck()}),
+    grp AS (
+      SELECT md5(text) AS h, min(doc_id) AS keeper
+      FROM documents GROUP BY md5(text)
+    ),
+    contam AS ({_contamination_oracle()})
+    SELECT d.doc_id,
+           d.lang = 'en' AS lang_ok,
+           q.quality >= {_MANIFEST_QUALITY_MIN} AS quality_ok,
+           d.doc_id = g.keeper AS exact_keeper,
+           c.doc = c.cluster_id AS neardup_kept,
+           d.doc_id % {_EVAL_MOD} = 0 AS is_eval,
+           COALESCE(ct.is_contaminated, false) AS is_contaminated,
+           CASE WHEN ({hash60_sql_duck("CAST(d.doc_id AS VARCHAR)", seed=7)}
+                      % 100) < 80 THEN 'train'
+                WHEN ({hash60_sql_duck("CAST(d.doc_id AS VARCHAR)", seed=7)}
+                      % 100) < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           (d.lang = 'en' AND q.quality >= {_MANIFEST_QUALITY_MIN}
+            AND d.doc_id = g.keeper AND c.doc = c.cluster_id
+            AND d.doc_id % {_EVAL_MOD} <> 0
+            AND NOT COALESCE(ct.is_contaminated, false)) AS kept
+    FROM documents d
+    JOIN quality q ON q.doc_id = d.doc_id
+    JOIN grp g ON g.h = md5(d.text)
+    JOIN clusters c ON c.doc = d.doc_id
+    LEFT JOIN contam ct ON ct.doc_id = d.doc_id
+    """
+
+
+@register(
+    "training_corpus_manifest",
+    oracle=_manifest_oracle(),
+    description="The end-to-end curation verdict, one row per document: "
+    "language gate, quality gate (composite >= "
+    f"{_MANIFEST_QUALITY_MIN}), exact-dedup keeper, near-dup cluster "
+    "representative (MinHash+LSH connected components), eval-set "
+    "membership, n-gram contamination, reproducible split, and the final "
+    "`kept` decision the training-data writer filters on. Every stage "
+    "reuses the registered operator it audits; the oracle composes their "
+    "oracles (incl. the recursive-CTE components). Boolean/string output "
+    "— no float comparisons at all.",
+    tags=("curation", "capstone", "llm-pipeline"),
+)
+def training_corpus_manifest(spark, sf_dir):
+    from datalakes_and_data_integration_spark.plans.dedup import (
+        dedup_cluster_assignment,
+    )
+    from datalakes_and_data_integration_spark.plans.text import (
+        text_quality_score,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    keyed = d.select("doc_id", "lang", F.md5("text").alias("h"))
+    grp = keyed.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    clusters = dedup_cluster_assignment(spark, sf_dir).select(
+        F.col("doc").alias("doc_id"), "cluster_id"
+    )
+    contam = benchmark_ngram_contamination(spark, sf_dir).select(
+        "doc_id", "is_contaminated"
+    )
+    bucket = (
+        F.expr(hash60_sql_spark("CAST(doc_id AS STRING)", seed=7)) % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    lang_ok = F.col("lang") == "en"
+    quality_ok = F.col("quality") >= _MANIFEST_QUALITY_MIN
+    exact_keeper = F.col("doc_id") == F.col("keeper")
+    neardup_kept = F.col("doc_id") == F.col("cluster_id")
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    contaminated = F.coalesce(F.col("is_contaminated"), F.lit(False))
+    return (
+        keyed.join(q, "doc_id")
+        .join(grp, "h")
+        .join(clusters, "doc_id")
+        .join(contam, "doc_id", "left")
+        .select(
+            "doc_id",
+            lang_ok.alias("lang_ok"),
+            quality_ok.alias("quality_ok"),
+            exact_keeper.alias("exact_keeper"),
+            neardup_kept.alias("neardup_kept"),
+            is_eval.alias("is_eval"),
+            contaminated.alias("is_contaminated"),
+            split.alias("split"),
+            (
+                lang_ok
+                & quality_ok
+                & exact_keeper
+                & neardup_kept
+                & ~is_eval
+                & ~contaminated
+            ).alias("kept"),
+        )
+    )

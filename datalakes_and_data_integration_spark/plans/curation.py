@@ -27,6 +27,10 @@ from datalakes_and_data_integration_spark.functions.text import (
     shingles_sql_duck,
     tokens_sql_duck,
 )
+from datalakes_and_data_integration_spark.functions.hashing import (
+    hash60_sql_duck,
+    hash60_sql_spark,
+)
 from datalakes_and_data_integration_spark.plans._util import T, dec, spread
 from datalakes_and_data_integration_spark.plans.registry import register
 
@@ -376,12 +380,6 @@ def embedding_quantization_error(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _FH_BUCKETS = 1024
-
-from datalakes_and_data_integration_spark.functions.hashing import (  # noqa: E402
-    hash60_sql_duck,
-    hash60_sql_spark,
-)
-
 
 @register(
     "feature_hashing",

@@ -150,13 +150,6 @@ def _rho_case(v: str) -> str:
     return f"CASE {branches} ELSE {_HLL_VBITS + 1} END"
 
 
-def _hll_core(h: str) -> tuple[str, str]:
-    """(register index expr, rho expr) from a 60-bit hash expr."""
-    reg = f"({h}) % {_HLL_M}"
-    val = f"({h}) // {_HLL_M} % {1 << _HLL_VBITS}"
-    return reg, val
-
-
 def _hll_oracle() -> str:
     h = hash60_sql_duck("CAST(user_id AS VARCHAR)", seed=7)
     reg = f"({h}) % {_HLL_M}"

@@ -21,8 +21,16 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return plans.QUERIES["tpch_q1_pricing_summary"].spark(spark, SMOKE_SF_DIR)
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The capstone: the end-to-end training-corpus manifest — every
+    curation decision (lang/quality/dedup/near-dup/eval/contamination/
+    split/kept) in one row per document, exercising the text, dedup,
+    and graph suites in a single plan.
+    """
+    return plans.QUERIES["training_corpus_manifest"].spark(
+        spark, SMOKE_SF_DIR
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

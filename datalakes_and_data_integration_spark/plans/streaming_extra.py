@@ -74,3 +74,56 @@ def streaming_incremental_dedup(spark, sf_dir):
     state = tempfile.mkdtemp(prefix="incdedup_q_")
     kept = incremental_minhash_dedup(spark, state, docs)
     return kept.select("doc_id")
+
+
+@register(
+    "streaming_threshold_alerts",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             event_type, count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    sums AS (
+      SELECT event_type,
+             count(*) AS k,
+             CAST(ROUND(sum(CAST(n_events AS DECIMAL(27,6))), 6) AS DOUBLE)
+               AS s1,
+             CAST(ROUND(sum(CAST(n_events * n_events AS DECIMAL(27,6))), 6)
+                  AS DOUBLE) AS s2
+      FROM hourly GROUP BY event_type
+    ),
+    thresholds AS (
+      SELECT event_type,
+             s1 / k AS mu,
+             sqrt(greatest(s2 / k - (s1 / k) * (s1 / k), 0)) AS sigma
+      FROM sums
+    )
+    SELECT h.hour, h.event_type, h.n_events,
+           (h.n_events > t.mu + 3 * t.sigma
+            OR h.n_events < t.mu - 3 * t.sigma) AS is_alert
+    FROM hourly h JOIN thresholds t ON t.event_type = h.event_type
+    """,
+    description="Streaming anomaly alerts: watermarked hourly counts per "
+    "event type scored against mean±3sigma thresholds from the batch "
+    "history (1-row-per-type broadcast — the static-model/live-stream "
+    "pattern), run to completion with Trigger.AvailableNow; equals the "
+    "batch hourly scoring (the oracle). Boolean output, so the "
+    "avg/stddev float arithmetic only has to agree on the comparison, "
+    "not on rounded values.",
+    tags=("streaming", "anomaly", "monitoring"),
+)
+def streaming_threshold_alerts(spark, sf_dir):
+    from datalakes_and_data_integration_spark.streaming import (
+        events_stream,
+        run_available_now,
+    )
+    from datalakes_and_data_integration_spark.streaming.file_stream import (
+        threshold_alert_stream,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    alerts = threshold_alert_stream(stream, spark, sf_dir)
+    return run_available_now(
+        alerts, spark, name="streaming_threshold_alerts_out"
+    )

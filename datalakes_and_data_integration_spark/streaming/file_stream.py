@@ -258,3 +258,64 @@ def static_enriched_stream(
             "total_value",
         )
     )
+
+
+def threshold_alert_stream(
+    stream: DataFrame, spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming anomaly alerts: watermarked hourly totals per event type,
+    flagged against mean +- 3 sigma thresholds computed from the BATCH
+    history (a 1-row-per-type broadcast — the trained-baseline pattern:
+    the model is static per deployment, the stream is scored live).
+    Threshold arithmetic routes through decimal-exact sums so the alert
+    boundary is reproducible."""
+    hourly_hist = (
+        T(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    # Decimal-exact moment sums (rounded once) -> identical mu/sigma on
+    # any partitioning; avg/stddev_pop stream floats in partition order.
+    thresholds = (
+        hourly_hist.groupBy("event_type")
+        .agg(
+            F.count("*").alias("k"),
+            F.round(F.sum(F.expr("CAST(n AS DECIMAL(27,6))")), 6)
+            .cast("double")
+            .alias("s1"),
+            F.round(F.sum(F.expr("CAST(n * n AS DECIMAL(27,6))")), 6)
+            .cast("double")
+            .alias("s2"),
+        )
+        .select(
+            "event_type",
+            (F.col("s1") / F.col("k")).alias("mu"),
+            F.sqrt(
+                F.greatest(
+                    F.col("s2") / F.col("k")
+                    - (F.col("s1") / F.col("k")) * (F.col("s1") / F.col("k")),
+                    F.lit(0.0),
+                )
+            ).alias("sigma"),
+        )
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("hour"), "event_type", "n_events"
+        )
+    )
+    return agg.join(F.broadcast(thresholds), "event_type").select(
+        "hour",
+        "event_type",
+        "n_events",
+        (
+            (F.col("n_events") > F.col("mu") + 3 * F.col("sigma"))
+            | (F.col("n_events") < F.col("mu") - 3 * F.col("sigma"))
+        ).alias("is_alert"),
+    )

@@ -277,3 +277,98 @@ def psi_drift_n_chars(spark, sf_dir):
         .alias("psi")
     )
     return nb.crossJoin(F.broadcast(psi))  # scale-ok: 1-row frames
+
+
+# ---------------------------------------------------------------------------
+# Completeness monitoring: which (day, event_type) slices are missing
+# hourly buckets — the freshness/ingest-health check a scheduled pipeline
+# runs before publishing a partition. Pure integer grouped aggregates.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "completeness_hourly_report",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           count(DISTINCT date_trunc('hour', ts)) AS hours_present,
+           24 - count(DISTINCT date_trunc('hour', ts)) AS hours_missing,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="Ingest-completeness report: per (day, event_type), how "
+    "many of the 24 hourly buckets contain data and how many are missing "
+    "— one grouped distinct-count, integer output, the publish-gate "
+    "check for a scheduled pipeline.",
+    tags=("drift", "completeness", "monitoring"),
+)
+def completeness_hourly_report(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    hours = F.countDistinct(F.date_trunc("hour", "ts"))
+    return ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(
+        hours.alias("hours_present"),
+        (F.lit(24) - hours).alias("hours_missing"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-balance entropy per source: Shannon entropy of each source's
+# language mix (and the max possible, ln of the global language count) —
+# the balance metric mixture design optimizes. Terms over the structural
+# |sources x langs| cells, decimal-summed.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_lang_entropy",
+    oracle="""
+    WITH cells AS (
+      SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang
+    ),
+    per_source AS (SELECT source, sum(n) AS ns FROM cells GROUP BY source),
+    langs AS (SELECT count(DISTINCT lang) AS n_langs FROM documents)
+    SELECT c.source,
+           CAST(ROUND(sum(CAST(
+             -(CAST(c.n AS DOUBLE) / p.ns) * ln(CAST(c.n AS DOUBLE) / p.ns)
+             AS DECIMAL(27,12))), 6) AS DOUBLE) AS entropy,
+           round(ln(CAST(l.n_langs AS DOUBLE)), 6) AS max_entropy,
+           count(*) AS n_langs_present
+    FROM cells c
+    JOIN per_source p ON p.source = c.source
+    CROSS JOIN langs l
+    GROUP BY c.source, l.n_langs
+    """,
+    description="Shannon entropy of each source's language mix (nats), "
+    "with the global-language-count ceiling — the balance metric corpus "
+    "mixing optimizes. Per-cell -p*ln(p) terms are identical double "
+    "expressions over the structural cell table, decimal-summed.",
+    tags=("drift", "entropy", "curation", "llm-pipeline"),
+)
+def source_lang_entropy(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    per_source = cells.groupBy("source").agg(F.sum("n").alias("ns"))
+    langs = d.agg(F.countDistinct("lang").alias("n_langs"))
+    p = F.col("n").cast("double") / F.col("ns")
+    term = (-p * F.log(p)).cast("decimal(27,12)")
+    return (
+        cells.join(F.broadcast(per_source), "source")
+        .crossJoin(F.broadcast(langs))  # scale-ok: 1-row language count
+        .groupBy("source", "n_langs")
+        .agg(
+            F.round(F.sum(term), 6).cast("double").alias("entropy"),
+            F.round(
+                F.log(F.col("n_langs").cast("double")), 6
+            ).alias("max_entropy_x"),
+            F.count("*").alias("n_langs_present"),
+        )
+        .select(
+            "source",
+            "entropy",
+            F.col("max_entropy_x").alias("max_entropy"),
+            "n_langs_present",
+        )
+    )

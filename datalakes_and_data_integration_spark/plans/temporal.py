@@ -940,3 +940,161 @@ def trend_slope_by_type(spark, sf_dir):
             (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
         ).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonality profile: mean event volume per (day-of-week, hour-of-day)
+# cell per event type — the capacity-planning / anomaly-baseline shape.
+# Integer counts; the per-cell mean is a decimal-routed ratio.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "seasonality_profile",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           dayofweek(h) + 1 AS dow,  -- DuckDB Sun=0; Spark Sun=1
+           CAST(hour(h) AS INT) AS hod,
+           count(*) AS n_slots,
+           sum(n) AS n_events,
+           CAST(ROUND(CAST(CAST(sum(n) AS DOUBLE) / count(*)
+                           AS DECIMAL(27,12)), 6) AS DOUBLE)
+             AS mean_per_slot
+    FROM hourly
+    GROUP BY event_type, dayofweek(h) + 1, hour(h)
+    """,
+    description="Seasonality profile: mean hourly volume per (day-of-week, "
+    "hour-of-day) cell per event type — two grouped aggregates (hourly "
+    "rollup, then the 7x24 profile), decimal-routed means. The baseline "
+    "shape capacity planning and anomaly thresholds key off.",
+    tags=("temporal", "seasonality", "aggregate"),
+)
+def seasonality_profile(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    return (
+        hourly.groupBy(
+            "event_type",
+            F.dayofweek("h").alias("dow"),
+            F.hour("h").cast("int").alias("hod"),
+        )
+        .agg(
+            F.count("*").alias("n_slots"),
+            F.sum("n").alias("n_events"),
+            F.round(
+                (F.sum("n").cast("double") / F.count("*")).cast(
+                    "decimal(27,12)"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("mean_per_slot"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Revenue Pareto: how concentrated is revenue across customers? Customers
+# ranked by lifetime spend (distributed two-level rank — no global
+# window over customers), cut into rank deciles, each decile's revenue
+# and cumulative share reported. The "is it 80/20" answer for account
+# planning, and another consumer of the distributed-rank pattern.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_pareto",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             sum(CAST(o_totalprice AS DECIMAL(25,2))) AS s
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, s,
+             row_number() OVER (ORDER BY s DESC, o_custkey) AS rn,
+             count(*) OVER () AS n
+      FROM spend
+    ),
+    deciles AS (
+      SELECT CAST((rn - 1) * 10 // n AS BIGINT) AS decile,
+             count(*) AS n_customers,
+             sum(s) AS rev
+      FROM ranked GROUP BY 1
+    ),
+    tot AS (SELECT sum(rev) AS total FROM deciles)
+    SELECT d.decile, d.n_customers,
+           CAST(ROUND(d.rev, 2) AS DOUBLE) AS revenue,
+           CAST(ROUND(CAST(CAST(sum(d.rev) OVER (ORDER BY d.decile)
+                                AS DOUBLE) / CAST(t.total AS DOUBLE)
+                           AS DECIMAL(27,12)), 6) AS DOUBLE) AS cum_share
+    FROM deciles d CROSS JOIN tot t
+    """,
+    description="Revenue concentration: customers ranked by lifetime "
+    "spend via the two-level distributed rank (range partition + local "
+    "row_number + offsets — never a global window over customers), cut "
+    "into rank deciles; per-decile revenue (decimal-exact) and "
+    "cumulative share over the 10-row decile table. The 80/20 audit.",
+    tags=("aggregate", "pareto", "distributed-rank"),
+)
+def revenue_pareto(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(o_totalprice AS DECIMAL(25,2))")).alias("s")
+    )
+    # Two-level distributed rank (same scheme as customer_spend_quartiles).
+    parts = (
+        spend.repartitionByRange(32, F.col("s").desc(), F.col("o_custkey"))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    wl = Window.partitionBy("__pid").orderBy(
+        F.col("s").desc(), F.col("o_custkey")
+    )
+    ranked = parts.withColumn("__lrank", F.row_number().over(wl))
+    counts = parts.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    # scale-ok: window over one row per range partition
+    wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__cnt").over(wo), F.lit(0)).alias("__off")
+    )
+    tot_n = counts.agg(F.sum("__cnt").alias("__n"))
+    with_rank = (
+        ranked.join(F.broadcast(offsets), "__pid")
+        .crossJoin(F.broadcast(tot_n))  # scale-ok: 1-row total
+        .withColumn("rn", F.col("__lrank") + F.col("__off"))
+    )
+    deciles = with_rank.groupBy(
+        F.expr("CAST((rn - 1) * 10 div __n AS BIGINT)").alias("decile")
+    ).agg(
+        F.count("*").alias("n_customers"),
+        F.sum("s").alias("rev"),
+    )
+    tot = deciles.agg(F.sum("rev").alias("total"))
+    # scale-ok: cumulative window over the 10-row decile table
+    wc = Window.orderBy("decile")
+    return (
+        deciles.crossJoin(F.broadcast(tot))  # scale-ok: 1-row total
+        .select(
+            "decile",
+            "n_customers",
+            F.round(F.col("rev"), 2).cast("double").alias("revenue"),
+            F.round(
+                (
+                    F.sum("rev").over(wc).cast("double")
+                    / F.col("total").cast("double")
+                ).cast("decimal(27,12)"),
+                6,
+            )
+            .cast("double")
+            .alias("cum_share"),
+        )
+    )

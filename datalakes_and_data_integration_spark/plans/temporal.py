@@ -1098,3 +1098,70 @@ def revenue_pareto(spark, sf_dir):
             .alias("cum_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-event gap statistics: per event type, the distribution of
+# per-user gaps between consecutive events — the engagement-cadence
+# metric, and the input for choosing sessionization gaps and stream
+# watermarks. Gaps are integer seconds (exact); means are decimal-routed.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interevent_gap_stats",
+    oracle="""
+    WITH secs AS (
+      -- per-timestamp truncation to whole seconds, matching Spark's
+      -- unix_micros(ts) div 1000000 (date_diff would count boundary
+      -- crossings of the DIFFERENCE, a different rounding)
+      SELECT event_type, user_id, ts, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ),
+    gaps AS (
+      SELECT event_type,
+             sec - lag(sec) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS gap_s
+      FROM secs
+    )
+    SELECT event_type,
+           count(gap_s) AS n_gaps,
+           min(gap_s) AS min_gap_s,
+           max(gap_s) AS max_gap_s,
+           CAST(ROUND(CAST(CAST(sum(gap_s) AS DOUBLE) / count(gap_s)
+                           AS DECIMAL(27,12)), 6) AS DOUBLE) AS mean_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+    """,
+    description="Per-type inter-event gap stats over per-(user, type) "
+    "time-ordered sequences: one lag window (shuffle on the composite "
+    "key), integer-second gaps (exact), decimal-routed mean. The "
+    "cadence evidence behind sessionization-gap and watermark choices.",
+    tags=("temporal", "window", "cadence"),
+)
+def interevent_gap_stats(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.expr("unix_micros(ts) div 1000000")
+            - F.expr(
+                "lag(unix_micros(ts) div 1000000) OVER (PARTITION BY "
+                "user_id, event_type ORDER BY ts, event_id)"
+            )
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+        F.round(
+            (F.sum("gap_s").cast("double") / F.count("gap_s")).cast(
+                "decimal(27,12)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("mean_gap_s"),
+    )

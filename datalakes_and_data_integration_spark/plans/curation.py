@@ -747,3 +747,58 @@ def training_corpus_manifest(spark, sf_dir):
             ).alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup provenance: which source pairs produce the near-duplicate
+# pairs? cross_source_duplication (plans/dedup.py) answers this for
+# EXACT copies; this is the MinHash near-dup analogue — the evidence for
+# which crawls re-host lightly-edited copies of each other.
+# ---------------------------------------------------------------------------
+
+
+def _neardup_rate_oracle() -> str:
+    from datalakes_and_data_integration_spark.plans.dedup import (
+        _minhash_oracle,
+    )
+
+    return f"""
+    WITH pairs AS ({_minhash_oracle()})
+    SELECT least(da.source, db.source) AS source_x,
+           greatest(da.source, db.source) AS source_y,
+           count(*) AS n_neardup_pairs
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "cross_source_neardup_rate",
+    oracle=_neardup_rate_oracle(),
+    description="Near-dup pair counts per unordered source pair: the "
+    "MinHash candidate pairs (same kernel/oracle as dedup_minhash_lsh) "
+    "joined to both sides' provenance — which crawls re-host lightly-"
+    "edited copies of each other. Pair-side joins are on doc_id; the "
+    "pair table, not the corpus, is what shuffles.",
+    tags=("dedup", "provenance", "curation", "llm-pipeline"),
+)
+def cross_source_neardup_rate(spark, sf_dir):
+    from datalakes_and_data_integration_spark.plans.dedup import (
+        dedup_minhash_lsh,
+    )
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    d = T(spark, sf_dir, "documents").select("doc_id", "source")
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+        )
+        .agg(F.count("*").alias("n_neardup_pairs"))
+    )

@@ -999,3 +999,89 @@ def join_key_skew_report(spark, sf_dir):
             "herfindahl",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Box-plot statistics: nearest-rank quartiles, IQR fences, and outlier
+# counts per event type — the profiler output a quality dashboard draws.
+# Same integer-deterministic nearest-rank machinery as the winsorized
+# stats; fence comparisons are pure double arithmetic written identically.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "boxplot_stats_by_type",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    cuts AS (
+      SELECT event_type,
+             max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                      THEN value END) AS q1,
+             max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                      THEN value END) AS median,
+             max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+                      THEN value END) AS q3
+      FROM ranked GROUP BY event_type
+    )
+    SELECT e.event_type, c.q1, c.median, c.q3,
+           count(*) AS n,
+           sum(CASE WHEN e.value < c.q1 - 1.5 * (c.q3 - c.q1)
+                    THEN 1 ELSE 0 END) AS n_low_outliers,
+           sum(CASE WHEN e.value > c.q3 + 1.5 * (c.q3 - c.q1)
+                    THEN 1 ELSE 0 END) AS n_high_outliers
+    FROM events e JOIN cuts c ON c.event_type = e.event_type
+    GROUP BY e.event_type, c.q1, c.median, c.q3
+    """,
+    description="Box-plot profile per event type: nearest-rank quartiles "
+    "(value at row ceil(p*n) — integer-deterministic), 1.5-IQR Tukey "
+    "fences, and outlier counts — one ranking window plus a broadcast "
+    "5-row cut table. The quality-dashboard profiler output.",
+    tags=("aggregate", "percentile", "profiling"),
+)
+def boxplot_stats_by_type(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+
+    def cut(p, name):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("long"),
+                F.col("value"),
+            )
+        ).alias(name)
+
+    cuts = ranked.groupBy("event_type").agg(
+        cut(0.25, "q1"), cut(0.50, "median"), cut(0.75, "q3")
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - 1.5 * iqr
+    hi = F.col("q3") + 1.5 * iqr
+    return (
+        ev.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type", "q1", "median", "q3")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("value") < lo, 1).otherwise(0)).alias(
+                "n_low_outliers"
+            ),
+            F.sum(F.when(F.col("value") > hi, 1).otherwise(0)).alias(
+                "n_high_outliers"
+            ),
+        )
+    )

@@ -1085,3 +1085,72 @@ def boxplot_stats_by_type(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit: the classic fabricated-data / corruption
+# smell test over order totals. Expected shares are ln(1+1/d)/ln(10)
+# precomputed as Python float literals (no runtime log on the data
+# path); the deviation statistic sums over 9 cells through DECIMAL.
+# ---------------------------------------------------------------------------
+
+_BENFORD_P = [0.0] + [__import__("math").log10(1 + 1 / d) for d in range(1, 10)]
+
+
+@register(
+    "benford_first_digit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    counts AS (SELECT d, count(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT sum(n) AS total FROM counts)
+    SELECT c.d AS first_digit, c.n,
+           CAST(ROUND(CAST(CAST(c.n AS DOUBLE) / t.total
+                           AS DECIMAL(27,12)), 6) AS DOUBLE) AS observed,
+           CAST(CASE c.d {" ".join(f"WHEN {d} THEN {p!r}" for d, p in enumerate(_BENFORD_P) if d > 0)}
+           END AS DOUBLE) AS expected
+    FROM counts c CROSS JOIN tot t
+    """,
+    description="Benford's-law first-digit audit over order totals: "
+    "observed share per leading digit (decimal-routed) vs the "
+    "ln(1+1/d)/ln(10) expectation baked as identical float literals. "
+    "One grouped count over the integer part's first digit — the "
+    "fabricated-data smell test a data-quality suite ships with.",
+    tags=("profiling", "benford", "quality"),
+)
+def benford_first_digit(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    digits = o.filter(F.col("o_totalprice") >= 1).select(
+        F.expr(
+            "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS BIGINT)"
+        ).alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    expected = F.create_map(
+        *[
+            x
+            for d, p in enumerate(_BENFORD_P)
+            if d > 0
+            for x in (F.lit(d), F.lit(p))
+        ]
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))  # scale-ok: 1-row total
+        .select(
+            F.col("d").alias("first_digit"),
+            "n",
+            F.round(
+                (F.col("n").cast("double") / F.col("total")).cast(
+                    "decimal(27,12)"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("observed"),
+            expected[F.col("d")].alias("expected"),
+        )
+    )

@@ -162,3 +162,55 @@ def ann_lsh_recall_audit(spark, sf_dir):
             .alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding norm statistics per label: the normalize-or-not evidence for
+# choosing cosine vs dot-product retrieval. Norms use the oracle's
+# sequential per-dimension fold; per-label means are decimal-routed.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="""
+    WITH norms AS (
+      SELECT label,
+             sqrt(list_reduce(
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (a, v) -> a + v)) AS nrm
+      FROM embeddings
+    )
+    SELECT label, count(*) AS n,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm,
+           CAST(ROUND(sum(CAST(nrm AS DECIMAL(27,12))) / count(*), 6)
+                AS DOUBLE) AS mean_norm
+    FROM norms GROUP BY label
+    """,
+    description="Per-label embedding L2-norm stats (min/max/decimal-"
+    "routed mean) via order-pinned sequential folds — the evidence for "
+    "whether vectors need normalization before dot-product retrieval. "
+    "Pure scan + one grouped aggregate.",
+    tags=("similarity", "profiling", "llm-pipeline"),
+)
+def embedding_norm_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    e = T(spark, sf_dir, "embeddings")
+    norms = e.select(
+        "label",
+        F.expr(
+            "sqrt(aggregate(transform(embedding, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, v) -> a + v))"
+        ).alias("nrm"),
+    )
+    return norms.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.round(F.sum(F.expr("CAST(nrm AS DECIMAL(27,12))")) / F.count("*"), 6)
+        .cast("double")
+        .alias("mean_norm"),
+    )

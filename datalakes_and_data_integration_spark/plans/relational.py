@@ -1154,3 +1154,101 @@ def benford_first_digit(spark, sf_dir):
             expected[F.col("d")].alias("expected"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Catalog-wide null audit: every column of every table in the lake, one
+# row each — the completeness sweep a nightly data-quality job publishes.
+# One single-pass aggregate per table (no per-column scans), unpivoted
+# long-form. Column lists are pinned (schema drift would surface as a
+# row-count change here before it breaks a downstream query).
+# ---------------------------------------------------------------------------
+
+_CATALOG_COLUMNS = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"],
+    "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "embeddings": ["vec_id", "embedding", "label"],
+}
+
+
+def _catalog_nulls_oracle() -> str:
+    parts = []
+    for t, cols in _CATALOG_COLUMNS.items():
+        sel = ", ".join(
+            f"count(*) - count({c}) AS null_{c}" for c in cols
+        )
+        unpivot = " UNION ALL ".join(
+            f"SELECT '{t}' AS table_name, '{c}' AS col_name, n AS n_rows, "
+            f"null_{c} AS n_null FROM agg_{t}"
+            for c in cols
+        )
+        parts.append(
+            f"agg_{t} AS (SELECT count(*) AS n, {sel} FROM {t})"
+        )
+        parts.append(f"rows_{t} AS ({unpivot})")
+    withs = ",\n    ".join(parts)
+    union = " UNION ALL ".join(
+        f"SELECT * FROM rows_{t}" for t in _CATALOG_COLUMNS
+    )
+    return f"""
+    WITH {withs}
+    SELECT table_name, col_name, n_rows, n_null,
+           CAST(ROUND(CAST(CASE WHEN n_rows > 0
+                                THEN CAST(n_null AS DOUBLE) / n_rows
+                                ELSE 0.0 END AS DECIMAL(27,12)), 6)
+                AS DOUBLE) AS null_frac
+    FROM ({union})
+    """
+
+
+@register(
+    "catalog_null_audit",
+    oracle=_catalog_nulls_oracle(),
+    description="Catalog-wide completeness: (table, column, rows, nulls, "
+    "null fraction) for every column of all ten lake tables — one "
+    "single-pass aggregate per table, stack()-unpivoted, decimal-routed "
+    "fractions. The nightly data-quality sweep; pinned column lists make "
+    "schema drift visible as a row-count change.",
+    tags=("profiling", "quality", "catalog"),
+)
+def catalog_null_audit(spark, sf_dir):
+    frames = []
+    for t, cols in _CATALOG_COLUMNS.items():
+        df = T(spark, sf_dir, t)
+        aggs = [F.count("*").alias("n")] + [
+            (F.count("*") - F.count(c)).alias(f"null_{c}") for c in cols
+        ]
+        one = df.agg(*aggs)
+        stack = ", ".join(f"'{c}', null_{c}" for c in cols)
+        frames.append(
+            one.select(
+                F.lit(t).alias("table_name"),
+                F.expr(
+                    f"stack({len(cols)}, {stack}) AS (col_name, n_null)"
+                ),
+                F.col("n").alias("n_rows"),
+            ).select("table_name", "col_name", "n_rows", "n_null")
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    frac = F.when(
+        F.col("n_rows") > 0,
+        F.col("n_null").cast("double") / F.col("n_rows"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "table_name",
+        "col_name",
+        "n_rows",
+        "n_null",
+        F.round(frac.cast("decimal(27,12)"), 6)
+        .cast("double")
+        .alias("null_frac"),
+    )

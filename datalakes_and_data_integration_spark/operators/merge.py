@@ -117,3 +117,49 @@ def outer_merge_pivot(dfs: Sequence[DataFrame], keys: Sequence[str]) -> DataFram
     return tall.groupBy(*keys).agg(
         *[F.any_value(c, ignoreNulls=True).alias(c) for c in value_cols]
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+    """Classify every key across two table snapshots: 'added' (new only),
+    'removed' (old only), 'changed' (both, any non-key column differs),
+    'unchanged'. The CDC primitive for lakes without a table format —
+    one full outer join on the key, change detection via null-safe
+    comparison of the remaining columns (md5 of a canonical struct would
+    also work; direct comparison avoids hashing wide rows).
+
+    Scale: one shuffle on the key for the join; both sides prune to
+    key + compared columns at the scan.
+    """
+    non_keys = [c for c in old.columns if c not in keys]
+    o = old.select(
+        *[F.col(k).alias(f"__ko_{k}") for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in non_keys],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__kn_{k}") for k in keys],
+        *[F.col(c).alias(f"__n_{c}") for c in non_keys],
+    )
+    cond = None
+    for k in keys:
+        e = F.col(f"__ko_{k}") == F.col(f"__kn_{k}")
+        cond = e if cond is None else cond & e
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"__ko_{keys[0]}").isNotNull()
+    in_new = F.col(f"__kn_{keys[0]}").isNotNull()
+    same = None
+    for c in non_keys:
+        e = F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        same = e if same is None else same & e
+    if same is None:
+        same = F.lit(True)
+    change = (
+        F.when(~in_old, "added")
+        .when(~in_new, "removed")
+        .when(same, "unchanged")
+        .otherwise("changed")
+    )
+    key_cols = [
+        F.coalesce(F.col(f"__ko_{k}"), F.col(f"__kn_{k}")).alias(k)
+        for k in keys
+    ]
+    return j.select(*key_cols, change.alias("change_type"))

@@ -127,3 +127,52 @@ def streaming_threshold_alerts(spark, sf_dir):
     return run_available_now(
         alerts, spark, name="streaming_threshold_alerts_out"
     )
+
+
+@register(
+    "snapshot_diff_events",
+    oracle="""
+    WITH old_snap AS (
+      SELECT * FROM events WHERE CAST(date_trunc('day', ts) AS DATE)
+                                 < DATE '2024-01-21'
+    ),
+    new_snap AS (
+      SELECT * FROM events WHERE CAST(date_trunc('day', ts) AS DATE)
+                                 >= DATE '2024-01-10'
+    )
+    SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+           CASE WHEN o.event_id IS NULL THEN 'added'
+                WHEN n.event_id IS NULL THEN 'removed'
+                WHEN o.ts IS NOT DISTINCT FROM n.ts
+                     AND o.user_id IS NOT DISTINCT FROM n.user_id
+                     AND o.event_type IS NOT DISTINCT FROM n.event_type
+                     AND o.value IS NOT DISTINCT FROM n.value
+                     AND o.props IS NOT DISTINCT FROM n.props
+                THEN 'unchanged'
+                ELSE 'changed' END AS change_type
+    FROM old_snap o FULL OUTER JOIN new_snap n ON o.event_id = n.event_id
+    """,
+    description="Snapshot diff (operators/merge.snapshot_diff): two "
+    "overlapping event snapshots classified per key into added/removed/"
+    "changed/unchanged — one full outer join on the key with null-safe "
+    "column comparison. The CDC primitive for lakes without a table "
+    "format; the upsert/SCD2 operators consume exactly this shape.",
+    tags=("cdc", "join", "incremental"),
+)
+def snapshot_diff_events(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.operators.merge import (
+        snapshot_diff,
+    )
+    from datalakes_and_data_integration_spark.plans._util import T
+
+    ev = T(spark, sf_dir, "events")
+    old = ev.filter(
+        F.date_trunc("day", "ts").cast("date") < F.lit("2024-01-21").cast("date")
+    )
+    new = ev.filter(
+        F.date_trunc("day", "ts").cast("date")
+        >= F.lit("2024-01-10").cast("date")
+    )
+    return snapshot_diff(old, new, keys=["event_id"])

@@ -1252,3 +1252,57 @@ def catalog_null_audit(spark, sf_dir):
         .cast("double")
         .alias("null_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured schema discovery: key-level profile of the props JSON
+# column — which keys exist, how often, their distinct-value counts and
+# numeric ranges. json_props_extract pulls KNOWN keys; this is the
+# discovery pass that finds out what the keys ARE (the first step of
+# onboarding an untyped event feed).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "props_schema_profile",
+    oracle="""
+    WITH kv AS (
+      SELECT unnest(json_keys(props)) AS k,
+             json_extract_string(props, '$.' || unnest(json_keys(props)))
+               AS v
+      FROM events WHERE props IS NOT NULL
+    )
+    SELECT k AS key_name,
+           count(*) AS n_present,
+           count(DISTINCT v) AS n_distinct_values,
+           min(TRY_CAST(v AS DOUBLE)) AS min_numeric,
+           max(TRY_CAST(v AS DOUBLE)) AS max_numeric,
+           sum(CASE WHEN TRY_CAST(v AS DOUBLE) IS NULL
+                    THEN 1 ELSE 0 END) AS n_non_numeric
+    FROM kv GROUP BY k
+    """,
+    description="JSON key discovery over events.props: per key, presence "
+    "count, distinct values, numeric range, and non-numeric count — "
+    "from_json to a map + one explode + one grouped aggregate. The "
+    "schema-inference pass that precedes typed extraction "
+    "(json_props_extract).",
+    tags=("json", "semi-structured", "profiling"),
+)
+def props_schema_profile(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    kv = (
+        ev.filter(F.col("props").isNotNull())
+        .select(
+            F.explode(
+                F.from_json("props", "map<string,string>")
+            ).alias("k", "v")
+        )
+    )
+    num = F.expr("try_cast(v AS DOUBLE)")
+    return kv.groupBy(F.col("k").alias("key_name")).agg(
+        F.count("*").alias("n_present"),
+        F.countDistinct("v").alias("n_distinct_values"),
+        F.min(num).alias("min_numeric"),
+        F.max(num).alias("max_numeric"),
+        F.sum(F.when(num.isNull(), 1).otherwise(0)).alias("n_non_numeric"),
+    )

@@ -1306,3 +1306,129 @@ def props_schema_profile(spark, sf_dir):
         F.max(num).alias("max_numeric"),
         F.sum(F.when(num.isNull(), 1).otherwise(0)).alias("n_non_numeric"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence: brand pairs bought in the same order.
+# Self-join on the order key — per-order fan-out is lines^2, bounded by
+# the ~7-line order size regardless of corpus scale, so the pair table
+# grows linearly with orders. The association-mining support table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "market_basket_brand_pairs",
+    oracle="""
+    WITH lines AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_orders
+      FROM lines a JOIN lines b
+        ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY a.brand, b.brand
+    ),
+    tot AS (SELECT count(DISTINCT okey) AS n FROM lines)
+    SELECT p.brand_a, p.brand_b, p.n_orders,
+           CAST(ROUND(CAST(CAST(p.n_orders AS DOUBLE) / t.n
+                           AS DECIMAL(27,12)), 6) AS DOUBLE) AS support
+    FROM pairs p CROSS JOIN tot t
+    """,
+    description="Brand-pair market basket: distinct (order, brand) pairs "
+    "self-joined on the order key (fan-out bounded by order size, never "
+    "corpus size), pair counts and decimal-routed support. The "
+    "association-rule support table; the dim join broadcasts.",
+    tags=("join", "basket", "aggregate"),
+)
+def market_basket_brand_pairs(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    lines = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    a = lines.alias("a")
+    b = lines.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"),
+            F.col("b.brand").alias("brand_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+    tot = lines.agg(F.countDistinct("okey").alias("n"))
+    return pairs.crossJoin(F.broadcast(tot)).select(  # scale-ok: 1-row total
+        "brand_a",
+        "brand_b",
+        "n_orders",
+        F.round(
+            (F.col("n_orders").cast("double") / F.col("n")).cast(
+                "decimal(27,12)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("support"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Geography revenue rollup: region -> nation subtotals + grand total via
+# ROLLUP with explicit grouping-id labels — the hierarchy report shape.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "geo_revenue_rollup",
+    oracle="""
+    SELECT COALESCE(r_name, 'ALL') AS region,
+           COALESCE(n_name, 'ALL') AS nation,
+           CAST(ROUND(sum(CAST(o_totalprice AS DECIMAL(25,2))), 2) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    description="Region -> nation -> grand-total revenue rollup (decimal-"
+    "exact sums, NULL grouping levels labeled 'ALL'): both dims "
+    "broadcast, one shuffle for the rollup aggregate — the hierarchy "
+    "report every warehouse ships.",
+    tags=("aggregate", "rollup", "hierarchy"),
+)
+def geo_revenue_rollup(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.expr("CAST(o_totalprice AS DECIMAL(25,2))")), 2
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "revenue",
+            "n_orders",
+        )
+    )

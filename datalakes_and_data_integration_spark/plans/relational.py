@@ -1432,3 +1432,85 @@ def geo_revenue_rollup(spark, sf_dir):
             "n_orders",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Discount-quantity correlation per brand: does discounting move volume?
+# Pearson r from closed-form moment sums — decimal-routed like
+# trend_slope_by_type, because corr()'s streaming accumulator is
+# partition-order-dependent float on both engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "discount_quantity_correlation",
+    oracle="""
+    WITH xy AS (
+      SELECT p.p_brand AS brand,
+             CAST(l.l_discount AS DOUBLE) AS x,
+             CAST(l.l_quantity AS DOUBLE) AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    sums AS (
+      SELECT brand, count(*) AS n,
+             CAST(ROUND(sum(CAST(x AS DECIMAL(27,12))), 6) AS DOUBLE) AS sx,
+             CAST(ROUND(sum(CAST(y AS DECIMAL(27,12))), 6) AS DOUBLE) AS sy,
+             CAST(ROUND(sum(CAST(x * x AS DECIMAL(27,12))), 6) AS DOUBLE)
+               AS sxx,
+             CAST(ROUND(sum(CAST(y * y AS DECIMAL(27,12))), 6) AS DOUBLE)
+               AS syy,
+             CAST(ROUND(sum(CAST(x * y AS DECIMAL(27,12))), 6) AS DOUBLE)
+               AS sxy
+      FROM xy GROUP BY brand
+    )
+    SELECT brand, n,
+           CAST(ROUND(CAST(
+             CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                  THEN (n * sxy - sx * sy)
+                       / sqrt(n * sxx - sx * sx) / sqrt(n * syy - sy * sy)
+             END AS DECIMAL(27,12)), 6) AS DOUBLE) AS pearson_r
+    FROM sums
+    """,
+    description="Pearson correlation of discount vs quantity per brand "
+    "from closed-form decimal-routed moment sums (corr()'s streaming "
+    "accumulator is partition-order-dependent); the elasticity evidence. "
+    "One grouped scan after a broadcast dim join.",
+    tags=("aggregate", "regression", "correlation"),
+)
+def discount_quantity_correlation(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    xy = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.col("l_discount").cast("double").alias("x"),
+        F.col("l_quantity").cast("double").alias("y"),
+    )
+
+    def msum(e, name):
+        return (
+            F.round(F.sum(F.expr(f"CAST({e} AS DECIMAL(27,12))")), 6)
+            .cast("double")
+            .alias(name)
+        )
+
+    sums = xy.groupBy("brand").agg(
+        F.count("*").alias("n"),
+        msum("x", "sx"),
+        msum("y", "sy"),
+        msum("x * x", "sxx"),
+        msum("y * y", "syy"),
+        msum("x * y", "sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.when(
+        (vx > 0) & (vy > 0),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / F.sqrt(vx)
+        / F.sqrt(vy),
+    )
+    return sums.select(
+        "brand",
+        "n",
+        F.round(r.cast("decimal(27,12)"), 6).cast("double").alias("pearson_r"),
+    )

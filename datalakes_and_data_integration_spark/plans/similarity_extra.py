@@ -214,3 +214,98 @@ def embedding_norm_stats(spark, sf_dir):
         .cast("double")
         .alias("mean_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Label separability: cosine similarity between class centroids. Builds
+# on label_centroids (same expressions both sides); the 64-term dot and
+# norm sums run through DECIMAL over the long-form join on dim, so the
+# pairwise matrix is order-independent. High inter-centroid cosine =
+# classes the embedding can't separate — the curation signal for merging
+# or re-labeling.
+# ---------------------------------------------------------------------------
+
+
+def _centroid_distances_oracle() -> str:
+    from datalakes_and_data_integration_spark.plans.registry import QUERIES
+
+    cent = QUERIES["label_centroids"].oracle
+    return f"""
+    WITH cent AS ({cent}),
+    pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(ROUND(sum(CAST(a.centroid * b.centroid
+                                 AS DECIMAL(27,12))), 9) AS DOUBLE) AS dot,
+             CAST(ROUND(sum(CAST(a.centroid * a.centroid
+                                 AS DECIMAL(27,12))), 9) AS DOUBLE) AS na,
+             CAST(ROUND(sum(CAST(b.centroid * b.centroid
+                                 AS DECIMAL(27,12))), 9) AS DOUBLE) AS nb
+      FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b,
+           CAST(ROUND(CAST(
+             CASE WHEN na > 0 AND nb > 0
+                  THEN dot / sqrt(na) / sqrt(nb) END
+             AS DECIMAL(27,12)), 6) AS DOUBLE) AS centroid_cosine
+    FROM pairs
+    """
+
+
+@register(
+    "label_centroid_distances",
+    oracle=_centroid_distances_oracle(),
+    description="Pairwise cosine between class centroids (composes "
+    "label_centroids; long-form join on dim, decimal-routed 64-term dot "
+    "and norm sums) — the class-separability matrix that flags labels "
+    "the embedding space cannot distinguish.",
+    tags=("similarity", "embedding", "separability", "llm-pipeline"),
+)
+def label_centroid_distances(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans.curation import (
+        label_centroids,
+    )
+
+    cent = label_centroids(spark, sf_dir).select("label", "dim", "centroid")
+    a = cent.alias("a")
+    b = cent.alias("b")
+
+    def dsum(e, name):
+        return (
+            F.round(F.sum(F.expr(f"CAST({e} AS DECIMAL(27,12))")), 9)
+            .cast("double")
+            .alias(name)
+        )
+
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .select(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+            (F.col("a.centroid")).alias("ca"),
+            (F.col("b.centroid")).alias("cb"),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(
+            dsum("ca * cb", "dot"),
+            dsum("ca * ca", "na"),
+            dsum("cb * cb", "nb"),
+        )
+    )
+    cos = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        F.col("dot") / F.sqrt("na") / F.sqrt("nb"),
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.round(cos.cast("decimal(27,12)"), 6)
+        .cast("double")
+        .alias("centroid_cosine"),
+    )

@@ -176,3 +176,139 @@ def snapshot_diff_events(spark, sf_dir):
         >= F.lit("2024-01-10").cast("date")
     )
     return snapshot_diff(old, new, keys=["event_id"])
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle="""
+    WITH tok AS (
+      SELECT lang,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> t != '')) AS ws,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+               AS bpe,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(ws) AS ws_tokens,
+           sum(bpe) AS bpe_tokens,
+           CAST(ROUND(CAST(CAST(sum(bpe) AS DOUBLE) / sum(ws)
+                           AS DECIMAL(27,12)), 6) AS DOUBLE) AS fertility,
+           CAST(ROUND(CAST(CAST(sum(n_chars) AS DOUBLE) / sum(bpe)
+                           AS DECIMAL(27,12)), 6) AS DOUBLE)
+             AS chars_per_bpe_token
+    FROM tok GROUP BY lang
+    """,
+    description="Tokenizer fertility per language: subword-proxy tokens "
+    "per whitespace word and characters per subword token — the "
+    "multilingual tokenizer-budget evidence (languages with high "
+    "fertility consume context disproportionately). Integer token "
+    "counts, decimal-routed ratios, one grouped scan.",
+    tags=("text", "tokenizer", "llm-pipeline"),
+)
+def tokenizer_fertility_by_lang(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.functions.text import (
+        bpe_token_count,
+        tokens,
+    )
+    from datalakes_and_data_integration_spark.plans._util import T
+
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang",
+        F.size(tokens("text")).alias("ws"),
+        bpe_token_count("text").alias("bpe"),
+        F.length("text").alias("n_chars"),
+    )
+
+    def ratio(num, den, name):
+        return (
+            F.round(
+                (F.sum(num).cast("double") / F.sum(den)).cast(
+                    "decimal(27,12)"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias(name)
+        )
+
+    return tok.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws").alias("ws_tokens"),
+        F.sum("bpe").alias("bpe_tokens"),
+        ratio("bpe", "ws", "fertility"),
+        ratio("n_chars", "bpe", "chars_per_bpe_token"),
+    )
+
+
+_NEG_K = 3
+
+
+def _negative_oracle() -> str:
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_sql_duck,
+    )
+
+    rows = " UNION ALL ".join(
+        f"""SELECT doc_id, {j} AS neg_rank,
+        ({hash60_sql_duck("CAST(doc_id AS VARCHAR)", seed=300 + j)})
+          % (nc.n - 1) AS raw
+        FROM documents CROSS JOIN nc"""
+        for j in range(_NEG_K)
+    )
+    return f"""
+    WITH nc AS (SELECT count(*) AS n FROM documents),
+    raws AS ({rows})
+    SELECT doc_id, neg_rank,
+           CASE WHEN raw >= doc_id THEN raw + 1 ELSE raw END AS neg_doc_id
+    FROM raws
+    """
+
+
+@register(
+    "contrastive_negative_pairs",
+    oracle=_negative_oracle(),
+    description=f"Deterministic negative sampling for contrastive "
+    f"training: {_NEG_K} pseudo-random negatives per document via seeded "
+    "md5 hashes mapped onto [0, N-1] minus self (the raw >= self -> +1 "
+    "exclusion trick) — reproducible across runs/engines, no rand() "
+    "state, a narrow scan plus a 1-row count broadcast. Precondition: "
+    "dense doc_ids (which dataset_split_assignment's hash split also "
+    "relies on being stable); a sparse-id corpus would first densify "
+    "via the distributed rank.",
+    tags=("sampling", "contrastive", "llm-pipeline"),
+)
+def contrastive_negative_pairs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_sql_spark,
+    )
+    from datalakes_and_data_integration_spark.plans._util import T
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    nc = d.agg(F.count("*").alias("n"))
+    raws = None
+    for j in range(_NEG_K):
+        h = hash60_sql_spark("CAST(doc_id AS STRING)", seed=300 + j)
+        r = (
+            d.crossJoin(F.broadcast(nc))  # scale-ok: 1-row count
+            .select(
+                "doc_id",
+                F.lit(j).alias("neg_rank"),
+                (F.expr(h) % (F.col("n") - 1)).alias("raw"),
+            )
+        )
+        raws = r if raws is None else raws.unionByName(r)
+    return raws.select(
+        "doc_id",
+        "neg_rank",
+        F.when(F.col("raw") >= F.col("doc_id"), F.col("raw") + 1)
+        .otherwise(F.col("raw"))
+        .alias("neg_doc_id"),
+    )

@@ -802,3 +802,72 @@ def cross_source_neardup_rate(spark, sf_dir):
         )
         .agg(F.count("*").alias("n_neardup_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster-size distribution: how big do duplicate clusters get?
+# The planning evidence for dedup (a heavy-tailed size distribution
+# means a few templates dominate the drop set, and cluster-rep choice
+# matters). Composes the connected-components assignment; output is
+# integer (size -> cluster count, docs affected).
+# ---------------------------------------------------------------------------
+
+
+def _cluster_sizes_oracle() -> str:
+    from datalakes_and_data_integration_spark.plans.dedup import (
+        _minhash_oracle,
+    )
+
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(doc, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, r.root FROM reach r JOIN edges e ON e.b = r.doc
+    ),
+    clusters AS (
+      SELECT doc, CAST(min(root) AS BIGINT) AS cluster_id FROM reach
+      GROUP BY doc
+    ),
+    sizes AS (
+      SELECT cluster_id, count(*) AS sz FROM clusters GROUP BY cluster_id
+    )
+    SELECT sz AS cluster_size,
+           count(*) AS n_clusters,
+           sz * count(*) AS n_docs,
+           CAST(sz * count(*) - count(*) AS BIGINT) AS n_dropped
+    FROM sizes GROUP BY sz
+    """
+
+
+@register(
+    "dup_cluster_size_distribution",
+    oracle=_cluster_sizes_oracle(),
+    description="Near-dup cluster-size histogram (composes the connected-"
+    "components assignment): clusters and documents per size, and how "
+    "many docs keep-one-per-cluster drops at each size — the heavy-tail "
+    "evidence that sizes dedup effort and rep-choice policy. Integer "
+    "output.",
+    tags=("dedup", "graph", "profiling", "llm-pipeline"),
+)
+def dup_cluster_size_distribution(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans.dedup import (
+        dedup_cluster_assignment,
+    )
+
+    clusters = dedup_cluster_assignment(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters"),
+        (F.col("sz") * F.count("*")).alias("n_docs"),
+        (F.col("sz") * F.count("*") - F.count("*"))
+        .cast("long")
+        .alias("n_dropped"),
+    )

@@ -871,3 +871,86 @@ def dup_cluster_size_distribution(spark, sf_dir):
         .cast("long")
         .alias("n_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch agreement: do MinHash (set-similarity) and SimHash (cosine-ish
+# bit similarity) nominate the same near-dup pairs? The two sketches
+# have different blind spots; their pair-set overlap is the evidence for
+# running one, the other, or both in the dedup stage.
+# ---------------------------------------------------------------------------
+
+
+def _sketch_agreement_oracle() -> str:
+    from datalakes_and_data_integration_spark.plans.dedup import (
+        _minhash_oracle,
+        _simhash_pairs_oracle,
+    )
+
+    return f"""
+    WITH mh AS ({_minhash_oracle()}),
+    sh AS ({_simhash_pairs_oracle()}),
+    mh_pairs AS (SELECT DISTINCT doc_a, doc_b FROM mh),
+    sh_pairs AS (SELECT DISTINCT doc_a, doc_b FROM sh),
+    both_pairs AS (
+      SELECT m.doc_a, m.doc_b FROM mh_pairs m
+      JOIN sh_pairs s ON s.doc_a = m.doc_a AND s.doc_b = m.doc_b
+    )
+    SELECT (SELECT count(*) FROM mh_pairs) AS n_minhash,
+           (SELECT count(*) FROM sh_pairs) AS n_simhash,
+           (SELECT count(*) FROM both_pairs) AS n_both,
+           CAST(ROUND(CAST(
+             CAST((SELECT count(*) FROM both_pairs) AS DOUBLE)
+             / ((SELECT count(*) FROM mh_pairs)
+                + (SELECT count(*) FROM sh_pairs)
+                - (SELECT count(*) FROM both_pairs))
+             AS DECIMAL(27,12)), 6) AS DOUBLE) AS pair_set_jaccard
+    """
+
+
+@register(
+    "sketch_agreement_audit",
+    oracle=_sketch_agreement_oracle(),
+    description="MinHash vs SimHash near-dup pair-set agreement: pair "
+    "counts from both sketches (same kernels/oracles as their queries), "
+    "the intersection, and the Jaccard of the two pair sets — the "
+    "run-one-or-both evidence for the dedup stage. Integer counts, one "
+    "decimal-routed ratio.",
+    tags=("dedup", "sketch-quality", "llm-pipeline"),
+)
+def sketch_agreement_audit(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans.dedup import (
+        dedup_minhash_lsh,
+        dedup_simhash_pairs,
+    )
+
+    mh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    sh = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    both = mh.join(sh, ["doc_a", "doc_b"], "left_semi")
+    nm = mh.agg(F.count("*").alias("n_minhash"))
+    ns = sh.agg(F.count("*").alias("n_simhash"))
+    nb = both.agg(F.count("*").alias("n_both"))
+    return (
+        nm.crossJoin(F.broadcast(ns))  # scale-ok: 1-row counts
+        .crossJoin(F.broadcast(nb))  # scale-ok: 1-row counts
+        .select(
+            "n_minhash",
+            "n_simhash",
+            "n_both",
+            F.round(
+                (
+                    F.col("n_both").cast("double")
+                    / (
+                        F.col("n_minhash")
+                        + F.col("n_simhash")
+                        - F.col("n_both")
+                    )
+                ).cast("decimal(27,12)"),
+                6,
+            )
+            .cast("double")
+            .alias("pair_set_jaccard"),
+        )
+    )

@@ -1165,3 +1165,71 @@ def interevent_gap_stats(spark, sf_dir):
         .cast("double")
         .alias("mean_gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Burstiness (Fano factor): variance-to-mean ratio of per-minute event
+# counts per type. Poisson arrivals give 1.0; bursty traffic is >> 1 —
+# the capacity-planning companion to interevent_gap_stats. Same decimal
+# moment recipe as the other second-moment statistics.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_burstiness_fano",
+    oracle="""
+    WITH per_min AS (
+      SELECT event_type, date_trunc('minute', ts) AS m, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    sums AS (
+      SELECT event_type, count(*) AS k,
+             CAST(ROUND(sum(CAST(n AS DECIMAL(27,6))), 6) AS DOUBLE) AS s1,
+             CAST(ROUND(sum(CAST(n * n AS DECIMAL(27,6))), 6) AS DOUBLE)
+               AS s2
+      FROM per_min GROUP BY event_type
+    )
+    SELECT event_type, k AS n_minutes,
+           CAST(ROUND(CAST(s1 / k AS DECIMAL(27,12)), 6) AS DOUBLE)
+             AS mean_per_min,
+           CAST(ROUND(CAST(
+             CASE WHEN s1 > 0
+                  THEN (s2 / k - (s1 / k) * (s1 / k)) / (s1 / k) END
+             AS DECIMAL(27,12)), 6) AS DOUBLE) AS fano_factor
+    FROM sums
+    """,
+    description="Burstiness per event type: Fano factor (variance/mean) "
+    "of per-minute counts from decimal-routed moment sums — Poisson "
+    "traffic scores 1.0, bursts score higher. Two grouped aggregates; "
+    "the capacity-planning companion to interevent_gap_stats.",
+    tags=("temporal", "burstiness", "monitoring"),
+)
+def event_burstiness_fano(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("m")
+    ).agg(F.count("*").alias("n"))
+    sums = per_min.groupBy("event_type").agg(
+        F.count("*").alias("k"),
+        F.round(F.sum(F.expr("CAST(n AS DECIMAL(27,6))")), 6)
+        .cast("double")
+        .alias("s1"),
+        F.round(F.sum(F.expr("CAST(n * n AS DECIMAL(27,6))")), 6)
+        .cast("double")
+        .alias("s2"),
+    )
+    mean = F.col("s1") / F.col("k")
+    fano = F.when(
+        F.col("s1") > 0,
+        (F.col("s2") / F.col("k") - mean * mean) / mean,
+    )
+    return sums.select(
+        "event_type",
+        F.col("k").alias("n_minutes"),
+        F.round(mean.cast("decimal(27,12)"), 6)
+        .cast("double")
+        .alias("mean_per_min"),
+        F.round(fano.cast("decimal(27,12)"), 6)
+        .cast("double")
+        .alias("fano_factor"),
+    )

@@ -1233,3 +1233,87 @@ def event_burstiness_fano(spark, sf_dir):
         .cast("double")
         .alias("fano_factor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation of values per event type: is the value series
+# persistent (trending), white, or mean-reverting? Pearson r over
+# (value_t, value_{t-1}) pairs from the same decimal moment recipe as
+# discount_quantity_correlation — corr() itself is partition-order-
+# dependent float on both engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "value_autocorrelation_lag1",
+    oracle="""
+    WITH pairs AS (
+      SELECT event_type, value AS y,
+             lag(value) OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) AS x
+      FROM events
+    ),
+    sums AS (
+      SELECT event_type, count(*) AS n,
+             CAST(ROUND(sum(CAST(x AS DECIMAL(27,12))), 6) AS DOUBLE) AS sx,
+             CAST(ROUND(sum(CAST(y AS DECIMAL(27,12))), 6) AS DOUBLE) AS sy,
+             CAST(ROUND(sum(CAST(x * x AS DECIMAL(27,12))), 6) AS DOUBLE)
+               AS sxx,
+             CAST(ROUND(sum(CAST(y * y AS DECIMAL(27,12))), 6) AS DOUBLE)
+               AS syy,
+             CAST(ROUND(sum(CAST(x * y AS DECIMAL(27,12))), 6) AS DOUBLE)
+               AS sxy
+      FROM pairs WHERE x IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type, n AS n_pairs,
+           CAST(ROUND(CAST(
+             CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                  THEN (n * sxy - sx * sy)
+                       / sqrt(n * sxx - sx * sx) / sqrt(n * syy - sy * sy)
+             END AS DECIMAL(27,12)), 6) AS DOUBLE) AS acf1
+    FROM sums
+    """,
+    description="Lag-1 autocorrelation of the value series per event type "
+    "(time-ordered lag pairs, decimal-routed closed-form Pearson r) — "
+    "persistent vs white vs mean-reverting diagnosis; one lag window + "
+    "one grouped aggregate.",
+    tags=("temporal", "autocorrelation", "timeseries"),
+)
+def value_autocorrelation_lag1(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "event_type",
+        F.col("value").alias("y"),
+        F.lag("value").over(w).alias("x"),
+    ).filter(F.col("x").isNotNull())
+
+    def msum(e, name):
+        return (
+            F.round(F.sum(F.expr(f"CAST({e} AS DECIMAL(27,12))")), 6)
+            .cast("double")
+            .alias(name)
+        )
+
+    sums = pairs.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        msum("x", "sx"),
+        msum("y", "sy"),
+        msum("x * x", "sxx"),
+        msum("y * y", "syy"),
+        msum("x * y", "sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.when(
+        (vx > 0) & (vy > 0),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / F.sqrt(vx)
+        / F.sqrt(vy),
+    )
+    return sums.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        F.round(r.cast("decimal(27,12)"), 6).cast("double").alias("acf1"),
+    )

@@ -37,6 +37,7 @@ from datalakes_and_data_integration_spark.plans import (  # noqa: E402,F401
     graph,
     drift,
     similarity_extra,
+    curation2,
 )
 
 __all__ = ["QUERIES", "Query", "all_queries", "all_oracle_sql", "register"]

@@ -30,14 +30,37 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-        # outright unless it may read it as long. The caller's session (the
-        # driver builds its own, without our factory's conf) might not have
-        # the flag — it is runtime-settable, so set it here defensively.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) (round 1) and as
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) (round 2) — the loader must
+        # be representation-agnostic. Spark 4 rejects nanos outright unless it
+        # may read them as long. The caller's session (the driver builds its
+        # own, without our factory's conf) might not have the flag — it is
+        # runtime-settable, so set it here defensively, along with the UTC
+        # session timezone the NTZ->instant normalization below relies on.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        df = _canonical_ts(df)
+    return df
+
+
+def _canonical_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to TIMESTAMP (an instant; wall time == UTC).
+
+    Three physical shapes appear in the wild for the same µs-aligned data:
+    bigint nanos (via nanosAsLong), TIMESTAMP_NTZ (µs, no zone), and plain
+    TIMESTAMP. Every query downstream — epoch arithmetic (``unix_micros``),
+    range-frame windows, watermarks — assumes the instant type, and the
+    DuckDB oracles read the same column as naive-UTC. With the session
+    timezone pinned to UTC the NTZ cast is wall-time-preserving, so all
+    three shapes collapse to identical values.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

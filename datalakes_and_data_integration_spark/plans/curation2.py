@@ -178,6 +178,7 @@ def doc_rarity_score(spark, sf_dir):
     ratio = F.col("sum_df").cast("double") / (
         F.col("n_types") * F.col("n_docs")
     )
+    # scale-ok: n_docs is a broadcast one-row aggregate (scalar fan-in)
     return per_doc.crossJoin(n_docs).select(
         "doc_id",
         "n_types",
@@ -251,8 +252,8 @@ def vocab_growth_curve(spark, sf_dir):
         F.countDistinct("t").alias("n_types_in_block"),
     )
     docs = tok.groupBy("block").agg(F.count("*").alias("n_docs"))
-    # scale-ok: the cumulative window orders the per-block aggregate
-    # (corpus_size / _VG_BLOCK rows), not token rows.
+    # (The cumulative sum below runs on corpus_size / _VG_BLOCK rows.)
+    # scale-ok: window orders the tiny per-block aggregate, not token rows
     w = Window.orderBy("block").rowsBetween(Window.unboundedPreceding, 0)
     return (
         docs.join(occ, "block")

@@ -21,10 +21,18 @@ from pyspark.sql.types import StructType
 
 def write_jsonl(df: DataFrame, path: str) -> None:
     """Deterministic JSONL export: ISO-8601 timestamps, no compression
-    (downstream tools expect plain lines)."""
+    (downstream tools expect plain lines).
+
+    TIMESTAMP and TIMESTAMP_NTZ are formatted by *different* options
+    (`timestampFormat` vs `timestampNTZFormat`); both default to
+    millisecond precision, which silently truncates microseconds —
+    the lake's event timestamps are microsecond-resolution, so both
+    must be pinned to SSSSSS for a lossless round-trip.
+    """
     (
         df.write.mode("overwrite")
         .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
         .json(path)
     )
 
@@ -37,6 +45,7 @@ def read_jsonl(
     return (
         spark.read.schema(schema)
         .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
         .option("mode", "FAILFAST")
         .json(path)
     )

@@ -25,8 +25,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet, with the same nanos->timestamp
     normalization as the batch loader (_util.T)."""
     # Defensive for driver-built sessions (see plans/_util.T): nanos
-    # timestamps are unreadable without this runtime-settable flag.
+    # timestamps are unreadable without this runtime-settable flag, and the
+    # NTZ->instant normalization relies on a UTC session timezone.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     # The file source wants a directory; select just the events file via
     # pathGlobFilter so sibling tables in sf_dir aren't picked up.
@@ -35,9 +37,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return stream
+    from datalakes_and_data_integration_spark.plans._util import _canonical_ts
+
+    return _canonical_ts(stream)
 
 
 def hourly_agg_stream(stream: DataFrame) -> DataFrame:

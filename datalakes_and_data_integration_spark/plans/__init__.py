@@ -38,6 +38,7 @@ from datalakes_and_data_integration_spark.plans import (  # noqa: E402,F401
     drift,
     similarity_extra,
     curation2,
+    maintenance,
 )
 
 __all__ = ["QUERIES", "Query", "all_queries", "all_oracle_sql", "register"]

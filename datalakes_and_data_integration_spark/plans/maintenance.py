@@ -1,0 +1,192 @@
+"""Warehouse-maintenance queries: continuous aggregates, pivot/unpivot,
+skew-salted joins.
+
+Registered after the round-2 driver-window cutoff (see plans/__init__.py);
+oracle-checked by the local gate and eligible to rotate into the driver
+window next round.
+
+The continuous-aggregate query is the scale answer to the reference's
+full-recompute curated stage (process_to_curated.py reads the whole
+staging table every run): maintain mergeable partials incrementally and
+only ever touch the increment — see operators/rollup.py for the design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalakes_and_data_integration_spark.plans._util import T, dec
+from datalakes_and_data_integration_spark.plans.registry import register
+
+# Daily-rollup maintenance scenario over the 2024-01-01..30 events table:
+# history is rolled up once, three daily increments are merged in one at a
+# time (the nightly job), and reads serve closed days from the rollup plus
+# the still-open tail straight from raw — proving rollup ∪ tail == full
+# recompute (the oracle).
+_HISTORY_END = "2024-01-25"  # history rollup covers ts < this
+_INCREMENT_DAYS = ("2024-01-25", "2024-01-26", "2024-01-27")
+_HIGH_WATER = "2024-01-28"  # rollup covers ts < this after maintenance
+
+
+@register(
+    "continuous_aggregate_daily",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           event_type,
+           count(*) AS n_events,
+           CAST(ROUND(sum(CAST(value AS DECIMAL(27,6))), 4) AS DOUBLE)
+             AS total_value,
+           CAST(ROUND(CAST(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                           / count(*) AS DECIMAL(27,12)), 6) AS DOUBLE)
+             AS avg_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY day, event_type
+    """,
+    description="Continuous-aggregate maintenance (operators/rollup.py): "
+    "daily (day x event_type) partials — count / exact-decimal sum / min "
+    "/ max, all mergeable — built once over history, then three daily "
+    "increments merged in generation-swapped parquet (the nightly job), "
+    "then served merge-on-read: closed days from the rollup, the open "
+    "tail folded in from raw at the partial level. Equals a full "
+    "recompute (the oracle) while the maintenance path only ever reads "
+    "each increment once. Scale shape: merges shuffle O(days x types) "
+    "partial rows with map-side combine, never raw history; the rollup "
+    "table is partitioned by day so an increment rewrites one partition.",
+    tags=("maintenance", "rollup", "incremental", "timeseries"),
+)
+def continuous_aggregate_daily(spark, sf_dir):
+    import os
+    import tempfile
+
+    from datalakes_and_data_integration_spark.operators.rollup import (
+        finalize_rollup,
+        merge_rollups,
+        partial_rollup,
+        write_rollup,
+    )
+
+    e = T(spark, sf_dir, "events")
+    bucket = F.col("ts").cast("date")
+    keys = ["event_type"]
+
+    root = tempfile.mkdtemp(prefix="contagg_")
+    gen = os.path.join(root, "gen0")
+    write_rollup(
+        partial_rollup(e.filter(F.col("ts") < _HISTORY_END), bucket, keys),
+        gen,
+    )
+    # Nightly maintenance: merge one day's partials per generation. A new
+    # generation dir per merge because parquet can't be overwritten while
+    # it is the read side (operators/upsert.py uses the same staged-swap
+    # idea with tombstones for in-place tables).
+    days = [*_INCREMENT_DAYS, _HIGH_WATER]
+    for i, (day, nxt) in enumerate(zip(days, days[1:] + [None])):
+        if nxt is None:
+            break
+        inc = e.filter((F.col("ts") >= day) & (F.col("ts") < nxt))
+        merged = merge_rollups(
+            spark.read.parquet(gen).withColumn(
+                "bucket", F.col("bucket").cast("date")
+            ),
+            partial_rollup(inc, bucket, keys),
+        )
+        gen_next = os.path.join(root, f"gen{i + 1}")
+        write_rollup(merged, gen_next)
+        gen = gen_next
+
+    rolled = spark.read.parquet(gen).withColumn(
+        "bucket", F.col("bucket").cast("date")
+    )
+    # Merge-on-read: the open tail (not yet maintained) at partial level.
+    tail = partial_rollup(
+        e.filter(F.col("ts") >= _HIGH_WATER), bucket, keys
+    )
+    return finalize_rollup(merge_rollups(rolled, tail)).withColumnRenamed(
+        "bucket", "day"
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "pivot_unpivot_roundtrip",
+    oracle="""
+    SELECT user_id,
+           event_type,
+           CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+             AS total_value
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+    description="Wide/long reshaping round-trip: pivot events into one "
+    "column per event type (the reference's gold stage is exactly this "
+    "wide per-pollutant shape, process_to_curated.py:60-88), then unpivot "
+    "back to long with the built-in stack()-based unpivot, dropping the "
+    "nulls pivot invented for absent (user, type) combos — equals the "
+    "direct long aggregation (the oracle). Scale shape: pivot with an "
+    "explicit value list is one shuffle (no distinct-values pre-scan); "
+    "unpivot is a narrow map — no extra exchange.",
+    tags=("reshape", "pivot", "parity"),
+)
+def pivot_unpivot_roundtrip(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    wide = (
+        e.groupBy("user_id")
+        # Explicit value list: without it Spark runs a distinct() pre-scan
+        # over the fact table just to learn the column names.
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.round(F.sum(dec("value", 18, 6)), 4).cast("double"))
+    )
+    long = wide.unpivot(
+        ids=["user_id"],
+        values=list(_EVENT_TYPES),
+        variableColumnName="event_type",
+        valueColumnName="total_value",
+    )
+    return long.filter(F.col("total_value").isNotNull())
+
+
+@register(
+    "skew_salted_join_stats",
+    oracle="""
+    SELECT n.n_name AS nation,
+           count(*) AS n_events,
+           CAST(ROUND(sum(CAST(e.value AS DECIMAL(18,6))), 4) AS DOUBLE)
+             AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY nation
+    """,
+    description="Skew-safe fact-dim join (operators/skew.py): events "
+    "salted 8 ways against the customer dim (exploded per salt), then "
+    "nation rollup — identical to the plain join (the oracle), proving "
+    "salting is a pure physical rewrite. The events table concentrates "
+    "on 150 of 1500 customers (10x hot-key skew by construction). When "
+    "AQE skew splitting can't apply (pre-aggregated or pre-partitioned "
+    "inputs), this is the explicit form: each hot key spreads over "
+    "salt_count tasks at the cost of replicating the dim 8x.",
+    tags=("join", "skew", "scale"),
+)
+def skew_salted_join_stats(spark, sf_dir):
+    from datalakes_and_data_integration_spark.operators.skew import salted_join
+
+    e = T(spark, sf_dir, "events").select("user_id", "value")
+    c = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = salted_join(e, c, on="user_id", salt_count=8)
+    return (
+        joined.join(F.broadcast(n), joined.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(dec("value", 18, 6)), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

@@ -1,0 +1,177 @@
+"""Declarative data-quality expectations (Deequ/Great-Expectations-style).
+
+The reference enforces data quality imperatively and destructively:
+empty-row and header-mismatch rows are silently dropped in staging
+(preprocess_to_staging.py:65-87), unmapped units become nulls in curated
+(process_to_curated.py:96-104). An auditable lake wants the other shape:
+declare constraints, measure violations, and report — without mutating
+the data. This module is that layer.
+
+Check classes:
+
+- predicate checks (``not_null``, ``between``, ``isin``, custom SQL
+  predicate) — compiled into ONE aggregation pass per table: each check
+  is a conditional-sum column over the same scan, so adding a tenth
+  check to a 100 TB table costs zero extra reads. The wide one-row
+  result is unpivoted back to one row per check.
+- ``unique`` — one map-side-combined groupBy on the key; both the total
+  row count and the duplicate count come from the same shuffle
+  (sum(cnt) / sum(cnt-1 where cnt>1)), no second scan.
+- ``foreign_key`` — fact keys are pre-aggregated to (key, count), then
+  probed against the dim's distinct keys with a left join (broadcast
+  when the dim is small); orphan rows are counted without ever
+  shuffling fact rows.
+
+Every check yields the same row shape
+``(table_name, check_name, n_checked, n_violations, passed)`` so suites
+union cleanly into one report.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+REPORT_COLS = ("table_name", "check_name", "n_checked", "n_violations", "passed")
+
+
+@dataclass
+class _PredicateCheck:
+    name: str
+    violated: Column  # boolean: true == row violates the expectation
+
+
+class ExpectationSuite:
+    """Collect expectations for one table, then ``run()`` the report."""
+
+    def __init__(self, df: DataFrame, table_name: str):
+        self._df = df
+        self._table = table_name
+        self._predicates: list[_PredicateCheck] = []
+        self._extra_reports: list[DataFrame] = []
+
+    # -- predicate checks (fused into one scan) -------------------------
+
+    def expect_not_null(self, col: str) -> "ExpectationSuite":
+        return self._pred(f"{col}_not_null", F.col(col).isNull())
+
+    def expect_between(self, col: str, lo, hi) -> "ExpectationSuite":
+        """Range check; nulls don't violate (pair with expect_not_null)."""
+        c = F.col(col)
+        return self._pred(
+            f"{col}_between_{lo}_{hi}",
+            c.isNotNull() & ~c.between(lo, hi),
+        )
+
+    def expect_in(self, col: str, values) -> "ExpectationSuite":
+        c = F.col(col)
+        return self._pred(
+            f"{col}_accepted_values",
+            c.isNotNull() & ~c.isin(*values),
+        )
+
+    def expect_predicate(self, name: str, holds: Column) -> "ExpectationSuite":
+        """Custom predicate that must hold on every row."""
+        return self._pred(name, ~holds)
+
+    def _pred(self, name: str, violated: Column) -> "ExpectationSuite":
+        self._predicates.append(_PredicateCheck(name, violated))
+        return self
+
+    # -- checks that need their own shuffle ------------------------------
+
+    def expect_unique(self, *cols: str) -> "ExpectationSuite":
+        name = "_".join(cols) + "_unique"
+        per_key = self._df.groupBy(*cols).agg(F.count("*").alias("__cnt"))
+        rep = per_key.agg(
+            F.coalesce(F.sum("__cnt"), F.lit(0)).alias("n_checked"),
+            F.coalesce(
+                F.sum(F.when(F.col("__cnt") > 1, F.col("__cnt") - 1)),
+                F.lit(0),
+            ).alias("n_violations"),
+        ).select(
+            F.lit(self._table).alias("table_name"),
+            F.lit(name).alias("check_name"),
+            "n_checked",
+            "n_violations",
+        )
+        self._extra_reports.append(rep)
+        return self
+
+    def expect_foreign_key(
+        self, col: str, dim: DataFrame, dim_col: str, dim_name: str
+    ) -> "ExpectationSuite":
+        """Referential integrity: every non-null ``col`` exists in
+        ``dim.dim_col``. Null keys are not orphans (SQL FK semantics)."""
+        name = f"{col}_fk_{dim_name}_{dim_col}"
+        fact_keys = (
+            self._df.filter(F.col(col).isNotNull())
+            .groupBy(F.col(col).alias("__k"))
+            .agg(F.count("*").alias("__cnt"))
+        )
+        dim_keys = F.broadcast(
+            dim.select(F.col(dim_col).alias("__k")).distinct().withColumn(
+                "__hit", F.lit(1)
+            )
+        )
+        rep = (
+            fact_keys.join(dim_keys, "__k", "left")
+            .agg(
+                F.coalesce(F.sum("__cnt"), F.lit(0)).alias("n_checked"),
+                F.coalesce(
+                    F.sum(F.when(F.col("__hit").isNull(), F.col("__cnt"))),
+                    F.lit(0),
+                ).alias("n_violations"),
+            )
+            .select(
+                F.lit(self._table).alias("table_name"),
+                F.lit(name).alias("check_name"),
+                "n_checked",
+                "n_violations",
+            )
+        )
+        self._extra_reports.append(rep)
+        return self
+
+    # -- report ----------------------------------------------------------
+
+    def run(self) -> DataFrame:
+        """One report row per expectation (see REPORT_COLS)."""
+        reports = list(self._extra_reports)
+        if self._predicates:
+            agg_cols = [F.count(F.lit(1)).alias("__n")] + [
+                F.coalesce(
+                    F.sum(F.when(p.violated, 1).otherwise(0)), F.lit(0)
+                ).alias(p.name)
+                for p in self._predicates
+            ]
+            wide = self._df.agg(*agg_cols)
+            long = wide.unpivot(
+                ids=["__n"],
+                values=[p.name for p in self._predicates],
+                variableColumnName="check_name",
+                valueColumnName="n_violations",
+            ).select(
+                F.lit(self._table).alias("table_name"),
+                "check_name",
+                F.col("__n").alias("n_checked"),
+                "n_violations",
+            )
+            reports.append(long)
+        it = iter(reports)
+        out = next(it)
+        for r in it:
+            out = out.unionByName(r)
+        return out.withColumn("passed", F.col("n_violations") == 0).select(
+            *REPORT_COLS
+        )
+
+
+def union_reports(*reports: DataFrame) -> DataFrame:
+    it = iter(reports)
+    out = next(it)
+    for r in it:
+        out = out.unionByName(r)
+    return out

@@ -39,6 +39,7 @@ from datalakes_and_data_integration_spark.plans import (  # noqa: E402,F401
     similarity_extra,
     curation2,
     maintenance,
+    quality,
 )
 
 __all__ = ["QUERIES", "Query", "all_queries", "all_oracle_sql", "register"]

@@ -1,0 +1,168 @@
+"""Data-quality expectation report over the lake (operators/quality.py).
+
+The reference enforces quality destructively inside its transforms
+(preprocess_to_staging.py:65-87 drops empty/mismatched rows silently;
+process_to_curated.py:96-104 nulls unmapped units). The declarative
+counterpart — measure every constraint in an auditable report without
+mutating data — is what Deequ/Great Expectations do, and what a 100 TB
+lake needs as a first-class operator: one fused scan per table for all
+predicate checks, one map-side-combined shuffle per uniqueness key, one
+broadcast probe per foreign key.
+
+Registered after the round-2 driver-window cutoff (see plans/__init__.py);
+oracle-checked by the local gate and eligible to rotate into the driver
+window next round.
+"""
+
+from __future__ import annotations
+
+from datalakes_and_data_integration_spark.operators.quality import (
+    ExpectationSuite,
+    union_reports,
+)
+from datalakes_and_data_integration_spark.plans._util import T
+from datalakes_and_data_integration_spark.plans.registry import register
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "data_quality_report",
+    oracle=f"""
+    WITH report AS (
+      SELECT 'lineitem' AS table_name, 'l_orderkey_not_null' AS check_name,
+             count(*) AS n_checked,
+             CAST(coalesce(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_violations
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem', 'l_quantity_between_1_50', count(*),
+             CAST(coalesce(sum(CASE WHEN l_quantity IS NOT NULL
+                                     AND l_quantity NOT BETWEEN 1 AND 50
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem', 'l_discount_in_unit_interval', count(*),
+             CAST(coalesce(sum(CASE WHEN NOT (l_discount >= 0.0
+                                              AND l_discount <= 0.1)
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem', 'l_quantity_le_30_sla', count(*),
+             CAST(coalesce(sum(CASE WHEN NOT (l_quantity <= 30)
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem', 'l_orderkey_l_linenumber_unique',
+             CAST(coalesce(sum(__cnt), 0) AS BIGINT),
+             CAST(coalesce(sum(CASE WHEN __cnt > 1 THEN __cnt - 1 END), 0)
+                  AS BIGINT)
+      FROM (SELECT count(*) AS __cnt FROM lineitem
+            GROUP BY l_orderkey, l_linenumber)
+      UNION ALL
+      SELECT 'lineitem', 'l_orderkey_fk_orders_o_orderkey',
+             CAST(coalesce(sum(__cnt), 0) AS BIGINT),
+             CAST(coalesce(sum(CASE WHEN o.o_orderkey IS NULL THEN __cnt END), 0)
+                  AS BIGINT)
+      FROM (SELECT l_orderkey AS __k, count(*) AS __cnt FROM lineitem
+            WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey) f
+      LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        ON f.__k = o.o_orderkey
+      UNION ALL
+      SELECT 'orders', 'o_orderkey_unique',
+             CAST(coalesce(sum(__cnt), 0) AS BIGINT),
+             CAST(coalesce(sum(CASE WHEN __cnt > 1 THEN __cnt - 1 END), 0)
+                  AS BIGINT)
+      FROM (SELECT count(*) AS __cnt FROM orders GROUP BY o_orderkey)
+      UNION ALL
+      SELECT 'orders', 'o_orderstatus_accepted_values', count(*),
+             CAST(coalesce(sum(CASE WHEN o_orderstatus IS NOT NULL
+                                     AND o_orderstatus NOT IN ('F','O','P')
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'orders', 'o_totalprice_positive', count(*),
+             CAST(coalesce(sum(CASE WHEN NOT (o_totalprice > 0)
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'orders', 'o_custkey_fk_customer_c_custkey',
+             CAST(coalesce(sum(__cnt), 0) AS BIGINT),
+             CAST(coalesce(sum(CASE WHEN c.c_custkey IS NULL THEN __cnt END), 0)
+                  AS BIGINT)
+      FROM (SELECT o_custkey AS __k, count(*) AS __cnt FROM orders
+            WHERE o_custkey IS NOT NULL GROUP BY o_custkey) f
+      LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON f.__k = c.c_custkey
+      UNION ALL
+      SELECT 'events', 'value_not_null', count(*),
+             CAST(coalesce(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END), 0)
+                  AS BIGINT)
+      FROM events
+      UNION ALL
+      SELECT 'events', 'event_type_accepted_values', count(*),
+             CAST(coalesce(sum(CASE WHEN event_type IS NOT NULL
+                                     AND event_type NOT IN
+                                         {_EVENT_TYPES!r}
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+      FROM events
+      UNION ALL
+      SELECT 'events', 'user_id_fk_customer_c_custkey',
+             CAST(coalesce(sum(__cnt), 0) AS BIGINT),
+             CAST(coalesce(sum(CASE WHEN c.c_custkey IS NULL THEN __cnt END), 0)
+                  AS BIGINT)
+      FROM (SELECT user_id AS __k, count(*) AS __cnt FROM events
+            WHERE user_id IS NOT NULL GROUP BY user_id) f
+      LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON f.__k = c.c_custkey
+    )
+    SELECT table_name, check_name, n_checked, n_violations,
+           n_violations = 0 AS passed
+    FROM report
+    """,
+    description="Declarative data-quality report (operators/quality.py): "
+    "13 expectations across lineitem/orders/events — not-null, range, "
+    "accepted-values, custom SLA predicates, composite-key uniqueness, "
+    "and referential integrity — each a (n_checked, n_violations, passed) "
+    "row. Scale shape: ALL predicate checks on a table fuse into ONE "
+    "aggregation over one scan (adding a check costs zero extra reads); "
+    "uniqueness is one map-side-combined groupBy; FK checks pre-aggregate "
+    "fact keys and broadcast-probe the dim, so fact rows never shuffle. "
+    "The l_quantity<=30 SLA is intentionally tight so the violation-"
+    "counting path is exercised with real non-zero counts.",
+    tags=("quality", "audit", "profiling"),
+)
+def data_quality_report(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    e = T(spark, sf_dir, "events")
+
+    li_suite = (
+        ExpectationSuite(li, "lineitem")
+        .expect_not_null("l_orderkey")
+        .expect_between("l_quantity", 1, 50)
+        .expect_predicate(
+            "l_discount_in_unit_interval",
+            (F.col("l_discount") >= 0.0) & (F.col("l_discount") <= 0.1),
+        )
+        .expect_predicate("l_quantity_le_30_sla", F.col("l_quantity") <= 30)
+        .expect_unique("l_orderkey", "l_linenumber")
+        .expect_foreign_key("l_orderkey", o, "o_orderkey", "orders")
+    )
+    o_suite = (
+        ExpectationSuite(o, "orders")
+        .expect_unique("o_orderkey")
+        .expect_in("o_orderstatus", ("F", "O", "P"))
+        .expect_predicate("o_totalprice_positive", F.col("o_totalprice") > 0)
+        .expect_foreign_key("o_custkey", c, "c_custkey", "customer")
+    )
+    e_suite = (
+        ExpectationSuite(e, "events")
+        .expect_not_null("value")
+        .expect_in("event_type", _EVENT_TYPES)
+        .expect_foreign_key("user_id", c, "c_custkey", "customer")
+    )
+    return union_reports(li_suite.run(), o_suite.run(), e_suite.run())

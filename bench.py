@@ -34,6 +34,34 @@ def _cpu_calibration() -> float:
     return round(time.time() - t0, 3)
 
 
+def _cpu_calibration_parallel(n: int = 16) -> float:
+    """Wall seconds for ``n`` concurrent half-size burn loops.
+
+    The single-thread anchor misses the second throttling mode this box
+    exhibits: single-thread speed stays normal while MULTI-core throughput
+    collapses (measured: bench totals 16 s -> 90 s with load avg ~1 and a
+    fast serial calib). Near `0.3 * (serial/0.55)` s means full parallelism;
+    several-fold higher means the window was core-throttled and the Spark
+    numbers in this JSON under-measure the engine.
+    """
+    import multiprocessing as mp
+
+    try:
+        with mp.Pool(n) as pool:
+            t0 = time.time()
+            pool.map(_burn_half, range(n))
+            return round(time.time() - t0, 3)
+    except Exception:
+        return -1.0
+
+
+def _burn_half(_arg: int) -> int:
+    s = 0
+    for i in range(5_000_000):
+        s += i * i
+    return s
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -46,22 +74,31 @@ def main() -> None:
     # Warm the JVM/IO path once so per-query numbers measure the engine.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
-    # Two runs per query: run 0 pays one-time costs (Janino codegen compile of
-    # the large generated expressions, parquet footer reads — measured 7.4s of
-    # dedup_minhash_lsh's 8.4s cold time); run 1 is the engine's steady-state
-    # throughput, which is the headline number. Cold times are reported
-    # alongside for transparency.
+    # Three runs per query: run 0 pays one-time costs (Janino codegen compile
+    # of the large generated expressions, parquet footer reads — measured
+    # 7.4s of dedup_minhash_lsh's 8.4s cold time) and is reported as "cold";
+    # the headline steady-state number is the best of runs 1-2. min-of-2
+    # because this host's throughput swings 20%+ WITHIN a bench run (see
+    # NOTES.md "Host-speed variance" and the two calibration anchors): a
+    # single warm sample conflates engine time with whichever throttling
+    # window it landed in, while the min converges on the engine's actual
+    # steady-state throughput.
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name, q in plans.QUERIES.items():
         if not q.bench:
             continue
-        for run in range(2):
+        warm: list[float] = []
+        for run in range(3):
             t0 = time.time()
             df = q.spark(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             elapsed = round(time.time() - t0, 3)
-            (cold if run == 0 else times)[name] = elapsed
+            if run == 0:
+                cold[name] = elapsed
+            else:
+                warm.append(elapsed)
+        times[name] = min(warm)
 
     out = {
         "metric": "headline_queries_wall_clock",
@@ -72,6 +109,7 @@ def main() -> None:
         "cold_value": round(sum(cold.values()), 3),
         "sf": sf,
         "cpu_calib_sec": _cpu_calibration(),
+        "cpu_calib_par_sec": _cpu_calibration_parallel(),
     }
     print(json.dumps(out))
     sys.stdout.flush()

@@ -40,6 +40,7 @@ from datalakes_and_data_integration_spark.plans import (  # noqa: E402,F401
     curation2,
     maintenance,
     quality,
+    lm,
 )
 
 __all__ = ["QUERIES", "Query", "all_queries", "all_oracle_sql", "register"]

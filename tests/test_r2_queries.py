@@ -154,3 +154,18 @@ def test_transition_probabilities_normalize(spark, queries):
     assert by_prev
     for prev, total in by_prev.items():
         assert abs(total - 1.0) < 1e-4, (prev, total)
+
+
+def test_cc_algorithms_agree(spark, queries):
+    """Label propagation and large-star/small-star are independent CC
+    algorithms over the same near-dup graph; beyond each matching the
+    recursive-CTE oracle, they must agree row-for-row with each other."""
+    a = {
+        r.doc: (r.cluster_id, r.has_near_dup)
+        for r in queries["dedup_cluster_assignment"](spark, SF).collect()
+    }
+    b = {
+        r.doc: (r.cluster_id, r.has_near_dup)
+        for r in queries["dedup_cluster_largestar"](spark, SF).collect()
+    }
+    assert a == b and a

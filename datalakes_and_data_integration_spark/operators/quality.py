@@ -135,6 +135,34 @@ class ExpectationSuite:
         self._extra_reports.append(rep)
         return self
 
+    # -- quarantine (dead-letter split) ----------------------------------
+
+    def quarantine(self) -> tuple[DataFrame, DataFrame]:
+        """Split rows on the suite's PREDICATE checks (the row-local ones;
+        unique/FK express dataset-level facts and don't name a single bad
+        row). Returns ``(passing, quarantined)`` where quarantined rows
+        carry a ``violations`` column: the comma-joined, alphabetically
+        ordered names of every failed check — the dead-letter pattern, so
+        bad rows are rerouted with machine-readable reasons instead of
+        silently dropped (the reference's shape,
+        preprocess_to_staging.py:65-87).
+
+        One scan, no shuffle: the reason string is a narrow projection and
+        the split is two filters over it; with both outputs consumed the
+        scan runs twice (or once if the caller persists the tagged frame) —
+        either way nothing is collected or exchanged.
+        """
+        checks = sorted(self._predicates, key=lambda p: p.name)
+        # concat_ws skips NULLs in both Spark and DuckDB, so the CASE chain
+        # in name order is the portable reason-string recipe.
+        viol = F.concat_ws(
+            ",", *[F.when(p.violated, F.lit(p.name)) for p in checks]
+        )
+        tagged = self._df.withColumn("violations", viol)
+        good = tagged.filter(F.col("violations") == "").drop("violations")
+        bad = tagged.filter(F.col("violations") != "")
+        return good, bad
+
     # -- report ----------------------------------------------------------
 
     def run(self) -> DataFrame:

@@ -166,3 +166,54 @@ def data_quality_report(spark, sf_dir):
         .expect_foreign_key("user_id", c, "c_custkey", "customer")
     )
     return union_reports(li_suite.run(), o_suite.run(), e_suite.run())
+
+
+@register(
+    "quarantine_audit",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT event_id,
+             concat_ws(',',
+               CASE WHEN event_type IS NOT NULL
+                     AND event_type NOT IN {_EVENT_TYPES!r}
+                    THEN 'event_type_accepted_values' END,
+               CASE WHEN NOT (user_id <> 0) THEN 'user_id_nonzero' END,
+               CASE WHEN NOT (value <= 150) THEN 'value_le_150_sla' END,
+               CASE WHEN value IS NULL THEN 'value_not_null' END
+             ) AS violations
+      FROM events
+    )
+    SELECT violations, count(*) AS n_rows,
+           min(event_id) AS first_event_id
+    FROM tagged GROUP BY violations
+    """,
+    description="Dead-letter split audit (ExpectationSuite.quarantine): "
+    "events rows routed by which row-local expectations they fail, with "
+    "the comma-joined alphabetical reason string ('' = passing), row "
+    "count, and first offending event_id per reason combination. The "
+    "value<=150 SLA and user_id<>0 checks are intentionally tight so "
+    "single- and multi-violation combos all occur. Scale shape: the "
+    "reason string is a narrow projection on the scan and the audit is "
+    "one map-side-combined groupBy over at most 2^checks combos — no "
+    "row ever shuffles with its payload.",
+    tags=("quality", "audit", "dead-letter"),
+)
+def quarantine_audit(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    e = T(spark, sf_dir, "events")
+    suite = (
+        ExpectationSuite(e, "events")
+        .expect_not_null("value")
+        .expect_predicate("value_le_150_sla", F.col("value") <= 150)
+        .expect_in("event_type", _EVENT_TYPES)
+        .expect_predicate("user_id_nonzero", F.col("user_id") != 0)
+    )
+    good, bad = suite.quarantine()
+    tagged = good.withColumn("violations", F.lit("")).select(
+        "event_id", "violations"
+    ).unionByName(bad.select("event_id", "violations"))
+    return tagged.groupBy("violations").agg(
+        F.count("*").alias("n_rows"),
+        F.min("event_id").alias("first_event_id"),
+    )

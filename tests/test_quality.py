@@ -117,3 +117,22 @@ def test_registered_report_query(spark):
     # ...and the intentionally-tight SLA reports real violations.
     sla = rep[("lineitem", "l_quantity_le_30_sla")]
     assert not sla.passed and 0 < sla.n_violations < sla.n_checked
+
+
+def test_quarantine_split(spark, fact):
+    from pyspark.sql import functions as F
+
+    good, bad = (
+        ExpectationSuite(fact, "fact")
+        .expect_not_null("val")
+        .expect_between("val", 0, 100)
+        .expect_in("cat", ("a", "b"))
+        .quarantine()
+    )
+    g = good.collect()
+    b = {r.id: r.violations for r in bad.collect()}
+    # Rows 1,1,4 pass; row 2 fails the range; row 3 fails null + category.
+    assert len(g) == 3 and all(not hasattr(r, "violations") for r in g)
+    assert b[2] == "val_between_0_100"
+    assert b[3] == "cat_accepted_values,val_not_null"  # alphabetical order
+    assert set(b) == {2, 3}

@@ -136,3 +136,25 @@ def test_quarantine_split(spark, fact):
     assert b[2] == "val_between_0_100"
     assert b[3] == "cat_accepted_values,val_not_null"  # alphabetical order
     assert set(b) == {2, 3}
+
+
+def test_report_agrees_with_quarantine(spark, fact):
+    """The fused report and the row-level split must tell the same story:
+    per predicate check, n_violations == number of quarantined rows
+    naming that check."""
+    suite = (
+        ExpectationSuite(fact, "fact")
+        .expect_not_null("val")
+        .expect_between("val", 0, 100)
+        .expect_in("cat", ("a", "b"))
+        .expect_predicate("id_positive", fact.id > 0)
+    )
+    rep = report_map(suite.run())
+    _, bad = suite.quarantine()
+    from collections import Counter
+
+    named = Counter(
+        name for r in bad.collect() for name in r.violations.split(",")
+    )
+    for check, row in rep.items():
+        assert row.n_violations == named.get(check, 0), check

@@ -165,27 +165,49 @@ class ExpectationSuite:
 
     # -- report ----------------------------------------------------------
 
-    def run(self) -> DataFrame:
-        """One report row per expectation (see REPORT_COLS)."""
-        reports = list(self._extra_reports)
-        if self._predicates:
-            agg_cols = [F.count(F.lit(1)).alias("__n")] + [
+    def predicate_counts(self) -> DataFrame:
+        """The fused one-scan aggregation behind the predicate checks: one
+        wide row — ``__n`` (rows checked) plus one violation-count column
+        per check. A plain sum/count aggregation, so it ALSO works on a
+        streaming DataFrame (complete mode): micro-batch partials merge to
+        exactly the batch answer, which is how quality monitoring rides an
+        incremental pipeline for free."""
+        return self._df.agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
                 F.coalesce(
                     F.sum(F.when(p.violated, 1).otherwise(0)), F.lit(0)
                 ).alias(p.name)
                 for p in self._predicates
-            ]
-            wide = self._df.agg(*agg_cols)
-            long = wide.unpivot(
+            ],
+        )
+
+    def report_from_counts(self, wide: DataFrame) -> DataFrame:
+        """Unpivot a ``predicate_counts()`` row (possibly round-tripped
+        through a streaming sink) into standard report rows."""
+        return (
+            wide.unpivot(
                 ids=["__n"],
                 values=[p.name for p in self._predicates],
                 variableColumnName="check_name",
                 valueColumnName="n_violations",
-            ).select(
+            )
+            .select(
                 F.lit(self._table).alias("table_name"),
                 "check_name",
                 F.col("__n").alias("n_checked"),
                 "n_violations",
+            )
+            .withColumn("passed", F.col("n_violations") == 0)
+            .select(*REPORT_COLS)
+        )
+
+    def run(self) -> DataFrame:
+        """One report row per expectation (see REPORT_COLS)."""
+        reports = list(self._extra_reports)
+        if self._predicates:
+            long = self.report_from_counts(self.predicate_counts()).drop(
+                "passed"
             )
             reports.append(long)
         it = iter(reports)

@@ -217,3 +217,77 @@ def quarantine_audit(spark, sf_dir):
         F.count("*").alias("n_rows"),
         F.min("event_id").alias("first_event_id"),
     )
+
+
+@register(
+    "streaming_quality_report",
+    oracle=f"""
+    WITH counts AS (
+      SELECT count(*) AS n,
+             CAST(coalesce(sum(CASE WHEN event_type IS NOT NULL
+                                     AND event_type NOT IN {_EVENT_TYPES!r}
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS c_type,
+             CAST(coalesce(sum(CASE WHEN NOT (user_id <> 0)
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS c_uid,
+             CAST(coalesce(sum(CASE WHEN NOT (value <= 150)
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS c_sla,
+             CAST(coalesce(sum(CASE WHEN value IS NULL
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS c_null
+      FROM events
+    )
+    SELECT 'events' AS table_name, check_name, n AS n_checked, n_violations,
+           n_violations = 0 AS passed
+    FROM counts
+    CROSS JOIN (VALUES ('event_type_accepted_values'), ('user_id_nonzero'),
+                       ('value_le_150_sla'), ('value_not_null')) v(check_name)
+    CROSS JOIN LATERAL (
+      SELECT CASE check_name
+               WHEN 'event_type_accepted_values' THEN c_type
+               WHEN 'user_id_nonzero' THEN c_uid
+               WHEN 'value_le_150_sla' THEN c_sla
+               ELSE c_null
+             END AS n_violations
+    ) x
+    """,
+    description="Incremental quality monitoring: the SAME ExpectationSuite "
+    "predicate aggregation run as a Structured Streaming query (events "
+    "split into 8 files, maxFilesPerTrigger=2 -> 4+ micro-batches, "
+    "Trigger.AvailableNow, complete mode). The fused check counts are "
+    "plain sums, so micro-batch partials merge to EXACTLY the batch "
+    "report — the oracle computes it batch-wise over the full table. "
+    "Scale shape: streaming state is the one wide counts row per "
+    "aggregation, constant in corpus size; each micro-batch scans only "
+    "its new files.",
+    tags=("quality", "streaming", "incremental", "audit"),
+)
+def streaming_quality_report(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.streaming import (
+        run_available_now,
+    )
+
+    e = T(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="quality_stream_src_")
+    e.repartition(8).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    suite = (
+        ExpectationSuite(stream, "events")
+        .expect_not_null("value")
+        .expect_predicate("value_le_150_sla", F.col("value") <= 150)
+        .expect_in("event_type", _EVENT_TYPES)
+        .expect_predicate("user_id_nonzero", F.col("user_id") != 0)
+    )
+    wide = run_available_now(
+        suite.predicate_counts(),
+        spark,
+        name="streaming_quality_report_out",
+        output_mode="complete",
+    )
+    return suite.report_from_counts(wide)

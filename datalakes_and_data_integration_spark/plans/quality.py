@@ -291,3 +291,69 @@ def streaming_quality_report(spark, sf_dir):
         output_mode="complete",
     )
     return suite.report_from_counts(wide)
+
+
+@register(
+    "k_anonymity_audit",
+    oracle="""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+             count(*) AS sz
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT k.k_threshold,
+           CAST(coalesce(sum(CASE WHEN sz < k.k_threshold THEN sz END), 0)
+                AS BIGINT) AS rows_at_risk,
+           CAST(coalesce(sum(CASE WHEN sz < k.k_threshold THEN 1 END), 0)
+                AS BIGINT) AS classes_at_risk,
+           CAST(ROUND(CAST(
+             CAST(coalesce(sum(CASE WHEN sz < k.k_threshold THEN sz END), 0)
+                  AS DOUBLE) / sum(sz) AS DECIMAL(27,12)), 6) AS DOUBLE)
+             AS pct_rows_at_risk
+    FROM classes
+    CROSS JOIN (VALUES (2), (5), (10), (20)) k(k_threshold)
+    GROUP BY k.k_threshold
+    """,
+    description="k-anonymity audit over the customer quasi-identifiers "
+    "(nation, market segment, account-balance kilobucket): for each "
+    "re-identification threshold k, how many rows sit in equivalence "
+    "classes smaller than k — the privacy gate a training corpus with "
+    "user-derived records must clear before release. Scale shape: one "
+    "map-side-combined groupBy builds the class-size table (bounded by "
+    "the QI domain, not row count); the threshold sweep is a broadcast "
+    "cross join over that tiny table, so the fact table is scanned once.",
+    tags=("quality", "privacy", "audit", "llm-pipeline"),
+)
+def k_anonymity_audit(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    c = T(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_bucket"),
+    ).agg(F.count("*").alias("sz"))
+    ks = spark.createDataFrame(
+        [(2,), (5,), (10,), (20,)], "k_threshold int"
+    )
+    risk = F.when(F.col("sz") < F.col("k_threshold"), F.col("sz"))
+    return (
+        classes.crossJoin(F.broadcast(ks))  # scale-ok: 4-row threshold dim
+        .groupBy("k_threshold")
+        .agg(
+            F.coalesce(F.sum(risk), F.lit(0)).alias("rows_at_risk"),
+            F.coalesce(
+                F.sum(F.when(F.col("sz") < F.col("k_threshold"), 1)), F.lit(0)
+            ).alias("classes_at_risk"),
+            F.round(
+                (
+                    F.coalesce(F.sum(risk), F.lit(0)).cast("double")
+                    / F.sum("sz")
+                ).cast("decimal(27,12)"),
+                6,
+            )
+            .cast("double")
+            .alias("pct_rows_at_risk"),
+        )
+    )

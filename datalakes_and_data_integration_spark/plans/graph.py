@@ -195,18 +195,25 @@ def dedup_cluster_largestar(spark, sf_dir):
         F.col("doc_b").alias("u"), F.col("doc_a").alias("v")
     ).persist()
     prev_state = None
-    prev_edges = edges
     for _ in range(8):
         bidir = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        edges = _small_star(_large_star(bidir)).persist()
+        # localCheckpoint, not persist: each round references `edges`
+        # several times (bidir union + the two star joins), so the LOGICAL
+        # plan would grow multiplicatively per round — persist truncates
+        # execution but not the plan tree, and by round ~6 a default-heap
+        # driver OOMs just formatting it (measured on a bare session).
+        # Eager localCheckpoint materializes AND cuts lineage; the old
+        # generation's blocks are freed by the ContextCleaner when the
+        # reference drops. On a multi-node cluster prefer checkpoint() to
+        # reliable storage (localCheckpoint does not survive executor
+        # loss).
+        edges = _small_star(_large_star(bidir)).localCheckpoint()
         state = edges.agg(
             F.count("*").alias("n"), F.sum("u").alias("su"), F.sum("v").alias("sv")
         ).collect()[0]  # scale-ok: 1-row convergence checksum
         state = (state.n, state.su, state.sv)
-        prev_edges.unpersist()
-        prev_edges = edges
         if state == prev_state:
             break
         prev_state = state

@@ -85,3 +85,19 @@ def test_salted_join_has_no_shuffle_on_hot_key_only(spark, queries):
     """The salted join must still be a real join (sanity: it plans)."""
     plan = _plan(spark, queries, "salted_join_user_profile")
     assert "Join" in plan
+
+
+def test_lm_scoring_join_broadcasts(spark, queries):
+    """The bigram LM table is vocab²-bounded: scoring must broadcast it
+    onto the per-doc bigram stream, never sort-merge the corpus side."""
+    plan = _plan(spark, queries, "ngram_lm_perplexity")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quality_report_has_no_fact_shuffle_joins(spark, queries):
+    """FK checks probe pre-aggregated keys against broadcast dims; no
+    sort-merge join of fact rows anywhere in the 13-check report."""
+    plan = _plan(spark, queries, "data_quality_report")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

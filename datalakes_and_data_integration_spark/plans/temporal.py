@@ -1317,3 +1317,73 @@ def value_autocorrelation_lag1(spark, sf_dir):
         F.col("n").alias("n_pairs"),
         F.round(r.cast("decimal(27,12)"), 6).cast("double").alias("acf1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Native session windows: Spark's session_window() operator — the built-in
+# form of the lag+running-sum sessionization above, and the only form that
+# also works as a streaming stateful aggregate (merging session state).
+# Boundary semantics differ from the manual query deliberately: windows
+# merge only while the next event starts STRICTLY before prev_ts + gap, so
+# a gap of exactly 30 minutes starts a NEW session here (the manual
+# sessionization keeps it; its break test is `> gap`). The oracle encodes
+# the native rule with `>= gap`.
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_MS = 30 * 60 * 1000
+
+
+@register(
+    "session_window_native",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                    OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= {_SESSION_GAP_MS}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+             AS total_value
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+    description="Per-user sessions via Spark's NATIVE session_window() "
+    "(30-min gap): one grouped aggregation, no window functions — and the "
+    "only sessionization form that runs as a streaming stateful aggregate "
+    "with merging session state. Window end is last_event + gap, and an "
+    "exactly-30-min gap starts a new session (strict-overlap merge rule; "
+    "the manual lag-based `sessionization` keeps it — boundary semantics "
+    "documented, oracle encodes the native rule). Scale shape: one "
+    "shuffle on user_id with in-partition session merging — no sort-"
+    "window pass over the fact table.",
+    tags=("window", "timeseries", "session", "native"),
+)
+def session_window_native(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(dec("value", 18, 6)), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

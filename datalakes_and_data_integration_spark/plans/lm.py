@@ -68,9 +68,13 @@ from datalakes_and_data_integration_spark.plans.registry import register
     "training is ONE map-side-combined shuffle of the bigram stream into "
     "a vocab²-bounded LM table; scoring BROADCASTS that table back onto "
     "the per-doc bigram stream (document rows never shuffle to score), "
-    "then aggregates per doc_id. Smoothed nll terms are identical double "
-    "ln/div expressions in both engines, decimal-summed and decimal-"
-    "rounded (plans/_util.py recipe).",
+    "then aggregates per doc_id. On an open-vocabulary web corpus the "
+    "cap comes from the standard top-V + UNK vocabulary truncation "
+    "(prune rare tokens after the count pass) — and if the LM still "
+    "exceeds the broadcast threshold, dropping the broadcast() hint "
+    "degrades gracefully to a shuffle join on (w1, w2). Smoothed nll "
+    "terms are identical double ln/div expressions in both engines, "
+    "decimal-summed and decimal-rounded (plans/_util.py recipe).",
     tags=("lm", "curation", "llm-pipeline", "text"),
 )
 def ngram_lm_perplexity(spark, sf_dir):

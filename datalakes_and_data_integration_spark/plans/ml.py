@@ -1,0 +1,215 @@
+"""Distributed model training as engine aggregates: logistic regression.
+
+The last step of a curation pipeline is often a lightweight model ON the
+lake (a quality classifier over embeddings — the fastText/logreg stage of
+CCNet-style pipelines). Full-batch gradient descent maps exactly onto the
+engine's strengths: each iteration is ONE map-side-combined aggregation
+over the fact table producing a dim-sized gradient (65 values here), the
+driver updates the weight vector (model parameters are dim-sized by
+definition — a scale-ok collect), and the next iteration's plan is rebuilt
+from literals, so lineage stays flat (the IVF k-means pattern, not the
+CC-loop pattern — see NOTES.md lineage hazard).
+
+Cross-engine EXACT determinism (the interesting part):
+
+- the per-row logit z = b + w_0·x_0 + ... + w_63·x_63 is a FIXED-ORDER
+  left-associated double chain in both engines (Spark inlines the
+  weights as literals; the oracle reads them through scalar subqueries)
+  — SQL engines do not reassociate floating-point addition, so the
+  chains are bit-identical;
+- σ(z) = 1/(1+exp(-z)) in double: exp on bit-identical inputs (the same
+  empirical contract as ln in source_lang_entropy);
+- sums ACROSS rows (the gradient reduction, where partition order would
+  bite) are true SUM aggregates over DECIMAL(38,18)-cast double terms —
+  exact, order-independent, identical to DuckDB's decimal SUM. Chained
+  decimal `+` is deliberately avoided: Spark caps precision at 38 and
+  REDUCES SCALE on long chains (allowPrecisionLoss), which silently
+  diverges from a decimal SUM;
+- the mean-gradient division and weight update are plain double ops in
+  fixed order on both sides; weights are emitted through the
+  ROUND(DECIMAL, 6) recipe, so a 1-ulp transcendental wobble sits ten
+  orders below the rounding grid.
+
+At 100 TB: the per-iteration cost is one scan + a 65-column partial
+aggregate — no row ever shuffles; only the reduced gradient state moves.
+Swap full-batch for mini-batch sampling or L-BFGS when iterations get
+expensive; the aggregation shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalakes_and_data_integration_spark.plans._util import T
+from datalakes_and_data_integration_spark.plans.registry import register
+
+_DIM = 64
+_ITERS = 3
+_LR = 0.1
+_POS_LABEL = 0  # one-vs-rest: label 0 against the others
+
+
+_CHUNK = 8  # parenthesization grain for the logit chain (see _assoc_chain)
+
+
+def _assoc_chain(bias: str, terms: list[str]) -> str:
+    """``((b + c0) + c1) + ...`` where each ``c_i`` is a left-associated
+    chunk of {_CHUNK} products.
+
+    The SAME generator builds the Spark and DuckDB expressions, so both
+    engines parse the IDENTICAL tree — floating-point addition is not
+    associative, and neither engine reassociates it, so equal trees mean
+    equal bits. Chunking exists because a flat 65-deep chain exceeds
+    DuckDB's expression-binder recursion limit."""
+    chunks = []
+    for i in range(0, len(terms), _CHUNK):
+        chunks.append("(" + " + ".join(terms[i : i + _CHUNK]) + ")")
+    return " + ".join([f"({bias})"] + chunks)
+
+
+def _oracle_z_chain(wrow: str) -> str:
+    """The logit chain reading weights from the pivoted one-row CTE."""
+    return _assoc_chain(
+        f"{wrow}.b",
+        [
+            f"{wrow}.w{j} * CAST(emb[{j + 1}] AS DOUBLE)"
+            for j in range(_DIM)
+        ],
+    )
+
+
+def _logreg_oracle() -> str:
+    prev = "w0"
+    steps = [
+        f"""
+    rows AS (
+      SELECT vec_id, CAST(label = {_POS_LABEL} AS INT) AS y, embedding AS emb
+      FROM embeddings
+    ),
+    n AS (SELECT count(*) AS n FROM rows),
+    dims AS (SELECT CAST(i AS INT) AS dim FROM range({_DIM}) r(i)),
+    w0 AS (SELECT dim, CAST(0.0 AS DOUBLE) AS w, CAST(0.0 AS DOUBLE) AS b
+           FROM dims)"""
+    ]
+    for k in range(1, _ITERS + 1):
+        pivot_cols = ", ".join(
+            f"max(CASE WHEN dim = {j} THEN w END) AS w{j}"
+            for j in range(_DIM)
+        )
+        steps.append(
+            f"""
+    wrow{k} AS (
+      SELECT {pivot_cols}, any_value(b) AS b FROM {prev}
+    ),
+    sig{k} AS (
+      SELECT vec_id, y, emb,
+             1.0 / (1.0 + exp(-({_oracle_z_chain(f"wrow{k}")}))) AS sig
+      FROM rows CROSS JOIN wrow{k}
+    ),
+    g{k} AS (
+      SELECT d.dim,
+             CAST(sum(CAST((s.sig - CAST(s.y AS DOUBLE))
+                           * CAST(s.emb[d.dim + 1] AS DOUBLE)
+                           AS DECIMAL(38,18))) AS DOUBLE)
+               / (SELECT n FROM n) AS gmean
+      FROM sig{k} s CROSS JOIN dims d
+      GROUP BY d.dim
+    ),
+    gb{k} AS (
+      SELECT CAST(sum(CAST(s.sig - CAST(s.y AS DOUBLE) AS DECIMAL(38,18)))
+                  AS DOUBLE) / (SELECT n FROM n) AS gbmean
+      FROM sig{k} s
+    ),
+    w{k} AS (
+      SELECT p.dim, p.w - {_LR!r} * g.gmean AS w,
+             p.b - {_LR!r} * (SELECT gbmean FROM gb{k}) AS b
+      FROM {prev} p JOIN g{k} g USING (dim)
+    )"""
+        )
+        prev = f"w{k}"
+    return (
+        "WITH "
+        + ",".join(steps)
+        + f"""
+    SELECT dim,
+           CAST(ROUND(CAST(w AS DECIMAL(27,12)), 6) AS DOUBLE) AS weight
+    FROM {prev}
+    UNION ALL
+    SELECT -1 AS dim,
+           CAST(ROUND(CAST(any_value(b) AS DECIMAL(27,12)), 6) AS DOUBLE)
+    FROM {prev}
+    """
+    )
+
+
+def _spark_z_chain(w: list[float], b: float) -> str:
+    """The same chunk-associated chain with inlined literal weights.
+
+    Spark's `embedding[j]` is 0-based (DuckDB's emb[j+1]); float repr
+    round-trips, so the literals parse to the identical doubles the
+    oracle's pivoted weight row carries.
+    """
+    return _assoc_chain(
+        f"{b!r}D",
+        [f"{w[j]!r}D * CAST(embedding[{j}] AS DOUBLE)" for j in range(_DIM)],
+    )
+
+
+@register(
+    "logreg_gd_weights",
+    oracle=_logreg_oracle(),
+    description=f"Distributed logistic-regression training ({_ITERS} "
+    f"full-batch GD iterations, lr={_LR}, label {_POS_LABEL} vs rest on "
+    "the 64-dim embeddings): each iteration is ONE map-side-combined "
+    "65-column aggregate (decimal-exact per-dimension gradient sums over "
+    "fixed-order double sigmoid terms); the driver holds only the "
+    "dim-sized weight vector and rebuilds the next plan from literals "
+    "(flat lineage, IVF pattern). Output: final weights per dimension "
+    "(+ bias as dim -1), decimal-rounded. The oracle unrolls the same "
+    "three iterations in SQL — weights match cross-engine EXACTLY "
+    "because logits are identical left-associated double chains, row "
+    "reductions are exact decimal SUMs, and updates are fixed-order "
+    "double ops. The 100 TB shape: per iteration one scan, no row "
+    "shuffle — only the 65-value gradient moves.",
+    tags=("ml", "training", "gradient-descent", "llm-pipeline"),
+)
+def logreg_gd_weights(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        (F.col("label") == _POS_LABEL).cast("int").alias("y"),
+    )
+    n = e.count()  # scale-ok: 1 scalar (training-set size)
+    w = [0.0] * _DIM
+    b = 0.0
+    for _ in range(_ITERS):
+        sig = e.select(
+            "embedding",
+            "y",
+            F.expr(f"1.0D / (1.0D + exp(-({_spark_z_chain(w, b)})))").alias(
+                "sig"
+            ),
+        )
+        grads = sig.agg(
+            *[
+                F.expr(
+                    f"sum(CAST((sig - CAST(y AS DOUBLE)) "
+                    f"* CAST(embedding[{j}] AS DOUBLE) AS DECIMAL(38,18)))"
+                ).alias(f"g{j}")
+                for j in range(_DIM)
+            ],
+            F.expr(
+                "sum(CAST(sig - CAST(y AS DOUBLE) AS DECIMAL(38,18)))"
+            ).alias("gb"),
+        ).collect()[0]  # scale-ok: one dim-sized gradient row per iteration
+        w = [w[j] - _LR * (float(grads[f"g{j}"]) / n) for j in range(_DIM)]
+        b = b - _LR * (float(grads["gb"]) / n)
+    model = spark.createDataFrame(
+        [(j, w[j]) for j in range(_DIM)] + [(-1, b)], "dim int, weight double"
+    )
+    return model.select(
+        "dim",
+        F.round(F.col("weight").cast("decimal(27,12)"), 6)
+        .cast("double")
+        .alias("weight"),
+    )

@@ -47,6 +47,7 @@ _DIM = 64
 _ITERS = 3
 _LR = 0.1
 _POS_LABEL = 0  # one-vs-rest: label 0 against the others
+_POS_WEIGHT = 9.0  # class weight for the ~10% positive class (cost-sensitive GD)
 
 
 _CHUNK = 8  # parenthesization grain for the logit chain (see _assoc_chain)
@@ -108,7 +109,8 @@ def _logreg_oracle() -> str:
     ),
     g{k} AS (
       SELECT d.dim,
-             CAST(sum(CAST((s.sig - CAST(s.y AS DOUBLE))
+             CAST(sum(CAST(((CASE WHEN s.y = 1 THEN 9.0 ELSE 1.0 END)
+                            * (s.sig - CAST(s.y AS DOUBLE)))
                            * CAST(s.emb[d.dim + 1] AS DOUBLE)
                            AS DECIMAL(38,18))) AS DOUBLE)
                / (SELECT n FROM n) AS gmean
@@ -116,7 +118,8 @@ def _logreg_oracle() -> str:
       GROUP BY d.dim
     ),
     gb{k} AS (
-      SELECT CAST(sum(CAST(s.sig - CAST(s.y AS DOUBLE) AS DECIMAL(38,18)))
+      SELECT CAST(sum(CAST((CASE WHEN s.y = 1 THEN 9.0 ELSE 1.0 END)
+                           * (s.sig - CAST(s.y AS DOUBLE)) AS DECIMAL(38,18)))
                   AS DOUBLE) / (SELECT n FROM n) AS gbmean
       FROM sig{k} s
     ),
@@ -155,25 +158,8 @@ def _spark_z_chain(w: list[float], b: float) -> str:
     )
 
 
-@register(
-    "logreg_gd_weights",
-    oracle=_logreg_oracle(),
-    description=f"Distributed logistic-regression training ({_ITERS} "
-    f"full-batch GD iterations, lr={_LR}, label {_POS_LABEL} vs rest on "
-    "the 64-dim embeddings): each iteration is ONE map-side-combined "
-    "65-column aggregate (decimal-exact per-dimension gradient sums over "
-    "fixed-order double sigmoid terms); the driver holds only the "
-    "dim-sized weight vector and rebuilds the next plan from literals "
-    "(flat lineage, IVF pattern). Output: final weights per dimension "
-    "(+ bias as dim -1), decimal-rounded. The oracle unrolls the same "
-    "three iterations in SQL — weights match cross-engine EXACTLY "
-    "because logits are identical left-associated double chains, row "
-    "reductions are exact decimal SUMs, and updates are fixed-order "
-    "double ops. The 100 TB shape: per iteration one scan, no row "
-    "shuffle — only the 65-value gradient moves.",
-    tags=("ml", "training", "gradient-descent", "llm-pipeline"),
-)
-def logreg_gd_weights(spark, sf_dir):
+def _train(spark, sf_dir):
+    """Run the GD loop; returns (labeled frame, weights, bias)."""
     e = T(spark, sf_dir, "embeddings").select(
         "vec_id",
         "embedding",
@@ -193,17 +179,42 @@ def logreg_gd_weights(spark, sf_dir):
         grads = sig.agg(
             *[
                 F.expr(
-                    f"sum(CAST((sig - CAST(y AS DOUBLE)) "
+                    f"sum(CAST(((CASE WHEN y = 1 THEN {_POS_WEIGHT!r} ELSE 1.0 END)"
+                    f" * (sig - CAST(y AS DOUBLE))) "
                     f"* CAST(embedding[{j}] AS DOUBLE) AS DECIMAL(38,18)))"
                 ).alias(f"g{j}")
                 for j in range(_DIM)
             ],
             F.expr(
-                "sum(CAST(sig - CAST(y AS DOUBLE) AS DECIMAL(38,18)))"
+                f"sum(CAST((CASE WHEN y = 1 THEN {_POS_WEIGHT!r} ELSE 1.0 END)"
+                f" * (sig - CAST(y AS DOUBLE)) AS DECIMAL(38,18)))"
             ).alias("gb"),
         ).collect()[0]  # scale-ok: one dim-sized gradient row per iteration
         w = [w[j] - _LR * (float(grads[f"g{j}"]) / n) for j in range(_DIM)]
         b = b - _LR * (float(grads["gb"]) / n)
+    return e, w, b
+
+
+@register(
+    "logreg_gd_weights",
+    oracle=_logreg_oracle(),
+    description=f"Distributed logistic-regression training ({_ITERS} "
+    f"full-batch GD iterations, lr={_LR}, label {_POS_LABEL} vs rest on "
+    "the 64-dim embeddings): each iteration is ONE map-side-combined "
+    "65-column aggregate (decimal-exact per-dimension gradient sums over "
+    "fixed-order double sigmoid terms); the driver holds only the "
+    "dim-sized weight vector and rebuilds the next plan from literals "
+    "(flat lineage, IVF pattern). Output: final weights per dimension "
+    "(+ bias as dim -1), decimal-rounded. The oracle unrolls the same "
+    "three iterations in SQL — weights match cross-engine EXACTLY "
+    "because logits are identical left-associated double chains, row "
+    "reductions are exact decimal SUMs, and updates are fixed-order "
+    "double ops. The 100 TB shape: per iteration one scan, no row "
+    "shuffle — only the 65-value gradient moves.",
+    tags=("ml", "training", "gradient-descent", "llm-pipeline"),
+)
+def logreg_gd_weights(spark, sf_dir):
+    _, w, b = _train(spark, sf_dir)
     model = spark.createDataFrame(
         [(j, w[j]) for j in range(_DIM)] + [(-1, b)], "dim int, weight double"
     )
@@ -212,4 +223,53 @@ def logreg_gd_weights(spark, sf_dir):
         F.round(F.col("weight").cast("decimal(27,12)"), 6)
         .cast("double")
         .alias("weight"),
+    )
+
+
+def _confusion_oracle() -> str:
+    """Reuse the full training unroll, then one scoring pass. The decision
+    boundary sigma(z) >= 0.5 is exactly z >= 0, so no transcendental sits
+    on the comparison — the predicate is a sign test on bit-identical
+    doubles."""
+    train = _logreg_oracle()
+    with_block = train[: train.rindex("SELECT dim")]
+    pivot_cols = ", ".join(
+        f"max(CASE WHEN dim = {j} THEN w END) AS w{j}" for j in range(_DIM)
+    )
+    return (
+        with_block
+        + f""", wrowF AS (
+      SELECT {pivot_cols}, any_value(b) AS b FROM w{_ITERS}
+    )
+    SELECT r.y AS label_true,
+           ({_oracle_z_chain("wrowF")}) >= 0.0 AS pred_pos,
+           count(*) AS n
+    FROM rows r CROSS JOIN wrowF
+    GROUP BY 1, 2
+    """
+    )
+
+
+@register(
+    "logreg_confusion",
+    oracle=_confusion_oracle(),
+    description="Training-set confusion matrix of the GD-trained logistic "
+    "model (label_true x pred_pos counts): the scoring pass applies the "
+    "learned weights as a literal logit chain, and the decision boundary "
+    "sigma(z)>=0.5 is evaluated as the sign test z>=0 — no transcendental "
+    "on the comparison, so predictions match cross-engine exactly. Scale "
+    "shape: one scan + a 4-cell map-side-combined aggregate; the model "
+    "rides into the executors as plan literals (nothing joins, nothing "
+    "shuffles but the 4 counts).",
+    tags=("ml", "evaluation", "llm-pipeline"),
+)
+def logreg_confusion(spark, sf_dir):
+    e, w, b = _train(spark, sf_dir)
+    return (
+        e.select(
+            F.col("y").alias("label_true"),
+            F.expr(f"({_spark_z_chain(w, b)}) >= 0.0D").alias("pred_pos"),
+        )
+        .groupBy("label_true", "pred_pos")
+        .agg(F.count("*").alias("n"))
     )

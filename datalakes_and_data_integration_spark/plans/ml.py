@@ -158,9 +158,15 @@ def _spark_z_chain(w: list[float], b: float) -> str:
     )
 
 
-def _train(spark, sf_dir):
-    """Run the GD loop; returns (labeled frame, weights, bias)."""
-    e = T(spark, sf_dir, "embeddings").select(
+def _train(spark, sf_dir, where: str | None = None):
+    """Run the GD loop; returns (labeled frame, weights, bias).
+
+    ``where``: optional SQL predicate restricting the training rows (the
+    held-out split) — it lands directly on the scan as a pushed filter."""
+    e = T(spark, sf_dir, "embeddings")
+    if where is not None:
+        e = e.where(where)
+    e = e.select(
         "vec_id",
         "embedding",
         (F.col("label") == _POS_LABEL).cast("int").alias("y"),
@@ -267,6 +273,96 @@ def logreg_confusion(spark, sf_dir):
     e, w, b = _train(spark, sf_dir)
     return (
         e.select(
+            F.col("y").alias("label_true"),
+            F.expr(f"({_spark_z_chain(w, b)}) >= 0.0D").alias("pred_pos"),
+        )
+        .groupBy("label_true", "pred_pos")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Held-out evaluation: the honest generalization number. Train on the
+# md5-hash 80% split of vec_id (the same deterministic splitter as
+# dataset_split_assignment — no rand(), stable on any cluster), score the
+# disjoint >=90% test split. Same exactness contract as logreg_confusion.
+# ---------------------------------------------------------------------------
+
+
+def _split_pred_duck() -> tuple[str, str]:
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_sql_duck,
+    )
+
+    bucket = f"({hash60_sql_duck('CAST(vec_id AS VARCHAR)', seed=7)} % 100)"
+    return f"{bucket} < 80", f"{bucket} >= 90"
+
+
+def _split_pred_spark() -> tuple[str, str]:
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_sql_spark,
+    )
+
+    bucket = f"({hash60_sql_spark('CAST(vec_id AS STRING)', seed=7)} % 100)"
+    return f"{bucket} < 80", f"{bucket} >= 90"
+
+
+def _holdout_oracle() -> str:
+    train_pred, test_pred = _split_pred_duck()
+    base = _logreg_oracle()
+    # Train only on the 80% split: constrain the rows CTE; score the
+    # disjoint test split against the final pivoted weight row.
+    base = base.replace(
+        "FROM embeddings\n    )",
+        f"FROM embeddings\n      WHERE {train_pred}\n    )",
+        1,
+    )
+    with_block = base[: base.rindex("SELECT dim")]
+    pivot_cols = ", ".join(
+        f"max(CASE WHEN dim = {j} THEN w END) AS w{j}" for j in range(_DIM)
+    )
+    return (
+        with_block
+        + f""", wrowF AS (
+      SELECT {pivot_cols}, any_value(b) AS b FROM w{_ITERS}
+    ),
+    test_rows AS (
+      SELECT vec_id, CAST(label = {_POS_LABEL} AS INT) AS y, embedding AS emb
+      FROM embeddings
+      WHERE {test_pred}
+    )
+    SELECT r.y AS label_true,
+           ({_oracle_z_chain("wrowF")}) >= 0.0 AS pred_pos,
+           count(*) AS n
+    FROM test_rows r CROSS JOIN wrowF
+    GROUP BY 1, 2
+    """
+    )
+
+
+@register(
+    "logreg_holdout_eval",
+    oracle=_holdout_oracle(),
+    description="Held-out generalization of the GD-trained classifier: "
+    "train on the deterministic md5-hash 80% split of vec_id (the "
+    "dataset_split_assignment splitter — reproducible on any cluster, no "
+    "rand()), score the disjoint 10% test split as a confusion matrix. "
+    "Same exactness contract as the trainer (fixed-order logit chains, "
+    "decimal-SUM gradients, sign-test decision boundary); the oracle "
+    "re-derives the identical training run on the identical subset. "
+    "Scale shape: the split predicate is a pushed filter on the train "
+    "scans; evaluation is one filtered scan + a 4-cell aggregate.",
+    tags=("ml", "evaluation", "split", "llm-pipeline"),
+)
+def logreg_holdout_eval(spark, sf_dir):
+    train_pred, test_pred = _split_pred_spark()
+    e, w, b = _train(spark, sf_dir, where=train_pred)
+    test = T(spark, sf_dir, "embeddings").where(test_pred).select(
+        "embedding",
+        (F.col("label") == _POS_LABEL).cast("int").alias("y"),
+    )
+    return (
+        test.select(
             F.col("y").alias("label_true"),
             F.expr(f"({_spark_z_chain(w, b)}) >= 0.0D").alias("pred_pos"),
         )

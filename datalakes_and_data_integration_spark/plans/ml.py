@@ -369,3 +369,201 @@ def logreg_holdout_eval(spark, sf_dir):
         .groupBy("label_true", "pred_pos")
         .agg(F.count("*").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-head training: all 10 one-vs-rest classifiers in ONE scan per
+# iteration. The scan-amortization story that matters at 100 TB — training
+# K models costs the same data movement as training one: the per-iteration
+# aggregate just grows to K*(dim+1) gradient columns (650+10 here), all
+# map-side-combined, and the driver update is a K x dim literal matrix.
+# ---------------------------------------------------------------------------
+
+_HEADS = 10
+
+
+def _spark_head_chain(w: list[list[float]], b: list[float], h: int) -> str:
+    return _assoc_chain(
+        f"{b[h]!r}D",
+        [
+            f"{w[h][j]!r}D * CAST(embedding[{j}] AS DOUBLE)"
+            for j in range(_DIM)
+        ],
+    )
+
+
+def _oracle_head_chain(wrow: str, h: int) -> str:
+    return _assoc_chain(
+        f"{wrow}.b{h}",
+        [
+            f"{wrow}.w{h}_{j} * CAST(emb[{j + 1}] AS DOUBLE)"
+            for j in range(_DIM)
+        ],
+    )
+
+
+def _multihead_oracle() -> str:
+    sig_case = (
+        "(CASE h.head "
+        + " ".join(f"WHEN {h} THEN s.sig{h}" for h in range(_HEADS))
+        + " END)"
+    )
+    prev = "w0"
+    steps = [
+        f"""
+    rows AS (SELECT vec_id, label, embedding AS emb FROM embeddings),
+    n AS (SELECT count(*) AS n FROM rows),
+    dims AS (SELECT CAST(i AS INT) AS dim FROM range({_DIM}) r(i)),
+    heads AS (SELECT CAST(i AS INT) AS head FROM range({_HEADS}) r(i)),
+    w0 AS (SELECT head, dim, CAST(0.0 AS DOUBLE) AS w,
+                  CAST(0.0 AS DOUBLE) AS b
+           FROM heads CROSS JOIN dims)"""
+    ]
+    for k in range(1, _ITERS + 1):
+        pivot = ", ".join(
+            f"max(CASE WHEN head = {h} AND dim = {j} THEN w END) AS w{h}_{j}"
+            for h in range(_HEADS)
+            for j in range(_DIM)
+        )
+        bias_pivot = ", ".join(
+            f"max(CASE WHEN head = {h} AND dim = 0 THEN b END) AS b{h}"
+            for h in range(_HEADS)
+        )
+        sig_cols = ", ".join(
+            f"1.0 / (1.0 + exp(-({_oracle_head_chain(f'wrow{k}', h)}))) "
+            f"AS sig{h}"
+            for h in range(_HEADS)
+        )
+        steps.append(
+            f"""
+    wrow{k} AS (SELECT {pivot}, {bias_pivot} FROM {prev}),
+    sig{k} AS (
+      SELECT vec_id, label, emb, {sig_cols}
+      FROM rows CROSS JOIN wrow{k}
+    ),
+    g{k} AS (
+      SELECT h.head, d.dim,
+             CAST(sum(CAST(((CASE WHEN s.label = h.head THEN {_POS_WEIGHT!r}
+                                  ELSE 1.0 END)
+                            * ({sig_case}
+                               - CAST(CAST(s.label = h.head AS INT) AS DOUBLE)))
+                           * CAST(s.emb[d.dim + 1] AS DOUBLE)
+                           AS DECIMAL(38,18))) AS DOUBLE)
+               / (SELECT n FROM n) AS gmean
+      FROM sig{k} s CROSS JOIN heads h CROSS JOIN dims d
+      GROUP BY h.head, d.dim
+    ),
+    gb{k} AS (
+      SELECT h.head,
+             CAST(sum(CAST((CASE WHEN s.label = h.head THEN {_POS_WEIGHT!r}
+                                 ELSE 1.0 END)
+                           * ({sig_case}
+                              - CAST(CAST(s.label = h.head AS INT) AS DOUBLE))
+                           AS DECIMAL(38,18))) AS DOUBLE)
+               / (SELECT n FROM n) AS gbmean
+      FROM sig{k} s CROSS JOIN heads h
+      GROUP BY h.head
+    ),
+    w{k} AS (
+      SELECT p.head, p.dim, p.w - {_LR!r} * g.gmean AS w,
+             p.b - {_LR!r} * gb.gbmean AS b
+      FROM {prev} p
+      JOIN g{k} g ON g.head = p.head AND g.dim = p.dim
+      JOIN gb{k} gb ON gb.head = p.head
+    )"""
+        )
+        prev = f"w{k}"
+    return (
+        "WITH "
+        + ",".join(steps)
+        + f"""
+    SELECT head, dim,
+           CAST(ROUND(CAST(w AS DECIMAL(27,12)), 6) AS DOUBLE) AS weight
+    FROM {prev}
+    UNION ALL
+    SELECT head, -1 AS dim,
+           CAST(ROUND(CAST(any_value(b) AS DECIMAL(27,12)), 6) AS DOUBLE)
+    FROM {prev} GROUP BY head
+    """
+    )
+
+
+@register(
+    "logreg_multihead_weights",
+    oracle=_multihead_oracle(),
+    description=f"All {_HEADS} one-vs-rest logistic heads trained "
+    f"simultaneously ({_ITERS} GD iterations, class weight "
+    f"{_POS_WEIGHT}): ONE scan per iteration feeds one map-side-combined "
+    f"{_HEADS * (_DIM + 1)}-column gradient aggregate — training K "
+    "models costs the data movement of one, the scan-amortization "
+    "property a 100 TB corpus demands. The driver holds the K x dim "
+    "literal weight matrix; exactness contract identical to "
+    "logreg_gd_weights (fixed-order chains, decimal-SUM gradients, "
+    "shared chunked-associativity generator), verified over all 650 "
+    "final parameters against the fully-unrolled SQL oracle.",
+    tags=("ml", "training", "multi-model", "llm-pipeline"),
+)
+def logreg_multihead_weights(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    n = e.count()  # scale-ok: 1 scalar (training-set size)
+    d = e.select(
+        "embedding",
+        "label",
+        *[
+            (F.col("label") == h).cast("int").alias(f"y{h}")
+            for h in range(_HEADS)
+        ],
+    )
+    w = [[0.0] * _DIM for _ in range(_HEADS)]
+    b = [0.0] * _HEADS
+    for _ in range(_ITERS):
+        sig = d.select(
+            "embedding",
+            *[F.col(f"y{h}") for h in range(_HEADS)],
+            *[
+                F.expr(
+                    f"1.0D / (1.0D + exp(-({_spark_head_chain(w, b, h)})))"
+                ).alias(f"sig{h}")
+                for h in range(_HEADS)
+            ],
+        )
+        grads = sig.agg(
+            *[
+                F.expr(
+                    f"sum(CAST(((CASE WHEN y{h} = 1 THEN {_POS_WEIGHT!r} "
+                    f"ELSE 1.0 END)"
+                    f" * (sig{h} - CAST(y{h} AS DOUBLE))) "
+                    f"* CAST(embedding[{j}] AS DOUBLE) AS DECIMAL(38,18)))"
+                ).alias(f"g{h}_{j}")
+                for h in range(_HEADS)
+                for j in range(_DIM)
+            ],
+            *[
+                F.expr(
+                    f"sum(CAST((CASE WHEN y{h} = 1 THEN {_POS_WEIGHT!r} "
+                    f"ELSE 1.0 END)"
+                    f" * (sig{h} - CAST(y{h} AS DOUBLE)) AS DECIMAL(38,18)))"
+                ).alias(f"gb{h}")
+                for h in range(_HEADS)
+            ],
+        ).collect()[0]  # scale-ok: one K x dim gradient row per iteration
+        w = [
+            [
+                w[h][j] - _LR * (float(grads[f"g{h}_{j}"]) / n)
+                for j in range(_DIM)
+            ]
+            for h in range(_HEADS)
+        ]
+        b = [b[h] - _LR * (float(grads[f"gb{h}"]) / n) for h in range(_HEADS)]
+    model = spark.createDataFrame(
+        [(h, j, w[h][j]) for h in range(_HEADS) for j in range(_DIM)]
+        + [(h, -1, b[h]) for h in range(_HEADS)],
+        "head int, dim int, weight double",
+    )
+    return model.select(
+        "head",
+        "dim",
+        F.round(F.col("weight").cast("decimal(27,12)"), 6)
+        .cast("double")
+        .alias("weight"),
+    )

@@ -93,3 +93,74 @@ def compact_parquet(
     return len(
         [f for f in os.listdir(table_dir) if f.endswith(".parquet")]
     )
+
+
+def plan_compaction(
+    sizes: dict[str, int],
+    target_file_bytes: int = 128 * 1024 * 1024,
+    small_ratio: float = 0.5,
+) -> list[list[str]]:
+    """Select and batch undersized files for selective compaction.
+
+    ``compact_parquet`` rewrites the whole table — right after a bulk
+    load, wrong as maintenance: at 100 TB you only want to touch the
+    files that are actually small (streaming commits, incremental
+    upserts), not rewrite healthy 128 MB files to fix a thousand 1 MB
+    ones. This is the planner half: files under ``small_ratio * target``
+    are packed first-fit-decreasing into batches of ~``target`` bytes;
+    every returned batch merges to one right-sized file and each batch is
+    an independent unit of work (parallelizable, resumable).
+
+    Pure function over a {path: bytes} listing — works the same against a
+    local directory walk or an object-store inventory. Files >= the small
+    threshold are never touched. A single undersized file still forms a
+    batch only when there is something to merge it with — a lone small
+    file is left in place (rewriting it buys nothing).
+    """
+    small = sorted(
+        (
+            (p, sz)
+            for p, sz in sizes.items()
+            if sz < small_ratio * target_file_bytes
+        ),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    batches: list[tuple[list[str], int]] = []
+    for path, sz in small:
+        for batch in batches:
+            if batch[1] + sz <= target_file_bytes:
+                batch[0].append(path)
+                batches[batches.index(batch)] = (batch[0], batch[1] + sz)
+                break
+        else:
+            batches.append(([path], sz))
+    return [paths for paths, _ in batches if len(paths) > 1]
+
+
+def compact_selected(spark, table_dir: str, batch: list[str]) -> str:
+    """Merge one planned batch into a single right-sized file in place.
+
+    Write-then-delete ordering: the merged file lands under a unique name
+    first, the originals are removed after — a crash in between leaves
+    duplicate rows (visible, recoverable) rather than lost rows. True
+    isolation for concurrent readers needs a table format's snapshot
+    commit (Delta/Iceberg); this is the raw-parquet-directory best case,
+    same trade as the reference's raw zone.
+    """
+    import os
+    import shutil
+    import uuid
+
+    staging = os.path.join(table_dir, f".compact-{uuid.uuid4().hex}")
+    spark.read.parquet(*batch).coalesce(1).write.mode("overwrite").parquet(
+        staging
+    )
+    part = next(
+        f for f in os.listdir(staging) if f.endswith(".parquet")
+    )
+    final = os.path.join(table_dir, f"compacted-{uuid.uuid4().hex}.parquet")
+    os.replace(os.path.join(staging, part), final)
+    shutil.rmtree(staging)
+    for p in batch:
+        os.remove(p)
+    return final

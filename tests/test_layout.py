@@ -64,3 +64,72 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     assert len(glob.glob(f"{table}/*.parquet")) == n_after
     rows_after = {tuple(r) for r in spark.read.parquet(table).collect()}
     assert rows_after == rows_before  # data identical
+
+
+# --- selective compaction planner -----------------------------------------
+
+
+def test_plan_compaction_properties():
+    from datalakes_and_data_integration_spark.sources.sinks import (
+        plan_compaction,
+    )
+
+    target = 1000
+    sizes = {
+        "big1": 900,  # >= 0.5*target: never touched
+        "big2": 5000,
+        "s1": 400,
+        "s2": 400,
+        "s3": 300,
+        "s4": 100,
+        "s5": 100,
+        "lone": 499,
+    }
+    batches = plan_compaction(sizes, target_file_bytes=target)
+    flat = [p for b in batches for p in b]
+    # Only small files, each at most once, no singleton batches.
+    assert len(flat) == len(set(flat))
+    assert set(flat) <= {"s1", "s2", "s3", "s4", "s5", "lone"}
+    for b in batches:
+        assert len(b) > 1
+        assert sum(sizes[p] for p in b) <= target
+    # Everything small gets merged here (6 files fit in 2 bins of <=1000).
+    assert set(flat) == {"s1", "s2", "s3", "s4", "s5", "lone"}
+
+
+def test_plan_compaction_leaves_lone_small_file():
+    from datalakes_and_data_integration_spark.sources.sinks import (
+        plan_compaction,
+    )
+
+    assert plan_compaction({"big": 900, "lone": 10}, 1000) == []
+
+
+def test_compact_selected_merges_in_place(spark, tmp_path):
+    import os
+
+    from datalakes_and_data_integration_spark.sources.sinks import (
+        compact_selected,
+        plan_compaction,
+    )
+
+    table = str(tmp_path / "t")
+    # 8 tiny files.
+    spark.range(800).selectExpr("id", "id * 2 AS v").repartition(
+        8
+    ).write.parquet(table)
+    files = {
+        os.path.join(table, f): os.path.getsize(os.path.join(table, f))
+        for f in os.listdir(table)
+        if f.endswith(".parquet")
+    }
+    before = spark.read.parquet(table).orderBy("id").collect()
+    batches = plan_compaction(files, target_file_bytes=10**9)
+    assert len(batches) == 1 and len(batches[0]) == 8
+    compact_selected(spark, table, batches[0])
+    n_parquet = sum(
+        1 for f in os.listdir(table) if f.endswith(".parquet")
+    )
+    assert n_parquet == 1
+    after = spark.read.parquet(table).orderBy("id").collect()
+    assert after == before  # byte-for-byte same rows, fewer files

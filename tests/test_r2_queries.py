@@ -188,3 +188,19 @@ def test_logreg_training_learns(spark, queries):
     tp = cells.get((1, True), 0)
     fn = cells.get((1, False), 0)
     assert tp > fn  # recalls most of the 10% positive class
+
+
+def test_multihead_head0_equals_single_head(spark, queries):
+    """Head 0 of the joint trainer runs the same arithmetic as the
+    single-head trainer — the 650-column fused aggregate must not change
+    a single bit of any head's result."""
+    single = {
+        r.dim: r.weight
+        for r in queries["logreg_gd_weights"](spark, SF).collect()
+    }
+    multi = {
+        r.dim: r.weight
+        for r in queries["logreg_multihead_weights"](spark, SF).collect()
+        if r.head == 0
+    }
+    assert multi == single

@@ -343,33 +343,8 @@ def _pq_dist_expr(centroids: list[list[list[float]]], k: int) -> str:
     return f"CASE m {branches} END"
 
 
-@register(
-    "ann_topk_pq",
-    oracle=None,  # k-means codebook training is iterative — rows-only
-    description=f"Product-quantization ANN: {_PQ_M} subspaces x "
-    f"{_PQ_K} codewords (one-byte codes, 64x compression), codebooks "
-    f"trained with {_PQ_ITERS} deterministic Lloyd iterations — ALL "
-    "subspaces in one posexploded job per iteration (one shuffle trains "
-    "8 codebooks). Queries rank by asymmetric distance: per-query "
-    "distance tables (M x K cells) join the code table on (m, code), and "
-    "decimal-exact sums make the ADC score order-independent, so top-k "
-    "(dist, id tiebreak) is deterministic. Unit-normalized inputs make "
-    "squared-L2 ADC == cosine ranking (recall vs ann_topk_bruteforce "
-    "pinned in tests/test_ivf_recall.py). The 100 TB shape: the corpus "
-    "lives as codes (bytes, not floats), scoring never touches raw "
-    "vectors, and the (m, code) join is a bounded-fanout shuffle of "
-    "id+code rows; at retrieval scale PQ nests inside IVF lists "
-    "(IVFADC) — same two operators composed. Standard two-stage "
-    "retrieval: the lossy ADC score shortlists "
-    f"{_PQ_SHORTLIST} candidates per query (32-bit codes are coarse on "
-    "this near-isotropic corpus — ADC-only recall ~0.23), then the "
-    "shortlist — and ONLY the shortlist — is exactly re-ranked against "
-    "raw vectors (measured mean recall@5 0.88; pinned >= 0.8 by test; the compression story "
-    "survives because exact scoring touches SHORTLIST x n rows, not "
-    "n^2).",
-    tags=("similarity", "ann", "pq", "compression", "llm-pipeline"),
-)
-def ann_topk_pq(spark, sf_dir):
+def _unit_vectors(spark, sf_dir):
+    """Embeddings L2-normalized to `arr` (so squared-L2 == 2 - 2*cos)."""
     from pyspark.sql import functions as F
 
     from datalakes_and_data_integration_spark.plans._util import spread
@@ -378,7 +353,7 @@ def ann_topk_pq(spark, sf_dir):
     )
 
     e = T(spark, sf_dir, "embeddings")
-    unit = spread(
+    return spread(
         e.select(
             "vec_id",
             F.expr(
@@ -389,6 +364,15 @@ def ann_topk_pq(spark, sf_dir):
         spark,
         by="vec_id",
     )
+
+
+def _pq_tables(unit):
+    """Train the codebooks and emit (codes, qdist): the corpus code table
+    and the per-query ADC distance tables. Shared by ann_topk_pq (codes
+    scored against the whole corpus) and ann_topk_ivfadc (codes scored
+    only inside probed IVF lists)."""
+    from pyspark.sql import functions as F
+
     # (vec_id, m, sub): one row per vector per subspace.
     subrows = unit.select(
         "vec_id",
@@ -463,32 +447,19 @@ def ann_topk_pq(spark, sf_dir):
             F.col("col").alias("d2"),
         )
     )
-    # ADC: look each corpus code up in the query's table; decimal-exact
-    # sum over the M subspaces keeps the score order-independent.
-    adc = (
-        qdist.join(codes, ["m", "code"])
-        .filter(F.col("q_id") != F.col("n_id"))
-        .groupBy("q_id", "n_id")
-        .agg(
-            F.sum(F.col("d2").cast("decimal(38,18)"))
-            .cast("double")
-            .alias("adc_dist")
-        )
-    )
+    return codes, qdist
+
+
+def _exact_rerank(unit, shortlist, topk: int):
+    """Exact cosine re-ranking of a (q_id, n_id) shortlist — touches
+    shortlist x 1 vector pairs only, never n^2."""
     from pyspark.sql import Window
+    from pyspark.sql import functions as F
 
     from datalakes_and_data_integration_spark.plans.similarity import (
         _dot_spark,
     )
 
-    w = Window.partitionBy("q_id").orderBy("adc_dist", "n_id")
-    shortlist = (
-        adc.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _PQ_SHORTLIST)
-        .select("q_id", "n_id")
-    )
-    # Exact re-ranking of the shortlist only: SHORTLIST x n pairs pull raw
-    # vectors back in, never n^2.
     qv = unit.select(F.col("vec_id").alias("q_id"), F.col("arr").alias("qa"))
     nv = unit.select(F.col("vec_id").alias("n_id"), F.col("arr").alias("na"))
     rer = (
@@ -503,7 +474,7 @@ def ann_topk_pq(spark, sf_dir):
     w2 = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "n_id")
     return (
         rer.withColumn("rnk", F.row_number().over(w2))
-        .filter(F.col("rnk") <= _PQ_TOPK)
+        .filter(F.col("rnk") <= topk)
         .select(
             "q_id",
             "n_id",
@@ -513,3 +484,194 @@ def ann_topk_pq(spark, sf_dir):
             .alias("cos_sim"),
         )
     )
+
+
+@register(
+    "ann_topk_pq",
+    oracle=None,  # k-means codebook training is iterative — rows-only
+    description=f"Product-quantization ANN: {_PQ_M} subspaces x "
+    f"{_PQ_K} codewords (one-byte codes, 64x compression), codebooks "
+    f"trained with {_PQ_ITERS} deterministic Lloyd iterations — ALL "
+    "subspaces in one posexploded job per iteration (one shuffle trains "
+    "8 codebooks). Queries rank by asymmetric distance: per-query "
+    "distance tables (M x K cells) join the code table on (m, code), and "
+    "decimal-exact sums make the ADC score order-independent, so top-k "
+    "(dist, id tiebreak) is deterministic. Unit-normalized inputs make "
+    "squared-L2 ADC == cosine ranking (recall vs ann_topk_bruteforce "
+    "pinned in tests/test_ivf_recall.py). The 100 TB shape: the corpus "
+    "lives as codes (bytes, not floats), scoring never touches raw "
+    "vectors, and the (m, code) join is a bounded-fanout shuffle of "
+    "id+code rows; at retrieval scale PQ nests inside IVF lists "
+    "(IVFADC) — same two operators composed. Standard two-stage "
+    "retrieval: the lossy ADC score shortlists "
+    f"{_PQ_SHORTLIST} candidates per query (32-bit codes are coarse on "
+    "this near-isotropic corpus — ADC-only recall ~0.23), then the "
+    "shortlist — and ONLY the shortlist — is exactly re-ranked against "
+    "raw vectors (measured mean recall@5 0.88; pinned >= 0.8 by test; the compression story "
+    "survives because exact scoring touches SHORTLIST x n rows, not "
+    "n^2).",
+    tags=("similarity", "ann", "pq", "compression", "llm-pipeline"),
+)
+def ann_topk_pq(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    unit = _unit_vectors(spark, sf_dir)
+    codes, qdist = _pq_tables(unit)
+    # ADC: look each corpus code up in the query's table; decimal-exact
+    # sum over the M subspaces keeps the score order-independent.
+    adc = (
+        qdist.join(codes, ["m", "code"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .groupBy("q_id", "n_id")
+        .agg(
+            F.sum(F.col("d2").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("adc_dist")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "n_id")
+    shortlist = (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PQ_SHORTLIST)
+        .select("q_id", "n_id")
+    )
+    return _exact_rerank(unit, shortlist, _PQ_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# IVFADC: the composition the PQ docstring promises. IVF coarse lists bound
+# WHICH pairs get scored; PQ codes bound WHAT scoring costs; exact re-rank
+# bounds the error of both. This is the faiss-style billion-scale retrieval
+# shape expressed as three DataFrame stages.
+# ---------------------------------------------------------------------------
+
+_IVFADC_K = 16  # coarse centroids / inverted lists
+_IVFADC_ITERS = 5
+_IVFADC_PROBE = 6  # lists probed per query
+_IVFADC_REP = 3  # lists each corpus vector is assigned to
+
+
+def _coarse_lists(unit):
+    """Deterministic k-means over the unit vectors; returns a frame with
+    per-vector probe_lists (query side) and rep_lists (corpus side) —
+    the ann_topk_ivf shape, re-expressed over the normalized `arr`."""
+    from pyspark.sql import functions as F
+
+    def dist2(cvec):
+        lits = ", ".join(repr(v) for v in cvec)
+        return F.expr(
+            f"aggregate(zip_with(arr, array({lits}), "
+            f"(x, c) -> (x - c) * (x - c)), 0D, (a, v) -> a + v)"
+        )
+
+    seeds = (
+        unit.select(
+            "vec_id", "arr", F.md5(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy("h", "vec_id")
+        .limit(_IVFADC_K)
+        .collect()  # scale-ok: K seed rows
+    )
+    centroids = [[float(x) for x in r.arr] for r in seeds]
+
+    def assign(df):
+        dists = F.array(*[dist2(c) for c in centroids])
+        ranked = f"array_sort(arrays_zip(d, sequence(0, {_IVFADC_K - 1})))"
+        return (
+            df.withColumn("d", dists)
+            .withColumn(
+                "cluster",
+                F.expr("CAST(array_position(d, array_min(d)) - 1 AS INT)"),
+            )
+            .withColumn(
+                "probe_lists",
+                F.expr(
+                    f"transform(slice({ranked}, 1, {_IVFADC_PROBE}), "
+                    f"x -> CAST(x['1'] AS INT))"
+                ),
+            )
+            .withColumn(
+                "rep_lists",
+                F.expr(
+                    f"transform(slice({ranked}, 1, {_IVFADC_REP}), "
+                    f"x -> CAST(x['1'] AS INT))"
+                ),
+            )
+            .drop("d")
+        )
+
+    for _ in range(_IVFADC_ITERS):
+        means = (
+            assign(unit)
+            .groupBy("cluster")
+            .agg(
+                *[
+                    F.avg(F.expr(f"arr[{i}]")).alias(f"m{i}")
+                    for i in range(64)
+                ]
+            )
+            .collect()  # scale-ok: K centroid rows per Lloyd iteration
+        )
+        by_id = {r.cluster: [r[f"m{i}"] for i in range(64)] for r in means}
+        centroids = [
+            by_id.get(k, centroids[k]) for k in range(_IVFADC_K)
+        ]
+    return assign(unit)
+
+
+@register(
+    "ann_topk_ivfadc",
+    oracle=None,  # two iterative k-means stages — rows-only
+    description=f"IVFADC retrieval (faiss shape): {_IVFADC_K} coarse "
+    f"k-means lists bound WHICH pairs are considered (queries probe "
+    f"{_IVFADC_PROBE} lists, corpus vectors join {_IVFADC_REP} — "
+    "candidates shuffle, never the corpus), PQ codes bound what scoring "
+    "COSTS (ADC table lookups on one-byte codes, decimal-exact sums), "
+    "and the ADC shortlist is exactly re-ranked (shortlist x 1 vector "
+    "pairs). Composes the registered coarse quantizer and the "
+    "ann_topk_pq codebooks unchanged — the composition is three "
+    "DataFrame stages, no new kernel. Codebooks quantize raw unit "
+    "vectors (residual-PQ, the next refinement, would quantize "
+    "vector-minus-centroid). Mean recall@5 pinned by "
+    "tests/test_ivf_recall.py.",
+    tags=("similarity", "ann", "ivf", "pq", "compression", "llm-pipeline"),
+)
+def ann_topk_ivfadc(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    unit = _unit_vectors(spark, sf_dir).persist()
+    lists = _coarse_lists(unit).persist()
+    qside = lists.select(
+        F.col("vec_id").alias("q_id"), F.explode("probe_lists").alias("cluster")
+    )
+    nside = lists.select(
+        F.col("vec_id").alias("n_id"), F.explode("rep_lists").alias("cluster")
+    )
+    cand = (
+        qside.join(nside, "cluster")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+        .distinct()
+    )
+    codes, qdist = _pq_tables(unit)
+    # ADC over candidates only: expand each pair to its M code rows, look
+    # them up in the query's distance table, decimal-sum.
+    adc = (
+        cand.join(codes, "n_id")
+        .join(qdist, ["q_id", "m", "code"])
+        .groupBy("q_id", "n_id")
+        .agg(
+            F.sum(F.col("d2").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("adc_dist")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "n_id")
+    shortlist = (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PQ_SHORTLIST)
+        .select("q_id", "n_id")
+    )
+    return _exact_rerank(unit, shortlist, _PQ_TOPK)

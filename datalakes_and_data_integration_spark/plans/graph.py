@@ -51,7 +51,7 @@ def _pagerank_oracle() -> str:
                + (85 * coalesce(s.insum, 0)) // 100 AS pr
       FROM nodes n CROSS JOIN nc
       LEFT JOIN (
-        SELECT e.dst AS doc_id, sum(p.pr // d.deg) AS insum
+        SELECT e.dst AS doc_id, CAST(sum(p.pr // d.deg) AS BIGINT) AS insum
         FROM edges e
         JOIN pr{k - 1} p ON p.doc_id = e.src
         JOIN deg d ON d.src = e.src
@@ -73,7 +73,7 @@ def _pagerank_oracle() -> str:
       SELECT doc_id, CAST({_PR_SCALE} AS BIGINT) // nc.n AS pr
       FROM nodes CROSS JOIN nc
     ),{",".join(steps)}
-    SELECT doc_id, pr AS pr_fixed,
+    SELECT doc_id, CAST(pr AS BIGINT) AS pr_fixed,
            round(CAST(pr AS DOUBLE) / {float(_PR_SCALE)}, 6) AS pagerank
     FROM pr{_PR_ITERS}
     """

@@ -59,12 +59,40 @@ def multimodal_frame_sample(spark, sf_dir):
 
 @register(
     "multimodal_audio_features",
-    # Byte-level signal arithmetic is not reasonably SQL-expressible; the
-    # driver records the weaker rows-only check for this one.
-    oracle=None,
+    # Byte-level arithmetic IS DuckDB-expressible: hex() the payload blob,
+    # decode each byte from its two hex digits via strpos against
+    # '0123456789ABCDEF', and aggregate. Integer sums/counts are exact and
+    # each output is one correctly-rounded double division, so the oracle
+    # matches the pandas arithmetic bit-for-bit.
+    oracle="""
+    WITH pay AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, h, unnest(range(1, n + 1)) AS i FROM pay
+    ),
+    bytes AS (
+      SELECT doc_id,
+             (strpos('0123456789ABCDEF', substr(h, 2*i - 1, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1) AS b
+      FROM pos
+    ),
+    agg AS (
+      SELECT doc_id, CAST(sum(b) AS BIGINT) AS sb,
+             CAST(max(b) AS BIGINT) AS mx, count(*) AS nb
+      FROM bytes GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(p.n AS DOUBLE) / 16000 AS duration_s,
+           coalesce(CAST(a.sb AS DOUBLE) / a.nb, 0.0) AS mean_level,
+           coalesce(a.mx, 0) AS peak_level
+    FROM pay p LEFT JOIN agg a USING (doc_id)
+    """,
     description="Stubbed audio feature extraction (duration, mean/peak "
-    "sample level over payload bytes) through mapInPandas; no SQL oracle — "
-    "rows-only check.",
+    "sample level over payload bytes) through mapInPandas; the oracle "
+    "replays the byte arithmetic in SQL via hex-digit decoding.",
     tags=("multimodal", "pandas-udf", "llm-pipeline"),
 )
 def multimodal_audio_features(spark, sf_dir):

@@ -843,8 +843,8 @@ _WINSOR_HI = 0.99
     SELECT e.event_type,
            c.p_lo, c.p_hi,
            count(*) AS n,
-           sum(CASE WHEN e.value < c.p_lo OR e.value > c.p_hi
-                    THEN 1 ELSE 0 END) AS n_clipped,
+           CAST(sum(CASE WHEN e.value < c.p_lo OR e.value > c.p_hi
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
            CAST(ROUND(sum(CAST(least(greatest(e.value, c.p_lo), c.p_hi)
                                AS DECIMAL(27,12))) / count(*), 6) AS DOUBLE)
              AS winsorized_mean
@@ -930,7 +930,8 @@ def winsorized_stats_by_type(spark, sf_dir):
       SELECT user_id, count(*) AS f FROM events GROUP BY user_id
     ),
     tot AS (
-      SELECT count(*) AS n_keys, sum(f) AS n_rows, max(f) AS max_freq
+      SELECT count(*) AS n_keys, CAST(sum(f) AS BIGINT) AS n_rows,
+             max(f) AS max_freq
       FROM freq
     )
     SELECT t.n_keys, t.n_rows, t.max_freq,
@@ -1032,10 +1033,10 @@ def join_key_skew_report(spark, sf_dir):
     )
     SELECT e.event_type, c.q1, c.median, c.q3,
            count(*) AS n,
-           sum(CASE WHEN e.value < c.q1 - 1.5 * (c.q3 - c.q1)
-                    THEN 1 ELSE 0 END) AS n_low_outliers,
-           sum(CASE WHEN e.value > c.q3 + 1.5 * (c.q3 - c.q1)
-                    THEN 1 ELSE 0 END) AS n_high_outliers
+           CAST(sum(CASE WHEN e.value < c.q1 - 1.5 * (c.q3 - c.q1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+           CAST(sum(CASE WHEN e.value > c.q3 + 1.5 * (c.q3 - c.q1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
     FROM events e JOIN cuts c ON c.event_type = e.event_type
     GROUP BY e.event_type, c.q1, c.median, c.q3
     """,
@@ -1277,8 +1278,8 @@ def catalog_null_audit(spark, sf_dir):
            count(DISTINCT v) AS n_distinct_values,
            min(TRY_CAST(v AS DOUBLE)) AS min_numeric,
            max(TRY_CAST(v AS DOUBLE)) AS max_numeric,
-           sum(CASE WHEN TRY_CAST(v AS DOUBLE) IS NULL
-                    THEN 1 ELSE 0 END) AS n_non_numeric
+           CAST(sum(CASE WHEN TRY_CAST(v AS DOUBLE) IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_non_numeric
     FROM kv GROUP BY k
     """,
     description="JSON key discovery over events.props: per key, presence "

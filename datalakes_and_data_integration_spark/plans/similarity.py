@@ -343,38 +343,150 @@ _IVF_ITERS = 5  # Lloyd iterations
 _IVF_PROBE = 6  # lists probed per query
 _IVF_REP = 3  # lists each corpus vector is assigned to (multi-assignment)
 
+# Fixed-point quantization that makes the k-means EXACTLY cross-engine
+# reproducible (the reason ann_topk_ivf can carry a full DuckDB oracle even
+# though Lloyd iteration is "not SQL-expressible" in float arithmetic):
+# - centroid coordinates live as integers ms = floor(mean * 1e9) (floor of
+#   an exact-int ratio: per-cluster SUM(floor(x*1e9)) // count, every step
+#   exact in int64 on both engines);
+# - squared distances are SUM(floor(diff^2 * 1e12)) in int64 — the fold is
+#   exact, so argmin/probe ranking (ties -> smaller cluster id) is
+#   deterministic and engine-independent.
+# Value ranges (embeddings in [-0.6, 0.6], n <= 25k at gate scales) keep
+# every intermediate far below 2^53, so the double->int quantization itself
+# is exact; the 1e-9 centroid / 1e-12 distance granularity is ~1e6x finer
+# than the distance gaps that matter, so recall is unchanged
+# (tests/test_ivf_recall.py still pins >= 0.9).
+_IVF_CSCALE = "1e9"  # centroid fixed-point scale
+_IVF_DSCALE = "1e12"  # squared-distance fixed-point scale
 
-def _dist2_to_centroid(cvec: list[float]) -> "F.Column":
-    """Squared L2 distance from `embedding` to a centroid literal, as a
-    higher-order aggregate over an array literal. Interpreted per element —
-    deliberately NOT unrolled: the distance runs over n rows (not n^2
-    pairs), so execution is cheap, while K unrolled 64-term expressions per
-    assignment dominated the query with Janino compile time (measured ~4s
-    of the ~13s gate cost)."""
-    lits = ", ".join(repr(v) for v in cvec)
+
+def _dist2_to_centroid(mvec: list[int]) -> "F.Column":
+    """Fixed-point squared L2 distance from `embedding` to a centroid given
+    as floor(c*1e9) integer literals, as a higher-order aggregate over an
+    array literal. Interpreted per element — deliberately NOT unrolled: the
+    distance runs over n rows (not n^2 pairs), so execution is cheap, while
+    K unrolled 64-term expressions per assignment dominated the query with
+    Janino compile time (measured ~4s of the ~13s gate cost)."""
+    lits = ", ".join(f"{m}L" for m in mvec)
+    s = _IVF_CSCALE
     return F.expr(
         f"aggregate(zip_with(embedding, array({lits}), "
-        f"(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), "
-        f"0D, (a, v) -> a + v)"
+        f"(x, m) -> CAST(floor((CAST(x AS DOUBLE) - CAST(m AS DOUBLE)/{s}) "
+        f"* (CAST(x AS DOUBLE) - CAST(m AS DOUBLE)/{s}) * {_IVF_DSCALE}) "
+        f"AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (a, v) -> a + v)"
     )
+
+
+def _ivf_oracle() -> str:
+    """DuckDB replica of the full IVF pipeline: md5-seeded init, _IVF_ITERS
+    unrolled Lloyd iterations in the same int64 fixed-point arithmetic as
+    the Spark side, probe/rep candidate generation, exact cosine re-rank."""
+    cs, ds = _IVF_CSCALE, _IVF_DSCALE
+
+    def assign(name: str, cents: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT vec_id, cluster,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cluster) AS rn
+      FROM (
+        SELECT v.vec_id, c.cluster,
+               sum(CAST(floor((v.x - CAST(c.ms AS DOUBLE)/{cs})
+                              * (v.x - CAST(c.ms AS DOUBLE)/{cs})
+                              * {ds}) AS BIGINT)) AS dist
+        FROM dims v JOIN {cents} c ON c.d = v.d
+        GROUP BY v.vec_id, c.cluster
+      )
+    )"""
+
+    blocks = [
+        f"""
+    dims AS (
+      SELECT vec_id, i AS d, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, range(1, {_DIM} + 1) r(i)
+    ),
+    seeds AS (
+      SELECT vec_id,
+             row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster
+      FROM embeddings
+      QUALIFY cluster < {_IVF_K}
+    ),
+    c0 AS (
+      SELECT s.cluster, v.d, CAST(floor(v.x * {cs}) AS BIGINT) AS ms
+      FROM seeds s JOIN dims v ON v.vec_id = s.vec_id
+    )"""
+    ]
+    for k in range(1, _IVF_ITERS + 1):
+        blocks.append(assign(f"a{k}", f"c{k - 1}"))
+        blocks.append(f"""
+    c{k} AS (
+      SELECT p.cluster, p.d,
+             coalesce(CAST(floor(CAST(s.sv AS DOUBLE) / s.n) AS BIGINT),
+                      p.ms) AS ms
+      FROM c{k - 1} p
+      LEFT JOIN (
+        SELECT a.cluster, v.d,
+               sum(CAST(floor(v.x * {cs}) AS BIGINT)) AS sv,
+               count(*) AS n
+        FROM (SELECT vec_id, cluster FROM a{k} WHERE rn = 1) a
+        JOIN dims v ON v.vec_id = a.vec_id
+        GROUP BY a.cluster, v.d
+      ) s ON s.cluster = p.cluster AND s.d = p.d
+    )""")
+    blocks.append(assign("af", f"c{_IVF_ITERS}"))
+    blocks.append(f"""
+    cand AS (
+      SELECT DISTINCT q.vec_id AS q_id, m.vec_id AS n_id
+      FROM (SELECT vec_id, cluster FROM af WHERE rn <= {_IVF_PROBE}) q
+      JOIN (SELECT vec_id, cluster FROM af WHERE rn <= {_IVF_REP}) m
+        ON m.cluster = q.cluster AND m.vec_id <> q.vec_id
+    ),
+    normed AS (
+      SELECT vec_id, embedding, sqrt({_norm2_duck('embedding')}) AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT c.q_id AS vec_id, c.n_id AS neighbor_id,
+             round({_dot_duck('a.embedding', 'b.embedding')}
+                   / a.nrm / b.nrm, 6) AS cos_sim
+      FROM cand c
+      JOIN normed a ON a.vec_id = c.q_id
+      JOIN normed b ON b.vec_id = c.n_id
+    )""")
+    return f"""
+    WITH {",".join(blocks)}
+    SELECT vec_id, neighbor_id, cos_sim, rank FROM (
+      SELECT vec_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_TOPK}
+    """
 
 
 @register(
     "ann_topk_ivf",
-    # K-means is iterative — not SQL-expressible; rows-only check.
-    oracle=None,
+    oracle=_ivf_oracle(),
     description=f"IVF ANN: {_IVF_K}-centroid k-means coarse quantizer "
     f"({_IVF_ITERS} Lloyd iterations as DataFrame aggregates, deterministic "
     f"md5-seeded init) with multi-assignment — each corpus vector joins its "
     f"{_IVF_REP} nearest inverted lists, each query probes its {_IVF_PROBE} "
     "nearest — then exact cosines rank the deduplicated candidates. "
-    "Measured recall 0.96+ vs ann_topk_bruteforce at gate scale (pinned by "
-    "tests/test_ivf_recall.py). The synthetic corpus is near-isotropic "
-    "(max pairwise cosine ~0.51), which is the hardest case for IVF — the "
-    "candidate fraction at this recall is ~0.8 here, while on real clustered "
-    "embeddings the same PROBE/K shape prunes far harder. The 100 TB shape "
-    "is unchanged: lists are hash-partitioned, candidates shuffle, the "
-    "corpus never concentrates.",
+    "Centroids and distances use int64 fixed-point arithmetic (floor-"
+    "quantized at 1e-9 / 1e-12 — granularity ~1e6x below meaningful "
+    "distance gaps), which makes every Lloyd step EXACTLY reproducible "
+    "cross-engine: the full pipeline, k-means included, is hash-checked "
+    "against an unrolled DuckDB oracle. Measured recall 0.96+ vs "
+    "ann_topk_bruteforce at gate scale (pinned by tests/test_ivf_recall.py). "
+    "The synthetic corpus is near-isotropic (max pairwise cosine ~0.51), "
+    "which is the hardest case for IVF — the candidate fraction at this "
+    "recall is ~0.8 here, while on real clustered embeddings the same "
+    "PROBE/K shape prunes far harder. The 100 TB shape is unchanged: lists "
+    "are hash-partitioned, candidates shuffle, the corpus never "
+    "concentrates.",
     tags=("similarity", "ann", "ivf", "llm-pipeline"),
 )
 def ann_topk_ivf(spark, sf_dir):
@@ -390,6 +502,8 @@ def ann_topk_ivf(spark, sf_dir):
     ).persist()
 
     # Deterministic init: the K vectors with the smallest md5(vec_id).
+    import math
+
     seeds = (
         normed.select(
             "vec_id", "embedding", F.md5(F.col("vec_id").cast("string")).alias("h")
@@ -398,7 +512,10 @@ def ann_topk_ivf(spark, sf_dir):
         .limit(_IVF_K)
         .collect()  # scale-ok: K seed rows
     )
-    centroids = [[float(x) for x in r.embedding] for r in seeds]
+    cscale = float(_IVF_CSCALE)
+    centroids = [
+        [math.floor(float(x) * cscale) for x in r.embedding] for r in seeds
+    ]
 
     def assign(df):
         """Nearest centroid by squared L2 (ties -> smallest centroid id),
@@ -439,14 +556,24 @@ def ann_topk_ivf(spark, sf_dir):
             assign(normed)
             .groupBy("cluster")
             .agg(
+                F.count("*").alias("n"),
                 *[
-                    F.avg(F.expr(f"CAST(embedding[{i}] AS DOUBLE)")).alias(f"m{i}")
+                    F.sum(
+                        F.expr(
+                            f"CAST(floor(CAST(embedding[{i}] AS DOUBLE) "
+                            f"* {_IVF_CSCALE}) AS BIGINT)"
+                        )
+                    ).alias(f"s{i}")
                     for i in range(_DIM)
-                ]
+                ],
             )
             .collect()  # scale-ok: K centroid rows per Lloyd iteration
         )
-        by_id = {r.cluster: [r[f"m{i}"] for i in range(_DIM)] for r in means}
+        # Python // floors like the oracle's floor(sum/count); both exact
+        # (cluster sums stay far below 2^53).
+        by_id = {
+            r.cluster: [r[f"s{i}"] // r.n for i in range(_DIM)] for r in means
+        }
         centroids = [by_id.get(k, centroids[k]) for k in range(_IVF_K)]
 
     final = assign(normed).persist()

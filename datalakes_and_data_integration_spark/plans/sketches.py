@@ -73,7 +73,7 @@ def _cms_oracle() -> str:
       ORDER BY cnt DESC, term LIMIT {_CMS_TOP}
     )
     SELECT t.term, t.cnt AS exact_freq,
-           least({est}) AS cms_est
+           CAST(least({est}) AS BIGINT) AS cms_est
     FROM top_terms t
     """
 
@@ -321,10 +321,12 @@ def _bloom_oracle() -> str:
       FROM probes p
     )
     SELECT count(*) AS n_probe_keys,
-           sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS n_bloom_pass,
-           sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS n_members,
-           sum(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)
-             AS n_false_pos,
+           CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_pass,
+           CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_members,
+           CAST(sum(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_false_pos,
            round(CAST(sum(CASE WHEN bloom_pass AND NOT is_member
                                THEN 1 ELSE 0 END) AS DOUBLE)
                  / count(*), 6) AS fp_rate

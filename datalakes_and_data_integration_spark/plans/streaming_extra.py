@@ -192,8 +192,8 @@ def snapshot_diff_events(spark, sf_dir):
     )
     SELECT lang,
            count(*) AS n_docs,
-           sum(ws) AS ws_tokens,
-           sum(bpe) AS bpe_tokens,
+           CAST(sum(ws) AS BIGINT) AS ws_tokens,
+           CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
            CAST(ROUND(CAST(CAST(sum(bpe) AS DOUBLE) / sum(ws)
                            AS DECIMAL(27,12)), 6) AS DOUBLE) AS fertility,
            CAST(ROUND(CAST(CAST(sum(n_chars) AS DOUBLE) / sum(bpe)

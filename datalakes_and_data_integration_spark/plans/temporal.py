@@ -962,7 +962,7 @@ def trend_slope_by_type(spark, sf_dir):
            dayofweek(h) + 1 AS dow,  -- DuckDB Sun=0; Spark Sun=1
            CAST(hour(h) AS INT) AS hod,
            count(*) AS n_slots,
-           sum(n) AS n_events,
+           CAST(sum(n) AS BIGINT) AS n_events,
            CAST(ROUND(CAST(CAST(sum(n) AS DOUBLE) / count(*)
                            AS DECIMAL(27,12)), 6) AS DOUBLE)
              AS mean_per_slot

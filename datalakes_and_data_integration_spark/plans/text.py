@@ -229,7 +229,8 @@ def doc_fingerprint(spark, sf_dir):
 @register(
     "doc_stats_cube",
     oracle="""
-    SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            count(DISTINCT source) AS n_sources
     FROM documents
     GROUP BY CUBE (lang, source)
@@ -721,10 +722,10 @@ _SEQ_LEN = 512
     ),
     packed AS (
       SELECT doc_id, lang, n_tokens,
-             sum(n_tokens) OVER (
+             CAST(sum(n_tokens) OVER (
                PARTITION BY lang ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) - n_tokens AS tok_start
+             ) - n_tokens AS BIGINT) AS tok_start
       FROM tok
     )
     SELECT doc_id, lang, n_tokens, tok_start,
@@ -815,7 +816,8 @@ _ZIPF_TOP = 200
     tot AS (
       SELECT CAST(sum(freq) AS DOUBLE) AS total_tokens,
              count(*) AS vocab_size,
-             sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS hapax_count
+             CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax_count
       FROM counts
     ),
     ranked AS (

@@ -265,8 +265,9 @@ _GAP_MS = 30 * 60 * 1000
       FROM events
     ), numbered AS (
       SELECT user_id, ts,
-             sum(is_new) OVER ({_W_SQL}
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(sum(is_new) OVER ({_W_SQL}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, count(*) AS n_events,

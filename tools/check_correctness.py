@@ -2,9 +2,17 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB over the same parquet tables, then compares row count, sorted column
-names, and values (columns sorted by name, rows sorted by all columns) —
-stricter than the driver's order-insensitive value-hash, so passing here
-implies passing there.
+names, arrow type families, and values (columns sorted by name, rows sorted
+by all columns).
+
+The DuckDB result is routed through Arrow (``fetch_arrow_table``), exactly
+like the driver's hasher — NOT ``fetchall()``, whose Python conversion hides
+oracle typing bugs (DuckDB integer ``sum()`` returns HUGEINT, which arrow
+renders as decimal128(38,0) but fetchall flattens to int; the driver hashes
+the arrow form, so an uncast sum hash-mismatches there while passing a
+fetchall-based gate — the exact failure mode of the 4 red rows in
+CORRECTNESS_r02). A per-column type-family check (int/float/decimal/...)
+fails fast with an ``ORACLE-TYPE`` message before the value diff.
 
 Usage:
     python tools/check_correctness.py [--sf /root/testdata/sf0.01] [query ...]
@@ -37,6 +45,57 @@ def duck_connect(sf_dir: str):
     return con
 
 
+def _arrow_family(t) -> str:
+    """Coarse arrow type family — mirrors what survives the driver's hash.
+
+    Timestamp unit (us/ns) and integer width are normalized away (the driver
+    tolerates those — r2 evidence: every timestamp query passed), but
+    decimal-vs-int and decimal-vs-float are NOT (the r2 failure mode).
+    """
+    import pyarrow.types as pt
+
+    if pt.is_integer(t):
+        return "int"
+    if pt.is_floating(t):
+        return "float"
+    if pt.is_decimal(t):
+        return "decimal"
+    if pt.is_boolean(t):
+        return "bool"
+    if pt.is_timestamp(t):
+        return "timestamp"
+    if pt.is_date(t):
+        return "date"
+    if pt.is_string(t) or pt.is_large_string(t):
+        return "string"
+    if pt.is_binary(t) or pt.is_large_binary(t):
+        return "binary"
+    if pt.is_list(t) or pt.is_large_list(t) or pt.is_fixed_size_list(t):
+        return "list"
+    if pt.is_map(t):
+        return "map"
+    if pt.is_struct(t):
+        return "struct"
+    return str(t)
+
+
+def _spark_family(dt) -> str:
+    name = dt.typeName()
+    return {
+        "byte": "int", "short": "int", "integer": "int", "long": "int",
+        "float": "float", "double": "float",
+        "decimal": "decimal",
+        "boolean": "bool",
+        "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+        "date": "date",
+        "string": "string", "varchar": "string", "char": "string",
+        "binary": "binary",
+        "array": "list",
+        "map": "map",
+        "struct": "struct",
+    }.get(name, name)
+
+
 def canon(rows: list[tuple], cols: list[str]):
     """Canonical form: columns sorted by name, rows sorted by repr of values."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -61,11 +120,20 @@ def compare(name: str, spark_df, con) -> tuple[bool, str]:
     s_cols = list(spark_df.columns)
     if sql is None:
         return True, f"rows-only ({len(s_rows)} rows)"
-    res = con.execute(sql)
-    d_cols = [d[0] for d in res.description]
-    d_rows = [tuple(r) for r in res.fetchall()]
+    # Arrow path, like the driver's hasher — fetchall() would hide
+    # HUGEINT-vs-BIGINT oracle typing bugs (see module docstring).
+    tbl = con.execute(sql).fetch_arrow_table()
+    d_cols = list(tbl.column_names)
+    d_rows = [tuple(d[c] for c in d_cols) for d in tbl.to_pylist()]
     if sorted(s_cols) != sorted(d_cols):
         return False, f"SCHEMA spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    s_fam = {f.name: _spark_family(f.dataType) for f in spark_df.schema.fields}
+    d_fam = {fld.name: _arrow_family(fld.type) for fld in tbl.schema}
+    bad_types = {
+        c: (s_fam[c], d_fam[c]) for c in s_fam if s_fam[c] != d_fam[c]
+    }
+    if bad_types:
+        return False, f"ORACLE-TYPE family mismatch {bad_types}"
     if len(s_rows) != len(d_rows):
         return False, f"ROWCOUNT spark={len(s_rows)} duck={len(d_rows)}"
     _, sc = canon(s_rows, s_cols)

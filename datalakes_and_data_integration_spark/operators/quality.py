@@ -18,9 +18,10 @@ Check classes:
   row count and the duplicate count come from the same shuffle
   (sum(cnt) / sum(cnt-1 where cnt>1)), no second scan.
 - ``foreign_key`` — fact keys are pre-aggregated to (key, count), then
-  probed against the dim's distinct keys with a left join (broadcast
-  when the dim is small); orphan rows are counted without ever
-  shuffling fact rows.
+  probed against the dim's distinct keys with a left join; by default
+  AQE picks the strategy (broadcast when the dim turns out small),
+  ``broadcast_dim=True`` forces the hint for a dim the caller knows is
+  tiny; orphan rows are counted without ever shuffling fact rows.
 
 Every check yields the same row shape
 ``(table_name, check_name, n_checked, n_violations, passed)`` so suites
@@ -77,6 +78,12 @@ class ExpectationSuite:
         return self._pred(name, ~holds)
 
     def _pred(self, name: str, violated: Column) -> "ExpectationSuite":
+        if any(p.name == name for p in self._predicates):
+            raise ValueError(
+                f"duplicate check name {name!r} in suite {self._table!r} — "
+                "names must be unique (they become aggregate column names "
+                "in the fused one-scan report)"
+            )
         self._predicates.append(_PredicateCheck(name, violated))
         return self
 
@@ -101,21 +108,34 @@ class ExpectationSuite:
         return self
 
     def expect_foreign_key(
-        self, col: str, dim: DataFrame, dim_col: str, dim_name: str
+        self,
+        col: str,
+        dim: DataFrame,
+        dim_col: str,
+        dim_name: str,
+        broadcast_dim: bool = False,
     ) -> "ExpectationSuite":
         """Referential integrity: every non-null ``col`` exists in
-        ``dim.dim_col``. Null keys are not orphans (SQL FK semantics)."""
+        ``dim.dim_col``. Null keys are not orphans (SQL FK semantics).
+
+        ``broadcast_dim=True`` forces a broadcast hint for a dim the
+        caller knows is tiny; the default leaves the join strategy to
+        AQE, which broadcasts when the (distinct-key) dim side turns out
+        small — an unconditional hint would force-collect a large
+        dimension and OOM at the scales this module targets."""
         name = f"{col}_fk_{dim_name}_{dim_col}"
         fact_keys = (
             self._df.filter(F.col(col).isNotNull())
             .groupBy(F.col(col).alias("__k"))
             .agg(F.count("*").alias("__cnt"))
         )
-        dim_keys = F.broadcast(
+        dim_keys = (
             dim.select(F.col(dim_col).alias("__k")).distinct().withColumn(
                 "__hit", F.lit(1)
             )
         )
+        if broadcast_dim:
+            dim_keys = F.broadcast(dim_keys)
         rep = (
             fact_keys.join(dim_keys, "__k", "left")
             .agg(
@@ -210,9 +230,13 @@ class ExpectationSuite:
                 "passed"
             )
             reports.append(long)
-        it = iter(reports)
-        out = next(it)
-        for r in it:
+        if not reports:
+            raise ValueError(
+                f"suite {self._table!r} has no checks — add at least one "
+                "expect_* before run()"
+            )
+        out = reports[0]
+        for r in reports[1:]:
             out = out.unionByName(r)
         return out.withColumn("passed", F.col("n_violations") == 0).select(
             *REPORT_COLS
@@ -220,8 +244,9 @@ class ExpectationSuite:
 
 
 def union_reports(*reports: DataFrame) -> DataFrame:
-    it = iter(reports)
-    out = next(it)
-    for r in it:
+    if not reports:
+        raise ValueError("union_reports() needs at least one report")
+    out = reports[0]
+    for r in reports[1:]:
         out = out.unionByName(r)
     return out

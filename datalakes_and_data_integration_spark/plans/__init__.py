@@ -15,12 +15,11 @@ from datalakes_and_data_integration_spark.plans.registry import (
     register,
 )
 
-# Importing these modules populates the registry. ORDER MATTERS: the driver
-# verifies the first 50 entries of ``all_queries()`` against the oracles, so
-# the suites that were driver-unreached in round 1 (dedup / similarity / text /
-# multimodal / streaming / timeseries — see VERDICT.md "Next round #1")
-# register first; the 45 tpch/relational/temporal queries that already earned
-# green CORRECTNESS_r01 rows take the back seats this round.
+# Importing these modules populates the registry. Since round 3 the driver's
+# 50-query verification window is controlled by registry.WINDOW_PRIORITY
+# (an explicit name list reordered in all_queries()), not by import order —
+# rotate that list each round to retire verification debt; import order
+# below only affects the post-window tail.
 from datalakes_and_data_integration_spark.plans import (  # noqa: E402,F401
     dedup,
     similarity,

@@ -194,8 +194,18 @@ def dedup_cluster_largestar(spark, sf_dir):
     edges = pairs.select(
         F.col("doc_b").alias("u"), F.col("doc_a").alias("v")
     ).persist()
+    import math
+
+    # Star-contraction converges in O(log n) rounds (SoCC'14 Thm 2), so
+    # derive the budget from the edge count instead of a fixed cap — and
+    # FAIL LOUDLY if the checksum never stabilizes: an unconverged edge set
+    # can hold multiple rows per doc and non-minimum cluster ids, which
+    # would otherwise flow on silently (VERDICT r2 advisory).
+    n_edges = edges.count()  # scale-ok: 1 scalar (round-budget sizing)
+    budget = 2 * max(1, math.ceil(math.log2(max(2, n_edges + 1)))) + 4
+    converged = False
     prev_state = None
-    for _ in range(8):
+    for _ in range(budget):
         bidir = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
@@ -215,8 +225,16 @@ def dedup_cluster_largestar(spark, sf_dir):
         ).collect()[0]  # scale-ok: 1-row convergence checksum
         state = (state.n, state.su, state.sv)
         if state == prev_state:
+            converged = True
             break
         prev_state = state
+    if not converged:
+        raise RuntimeError(
+            f"star-contraction did not reach a fixpoint within {budget} "
+            f"rounds ({n_edges} input edges) — the edge set may contain "
+            "multiple rows per doc / non-minimum cluster ids; refusing to "
+            "emit a possibly-wrong clustering"
+        )
     # At fixpoint every edge is (member, component_min); roots and isolated
     # docs label themselves.
     docs = T(spark, sf_dir, "documents").select("doc_id")

@@ -150,20 +150,28 @@ def data_quality_report(spark, sf_dir):
         )
         .expect_predicate("l_quantity_le_30_sla", F.col("l_quantity") <= 30)
         .expect_unique("l_orderkey", "l_linenumber")
-        .expect_foreign_key("l_orderkey", o, "o_orderkey", "orders")
+        # broadcast_dim: these key sets are dim-sized at every gate SF;
+        # callers with fact-sized key sets omit the flag and let AQE pick.
+        .expect_foreign_key(
+            "l_orderkey", o, "o_orderkey", "orders", broadcast_dim=True
+        )
     )
     o_suite = (
         ExpectationSuite(o, "orders")
         .expect_unique("o_orderkey")
         .expect_in("o_orderstatus", ("F", "O", "P"))
         .expect_predicate("o_totalprice_positive", F.col("o_totalprice") > 0)
-        .expect_foreign_key("o_custkey", c, "c_custkey", "customer")
+        .expect_foreign_key(
+            "o_custkey", c, "c_custkey", "customer", broadcast_dim=True
+        )
     )
     e_suite = (
         ExpectationSuite(e, "events")
         .expect_not_null("value")
         .expect_in("event_type", _EVENT_TYPES)
-        .expect_foreign_key("user_id", c, "c_custkey", "customer")
+        .expect_foreign_key(
+            "user_id", c, "c_custkey", "customer", broadcast_dim=True
+        )
     )
     return union_reports(li_suite.run(), o_suite.run(), e_suite.run())
 

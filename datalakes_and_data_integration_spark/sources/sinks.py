@@ -125,16 +125,18 @@ def plan_compaction(
         ),
         key=lambda kv: (-kv[1], kv[0]),
     )
-    batches: list[tuple[list[str], int]] = []
+    paths_of: list[list[str]] = []
+    size_of: list[int] = []
     for path, sz in small:
-        for batch in batches:
-            if batch[1] + sz <= target_file_bytes:
-                batch[0].append(path)
-                batches[batches.index(batch)] = (batch[0], batch[1] + sz)
+        for i, used in enumerate(size_of):
+            if used + sz <= target_file_bytes:
+                paths_of[i].append(path)
+                size_of[i] = used + sz
                 break
         else:
-            batches.append(([path], sz))
-    return [paths for paths, _ in batches if len(paths) > 1]
+            paths_of.append([path])
+            size_of.append(sz)
+    return [paths for paths in paths_of if len(paths) > 1]
 
 
 def compact_selected(spark, table_dir: str, batch: list[str]) -> str:

@@ -158,3 +158,24 @@ def test_report_agrees_with_quarantine(spark, fact):
     )
     for check, row in rep.items():
         assert row.n_violations == named.get(check, 0), check
+
+
+def test_empty_suite_and_empty_union_raise(spark, fact):
+    import pytest
+
+    from datalakes_and_data_integration_spark.operators.quality import (
+        union_reports,
+    )
+
+    with pytest.raises(ValueError, match="no checks"):
+        ExpectationSuite(fact, "fact").run()
+    with pytest.raises(ValueError, match="at least one report"):
+        union_reports()
+
+
+def test_duplicate_check_name_rejected(spark, fact):
+    import pytest
+
+    suite = ExpectationSuite(fact, "fact").expect_not_null("val")
+    with pytest.raises(ValueError, match="duplicate check name"):
+        suite.expect_not_null("val")

@@ -754,9 +754,14 @@ def ann_topk_bruteforce_hybrid(spark, sf_dir):
         F.col("embedding").alias("n_emb"),
         F.col("nrm").alias("n_nrm"),
     )
+    # Plain hash joins here, NOT F.broadcast(qa/nb_): both sides are the
+    # full embeddings table, so a forced broadcast would collect the whole
+    # corpus onto the driver at scale (VERDICT r2 #7). AQE still broadcasts
+    # when the table turns out small — same plan at gate SFs, no OOM cliff
+    # on a 100x corpus.
     scored = (
-        cand.join(F.broadcast(qa), "vec_id")
-        .join(F.broadcast(nb_), "neighbor_id")
+        cand.join(qa, "vec_id")
+        .join(nb_, "neighbor_id")
         .select(
             "vec_id",
             "neighbor_id",
@@ -884,9 +889,11 @@ def embedding_near_dup_hybrid(spark, sf_dir):
         F.expr(_dot_spark("a_emb", "b_emb")) / F.col("a_nrm") / F.col("b_nrm"),
         6,
     )
+    # Plain hash joins — the re-score sides are the full embeddings table;
+    # AQE broadcasts when small (see ann_topk_bruteforce_hybrid's re-rank).
     return (
-        cand.join(F.broadcast(a), "vec_a")
-        .join(F.broadcast(b), "vec_b")
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
         .select(
             "vec_a", "vec_b", "label_a", "label_b", cos.alias("cos_sim")
         )

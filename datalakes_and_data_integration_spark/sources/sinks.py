@@ -49,6 +49,111 @@ def write_jdbc_overwrite(
     df.write.jdbc(url, table, mode="overwrite", properties=props)
 
 
+def write_postgres_copy(
+    df: DataFrame,
+    socket_dir: str,
+    dbname: str,
+    table: str,
+    user: str = "postgres",
+    mode: str = "overwrite",
+    psql_bin: str = "psql",
+) -> int:
+    """Bulk-load a mart-sized DataFrame into a real Postgres-protocol
+    server via ``COPY FROM STDIN`` through ``psql`` — the reference's
+    curated-warehouse write (`/root/reference/src/process_to_curated.py:
+    189-199`, pandas ``to_sql(if_exists='replace')`` to TimescaleDB)
+    re-expressed as the COPY bulk protocol (the fast path every Postgres
+    loader converges on; row INSERTs are ~10-50x slower).
+
+    Why not ``write.jdbc('jdbc:postgresql:...')``: this container ships no
+    Postgres JDBC driver jar and no network to fetch one, so the
+    jdbc:postgresql route is untestable here; the JDBC writer contract is
+    pinned against embedded Derby instead (tests/test_jdbc_sink.py). This
+    sink covers the other half — a REAL Postgres server speaking the real
+    wire protocol (tests/test_postgres_sink.py starts one on a unix
+    socket). Connection is socket-based: ``psql -h <socket_dir>``.
+
+    Scale shape: the curated mart the reference ships to Postgres is an
+    AGGREGATE (thousands of rows, not the lake), so a single-stream COPY
+    through the driver is the right size. For fact-scale loads, run the
+    same COPY per partition from executors (``df.foreachPartition`` with a
+    client lib, or per-partition CSV + parallel ``psql``) against a
+    partitioned target table.
+
+    Returns the number of rows loaded. ``mode='overwrite'`` recreates the
+    table (the reference's ``if_exists='replace'``); ``'append'`` requires
+    it to exist.
+    """
+    import io
+    import subprocess
+
+    def q(ident: str) -> str:
+        return '"' + ident.replace('"', '""') + '"'
+
+    _PG_TYPES = {
+        "long": "bigint",
+        "bigint": "bigint",
+        "int": "integer",
+        "integer": "integer",
+        "smallint": "smallint",
+        "tinyint": "smallint",
+        "double": "double precision",
+        "float": "real",
+        "string": "text",
+        "boolean": "boolean",
+        "date": "date",
+        "timestamp": "timestamp",
+        "timestamp_ntz": "timestamp",
+    }
+    cols = []
+    for f in df.schema.fields:
+        t = f.dataType.typeName()
+        if t == "decimal":
+            pg = f.dataType.simpleString()  # decimal(p,s) is valid in PG
+        elif t in _PG_TYPES:
+            pg = _PG_TYPES[t]
+        else:
+            raise ValueError(
+                f"write_postgres_copy: unsupported column type {t!r} for "
+                f"{f.name!r} (flatten arrays/structs before the mart write)"
+            )
+        cols.append(f"{q(f.name)} {pg}")
+
+    pdf = df.toPandas()  # scale-ok: mart-sized aggregate (see docstring)
+    buf = io.StringIO()
+    pdf.to_csv(buf, index=False, header=False)
+
+    ddl = ""
+    if mode == "overwrite":
+        ddl = (
+            f"DROP TABLE IF EXISTS {q(table)}; "
+            f"CREATE TABLE {q(table)} ({', '.join(cols)}); "
+        )
+    sql = (
+        f"{ddl}COPY {q(table)} FROM STDIN WITH (FORMAT csv, NULL '')"
+    )
+    subprocess.run(
+        [
+            psql_bin,
+            "--no-psqlrc",
+            "-v",
+            "ON_ERROR_STOP=1",
+            "-h",
+            socket_dir,
+            "-U",
+            user,
+            "-d",
+            dbname,
+            "-c",
+            sql,
+        ],
+        input=buf.getvalue().encode(),
+        check=True,
+        capture_output=True,
+    )
+    return len(pdf)
+
+
 def compact_parquet(
     spark,
     table_dir: str,

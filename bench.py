@@ -73,6 +73,17 @@ def main() -> None:
     spark = get_spark("bench")
     # Warm the JVM/IO path once so per-query numbers measure the engine.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # Session-wide one-time costs (first shuffle stage, broadcast/exchange
+    # machinery, JIT warmup of shared codegen fragments) otherwise bill to
+    # whichever query runs first: r2's registry reorder moved dedup_exact
+    # into slot 0 and its warm number 2.6x'd with byte-identical code
+    # (VERDICT r2 perf note). Run slot 0's query once UNTIMED so every
+    # timed query starts from the same machinery-warm state.
+    _first = next((q for q in plans.QUERIES.values() if q.bench), None)
+    if _first is not None:
+        _first.spark(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     # Three runs per query: run 0 pays one-time costs (Janino codegen compile
     # of the large generated expressions, parquet footer reads — measured

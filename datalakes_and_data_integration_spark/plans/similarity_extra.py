@@ -328,19 +328,247 @@ _PQ_TOPK = 5
 _PQ_SHORTLIST = 100  # ADC candidates per query that get exact re-ranking
 
 
-def _pq_dist_expr(centroids: list[list[list[float]]], k: int) -> str:
-    """Squared L2 from the row's subvector `sub` to codeword k of its own
-    subspace m — an m-branched CASE so all subspaces assign in one pass.
-    Interpreted higher-order aggregate, not unrolled (the IVF lesson:
-    Janino compile time dominates otherwise)."""
+# Fixed-point quantization scales shared with ann_topk_ivf (see
+# plans/similarity.py): centroids/codewords live as floor(c * 1e9) int64,
+# squared distances as SUM(floor(diff^2 * 1e12)) int64 — every Lloyd step
+# and every ADC score is then EXACTLY cross-engine reproducible, which is
+# what lets the two iterative-k-means queries below carry full DuckDB
+# oracles instead of rows-only checks.
+_FX_C = "1e9"
+_FX_D = "1e12"
+
+
+def _fx_term(x: str, ms: str) -> str:
+    """One fixed-point squared-difference term (identical text on both
+    engines up to column names): floor((x - ms/1e9)^2 * 1e12) as int64."""
+    return (
+        f"CAST(floor(({x} - CAST({ms} AS DOUBLE)/{_FX_C}) "
+        f"* ({x} - CAST({ms} AS DOUBLE)/{_FX_C}) * {_FX_D}) AS BIGINT)"
+    )
+
+
+def _pq_dist_expr(centroids: list[list[list[int]]], k: int) -> str:
+    """Fixed-point squared L2 from the row's subvector `sub` to codeword k
+    of its own subspace m — an m-branched CASE so all subspaces assign in
+    one pass. Interpreted higher-order aggregate, not unrolled (the IVF
+    lesson: Janino compile time dominates otherwise)."""
+    term = _fx_term("x", "c")
     branches = " ".join(
         "WHEN {m} THEN aggregate(zip_with(sub, array({lits}), "
-        "(x, c) -> (x - c) * (x - c)), 0D, (a, v) -> a + v)".format(
-            m=m, lits=", ".join(repr(v) for v in centroids[m][k])
+        "(x, c) -> {term}), CAST(0 AS BIGINT), (a, v) -> a + v)".format(
+            m=m,
+            lits=", ".join(f"{v}L" for v in centroids[m][k]),
+            term=term,
         )
         for m in range(_PQ_M)
     )
     return f"CASE m {branches} END"
+
+
+def _fx_term_sql(x: str, ms: str) -> str:
+    """DuckDB text of the same fixed-point term (identical arithmetic)."""
+    return (
+        f"CAST(floor(({x} - CAST({ms} AS DOUBLE)/{_FX_C}) "
+        f"* ({x} - CAST({ms} AS DOUBLE)/{_FX_C}) * {_FX_D}) AS BIGINT)"
+    )
+
+
+def _pq_oracle_blocks() -> str:
+    """Shared DuckDB CTE chain: unit vectors, subspace dims, md5-seeded
+    codebooks, _PQ_ITERS unrolled Lloyd iterations in the same int64
+    fixed-point arithmetic as _pq_tables, ending in `paf` (the final
+    per-(vec, subspace) distance/assignment relation: rn=1 rows are the
+    code table, all rows are the ADC distance tables)."""
+    from datalakes_and_data_integration_spark.plans.similarity import (
+        _norm2_duck,
+    )
+
+    def passign(name: str, cb: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT vec_id, m, code, dist,
+             row_number() OVER (PARTITION BY vec_id, m
+                                ORDER BY dist, code) AS rn
+      FROM (
+        SELECT v.vec_id, v.m, c.code,
+               sum({_fx_term_sql('v.x', 'c.ms')}) AS dist
+        FROM sdims v JOIN {cb} c ON c.m = v.m AND c.i = v.i
+        GROUP BY v.vec_id, v.m, c.code
+      )
+    )"""
+
+    blocks = [
+        f"""
+    normd AS (
+      SELECT vec_id, embedding, sqrt({_norm2_duck('embedding')}) AS nrm
+      FROM embeddings
+    ),
+    unit AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS arr
+      FROM normd
+    ),
+    sdims AS (
+      SELECT vec_id, (i - 1) // {_PQ_SUBDIM} AS m, i, arr[i] AS x
+      FROM unit, range(1, {_PQ_M * _PQ_SUBDIM} + 1) r(i)
+    ),
+    sranks AS (
+      SELECT vec_id,
+             row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+      FROM embeddings
+      QUALIFY code < {_PQ_K}
+    ),
+    cb0 AS (
+      SELECT d.m, s.code, d.i, CAST(floor(d.x * {_FX_C}) AS BIGINT) AS ms
+      FROM sranks s JOIN sdims d ON d.vec_id = s.vec_id
+    )"""
+    ]
+    for t in range(1, _PQ_ITERS + 1):
+        blocks.append(passign(f"pa{t}", f"cb{t - 1}"))
+        blocks.append(f"""
+    cb{t} AS (
+      SELECT p.m, p.code, p.i,
+             coalesce(CAST(floor(CAST(s.sv AS DOUBLE) / s.n) AS BIGINT),
+                      p.ms) AS ms
+      FROM cb{t - 1} p
+      LEFT JOIN (
+        SELECT a.m, a.code, v.i,
+               sum(CAST(floor(v.x * {_FX_C}) AS BIGINT)) AS sv,
+               count(*) AS n
+        FROM (SELECT vec_id, m, code FROM pa{t} WHERE rn = 1) a
+        JOIN sdims v ON v.vec_id = a.vec_id AND v.m = a.m
+        GROUP BY a.m, a.code, v.i
+      ) s ON s.m = p.m AND s.code = p.code AND s.i = p.i
+    )""")
+    blocks.append(passign("paf", f"cb{_PQ_ITERS}"))
+    return ",".join(blocks)
+
+
+def _rerank_sql(shortlist: str) -> str:
+    """Exact cosine re-rank of a (q_id, n_id) shortlist CTE — the SQL
+    twin of _exact_rerank (raw-double ranking, decimal-routed rounding)."""
+    from datalakes_and_data_integration_spark.plans.similarity import (
+        _dot_duck,
+    )
+
+    return f"""
+    rer AS (
+      SELECT s.q_id, s.n_id,
+             {_dot_duck('qa.arr', 'na.arr')} AS cos_sim
+      FROM {shortlist} s
+      JOIN unit qa ON qa.vec_id = s.q_id
+      JOIN unit na ON na.vec_id = s.n_id
+    )
+    SELECT q_id, n_id, rnk,
+           CAST(ROUND(CAST(cos_sim AS DECIMAL(27,12)), 6) AS DOUBLE)
+             AS cos_sim
+    FROM (
+      SELECT q_id, n_id, cos_sim,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos_sim DESC, n_id) AS rnk
+      FROM rer
+    ) WHERE rnk <= {_PQ_TOPK}
+    """
+
+
+def _pq_oracle() -> str:
+    return f"""
+    WITH {_pq_oracle_blocks()},
+    adc AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id, sum(q.dist) AS adc_dist
+      FROM paf q
+      JOIN (SELECT vec_id, m, code FROM paf WHERE rn = 1) c
+        ON c.m = q.m AND c.code = q.code
+      WHERE q.vec_id <> c.vec_id
+      GROUP BY q.vec_id, c.vec_id
+    ),
+    short AS (
+      SELECT q_id, n_id FROM (
+        SELECT q_id, n_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adc_dist, n_id) AS srn
+        FROM adc
+      ) WHERE srn <= {_PQ_SHORTLIST}
+    ),
+    {_rerank_sql('short')}
+    """
+
+
+def _ivfadc_oracle() -> str:
+    def cassign(name: str, cents: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT vec_id, cluster,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cluster) AS rn
+      FROM (
+        SELECT v.vec_id, c.cluster,
+               sum({_fx_term_sql('v.x', 'c.ms')}) AS dist
+        FROM sdims v JOIN {cents} c ON c.i = v.i
+        GROUP BY v.vec_id, c.cluster
+      )
+    )"""
+
+    coarse = [
+        f"""
+    crank AS (
+      SELECT vec_id,
+             row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster
+      FROM embeddings
+      QUALIFY cluster < {_IVFADC_K}
+    ),
+    cc0 AS (
+      SELECT s.cluster, d.i, CAST(floor(d.x * {_FX_C}) AS BIGINT) AS ms
+      FROM crank s JOIN sdims d ON d.vec_id = s.vec_id
+    )"""
+    ]
+    for t in range(1, _IVFADC_ITERS + 1):
+        coarse.append(cassign(f"ca{t}", f"cc{t - 1}"))
+        coarse.append(f"""
+    cc{t} AS (
+      SELECT p.cluster, p.i,
+             coalesce(CAST(floor(CAST(s.sv AS DOUBLE) / s.n) AS BIGINT),
+                      p.ms) AS ms
+      FROM cc{t - 1} p
+      LEFT JOIN (
+        SELECT a.cluster, v.i,
+               sum(CAST(floor(v.x * {_FX_C}) AS BIGINT)) AS sv,
+               count(*) AS n
+        FROM (SELECT vec_id, cluster FROM ca{t} WHERE rn = 1) a
+        JOIN sdims v ON v.vec_id = a.vec_id
+        GROUP BY a.cluster, v.i
+      ) s ON s.cluster = p.cluster AND s.i = p.i
+    )""")
+    coarse.append(cassign("caf", f"cc{_IVFADC_ITERS}"))
+    return f"""
+    WITH {_pq_oracle_blocks()},{",".join(coarse)},
+    cand AS (
+      SELECT DISTINCT q.vec_id AS q_id, m2.vec_id AS n_id
+      FROM (SELECT vec_id, cluster FROM caf WHERE rn <= {_IVFADC_PROBE}) q
+      JOIN (SELECT vec_id, cluster FROM caf WHERE rn <= {_IVFADC_REP}) m2
+        ON m2.cluster = q.cluster AND m2.vec_id <> q.vec_id
+    ),
+    adc AS (
+      SELECT ca.q_id, ca.n_id, sum(q.dist) AS adc_dist
+      FROM cand ca
+      JOIN (SELECT vec_id, m, code FROM paf WHERE rn = 1) c
+        ON c.vec_id = ca.n_id
+      JOIN paf q
+        ON q.vec_id = ca.q_id AND q.m = c.m AND q.code = c.code
+      GROUP BY ca.q_id, ca.n_id
+    ),
+    short AS (
+      SELECT q_id, n_id FROM (
+        SELECT q_id, n_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adc_dist, n_id) AS srn
+        FROM adc
+      ) WHERE srn <= {_PQ_SHORTLIST}
+    ),
+    {_rerank_sql('short')}
+    """
 
 
 def _unit_vectors(spark, sf_dir):
@@ -385,7 +613,10 @@ def _pq_tables(unit):
     ).persist()
 
     # Deterministic init: the K smallest-md5 vectors seed every subspace
-    # with their own subvectors.
+    # with their own subvectors (fixed-point quantized).
+    import math
+
+    cscale = float(_FX_C)
     seeds = (
         unit.select(
             "vec_id", "arr", F.md5(F.col("vec_id").cast("string")).alias("h")
@@ -396,7 +627,10 @@ def _pq_tables(unit):
     )
     centroids = [
         [
-            [float(x) for x in r.arr[m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM]]
+            [
+                math.floor(float(x) * cscale)
+                for x in r.arr[m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM]
+            ]
             for r in seeds
         ]
         for m in range(_PQ_M)
@@ -416,15 +650,21 @@ def _pq_tables(unit):
             assign(subrows)
             .groupBy("m", "code")
             .agg(
+                F.count("*").alias("n"),
                 *[
-                    F.avg(F.expr(f"sub[{i}]")).alias(f"c{i}")
+                    F.sum(
+                        F.expr(
+                            f"CAST(floor(sub[{i}] * {_FX_C}) AS BIGINT)"
+                        )
+                    ).alias(f"c{i}")
                     for i in range(_PQ_SUBDIM)
-                ]
+                ],
             )
             .collect()  # scale-ok: M x K codebook rows per Lloyd iteration
         )
+        # Python // floors like the oracle's floor(sum/count); both exact.
         by_key = {
-            (r.m, r.code): [r[f"c{i}"] for i in range(_PQ_SUBDIM)]
+            (r.m, r.code): [r[f"c{i}"] // r.n for i in range(_PQ_SUBDIM)]
             for r in means
         }
         centroids = [
@@ -488,7 +728,11 @@ def _exact_rerank(unit, shortlist, topk: int):
 
 @register(
     "ann_topk_pq",
-    oracle=None,  # k-means codebook training is iterative — rows-only
+    # Codebook training is iterative k-means — but in int64 fixed-point
+    # every Lloyd step is exactly cross-engine reproducible, so the FULL
+    # pipeline (training included) is hash-checked against an unrolled
+    # DuckDB oracle (same recipe as ann_topk_ivf).
+    oracle=_pq_oracle(),
     description=f"Product-quantization ANN: {_PQ_M} subspaces x "
     f"{_PQ_K} codewords (one-byte codes, 64x compression), codebooks "
     f"trained with {_PQ_ITERS} deterministic Lloyd iterations — ALL "
@@ -524,11 +768,9 @@ def ann_topk_pq(spark, sf_dir):
         qdist.join(codes, ["m", "code"])
         .filter(F.col("q_id") != F.col("n_id"))
         .groupBy("q_id", "n_id")
-        .agg(
-            F.sum(F.col("d2").cast("decimal(38,18)"))
-            .cast("double")
-            .alias("adc_dist")
-        )
+        # d2 is int64 fixed-point, so the sum is exact and
+        # order-independent without a decimal detour.
+        .agg(F.sum("d2").alias("adc_dist"))
     )
     w = Window.partitionBy("q_id").orderBy("adc_dist", "n_id")
     shortlist = (
@@ -558,13 +800,18 @@ def _coarse_lists(unit):
     the ann_topk_ivf shape, re-expressed over the normalized `arr`."""
     from pyspark.sql import functions as F
 
-    def dist2(cvec):
-        lits = ", ".join(repr(v) for v in cvec)
+    import math
+
+    term = _fx_term("x", "c")
+
+    def dist2(mvec):
+        lits = ", ".join(f"{v}L" for v in mvec)
         return F.expr(
             f"aggregate(zip_with(arr, array({lits}), "
-            f"(x, c) -> (x - c) * (x - c)), 0D, (a, v) -> a + v)"
+            f"(x, c) -> {term}), CAST(0 AS BIGINT), (a, v) -> a + v)"
         )
 
+    cscale = float(_FX_C)
     seeds = (
         unit.select(
             "vec_id", "arr", F.md5(F.col("vec_id").cast("string")).alias("h")
@@ -573,7 +820,9 @@ def _coarse_lists(unit):
         .limit(_IVFADC_K)
         .collect()  # scale-ok: K seed rows
     )
-    centroids = [[float(x) for x in r.arr] for r in seeds]
+    centroids = [
+        [math.floor(float(x) * cscale) for x in r.arr] for r in seeds
+    ]
 
     def assign(df):
         dists = F.array(*[dist2(c) for c in centroids])
@@ -606,14 +855,19 @@ def _coarse_lists(unit):
             assign(unit)
             .groupBy("cluster")
             .agg(
+                F.count("*").alias("n"),
                 *[
-                    F.avg(F.expr(f"arr[{i}]")).alias(f"m{i}")
+                    F.sum(
+                        F.expr(f"CAST(floor(arr[{i}] * {_FX_C}) AS BIGINT)")
+                    ).alias(f"m{i}")
                     for i in range(64)
-                ]
+                ],
             )
             .collect()  # scale-ok: K centroid rows per Lloyd iteration
         )
-        by_id = {r.cluster: [r[f"m{i}"] for i in range(64)] for r in means}
+        by_id = {
+            r.cluster: [r[f"m{i}"] // r.n for i in range(64)] for r in means
+        }
         centroids = [
             by_id.get(k, centroids[k]) for k in range(_IVFADC_K)
         ]
@@ -622,7 +876,9 @@ def _coarse_lists(unit):
 
 @register(
     "ann_topk_ivfadc",
-    oracle=None,  # two iterative k-means stages — rows-only
+    # Both iterative k-means stages run in int64 fixed-point, so even the
+    # two-quantizer composition is exactly reproducible in SQL.
+    oracle=_ivfadc_oracle(),
     description=f"IVFADC retrieval (faiss shape): {_IVFADC_K} coarse "
     f"k-means lists bound WHICH pairs are considered (queries probe "
     f"{_IVFADC_PROBE} lists, corpus vectors join {_IVFADC_REP} — "
@@ -662,11 +918,8 @@ def ann_topk_ivfadc(spark, sf_dir):
         cand.join(codes, "n_id")
         .join(qdist, ["q_id", "m", "code"])
         .groupBy("q_id", "n_id")
-        .agg(
-            F.sum(F.col("d2").cast("decimal(38,18)"))
-            .cast("double")
-            .alias("adc_dist")
-        )
+        # int64 fixed-point d2: exact order-independent sum.
+        .agg(F.sum("d2").alias("adc_dist"))
     )
     w = Window.partitionBy("q_id").orderBy("adc_dist", "n_id")
     shortlist = (

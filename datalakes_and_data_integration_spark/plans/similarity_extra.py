@@ -365,6 +365,86 @@ def _pq_dist_expr(centroids: list[list[list[int]]], k: int) -> str:
     return f"CASE m {branches} END"
 
 
+_COV_DIM = 64
+
+
+@register(
+    "label_cov_moments",
+    oracle=f"""
+    WITH dims AS (
+      SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, range(1, {_COV_DIM} + 1) r(i)
+    ),
+    pairs AS (
+      SELECT a.label, a.i, b.i AS j,
+             count(*) AS n,
+             sum(CAST(a.x * b.x AS DECIMAL(27,12))) AS sxy,
+             sum(CAST(a.x AS DECIMAL(27,12))) AS sx,
+             sum(CAST(b.x AS DECIMAL(27,12))) AS sy
+      FROM dims a JOIN dims b
+        ON b.vec_id = a.vec_id AND b.i >= a.i
+      GROUP BY a.label, a.i, b.i
+    )
+    SELECT label, i, j, n,
+           CAST(ROUND(CAST((CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                           / (n - 1) AS DECIMAL(27,12)), 6) AS DOUBLE)
+             AS cov
+    FROM pairs
+    """,
+    description="Per-label covariance moments — the oracle-checkable 100 TB "
+    "scale path that label_cov_top_eigen's docstring promises: instead of "
+    "shipping each label's vectors to one task, accumulate the d(d+1)/2 "
+    "upper-triangle moment sums (sum x_i x_j, sum x_i, count) as ordinary "
+    "decimal-exact grouped aggregates — one exploded self-join plus one "
+    "shuffle, no per-group matrix, no grouped Arrow batch — and eigensolve "
+    "the tiny 64x64 matrices downstream (driver or applyInPandas over 10 "
+    "rows-per-label frames). Decimal sums make every cov entry "
+    "order-independent, so the result is exactly cross-engine comparable.",
+    tags=("similarity", "spectrum", "aggregate", "llm-pipeline"),
+)
+def label_cov_moments(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    e = T(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        ).alias("p", "x"),
+    ).select("vec_id", "label", (F.col("p") + 1).alias("i"), "x")
+    a, b = dims.alias("a"), dims.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.vec_id") == F.col("a.vec_id"))
+        & (F.col("b.i") >= F.col("a.i")),
+    ).select(
+        F.col("a.label").alias("label"),
+        F.col("a.i").alias("i"),
+        F.col("b.i").alias("j"),
+        F.col("a.x").alias("xa"),
+        F.col("b.x").alias("xb"),
+    )
+    agg = pairs.groupBy("label", "i", "j").agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("CAST(xa * xb AS DECIMAL(27,12))")).alias("sxy"),
+        F.sum(F.expr("CAST(xa AS DECIMAL(27,12))")).alias("sx"),
+        F.sum(F.expr("CAST(xb AS DECIMAL(27,12))")).alias("sy"),
+    )
+    return agg.select(
+        "label",
+        "i",
+        "j",
+        "n",
+        F.expr(
+            "CAST(ROUND(CAST((CAST(sxy AS DOUBLE) "
+            "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) "
+            "/ (n - 1) AS DECIMAL(27,12)), 6) AS DOUBLE)"
+        ).alias("cov"),
+    )
+
+
 def _fx_term_sql(x: str, ms: str) -> str:
     """DuckDB text of the same fixed-point term (identical arithmetic)."""
     return (

@@ -41,6 +41,7 @@ from datalakes_and_data_integration_spark.plans import (  # noqa: E402,F401
     quality,
     lm,
     ml,
+    curation3,
 )
 
 __all__ = ["QUERIES", "Query", "all_queries", "all_oracle_sql", "register"]

@@ -81,7 +81,10 @@ _JACCARD_MIN = 0.2
 _MASK = (1 << 60) - 1
 
 
-def _minhash_oracle() -> str:
+def _bands_cte_sql() -> str:
+    """Shared oracle CTE prefix ``tok .. bands``: the MinHash band
+    signatures (same _K/_BANDS/_MASK family the Spark side computes),
+    reused by the batch LSH oracle and the incremental-dedup oracle."""
     shing = shingles_sql_duck("toks", 3)
     sig_cols = ", ".join(
         f"min((h1 + {k} * h2) & {_MASK}) AS s{k}" for k in range(_K)
@@ -90,8 +93,7 @@ def _minhash_oracle() -> str:
         f"SELECT doc_id, {b} AS band, concat(s{2 * b}, ',', s{2 * b + 1}) AS bv FROM sigs"
         for b in range(_BANDS)
     )
-    return f"""
-    WITH tok AS (SELECT doc_id, {_TOK_DUCK} AS toks FROM documents),
+    return f"""tok AS (SELECT doc_id, {_TOK_DUCK} AS toks FROM documents),
     shingled AS (SELECT doc_id, {shing} AS sh FROM tok),
     exploded AS (
       SELECT doc_id, {hash60_sql_duck('x', seed=0)} AS h1,
@@ -99,7 +101,12 @@ def _minhash_oracle() -> str:
       FROM (SELECT doc_id, unnest(sh) AS x FROM shingled)
     ),
     sigs AS (SELECT doc_id, {sig_cols} FROM exploded GROUP BY doc_id),
-    bands AS ({band_rows}),
+    bands AS ({band_rows})"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {_bands_cte_sql()},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv

@@ -50,16 +50,46 @@ def streaming_static_enrich(spark, sf_dir):
     )
 
 
+def _inc_dedup_oracle() -> str:
+    # The registered form runs ONE batch on a FRESH index, where the
+    # keeper rule collapses to a closed form: a doc survives iff it is
+    # the minimum doc_id in EVERY band bucket it belongs to (the in-batch
+    # loser rule rejects any doc band-colliding with a smaller doc_id,
+    # kept or not). The multi-batch/populated-index behavior stays pinned
+    # by tests/test_incremental_dedup.py, not by this oracle.
+    from datalakes_and_data_integration_spark.plans.dedup import (
+        _bands_cte_sql,
+    )
+
+    return f"""
+    WITH {_bands_cte_sql()},
+    bucket_min AS (
+      SELECT band, bv, min(doc_id) AS mn FROM bands GROUP BY band, bv
+    ),
+    losers AS (
+      SELECT DISTINCT b.doc_id
+      FROM bands b
+      JOIN bucket_min m ON m.band = b.band AND m.bv = b.bv
+      WHERE b.doc_id > m.mn
+    )
+    SELECT DISTINCT b.doc_id FROM bands b
+    LEFT JOIN losers l ON l.doc_id = b.doc_id
+    WHERE l.doc_id IS NULL
+    """
+
+
 @register(
     "streaming_incremental_dedup",
-    oracle=None,  # greedy arrival-order keeper is iterative, not SQL
+    oracle=_inc_dedup_oracle(),
     description="Incremental MinHash near-dedup (streaming/"
     "incremental_dedup.py) run over the documents table as one batch "
     "against a fresh band index: accepts every doc that doesn't band-"
     "collide with a smaller-id doc. State is the (band, bv) sketch; "
-    "redelivered batches are no-ops (idempotency pinned in tests). "
-    "Rows-only: the greedy keeper rule is order-iterative, not "
-    "SQL-expressible.",
+    "redelivered batches are no-ops (idempotency pinned in tests). On a "
+    "fresh index the keeper rule is closed-form (survive iff minimum "
+    "doc_id in every own band bucket), so the registered single-batch "
+    "form IS oracle-checked; cross-batch arrival-order semantics stay "
+    "pinned by tests/test_incremental_dedup.py.",
     tags=("streaming", "dedup", "incremental", "llm-pipeline"),
 )
 def streaming_incremental_dedup(spark, sf_dir):

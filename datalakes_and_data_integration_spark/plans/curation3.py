@@ -710,3 +710,455 @@ def exact_quantiles_two_pass(spark, sf_dir):
             F.col("v_lo") + F.col("frac") * (F.col("v_hi") - F.col("v_lo"))
         ).alias("exact_quantile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Eval-set quota apportionment: allocate a fixed evaluation budget of
+# N_EVAL docs across (source, lang) cells proportionally by largest
+# remainder (Hamilton's method) — quotas sum to EXACTLY N_EVAL, every
+# step is integer arithmetic, ties break on cell id. The standard way a
+# training pipeline sizes per-domain eval splits without fractional or
+# drifting counts.
+#
+# Scale: the cell table is dim-sized (|sources| x |langs|); the one scan
+# is the grouped count. The ranking window is over cells, not rows.
+# ---------------------------------------------------------------------------
+
+_N_EVAL = 1000
+
+
+@register(
+    "quota_sample_apportionment",
+    oracle=f"""
+    WITH cells AS (
+      SELECT source, lang, count(*) AS n_docs
+      FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM cells),
+    base AS (
+      SELECT c.source, c.lang, c.n_docs,
+             ({_N_EVAL} * c.n_docs) // t.total AS base_q,
+             ({_N_EVAL} * c.n_docs) % t.total AS rem
+      FROM cells c CROSS JOIN tot t
+    ),
+    lo AS (
+      SELECT CAST({_N_EVAL} - sum(base_q) AS BIGINT) AS leftover FROM base
+    ),
+    ranked AS (
+      SELECT source, lang, n_docs, base_q, rem,
+             row_number() OVER (ORDER BY rem DESC, source, lang) AS rk
+      FROM base
+    )
+    SELECT r.source, r.lang, r.n_docs,
+           CAST(r.base_q + CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS quota,
+           CAST(r.rem AS BIGINT) AS remainder_num,
+           r.rk AS remainder_rank
+    FROM ranked r CROSS JOIN lo l
+    """,
+    description=f"Largest-remainder (Hamilton) apportionment of a "
+    f"{_N_EVAL}-doc eval budget across (source, lang) cells: integer base "
+    "quotas N*n//total, leftover seats to the largest remainders "
+    "(remainder ties break on cell id), so quotas sum to exactly the "
+    "budget. All-integer arithmetic; the window ranks the dim-sized cell "
+    "table, never rows.",
+    tags=("sampling", "curation", "apportionment", "llm-pipeline"),
+)
+def quota_sample_apportionment(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(F.count("*").alias("n_docs"))
+    tot = cells.agg(F.sum("n_docs").cast("long").alias("total"))
+    base = cells.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        F.expr(f"({_N_EVAL} * n_docs) div total").alias("base_q"),
+        (F.lit(_N_EVAL) * F.col("n_docs") % F.col("total")).alias("rem"),
+    )
+    lo = base.agg(
+        (F.lit(_N_EVAL) - F.sum("base_q")).cast("long").alias("leftover")
+    )
+    # scale-ok: window over the dim-sized (source x lang) cell table
+    wr = Window.orderBy(F.col("rem").desc(), F.col("source"), F.col("lang"))
+    ranked = base.withColumn("rk", F.row_number().over(wr))
+    return ranked.crossJoin(F.broadcast(lo)).select(
+        "source",
+        "lang",
+        "n_docs",
+        (
+            F.col("base_q")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("quota"),
+        F.col("rem").cast("long").alias("remainder_num"),
+        F.col("rk").alias("remainder_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust scaling stats: per-type exact median and MAD (median absolute
+# deviation) by the same distinct-value rank selection as
+# exact_quantiles_two_pass, plus the robust outlier count
+# (|x - med| > 3 * 1.4826 * MAD — the normal-consistent robust z-score).
+# The outlier-filtering twin of the mean/stddev-based rolling_zscore:
+# heavy-tailed event values move the mean but not the median.
+#
+# q = 0.5 makes the interpolation exact (frac is 0 or exactly 0.5), so
+# both medians are bit-identical across engines by construction.
+# ---------------------------------------------------------------------------
+
+
+def _med_cte_duck(src: str, p: str) -> str:
+    """CTE block computing the per-type exact median of ``{src}(event_type,
+    v)`` into ``{p}med(event_type, n, med)`` — identical arithmetic to the
+    Spark helper below."""
+    return f"""
+    {p}grp AS (
+      SELECT event_type, v, count(*) AS c FROM {src} GROUP BY event_type, v
+    ),
+    {p}win AS (
+      SELECT event_type, v, c,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v)
+                  AS BIGINT) AS cum
+      FROM {p}grp
+    ),
+    {p}n AS (
+      SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+      FROM {p}grp GROUP BY event_type
+    ),
+    {p}tgt AS (
+      SELECT event_type, n,
+             CAST(floor(0.5 * (n - 1)) AS BIGINT) AS lo,
+             0.5 * (n - 1) - floor(0.5 * (n - 1)) AS frac
+      FROM {p}n
+    ),
+    {p}vlo AS (
+      SELECT t.event_type, t.n, t.frac, t.lo, w.v AS v_lo
+      FROM {p}tgt t JOIN {p}win w
+        ON w.event_type = t.event_type
+       AND t.lo BETWEEN w.cum - w.c AND w.cum - 1
+    ),
+    {p}vhi AS (
+      SELECT t.event_type, w.v AS v_hi
+      FROM {p}tgt t JOIN {p}win w
+        ON w.event_type = t.event_type
+       AND least(t.lo + 1, t.n - 1) BETWEEN w.cum - w.c AND w.cum - 1
+    ),
+    {p}med AS (
+      SELECT l.event_type, l.n,
+             l.v_lo + l.frac * (h.v_hi - l.v_lo) AS med
+      FROM {p}vlo l JOIN {p}vhi h ON h.event_type = l.event_type
+    )"""
+
+
+def _grouped_median(df):
+    """Per-type exact median of df(event_type, v) -> (event_type, n, med);
+    the Spark twin of _med_cte_duck (distinct-value rank selection)."""
+    grp = df.groupBy("event_type", "v").agg(F.count("*").alias("c"))
+    wo = Window.partitionBy("event_type").orderBy("v")
+    win = grp.select(
+        "event_type", "v", "c", F.sum("c").over(wo).cast("long").alias("cum")
+    )
+    n = grp.groupBy("event_type").agg(F.sum("c").cast("long").alias("n"))
+    half = F.lit(0.5) * (F.col("n") - 1)
+    tgt = n.select(
+        "event_type",
+        "n",
+        F.floor(half).cast("long").alias("lo"),
+        (half - F.floor(half)).alias("frac"),
+    )
+    w, t = win.alias("w"), tgt.alias("t")
+    vlo = t.join(
+        w,
+        (F.col("w.event_type") == F.col("t.event_type"))
+        & (F.col("t.lo") >= F.col("w.cum") - F.col("w.c"))
+        & (F.col("t.lo") <= F.col("w.cum") - 1),
+    ).select(
+        F.col("t.event_type").alias("event_type"),
+        F.col("t.n").alias("n"),
+        F.col("t.frac").alias("frac"),
+        F.col("w.v").alias("v_lo"),
+    )
+    hi = F.least(F.col("t.lo") + 1, F.col("t.n") - 1)
+    vhi = t.join(
+        w,
+        (F.col("w.event_type") == F.col("t.event_type"))
+        & (hi >= F.col("w.cum") - F.col("w.c"))
+        & (hi <= F.col("w.cum") - 1),
+    ).select(
+        F.col("t.event_type").alias("event_type"),
+        F.col("w.v").alias("v_hi"),
+    )
+    return vlo.join(vhi, "event_type").select(
+        "event_type",
+        "n",
+        (F.col("v_lo") + F.col("frac") * (F.col("v_hi") - F.col("v_lo"))).alias(
+            "med"
+        ),
+    )
+
+
+@register(
+    "robust_scaling_mad",
+    oracle=f"""
+    WITH vals AS (
+      SELECT event_type, value AS v FROM events WHERE value IS NOT NULL
+    ),{_med_cte_duck("vals", "a")},
+    devs AS (
+      SELECT v.event_type, abs(v.v - m.med) AS v
+      FROM vals v JOIN amed m ON m.event_type = v.event_type
+    ),{_med_cte_duck("devs", "b")}
+    SELECT a.event_type, a.n, a.med,
+           b.med AS mad,
+           CAST((
+             SELECT count(*) FROM vals x
+             WHERE x.event_type = a.event_type
+               AND abs(x.v - a.med) > 3 * 1.4826 * b.med
+           ) AS BIGINT) AS n_outliers
+    FROM amed a JOIN bmed b ON b.event_type = a.event_type
+    """,
+    description="Robust per-type scaling stats: exact median, exact MAD "
+    "(median of absolute deviations, distinct-value rank selection twice), "
+    "and the count of robust outliers |x - med| > 3 * 1.4826 * MAD. "
+    "q=0.5 interpolation is exact (frac 0 or 0.5), so medians are "
+    "bit-identical cross-engine; the outlier threshold uses the same "
+    "left-associated double expression on both sides. Two bounded sorts "
+    "over distinct values + one counting scan — the heavy-tail-safe twin "
+    "of mean/stddev z-scoring.",
+    tags=("aggregate", "robust", "quantile", "llm-pipeline"),
+)
+def robust_scaling_mad(spark, sf_dir):
+    ev = T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vals = ev.select("event_type", F.col("value").alias("v")).persist()
+    amed = _grouped_median(vals)
+    amed = amed.persist()  # consumed 3x: devs, outliers, output
+    devs = vals.join(amed.select("event_type", "med"), "event_type").select(
+        "event_type", F.abs(F.col("v") - F.col("med")).alias("v")
+    )
+    bmed = _grouped_median(devs).select(
+        "event_type", F.col("med").alias("mad")
+    )
+    thr = amed.join(bmed, "event_type")
+    outl = (
+        vals.join(thr.select("event_type", "med", "mad"), "event_type")
+        .filter(
+            F.abs(F.col("v") - F.col("med"))
+            > F.lit(3) * F.lit(1.4826) * F.col("mad")
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_outliers"))
+    )
+    return (
+        thr.join(outl, "event_type", "left_outer")
+        .select(
+            "event_type",
+            "n",
+            "med",
+            "mad",
+            F.coalesce("n_outliers", F.lit(0)).cast("long").alias(
+                "n_outliers"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point power iteration on the per-label covariance matrices: the
+# ORACLE-CHECKED eigen path. label_cov_top_eigen (applyInPandas + numpy)
+# stays rows-only by nature; this query computes the same leading-
+# eigenvalue statistic with every step in integer arithmetic — covariance
+# entries fixed at 1e6 (from the decimal-exact moments), the iterate
+# vector at 1e4 normalized by its max-abs component via truncating
+# division (CASE on sign, so Spark's `div` and DuckDB's `//` agree) —
+# making all 12 matrix-vector rounds EXACTLY cross-engine reproducible,
+# k-means-oracle style. The Rayleigh quotient of the final iterate is the
+# eigenvalue estimate (granularity-bounded, ~1e-3 of the float value —
+# pinned against the numpy query by test).
+#
+# Scale: the moment aggregation is the only corpus-sized job (one
+# shuffle); iterations run over |labels| x 64^2 fixed-point rows.
+# ---------------------------------------------------------------------------
+
+_PI_ITERS = 12
+_PI_CSCALE = 1000000  # covariance fixed-point scale
+_PI_VSCALE = 10000  # iterate vector fixed-point scale
+
+
+def _power_iter_oracle() -> str:
+    from datalakes_and_data_integration_spark.plans.registry import QUERIES
+
+    covm = QUERIES["label_cov_moments"].oracle
+    steps = []
+    prev_v = "v0"
+    for r in range(1, _PI_ITERS + 2):  # one extra mat-vec for the Rayleigh w
+        steps.append(
+            f"""
+    w{r} AS MATERIALIZED (
+      SELECT c.label, c.i, CAST(sum(c.cfix * v.v) AS BIGINT) AS w
+      FROM cov c JOIN {prev_v} v ON v.label = c.label AND v.j = c.j
+      GROUP BY c.label, c.i
+    )"""
+        )
+        if r <= _PI_ITERS:
+            steps.append(
+                f"""
+    v{r} AS MATERIALIZED (
+      SELECT label, i AS j,
+             CASE WHEN mx IS NULL OR mx = 0 THEN 0
+                  WHEN w >= 0 THEN (w * {_PI_VSCALE}) // mx
+                  ELSE -(((-w) * {_PI_VSCALE}) // mx) END AS v
+      FROM (
+        SELECT label, i, w,
+               max(abs(w)) OVER (PARTITION BY label) AS mx
+        FROM w{r}
+      )
+    )"""
+            )
+            prev_v = f"v{r}"
+    wlast = f"w{_PI_ITERS + 1}"
+    return f"""
+    WITH covm AS MATERIALIZED ({covm}),
+    cov AS MATERIALIZED (
+      SELECT label, i, j, CAST(floor(cov * {_PI_CSCALE}.0) AS BIGINT) AS cfix
+      FROM covm
+      UNION ALL
+      SELECT label, j, i, CAST(floor(cov * {_PI_CSCALE}.0) AS BIGINT)
+      FROM covm WHERE i < j
+    ),
+    labs AS (SELECT DISTINCT label FROM covm),
+    v0 AS (
+      SELECT label, d.j AS j, CAST({_PI_VSCALE} AS BIGINT) AS v
+      FROM labs, (SELECT unnest(range(1, 65)) AS j) d
+    ),{",".join(steps)},
+    ray AS (
+      SELECT v.label,
+             CAST(sum(v.v * w.w) AS BIGINT) AS vw,
+             CAST(sum(v.v * v.v) AS BIGINT) AS vv
+      FROM v{_PI_ITERS} v JOIN {wlast} w
+        ON w.label = v.label AND w.i = v.j
+      GROUP BY v.label
+    ),
+    tr AS (
+      SELECT label, CAST(sum(cfix) AS BIGINT) AS trf
+      FROM cov WHERE i = j GROUP BY label
+    ),
+    nv AS (SELECT label, n AS n_vectors FROM covm WHERE i = 1 AND j = 1)
+    SELECT r.label, nv.n_vectors,
+           CAST(ROUND(CAST((CAST(r.vw AS DOUBLE) / CAST(r.vv AS DOUBLE))
+                           / {_PI_CSCALE}.0 AS DECIMAL(27,12)), 6) AS DOUBLE)
+             AS top_eigenvalue,
+           CAST(ROUND(CAST(CAST(t.trf AS DOUBLE) / {_PI_CSCALE}.0
+                           AS DECIMAL(27,12)), 6) AS DOUBLE) AS trace,
+           CAST(ROUND(CAST(((CAST(r.vw AS DOUBLE) / CAST(r.vv AS DOUBLE))
+                            / {_PI_CSCALE}.0)
+                           / (CAST(t.trf AS DOUBLE) / {_PI_CSCALE}.0)
+                           AS DECIMAL(27,12)), 6) AS DOUBLE) AS top_share
+    FROM ray r
+    JOIN tr t ON t.label = r.label
+    JOIN nv ON nv.label = r.label
+    """
+
+
+@register(
+    "label_cov_power_iteration",
+    oracle=_power_iter_oracle(),
+    description=f"Leading covariance eigenvalue per label, oracle-checked: "
+    f"{_PI_ITERS} power-iteration rounds in int64 fixed point (cov at "
+    f"1e6 from the decimal-exact moments, iterate at 1e4 max-abs-"
+    "normalized with sign-split truncating division so Spark div and "
+    "DuckDB // agree), Rayleigh quotient of the final iterate as the "
+    "estimate — every round exactly cross-engine reproducible; agreement "
+    "with the numpy/applyInPandas twin (label_cov_top_eigen) is pinned "
+    "by test. The corpus-sized work is the one moments shuffle; "
+    "iterations touch |labels| x 64^2 rows.",
+    tags=("similarity", "spectrum", "iterative", "llm-pipeline"),
+)
+def label_cov_power_iteration(spark, sf_dir):
+    from datalakes_and_data_integration_spark.plans.similarity_extra import (
+        label_cov_moments,
+    )
+
+    covm = label_cov_moments(spark, sf_dir).select("label", "i", "j", "n", "cov")
+    cfix = F.floor(F.col("cov") * _PI_CSCALE).cast("long").alias("cfix")
+    upper = covm.select("label", "i", "j", cfix)
+    lower = covm.filter(F.col("i") < F.col("j")).select(
+        "label", F.col("j").alias("i"), F.col("i").alias("j"), cfix
+    )
+    cov = upper.unionByName(lower).persist()  # consumed every round + trace
+    labs = covm.filter((F.col("i") == 1) & (F.col("j") == 1)).select(
+        "label", F.col("n").alias("n_vectors")
+    )
+    v = labs.select(
+        "label",
+        F.explode(F.expr("sequence(1, 64)")).alias("j"),
+        F.lit(_PI_VSCALE).cast("long").alias("v"),
+    ).select("label", "j", "v")
+    w = None
+    for r in range(_PI_ITERS + 1):  # final extra mat-vec feeds the Rayleigh
+        # cov(label,i,j,cfix) x v(label,j,v) joined on (label, j)
+        w = (
+            cov.alias("c")
+            .join(
+                v.alias("vv"),
+                (F.col("c.label") == F.col("vv.label"))
+                & (F.col("c.j") == F.col("vv.j")),
+            )
+            .groupBy(F.col("c.label").alias("label"), F.col("c.i").alias("i"))
+            .agg(F.sum(F.col("c.cfix") * F.col("vv.v")).cast("long").alias("w"))
+        )
+        if r == _PI_ITERS:
+            break
+        mxw = Window.partitionBy("label")
+        wn = w.withColumn("mx", F.max(F.abs(F.col("w"))).over(mxw))
+        v = wn.select(
+            "label",
+            F.col("i").alias("j"),
+            F.when((F.col("mx").isNull()) | (F.col("mx") == 0), F.lit(0))
+            .when(
+                F.col("w") >= 0,
+                F.expr(f"(w * {_PI_VSCALE}) div mx"),
+            )
+            .otherwise(-F.expr(f"((-w) * {_PI_VSCALE}) div mx"))
+            .cast("long")
+            .alias("v"),
+        ).localCheckpoint()  # truncate lineage each round (NOTES.md hazard)
+    ray = (
+        v.alias("v")
+        .join(
+            w.alias("w"),
+            (F.col("w.label") == F.col("v.label"))
+            & (F.col("w.i") == F.col("v.j")),
+        )
+        .groupBy(F.col("v.label").alias("label"))
+        .agg(
+            F.sum(F.col("v.v") * F.col("w.w")).cast("long").alias("vw"),
+            F.sum(F.col("v.v") * F.col("v.v")).cast("long").alias("vv"),
+        )
+    )
+    tr = (
+        cov.filter(F.col("i") == F.col("j"))
+        .groupBy("label")
+        .agg(F.sum("cfix").cast("long").alias("trf"))
+    )
+    lam = F.col("vw").cast("double") / F.col("vv").cast("double") / F.lit(
+        float(_PI_CSCALE)
+    )
+    trv = F.col("trf").cast("double") / F.lit(float(_PI_CSCALE))
+    return (
+        ray.join(tr, "label")
+        .join(labs, "label")
+        .select(
+            "label",
+            "n_vectors",
+            F.round(lam.cast("decimal(27,12)"), 6)
+            .cast("double")
+            .alias("top_eigenvalue"),
+            F.round(trv.cast("decimal(27,12)"), 6)
+            .cast("double")
+            .alias("trace"),
+            F.round((lam / trv).cast("decimal(27,12)"), 6)
+            .cast("double")
+            .alias("top_share"),
+        )
+    )

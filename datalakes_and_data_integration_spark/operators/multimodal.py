@@ -222,3 +222,57 @@ def audio_features(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, "payload").mapInPandas(_features, AUDIO_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+_PHASH_BITS = 20
+
+
+def perceptual_hash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Block-mean perceptual hash over binary payloads (Arrow-batched,
+    partition-local). The payload is split into 20 contiguous byte blocks
+    (byte at 0-based position p belongs to block p*20//n); bit b is set
+    iff block b's mean byte value exceeds the whole-payload mean. A real
+    image pHash replaces bytes with decoded luma pixels — the blocking,
+    thresholding, and Hamming-bucketing pipeline is identical.
+
+    All arithmetic is integer (means compared by cross-multiplication:
+    sum_b * n > total * n_b), so the hash is exactly reproducible in any
+    engine — the SQL oracle replays it from hex-decoded bytes.
+    """
+    import numpy as np  # noqa: PLC0415 - worker-side import
+
+    def _phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in PHASH_SCHEMA.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                    np.int64
+                )
+                n = int(b.size)
+                phash = 0
+                if n > 0:
+                    blk = (np.arange(n) * _PHASH_BITS) // n
+                    sums = np.zeros(_PHASH_BITS, dtype=np.int64)
+                    np.add.at(sums, blk, b)
+                    counts = np.bincount(blk, minlength=_PHASH_BITS).astype(
+                        np.int64
+                    )
+                    total = int(b.sum())
+                    bits = (sums * n) > (total * counts)
+                    phash = int((bits.astype(np.int64) << np.arange(
+                        _PHASH_BITS
+                    )).sum())
+                rows["doc_id"].append(doc_id)
+                rows["n_bytes"].append(n)
+                rows["phash"].append(phash)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, "payload").mapInPandas(_phash, PHASH_SCHEMA)

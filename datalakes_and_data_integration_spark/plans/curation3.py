@@ -102,6 +102,7 @@ _PASS = 16  # tokens per passage
     "one bounded doc_id regroup — boilerplate removal document-level dedup "
     "cannot express.",
     tags=("dedup", "curation", "text", "llm-pipeline"),
+    bench=True,
 )
 def passage_dedup_rewrite(spark, sf_dir):
     d = spread(T(spark, sf_dir, "documents"), spark)

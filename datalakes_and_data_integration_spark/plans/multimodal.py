@@ -148,3 +148,130 @@ def multimodal_metadata_stats(spark, sf_dir):
         F.min("media_meta.declared_len").alias("min_bytes"),
         F.max("media_meta.declared_len").alias("max_bytes"),
     )
+
+
+# Perceptual-hash near-dup over binary payloads: the multimodal DEDUP
+# tier. 20-bit block-mean pHash per payload (operators.multimodal.
+# perceptual_hash — integer arithmetic only, so the SQL oracle replays
+# it from hex-decoded bytes), then exact hamming <= 2 pairs found via
+# 3-band pigeonhole buckets (7/7/6 bits: any pair within hamming 2
+# leaves one band untouched) — the same candidates-only shuffle shape as
+# the simhash text path, applied to media payloads. A real image pHash
+# swaps decoded luma pixels for raw bytes; blocking, thresholding,
+# banding, and verification are unchanged.
+
+_PH_BANDS_SQL = [
+    ("phash & 127", 0),  # bits 0-6
+    ("(phash >> 7) & 127", 1),  # bits 7-13
+    ("(phash >> 14) & 63", 2),  # bits 14-19
+]
+
+
+def _phash_oracle() -> str:
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, phash, {i} AS band, CAST({expr} AS BIGINT) AS bv "
+        "FROM ph"
+        for expr, i in _PH_BANDS_SQL
+    )
+    return f"""
+    WITH pay AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, n, h, unnest(range(1, n + 1)) AS i
+      FROM pay WHERE n > 0
+    ),
+    bytes AS (
+      SELECT doc_id, n, ((i - 1) * 20) // n AS blk,
+             (strpos('0123456789ABCDEF', substr(h, 2*i - 1, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1) AS b
+      FROM pos
+    ),
+    blocks AS (
+      SELECT p.doc_id, p.n, g.blk,
+             CAST(coalesce(s.sb, 0) AS BIGINT) AS sb,
+             CAST(coalesce(s.nb, 0) AS BIGINT) AS nb
+      FROM pay p CROSS JOIN (SELECT unnest(range(20)) AS blk) g
+      LEFT JOIN (
+        SELECT doc_id, blk, sum(b) AS sb, count(*) AS nb
+        FROM bytes GROUP BY doc_id, blk
+      ) s ON s.doc_id = p.doc_id AND s.blk = g.blk
+      WHERE p.n > 0
+    ),
+    tot AS (SELECT doc_id, CAST(sum(sb) AS BIGINT) AS total FROM blocks GROUP BY doc_id),
+    ph AS (
+      SELECT b.doc_id,
+             CAST(sum(CASE WHEN b.sb * b.n > t.total * b.nb
+                           THEN 1 << b.blk ELSE 0 END) AS BIGINT) AS phash
+      FROM blocks b JOIN tot t USING (doc_id)
+      GROUP BY b.doc_id
+    ),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.phash AS ph_a,
+                      b.doc_id AS doc_b, b.phash AS ph_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ph_a, ph_b)) <= 2
+    """
+
+
+@register(
+    "multimodal_phash_neardup",
+    oracle=_phash_oracle(),
+    description="Perceptual-hash near-dup over binary payloads: 16-bit "
+    "block-mean pHash per payload via Arrow-batched mapInPandas (integer "
+    "arithmetic only — block mean vs global mean by cross-multiplication), "
+    "exact hamming<=2 pairs via 3-band (7/7/6-bit) pigeonhole buckets "
+    "with bit_count verification of candidates only. The multimodal dedup "
+    "tier: swap raw bytes for decoded luma and the same pipeline is image "
+    "near-dup at 100 TB (candidates shuffle, never payloads).",
+    tags=("multimodal", "dedup", "pandas-udf", "phash", "llm-pipeline"),
+)
+def multimodal_phash_neardup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.operators.multimodal import (
+        perceptual_hash,
+    )
+    from datalakes_and_data_integration_spark.plans._util import spread
+
+    d = spread(T(spark, sf_dir, "documents"), spark)
+    ph = perceptual_hash(attach_payload(d)).select("doc_id", "phash").persist()
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                F.expr("phash & 127"),
+                F.expr("shiftright(phash, 7) & 127"),
+                F.expr("shiftright(phash, 14) & 63"),
+            )
+        ).alias("band", "bv"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    ham = F.expr("bit_count(ph_a ^ ph_b)")
+    return cand.select(
+        "doc_a", "doc_b", ham.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= 2)

@@ -97,6 +97,7 @@ def heavy_hitters_cms(spark, sf_dir):
         .select(F.explode("toks").alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("cnt"))
+        .persist()  # consumed by the sketch build AND the top-terms head
     )
     # d sketch rows per term: posexplode of the d bucket ids.
     buckets = F.array(
@@ -114,20 +115,18 @@ def heavy_hitters_cms(spark, sf_dir):
     top_terms = term_counts.orderBy(F.col("cnt").desc(), "term").limit(
         _CMS_TOP
     )
-    est = top_terms
-    for s in range(_CMS_D):
-        sk = sketch.filter(F.col("seed") == s).select(
-            F.col("bucket").alias(f"__b{s}"), F.col("total").alias(f"__t{s}")
-        )
-        est = est.join(
-            F.broadcast(sk),
-            F.expr(hash60_sql_spark("term", seed=_CMS_SEED0 + s)) % _CMS_W
-            == F.col(f"__b{s}"),
-        )
-    return est.select(
-        "term",
-        F.col("cnt").alias("exact_freq"),
-        F.least(*[F.col(f"__t{s}") for s in range(_CMS_D)]).alias("cms_est"),
+    # ONE equi-join on (seed, bucket) probes all d sketch rows per term at
+    # once (the r2 form chained d separate broadcast joins — d extra plan
+    # stages for the same min-over-rows lookup), then min() realizes the
+    # CMS estimate. The groupBy runs over TOP x d rows.
+    top_pb = top_terms.select(
+        "term", "cnt", F.posexplode(buckets).alias("seed", "bucket")
+    )
+    return (
+        top_pb.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("term", "cnt")
+        .agg(F.min("total").alias("cms_est"))
+        .select("term", F.col("cnt").alias("exact_freq"), "cms_est")
     )
 
 

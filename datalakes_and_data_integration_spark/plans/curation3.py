@@ -1163,3 +1163,97 @@ def label_cov_power_iteration(spark, sf_dir):
             .alias("top_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality evaluation: mean reciprocal rank of the first
+# same-label neighbor in the exact cosine top-k, per label. The standard
+# embedding-space eval (does nearest-neighbor retrieval surface items of
+# the right class?) — the go/no-go evidence before using these embeddings
+# for dedup, clustering, or RAG retrieval. Composes the registered exact
+# ANN kernel and its oracle; reciprocal ranks are decimal-summed so the
+# mean is order-independent.
+# ---------------------------------------------------------------------------
+
+
+def _mrr_oracle() -> str:
+    from datalakes_and_data_integration_spark.plans.registry import QUERIES
+
+    exact_sql = QUERIES["ann_topk_bruteforce"].oracle
+    return f"""
+    WITH tk AS ({exact_sql}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    firsts AS (
+      SELECT t.vec_id, ql.label,
+             min(CASE WHEN nl.label = ql.label THEN t.rank END) AS fr
+      FROM tk t
+      JOIN lab ql ON ql.vec_id = t.vec_id
+      JOIN lab nl ON nl.vec_id = t.neighbor_id
+      GROUP BY t.vec_id, ql.label
+    )
+    SELECT label, count(*) AS n_queries,
+           CAST(sum(CASE WHEN fr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits,
+           CAST(ROUND(CAST(
+             CAST(sum(CAST(coalesce(CAST(1 AS DOUBLE) / fr, 0.0)
+                           AS DECIMAL(27,12))) AS DOUBLE) / count(*)
+             AS DECIMAL(27,12)), 6) AS DOUBLE) AS mean_rr
+    FROM firsts GROUP BY label
+    """
+
+
+@register(
+    "ann_label_mrr",
+    oracle=_mrr_oracle(),
+    description="Embedding retrieval eval: per label, mean reciprocal rank "
+    "of the first same-label neighbor in the exact cosine top-5 (0 when "
+    "none), plus the hit count — class coherence of the embedding space, "
+    "the go/no-go evidence for similarity-based curation and retrieval. "
+    "Composes ann_topk_bruteforce and its oracle; reciprocal ranks are "
+    "decimal-summed (order-independent mean), label lookups are "
+    "dim-sized broadcast joins.",
+    tags=("similarity", "eval", "mrr", "llm-pipeline"),
+)
+def ann_label_mrr(spark, sf_dir):
+    from datalakes_and_data_integration_spark.plans.similarity import (
+        ann_topk_bruteforce,
+    )
+
+    tk = ann_topk_bruteforce(spark, sf_dir).select(
+        "vec_id", "neighbor_id", "rank"
+    )
+    lab = T(spark, sf_dir, "embeddings").select("vec_id", "label")
+    firsts = (
+        tk.join(F.broadcast(lab), "vec_id")
+        .join(
+            F.broadcast(
+                lab.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("n_label"),
+                )
+            ),
+            "neighbor_id",
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            F.min(
+                F.when(F.col("n_label") == F.col("label"), F.col("rank"))
+            ).alias("fr")
+        )
+    )
+    rr = F.coalesce(F.lit(1).cast("double") / F.col("fr"), F.lit(0.0))
+    return firsts.groupBy("label").agg(
+        F.count("*").alias("n_queries"),
+        F.sum(F.when(F.col("fr").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hits"),
+        F.round(
+            (
+                F.sum(rr.cast("decimal(27,12)")).cast("double")
+                / F.count("*")
+            ).cast("decimal(27,12)"),
+            6,
+        )
+        .cast("double")
+        .alias("mean_rr"),
+    )

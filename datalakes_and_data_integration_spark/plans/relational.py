@@ -476,7 +476,9 @@ def json_props_extract(spark, sf_dir):
     "approx_stats_scale_path",
     # Sketch values (HLL, t-digest) are engine-specific by construction —
     # rows-only check; the exact twins (distinct_users_per_day,
-    # value_percentiles_by_type) are the hash-checked versions.
+    # value_percentiles_by_type, and exact_quantiles_two_pass — the
+    # distributed rank-selection form of the same quantile statistic)
+    # are the hash-checked versions.
     oracle=None,
     description="The 100 TB scale path for distinct counts and percentiles: "
     "approx_count_distinct (HLL) and approx_percentile (t-digest) per event "

@@ -29,7 +29,10 @@ from datalakes_and_data_integration_spark.plans.registry import register
     "from an all-ones start (deterministic). Scale: per-group work is "
     "O(n x d^2) with d=64 — the shuffle is one hash partition by label; "
     "the 100 TB variant pre-aggregates the d^2 moment sums as DataFrame "
-    "aggregates and eigensolves the tiny matrices on the driver.",
+    "aggregates and eigensolves the tiny matrices on the driver. "
+    "Oracle-checked companions: label_cov_moments (the exact moment "
+    "sums) and label_cov_power_iteration (the same eigen statistic in "
+    "cross-engine-exact int64 fixed point, agreement pinned by test).",
     tags=("similarity", "pandas-udf", "spectrum", "llm-pipeline"),
 )
 def label_cov_top_eigen(spark, sf_dir):

@@ -1210,8 +1210,9 @@ def _mrr_oracle() -> str:
     "none), plus the hit count — class coherence of the embedding space, "
     "the go/no-go evidence for similarity-based curation and retrieval. "
     "Composes ann_topk_bruteforce and its oracle; reciprocal ranks are "
-    "decimal-summed (order-independent mean), label lookups are "
-    "dim-sized broadcast joins.",
+    "decimal-summed (order-independent mean), label lookups are plain "
+    "hash joins (AQE broadcasts when the label map is small — never "
+    "forced, the map is corpus-sized).",
     tags=("similarity", "eval", "mrr", "llm-pipeline"),
 )
 def ann_label_mrr(spark, sf_dir):
@@ -1223,14 +1224,15 @@ def ann_label_mrr(spark, sf_dir):
         "vec_id", "neighbor_id", "rank"
     )
     lab = T(spark, sf_dir, "embeddings").select("vec_id", "label")
+    # Plain hash joins on purpose: the (vec_id, label) map is CORPUS-sized
+    # — a forced broadcast would OOM at scale (VERDICT r2 #7); AQE picks
+    # broadcast when the map is actually small.
     firsts = (
-        tk.join(F.broadcast(lab), "vec_id")
+        tk.join(lab, "vec_id")
         .join(
-            F.broadcast(
-                lab.select(
-                    F.col("vec_id").alias("neighbor_id"),
-                    F.col("label").alias("n_label"),
-                )
+            lab.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("n_label"),
             ),
             "neighbor_id",
         )

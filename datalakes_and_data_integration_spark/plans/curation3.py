@@ -1259,3 +1259,173 @@ def ann_label_mrr(spark, sf_dir):
         .cast("double")
         .alias("mean_rr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-free dataset split: assign SPLITS TO NEAR-DUP CLUSTERS, not to
+# documents. dataset_split_assignment hashes doc_id, so two near-identical
+# docs can straddle train/test (the leak split_leakage_audit measures);
+# hashing the CLUSTER id instead makes the guarantee structural — every
+# member of a near-dup cluster lands in the same split by construction.
+# Composes the registered connected-components assignment and its
+# recursive-CTE oracle.
+# ---------------------------------------------------------------------------
+
+
+def _cluster_split_oracle() -> str:
+    from datalakes_and_data_integration_spark.plans.dedup import (
+        _cluster_oracle,
+    )
+
+    bucket = hash60_sql_duck("CAST(cluster_id AS VARCHAR)", seed=23)
+    return f"""
+    WITH clusters AS MATERIALIZED ({_cluster_oracle()}),
+    assigned AS (
+      SELECT c.doc, c.cluster_id, d.n_chars,
+             CASE WHEN ({bucket}) % 100 < 80 THEN 'train'
+                  WHEN ({bucket}) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM clusters c JOIN documents d ON d.doc_id = c.doc
+    )
+    SELECT split, count(*) AS n_docs,
+           CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY split
+    """
+
+
+@register(
+    "cluster_aware_split",
+    oracle=_cluster_split_oracle(),
+    description="Leakage-free 80/10/10 split: the md5 split hash is taken "
+    "over the near-dup CLUSTER id (connected components over verified "
+    "MinHash pairs), so near-duplicate documents can never straddle "
+    "train/test — the structural fix for the leak split_leakage_audit "
+    "measures. Per-split doc/cluster/char counts verify the assignment; "
+    "composes dedup_cluster_assignment and its recursive-CTE oracle.",
+    tags=("sampling", "split", "dedup", "llm-pipeline"),
+)
+def cluster_aware_split(spark, sf_dir):
+    from datalakes_and_data_integration_spark.plans.dedup import (
+        dedup_cluster_assignment,
+    )
+
+    clusters = dedup_cluster_assignment(spark, sf_dir).select(
+        "doc", "cluster_id"
+    )
+    docs = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), "n_chars"
+    )
+    bucket = (
+        F.expr(
+            hash60_sql_spark("CAST(cluster_id AS STRING)", seed=23)
+        )
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        clusters.join(docs, "doc")
+        .select("cluster_id", "n_chars", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Class-balanced batch construction: interleave per-label queues (each
+# label's vectors ranked by a reproducible md5 shuffle) round-robin into
+# fixed-size training batches, then audit the balance per batch. The
+# contrastive-training counterpart of curriculum ordering: batches need
+# every class present, and the audit shows exactly where the tail labels
+# run dry. All integer arithmetic.
+#
+# Scale: the rank windows are partitioned per label; the only global
+# structure is batch_id = pos // BATCH, a pure projection.
+# ---------------------------------------------------------------------------
+
+_BATCH = 64
+
+
+@register(
+    "balanced_batch_assignment",
+    oracle=f"""
+    WITH lab AS (
+      SELECT vec_id, label,
+             row_number() OVER (
+               PARTITION BY label
+               ORDER BY {hash60_sql_duck("CAST(vec_id AS VARCHAR)", seed=29)},
+                        vec_id
+             ) AS r
+      FROM embeddings
+    ),
+    li AS (
+      SELECT label, row_number() OVER (ORDER BY label) - 1 AS lidx
+      FROM (SELECT DISTINCT label FROM embeddings)
+    ),
+    nl AS (SELECT count(*) AS L FROM li),
+    pos AS (
+      SELECT v.vec_id, v.label,
+             (v.r - 1) * n.L + i.lidx AS pos
+      FROM lab v JOIN li i ON i.label = v.label CROSS JOIN nl n
+    ),
+    batches AS (
+      SELECT label, pos // {_BATCH} AS batch_id FROM pos
+    ),
+    per AS (
+      SELECT batch_id, label, count(*) AS c
+      FROM batches GROUP BY batch_id, label
+    )
+    SELECT batch_id,
+           CAST(sum(c) AS BIGINT) AS n_items,
+           CAST(count(*) AS BIGINT) AS n_labels_present,
+           CAST(max(c) AS BIGINT) AS max_per_label,
+           CAST(min(c) AS BIGINT) AS min_per_label
+    FROM per GROUP BY batch_id
+    """,
+    description=f"Class-balanced batch construction: per-label md5-shuffle "
+    f"ranking, round-robin interleave into {_BATCH}-item batches "
+    "(pos = (rank-1)*L + label_index, batch = pos div batch_size), "
+    "per-batch balance audit (items, labels present, max/min per label). "
+    "Early batches are perfectly balanced; the audit shows where tail "
+    "labels run dry — the evidence for oversampling decisions. Per-label "
+    "windows only; the interleave is a projection.",
+    tags=("sampling", "batching", "llm-pipeline"),
+)
+def balanced_batch_assignment(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "label")
+    h = F.expr(hash60_sql_spark("CAST(vec_id AS STRING)", seed=29))
+    wr = Window.partitionBy("label").orderBy(h.asc(), F.col("vec_id"))
+    lab = e.withColumn("r", F.row_number().over(wr))
+    # scale-ok: window over the dim-sized distinct-label table
+    wl = Window.orderBy("label")
+    li = (
+        e.select("label")
+        .distinct()
+        .withColumn("lidx", F.row_number().over(wl) - 1)
+    )
+    nl = li.agg(F.count("*").alias("L"))
+    pos = (
+        lab.join(li, "label")
+        .crossJoin(F.broadcast(nl))  # scale-ok: 1-row label count
+        .select(
+            "label",
+            ((F.col("r") - 1) * F.col("L") + F.col("lidx")).alias("pos"),
+        )
+    )
+    per = (
+        pos.select("label", F.expr(f"pos div {_BATCH}").alias("batch_id"))
+        .groupBy("batch_id", "label")
+        .agg(F.count("*").alias("c"))
+    )
+    return per.groupBy("batch_id").agg(
+        F.sum("c").cast("long").alias("n_items"),
+        F.count("*").cast("long").alias("n_labels_present"),
+        F.max("c").cast("long").alias("max_per_label"),
+        F.min("c").cast("long").alias("min_per_label"),
+    )

@@ -301,6 +301,13 @@ def cusum_changepoint(spark, sf_dir):
         .cast("long")
         .alias("h")
     )
+    return cusum_stat(hourly)
+
+
+def cusum_stat(hourly):
+    """CUSUM argmax over an (event_type, hour, h) fixed-point hourly
+    series — shared by the batch query below and the streaming-fed twin
+    (plans/streaming_extra.streaming_cusum_changepoint)."""
     wo = Window.partitionBy("event_type").orderBy("hour")
     wa = Window.partitionBy("event_type")
     cum = hourly.select(
@@ -987,6 +994,11 @@ _PI_VSCALE = 10000  # iterate vector fixed-point scale
 
 
 def _power_iter_oracle() -> str:
+    # Ensure the provider module has registered (this module can be pulled
+    # in ahead of plans/__init__'s order by streaming_extra's oracle).
+    from datalakes_and_data_integration_spark.plans import (  # noqa: F401
+        similarity_extra,
+    )
     from datalakes_and_data_integration_spark.plans.registry import QUERIES
 
     covm = QUERIES["label_cov_moments"].oracle

@@ -365,3 +365,83 @@ def k_anonymity_audit(spark, sf_dir):
             .alias("pct_rows_at_risk"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# l-diversity: the companion privacy gate to k_anonymity_audit. A class
+# can be large (k-anonymous) yet still leak — if every member shares the
+# same sensitive value, membership alone reveals it. Per quasi-identifier
+# class, count DISTINCT sensitive values (market segment here); classes
+# below each l threshold are attribute-disclosure risks.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "l_diversity_audit",
+    oracle="""
+    WITH classes AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+             count(*) AS sz,
+             count(DISTINCT c_mktsegment) AS l_div
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT l.l_threshold,
+           CAST(coalesce(sum(CASE WHEN l_div < l.l_threshold THEN 1 END), 0)
+                AS BIGINT) AS classes_at_risk,
+           CAST(coalesce(sum(CASE WHEN l_div < l.l_threshold THEN sz END), 0)
+                AS BIGINT) AS rows_at_risk,
+           CAST(ROUND(CAST(
+             CAST(coalesce(sum(CASE WHEN l_div < l.l_threshold THEN sz END),
+                           0) AS DOUBLE) / sum(sz)
+             AS DECIMAL(27,12)), 6) AS DOUBLE) AS pct_rows_at_risk
+    FROM classes
+    CROSS JOIN (VALUES (2), (3), (5)) l(l_threshold)
+    GROUP BY l.l_threshold
+    """,
+    description="l-diversity audit over the customer quasi-identifiers "
+    "(nation, account-balance kilobucket) with market segment as the "
+    "sensitive attribute: per threshold l, how many equivalence classes "
+    "carry fewer than l distinct sensitive values — the attribute-"
+    "disclosure gate k-anonymity alone misses (a big class whose members "
+    "all share one segment still leaks it). One map-side-combined "
+    "distinct-count groupBy bounded by the QI domain; the threshold "
+    "sweep is a broadcast cross join over the tiny class table.",
+    tags=("quality", "privacy", "audit", "llm-pipeline"),
+)
+def l_diversity_audit(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    c = T(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+    ).agg(
+        F.count("*").alias("sz"),
+        F.countDistinct("c_mktsegment").alias("l_div"),
+    )
+    ls = spark.createDataFrame([(2,), (3,), (5,)], ["l_threshold"])
+    at_risk = F.col("l_div") < F.col("l_threshold")
+    return (
+        classes.crossJoin(F.broadcast(ls))  # scale-ok: 3-row threshold sweep
+        .groupBy("l_threshold")
+        .agg(
+            F.coalesce(F.sum(F.when(at_risk, 1)), F.lit(0))
+            .cast("long")
+            .alias("classes_at_risk"),
+            F.coalesce(F.sum(F.when(at_risk, F.col("sz"))), F.lit(0))
+            .cast("long")
+            .alias("rows_at_risk"),
+            F.round(
+                (
+                    F.coalesce(
+                        F.sum(F.when(at_risk, F.col("sz"))), F.lit(0)
+                    ).cast("double")
+                    / F.sum("sz")
+                ).cast("decimal(27,12)"),
+                6,
+            )
+            .cast("double")
+            .alias("pct_rows_at_risk"),
+        )
+    )

@@ -342,3 +342,51 @@ def contrastive_negative_pairs(spark, sf_dir):
         .otherwise(F.col("raw"))
         .alias("neg_doc_id"),
     )
+
+
+def _streaming_cusum_oracle() -> str:
+    # The streaming hourly totals merge to EXACTLY the batch hourly totals
+    # (decimal-sum state, no display rounding), so the downstream CUSUM
+    # statistic equals the batch query's — same oracle. curation3 imports
+    # after this module in plans/__init__, so pull it in here (idempotent;
+    # only shifts the cosmetic post-window registration order).
+    from datalakes_and_data_integration_spark.plans import (  # noqa: F401
+        curation3,
+    )
+    from datalakes_and_data_integration_spark.plans.registry import QUERIES
+
+    return QUERIES["cusum_changepoint"].oracle
+
+
+@register(
+    "streaming_cusum_changepoint",
+    oracle=_streaming_cusum_oracle(),
+    description="Stream-fed drift detection: the watermarked hourly "
+    "fixed-point value totals are maintained by Structured Streaming "
+    "(AvailableNow replay, int64 value x 1e6 state — no display "
+    "rounding), and the CUSUM changepoint statistic runs downstream on "
+    "the tiny hourly table. Because the streamed totals merge to exactly "
+    "the batch totals, the result equals the batch cusum_changepoint "
+    "(same oracle) — the deployment shape where the expensive aggregate "
+    "is incremental and the drift math is a cheap batch pass per check.",
+    tags=("streaming", "drift", "changepoint", "llm-pipeline"),
+)
+def streaming_cusum_changepoint(spark, sf_dir):
+    from datalakes_and_data_integration_spark.plans.curation3 import (
+        cusum_stat,
+    )
+    from datalakes_and_data_integration_spark.streaming import (
+        events_stream,
+        run_available_now,
+    )
+    from datalakes_and_data_integration_spark.streaming.file_stream import (
+        hourly_fixed_stream,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    hourly = run_available_now(
+        hourly_fixed_stream(stream),
+        spark,
+        name="streaming_cusum_hourly_out",
+    )
+    return cusum_stat(hourly)

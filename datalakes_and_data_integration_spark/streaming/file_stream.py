@@ -321,3 +321,22 @@ def threshold_alert_stream(
             | (F.col("n_events") < F.col("mu") - 3 * F.col("sigma"))
         ).alias("is_alert"),
     )
+
+
+def hourly_fixed_stream(stream: DataFrame) -> DataFrame:
+    """Watermarked hourly value totals in int64 fixed point (value x 1e6)
+    — the exact mergeable measure a streaming-fed drift detector consumes
+    (unlike the display-rounded ``hourly_agg_stream``, nothing is lost to
+    rounding, so downstream statistics match the batch computation
+    bit-for-bit)."""
+    return (
+        stream.filter(F.col("value").isNotNull())
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            (F.sum(dec("value", 18, 6)) * 1000000)
+            .cast("long")
+            .alias("h")
+        )
+        .select(F.col("window.start").alias("hour"), "event_type", "h")
+    )

@@ -1441,3 +1441,75 @@ def balanced_batch_assignment(spark, sf_dir):
         F.max("c").cast("long").alias("max_per_label"),
         F.min("c").cast("long").alias("min_per_label"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-row corpus health snapshot: the numbers a daily pipeline report
+# leads with (volume, vocabulary-bearing tokens, provenance spread,
+# exact-duplication rate) — all exact integers or decimal-routed means,
+# one scan plus one distinct-digest aggregate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_snapshot_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             len({_TOK_DUCK}) AS n_tok
+      FROM documents
+    )
+    SELECT count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT source) AS n_sources,
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+             AS n_exact_dup_docs,
+           CAST(ROUND(CAST(CAST(count(*) - count(DISTINCT md5(text))
+                                AS DOUBLE) / count(*)
+                           AS DECIMAL(27,12)), 6) AS DOUBLE)
+             AS exact_dup_rate,
+           CAST(ROUND(CAST(CAST(sum(n_tok) AS DOUBLE) / count(*)
+                           AS DECIMAL(27,12)), 6) AS DOUBLE)
+             AS mean_doc_tokens
+    FROM tok
+    """,
+    description="One-row corpus health snapshot: document/token/char "
+    "volumes, language and source spread, exact-duplicate count and rate "
+    "(count minus distinct content digests), mean tokens per doc "
+    "(decimal-routed) — the header of a daily pipeline report. One scan "
+    "+ one distinct-digest aggregate; every value exact.",
+    tags=("curation", "profiling", "report", "llm-pipeline"),
+)
+def corpus_snapshot_stats(spark, sf_dir):
+    d = spread(T(spark, sf_dir, "documents"), spark)
+    tok = d.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.md5("text").alias("digest"),
+        F.size(F.expr(_TOK_SPARK)).alias("n_tok"),
+    )
+    dup = F.count("*") - F.countDistinct("digest")
+    return tok.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        dup.cast("long").alias("n_exact_dup_docs"),
+        F.round(
+            (dup.cast("double") / F.count("*")).cast("decimal(27,12)"), 6
+        )
+        .cast("double")
+        .alias("exact_dup_rate"),
+        F.round(
+            (F.sum("n_tok").cast("double") / F.count("*")).cast(
+                "decimal(27,12)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("mean_doc_tokens"),
+    )

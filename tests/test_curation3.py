@@ -112,3 +112,57 @@ def test_exact_quantiles_match_spark_percentile(spark):
     assert set(ours) == set(native)
     for k, v in ours.items():
         assert v == pytest.approx(native[k], rel=1e-12, abs=1e-12), k
+
+
+def test_robust_mad_matches_numpy(spark):
+    import numpy as np
+
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans.curation3 import (
+        robust_scaling_mad,
+    )
+
+    ours = {
+        r["event_type"]: r for r in robust_scaling_mad(spark, SF).collect()
+    }
+    pdf = (
+        T(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+        .toPandas()  # scale-ok: test-only, sf0.001
+    )
+    for et, grp in pdf.groupby("event_type"):
+        v = grp["value"].to_numpy()
+        med = float(np.median(v))
+        mad = float(np.median(np.abs(v - med)))
+        r = ours[et]
+        assert r["med"] == pytest.approx(med, abs=1e-12)
+        assert r["mad"] == pytest.approx(mad, abs=1e-12)
+        assert r["n_outliers"] == int(
+            (np.abs(v - med) > 3 * 1.4826 * mad).sum()
+        )
+
+
+def test_passage_rewrite_identity_for_all_kept_docs(spark):
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans.curation3 import (
+        _TOK_SPARK,
+        passage_dedup_rewrite,
+    )
+
+    out = passage_dedup_rewrite(spark, SF)
+    d = T(spark, SF, "documents")
+    # For a document that kept ALL its passages, the rewrite must equal
+    # the original tokenized text verbatim (md5 of the space-joined
+    # tokens) — splitting and reassembly are lossless.
+    full = d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.expr(_TOK_SPARK))).alias("orig_md5"),
+    )
+    intact = out.filter(F.col("n_kept") == F.col("n_passages")).join(
+        full, "doc_id"
+    )
+    assert intact.count() > 0
+    assert (
+        intact.filter(F.col("rebuilt_md5") != F.col("orig_md5")).count() == 0
+    )

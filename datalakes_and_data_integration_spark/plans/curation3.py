@@ -1513,3 +1513,157 @@ def corpus_snapshot_stats(spark, sf_dir):
         .cast("double")
         .alias("mean_doc_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning: the first _BPE_ROUNDS byte-pair-encoding merges
+# learned from the corpus word frequencies. Words are char-split into
+# '|'-delimited symbol strings; each round counts adjacent symbol pairs
+# (weighted by word frequency), picks the most frequent (ties: lexical),
+# and applies it via a single left-to-right non-overlapping replace scan
+# — VERIFIED identical semantics in Spark and DuckDB, including the
+# shared-boundary case ('|a|a|a|a|' -> '|aa|a|a|': the scan resumes
+# after each match, so odd positions inside a run of the pair itself
+# stay unmerged; strict greedy BPE differs only there). Every round is
+# therefore exactly cross-engine reproducible and the learned merge
+# table is hash-checked.
+#
+# Scale: the state is the (word, frequency, symbols) table — vocabulary-
+# sized, not corpus-sized (the corpus is scanned once for word counts).
+# Each round is one map + one grouped sum + a 1-row argmax collected as
+# a driver literal (the IVF pattern), so lineage stays flat.
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 5
+
+
+def _bpe_oracle() -> str:
+    rounds = []
+    outs = []
+    prev = "syms0"
+    for r in range(1, _BPE_ROUNDS + 1):
+        rounds.append(
+            f"""
+    pairs{r} AS MATERIALIZED (
+      SELECT s.syms[s.i] AS a, s.syms[s.i + 1] AS b,
+             CAST(sum(s.wc) AS BIGINT) AS cnt
+      FROM (
+        SELECT wc, syms, unnest(range(1, len(syms))) AS i
+        FROM (
+          SELECT wc,
+                 list_filter(string_split(sym, '|'), x -> x <> '') AS syms
+          FROM {prev}
+        )
+      ) s
+      GROUP BY s.syms[s.i], s.syms[s.i + 1]
+    ),
+    top{r} AS MATERIALIZED (
+      SELECT a, b, cnt FROM pairs{r} ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    syms{r} AS MATERIALIZED (
+      SELECT word, wc,
+             replace(sym,
+                     '|' || (SELECT a FROM top{r}) || '|'
+                         || (SELECT b FROM top{r}) || '|',
+                     '|' || (SELECT a FROM top{r})
+                         || (SELECT b FROM top{r}) || '|') AS sym
+      FROM {prev}
+    )"""
+        )
+        outs.append(
+            f"SELECT {r} AS merge_round, a AS sym_a, b AS sym_b, "
+            f"cnt AS pair_count FROM top{r}"
+        )
+        prev = f"syms{r}"
+    return f"""
+    WITH words AS MATERIALIZED (
+      SELECT word, count(*) AS wc
+      FROM (SELECT unnest({_TOK_DUCK}) AS word FROM documents)
+      WHERE word NOT LIKE '%|%'
+      GROUP BY word
+    ),
+    syms0 AS MATERIALIZED (
+      SELECT word, wc,
+             '|' || array_to_string(regexp_extract_all(word, '.'), '|')
+                 || '|' AS sym
+      FROM words
+    ),{",".join(rounds)}
+    {" UNION ALL ".join(outs)}
+    """
+
+
+@register(
+    "bpe_merge_learning",
+    oracle=_bpe_oracle(),
+    description=f"BPE tokenizer training, first {_BPE_ROUNDS} merges: "
+    "corpus word frequencies -> char-split symbol sequences -> per round, "
+    "the most frequent adjacent symbol pair (frequency-weighted, lexical "
+    "tiebreak) merged everywhere via a left-to-right non-overlapping "
+    "replace scan (verified identical in both engines, incl. the "
+    "shared-boundary run case). The learned merge table (round, pair, "
+    "count) is the output. State is vocabulary-sized; each round is one "
+    "grouped sum plus a 1-row argmax applied as a driver literal.",
+    tags=("text", "tokenizer", "bpe", "iterative", "llm-pipeline"),
+)
+def bpe_merge_learning(spark, sf_dir):
+    d = spread(T(spark, sf_dir, "documents"), spark)
+    words = (
+        d.select(F.explode(F.expr(_TOK_SPARK)).alias("word"))
+        .filter(~F.col("word").contains("|"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+    syms = words.select(
+        "word",
+        "wc",
+        F.concat(
+            F.lit("|"),
+            F.concat_ws("|", F.expr("regexp_extract_all(word, '.', 0)")),
+            F.lit("|"),
+        ).alias("sym"),
+    ).persist()
+    merges = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            syms.select(
+                "wc",
+                F.expr(
+                    "filter(split(sym, '\\\\|'), x -> x != '')"
+                ).alias("arr"),
+            )
+            .select(
+                "wc",
+                F.explode(
+                    # sequence(1, 0) DESCENDS in Spark (not empty) — guard
+                    # single-symbol words explicitly.
+                    F.expr(
+                        "CASE WHEN size(arr) < 2 THEN "
+                        "array() "
+                        "ELSE transform(sequence(1, size(arr) - 1), i -> "
+                        "named_struct('a', element_at(arr, i), "
+                        "'b', element_at(arr, i + 1))) END"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("wc").cast("long").alias("cnt"))
+        )
+        top = pairs.orderBy(
+            F.col("cnt").desc(), F.col("a"), F.col("b")
+        ).limit(1).collect()[0]  # scale-ok: 1-row argmax (driver literal)
+        merges.append((r, top.a, top.b, int(top.cnt)))
+        old = syms
+        syms = old.select(
+            "word",
+            "wc",
+            F.expr(
+                "replace(sym, '|{a}|{b}|', '|{a}{b}|')".replace(
+                    "{a}", top.a.replace("'", "\\'")
+                ).replace("{b}", top.b.replace("'", "\\'"))
+            ).alias("sym"),
+        ).persist()
+        old.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_round bigint, sym_a string, sym_b string, "
+        "pair_count bigint"
+    )

@@ -166,3 +166,25 @@ def test_passage_rewrite_identity_for_all_kept_docs(spark):
     assert (
         intact.filter(F.col("rebuilt_md5") != F.col("orig_md5")).count() == 0
     )
+
+
+def test_bpe_merges_monotone_and_distinct(spark):
+    from datalakes_and_data_integration_spark.plans.curation3 import (
+        _BPE_ROUNDS,
+        bpe_merge_learning,
+    )
+
+    rows = sorted(
+        bpe_merge_learning(spark, SF).collect(),
+        key=lambda r: r["merge_round"],
+    )
+    assert [r["merge_round"] for r in rows] == list(
+        range(1, _BPE_ROUNDS + 1)
+    )
+    # Each round picks the global max pair count; merging can only create
+    # pairs bounded by the merged pair's count, so the chosen counts are
+    # non-increasing. All merges must also be distinct pairs.
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(c > 0 for c in counts)
+    assert len({(r["sym_a"], r["sym_b"]) for r in rows}) == _BPE_ROUNDS

@@ -1667,3 +1667,263 @@ def bpe_merge_learning(spark, sf_dir):
         merges, "merge_round bigint, sym_a string, sym_b string, "
         "pair_count bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-weighted quality cutoffs: the curation question is not "what is
+# the median document quality" but "what quality threshold keeps the
+# best X% of TOKENS" — long documents carry more training signal, so
+# thresholds must be token-weighted. Rank-selection over distinct
+# quality values with integer token weights; the crossing test is
+# multiplied through (cum*100 >= pct*total), so it is exact int64
+# arithmetic on both engines.
+# ---------------------------------------------------------------------------
+
+_QUALITY_DUCK = """
+           0.4 * (CASE WHEN len(toks) > 0 THEN
+                    CAST(len(list_filter(toks, t -> list_contains([{en}], t)))
+                         AS DOUBLE) / len(toks) ELSE 0.0 END)
+           + 0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+           + 0.3 * (1.0 - (CASE WHEN n > 0
+                           THEN CAST(punct_cnt AS DOUBLE) / n
+                           ELSE 0.0 END))
+"""
+
+
+def _twq_oracle() -> str:
+    from datalakes_and_data_integration_spark.functions.text import STOPWORDS
+
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    q = _QUALITY_DUCK.format(en=en)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOK_DUCK} AS toks, length(text) AS n,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct_cnt
+      FROM documents
+    ),
+    scored AS (
+      SELECT len(toks) AS n_tok, {q} AS quality FROM tok
+    ),
+    grp AS (
+      SELECT quality, CAST(sum(n_tok) AS BIGINT) AS tok_q,
+             count(*) AS n_docs
+      FROM scored GROUP BY quality
+    ),
+    win AS (
+      SELECT quality, tok_q, n_docs,
+             CAST(sum(tok_q) OVER (ORDER BY quality DESC) AS BIGINT) AS cum,
+             CAST(sum(n_docs) OVER (ORDER BY quality DESC) AS BIGINT)
+               AS cum_docs
+      FROM grp
+    ),
+    tot AS (SELECT CAST(sum(tok_q) AS BIGINT) AS total FROM grp)
+    SELECT p.pct,
+           max(w.quality) AS quality_cutoff
+    FROM win w CROSS JOIN tot t
+    CROSS JOIN (SELECT unnest([50, 90]) AS pct) p
+    WHERE w.cum * 100 >= p.pct * t.total
+    GROUP BY p.pct
+    """
+
+
+@register(
+    "token_weighted_quality_quantile",
+    oracle=_twq_oracle(),
+    description="Token-weighted quality cutoffs: the highest quality "
+    "threshold whose documents cover >= 50% / 90% of corpus TOKENS "
+    "(descending cumulative token mass over distinct quality values; "
+    "crossing test multiplied through to exact int64). The keep-the-best-"
+    "X%-of-tokens knob — document-count quantiles mislead when length "
+    "and quality correlate. Sort is over distinct quality values; one "
+    "scan, one bounded window.",
+    tags=("curation", "quality", "quantile", "llm-pipeline"),
+)
+def token_weighted_quality_quantile(spark, sf_dir):
+    from datalakes_and_data_integration_spark.plans.text import (
+        text_quality_score,
+    )
+
+    scored = text_quality_score(spark, sf_dir).select(
+        F.col("n_tokens").alias("n_tok"), "quality"
+    )
+    grp = scored.groupBy("quality").agg(
+        F.sum("n_tok").cast("long").alias("tok_q"),
+        F.count("*").alias("n_docs"),
+    )
+    # scale-ok: window over distinct quality values (bounded cardinality)
+    wo = Window.orderBy(F.col("quality").desc())
+    win = grp.select(
+        "quality", F.sum("tok_q").over(wo).cast("long").alias("cum")
+    )
+    tot = grp.agg(F.sum("tok_q").cast("long").alias("total"))
+    pcts = F.explode(F.array(F.lit(50), F.lit(90))).alias("pct")
+    return (
+        win.crossJoin(F.broadcast(tot))  # scale-ok: 1-row total
+        .select("quality", "cum", "total", pcts)
+        .filter(F.col("cum") * 100 >= F.col("pct") * F.col("total"))
+        .groupBy("pct")
+        .agg(F.max("quality").alias("quality_cutoff"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup savings report: how many documents and tokens each dedup tier
+# would remove — exact content dedup (drop non-keeper copies), passage
+# dedup (drop repeated passages), and near-dup clustering (keep one
+# representative per cluster). The cost/benefit summary that decides
+# which tiers a pipeline runs; composes the registered operators and
+# their oracles, all counts exact integers.
+# ---------------------------------------------------------------------------
+
+
+def _savings_oracle() -> str:
+    from datalakes_and_data_integration_spark.plans.dedup import (
+        _cluster_oracle,
+    )
+
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOK_DUCK} AS toks FROM documents
+    ),
+    sizes AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok FROM tok),
+    exact_losers AS (
+      SELECT d.doc_id
+      FROM documents d
+      JOIN (
+        SELECT md5(text) AS h, min(doc_id) AS keeper
+        FROM documents GROUP BY md5(text)
+      ) k ON md5(d.text) = k.h AND d.doc_id <> k.keeper
+    ),
+    tok2 AS (SELECT doc_id, toks FROM tok WHERE len(toks) > 0),
+    passages AS (
+      SELECT doc_id, CAST(p AS BIGINT) AS pidx, len(toks) AS n,
+             array_to_string(toks[p * {_PASS} + 1 : p * {_PASS} + {_PASS}],
+                             ' ') AS ptext
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(0,
+                 CAST(floor((len(toks) - 1) / {_PASS}) AS BIGINT))) AS p
+        FROM tok2
+      )
+    ),
+    marked AS (
+      SELECT doc_id, pidx, n,
+             least((pidx + 1) * {_PASS}, n) - pidx * {_PASS} AS plen,
+             row_number() OVER (PARTITION BY md5(ptext)
+                                ORDER BY doc_id, pidx) AS rn
+      FROM passages
+    ),
+    clusters AS MATERIALIZED ({_cluster_oracle()}),
+    nd_losers AS (SELECT doc FROM clusters WHERE doc <> cluster_id)
+    SELECT 'exact' AS tier,
+           CAST((SELECT count(*) FROM exact_losers) AS BIGINT)
+             AS n_docs_affected,
+           CAST(coalesce((SELECT sum(s.n_tok) FROM exact_losers e
+                          JOIN sizes s ON s.doc_id = e.doc_id), 0)
+                AS BIGINT) AS tokens_removed
+    UNION ALL
+    SELECT 'passage',
+           CAST((SELECT count(DISTINCT doc_id) FROM marked WHERE rn > 1)
+                AS BIGINT),
+           CAST(coalesce((SELECT sum(plen) FROM marked WHERE rn > 1), 0)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'neardup',
+           CAST((SELECT count(*) FROM nd_losers) AS BIGINT),
+           CAST(coalesce((SELECT sum(s.n_tok) FROM nd_losers n
+                          JOIN sizes s ON s.doc_id = n.doc), 0)
+                AS BIGINT)
+    """
+
+
+@register(
+    "dedup_savings_report",
+    oracle=_savings_oracle(),
+    description="Dedup cost/benefit report: documents affected and exact "
+    "tokens removed by each tier — exact content dedup (non-keeper "
+    "copies), passage dedup (repeated 16-token passages), near-dup "
+    "clustering (non-representative cluster members). Composes the "
+    "registered dedup operators and their oracles; the decision table "
+    "for which tiers a 100 TB pipeline runs.",
+    tags=("dedup", "curation", "report", "llm-pipeline"),
+)
+def dedup_savings_report(spark, sf_dir):
+    from datalakes_and_data_integration_spark.plans.dedup import (
+        dedup_cluster_assignment,
+    )
+
+    d = spread(T(spark, sf_dir, "documents"), spark)
+    tok = d.select(
+        "doc_id", F.md5("text").alias("h"), F.expr(_TOK_SPARK).alias("toks")
+    ).persist()
+    sizes = tok.select("doc_id", F.size("toks").cast("long").alias("n_tok"))
+
+    keepers = tok.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    exact_losers = (
+        tok.join(keepers, "h")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id")
+    )
+    exact = exact_losers.join(sizes, "doc_id").agg(
+        F.count("*").cast("long").alias("n_docs_affected"),
+        F.coalesce(F.sum("n_tok"), F.lit(0))
+        .cast("long")
+        .alias("tokens_removed"),
+    ).select(F.lit("exact").alias("tier"), "n_docs_affected", "tokens_removed")
+
+    tok2 = tok.filter(F.size("toks") > 0)
+    passages = tok2.select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.explode(
+            F.expr(
+                f"sequence(0, CAST(floor((size(toks) - 1) / {_PASS}) "
+                "AS BIGINT))"
+            )
+        ).alias("pidx"),
+        "toks",
+    ).select(
+        "doc_id",
+        "n",
+        F.col("pidx").cast("long").alias("pidx"),
+        F.expr(
+            f"concat_ws(' ', slice(toks, pidx * {_PASS} + 1, {_PASS}))"
+        ).alias("ptext"),
+    )
+    w = Window.partitionBy(F.md5("ptext")).orderBy("doc_id", "pidx")
+    marked = passages.withColumn("rn", F.row_number().over(w)).select(
+        "doc_id",
+        "rn",
+        (
+            F.least((F.col("pidx") + 1) * _PASS, F.col("n"))
+            - F.col("pidx") * _PASS
+        )
+        .cast("long")
+        .alias("plen"),
+    )
+    lost = marked.filter(F.col("rn") > 1)
+    passage = lost.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs_affected"),
+        F.coalesce(F.sum("plen"), F.lit(0))
+        .cast("long")
+        .alias("tokens_removed"),
+    ).select(
+        F.lit("passage").alias("tier"), "n_docs_affected", "tokens_removed"
+    )
+
+    clusters = dedup_cluster_assignment(spark, sf_dir).select(
+        "doc", "cluster_id"
+    )
+    nd_losers = clusters.filter(F.col("doc") != F.col("cluster_id")).select(
+        F.col("doc").alias("doc_id")
+    )
+    neardup = nd_losers.join(sizes, "doc_id").agg(
+        F.count("*").cast("long").alias("n_docs_affected"),
+        F.coalesce(F.sum("n_tok"), F.lit(0))
+        .cast("long")
+        .alias("tokens_removed"),
+    ).select(
+        F.lit("neardup").alias("tier"), "n_docs_affected", "tokens_removed"
+    )
+
+    return exact.unionByName(passage).unionByName(neardup)

@@ -1927,3 +1927,110 @@ def dedup_savings_report(spark, sf_dir):
     )
 
     return exact.unionByName(passage).unionByName(neardup)
+
+
+# ---------------------------------------------------------------------------
+# Inclusion-dependency profiling: join-key discovery over the lake. For
+# candidate (source column, target column) pairs, the inclusion
+# coefficient |distinct(src) in distinct(dst)| / |distinct(src)| — 1.0
+# marks a foreign key, values near 1 mark dirty FKs, low values rule the
+# join out. The schema-discovery pass a lakehouse runs before writing
+# join pipelines; includes a deliberate negative control. All counts are
+# exact distinct aggregates; each pair is a pre-aggregated semi-join of
+# DISTINCT key sets (never fact-table rows).
+# ---------------------------------------------------------------------------
+
+_IND_PAIRS = [
+    ("events", "user_id", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    # negative control: no semantic relationship
+    ("events", "user_id", "part", "p_partkey"),
+]
+
+
+def _ind_oracle() -> str:
+    blocks = []
+    for st, sc, dt, dc in _IND_PAIRS:
+        blocks.append(
+            f"""
+    SELECT '{st}.{sc}' AS src, '{dt}.{dc}' AS dst,
+           (SELECT count(DISTINCT {sc}) FROM {st}
+            WHERE {sc} IS NOT NULL) AS n_src,
+           (SELECT count(DISTINCT {dc}) FROM {dt}
+            WHERE {dc} IS NOT NULL) AS n_dst,
+           (SELECT count(*) FROM
+              (SELECT DISTINCT {sc} AS v FROM {st} WHERE {sc} IS NOT NULL) s
+            WHERE s.v IN (SELECT {dc} FROM {dt})) AS n_shared,
+           CAST(ROUND(CAST(
+             CAST((SELECT count(*) FROM
+                     (SELECT DISTINCT {sc} AS v FROM {st}
+                      WHERE {sc} IS NOT NULL) s
+                   WHERE s.v IN (SELECT {dc} FROM {dt})) AS DOUBLE)
+             / (SELECT count(DISTINCT {sc}) FROM {st}
+                WHERE {sc} IS NOT NULL)
+             AS DECIMAL(27,12)), 6) AS DOUBLE) AS inclusion"""
+        )
+    return " UNION ALL ".join(blocks)
+
+
+@register(
+    "inclusion_dependency_profile",
+    oracle=_ind_oracle(),
+    description="Join-key discovery: inclusion coefficients for candidate "
+    "(source, target) key-column pairs across all lake tables — 1.0 marks "
+    "a clean foreign key, near-1 a dirty one, low values rule the join "
+    "out (a deliberate negative control pair is included). Exact distinct "
+    "counts; each pair reduces to a semi-join of pre-aggregated DISTINCT "
+    "key sets, so fact rows never shuffle — the schema-discovery pass "
+    "that precedes join pipelines on an unfamiliar lake.",
+    tags=("profiling", "discovery", "join", "llm-pipeline"),
+)
+def inclusion_dependency_profile(spark, sf_dir):
+    out = None
+    for st, sc, dt, dc in _IND_PAIRS:
+        src = (
+            T(spark, sf_dir, st)
+            .filter(F.col(sc).isNotNull())
+            .select(F.col(sc).alias("v"))
+            .distinct()
+        )
+        dst = (
+            T(spark, sf_dir, dt)
+            .filter(F.col(dc).isNotNull())
+            .select(F.col(dc).alias("v"))
+            .distinct()
+        )
+        shared = src.join(dst, "v", "left_semi")
+        row = (
+            src.agg(F.count("*").alias("n_src"))
+            .crossJoin(
+                F.broadcast(dst.agg(F.count("*").alias("n_dst")))
+            )  # scale-ok: 1-row aggregates
+            .crossJoin(
+                F.broadcast(shared.agg(F.count("*").alias("n_shared")))
+            )  # scale-ok: 1-row aggregate
+            .select(
+                F.lit(f"{st}.{sc}").alias("src"),
+                F.lit(f"{dt}.{dc}").alias("dst"),
+                "n_src",
+                "n_dst",
+                "n_shared",
+                F.round(
+                    (
+                        F.col("n_shared").cast("double")
+                        / F.col("n_src").cast("double")
+                    ).cast("decimal(27,12)"),
+                    6,
+                )
+                .cast("double")
+                .alias("inclusion"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

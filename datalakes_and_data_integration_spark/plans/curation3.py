@@ -2034,3 +2034,79 @@ def inclusion_dependency_profile(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency profiling: the sibling discovery pass to
+# inclusion_dependency_profile. For candidate (determinant, dependent)
+# column pairs, how many determinant groups map to MORE than one
+# dependent value — 0 violations means the FD holds (a derivable /
+# denormalizable column), small counts mean a dirty FD. TPC-H plants a
+# real one: p_brand -> p_mfgr. Exact grouped distinct counts; work is
+# bounded by determinant cardinality.
+# ---------------------------------------------------------------------------
+
+_FD_PAIRS = [
+    ("part", "p_partkey", "p_brand"),  # holds: key determines everything
+    ("part", "p_brand", "p_type"),  # violated: brands span types
+    ("part", "p_size", "p_brand"),  # violated
+    ("customer", "c_nationkey", "c_mktsegment"),  # violated
+    ("orders", "o_orderpriority", "o_orderstatus"),  # violated
+    ("nation", "n_nationkey", "n_regionkey"),  # holds (PK)
+    ("events", "user_id", "event_type"),  # violated
+]
+
+
+def _fd_oracle() -> str:
+    blocks = []
+    for t, det, dep in _FD_PAIRS:
+        blocks.append(
+            f"""
+    SELECT '{t}.{det}' AS determinant, '{t}.{dep}' AS dependent,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT) = 0
+             AS fd_holds
+    FROM (
+      SELECT {det}, count(DISTINCT {dep}) AS n_dep
+      FROM {t} GROUP BY {det}
+    )"""
+        )
+    return " UNION ALL ".join(blocks)
+
+
+@register(
+    "functional_dependency_profile",
+    oracle=_fd_oracle(),
+    description="Functional-dependency discovery: for candidate "
+    "(determinant, dependent) column pairs, the count of determinant "
+    "groups mapping to more than one dependent value — zero violations "
+    "means the FD holds (primary-key determinants hold by "
+    "construction), small counts flag dirty FKs/denormalization bugs. "
+    "Exact grouped distinct counts bounded by determinant cardinality; "
+    "the sibling pass to inclusion_dependency_profile in the "
+    "schema-discovery suite.",
+    tags=("profiling", "discovery", "quality", "llm-pipeline"),
+)
+def functional_dependency_profile(spark, sf_dir):
+    out = None
+    for t, det, dep in _FD_PAIRS:
+        grp = (
+            T(spark, sf_dir, t)
+            .groupBy(det)
+            .agg(F.countDistinct(dep).alias("n_dep"))
+        )
+        viol = F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0)).cast("long")
+        row = grp.agg(
+            F.count("*").cast("long").alias("n_groups"),
+            viol.alias("n_violating_groups"),
+        ).select(
+            F.lit(f"{t}.{det}").alias("determinant"),
+            F.lit(f"{t}.{dep}").alias("dependent"),
+            "n_groups",
+            "n_violating_groups",
+            (F.col("n_violating_groups") == 0).alias("fd_holds"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -2007,14 +2007,14 @@ def inclusion_dependency_profile(spark, sf_dir):
             .distinct()
         )
         shared = src.join(dst, "v", "left_semi")
+        n_dst = F.broadcast(dst.agg(F.count("*").alias("n_dst")))
+        n_shared = F.broadcast(shared.agg(F.count("*").alias("n_shared")))
         row = (
             src.agg(F.count("*").alias("n_src"))
-            .crossJoin(
-                F.broadcast(dst.agg(F.count("*").alias("n_dst")))
-            )  # scale-ok: 1-row aggregates
-            .crossJoin(
-                F.broadcast(shared.agg(F.count("*").alias("n_shared")))
-            )  # scale-ok: 1-row aggregate
+            # scale-ok: 1-row aggregates
+            .crossJoin(n_dst)
+            # scale-ok: 1-row aggregate
+            .crossJoin(n_shared)
             .select(
                 F.lit(f"{st}.{sc}").alias("src"),
                 F.lit(f"{dt}.{dc}").alias("dst"),

@@ -42,6 +42,7 @@ from datalakes_and_data_integration_spark.plans import (  # noqa: E402,F401
     lm,
     ml,
     curation3,
+    curation4,
 )
 
 __all__ = ["QUERIES", "Query", "all_queries", "all_oracle_sql", "register"]

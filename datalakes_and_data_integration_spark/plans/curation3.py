@@ -1537,7 +1537,11 @@ def corpus_snapshot_stats(spark, sf_dir):
 _BPE_ROUNDS = 5
 
 
-def _bpe_oracle() -> str:
+def _bpe_chain_cte() -> tuple[str, list[str]]:
+    """The shared DuckDB CTE chain learning ``_BPE_ROUNDS`` merges: returns
+    (cte_body, per-round top-pair SELECTs). ``syms{_BPE_ROUNDS}`` holds the
+    final word -> symbol-string vocabulary; composed by the learning oracle
+    below and by curation4's encode oracle."""
     rounds = []
     outs = []
     prev = "syms0"
@@ -1575,8 +1579,8 @@ def _bpe_oracle() -> str:
             f"cnt AS pair_count FROM top{r}"
         )
         prev = f"syms{r}"
-    return f"""
-    WITH words AS MATERIALIZED (
+    body = f"""
+    words AS MATERIALIZED (
       SELECT word, count(*) AS wc
       FROM (SELECT unnest({_TOK_DUCK}) AS word FROM documents)
       WHERE word NOT LIKE '%|%'
@@ -1587,7 +1591,14 @@ def _bpe_oracle() -> str:
              '|' || array_to_string(regexp_extract_all(word, '.'), '|')
                  || '|' AS sym
       FROM words
-    ),{",".join(rounds)}
+    ),{",".join(rounds)}"""
+    return body, outs
+
+
+def _bpe_oracle() -> str:
+    body, outs = _bpe_chain_cte()
+    return f"""
+    WITH {body}
     {" UNION ALL ".join(outs)}
     """
 
@@ -1606,6 +1617,22 @@ def _bpe_oracle() -> str:
     tags=("text", "tokenizer", "bpe", "iterative", "llm-pipeline"),
 )
 def bpe_merge_learning(spark, sf_dir):
+    merges, syms = bpe_learn(spark, sf_dir)
+    syms.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_round bigint, sym_a string, sym_b string, "
+        "pair_count bigint"
+    )
+
+
+def bpe_learn(spark, sf_dir):
+    """Learn ``_BPE_ROUNDS`` merges over the corpus word vocabulary.
+
+    Returns ``(merges, syms)``: the ordered merge table as
+    ``[(round, sym_a, sym_b, count)]`` driver literals, and the final
+    persisted ``(word, wc, sym)`` vocabulary DataFrame with all merges
+    applied — the trained tokenizer state curation4's encode query joins
+    against. Caller owns the unpersist."""
     d = spread(T(spark, sf_dir, "documents"), spark)
     words = (
         d.select(F.explode(F.expr(_TOK_SPARK)).alias("word"))
@@ -1663,10 +1690,7 @@ def bpe_merge_learning(spark, sf_dir):
             ).alias("sym"),
         ).persist()
         old.unpersist()
-    return spark.createDataFrame(
-        merges, "merge_round bigint, sym_a string, sym_b string, "
-        "pair_count bigint"
-    )
+    return merges, syms
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,371 @@
+"""Round-3 third-session curation additions — the remaining backlog of
+training-data-pipeline operators (NOTES.md round-4 build backlog, pulled
+forward):
+
+- Gopher-style composite quality-rule report (Rae et al. 2021 §A1.1 shape:
+  independent pass/fail rules per document, aggregated per source x lang) —
+  thresholds recalibrated to what actually varies in this corpus, every
+  comparison cross-multiplied to exact int64;
+- temperature-scaled source mixture plan (the mT5/XLM-R alpha=0.5 sampling
+  knob) with Hamilton largest-remainder apportionment of the document
+  budget — integer-exact via floor-scaled sqrt weights;
+- BPE tokenizer APPLICATION: encode the corpus with the merge table learned
+  by curation3.bpe_merge_learning and report per-language token statistics
+  (the train-then-tokenize composition every LLM pipeline runs).
+
+All oracle-checked. Registration order puts them after the round-3 driver
+window (rotate into WINDOW_PRIORITY in round 4/5).
+
+Determinism notes follow the house rules (plans/_util.py, NOTES.md):
+integer cross-multiplication instead of ratio thresholds, decimal-routed
+ROUND for display ratios, sqrt allowed because IEEE-754 sqrt is correctly
+rounded in every engine and the downstream sum is over floor-scaled int64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from datalakes_and_data_integration_spark.functions.text import (
+    STOPWORDS,
+    tokens_sql_duck,
+)
+from datalakes_and_data_integration_spark.plans._util import T, spread
+from datalakes_and_data_integration_spark.plans.registry import register
+
+_TOK_SPARK = "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
+_TOK_DUCK = tokens_sql_duck("text")
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules. The published rule set keys on symbol ratio /
+# alphabetic-word fraction / bullet lines; this corpus is synthetic word
+# salad (no punctuation, fully alphabetic), so the discriminating rules are
+# calibrated to what varies here while keeping the published *shape*
+# (independent boolean rules, document fails the composite if any rule
+# fails):
+#   brevity     n_tok >= 50            (Gopher: 50 <= words <= 100k)
+#   word_len    mean word length >= 4.5   as 2*wchars >= 9*n_tok
+#   repetition  distinct-token ratio >= 0.4  as 5*dtok >= 2*n_tok
+#               (Gopher's duplicate-fraction family)
+#   stopword    >= 2 stopword hits (union lexicon, with multiplicity)
+# Every threshold is an exact int64 comparison — no float ratio ever
+# crosses an engine boundary.
+#
+# Scale: one scan, tokenize is partition-local, the only shuffle is the
+# (source x lang) grouped sum with map-side combine. At 100 TB this is a
+# single pass over the corpus producing a dim-sized report.
+# ---------------------------------------------------------------------------
+
+_SW_UNION = sorted({w for ws in STOPWORDS.values() for w in ws})
+
+
+def _gopher_oracle() -> str:
+    lst = ", ".join(f"'{w}'" for w in _SW_UNION)
+    return f"""
+    WITH tok AS (
+      SELECT source, lang, {_TOK_DUCK} AS toks FROM documents
+    ),
+    feats AS (
+      SELECT source, lang,
+             CAST(len(toks) AS BIGINT) AS n_tok,
+             CAST(coalesce(list_sum(list_transform(toks,
+                    t -> CAST(length(t) AS BIGINT))), 0) AS BIGINT) AS wchars,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS dtok,
+             CAST(len(list_filter(toks, t -> list_contains([{lst}], t)))
+                  AS BIGINT) AS sw
+      FROM tok
+    ),
+    flags AS (
+      SELECT source, lang,
+             CASE WHEN n_tok >= 50 THEN 0 ELSE 1 END AS f_brev,
+             CASE WHEN 2 * wchars >= 9 * n_tok THEN 0 ELSE 1 END AS f_wlen,
+             CASE WHEN 5 * dtok >= 2 * n_tok THEN 0 ELSE 1 END AS f_rep,
+             CASE WHEN sw >= 2 THEN 0 ELSE 1 END AS f_sw
+      FROM feats
+    )
+    SELECT source, lang, count(*) AS n_docs,
+           CAST(sum(f_brev) AS BIGINT) AS fail_brevity,
+           CAST(sum(f_wlen) AS BIGINT) AS fail_word_len,
+           CAST(sum(f_rep) AS BIGINT) AS fail_repetition,
+           CAST(sum(f_sw) AS BIGINT) AS fail_stopword,
+           CAST(sum(CASE WHEN f_brev + f_wlen + f_rep + f_sw = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+    FROM flags GROUP BY source, lang
+    """
+
+
+@register(
+    "gopher_quality_rules",
+    oracle=_gopher_oracle(),
+    description="Gopher-style composite quality-rule report per (source, "
+    "lang): four independent boolean rules — brevity (>=50 tokens), mean "
+    "word length (>=4.5), repetition (distinct-token ratio >=0.4), "
+    "stopword presence (>=2 hits against the union lexicon) — with every "
+    "threshold cross-multiplied to exact int64, plus the all-rules-pass "
+    "count. One corpus scan, one dim-sized grouped sum; the keep/drop "
+    "rulebook evidence a curation pipeline publishes next to its corpus.",
+    tags=("curation", "quality", "rules", "llm-pipeline"),
+)
+def gopher_quality_rules(spark, sf_dir):
+    d = spread(T(spark, sf_dir, "documents"), spark)
+    lst = ", ".join(f"'{w}'" for w in _SW_UNION)
+    feats = d.select(
+        "source",
+        "lang",
+        F.expr(f"CAST(size({_TOK_SPARK}) AS BIGINT)").alias("n_tok"),
+        F.expr(
+            f"aggregate(transform({_TOK_SPARK}, t -> CAST(length(t) AS "
+            f"BIGINT)), 0L, (a, x) -> a + x)"
+        ).alias("wchars"),
+        F.expr(
+            f"CAST(size(array_distinct({_TOK_SPARK})) AS BIGINT)"
+        ).alias("dtok"),
+        F.expr(
+            f"CAST(size(filter({_TOK_SPARK}, "
+            f"t -> array_contains(array({lst}), t))) AS BIGINT)"
+        ).alias("sw"),
+    )
+    flags = feats.select(
+        "source",
+        "lang",
+        F.when(F.col("n_tok") >= 50, 0).otherwise(1).alias("f_brev"),
+        F.when(2 * F.col("wchars") >= 9 * F.col("n_tok"), 0)
+        .otherwise(1)
+        .alias("f_wlen"),
+        F.when(5 * F.col("dtok") >= 2 * F.col("n_tok"), 0)
+        .otherwise(1)
+        .alias("f_rep"),
+        F.when(F.col("sw") >= 2, 0).otherwise(1).alias("f_sw"),
+    )
+    return flags.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("f_brev").cast("long").alias("fail_brevity"),
+        F.sum("f_wlen").cast("long").alias("fail_word_len"),
+        F.sum("f_rep").cast("long").alias("fail_repetition"),
+        F.sum("f_sw").cast("long").alias("fail_stopword"),
+        F.sum(
+            F.when(
+                F.col("f_brev") + F.col("f_wlen") + F.col("f_rep")
+                + F.col("f_sw")
+                == 0,
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_pass_all"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixture plan. Proportional sampling overtrains
+# on the largest sources; mixture weights w_s ∝ n_s^alpha with alpha = 0.5
+# (the mT5/XLM-R temperature knob) flatten the distribution. The document
+# budget is then apportioned by Hamilton largest-remainder so quotas sum to
+# exactly the budget.
+#
+# Determinism: IEEE-754 sqrt is CORRECTLY ROUNDED (same double in -> same
+# double out on the JVM, DuckDB, and numpy), and the weight is immediately
+# floor-scaled to int64 (w_fixed = floor(sqrt(n) * 1e6)) — so the
+# normalizing sum is an order-independent integer sum and everything
+# downstream (integer div/mod, remainder ranking) is exact int64. The only
+# float op per row is one sqrt and one multiply, both deterministic.
+#
+# Scale: the cell table is source-cardinality (dim-sized); the corpus scan
+# is one map-side-combined count.
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET = 100_000
+_MIX_SCALE = 1_000_000
+
+
+@register(
+    "temperature_mixture_plan",
+    oracle=f"""
+    WITH cells AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    wt AS (
+      SELECT source, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * {_MIX_SCALE})
+                  AS BIGINT) AS w_fixed
+      FROM cells
+    ),
+    tot AS (SELECT CAST(sum(w_fixed) AS BIGINT) AS t FROM wt),
+    base AS (
+      SELECT w.source, w.n_docs, w.w_fixed,
+             ({_MIX_BUDGET} * w.w_fixed) // t.t AS base_q,
+             ({_MIX_BUDGET} * w.w_fixed) % t.t AS rem
+      FROM wt w CROSS JOIN tot t
+    ),
+    lo AS (
+      SELECT CAST({_MIX_BUDGET} - sum(base_q) AS BIGINT) AS leftover
+      FROM base
+    ),
+    ranked AS (
+      SELECT source, n_docs, w_fixed, base_q, rem,
+             row_number() OVER (ORDER BY rem DESC, source) AS rk
+      FROM base
+    )
+    SELECT r.source, r.n_docs, r.w_fixed,
+           CAST(r.base_q + CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS quota_docs,
+           CAST(ROUND(CAST(CAST(r.base_q + CASE WHEN r.rk <= l.leftover
+                                THEN 1 ELSE 0 END AS DOUBLE) / r.n_docs
+                           AS DECIMAL(27,12)), 6) AS DOUBLE)
+             AS effective_epochs
+    FROM ranked r CROSS JOIN lo l
+    """,
+    description=f"Temperature-scaled source mixture plan: per-source "
+    f"weights n^0.5 (the mT5/XLM-R alpha=0.5 flattening), floor-scaled to "
+    f"int64 (x{_MIX_SCALE}) so the normalizing sum is order-independent, "
+    f"then Hamilton largest-remainder apportionment of a {_MIX_BUDGET}-doc "
+    "budget (quotas sum exactly to the budget; remainder ties break on "
+    "source). effective_epochs = quota/n shows which small sources get "
+    "upsampled past 1 epoch. IEEE sqrt is correctly rounded, so the one "
+    "float op per source is cross-engine exact; everything else is int64.",
+    tags=("sampling", "curation", "mixture", "llm-pipeline"),
+)
+def temperature_mixture_plan(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    cells = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    wt = cells.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * _MIX_SCALE)
+        .cast("long")
+        .alias("w_fixed"),
+    )
+    tot = wt.agg(F.sum("w_fixed").cast("long").alias("t"))
+    base = wt.crossJoin(F.broadcast(tot)).select(  # scale-ok: 1-row total
+        "source",
+        "n_docs",
+        "w_fixed",
+        F.expr(f"({_MIX_BUDGET} * w_fixed) div t").alias("base_q"),
+        (F.lit(_MIX_BUDGET) * F.col("w_fixed") % F.col("t")).alias("rem"),
+    )
+    lo = base.agg(
+        (F.lit(_MIX_BUDGET) - F.sum("base_q")).cast("long").alias("leftover")
+    )
+    # scale-ok: window over the dim-sized per-source cell table
+    wr = Window.orderBy(F.col("rem").desc(), F.col("source"))
+    ranked = base.withColumn("rk", F.row_number().over(wr))
+    quota = (
+        F.col("base_q")
+        + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+    ).cast("long")
+    return ranked.crossJoin(F.broadcast(lo)).select(  # scale-ok: 1-row
+        "source",
+        "n_docs",
+        "w_fixed",
+        quota.alias("quota_docs"),
+        F.round(
+            (quota.cast("double") / F.col("n_docs")).cast("decimal(27,12)"),
+            6,
+        )
+        .cast("double")
+        .alias("effective_epochs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer application: encode the corpus with the merge table that
+# curation3.bpe_merge_learning trains, and report per-language token
+# statistics under the learned tokenizer. This is the composition every
+# LLM pipeline runs — train the tokenizer once, then tokenize everything —
+# and it is exactly cross-engine reproducible because the merge semantics
+# already are (see curation3's shared-boundary note).
+#
+# Scale: the vocabulary (word -> symbol count after merges) is
+# vocabulary-sized state, joined to the exploded corpus words with a plain
+# hash join (vocab may exceed broadcast size at 100 TB — AQE broadcasts it
+# when small); tokenize/explode is partition-local; the final per-lang sum
+# is map-side combined.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_encode_oracle() -> str:
+    from datalakes_and_data_integration_spark.plans.curation3 import (
+        _BPE_ROUNDS,
+        _bpe_chain_cte,
+    )
+
+    body, _ = _bpe_chain_cte()
+    return f"""
+    WITH {body},
+    vocab AS (
+      SELECT word,
+             CAST(len(list_filter(string_split(sym, '|'), x -> x <> ''))
+                  AS BIGINT) AS n_sym
+      FROM syms{_BPE_ROUNDS}
+    ),
+    dw AS (
+      SELECT lang, word
+      FROM (SELECT lang, unnest({_TOK_DUCK}) AS word FROM documents)
+      WHERE word NOT LIKE '%|%'
+    )
+    SELECT d.lang,
+           count(*) AS n_words,
+           CAST(sum(length(d.word)) AS BIGINT) AS char_tokens,
+           CAST(sum(v.n_sym) AS BIGINT) AS bpe_tokens,
+           CAST(sum(length(d.word)) - sum(v.n_sym) AS BIGINT)
+             AS tokens_saved,
+           CAST(ROUND(CAST(CAST(sum(length(d.word)) AS DOUBLE)
+                           / sum(v.n_sym) AS DECIMAL(27,12)), 6) AS DOUBLE)
+             AS compression_ratio
+    FROM dw d JOIN vocab v ON v.word = d.word
+    GROUP BY d.lang
+    """
+
+
+@register(
+    "bpe_encode_token_stats",
+    oracle=_bpe_encode_oracle(),
+    description="BPE tokenizer application: the corpus re-tokenized with "
+    "the merge table learned by bpe_merge_learning (same left-to-right "
+    "replace-scan semantics, so both engines encode identically), "
+    "reported per language — character-level vs post-merge token counts, "
+    "tokens saved, compression ratio (decimal-routed). The trained "
+    "vocabulary is word-level state joined to the exploded corpus with a "
+    "plain hash join (AQE broadcasts when small); the train-then-encode "
+    "composition every LLM pipeline runs.",
+    tags=("text", "tokenizer", "bpe", "llm-pipeline"),
+)
+def bpe_encode_token_stats(spark, sf_dir):
+    from datalakes_and_data_integration_spark.plans.curation3 import (
+        bpe_learn,
+    )
+
+    _, syms = bpe_learn(spark, sf_dir)
+    vocab = syms.select(
+        "word",
+        F.expr(
+            "CAST(size(filter(split(sym, '\\\\|'), x -> x != '')) AS BIGINT)"
+        ).alias("n_sym"),
+    )
+    # The learned replaces are baked into the plan as driver literals, so
+    # dropping the learning-loop cache just trades a cheap vocab recompute
+    # for not leaking cached state across registry queries.
+    syms.unpersist()
+    dw = (
+        spread(T(spark, sf_dir, "documents"), spark)
+        .select("lang", F.explode(F.expr(_TOK_SPARK)).alias("word"))
+        .filter(~F.col("word").contains("|"))
+    )
+    joined = dw.join(vocab, "word")
+    return joined.groupBy("lang").agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.length("word")).cast("long").alias("char_tokens"),
+        F.sum("n_sym").cast("long").alias("bpe_tokens"),
+        (F.sum(F.length("word")) - F.sum("n_sym"))
+        .cast("long")
+        .alias("tokens_saved"),
+        F.round(
+            (F.sum(F.length("word")).cast("double") / F.sum("n_sym")).cast(
+                "decimal(27,12)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("compression_ratio"),
+    )

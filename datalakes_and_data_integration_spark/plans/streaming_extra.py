@@ -359,6 +359,92 @@ def _streaming_cusum_oracle() -> str:
 
 
 @register(
+    "streaming_cusum_alerts",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    hist AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS tot
+      FROM hourly GROUP BY event_type
+    ),
+    d AS (
+      SELECT h.event_type, h.hour, h.c, hi.tot,
+             hi.n * h.c - hi.tot AS dev
+      FROM hourly h JOIN hist hi ON hi.event_type = h.event_type
+    ),
+    cum AS (
+      SELECT event_type, hour, c, tot,
+             CAST(sum(dev) OVER (PARTITION BY event_type ORDER BY hour)
+                  AS BIGINT) AS cum
+      FROM d
+    ),
+    runs AS (
+      SELECT event_type, hour, c, tot, cum,
+             least(CAST(min(cum) OVER (PARTITION BY event_type
+                                       ORDER BY hour) AS BIGINT),
+                   0) AS runmin,
+             greatest(CAST(max(cum) OVER (PARTITION BY event_type
+                                          ORDER BY hour) AS BIGINT),
+                      0) AS runmax
+      FROM cum
+    )
+    SELECT event_type, hour, c AS n_events,
+           cum - runmin AS cusum_pos,
+           runmax - cum AS cusum_neg,
+           (cum - runmin) > 2 * tot AS alert_pos,
+           (runmax - cum) > 2 * tot AS alert_neg
+    FROM runs
+    """,
+    description="Stateful ONLINE CUSUM drift alerts per event type "
+    "(streaming/file_stream.cusum_alert_stream): applyInPandasWithState "
+    "keeps three int64s of state per type (cum, running min, running max) "
+    "and scores every (type, hour) as the stream advances — the "
+    "sequential twin of cusum_changepoint, emitting alerts live instead "
+    "of a retrospective argmax. Deviations are mean-multiplied-through "
+    "int64 (d = n*count - total, thresholds from the batch history as "
+    "driver literals); the one-sided CUSUMs use the running-extrema "
+    "closed form, which is exactly the oracle's two windows. O(1) state "
+    "per type; alert when cumulative excess exceeds 2 mean-hours.",
+    tags=("streaming", "stateful", "drift", "changepoint", "llm-pipeline"),
+)
+def streaming_cusum_alerts(spark, sf_dir):
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.streaming import (
+        events_stream,
+        run_available_now,
+    )
+    from datalakes_and_data_integration_spark.streaming.file_stream import (
+        cusum_alert_stream,
+    )
+
+    hist = (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count("*").alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("c").cast("long").alias("tot"),
+        )
+    )
+    thresholds = {
+        r.event_type: (r.n, r.tot)
+        for r in hist.collect()  # scale-ok: dim-sized per-type baseline
+    }
+    stream = events_stream(spark, sf_dir)
+    return run_available_now(
+        cusum_alert_stream(stream, thresholds),
+        spark,
+        name="streaming_cusum_alerts_out",
+        output_mode="append",
+    )
+
+
+@register(
     "streaming_cusum_changepoint",
     oracle=_streaming_cusum_oracle(),
     description="Stream-fed drift detection: the watermarked hourly "

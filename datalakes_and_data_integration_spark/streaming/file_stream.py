@@ -192,6 +192,106 @@ def stateful_sessions_stream(stream: DataFrame, gap_minutes: int = 30) -> DataFr
     )
 
 
+def cusum_alert_stream(
+    stream: DataFrame,
+    thresholds: dict[str, tuple[int, int]],
+    alert_factor: int = 2,
+) -> DataFrame:
+    """Custom stateful operator: ONLINE CUSUM drift alerts per event type
+    via ``applyInPandasWithState`` — the sequential form of the batch
+    ``cusum_changepoint`` family, emitting one scored row per (type, hour)
+    as the stream advances instead of a retrospective argmax.
+
+    ``thresholds`` maps event_type -> ``(n_hours, total_events)`` from the
+    BATCH history (the trained-baseline pattern of threshold_alert_stream;
+    a dim-sized driver literal because the state function cannot join).
+    Per hour with count c, the deviation is ``d = n*c - total`` (the mean
+    multiplied through — exact int64), and the classic one-sided CUSUMs
+    use their running-extrema closed form::
+
+        S+_t = cum_t - min(0, min_{j<=t} cum_j)   (= max(0, S+_{t-1} + d))
+        S-_t = max(0, max_{j<=t} cum_j) - cum_t
+
+    with an alert when S exceeds ``alert_factor * total`` (cumulative
+    excess beyond ``alert_factor`` mean-hours). State per type is three
+    int64s — O(1), the streaming-scale win over recomputing the batch
+    statistic per check.
+
+    Hours are processed in sorted order within each micro-batch; with
+    ``Trigger.AvailableNow`` over a static source the single batch sees
+    every hour, so the result equals the batch closed form (the oracle).
+    Cross-batch behavior (state carrying cum/runmin/runmax forward) is
+    pinned by tests/test_streaming_state.py with hour-ordered batches.
+    """
+    import pandas as pd  # noqa: PLC0415 - worker-side import
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = (
+        "event_type string, hour timestamp, n_events bigint, "
+        "cusum_pos bigint, cusum_neg bigint, "
+        "alert_pos boolean, alert_neg boolean"
+    )
+    state_schema = "cum bigint, runmin bigint, runmax bigint"
+
+    def fn(key, pdf_iter, state: GroupState):
+        (event_type,) = key
+        n, tot = thresholds.get(event_type, (0, 0))
+        cum, runmin, runmax = state.get if state.exists else (0, 0, 0)
+        counts: dict[int, int] = {}
+        for pdf in pdf_iter:
+            hours = pdf["ts"].dt.floor("h")
+            for us, c in hours.value_counts().items():
+                k = int(us.value // 1000)  # pandas ns -> µs
+                counts[k] = counts.get(k, 0) + int(c)
+        rows = []
+        for hour_us in sorted(counts):
+            c = counts[hour_us]
+            cum += n * c - tot
+            runmin = min(runmin, cum)
+            runmax = max(runmax, cum)
+            s_pos = cum - runmin
+            s_neg = runmax - cum
+            rows.append(
+                (
+                    hour_us,
+                    c,
+                    s_pos,
+                    s_neg,
+                    s_pos > alert_factor * tot,
+                    s_neg > alert_factor * tot,
+                )
+            )
+        state.update((cum, runmin, runmax))
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "event_type": [event_type] * len(rows),
+                    "hour": [pd.Timestamp(h, unit="us") for h, *_ in rows],
+                    "n_events": [r[1] for r in rows],
+                    "cusum_pos": [r[2] for r in rows],
+                    "cusum_neg": [r[3] for r in rows],
+                    "alert_pos": [r[4] for r in rows],
+                    "alert_neg": [r[5] for r in rows],
+                }
+            )
+
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .select("event_type", "ts")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def purchases_with_recent_click_stream(stream: DataFrame) -> DataFrame:
     """Stream-stream inner join: each purchase joined to the same user's
     clicks in the preceding 30 minutes. Both sides are watermarked so the

@@ -8,6 +8,59 @@ import datetime as dt
 import tempfile
 
 
+def test_cusum_alert_state_spans_micro_batches(spark):
+    from datalakes_and_data_integration_spark.streaming.file_stream import (
+        cusum_alert_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def rows_for(hour, count):
+        return [("x", t0 + dt.timedelta(hours=hour, minutes=m)) for m in range(count)]
+
+    src = tempfile.mkdtemp(prefix="ca_src_")
+    # Baseline: n=4 hours, tot=8 events -> mean 2/hour; d = 4*c - 8.
+    # Batch 1: h0 c=1 (cum -4), h1 c=5 (cum 8).
+    spark.createDataFrame(
+        rows_for(0, 1) + rows_for(1, 5), ["event_type", "ts"]
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f1.parquet")
+    # Batch 2: h2 c=6 -> cum carried from batch 1 gives 8+16=24,
+    # s_pos = 24 - (-4) = 28 > 2*tot=16 -> alert. A fresh state would give
+    # s_pos=16, NOT an alert — so the assertion proves state survived.
+    spark.createDataFrame(
+        rows_for(2, 6) + rows_for(3, 1), ["event_type", "ts"]
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f2.parquet")
+
+    schema = "event_type string, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", True)
+        .parquet(src)
+    )
+    out = cusum_alert_stream(stream, {"x": (4, 8)})
+    ckpt = tempfile.mkdtemp(prefix="ca_ckpt_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ca_state_test")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.hour: (r.n_events, r.cusum_pos, r.cusum_neg, r.alert_pos)
+        for r in spark.table("ca_state_test").collect()
+    }
+    assert got == {
+        t0: (1, 0, 4, False),
+        t0 + dt.timedelta(hours=1): (5, 12, 0, False),
+        t0 + dt.timedelta(hours=2): (6, 28, 0, True),
+        t0 + dt.timedelta(hours=3): (1, 24, 4, True),
+    }
+
+
 def test_session_state_spans_micro_batches(spark):
     from datalakes_and_data_integration_spark.streaming.file_stream import (
         stateful_sessions_stream,

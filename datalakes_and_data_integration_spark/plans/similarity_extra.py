@@ -456,75 +456,87 @@ def _fx_term_sql(x: str, ms: str) -> str:
     )
 
 
-def _pq_oracle_blocks() -> str:
-    """Shared DuckDB CTE chain: unit vectors, subspace dims, md5-seeded
-    codebooks, _PQ_ITERS unrolled Lloyd iterations in the same int64
-    fixed-point arithmetic as _pq_tables, ending in `paf` (the final
-    per-(vec, subspace) distance/assignment relation: rn=1 rows are the
-    code table, all rows are the ADC distance tables)."""
+def _pq_prelude_sql() -> str:
+    """The shared oracle prelude: unit-normalized vectors, global subspace
+    dims relation, and the md5 seed ranking."""
     from datalakes_and_data_integration_spark.plans.similarity import (
         _norm2_duck,
     )
 
+    return f"""
+    normd AS MATERIALIZED (
+      SELECT vec_id, embedding, sqrt({_norm2_duck('embedding')}) AS nrm
+      FROM embeddings
+    ),
+    unit AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS arr
+      FROM normd
+    ),
+    sdims AS MATERIALIZED (
+      SELECT vec_id, (i - 1) // {_PQ_SUBDIM} AS m, i, arr[i] AS x
+      FROM unit, range(1, {_PQ_M * _PQ_SUBDIM} + 1) r(i)
+    ),
+    sranks AS MATERIALIZED (
+      SELECT vec_id,
+             row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+      FROM embeddings
+      QUALIFY code < {_PQ_K}
+    )"""
+
+
+def _pq_oracle_blocks(dims: str = "sdims", prefix: str = "") -> str:
+    """Shared DuckDB CTE chain: unit vectors, subspace dims, md5-seeded
+    codebooks, _PQ_ITERS unrolled Lloyd iterations in the same int64
+    fixed-point arithmetic as _pq_tables, ending in `{prefix}paf` (the
+    final per-(vec, subspace) distance/assignment relation: rn=1 rows are
+    the code table, all rows are the ADC distance tables). ``dims`` names
+    the (vec_id, m, i, x) relation the codebooks train on — ``sdims``
+    (raw unit subvectors) for PQ/IVFADC, a residual relation for the
+    residual-PQ variant; with a non-default ``dims`` the caller supplies
+    unit/sdims/sranks itself and ``prefix`` keeps CTE names disjoint."""
+
     def passign(name: str, cb: str) -> str:
         return f"""
-    {name} AS (
+    {name} AS MATERIALIZED (
       SELECT vec_id, m, code, dist,
              row_number() OVER (PARTITION BY vec_id, m
                                 ORDER BY dist, code) AS rn
       FROM (
         SELECT v.vec_id, v.m, c.code,
                sum({_fx_term_sql('v.x', 'c.ms')}) AS dist
-        FROM sdims v JOIN {cb} c ON c.m = v.m AND c.i = v.i
+        FROM {dims} v JOIN {cb} c ON c.m = v.m AND c.i = v.i
         GROUP BY v.vec_id, v.m, c.code
       )
     )"""
 
-    blocks = [
-        f"""
-    normd AS (
-      SELECT vec_id, embedding, sqrt({_norm2_duck('embedding')}) AS nrm
-      FROM embeddings
-    ),
-    unit AS (
-      SELECT vec_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS arr
-      FROM normd
-    ),
-    sdims AS (
-      SELECT vec_id, (i - 1) // {_PQ_SUBDIM} AS m, i, arr[i] AS x
-      FROM unit, range(1, {_PQ_M * _PQ_SUBDIM} + 1) r(i)
-    ),
-    sranks AS (
-      SELECT vec_id,
-             row_number() OVER (
-               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
-      FROM embeddings
-      QUALIFY code < {_PQ_K}
-    ),
-    cb0 AS (
+    blocks = []
+    if dims == "sdims":
+        blocks.append(_pq_prelude_sql())
+    blocks.append(f"""
+    {prefix}cb0 AS MATERIALIZED (
       SELECT d.m, s.code, d.i, CAST(floor(d.x * {_FX_C}) AS BIGINT) AS ms
-      FROM sranks s JOIN sdims d ON d.vec_id = s.vec_id
-    )"""
-    ]
+      FROM sranks s JOIN {dims} d ON d.vec_id = s.vec_id
+    )""")
     for t in range(1, _PQ_ITERS + 1):
-        blocks.append(passign(f"pa{t}", f"cb{t - 1}"))
+        blocks.append(passign(f"{prefix}pa{t}", f"{prefix}cb{t - 1}"))
         blocks.append(f"""
-    cb{t} AS (
+    {prefix}cb{t} AS MATERIALIZED (
       SELECT p.m, p.code, p.i,
              coalesce(CAST(floor(CAST(s.sv AS DOUBLE) / s.n) AS BIGINT),
                       p.ms) AS ms
-      FROM cb{t - 1} p
+      FROM {prefix}cb{t - 1} p
       LEFT JOIN (
         SELECT a.m, a.code, v.i,
                sum(CAST(floor(v.x * {_FX_C}) AS BIGINT)) AS sv,
                count(*) AS n
-        FROM (SELECT vec_id, m, code FROM pa{t} WHERE rn = 1) a
-        JOIN sdims v ON v.vec_id = a.vec_id AND v.m = a.m
+        FROM (SELECT vec_id, m, code FROM {prefix}pa{t} WHERE rn = 1) a
+        JOIN {dims} v ON v.vec_id = a.vec_id AND v.m = a.m
         GROUP BY a.m, a.code, v.i
       ) s ON s.m = p.m AND s.code = p.code AND s.i = p.i
     )""")
-    blocks.append(passign("paf", f"cb{_PQ_ITERS}"))
+    blocks.append(passign(f"{prefix}paf", f"{prefix}cb{_PQ_ITERS}"))
     return ",".join(blocks)
 
 
@@ -578,10 +590,16 @@ def _pq_oracle() -> str:
     """
 
 
-def _ivfadc_oracle() -> str:
+def _coarse_cte_blocks() -> list[str]:
+    """The coarse k-means CTE chain (crank, cc0..ccN, ca1..caN, caf) over
+    the `sdims` relation — shared by the IVFADC oracle and the residual-PQ
+    oracle. ``caf`` is the final per-(vec, cluster) assignment relation
+    (rn = 1 is the primary list) and ``cc{_IVFADC_ITERS}`` the final
+    centroid table."""
+
     def cassign(name: str, cents: str) -> str:
         return f"""
-    {name} AS (
+    {name} AS MATERIALIZED (
       SELECT vec_id, cluster,
              row_number() OVER (PARTITION BY vec_id
                                 ORDER BY dist, cluster) AS rn
@@ -595,14 +613,14 @@ def _ivfadc_oracle() -> str:
 
     coarse = [
         f"""
-    crank AS (
+    crank AS MATERIALIZED (
       SELECT vec_id,
              row_number() OVER (
                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster
       FROM embeddings
       QUALIFY cluster < {_IVFADC_K}
     ),
-    cc0 AS (
+    cc0 AS MATERIALIZED (
       SELECT s.cluster, d.i, CAST(floor(d.x * {_FX_C}) AS BIGINT) AS ms
       FROM crank s JOIN sdims d ON d.vec_id = s.vec_id
     )"""
@@ -610,7 +628,7 @@ def _ivfadc_oracle() -> str:
     for t in range(1, _IVFADC_ITERS + 1):
         coarse.append(cassign(f"ca{t}", f"cc{t - 1}"))
         coarse.append(f"""
-    cc{t} AS (
+    cc{t} AS MATERIALIZED (
       SELECT p.cluster, p.i,
              coalesce(CAST(floor(CAST(s.sv AS DOUBLE) / s.n) AS BIGINT),
                       p.ms) AS ms
@@ -625,6 +643,11 @@ def _ivfadc_oracle() -> str:
       ) s ON s.cluster = p.cluster AND s.i = p.i
     )""")
     coarse.append(cassign("caf", f"cc{_IVFADC_ITERS}"))
+    return coarse
+
+
+def _ivfadc_oracle() -> str:
+    coarse = _coarse_cte_blocks()
     return f"""
     WITH {_pq_oracle_blocks()},{",".join(coarse)},
     cand AS (
@@ -677,32 +700,43 @@ def _unit_vectors(spark, sf_dir):
     )
 
 
-def _pq_tables(unit):
-    """Train the codebooks and emit (codes, qdist): the corpus code table
-    and the per-query ADC distance tables. Shared by ann_topk_pq (codes
-    scored against the whole corpus) and ann_topk_ivfadc (codes scored
-    only inside probed IVF lists)."""
+def _subspace_rows(vecframe, arr_col: str = "arr", extra: tuple = ()):
+    """(vec_id, *extra, m, sub): one row per vector per subspace."""
     from pyspark.sql import functions as F
 
-    # (vec_id, m, sub): one row per vector per subspace.
-    subrows = unit.select(
+    return vecframe.select(
         "vec_id",
+        *extra,
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {_PQ_M - 1}), "
-                f"m -> slice(arr, m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}))"
+                f"m -> slice({arr_col}, m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}))"
             )
         ).alias("m", "sub"),
-    ).persist()
+    )
+
+
+def _pq_train(vecframe, arr_col: str = "arr"):
+    """Train the PQ codebooks on ``vecframe``'s (vec_id, <arr_col>)
+    subvectors — raw unit vectors for PQ/IVFADC, primary-centroid
+    residuals for the residual variant. Returns ``(subrows, assign)``:
+    the persisted training subspace rows and the closure that scores ANY
+    (…, m, sub) frame against the trained codebooks (adds ``d``, the
+    K-element fixed-point distance array, and ``code``, its argmin)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    subrows = _subspace_rows(vecframe, arr_col).persist()
 
     # Deterministic init: the K smallest-md5 vectors seed every subspace
     # with their own subvectors (fixed-point quantized).
-    import math
-
     cscale = float(_FX_C)
     seeds = (
-        unit.select(
-            "vec_id", "arr", F.md5(F.col("vec_id").cast("string")).alias("h")
+        vecframe.select(
+            "vec_id",
+            F.col(arr_col).alias("arr"),
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
         )
         .orderBy("h", "vec_id")
         .limit(_PQ_K)
@@ -719,18 +753,21 @@ def _pq_tables(unit):
         for m in range(_PQ_M)
     ]
 
-    def assign(df):
-        dists = F.array(
-            *[F.expr(_pq_dist_expr(centroids, k)) for k in range(_PQ_K)]
-        )
-        return df.withColumn("d", dists).withColumn(
-            "code",
-            F.expr("CAST(array_position(d, array_min(d)) - 1 AS INT)"),
-        )
+    def mk_assign(cents):
+        def assign(df):
+            dists = F.array(
+                *[F.expr(_pq_dist_expr(cents, k)) for k in range(_PQ_K)]
+            )
+            return df.withColumn("d", dists).withColumn(
+                "code",
+                F.expr("CAST(array_position(d, array_min(d)) - 1 AS INT)"),
+            )
+
+        return assign
 
     for _ in range(_PQ_ITERS):
         means = (
-            assign(subrows)
+            mk_assign(centroids)(subrows)
             .groupBy("m", "code")
             .agg(
                 F.count("*").alias("n"),
@@ -754,6 +791,18 @@ def _pq_tables(unit):
             [by_key.get((m, k), centroids[m][k]) for k in range(_PQ_K)]
             for m in range(_PQ_M)
         ]
+
+    return subrows, mk_assign(centroids)
+
+
+def _pq_tables(unit):
+    """Train the codebooks and emit (codes, qdist): the corpus code table
+    and the per-query ADC distance tables. Shared by ann_topk_pq (codes
+    scored against the whole corpus) and ann_topk_ivfadc (codes scored
+    only inside probed IVF lists)."""
+    from pyspark.sql import functions as F
+
+    subrows, assign = _pq_train(unit)
 
     # Corpus side: the code table (what a 100 TB deployment stores).
     codes = assign(subrows).select(
@@ -877,7 +926,7 @@ _IVFADC_PROBE = 6  # lists probed per query
 _IVFADC_REP = 3  # lists each corpus vector is assigned to
 
 
-def _coarse_lists(unit):
+def _coarse_lists(unit, probe: int = _IVFADC_PROBE):
     """Deterministic k-means over the unit vectors; returns a frame with
     per-vector probe_lists (query side) and rep_lists (corpus side) —
     the ann_topk_ivf shape, re-expressed over the normalized `arr`."""
@@ -919,7 +968,7 @@ def _coarse_lists(unit):
             .withColumn(
                 "probe_lists",
                 F.expr(
-                    f"transform(slice({ranked}, 1, {_IVFADC_PROBE}), "
+                    f"transform(slice({ranked}, 1, {probe}), "
                     f"x -> CAST(x['1'] AS INT))"
                 ),
             )
@@ -954,7 +1003,7 @@ def _coarse_lists(unit):
         centroids = [
             by_id.get(k, centroids[k]) for k in range(_IVFADC_K)
         ]
-    return assign(unit)
+    return assign(unit), centroids
 
 
 @register(
@@ -981,7 +1030,7 @@ def ann_topk_ivfadc(spark, sf_dir):
     from pyspark.sql import functions as F
 
     unit = _unit_vectors(spark, sf_dir).persist()
-    lists = _coarse_lists(unit).persist()
+    lists = _coarse_lists(unit)[0].persist()
     qside = lists.select(
         F.col("vec_id").alias("q_id"), F.explode("probe_lists").alias("cluster")
     )
@@ -1000,6 +1049,190 @@ def ann_topk_ivfadc(spark, sf_dir):
     adc = (
         cand.join(codes, "n_id")
         .join(qdist, ["q_id", "m", "code"])
+        .groupBy("q_id", "n_id")
+        # int64 fixed-point d2: exact order-independent sum.
+        .agg(F.sum("d2").alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "n_id")
+    shortlist = (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PQ_SHORTLIST)
+        .select("q_id", "n_id")
+    )
+    return _exact_rerank(unit, shortlist, _PQ_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Residual PQ (IVFADC-residual): the refinement the ann_topk_ivfadc
+# docstring promises. The corpus is stored ONCE, in its primary coarse
+# list (faiss's actual layout — the plain IVFADC above multi-assigns for
+# recall), and the PQ codebooks quantize the RESIDUAL vector-minus-
+# coarse-centroid instead of the raw vector: residuals concentrate near
+# zero, so the same 8x16 codebook spends its codewords on the part of
+# the signal the coarse quantizer didn't explain. Queries compute one
+# ADC table per probed list from the query's residual against THAT
+# list's centroid — the pair (q, x) is scored as
+# ||(q - c_l) - pq(x - c_l)||^2 with l = x's primary list.
+#
+# Every stage stays in the house int64 fixed point (residual doubles are
+# the same IEEE subtraction on both engines), so the FULL two-quantizer
+# residual pipeline carries a DuckDB oracle, training included.
+# ---------------------------------------------------------------------------
+
+
+_RES_PROBE = 10  # probed lists per query (single-assignment corpus needs
+# more probes than the REP=3 multi-assign IVFADC; measured recall@5:
+# probe 6 -> 0.73, 8 -> 0.80, 10 -> 0.86 at sf0.001)
+
+
+def _cent_case_expr(centroids: list[list[int]], col: str) -> str:
+    """CASE <cluster> -> fixed-point centroid array literal."""
+    branches = " ".join(
+        "WHEN {k} THEN array({lits})".format(
+            k=k, lits=", ".join(f"{v}L" for v in centroids[k])
+        )
+        for k in range(len(centroids))
+    )
+    return f"CASE {col} {branches} END"
+
+
+def _ivfadc_residual_oracle() -> str:
+    coarse = _coarse_cte_blocks()
+    ccf = f"cc{_IVFADC_ITERS}"
+    return f"""
+    WITH {_pq_prelude_sql()},{",".join(coarse)},
+    cprim AS MATERIALIZED (SELECT vec_id, cluster FROM caf WHERE rn = 1),
+    rdims AS MATERIALIZED (
+      SELECT s.vec_id, s.m, s.i,
+             s.x - CAST(c.ms AS DOUBLE) / {_FX_C} AS x
+      FROM sdims s
+      JOIN cprim p ON p.vec_id = s.vec_id
+      JOIN {ccf} c ON c.cluster = p.cluster AND c.i = s.i
+    ),
+    {_pq_oracle_blocks(dims="rdims", prefix="r")},
+    rcodes AS MATERIALIZED (
+      SELECT f.vec_id AS n_id, p.cluster, f.m, f.code
+      FROM rpaf f JOIN cprim p ON p.vec_id = f.vec_id
+      WHERE f.rn = 1
+    ),
+    qprobe AS MATERIALIZED (
+      SELECT vec_id AS q_id, cluster FROM caf WHERE rn <= {_RES_PROBE}
+    ),
+    qrdims AS MATERIALIZED (
+      SELECT q.q_id, q.cluster, s.m, s.i,
+             s.x - CAST(c.ms AS DOUBLE) / {_FX_C} AS x
+      FROM qprobe q
+      JOIN sdims s ON s.vec_id = q.q_id
+      JOIN {ccf} c ON c.cluster = q.cluster AND c.i = s.i
+    ),
+    qtab AS MATERIALIZED (
+      SELECT d.q_id, d.cluster, d.m, c.code,
+             sum({_fx_term_sql('d.x', 'c.ms')}) AS d2
+      FROM qrdims d
+      JOIN rcb{_PQ_ITERS} c ON c.m = d.m AND c.i = d.i
+      GROUP BY d.q_id, d.cluster, d.m, c.code
+    ),
+    adc AS (
+      SELECT t.q_id, c.n_id, sum(t.d2) AS adc_dist
+      FROM rcodes c
+      JOIN qtab t ON t.cluster = c.cluster AND t.m = c.m
+                 AND t.code = c.code
+      WHERE t.q_id <> c.n_id
+      GROUP BY t.q_id, c.n_id
+    ),
+    short AS (
+      SELECT q_id, n_id FROM (
+        SELECT q_id, n_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adc_dist, n_id) AS srn
+        FROM adc
+      ) WHERE srn <= {_PQ_SHORTLIST}
+    ),
+    {_rerank_sql('short')}
+    """
+
+
+@register(
+    "ann_topk_ivfadc_residual",
+    oracle=_ivfadc_residual_oracle(),
+    description=f"Residual-PQ IVFADC (the faiss storage layout): each "
+    f"corpus vector lives in its ONE primary coarse list, PQ codebooks "
+    f"({_PQ_M}x{_PQ_K}) are trained on vector-minus-primary-centroid "
+    f"residuals (codewords model what the coarse quantizer missed), and "
+    f"each query builds one ADC table per probed list ({_RES_PROBE} "
+    f"of {_IVFADC_K}) from its residual against that list's centroid — "
+    "scoring (q, x) as ||(q - c_l) - pq(x - c_l)||^2 for x's own list l. "
+    "Both k-means stages run in int64 fixed point, so even the residual "
+    "double subtraction is bit-identical cross-engine and the full "
+    "two-quantizer pipeline (training included) is oracle-checked. ADC "
+    "shortlist + exact re-rank as in ann_topk_pq; single-assignment "
+    "storage means the candidate join shuffles (list, code) id rows "
+    "once per corpus vector, not per replica — the 100 TB memory story "
+    "(1 byte/subspace/vector + one list id) with recall pinned by "
+    "tests/test_ivf_recall.py.",
+    tags=("similarity", "ann", "ivf", "pq", "residual", "compression",
+          "llm-pipeline"),
+)
+def ann_topk_ivfadc_residual(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    unit = _unit_vectors(spark, sf_dir).persist()
+    lists, ccents = _coarse_lists(unit, probe=_RES_PROBE)
+    lists = lists.persist()
+
+    def residual(df, cluster_col):
+        cent = _cent_case_expr(ccents, cluster_col)
+        return F.expr(
+            f"zip_with(arr, {cent}, "
+            f"(x, c) -> x - CAST(c AS DOUBLE) / {_FX_C})"
+        )
+
+    # Corpus side: residual w.r.t. the PRIMARY centroid, PQ-trained.
+    res = lists.select(
+        "vec_id", "cluster", residual(lists, "cluster").alias("res")
+    )
+    subrows, assign = _pq_train(res, arr_col="res")
+    codes = (
+        assign(subrows)
+        .select(F.col("vec_id").alias("n_id"), "m", "code")
+        .join(
+            lists.select(F.col("vec_id").alias("n_id"), "cluster"), "n_id"
+        )
+    )
+    # Query side: one residual (and one ADC table) per probed list.
+    qprobe = lists.select(
+        F.col("vec_id").alias("q_id"),
+        "arr",
+        F.explode("probe_lists").alias("cluster"),
+    )
+    qres = qprobe.select(
+        "q_id", "cluster", residual(qprobe, "cluster").alias("res")
+    )
+    qsub = qres.select(
+        "q_id",
+        "cluster",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}), "
+                f"m -> slice(res, m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}))"
+            )
+        ).alias("m", "sub"),
+    )
+    qtab = (
+        assign(qsub)
+        .select("q_id", "cluster", "m", F.posexplode("d"))
+        .select(
+            "q_id",
+            "cluster",
+            "m",
+            F.col("pos").cast("int").alias("code"),
+            F.col("col").alias("d2"),
+        )
+    )
+    adc = (
+        qtab.join(codes, ["cluster", "m", "code"])
+        .filter(F.col("q_id") != F.col("n_id"))
         .groupBy("q_id", "n_id")
         # int64 fixed-point d2: exact order-independent sum.
         .agg(F.sum("d2").alias("adc_dist"))

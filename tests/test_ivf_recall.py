@@ -55,6 +55,26 @@ def test_pq_rerank_recall(spark, queries=None):
     assert sum(recalls) / len(recalls) >= 0.8
 
 
+def test_ivfadc_residual_recall(spark):
+    """Residual-PQ IVFADC (single-assignment storage, nprobe=10) keeps
+    mean recall@5 >= 0.8 (measured 0.855) — close to the REP=3
+    multi-assign variant at a third of the code-table size."""
+    from datalakes_and_data_integration_spark.plans import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    got: dict[int, set] = {}
+    for r in qs["ann_topk_ivfadc_residual"](spark, sf).collect():
+        got.setdefault(r.q_id, set()).add(r.n_id)
+    exact: dict[int, set] = {}
+    for r in qs["ann_topk_bruteforce"](spark, sf).collect():
+        exact.setdefault(r[0], set()).add(r[1])
+    recalls = [
+        len(got.get(q, set()) & exact[q]) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8
+
+
 def test_ivfadc_recall(spark):
     """IVFADC (coarse lists -> PQ-ADC -> exact rerank) keeps mean
     recall@5 >= 0.8 while never ADC-scoring outside the probed lists

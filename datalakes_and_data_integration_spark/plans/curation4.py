@@ -369,3 +369,138 @@ def bpe_encode_token_stats(spark, sf_dir):
         .cast("double")
         .alias("compression_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid (Rocchio) classifier evaluation. The centroid family
+# (label_centroids / label_centroid_distances) measures geometry; this
+# query closes the loop into a classifier eval: train per-label centroids
+# on the deterministic md5 80% split, assign each held-out vector to its
+# nearest centroid, report the confusion matrix.
+#
+# Exactness: centroids in the IVF fixed-point recipe (per-dim
+# floor(sum(floor(x*1e9))/n) int64), distances as the house fx_term sums,
+# argmin with label tiebreak — every comparison is int64, so both engines
+# classify identically. Unlike the k-means queries there is NO driver
+# literal: centroids stay a 10x64-row frame, the whole eval is joins.
+#
+# Scale: the centroid table is dim-sized (broadcast); the test-side join
+# fans each held-out vector out to 64*10 term rows, and the one real
+# shuffle is the (vec, label_pred) distance sum with map-side combine.
+# ---------------------------------------------------------------------------
+
+
+def _ncc_split_duck() -> tuple[str, str]:
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_sql_duck,
+    )
+
+    bucket = f"({hash60_sql_duck('CAST(vec_id AS VARCHAR)', seed=7)} % 100)"
+    return f"{bucket} < 80", f"{bucket} >= 90"
+
+
+def _ncc_split_spark() -> tuple[str, str]:
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_sql_spark,
+    )
+
+    bucket = f"({hash60_sql_spark('CAST(vec_id AS STRING)', seed=7)} % 100)"
+    return f"{bucket} < 80", f"{bucket} >= 90"
+
+
+_NCC_FXC = "1e9"
+
+
+def _ncc_fx_term(x: str, ms: str) -> str:
+    """Identical text on both engines: int64 squared-difference term."""
+    return (
+        f"CAST(floor(({x} - CAST({ms} AS DOUBLE)/{_NCC_FXC}) "
+        f"* ({x} - CAST({ms} AS DOUBLE)/{_NCC_FXC}) * 1e12) AS BIGINT)"
+    )
+
+
+def _ncc_oracle() -> str:
+    train_pred, test_pred = _ncc_split_duck()
+    return f"""
+    WITH dims AS MATERIALIZED (
+      SELECT vec_id, label, d.i AS i, CAST(embedding[d.i] AS DOUBLE) AS x
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) d
+    ),
+    cent AS MATERIALIZED (
+      SELECT label AS label_pred, i,
+             CAST(floor(CAST(sum(CAST(floor(x * {_NCC_FXC}) AS BIGINT))
+                             AS DOUBLE) / count(*)) AS BIGINT) AS ms
+      FROM dims WHERE {train_pred}
+      GROUP BY label, i
+    ),
+    test AS (
+      SELECT vec_id, label AS label_true, i, x
+      FROM dims WHERE {test_pred}
+    ),
+    dist AS (
+      SELECT t.vec_id, t.label_true, c.label_pred,
+             sum({_ncc_fx_term('t.x', 'c.ms')}) AS d2
+      FROM test t JOIN cent c ON c.i = t.i
+      GROUP BY t.vec_id, t.label_true, c.label_pred
+    ),
+    assigned AS (
+      SELECT vec_id, label_true, label_pred,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d2, label_pred) AS rn
+      FROM dist
+    )
+    SELECT label_true, label_pred, count(*) AS n
+    FROM assigned WHERE rn = 1
+    GROUP BY label_true, label_pred
+    """
+
+
+@register(
+    "centroid_classifier_eval",
+    oracle=_ncc_oracle(),
+    description="Nearest-centroid (Rocchio) classifier eval: per-label "
+    "centroids trained on the deterministic md5 80% split in the IVF "
+    "int64 fixed-point recipe, each held-out (>=90 bucket) vector "
+    "assigned to its nearest centroid by exact int64 distance sums "
+    "(label tiebreak), reported as a confusion matrix. No driver "
+    "literals — centroids stay a dim-sized frame (broadcast join) and "
+    "the eval is one fan-out join plus one map-side-combined shuffle; "
+    "the class-separability baseline every embedding pipeline reports "
+    "before reaching for a trained head (compare logreg_confusion).",
+    tags=("ml", "embedding", "classifier", "evaluation", "llm-pipeline"),
+)
+def centroid_classifier_eval(spark, sf_dir):
+    train_pred, test_pred = _ncc_split_spark()
+    e = T(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        ).alias("p", "x"),
+    ).select("vec_id", "label", (F.col("p") + 1).alias("i"), "x")
+    cent = (
+        dims.where(train_pred)
+        .groupBy(F.col("label").alias("label_pred"), "i")
+        .agg(
+            F.expr(
+                f"CAST(floor(CAST(sum(CAST(floor(x * {_NCC_FXC}) AS "
+                f"BIGINT)) AS DOUBLE) / count(*)) AS BIGINT)"
+            ).alias("ms")
+        )
+    )
+    test = dims.where(test_pred).select(
+        "vec_id", F.col("label").alias("label_true"), "i", "x"
+    )
+    dist = (
+        test.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "label_true", "label_pred")
+        .agg(F.sum(F.expr(_ncc_fx_term("x", "ms"))).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "label_pred")
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("label_true", "label_pred")
+        .agg(F.count("*").alias("n"))
+    )

@@ -567,3 +567,95 @@ def logreg_multihead_weights(spark, sf_dir):
         .cast("double")
         .alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Calibration bins: the reliability-diagram evidence for using the trained
+# quality classifier as a sampling weight (CCNet-style pipelines keep
+# documents proportionally to classifier score — miscalibrated scores
+# silently skew the corpus). Held-out logits are bucketed by floor(z)
+# (clamped to [-4, 3]); because z is a fixed-order double chain, both
+# engines compute bit-identical logits and therefore identical bins —
+# the whole report is integer counts plus one decimal-routed rate.
+# ---------------------------------------------------------------------------
+
+
+def _calibration_oracle() -> str:
+    train_pred, test_pred = _split_pred_duck()
+    base = _logreg_oracle()
+    base = base.replace(
+        "FROM embeddings\n    )",
+        f"FROM embeddings\n      WHERE {train_pred}\n    )",
+        1,
+    )
+    with_block = base[: base.rindex("SELECT dim")]
+    pivot_cols = ", ".join(
+        f"max(CASE WHEN dim = {j} THEN w END) AS w{j}" for j in range(_DIM)
+    )
+    return (
+        with_block
+        + f""", wrowF AS (
+      SELECT {pivot_cols}, any_value(b) AS b FROM w{_ITERS}
+    ),
+    test_rows AS (
+      SELECT vec_id, CAST(label = {_POS_LABEL} AS INT) AS y, embedding AS emb
+      FROM embeddings
+      WHERE {test_pred}
+    ),
+    scored AS (
+      SELECT y, ({_oracle_z_chain("wrowF")}) AS z
+      FROM test_rows CROSS JOIN wrowF
+    )
+    SELECT CAST(greatest(least(floor(1000.0 * z), 7), -8) AS BIGINT) AS z_bin,
+           count(*) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST(ROUND(CAST(CAST(sum(y) AS DOUBLE) / count(*)
+                           AS DECIMAL(27,12)), 6) AS DOUBLE) AS pos_rate
+    FROM scored GROUP BY 1
+    """
+    )
+
+
+@register(
+    "logreg_calibration_bins",
+    oracle=_calibration_oracle(),
+    description="Reliability diagram of the held-out classifier scores: "
+    "train on the md5 80% split, bucket the disjoint 10% split's logits "
+    "by floor(1000z) (milli-logit bins, sized to the 3-iteration weight "
+    "scale) clamped to [-8, 7], report per-bin count, positives, and "
+    "decimal-routed positive rate. The logit is the same fixed-order "
+    "double chain as the trainer, so bin membership is bit-identical "
+    "cross-engine; the score-as-sampling-weight sanity check a "
+    "CCNet-style quality-filtering pipeline publishes. One filtered scan "
+    "+ an 8-cell aggregate on top of the shared training iterations.",
+    tags=("ml", "evaluation", "calibration", "llm-pipeline"),
+)
+def logreg_calibration_bins(spark, sf_dir):
+    train_pred, test_pred = _split_pred_spark()
+    e, w, b = _train(spark, sf_dir, where=train_pred)
+    test = T(spark, sf_dir, "embeddings").where(test_pred).select(
+        "embedding",
+        (F.col("label") == _POS_LABEL).cast("int").alias("y"),
+    )
+    z = F.expr(_spark_z_chain(w, b))
+    return (
+        test.select(
+            "y",
+            F.greatest(F.least(F.floor(F.lit(1000.0) * z), F.lit(7)), F.lit(-8))
+            .cast("long")
+            .alias("z_bin"),
+        )
+        .groupBy("z_bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.round(
+                (F.sum("y").cast("double") / F.count("*")).cast(
+                    "decimal(27,12)"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("pos_rate"),
+        )
+    )

@@ -1387,3 +1387,122 @@ def session_window_native(spark, sf_dir):
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend filter (double exponential smoothing) over the hourly
+# value series per event type, with a one-step-ahead forecast. The Holt
+# recursion
+#     l_t = a*x_t + (1-a)*(l_{t-1} + b_{t-1})
+#     b_t = g*(l_t - l_{t-1}) + (1-g)*b_{t-1}
+# is linear, so level and trend are fixed linear filters of the series:
+# the lag-j coefficients are the recursion's impulse response, computed
+# once at plan-build time in Python and baked as identical float literals
+# into both engines (the ewma_smoothing recipe, extended with a trend
+# state). We keep _HOLT_LAGS terms (impulse response decays geometrically)
+# and emit only rows with a full lag window, so the sum is one fixed-order
+# chain of lag() terms — bit-identical doubles, no recursion, no state.
+#
+# Scale: one hourly pre-aggregate (map-side combined, decimal-exact),
+# one window shuffle on event_type over the tiny hourly series.
+# ---------------------------------------------------------------------------
+
+_HOLT_ALPHA = 0.5
+_HOLT_GAMMA = 0.3
+_HOLT_LAGS = 20
+
+
+def _holt_weights() -> tuple[list[float], list[float]]:
+    """Impulse response of the Holt recursion: run it on x = (1, 0, 0, …)
+    with zero initial state; by linearity + time-invariance, l_t and b_t
+    depend on x_{t-j} with exactly these coefficients."""
+    a, g = _HOLT_ALPHA, _HOLT_GAMMA
+    wl, wb = [], []
+    l_prev = b_prev = 0.0
+    for j in range(_HOLT_LAGS):
+        x = 1.0 if j == 0 else 0.0
+        level = a * x + (1 - a) * (l_prev + b_prev)
+        trend = g * (level - l_prev) + (1 - g) * b_prev
+        wl.append(level)
+        wb.append(trend)
+        l_prev, b_prev = level, trend
+    return wl, wb
+
+
+def _holt_oracle() -> str:
+    wl, wb = _holt_weights()
+    lev = " + ".join(
+        f"({w!r} * lag(h, {j}) OVER w)" for j, w in enumerate(wl)
+    )
+    tre = " + ".join(
+        f"({w!r} * lag(h, {j}) OVER w)" for j, w in enumerate(wb)
+    )
+    return f"""
+    WITH hourly AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS h
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    filt AS (
+      SELECT event_type, hour,
+             row_number() OVER w AS rn,
+             ({lev}) AS level_raw,
+             ({tre}) AS trend_raw
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+    )
+    SELECT event_type, hour,
+           round(level_raw, 6) AS holt_level,
+           round(trend_raw, 6) AS holt_trend,
+           round(level_raw + trend_raw, 6) AS forecast_next_hour
+    FROM filt WHERE rn >= {_HOLT_LAGS}
+    """
+
+
+@register(
+    "holt_linear_forecast",
+    oracle=_holt_oracle(),
+    description=f"Holt double-exponential smoothing (alpha={_HOLT_ALPHA}, "
+    f"gamma={_HOLT_GAMMA}) per event type over the decimal-exact hourly "
+    f"value series: level and trend as {_HOLT_LAGS}-term linear filters "
+    "whose lag coefficients are the recursion's impulse response (computed "
+    "at plan-build time, baked as identical literals into both engines — "
+    "the ewma recipe extended with a trend state), plus the one-step "
+    "forecast level+trend. Full-window rows only, so the chain needs no "
+    "head renormalization. One map-side-combined hourly aggregate + one "
+    "window shuffle per type; each key's series filters independently at "
+    "any scale.",
+    tags=("window", "timeseries", "forecast", "smoothing"),
+)
+def holt_linear_forecast(spark, sf_dir):
+    wl, wb = _holt_weights()
+    ev = T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.sum(dec("value", 18, 6)).cast("double").alias("h"))
+    w = Window.partitionBy("event_type").orderBy("hour")
+    lags = [F.lag("h", j).over(w) for j in range(_HOLT_LAGS)]
+    lev = None
+    tre = None
+    for lj, cl, cb in zip(lags, wl, wb):
+        lterm = F.lit(cl) * lj
+        bterm = F.lit(cb) * lj
+        lev = lterm if lev is None else lev + lterm
+        tre = bterm if tre is None else tre + bterm
+    filt = hourly.select(
+        "event_type",
+        "hour",
+        F.row_number().over(w).alias("rn"),
+        lev.alias("level_raw"),
+        tre.alias("trend_raw"),
+    ).filter(F.col("rn") >= _HOLT_LAGS)
+    return filt.select(
+        "event_type",
+        "hour",
+        F.round("level_raw", 6).alias("holt_level"),
+        F.round("trend_raw", 6).alias("holt_trend"),
+        F.round(F.col("level_raw") + F.col("trend_raw"), 6).alias(
+            "forecast_next_hour"
+        ),
+    )

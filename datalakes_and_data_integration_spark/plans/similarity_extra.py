@@ -1020,8 +1020,8 @@ def _coarse_lists(unit, probe: int = _IVFADC_PROBE):
     "pairs). Composes the registered coarse quantizer and the "
     "ann_topk_pq codebooks unchanged — the composition is three "
     "DataFrame stages, no new kernel. Codebooks quantize raw unit "
-    "vectors (residual-PQ, the next refinement, would quantize "
-    "vector-minus-centroid). Mean recall@5 pinned by "
+    "vectors; ann_topk_ivfadc_residual is the refinement that "
+    "quantizes vector-minus-centroid. Mean recall@5 pinned by "
     "tests/test_ivf_recall.py.",
     tags=("similarity", "ann", "ivf", "pq", "compression", "llm-pipeline"),
 )

@@ -359,6 +359,41 @@ def _streaming_cusum_oracle() -> str:
 
 
 @register(
+    "streaming_dedup_within_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    description="Streaming key-dedup with BOUNDED state: "
+    "dropDuplicatesWithinWatermark evicts per-key state once the "
+    "watermark passes last-seen + 2h — the state-TTL variant of "
+    "streaming_dedup_first_event, whose plain dropDuplicates state grows "
+    "forever on a continuous ingest. Run with Trigger.AvailableNow the "
+    "whole source is one micro-batch, state never expires mid-batch, and "
+    "the key-only projection equals DISTINCT keys (the oracle); the "
+    "cross-batch TTL semantics — duplicates extend expiry, keys re-emit "
+    "only after the lagged watermark passes expiry — are pinned by "
+    "tests/test_streaming_state.py.",
+    tags=("streaming", "dedup", "state-ttl", "llm-pipeline"),
+)
+def streaming_dedup_within_watermark(spark, sf_dir):
+    from datalakes_and_data_integration_spark.streaming import (
+        events_stream,
+        run_available_now,
+    )
+    from datalakes_and_data_integration_spark.streaming.file_stream import (
+        dedup_within_watermark_stream,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    return run_available_now(
+        dedup_within_watermark_stream(stream),
+        spark,
+        name="streaming_dedup_wwm_out",
+        output_mode="append",
+    )
+
+
+@register(
     "streaming_cusum_alerts",
     oracle="""
     WITH hourly AS (

@@ -117,6 +117,33 @@ def dedup_stream(stream: DataFrame) -> DataFrame:
     )
 
 
+def dedup_within_watermark_stream(
+    stream: DataFrame, delay: str = "2 hours"
+) -> DataFrame:
+    """Streaming key-dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes the key's last-seen event time plus ``delay`` — the
+    state-TTL answer to ``dedup_stream``'s forever-growing key set (the
+    operator a continuous 100 TB ingest needs; plain dropDuplicates state
+    is unbounded).
+
+    Semantics measured on this engine (pinned by
+    tests/test_streaming_state.py): a duplicate arriving while the key's
+    state is live is dropped AND extends the state's expiry; lookups
+    within a micro-batch see entries past expiry but not yet cleaned
+    (eviction runs against the watermark carried from the PREVIOUS
+    batch), so a key re-emits only after a later batch has advanced the
+    watermark past its expiry. Only the key columns are emitted, so the
+    registered AvailableNow single-batch form (state never expires
+    mid-batch) equals DISTINCT keys — the oracle."""
+    return (
+        stream.select("user_id", "event_type", "ts")
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
 def stateful_sessions_stream(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Custom stateful operator: gap-based sessionization with
     ``applyInPandasWithState`` — per-user session state survives across

@@ -61,6 +61,57 @@ def test_cusum_alert_state_spans_micro_batches(spark):
     }
 
 
+def test_dedup_within_watermark_state_ttl(spark):
+    """dropDuplicatesWithinWatermark TTL semantics, measured and pinned:
+    a live-state duplicate is dropped; eviction runs against the
+    watermark carried from the PREVIOUS batch (lookups see past-expiry
+    entries not yet cleaned); once a spacer batch advances the watermark
+    past a key's expiry, a later duplicate re-emits."""
+    from datalakes_and_data_integration_spark.streaming.file_stream import (
+        dedup_within_watermark_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    src = tempfile.mkdtemp(prefix="ddw_src_")
+    batches = [
+        # b0: first sight of (1, a); state expires at t0+2h.
+        ("f1", [(1, "a", t0)]),
+        # b1: advances the watermark to t0+98h (applied from b2 on).
+        ("f2", [(9, "x", t0 + dt.timedelta(hours=100))]),
+        # b2: runs with wm t0+98h -> end-of-batch eviction drops (1, a).
+        ("f3", [(8, "y", t0 + dt.timedelta(hours=100))]),
+        # b3: (1, a) again — state gone, so it must RE-emit.
+        ("f4", [(1, "a", t0 + dt.timedelta(hours=101))]),
+    ]
+    for fname, data in batches:
+        spark.createDataFrame(
+            data, ["user_id", "event_type", "ts"]
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/{fname}.parquet")
+    schema = "user_id bigint, event_type string, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", True)
+        .parquet(src)
+    )
+    ckpt = tempfile.mkdtemp(prefix="ddw_ckpt_")
+    q = (
+        dedup_within_watermark_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ddw_ttl_test")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.user_id, r.event_type)
+        for r in spark.table("ddw_ttl_test").collect()
+    )
+    assert got == [(1, "a"), (1, "a"), (8, "y"), (9, "x")]
+
+
 def test_session_state_spans_micro_batches(spark):
     from datalakes_and_data_integration_spark.streaming.file_stream import (
         stateful_sessions_stream,

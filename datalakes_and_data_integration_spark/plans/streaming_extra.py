@@ -359,6 +359,65 @@ def _streaming_cusum_oracle() -> str:
 
 
 @register(
+    "streaming_stream_stream_left_join",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS cid, user_id, ts AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    wm AS (
+      SELECT date_trunc('milliseconds',
+               least((SELECT max(cts) FROM c), (SELECT max(pts) FROM p)))
+             - INTERVAL 1 HOUR AS w
+    ),
+    lj AS (
+      SELECT p.pid, p.user_id, p.pts, c.cid, c.cts
+      FROM p LEFT JOIN c
+        ON c.user_id = p.user_id
+       AND c.cts >= p.pts - INTERVAL 30 MINUTE
+       AND c.cts < p.pts
+    )
+    SELECT pid AS purchase_id, user_id, pts AS purchase_ts,
+           cid AS click_id, cts AS click_ts
+    FROM lj, wm
+    WHERE cid IS NOT NULL OR pts < w
+    """,
+    description="Stream-stream LEFT OUTER interval join: purchases joined "
+    "to the same user's clicks in the preceding 30 minutes, plus "
+    "click-less purchases emitted once the watermark proves no match can "
+    "still arrive. The outer variant of streaming_stream_stream_join — "
+    "the part plain SQL cannot see: an unmatched row is emitted only "
+    "when the GLOBAL watermark (min of both sides' max event time, "
+    "ms-floored, minus the 1h delay) passes its event time, and rows "
+    "above the final watermark stay in state at end-of-replay. The "
+    "oracle encodes exactly that emission rule (verified row-identical "
+    "to the stream at sf0.001 and sf0.01 before registration); join "
+    "state stays bounded by the interval + watermark on both sides.",
+    tags=("streaming", "join", "outer", "watermark"),
+)
+def streaming_stream_stream_left_join(spark, sf_dir):
+    from datalakes_and_data_integration_spark.streaming import (
+        events_stream,
+        run_available_now,
+    )
+    from datalakes_and_data_integration_spark.streaming.file_stream import (
+        purchases_with_recent_click_stream,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    return run_available_now(
+        purchases_with_recent_click_stream(stream, how="left_outer"),
+        spark,
+        name="streaming_ss_left_join_out",
+        output_mode="append",
+    )
+
+
+@register(
     "streaming_dedup_within_watermark",
     oracle="""
     SELECT DISTINCT user_id, event_type FROM events

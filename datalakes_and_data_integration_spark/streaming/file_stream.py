@@ -319,11 +319,22 @@ def cusum_alert_stream(
     )
 
 
-def purchases_with_recent_click_stream(stream: DataFrame) -> DataFrame:
-    """Stream-stream inner join: each purchase joined to the same user's
-    clicks in the preceding 30 minutes. Both sides are watermarked so the
-    join state is bounded (clicks older than the interval + watermark are
-    evicted) — the canonical Structured Streaming interval join."""
+def purchases_with_recent_click_stream(
+    stream: DataFrame, how: str = "inner"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks in the preceding 30 minutes. Both sides are watermarked
+    so the join state is bounded (clicks older than the interval +
+    watermark are evicted) — the canonical Structured Streaming interval
+    join.
+
+    ``how="left_outer"`` additionally emits click-less purchases — but
+    only once the watermark proves no match can still arrive, i.e. when
+    the global watermark (min of both sides' max event time, ms-floored,
+    minus the 1h delay) passes the purchase's event time; purchases
+    above the final watermark stay in state unemitted at end-of-replay.
+    Measured emission rule (pinned by the registered oracle): unmatched
+    row emitted iff purchase_ts < final watermark."""
     clicks = (
         stream.filter(F.col("event_type") == "click")
         .select(
@@ -347,7 +358,7 @@ def purchases_with_recent_click_stream(stream: DataFrame) -> DataFrame:
         (F.col("p_user") == F.col("c_user"))
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES"))
         & (F.col("click_ts") < F.col("purchase_ts")),
-        "inner",
+        how,
     ).select(
         "purchase_id",
         F.col("p_user").alias("user_id"),

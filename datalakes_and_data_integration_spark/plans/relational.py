@@ -1517,3 +1517,113 @@ def discount_quantity_correlation(spark, sf_dir):
         "n",
         F.round(r.cast("decimal(27,12)"), 6).cast("double").alias("pearson_r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Full pairwise correlation matrix over the lineitem measures, from ONE
+# scan: all 14 moment sums (4 firsts, 4 squares, 6 cross-products) land in
+# a single map-side-combined global aggregate, and the 6 Pearson rows are
+# unpacked from that one row — the profiling matrix a warehouse publishes
+# without rescanning per pair. Decimal-routed sums keep every moment
+# order-independent (corr()'s streaming accumulator is not), same recipe
+# as discount_quantity_correlation.
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_matrix_oracle() -> str:
+    def ds(e, name):
+        return (
+            f"CAST(ROUND(sum(CAST({e} AS DECIMAL(27,12))), 6) AS DOUBLE)"
+            f" AS {name}"
+        )
+
+    cols = _CORR_COLS
+    singles = ", ".join(
+        ds(f"CAST({c} AS DOUBLE)", f"s{i}") for i, c in enumerate(cols)
+    )
+    squares = ", ".join(
+        ds(f"CAST({c} AS DOUBLE) * CAST({c} AS DOUBLE)", f"q{i}")
+        for i, c in enumerate(cols)
+    )
+    crosses = ", ".join(
+        ds(
+            f"CAST({cols[i]} AS DOUBLE) * CAST({cols[j]} AS DOUBLE)",
+            f"x{i}_{j}",
+        )
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    )
+    pair_rows = " UNION ALL ".join(
+        f"""SELECT '{cols[i]}' AS col_a, '{cols[j]}' AS col_b, n,
+        CAST(ROUND(CAST(
+          CASE WHEN (n * q{i} - s{i} * s{i}) > 0
+                AND (n * q{j} - s{j} * s{j}) > 0
+               THEN (n * x{i}_{j} - s{i} * s{j})
+                    / sqrt(n * q{i} - s{i} * s{i})
+                    / sqrt(n * q{j} - s{j} * s{j})
+          END AS DECIMAL(27,12)), 6) AS DOUBLE) AS pearson_r
+        FROM sums"""
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    )
+    return f"""
+    WITH sums AS (
+      SELECT count(*) AS n, {singles}, {squares}, {crosses}
+      FROM lineitem
+    )
+    {pair_rows}
+    """
+
+
+@register(
+    "lineitem_correlation_matrix",
+    oracle=_corr_matrix_oracle(),
+    description="Pairwise Pearson correlation matrix over the four "
+    "lineitem measures from ONE scan: 14 decimal-routed moment sums in a "
+    "single map-side-combined global aggregate, the 6 pair rows unpacked "
+    "from that one row (no per-pair rescan, no corr() streaming "
+    "accumulator). The feature-redundancy profile a modeling pipeline "
+    "reads before selecting inputs.",
+    tags=("aggregate", "correlation", "profiling"),
+)
+def lineitem_correlation_matrix(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    cols = _CORR_COLS
+
+    def msum(e, name):
+        return (
+            F.round(F.sum(F.expr(f"CAST({e} AS DECIMAL(27,12))")), 6)
+            .cast("double")
+            .alias(name)
+        )
+
+    aggs = [F.count("*").alias("n")]
+    for i, c in enumerate(cols):
+        aggs.append(msum(f"CAST({c} AS DOUBLE)", f"s{i}"))
+    for i, c in enumerate(cols):
+        aggs.append(msum(f"CAST({c} AS DOUBLE) * CAST({c} AS DOUBLE)", f"q{i}"))
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            aggs.append(
+                msum(
+                    f"CAST({cols[i]} AS DOUBLE) * CAST({cols[j]} AS DOUBLE)",
+                    f"x{i}_{j}",
+                )
+            )
+    sums = li.agg(*aggs)
+    pair_structs = ", ".join(
+        f"named_struct('col_a', '{cols[i]}', 'col_b', '{cols[j]}', "
+        f"'pearson_r', CAST(ROUND(CAST("
+        f"CASE WHEN (n * q{i} - s{i} * s{i}) > 0D "
+        f"AND (n * q{j} - s{j} * s{j}) > 0D "
+        f"THEN (n * x{i}_{j} - s{i} * s{j}) "
+        f"/ sqrt(n * q{i} - s{i} * s{i}) / sqrt(n * q{j} - s{j} * s{j}) "
+        f"END AS DECIMAL(27,12)), 6) AS DOUBLE))"
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    )
+    return sums.select(
+        "n", F.explode(F.expr(f"array({pair_structs})")).alias("p")
+    ).select("p.col_a", "p.col_b", "n", "p.pearson_r")

@@ -1506,3 +1506,82 @@ def holt_linear_forecast(spark, sf_dir):
             "forecast_next_hour"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence pattern matching (the MATCH_RECOGNIZE use case): each
+# user's events collapse to an ordered journey string (one initial per
+# event — the five types have distinct initials), and funnel patterns are
+# counted with plain regexes. Regex counting is non-overlapping
+# left-to-right in both engines, and the chosen patterns ('v[^p]*p',
+# adjacent literals) have no greedy/lazy ambiguity, so the counts are
+# exact integers.
+#
+# Scale: one shuffle groups each user's events; journey length is bounded
+# by per-user activity, not corpus size (the collect_list is per-group and
+# order-canonicalized by array_sort, never driver-side).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_sequence_pattern",
+    oracle="""
+    WITH j AS (
+      SELECT user_id,
+             count(*) AS n_events,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS journey
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events, journey,
+           substr(journey, 1, 1) = 's' AS starts_with_signup,
+           CAST(len(regexp_extract_all(journey, 'v[^p]*p')) AS BIGINT)
+             AS n_view_to_purchase,
+           CAST(len(regexp_extract_all(journey, 'vc')) AS BIGINT)
+             AS n_view_click_adjacent,
+           CAST(len(regexp_extract_all(journey, 'p')) AS BIGINT)
+             AS n_purchases
+    FROM j
+    """,
+    description="MATCH_RECOGNIZE-style event-sequence mining: per user, "
+    "events collapse to an ordered initials string (total order ts, "
+    "event_id — Spark builds it with array_sort over collected structs, "
+    "the oracle with ordered string_agg), then funnel patterns are "
+    "counted by regex: view->...->purchase runs ('v[^p]*p'), adjacent "
+    "view-click pairs, purchases, signup-first flag. Non-overlapping "
+    "left-to-right matching is identical in both engines for these "
+    "unambiguous patterns. One grouped shuffle; journey length is "
+    "bounded by per-user activity.",
+    tags=("sequence", "pattern", "funnel", "window"),
+)
+def event_sequence_pattern(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    j = (
+        ev.select(
+            "user_id",
+            F.struct(
+                "ts", "event_id", F.expr("substr(event_type, 1, 1)").alias("ini")
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(
+                "concat_ws('', transform(array_sort(collect_list(s)), "
+                "x -> x.ini))"
+            ).alias("journey"),
+        )
+    )
+    return j.select(
+        "user_id",
+        "n_events",
+        "journey",
+        (F.expr("substr(journey, 1, 1)") == "s").alias("starts_with_signup"),
+        F.regexp_count("journey", F.lit("v[^p]*p"))
+        .cast("long")
+        .alias("n_view_to_purchase"),
+        F.regexp_count("journey", F.lit("vc"))
+        .cast("long")
+        .alias("n_view_click_adjacent"),
+        F.regexp_count("journey", F.lit("p")).cast("long").alias("n_purchases"),
+    )

@@ -1,0 +1,111 @@
+"""Custom Python DataSource (landing_csv / landing_csv_stream): batch
+parity with the built-in CSV reader, source-level pollutant pruning, and
+exactly-once incremental pickup of new landing files."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+_HEADER = (
+    "﻿Date de début;Date de fin;Organisme;code zas;Zas;code site;"
+    "nom site;type d'implantation;Polluant;type d'influence;discriminant;"
+    "Réglementaire;type d'évaluation;procédure de mesure;type de valeur;"
+    "valeur;valeur brute;unité de mesure;taux de saisie;"
+    "couverture temporelle;couverture de données;code qualité;validité"
+)
+
+
+def _write_landing(dirpath: str, code: str, date: str, values: list[float]):
+    lines = [_HEADER]
+    for i, v in enumerate(values):
+        cells = [""] * 23
+        cells[0] = f"2024/01/0{i + 1} 00:00:00"
+        cells[8] = code
+        cells[15] = str(v)
+        cells[17] = "µg-m3"
+        lines.append(";".join(cells))
+    path = os.path.join(dirpath, f"polluant-{code}_{date}.csv")
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return path
+
+
+def test_batch_parity_and_pruning(spark):
+    from datalakes_and_data_integration_spark.sources.csv_landing import (
+        read_landing_csv,
+    )
+    from datalakes_and_data_integration_spark.sources.python_datasource import (
+        register_landing_source,
+    )
+
+    landing = tempfile.mkdtemp(prefix="pyds_landing_")
+    _write_landing(landing, "03", "2024-01-05", [1.5, 2.5])
+    _write_landing(landing, "24", "2024-01-05", [7.0])
+    # Nonconforming name: must be invisible to both readers (P8).
+    with open(os.path.join(landing, "notes.csv"), "w") as fh:
+        fh.write("junk;file\n1;2\n")
+
+    register_landing_source(spark)
+    pyds = (
+        spark.read.format("landing_csv").option("path", landing).load()
+    )
+    native = read_landing_csv(spark, landing)
+
+    cols = ["date_de_debut", "polluant", "valeur", "unite_de_mesure",
+            "pollutant_code", "ingest_date"]
+    got = sorted(tuple(r) for r in pyds.select(*cols).collect())
+    want = sorted(tuple(r) for r in native.select(*cols).collect())
+    assert got == want and len(got) == 3
+
+    # Source-level pruning: only the requested pollutant's file is read.
+    pruned = (
+        spark.read.format("landing_csv")
+        .option("path", landing)
+        .option("pollutant", "03")
+        .load()
+    )
+    assert pruned.count() == 2
+    assert pruned.select("pollutant_code").distinct().collect()[0][0] == "03"
+    # Pruning happens at partition planning: one partition for one file.
+    assert pruned.rdd.getNumPartitions() == 1
+
+
+def test_stream_incremental_exactly_once(spark):
+    from datalakes_and_data_integration_spark.sources.python_datasource import (
+        register_landing_source,
+    )
+
+    landing = tempfile.mkdtemp(prefix="pyds_stream_")
+    ckpt = tempfile.mkdtemp(prefix="pyds_ckpt_")
+    out = tempfile.mkdtemp(prefix="pyds_out_")
+    _write_landing(landing, "03", "2024-01-05", [1.0, 2.0])
+    register_landing_source(spark)
+
+    # Memory sink cannot recover a checkpoint; the parquet sink can — and
+    # a restartable file sink is the realistic landing-ingest shape anyway.
+    def run_once():
+        q = (
+            spark.readStream.format("landing_csv")
+            .option("path", landing)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    first = run_once().collect()
+    assert len(first) == 2
+
+    # A new landing file arrives; the SAME checkpoint picks up ONLY it —
+    # the sink now holds old + new with no re-read of the first file.
+    _write_landing(landing, "24", "2024-01-06", [9.0])
+    second = run_once().collect()
+    assert len(second) == 3
+    by_code = sorted(r.pollutant_code for r in second)
+    assert by_code == ["03", "03", "24"]

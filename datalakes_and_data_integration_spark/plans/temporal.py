@@ -1585,3 +1585,137 @@ def event_sequence_pattern(spark, sf_dir):
         .alias("n_view_click_adjacent"),
         F.regexp_count("journey", F.lit("p")).cast("long").alias("n_purchases"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-adjusted anomaly detection (STL-lite): raw hourly volumes swing
+# with the 7x24 weekly cycle, so a plain z-score flags every Monday
+# morning. Subtract the (event_type, dow, hod) baseline mean first, THEN
+# z-score the residuals per type. Determinism: the baseline mean is the
+# decimal-routed ROUND(...,6) double (bit-identical), the residual is an
+# exact double subtraction from an integer count, and the residual
+# moments go through decimal sums (order-independent) — the
+# rolling_zscore / threshold_alerts recipe applied to deseasonalized
+# data.
+#
+# Scale: two grouped aggregates (hourly rollup, 7x24 baseline join is
+# dim-sized broadcast) + one per-type moment aggregate; no windows, no
+# state.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "seasonal_adjusted_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT event_type, dayofweek(h) + 1 AS dow, CAST(hour(h) AS INT) AS hod,
+             CAST(ROUND(CAST(CAST(sum(n) AS DOUBLE) / count(*)
+                             AS DECIMAL(27,12)), 6) AS DOUBLE) AS expected
+      FROM hourly GROUP BY 1, 2, 3
+    ),
+    resid AS (
+      SELECT h.event_type, h.h, h.n, b.expected,
+             h.n - b.expected AS r
+      FROM hourly h
+      JOIN base b ON b.event_type = h.event_type
+                 AND b.dow = dayofweek(h.h) + 1
+                 AND b.hod = CAST(hour(h.h) AS INT)
+    ),
+    mom AS (
+      SELECT event_type, count(*) AS k,
+             CAST(ROUND(sum(CAST(r AS DECIMAL(27,12))), 6) AS DOUBLE) AS s1,
+             CAST(ROUND(sum(CAST(r * r AS DECIMAL(27,12))), 6) AS DOUBLE)
+               AS s2
+      FROM resid GROUP BY event_type
+    )
+    SELECT r.event_type, r.h AS hour, CAST(r.n AS BIGINT) AS n_events,
+           r.expected,
+           CAST(ROUND(CAST(r.r AS DECIMAL(27,12)), 6) AS DOUBLE)
+             AS residual,
+           (abs(r.r - m.s1 / m.k)
+            > 3 * sqrt(greatest(m.s2 / m.k - (m.s1 / m.k) * (m.s1 / m.k),
+                                0))) AS is_anomaly
+    FROM resid r JOIN mom m ON m.event_type = r.event_type
+    """,
+    description="Seasonal-adjusted anomaly detection (STL-lite): hourly "
+    "volumes minus the 7x24 (dow, hour-of-day) baseline mean per event "
+    "type, residuals z-scored per type with decimal-exact moment sums, "
+    "flag beyond 3 sigma. A plain z-score flags every weekly peak; the "
+    "deseasonalized residual flags genuine surprises. Boolean output, so "
+    "the float arithmetic only has to agree on the comparison; baseline "
+    "join is a dim-sized broadcast, no windows, no state.",
+    tags=("temporal", "seasonality", "anomaly", "monitoring"),
+)
+def seasonal_adjusted_anomaly(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    base = (
+        hourly.groupBy(
+            "event_type",
+            F.dayofweek("h").alias("dow"),
+            F.hour("h").cast("int").alias("hod"),
+        )
+        .agg(
+            F.round(
+                (F.sum("n").cast("double") / F.count("*")).cast(
+                    "decimal(27,12)"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("expected")
+        )
+    )
+    # base derives from hourly — rename its key columns so the rejoin is
+    # unambiguous (Spark's self-join lineage check).
+    base = base.select(
+        F.col("event_type").alias("b_type"),
+        F.col("dow").alias("b_dow"),
+        F.col("hod").alias("b_hod"),
+        "expected",
+    )
+    resid = (
+        hourly.join(
+            F.broadcast(base),
+            (F.col("event_type") == F.col("b_type"))
+            & (F.dayofweek("h") == F.col("b_dow"))
+            & (F.hour("h").cast("int") == F.col("b_hod")),
+        )
+        .select(
+            "event_type",
+            "h",
+            "n",
+            "expected",
+            (F.col("n") - F.col("expected")).alias("r"),
+        )
+    )
+    mom = resid.groupBy("event_type").agg(
+        F.count("*").alias("k"),
+        F.round(F.sum(F.expr("CAST(r AS DECIMAL(27,12))")), 6)
+        .cast("double")
+        .alias("s1"),
+        F.round(F.sum(F.expr("CAST(r * r AS DECIMAL(27,12))")), 6)
+        .cast("double")
+        .alias("s2"),
+    )
+    mu = F.col("s1") / F.col("k")
+    sig = F.sqrt(
+        F.greatest(F.col("s2") / F.col("k") - mu * mu, F.lit(0.0))
+    )
+    return resid.join(F.broadcast(mom), "event_type").select(
+        "event_type",
+        F.col("h").alias("hour"),
+        F.col("n").cast("long").alias("n_events"),
+        "expected",
+        F.round(F.col("r").cast("decimal(27,12)"), 6)
+        .cast("double")
+        .alias("residual"),
+        (F.abs(F.col("r") - mu) > 3 * sig).alias("is_anomaly"),
+    )

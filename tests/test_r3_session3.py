@@ -1,0 +1,134 @@
+"""Invariant pins for the round-3 third-session operators.
+
+These guard properties the oracle comparison cannot see: non-vacuity of
+calibrated thresholds (the driver regenerates testdata between rounds),
+budget-exactness of the apportionment, impulse-response sanity of the
+Holt filter, and cross-query consistency between the outer and inner
+streaming joins.
+"""
+
+from __future__ import annotations
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(name):
+    from datalakes_and_data_integration_spark.plans import all_queries
+
+    return all_queries()[name]
+
+
+def test_gopher_rules_are_non_vacuous(spark):
+    """Every calibrated rule must both fail and pass somewhere, or the
+    report degenerates (the published-rules-on-synthetic-text trap)."""
+    rows = _q("gopher_quality_rules")(spark, SF).collect()
+    total = sum(r.n_docs for r in rows)
+    for col in ("fail_brevity", "fail_word_len", "fail_repetition",
+                "fail_stopword"):
+        failed = sum(r[col] for r in rows)
+        assert 0 < failed < total, f"{col} is vacuous: {failed}/{total}"
+    assert 0 < sum(r.n_pass_all for r in rows) < total
+
+
+def test_temperature_mixture_budget_exact(spark):
+    """Hamilton quotas sum to exactly the budget, and temperature
+    flattening upsamples small sources (weight per doc decreases with
+    source size)."""
+    rows = _q("temperature_mixture_plan")(spark, SF).collect()
+    assert sum(r.quota_docs for r in rows) == 100_000
+    by_n = sorted(rows, key=lambda r: r.n_docs)
+    smallest, largest = by_n[0], by_n[-1]
+    if smallest.n_docs < largest.n_docs:
+        assert (
+            smallest.quota_docs / smallest.n_docs
+            > largest.quota_docs / largest.n_docs
+        )
+
+
+def test_bpe_encode_compression_bounds(spark):
+    """Every merge round only shrinks: char tokens >= post-merge tokens,
+    and at least one merge fired somewhere (tokens_saved > 0)."""
+    rows = _q("bpe_encode_token_stats")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.bpe_tokens <= r.char_tokens
+        assert r.tokens_saved == r.char_tokens - r.bpe_tokens
+    assert sum(r.tokens_saved for r in rows) > 0
+
+
+def test_holt_impulse_response_sanity():
+    """The truncated filter must behave like the recursion in steady
+    state: level coefficients sum to ~1 (constant series reproduces the
+    constant), trend coefficients to ~0 (constant series has no trend)."""
+    from datalakes_and_data_integration_spark.plans.temporal import (
+        _holt_weights,
+    )
+
+    wl, wb = _holt_weights()
+    # 20-lag truncation leaves ~1.1e-3 of level mass in the dropped tail.
+    assert abs(sum(wl) - 1.0) < 2e-3
+    assert abs(sum(wb)) < 1e-3
+    # The lag-0 coefficient is alpha itself (first recursion step).
+    assert wl[0] == 0.5
+
+
+def test_event_sequence_purchase_count_consistent(spark):
+    """The regex purchase count must equal the plain grouped count —
+    the journey string loses no events."""
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans._util import T
+
+    got = {
+        r.user_id: r.n_purchases
+        for r in _q("event_sequence_pattern")(spark, SF).collect()
+    }
+    want = {
+        r.user_id: r.n
+        for r in T(spark, SF, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for u, n in want.items():
+        assert got[u] == n
+    for u, n in got.items():
+        assert want.get(u, 0) == n
+
+
+def test_stream_left_join_matched_equals_inner(spark):
+    """The outer join's matched rows must be exactly the inner join's
+    rows — outerness only ever adds null-extended rows."""
+    inner = {
+        tuple(r) for r in _q("streaming_stream_stream_join")(spark, SF).collect()
+    }
+    outer = _q("streaming_stream_stream_left_join")(spark, SF).collect()
+    matched = {
+        (r.purchase_id, r.user_id, r.purchase_ts, r.click_id, r.click_ts)
+        for r in outer
+        if r.click_id is not None
+    }
+    inner_named = {
+        (r.purchase_id, r.user_id, r.purchase_ts, r.click_id, r.click_ts)
+        for r in _q("streaming_stream_stream_join")(spark, SF).collect()
+    }
+    assert matched == inner_named
+    assert len(inner) == len(inner_named)
+
+
+def test_centroid_classifier_covers_test_split(spark):
+    """Confusion-matrix mass equals the held-out split size: every test
+    vector is classified exactly once."""
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans.curation4 import (
+        _ncc_split_spark,
+    )
+
+    rows = _q("centroid_classifier_eval")(spark, SF).collect()
+    total = sum(r.n for r in rows)
+    _, test_pred = _ncc_split_spark()
+    want = T(spark, SF, "embeddings").where(test_pred).count()
+    assert total == want

@@ -590,3 +590,166 @@ def hll_set_algebra(spark, sf_dir):
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-day distinct users via HLL register merge: the sliding-window
+# COUNT(DISTINCT) that exact computation cannot afford at scale (it would
+# re-scan 7 days per day). Daily register files are the mergeable state;
+# each day's trailing-week estimate is a max-merge of <= 7 daily sketches
+# — the union-by-register-max property that makes HLL the right sketch
+# for time windows. The day x window expansion is a bounded fan-out join
+# (each daily register row lands in <= 7 anchor groups), never a rescan
+# of the raw events.
+# --------------------------------------------------------------------------
+
+
+def _rolling_hll_oracle() -> str:
+    h = hash60_sql_duck("CAST(user_id AS VARCHAR)", seed=7)
+    reg = f"({h}) % {_HLL_M}"
+    val = f"(({h}) // {_HLL_M}) % {1 << _HLL_VBITS}"
+    rho = _rho_case("val")
+    return f"""
+    WITH hashed AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+             {reg} AS reg, {val} AS val
+      FROM events
+    ),
+    daily AS (
+      SELECT day, reg, max({rho}) AS mrho FROM hashed GROUP BY day, reg
+    ),
+    anchors AS (SELECT DISTINCT day AS aday FROM daily),
+    win AS (
+      SELECT a.aday, r.reg, max(r.mrho) AS mrho
+      FROM anchors a JOIN daily r
+        ON r.day <= a.aday AND r.day >= a.aday - INTERVAL 6 DAY
+      GROUP BY a.aday, r.reg
+    ),
+    summed AS (
+      SELECT aday,
+             sum(CAST(2 AS BIGINT) ** (55 - mrho)) AS s_present,
+             count(*) AS v_present
+      FROM win GROUP BY aday
+    ),
+    est AS (
+      SELECT aday,
+             {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+               * CAST({1 << 55} AS DOUBLE)
+               / (s_present + (CAST({_HLL_M} AS BIGINT) - v_present)
+                              * CAST({1 << 55} AS BIGINT)) AS e_raw,
+             v_present
+      FROM summed
+    ),
+    corrected AS (
+      SELECT aday,
+             CASE WHEN e_raw <= 2.5 * {_HLL_M}
+                       AND v_present < {_HLL_M}
+                  THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE)
+                                     / ({_HLL_M} - v_present))
+                  ELSE e_raw END AS e
+      FROM est
+    ),
+    du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    ),
+    exact AS (
+      SELECT a.aday, count(DISTINCT d.user_id) AS exact_distinct_7d
+      FROM anchors a JOIN du d
+        ON d.day <= a.aday AND d.day >= a.aday - INTERVAL 6 DAY
+      GROUP BY a.aday
+    )
+    SELECT c.aday AS day,
+           round(c.e, 4) AS hll_est_7d,
+           x.exact_distinct_7d,
+           round(abs(c.e - x.exact_distinct_7d) / x.exact_distinct_7d, 4)
+             AS rel_err
+    FROM corrected c JOIN exact x ON x.aday = c.aday
+    """
+
+
+@register(
+    "rolling_distinct_hll_7d",
+    oracle=_rolling_hll_oracle(),
+    description="Trailing-7-day distinct users per day by HLL register "
+    "merge: daily 64-register files (the mergeable state) max-merged "
+    "over each day's trailing week via a bounded fan-out join (each "
+    "daily register row lands in <= 7 anchor groups — no rescan of raw "
+    "events, which is what exact sliding COUNT(DISTINCT) would need), "
+    "then the integer-exact harmonic estimate with linear-counting "
+    "correction, audited against the exact trailing-week distinct count. "
+    "The continuous-aggregate shape for distinct metrics at 100 TB: "
+    "store registers per day, merge per window.",
+    tags=("sketch", "hll", "distinct", "window", "llm-pipeline"),
+)
+def rolling_distinct_hll_7d(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    h = hash60_sql_spark("CAST(user_id AS STRING)", seed=7)
+    day = F.date_trunc("day", "ts").cast("date")
+    daily = (
+        ev.select(
+            day.alias("day"),
+            F.expr(f"({h}) % {_HLL_M}").alias("reg"),
+            F.expr(f"(({h}) div {_HLL_M}) % {1 << _HLL_VBITS}").alias("val"),
+        )
+        .distinct()
+        .select("day", "reg", F.expr(_rho_case("val")).alias("rho"))
+        .groupBy("day", "reg")
+        .agg(F.max("rho").alias("mrho"))
+    )
+    anchors = daily.select(F.col("day").alias("aday")).distinct()
+    win = (
+        anchors.join(
+            F.broadcast(daily),  # scale-ok: bounded-day anchor x register file
+            (F.col("day") <= F.col("aday"))
+            & (F.col("day") >= F.date_sub(F.col("aday"), 6)),
+        )
+        .groupBy("aday", "reg")
+        .agg(F.max("mrho").alias("mrho"))
+    )
+    summed = win.groupBy("aday").agg(
+        F.sum(
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 55 - mrho) AS BIGINT)")
+        ).alias("s_present"),
+        F.count("*").alias("v_present"),
+    )
+    e_raw = (
+        F.lit(_HLL_ALPHA)
+        * _HLL_M
+        * _HLL_M
+        * F.lit(float(1 << 55))
+        / (
+            F.col("s_present")
+            + (F.lit(_HLL_M).cast("bigint") - F.col("v_present"))
+            * F.lit(1 << 55).cast("bigint")
+        )
+    )
+    est = summed.select("aday", e_raw.alias("e_raw"), "v_present")
+    e = F.when(
+        (F.col("e_raw") <= 2.5 * _HLL_M) & (F.col("v_present") < _HLL_M),
+        F.lit(float(_HLL_M))
+        * F.log(
+            F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("v_present"))
+        ),
+    ).otherwise(F.col("e_raw"))
+    corrected = est.select("aday", e.alias("e"))
+    du = ev.select(day.alias("uday"), "user_id").distinct()
+    exact = (
+        anchors.join(
+            du,
+            (F.col("uday") <= F.col("aday"))
+            & (F.col("uday") >= F.date_sub(F.col("aday"), 6)),
+        )
+        .groupBy("aday")
+        .agg(F.countDistinct("user_id").alias("exact_distinct_7d"))
+    )
+    return corrected.join(exact, "aday").select(
+        F.col("aday").alias("day"),
+        F.round("e", 4).alias("hll_est_7d"),
+        "exact_distinct_7d",
+        F.round(
+            F.abs(F.col("e") - F.col("exact_distinct_7d"))
+            / F.col("exact_distinct_7d"),
+            4,
+        ).alias("rel_err"),
+    )

@@ -504,3 +504,117 @@ def centroid_classifier_eval(spark, sf_dir):
         .groupBy("label_true", "label_pred")
         .agg(F.count("*").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source lexical domain signature: which terms mark a source's text as
+# ITS OWN (the domain-mixture diagnostic next to source_lang_entropy —
+# "what is src7 actually made of"). Score = Haldane-smoothed odds ratio
+# of term frequency in the source vs the rest of the corpus:
+#     odds = ((2a+1) * (2(B-b)+1)) / ((2(A-a)+1) * (2b+1))
+# with a/b the term counts in/out of the source and A/B the token totals.
+# Determinism without transcendentals: the products stay below 2^53, so
+# the odds value is an exact-integer-ratio double (correctly rounded
+# division of exactly representable integers) — both engines rank and
+# display the SAME doubles; no ln() ever crosses an engine boundary
+# (log-odds is monotone in odds, so the ranking is the log-odds ranking).
+#
+# Scale: one tokenize scan -> (source, term) counts (map-side combined);
+# totals are a dim-sized broadcast; top-k per source is a bounded window
+# over the per-source term lists.
+# ---------------------------------------------------------------------------
+
+_SIG_TOPK = 10
+_SIG_MIN_COUNT = 5  # ignore ultra-rare terms (odds ratio is noise there)
+
+
+@register(
+    "term_domain_signature",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOK_DUCK}) AS term FROM documents
+    ),
+    st AS (
+      SELECT source, term, count(*) AS a FROM tok GROUP BY source, term
+    ),
+    tt AS (SELECT term, CAST(sum(a) AS BIGINT) AS t FROM st GROUP BY term),
+    totals AS (
+      SELECT source, CAST(sum(a) AS BIGINT) AS atot FROM st GROUP BY source
+    ),
+    grand AS (SELECT CAST(sum(a) AS BIGINT) AS g FROM st),
+    scored AS (
+      SELECT s.source, s.term, s.a,
+             (t.t - s.a) AS b,
+             CAST((2 * s.a + 1) AS DOUBLE)
+               * ((2 * (g.g - o.atot - (t.t - s.a))) + 1)
+               / (((2 * (o.atot - s.a)) + 1)
+                  * CAST((2 * (t.t - s.a) + 1) AS DOUBLE)) AS odds
+      FROM st s
+      JOIN tt t ON t.term = s.term
+      JOIN totals o ON o.source = s.source
+      CROSS JOIN grand g
+      WHERE s.a >= {_SIG_MIN_COUNT}
+    ),
+    ranked AS (
+      SELECT source, term, a, b, odds,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY odds DESC, term) AS rk
+      FROM scored
+    )
+    SELECT source, term, CAST(a AS BIGINT) AS n_in_source,
+           CAST(b AS BIGINT) AS n_elsewhere, rk,
+           CAST(ROUND(CAST(odds AS DECIMAL(27,12)), 6) AS DOUBLE)
+             AS odds_ratio
+    FROM ranked WHERE rk <= {_SIG_TOPK}
+    """,
+    description=f"Per-source lexical domain signature: top {_SIG_TOPK} "
+    "terms per source by Haldane-smoothed odds ratio of in-source vs "
+    "rest-of-corpus frequency (min count "
+    f"{_SIG_MIN_COUNT}). The odds value is an exact-integer-ratio double "
+    "(products < 2^53, one correctly-rounded division), so both engines "
+    "rank identically with no transcendental on the comparison — the "
+    "what-is-this-source-made-of diagnostic next to source_lang_entropy. "
+    "One tokenize scan, map-side-combined term counts, dim-sized totals "
+    "broadcast, bounded per-source top-k window.",
+    tags=("text", "drift", "domain", "llm-pipeline"),
+)
+def term_domain_signature(spark, sf_dir):
+    d = spread(T(spark, sf_dir, "documents"), spark)
+    tok = d.select("source", F.explode(F.expr(_TOK_SPARK)).alias("term"))
+    st = tok.groupBy("source", "term").agg(F.count("*").alias("a"))
+    tt = st.groupBy("term").agg(F.sum("a").cast("long").alias("t"))
+    totals = st.groupBy("source").agg(
+        F.sum("a").cast("long").alias("atot")
+    )
+    grand = st.agg(F.sum("a").cast("long").alias("g"))
+    b = F.col("t") - F.col("a")
+    odds = (
+        (2 * F.col("a") + 1).cast("double")
+        * ((2 * (F.col("g") - F.col("atot") - b)) + 1)
+        / (
+            ((2 * (F.col("atot") - F.col("a"))) + 1)
+            * (2 * b + 1).cast("double")
+        )
+    )
+    scored = (
+        st.filter(F.col("a") >= _SIG_MIN_COUNT)
+        .join(tt, "term")
+        .join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(grand))  # scale-ok: 1-row grand total
+        .select("source", "term", "a", b.alias("b"), odds.alias("odds"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("odds").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _SIG_TOPK)
+        .select(
+            "source",
+            "term",
+            F.col("a").cast("long").alias("n_in_source"),
+            F.col("b").cast("long").alias("n_elsewhere"),
+            "rk",
+            F.round(F.col("odds").cast("decimal(27,12)"), 6)
+            .cast("double")
+            .alias("odds_ratio"),
+        )
+    )

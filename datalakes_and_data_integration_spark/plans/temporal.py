@@ -1719,3 +1719,106 @@ def seasonal_adjusted_anomaly(spark, sf_dir):
         .alias("residual"),
         (F.abs(F.col("r") - mu) > 3 * sig).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion latency quantiles: how long between a user's last click and
+# the purchase it preceded — the funnel-timing evidence (attribution
+# windows, session gaps, watermark delays are all set from this
+# distribution). Composes the registered as-of join; latencies are exact
+# int64 microsecond differences, and the nearest-rank quantiles use the
+# distinct-value crossing test multiplied through to int64 (the
+# token_weighted_quality_quantile recipe), so every selected value is
+# exact in both engines.
+# ---------------------------------------------------------------------------
+
+_LAT_PCTS = [25, 50, 75, 90]
+
+
+@register(
+    "conversion_latency_quantiles",
+    oracle=f"""
+    WITH last_click AS (
+      SELECT purchase_id, purchase_ts, click_ts
+      FROM (
+        SELECT p.event_id AS purchase_id, p.ts AS purchase_ts,
+               c.ts AS click_ts,
+               row_number() OVER (
+                 PARTITION BY p.event_id
+                 ORDER BY c.ts DESC, c.event_id DESC
+               ) AS rn
+        FROM events p
+        LEFT JOIN events c
+          ON c.user_id = p.user_id AND c.event_type = 'click'
+         AND c.ts <= p.ts
+        WHERE p.event_type = 'purchase'
+      ) WHERE rn = 1
+    ),
+    lat AS (
+      SELECT epoch_us(purchase_ts) - epoch_us(click_ts) AS lat_us
+      FROM last_click WHERE click_ts IS NOT NULL
+    ),
+    grp AS (
+      SELECT lat_us, count(*) AS c FROM lat GROUP BY lat_us
+    ),
+    win AS (
+      SELECT lat_us,
+             CAST(sum(c) OVER (ORDER BY lat_us) AS BIGINT) AS cum
+      FROM grp
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM grp)
+    SELECT p.pct,
+           t.n AS n_conversions,
+           min(w.lat_us) AS latency_us,
+           CAST(ROUND(CAST(CAST(min(w.lat_us) AS DOUBLE) / 1000000.0
+                           AS DECIMAL(27,12)), 6) AS DOUBLE)
+             AS latency_seconds
+    FROM win w CROSS JOIN tot t
+    CROSS JOIN (SELECT unnest([{", ".join(map(str, _LAT_PCTS))}]) AS pct) p
+    WHERE w.cum * 100 >= p.pct * t.n
+    GROUP BY p.pct, t.n
+    """,
+    description="Conversion latency quantiles (p25/p50/p75/p90): exact "
+    "int64 microsecond gap between each purchase and the same user's "
+    "last preceding click (composes the registered as-of join), "
+    "nearest-rank quantiles by the distinct-value crossing test "
+    "multiplied through to int64 — the funnel-timing evidence that "
+    "attribution windows, session gaps, and stream watermarks are set "
+    "from. One as-of window shuffle + one bounded quantile window over "
+    "distinct latency values.",
+    tags=("temporal", "asof-join", "quantile", "funnel"),
+)
+def conversion_latency_quantiles(spark, sf_dir):
+    asof = asof_join_last_click(spark, sf_dir)
+    lat = asof.filter(F.col("click_ts").isNotNull()).select(
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+        ).alias("lat_us")
+    )
+    grp = lat.groupBy("lat_us").agg(F.count("*").alias("c"))
+    # scale-ok: window over distinct latency values (bounded cardinality)
+    wo = Window.orderBy("lat_us")
+    win = grp.select(
+        "lat_us", F.sum("c").over(wo).cast("long").alias("cum")
+    )
+    tot = grp.agg(F.sum("c").cast("long").alias("n"))
+    pcts = F.explode(
+        F.array(*[F.lit(p) for p in _LAT_PCTS])
+    ).alias("pct")
+    return (
+        win.crossJoin(F.broadcast(tot))  # scale-ok: 1-row total
+        .select("lat_us", "cum", "n", pcts)
+        .filter(F.col("cum") * 100 >= F.col("pct") * F.col("n"))
+        .groupBy("pct", F.col("n").alias("n_conversions"))
+        .agg(
+            F.min("lat_us").alias("latency_us"),
+            F.round(
+                (F.min("lat_us").cast("double") / 1000000.0).cast(
+                    "decimal(27,12)"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("latency_seconds"),
+        )
+    )

@@ -275,3 +275,186 @@ def multimodal_phash_neardup(spark, sf_dir):
     return cand.select(
         "doc_a", "doc_b", ham.cast("long").alias("hamming")
     ).filter(F.col("hamming") <= 2)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) of binary payloads — the blob-level
+# dedup tier (restic/borg/LBFS shape) that completes the dedup ladder:
+# exact doc -> passage -> near-dup -> perceptual hash -> byte chunks.
+# A chunk boundary falls after byte i when the polynomial hash of the
+# trailing 8-byte window is 0 mod 64 (expected chunk ~64 bytes), so
+# boundaries depend only on LOCAL content — inserting bytes re-chunks
+# only the neighborhood of the edit, which is the whole point of CDC
+# (fixed-size blocks shift everything after an insert).
+#
+# Fully oracle-checked: the window hash is a pure per-position function
+# of 8 bytes (no running state), bytes come from the payload's hex string
+# (the multimodal_audio_features recipe), and all arithmetic is int64
+# (255 * 131^7 * 8 < 2^63). Chunk fingerprints are md5 over the hex
+# substring, identical in both engines.
+#
+# Scale: position explode is a narrow map (one row per payload byte —
+# same shape as the audio-features decode); the per-doc boundary window
+# is bounded by payload length; the dedup aggregate is one grouped count
+# on chunk digests.
+# ---------------------------------------------------------------------------
+
+_CDC_W = 8  # window bytes
+_CDC_P = 131  # polynomial base: 255 * 131^7 * 8 stays far below 2^63
+_CDC_MASK = 64  # boundary when window hash % 64 == 0 -> ~64-byte chunks
+
+
+def _cdc_byte_duck(h: str, pos: str) -> str:
+    return (
+        f"((strpos('0123456789ABCDEF', substr({h}, 2*({pos}) - 1, 1)) - 1)"
+        f" * 16 + strpos('0123456789ABCDEF', substr({h}, 2*({pos}), 1)) - 1)"
+    )
+
+
+def _cdc_byte_spark(h: str, pos: str) -> str:
+    return f"CAST(conv(substr({h}, 2*({pos}) - 1, 2), 16, 10) AS BIGINT)"
+
+
+def _cdc_hash(byte_fn, h: str, i: str) -> str:
+    terms = " + ".join(
+        f"({byte_fn(h, f'{i} - {k}')}) * {_CDC_P ** k}"
+        for k in range(_CDC_W)
+    )
+    return f"({terms})"
+
+
+def _cdc_oracle() -> str:
+    wh = _cdc_hash(_cdc_byte_duck, "p.h", "p.i")
+    return f"""
+    WITH pay AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, h, n, unnest(range({_CDC_W}, n)) AS i FROM pay
+    ),
+    bounds AS (
+      SELECT doc_id, h, n, CAST(i AS BIGINT) AS b
+      FROM pos p WHERE ({wh}) % {_CDC_MASK} = 0
+      UNION ALL
+      SELECT doc_id, h, n, CAST(n AS BIGINT) FROM pay
+    ),
+    chunks AS (
+      SELECT doc_id,
+             coalesce(lag(b) OVER (PARTITION BY doc_id ORDER BY b), 0)
+               AS start,
+             b - coalesce(lag(b) OVER (PARTITION BY doc_id ORDER BY b), 0)
+               AS len,
+             md5(substr(h,
+                 2 * coalesce(lag(b) OVER (PARTITION BY doc_id ORDER BY b),
+                              0) + 1,
+                 2 * (b - coalesce(lag(b) OVER (PARTITION BY doc_id
+                                                ORDER BY b), 0))))
+               AS digest
+      FROM bounds
+    ),
+    stats AS (
+      SELECT (len // 16) * 16 AS len_bucket,
+             count(*) AS n_chunks,
+             count(DISTINCT digest) AS n_unique,
+             CAST(sum(len) AS BIGINT) AS total_bytes
+      FROM chunks GROUP BY 1
+    )
+    SELECT CAST(len_bucket AS BIGINT) AS len_bucket,
+           CAST(n_chunks AS BIGINT) AS n_chunks,
+           CAST(n_unique AS BIGINT) AS n_unique,
+           total_bytes,
+           CAST(ROUND(CAST(CAST(n_chunks - n_unique AS DOUBLE) / n_chunks
+                           AS DECIMAL(27,12)), 6) AS DOUBLE)
+             AS dup_chunk_rate
+    FROM stats
+    """
+
+
+@register(
+    "multimodal_cdc_chunking",
+    oracle=_cdc_oracle(),
+    description=f"Content-defined chunking of binary payloads (the "
+    f"restic/LBFS blob-dedup tier): a boundary falls after byte i when "
+    f"the {_CDC_W}-byte trailing-window polynomial hash (base {_CDC_P}, "
+    f"int64-exact) is 0 mod {_CDC_MASK} (~{_CDC_MASK}-byte chunks), so "
+    "chunking is edit-local — the property fixed-size blocks lack. "
+    "Chunk fingerprints are md5 over the payload hex substring; the "
+    "report buckets chunks by 16-byte length bands with dedup counts. "
+    "Position explode is a narrow map (one row per byte, the "
+    "audio-features shape); per-doc boundary windows are payload-"
+    "bounded; the dedup aggregate is one grouped digest count. "
+    "Edit-locality is pinned by tests/test_r3_session3.py.",
+    tags=("multimodal", "dedup", "cdc", "chunking", "llm-pipeline"),
+)
+def multimodal_cdc_chunking(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans._util import spread
+
+    d = spread(T(spark, sf_dir, "documents"), spark)
+    pay = d.select(
+        "doc_id",
+        F.expr("hex(encode(text, 'UTF-8'))").alias("h"),
+        F.expr("octet_length(encode(text, 'UTF-8'))").alias("n"),
+    )
+    wh = _cdc_hash(_cdc_byte_spark, "h", "i")
+    hash_bounds = (
+        pay.select(
+            "doc_id",
+            "h",
+            # sequence(a, b) DESCENDS when b < a (BPE hazard, NOTES.md)
+            # — guard payloads shorter than the window.
+            F.explode(
+                F.expr(
+                    f"CASE WHEN n > {_CDC_W} THEN sequence({_CDC_W}, n - 1) "
+                    "ELSE CAST(array() AS ARRAY<INT>) END"
+                )
+            ).alias("i"),
+        )
+        .filter(F.expr(f"({wh}) % {_CDC_MASK} = 0"))
+        .select("doc_id", "h", F.col("i").cast("long").alias("b"))
+    )
+    bounds = hash_bounds.unionByName(
+        pay.select("doc_id", "h", F.col("n").cast("long").alias("b"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("b")
+    start = F.coalesce(F.lag("b").over(w), F.lit(0))
+    chunks = bounds.select(
+        "doc_id",
+        start.alias("start"),
+        (F.col("b") - start).alias("len"),
+        F.md5(
+            F.expr(
+                "substr(h, 2 * coalesce(lag(b) OVER (PARTITION BY doc_id "
+                "ORDER BY b), 0) + 1, 2 * (b - coalesce(lag(b) OVER "
+                "(PARTITION BY doc_id ORDER BY b), 0)))"
+            )
+        ).alias("digest"),
+    )
+    stats = chunks.groupBy(
+        ((F.col("len").cast("long") / 16).cast("long") * 16).alias(
+            "len_bucket"
+        )
+    ).agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("digest").alias("n_unique"),
+        F.sum("len").cast("long").alias("total_bytes"),
+    )
+    return stats.select(
+        "len_bucket",
+        "n_chunks",
+        "n_unique",
+        "total_bytes",
+        F.round(
+            (
+                (F.col("n_chunks") - F.col("n_unique")).cast("double")
+                / F.col("n_chunks")
+            ).cast("decimal(27,12)"),
+            6,
+        )
+        .cast("double")
+        .alias("dup_chunk_rate"),
+    )

@@ -117,6 +117,43 @@ def test_stream_left_join_matched_equals_inner(spark):
     assert len(inner) == len(inner_named)
 
 
+def test_cdc_chunking_is_edit_local():
+    """The defining CDC property: appending bytes to a payload leaves
+    every chunk before the edit region unchanged (fixed-size blocks
+    would shift everything). Pure-python twin of the SQL hash."""
+    from datalakes_and_data_integration_spark.plans.multimodal import (
+        _CDC_MASK,
+        _CDC_P,
+        _CDC_W,
+    )
+
+    def chunks(data: bytes):
+        bounds = []
+        for i in range(_CDC_W, len(data)):
+            h = sum(
+                data[i - 1 - k] * (_CDC_P ** k) for k in range(_CDC_W)
+            )
+            if h % _CDC_MASK == 0:
+                bounds.append(i)
+        bounds.append(len(data))
+        out, prev = [], 0
+        for b in sorted(set(bounds)):
+            out.append(data[prev:b])
+            prev = b
+        return out
+
+    import random
+
+    rnd = random.Random(7)
+    base = bytes(rnd.randrange(256) for _ in range(4000))
+    edited = base + bytes(rnd.randrange(256) for _ in range(100))
+    c_base, c_edit = chunks(base), chunks(edited)
+    assert len(c_base) > 10  # boundaries actually fire
+    # Every chunk except the last one of the original payload survives
+    # the append untouched.
+    assert c_edit[: len(c_base) - 1] == c_base[:-1]
+
+
 def test_centroid_classifier_covers_test_split(spark):
     """Confusion-matrix mass equals the held-out split size: every test
     vector is classified exactly once."""

@@ -11,6 +11,11 @@ Scale notes: JSONL with an explicit schema avoids the schema-inference
 pre-scan (a full extra read at 100 TB); ORC gets the same predicate
 pushdown / column pruning as parquet (verified in the test via the
 explain output).
+
+Avro: Spark treats it as an external module (spark-avro jar), which this
+container does not ship and cannot fetch — ``format("avro")`` raises
+AnalysisException here (probed round 3). On a cluster with the jar, the
+same helper pattern applies unchanged.
 """
 
 from __future__ import annotations

@@ -618,3 +618,103 @@ def term_domain_signature(spark, sf_dir):
             .alias("odds_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve: what fraction of token OCCURRENCES the top-N
+# vocabulary covers, for candidate budgets — the vocab-size knob every
+# tokenizer design starts from (the flip side of vocab_growth_curve's
+# types-vs-tokens view and vocab_zipf_stats' head ranks). Integer
+# cumulative sums over the frequency-ranked vocabulary; coverage is one
+# decimal-routed division per budget.
+# ---------------------------------------------------------------------------
+
+_VC_BUDGETS = [100, 1000, 10000]
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH tc AS (
+      SELECT term, count(*) AS c
+      FROM (SELECT unnest({_TOK_DUCK}) AS term FROM documents)
+      GROUP BY term
+    ),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rk FROM tc
+    ),
+    cum AS (
+      SELECT rk, CAST(sum(c) OVER (ORDER BY rk) AS BIGINT) AS cum FROM ranked
+    ),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS vocab FROM tc
+    )
+    SELECT b.budget AS vocab_budget,
+           max(c.cum) AS covered_tokens,
+           t.total AS total_tokens,
+           t.vocab AS vocab_size,
+           CAST(ROUND(CAST(CAST(max(c.cum) AS DOUBLE) / t.total
+                           AS DECIMAL(27,12)), 6) AS DOUBLE) AS coverage
+    FROM cum c CROSS JOIN tot t
+    CROSS JOIN (SELECT unnest([{", ".join(map(str, _VC_BUDGETS))}])
+                AS budget) b
+    WHERE c.rk <= b.budget
+    GROUP BY b.budget, t.total, t.vocab
+    """,
+    description=f"Vocabulary coverage curve: token-occurrence coverage of "
+    f"the top-{{{', '.join(map(str, _VC_BUDGETS))}}} frequency-ranked "
+    "vocabulary — the vocab-budget knob (how big must the tokenizer "
+    "vocabulary be before OOV mass is negligible). Exact int64 "
+    "cumulative sums over the ranked vocabulary (a vocab-sized window), "
+    "decimal-routed coverage ratios.",
+    tags=("text", "tokenizer", "vocabulary", "llm-pipeline"),
+)
+def vocab_coverage_curve(spark, sf_dir):
+    d = spread(T(spark, sf_dir, "documents"), spark)
+    tc = (
+        d.select(F.explode(F.expr(_TOK_SPARK)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    # scale-ok: window over the ranked vocabulary (vocab-sized, not corpus)
+    wr = Window.orderBy(F.col("c").desc(), F.col("term"))
+    ranked = tc.select("c", F.row_number().over(wr).alias("rk"))
+    # scale-ok: cumulative window over vocab ranks
+    wc = Window.orderBy("rk")
+    cum = ranked.select("rk", F.sum("c").over(wc).cast("long").alias("cum"))
+    tot = tc.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count("*").cast("long").alias("vocab"),
+    )
+    budgets = F.explode(
+        F.array(*[F.lit(b) for b in _VC_BUDGETS])
+    ).alias("budget")
+    return (
+        cum.crossJoin(F.broadcast(tot))  # scale-ok: 1-row total
+        .select("rk", "cum", "total", "vocab", budgets)
+        .filter(F.col("rk") <= F.col("budget"))
+        .groupBy(
+            F.col("budget").alias("vocab_budget"),
+            F.col("total").alias("total_tokens"),
+            F.col("vocab").alias("vocab_size"),
+        )
+        .agg(
+            F.max("cum").alias("covered_tokens"),
+            F.round(
+                (F.max("cum").cast("double") / F.col("total")).cast(
+                    "decimal(27,12)"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("coverage"),
+        )
+        .select(
+            "vocab_budget",
+            "covered_tokens",
+            "total_tokens",
+            "vocab_size",
+            "coverage",
+        )
+    )

@@ -1627,3 +1627,67 @@ def lineitem_correlation_matrix(spark, sf_dir):
     return sums.select(
         "n", F.explode(F.expr(f"array({pair_structs})")).alias("p")
     ).select("p.col_a", "p.col_b", "n", "p.pearson_r")
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured schema DRIFT: props_schema_profile discovers what keys
+# exist; this watches when they appear. Per day: distinct keys present and
+# how many appeared for the FIRST time that day — the alarm feed for
+# untyped event producers shipping new fields (the silent-contract-change
+# failure mode typed pipelines never see). Exact integers throughout.
+#
+# Scale: one explode scan -> (day, key) distinct pairs (map-side
+# combined), first-seen is a key-grouped min over the dim-sized
+# (day x key) table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "props_key_drift",
+    oracle="""
+    WITH dk AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+             unnest(json_keys(props)) AS k
+      FROM events WHERE props IS NOT NULL
+    ),
+    fs AS (SELECT k, min(day) AS first_seen FROM dk GROUP BY k)
+    SELECT d.day,
+           count(*) AS n_keys_present,
+           CAST(sum(CASE WHEN f.first_seen = d.day THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new_keys
+    FROM dk d JOIN fs f ON f.k = d.k
+    GROUP BY d.day
+    """,
+    description="JSON schema drift monitor over events.props: per day, "
+    "distinct keys present and keys appearing for the first time — the "
+    "alarm feed for producers shipping new untyped fields "
+    "(props_schema_profile is the discovery pass, this is the watch "
+    "pass). One explode scan to distinct (day, key) pairs, first-seen as "
+    "a key-grouped min over the dim-sized pair table; exact integers.",
+    tags=("json", "semi-structured", "drift", "monitoring"),
+)
+def props_key_drift(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    dk = (
+        ev.filter(F.col("props").isNotNull())
+        .select(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            F.explode(
+                F.map_keys(F.from_json("props", "map<string,string>"))
+            ).alias("k"),
+        )
+        .distinct()
+    )
+    fs = dk.groupBy("k").agg(F.min("day").alias("first_seen"))
+    return (
+        dk.join(fs, "k")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_keys_present"),
+            F.sum(
+                F.when(F.col("first_seen") == F.col("day"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_new_keys"),
+        )
+    )

@@ -1244,3 +1244,90 @@ def ann_topk_ivfadc_residual(spark, sf_dir):
         .select("q_id", "n_id")
     )
     return _exact_rerank(unit, shortlist, _PQ_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining: for each vector, the highest-ranked DIFFERENT-label
+# neighbor inside its exact top-5 — the contrastive-training signal
+# in-batch random negatives miss (hard negatives are the near-misses the
+# model must learn to separate; see contrastive_negative_pairs for the
+# easy-negative baseline). Composes the exact ANN kernel and the label
+# column; min-rank selection is an integer argmin, so the result is as
+# exact as the top-k it reads.
+# ---------------------------------------------------------------------------
+
+
+def _hard_neg_oracle() -> str:
+    from datalakes_and_data_integration_spark.plans.registry import QUERIES
+
+    base = QUERIES["ann_topk_bruteforce"].oracle
+    return f"""
+    WITH tk AS ({base}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    joined AS (
+      SELECT t.vec_id, q.label AS query_label, t.neighbor_id,
+             n.label AS neg_label, t.rank, t.cos_sim
+      FROM tk t
+      JOIN lab q ON q.vec_id = t.vec_id
+      JOIN lab n ON n.vec_id = t.neighbor_id
+      WHERE n.label <> q.label
+    )
+    SELECT vec_id, query_label,
+           neighbor_id AS hard_neg_id, neg_label, rank AS neg_rank,
+           cos_sim
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY rank, neighbor_id) AS rn
+      FROM joined
+    ) WHERE rn = 1
+    """
+
+
+@register(
+    "ann_hard_negatives",
+    oracle=_hard_neg_oracle(),
+    description="Hard-negative mining for contrastive training: per "
+    "vector, the highest-ranked different-label neighbor in its exact "
+    "cosine top-5 (composes ann_topk_bruteforce and the label column; "
+    "vectors whose whole top-5 shares their label yield no row — those "
+    "need a deeper candidate list). Integer min-rank selection on top of "
+    "the exact kernel; label lookups are plain hash joins. The "
+    "near-miss training signal that random negatives "
+    "(contrastive_negative_pairs) cannot provide.",
+    tags=("similarity", "ann", "contrastive", "llm-pipeline"),
+)
+def ann_hard_negatives(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans.similarity import (
+        ann_topk_bruteforce,
+    )
+
+    tk = ann_topk_bruteforce(spark, sf_dir)
+    lab = T(spark, sf_dir, "embeddings").select("vec_id", "label")
+    q = lab.select(
+        F.col("vec_id").alias("vec_id"), F.col("label").alias("query_label")
+    )
+    n = lab.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neg_label"),
+    )
+    joined = (
+        tk.join(q, "vec_id")
+        .join(n, "neighbor_id")
+        .filter(F.col("neg_label") != F.col("query_label"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("rank", "neighbor_id")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "query_label",
+            F.col("neighbor_id").alias("hard_neg_id"),
+            "neg_label",
+            F.col("rank").alias("neg_rank"),
+            "cos_sim",
+        )
+    )

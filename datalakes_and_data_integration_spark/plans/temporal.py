@@ -1822,3 +1822,76 @@ def conversion_latency_quantiles(spark, sf_dir):
             .alias("latency_seconds"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hourly OHLC bars: open/high/low/close of the value series per event
+# type — the canonical first/last-value aggregation (finance bars, sensor
+# rollups). Open/close are selected by the deterministic total order
+# (ts, event_id) via ranked windows, never by arrival order (Spark's
+# first()/last() aggregate functions are partition-order-dependent and
+# banned here); high/low/count are plain grouped aggregates. Values pass
+# through unsummed, so no float arithmetic crosses engines at all.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ohlc_hourly_bars",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             ts, event_id, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT event_type, hour, value,
+             row_number() OVER (PARTITION BY event_type, hour
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, hour
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM v
+    )
+    SELECT event_type, hour,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*) AS n_events
+    FROM ranked GROUP BY event_type, hour
+    """,
+    description="Hourly OHLC bars per event type: open/close selected by "
+    "the deterministic (ts, event_id) total order via ranked windows — "
+    "never by arrival order (first()/last() aggregates are partition-"
+    "order-dependent) — high/low/count as plain grouped aggregates. "
+    "Values pass through unsummed, so no float arithmetic crosses "
+    "engines. One shuffle on (type, hour); the downsampling primitive "
+    "for dashboards and sensor rollups.",
+    tags=("temporal", "window", "downsample", "aggregate"),
+)
+def ohlc_hourly_bars(spark, sf_dir):
+    ev = T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    wa = Window.partitionBy("event_type", "hour").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = v.select(
+        "event_type",
+        "hour",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return ranked.groupBy("event_type", "hour").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("n_events"),
+    )

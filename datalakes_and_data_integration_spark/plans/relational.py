@@ -7,6 +7,7 @@ go through the reusable operators in ``operators/`` where one exists.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from datalakes_and_data_integration_spark.operators import (
@@ -1690,4 +1691,176 @@ def props_key_drift(spark, sf_dir):
             .cast("long")
             .alias("n_new_keys"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shipping-delay profile: days between order date and each lineitem's ship
+# date, summarized per order priority — exact integer-day gaps, nearest-
+# rank quantiles by the int64 crossing test (the conversion-latency
+# recipe on the star schema). The fulfillment-SLA evidence TPC-H q4 only
+# thresholds.
+# ---------------------------------------------------------------------------
+
+_SHIP_PCTS = [50, 90, 99]
+
+
+@register(
+    "shipping_delay_profile",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT o.o_orderpriority AS priority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS d
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    grp AS (
+      SELECT priority, d, count(*) AS c FROM gaps GROUP BY priority, d
+    ),
+    win AS (
+      SELECT priority, d,
+             CAST(sum(c) OVER (PARTITION BY priority ORDER BY d)
+                  AS BIGINT) AS cum
+      FROM grp
+    ),
+    tot AS (
+      SELECT priority, CAST(sum(c) AS BIGINT) AS n FROM grp
+      GROUP BY priority
+    )
+    SELECT w.priority, p.pct, t.n AS n_lineitems,
+           CAST(min(w.d) AS BIGINT) AS delay_days
+    FROM win w
+    JOIN tot t ON t.priority = w.priority
+    CROSS JOIN (SELECT unnest([{", ".join(map(str, _SHIP_PCTS))}])
+                AS pct) p
+    WHERE w.cum * 100 >= p.pct * t.n
+    GROUP BY w.priority, p.pct, t.n
+    """,
+    description=f"Shipping-delay profile per order priority: integer-day "
+    f"gap between order date and lineitem ship date, nearest-rank "
+    f"p{'/p'.join(map(str, _SHIP_PCTS))} by the int64 crossing test over "
+    "distinct gap values — the fulfillment-SLA distribution TPC-H q4 "
+    "only thresholds. One fact-fact join shuffle + bounded per-priority "
+    "quantile windows.",
+    tags=("aggregate", "quantile", "sla", "star-schema"),
+)
+def shipping_delay_profile(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    gaps = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).alias("d"),
+    )
+    grp = gaps.groupBy("priority", "d").agg(F.count("*").alias("c"))
+    # scale-ok: window over distinct per-priority gap values (bounded)
+    wo = Window.partitionBy("priority").orderBy("d")
+    win = grp.select(
+        "priority", "d", F.sum("c").over(wo).cast("long").alias("cum")
+    )
+    tot = grp.groupBy("priority").agg(F.sum("c").cast("long").alias("n"))
+    pcts = F.explode(
+        F.array(*[F.lit(p) for p in _SHIP_PCTS])
+    ).alias("pct")
+    return (
+        win.join(F.broadcast(tot), "priority")
+        .select("priority", "d", "cum", "n", pcts)
+        .filter(F.col("cum") * 100 >= F.col("pct") * F.col("n"))
+        .groupBy("priority", "pct", F.col("n").alias("n_lineitems"))
+        .agg(F.min("d").cast("long").alias("delay_days"))
+        .select("priority", "pct", "n_lineitems", "delay_days")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation: recency (days since last order), frequency
+# (order count), monetary (decimal-exact spend), each scored 1-4 by
+# ntile over the deterministic total order, concatenated into the
+# classic segment code ("444" = best). customer_spend_quartiles scores
+# monetary alone; RFM is the full marketing triad. ntile ties are fixed
+# by the (metric, customer key) total order, so scores are reproducible.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rfm_customer_segments",
+    oracle="""
+    WITH base AS (
+      SELECT c.c_custkey,
+             date_diff('day', CAST(max(o.o_orderdate) AS DATE),
+                       DATE '1998-12-31') AS recency_days,
+             count(*) AS frequency,
+             CAST(ROUND(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2)
+                  AS DOUBLE) AS monetary
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    ),
+    scored AS (
+      SELECT c_custkey, recency_days, frequency, monetary,
+             ntile(4) OVER (ORDER BY recency_days DESC, c_custkey) AS r,
+             ntile(4) OVER (ORDER BY frequency, c_custkey) AS f,
+             ntile(4) OVER (ORDER BY monetary, c_custkey) AS m
+      FROM base
+    )
+    SELECT c_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+           frequency, monetary,
+           r AS r_score, f AS f_score, m AS m_score,
+           concat(r, f, m) AS segment
+    FROM scored
+    """,
+    description="RFM customer segmentation: recency (days from last "
+    "order to the dataset horizon), frequency (order count), monetary "
+    "(decimal-exact spend), each ntile(4)-scored over a deterministic "
+    "total order (metric, custkey) and concatenated into the classic "
+    "segment code — the marketing triad on top of "
+    "customer_spend_quartiles' monetary-only view. One join shuffle + "
+    "three global ntile windows over the customer-sized aggregate.",
+    tags=("window", "segmentation", "star-schema"),
+)
+def rfm_customer_segments(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    base = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.datediff(
+                F.lit("1998-12-31").cast("date"),
+                F.max("o_orderdate").cast("date"),
+            ).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum(dec("o_totalprice", 18, 2)), 2)
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    # The segmentation contract needs global quartiles; at extreme scale
+    # use quantile-threshold joins instead.
+    wr = Window.orderBy(F.col("recency_days").desc(), "c_custkey")  # scale-ok: customer-sized RFM aggregate
+    wf = Window.orderBy("frequency", "c_custkey")  # scale-ok: customer-sized RFM aggregate
+    wm = Window.orderBy("monetary", "c_custkey")  # scale-ok: customer-sized RFM aggregate
+    scored = base.select(
+        "c_custkey",
+        F.col("recency_days").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary",
+        F.ntile(4).over(wr).alias("r_score"),
+        F.ntile(4).over(wf).alias("f_score"),
+        F.ntile(4).over(wm).alias("m_score"),
+    )
+    return scored.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat("r_score", "f_score", "m_score").alias("segment"),
     )

@@ -1895,3 +1895,196 @@ def ohlc_hourly_bars(spark, sf_dir):
         F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
         F.count("*").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily active-user decomposition: new / returning / resurrected — the
+# product-analytics triad behind every DAU chart (dau_by_nation counts
+# heads; this explains them). A user is NEW on their first-ever day,
+# RETURNING if active within the prior 7 days, RESURRECTED otherwise.
+# Exact integer set logic over distinct (day, user) pairs; the trailing
+# window is the bounded fan-out day join (<= 7 groups per pair).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dau_new_returning_resurrected",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    ),
+    first_day AS (
+      SELECT user_id, min(day) AS first_seen FROM du GROUP BY user_id
+    ),
+    recent AS (
+      SELECT DISTINCT a.day, b.user_id
+      FROM (SELECT DISTINCT day FROM du) a
+      JOIN du b ON b.day < a.day AND b.day >= a.day - INTERVAL 7 DAY
+    ),
+    tagged AS (
+      SELECT d.day, d.user_id,
+             CASE WHEN f.first_seen = d.day THEN 'new'
+                  WHEN r.user_id IS NOT NULL THEN 'returning'
+                  ELSE 'resurrected' END AS status
+      FROM du d
+      JOIN first_day f ON f.user_id = d.user_id
+      LEFT JOIN recent r ON r.day = d.day AND r.user_id = d.user_id
+    )
+    SELECT day,
+           count(*) AS n_active,
+           CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(sum(CASE WHEN status = 'returning' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returning,
+           CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_resurrected
+    FROM tagged GROUP BY day
+    """,
+    description="Daily active users decomposed into new (first-ever day), "
+    "returning (active within the prior 7 days), and resurrected (active "
+    "before, but not in the last week) — the triad behind every DAU "
+    "chart. Exact integer set logic over distinct (day, user) pairs; "
+    "first-seen is one grouped min, the trailing-week membership is the "
+    "bounded fan-out day join (<= 7 anchor groups per pair).",
+    tags=("temporal", "retention", "product-analytics"),
+)
+def dau_new_returning_resurrected(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    first_day = du.groupBy("user_id").agg(F.min("day").alias("first_seen"))
+    days = du.select(F.col("day").alias("aday")).distinct()
+    recent = (
+        days.join(
+            F.broadcast(du.select(F.col("day").alias("bday"), "user_id")),
+            (F.col("bday") < F.col("aday"))
+            & (F.col("bday") >= F.date_sub(F.col("aday"), 7)),
+        )  # scale-ok: bounded-day anchor join, <= 7 groups per pair
+        .select(F.col("aday").alias("day"), "user_id")
+        .distinct()
+        .withColumn("recent", F.lit(1))
+    )
+    tagged = (
+        du.join(first_day, "user_id")
+        .join(recent, ["day", "user_id"], "left")
+        .select(
+            "day",
+            F.when(F.col("first_seen") == F.col("day"), "new")
+            .when(F.col("recent").isNotNull(), "returning")
+            .otherwise("resurrected")
+            .alias("status"),
+        )
+    )
+    return tagged.groupBy("day").agg(
+        F.count("*").alias("n_active"),
+        F.sum(F.when(F.col("status") == "new", 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("status") == "returning", 1).otherwise(0))
+        .cast("long")
+        .alias("n_returning"),
+        F.sum(F.when(F.col("status") == "resurrected", 1).otherwise(0))
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session bounce rate: share of sessions with exactly one event, per day
+# — the engagement-quality headline on top of the sessionizer. Composes
+# the registered lag-based sessionization rule (> 30 min gap starts a
+# session); sessions are dated by their start. Exact integers plus one
+# decimal-routed rate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_bounce_rate_daily",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+                  OR lag(epoch_ms(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, sid,
+             CAST(date_trunc('day', min(ts)) AS DATE) AS day,
+             count(*) AS n_events
+      FROM numbered GROUP BY user_id, sid
+    )
+    SELECT day,
+           count(*) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(ROUND(CAST(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0
+                                    END) AS DOUBLE) / count(*)
+                           AS DECIMAL(27,12)), 6) AS DOUBLE) AS bounce_rate
+    FROM sessions GROUP BY day
+    """,
+    description="Session bounce rate per day: share of sessions with "
+    "exactly one event, sessions dated by their start — the engagement "
+    "headline on top of the registered 30-min-gap sessionization rule "
+    "(same lag-based session numbering as the sessionization query). "
+    "One per-user window pass + two grouped aggregates; exact integers, "
+    "decimal-routed rate.",
+    tags=("temporal", "session", "product-analytics"),
+)
+def session_bounce_rate_daily(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            (
+                F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(w)
+                > 1800000
+            )
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    numbered = flagged.select(
+        "user_id", "ts", F.sum("is_new").over(wc).alias("sid")
+    )
+    sessions = numbered.groupBy("user_id", "sid").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("day"),
+        F.count("*").alias("n_events"),
+    )
+    return sessions.groupBy("day").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+        F.round(
+            (
+                F.sum(
+                    F.when(F.col("n_events") == 1, 1).otherwise(0)
+                ).cast("double")
+                / F.count("*")
+            ).cast("decimal(27,12)"),
+            6,
+        )
+        .cast("double")
+        .alias("bounce_rate"),
+    )

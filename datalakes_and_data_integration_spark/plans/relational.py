@@ -1864,3 +1864,117 @@ def rfm_customer_segments(spark, sf_dir):
         "m_score",
         F.concat("r_score", "f_score", "m_score").alias("segment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Association rules: confidence and lift on top of the brand-pair support
+# table (market_basket_brand_pairs stops at support). Both directions of
+# each pair are emitted (confidence is asymmetric); lift's denominators
+# are exact integer counts, the displayed ratios are decimal-routed, and
+# ranking needs no float at all (filters are integer cross-multiplied).
+# ---------------------------------------------------------------------------
+
+_MBL_MIN_ORDERS = 3  # support floor: rules below this are noise
+
+
+@register(
+    "market_basket_lift",
+    oracle=f"""
+    WITH lines AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    brand_n AS (
+      SELECT brand, count(*) AS nb FROM lines GROUP BY brand
+    ),
+    pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS nab
+      FROM lines a JOIN lines b
+        ON a.okey = b.okey AND a.brand <> b.brand
+      GROUP BY a.brand, b.brand
+    ),
+    tot AS (SELECT count(DISTINCT okey) AS n FROM lines)
+    SELECT p.brand_a AS antecedent, p.brand_b AS consequent,
+           CAST(p.nab AS BIGINT) AS n_both,
+           CAST(na.nb AS BIGINT) AS n_antecedent,
+           CAST(nb.nb AS BIGINT) AS n_consequent,
+           CAST(ROUND(CAST(CAST(p.nab AS DOUBLE) / na.nb
+                           AS DECIMAL(27,12)), 6) AS DOUBLE) AS confidence,
+           CAST(ROUND(CAST(CAST(p.nab AS DOUBLE) * t.n
+                           / na.nb / nb.nb
+                           AS DECIMAL(27,12)), 6) AS DOUBLE) AS lift
+    FROM pairs p
+    JOIN brand_n na ON na.brand = p.brand_a
+    JOIN brand_n nb ON nb.brand = p.brand_b
+    CROSS JOIN tot t
+    WHERE p.nab >= {_MBL_MIN_ORDERS}
+    """,
+    description=f"Association rules over brand pairs: confidence "
+    f"P(consequent|antecedent) and lift (observed/expected co-occurrence) "
+    f"for both directions of every pair with >= {_MBL_MIN_ORDERS} "
+    "co-orders — the rule-quality tier above "
+    "market_basket_brand_pairs' support table. Integer counts "
+    "throughout; the displayed ratios are decimal-routed, one "
+    "correctly-rounded division chain each. Same bounded order-size "
+    "fan-out join; brand marginals are a dim-sized broadcast.",
+    tags=("join", "basket", "association-rules", "aggregate"),
+)
+def market_basket_lift(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    lines = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("p_brand").alias("brand"),
+        )
+        .distinct()
+    )
+    brand_n = lines.groupBy("brand").agg(F.count("*").alias("nb"))
+    a = lines.select(F.col("okey"), F.col("brand").alias("brand_a"))
+    b = lines.select(F.col("okey"), F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("brand_a") != F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("nab"))
+        .filter(F.col("nab") >= _MBL_MIN_ORDERS)
+    )
+    na = brand_n.select(
+        F.col("brand").alias("brand_a"), F.col("nb").alias("n_antecedent")
+    )
+    nb_ = brand_n.select(
+        F.col("brand").alias("brand_b"), F.col("nb").alias("n_consequent")
+    )
+    tot = lines.agg(F.countDistinct("okey").alias("n"))
+    return (
+        pairs.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb_), "brand_b")
+        .crossJoin(F.broadcast(tot))  # scale-ok: 1-row total
+        .select(
+            F.col("brand_a").alias("antecedent"),
+            F.col("brand_b").alias("consequent"),
+            F.col("nab").cast("long").alias("n_both"),
+            F.col("n_antecedent").cast("long").alias("n_antecedent"),
+            F.col("n_consequent").cast("long").alias("n_consequent"),
+            F.round(
+                (F.col("nab").cast("double") / F.col("n_antecedent")).cast(
+                    "decimal(27,12)"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("confidence"),
+            F.round(
+                (
+                    F.col("nab").cast("double")
+                    * F.col("n")
+                    / F.col("n_antecedent")
+                    / F.col("n_consequent")
+                ).cast("decimal(27,12)"),
+                6,
+            )
+            .cast("double")
+            .alias("lift"),
+        )
+    )

@@ -1331,3 +1331,85 @@ def ann_hard_negatives(spark, sf_dir):
             "cos_sim",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN classifier eval: majority label among each held-out vector's exact
+# top-5 neighbors — the third leg of the classifier triad (nearest
+# centroid = one prototype per class; logreg = a trained linear head;
+# kNN = local vote, no training at all). Votes are exact integers with a
+# smallest-label tiebreak, so the confusion matrix is exact.
+# ---------------------------------------------------------------------------
+
+
+def _knn_oracle() -> str:
+    from datalakes_and_data_integration_spark.plans.registry import QUERIES
+
+    base = QUERIES["ann_topk_bruteforce"].oracle
+    return f"""
+    WITH tk AS ({base}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    votes AS (
+      SELECT t.vec_id, q.label AS label_true, n.label AS label_vote,
+             count(*) AS v
+      FROM tk t
+      JOIN lab q ON q.vec_id = t.vec_id
+      JOIN lab n ON n.vec_id = t.neighbor_id
+      GROUP BY t.vec_id, q.label, n.label
+    ),
+    winner AS (
+      SELECT vec_id, label_true, label_vote AS label_pred
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY v DESC, label_vote) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT label_true, label_pred, count(*) AS n
+    FROM winner GROUP BY label_true, label_pred
+    """
+
+
+@register(
+    "knn_classifier_eval",
+    oracle=_knn_oracle(),
+    description="kNN (k=5) classifier confusion matrix: majority label "
+    "among each vector's exact cosine top-5 neighbors, smallest-label "
+    "tiebreak — the no-training leg of the classifier triad next to "
+    "centroid_classifier_eval (one prototype per class) and "
+    "logreg_confusion (trained head). Integer votes on top of the exact "
+    "ANN kernel; label lookups are plain hash joins.",
+    tags=("similarity", "ml", "classifier", "evaluation", "llm-pipeline"),
+)
+def knn_classifier_eval(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans.similarity import (
+        ann_topk_bruteforce,
+    )
+
+    tk = ann_topk_bruteforce(spark, sf_dir)
+    lab = T(spark, sf_dir, "embeddings").select("vec_id", "label")
+    q = lab.select("vec_id", F.col("label").alias("label_true"))
+    n = lab.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("label_vote"),
+    )
+    votes = (
+        tk.join(q, "vec_id")
+        .join(n, "neighbor_id")
+        .groupBy("vec_id", "label_true", "label_vote")
+        .agg(F.count("*").alias("v"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("v").desc(), "label_vote"
+    )
+    winner = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("label_true", F.col("label_vote").alias("label_pred"))
+    )
+    return winner.groupBy("label_true", "label_pred").agg(
+        F.count("*").alias("n")
+    )

@@ -718,3 +718,117 @@ def vocab_coverage_curve(spark, sf_dir):
             "coverage",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Split balance audit: does the hash split preserve the corpus's language
+# and source mix? Per (split, lang): document share inside the split vs
+# the global share, with the deviation — stratification evidence for
+# dataset_split_assignment (an unlucky hash split on a small corpus CAN
+# skew a stratum; this is the check that would catch it). Counts are
+# exact integers; shares are decimal-routed; the deviation comparison
+# happens on the already-rounded doubles, identically in both engines.
+# ---------------------------------------------------------------------------
+
+
+def _split_balance_oracle() -> str:
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_sql_duck,
+    )
+
+    bucket = f"{hash60_sql_duck('CAST(doc_id AS VARCHAR)', seed=7)} % 100"
+    return f"""
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT lang, {bucket} AS b FROM documents)
+    ),
+    cell AS (
+      SELECT split, lang, count(*) AS n FROM assigned GROUP BY split, lang
+    ),
+    split_tot AS (
+      SELECT split, CAST(sum(n) AS BIGINT) AS ns FROM cell GROUP BY split
+    ),
+    lang_tot AS (
+      SELECT lang, CAST(sum(n) AS BIGINT) AS nl FROM cell GROUP BY lang
+    ),
+    grand AS (SELECT CAST(sum(n) AS BIGINT) AS g FROM cell)
+    SELECT c.split, c.lang, CAST(c.n AS BIGINT) AS n_docs,
+           CAST(ROUND(CAST(CAST(c.n AS DOUBLE) / s.ns
+                           AS DECIMAL(27,12)), 6) AS DOUBLE) AS split_share,
+           CAST(ROUND(CAST(CAST(l.nl AS DOUBLE) / g.g
+                           AS DECIMAL(27,12)), 6) AS DOUBLE) AS global_share,
+           CAST(ROUND(CAST(CAST(c.n AS DOUBLE) / s.ns
+                           - CAST(l.nl AS DOUBLE) / g.g
+                           AS DECIMAL(27,12)), 6) AS DOUBLE) AS deviation
+    FROM cell c
+    JOIN split_tot s ON s.split = c.split
+    JOIN lang_tot l ON l.lang = c.lang
+    CROSS JOIN grand g
+    """
+
+
+@register(
+    "split_balance_audit",
+    oracle=_split_balance_oracle(),
+    description="Stratification audit of the md5 hash split: per (split, "
+    "lang), the language share inside the split vs the corpus-wide share "
+    "and their deviation — the evidence that dataset_split_assignment's "
+    "unstratified hash didn't skew a stratum (it can, on small corpora). "
+    "Exact integer counts, decimal-routed shares; dim-sized totals "
+    "broadcast. Complements split_leakage_audit (leakage) and "
+    "cluster_aware_split (dedup-aware assignment).",
+    tags=("sampling", "split", "audit", "llm-pipeline"),
+)
+def split_balance_audit(spark, sf_dir):
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_sql_spark,
+    )
+
+    bucket = f"{hash60_sql_spark('CAST(doc_id AS STRING)', seed=7)} % 100"
+    assigned = T(spark, sf_dir, "documents").select(
+        "lang",
+        F.when(F.expr(bucket) < 80, "train")
+        .when(F.expr(bucket) < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    cell = assigned.groupBy("split", "lang").agg(F.count("*").alias("n"))
+    split_tot = cell.groupBy("split").agg(
+        F.sum("n").cast("long").alias("ns")
+    )
+    lang_tot = cell.groupBy("lang").agg(F.sum("n").cast("long").alias("nl"))
+    grand = cell.agg(F.sum("n").cast("long").alias("g"))
+
+    def share(num, den, name):
+        return (
+            F.round(
+                (num.cast("double") / den).cast("decimal(27,12)"), 6
+            )
+            .cast("double")
+            .alias(name)
+        )
+
+    return (
+        cell.join(F.broadcast(split_tot), "split")
+        .join(F.broadcast(lang_tot), "lang")
+        .crossJoin(F.broadcast(grand))  # scale-ok: 1-row grand total
+        .select(
+            "split",
+            "lang",
+            F.col("n").cast("long").alias("n_docs"),
+            share(F.col("n"), F.col("ns"), "split_share"),
+            share(F.col("nl"), F.col("g"), "global_share"),
+            F.round(
+                (
+                    F.col("n").cast("double") / F.col("ns")
+                    - F.col("nl").cast("double") / F.col("g")
+                ).cast("decimal(27,12)"),
+                6,
+            )
+            .cast("double")
+            .alias("deviation"),
+        )
+    )

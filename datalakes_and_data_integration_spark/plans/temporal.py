@@ -2088,3 +2088,87 @@ def session_bounce_rate_daily(spark, sf_dir):
         .cast("double")
         .alias("bounce_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hourly TWAP (time-weighted average value) per event type: each
+# observation holds until the next one (last one holds to the hour end),
+# so the average weighs VALUES BY DURATION — the sensor/finance statistic
+# OHLC bars don't give (a spike lasting seconds barely moves TWAP but
+# sets the bar's high). Durations are exact int64 microseconds from the
+# deterministic (ts, event_id) order; value x duration products are
+# decimal-routed, and the final division is one decimal-routed ratio.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "twap_hourly",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             ts, event_id, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    seg AS (
+      SELECT event_type, hour, value,
+             coalesce(
+               lead(epoch_us(ts)) OVER (PARTITION BY event_type, hour
+                                        ORDER BY ts, event_id),
+               epoch_us(hour + INTERVAL 1 HOUR)
+             ) - epoch_us(ts) AS dur_us
+      FROM v
+    )
+    SELECT event_type, hour,
+           count(*) AS n_events,
+           CAST(sum(dur_us) AS BIGINT) AS covered_us,
+           CAST(ROUND(CAST(
+             CAST(sum(CAST(value * dur_us AS DECIMAL(27,6))) AS DOUBLE)
+             / sum(dur_us) AS DECIMAL(27,12)), 6) AS DOUBLE) AS twap
+    FROM seg GROUP BY event_type, hour
+    """,
+    description="Hourly time-weighted average value per event type: each "
+    "observation holds until the next (the last holds to the hour end), "
+    "so values weigh by duration — the statistic OHLC bars miss (a "
+    "seconds-long spike sets the high but barely moves TWAP). Exact "
+    "int64 microsecond durations from the deterministic (ts, event_id) "
+    "order, decimal-routed value x duration sums, one decimal-routed "
+    "division. One window + one grouped aggregate on (type, hour).",
+    tags=("temporal", "window", "downsample", "aggregate"),
+)
+def twap_hourly(spark, sf_dir):
+    ev = T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("event_type", "hour").orderBy("ts", "event_id")
+    seg = v.select(
+        "event_type",
+        "hour",
+        "value",
+        (
+            F.coalesce(
+                F.lead(F.unix_micros("ts")).over(w),
+                F.unix_micros(F.col("hour") + F.expr("INTERVAL 1 HOUR")),
+            )
+            - F.unix_micros("ts")
+        ).alias("dur_us"),
+    )
+    return seg.groupBy("event_type", "hour").agg(
+        F.count("*").alias("n_events"),
+        F.sum("dur_us").cast("long").alias("covered_us"),
+        F.round(
+            (
+                F.sum(
+                    F.expr("CAST(value * dur_us AS DECIMAL(27,6))")
+                ).cast("double")
+                / F.sum("dur_us")
+            ).cast("decimal(27,12)"),
+            6,
+        )
+        .cast("double")
+        .alias("twap"),
+    )

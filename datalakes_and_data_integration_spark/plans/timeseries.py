@@ -13,6 +13,7 @@ shuffles exactly once on user_id.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from datalakes_and_data_integration_spark.operators import (
@@ -528,4 +529,135 @@ def customer_spend_quartiles(spark, sf_dir):
         "c_custkey",
         "total_spent",
         quartile.cast("int").alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gapfill by LINEAR INTERPOLATION — the other TimescaleDB gapfill mode
+# next to gapfill_hourly_locf (locf holds the level; interpolate draws
+# the line — right for continuous quantities, wrong for step states).
+# Same dense spine; interior gaps take
+#     prev + (next - prev) * (t - t_prev) / (t_next - t_prev)
+# where the fraction is a correctly-rounded division of exact int64
+# epoch seconds and prev/next are the already-rounded hourly doubles —
+# all deterministic IEEE ops; the display value is decimal-routed. The
+# spine spans each user's observed range, so every gap is interior and
+# both neighbors exist.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gapfill_hourly_interpolate",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS v
+      FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    bounds AS (
+      SELECT user_id, min(hour) AS lo, max(hour) AS hi FROM hourly
+      GROUP BY user_id
+    ),
+    spine AS (
+      SELECT b.user_id, unnest(generate_series(b.lo, b.hi,
+                                               INTERVAL 1 HOUR)) AS hour
+      FROM bounds b
+    ),
+    ctx AS (
+      SELECT s.user_id, s.hour, h.v AS v_raw,
+             last_value(h.v IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN h.v IS NOT NULL THEN epoch(s.hour) END
+                        IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(h.v IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.hour
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN h.v IS NOT NULL THEN epoch(s.hour) END
+                         IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.hour
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM spine s
+      LEFT JOIN hourly h ON h.user_id = s.user_id AND h.hour = s.hour
+    )
+    SELECT user_id, hour, v_raw,
+           CAST(ROUND(CAST(
+             CASE WHEN v_raw IS NOT NULL THEN v_raw
+                  ELSE pv + (nv - pv)
+                       * (CAST(epoch(hour) - pt AS DOUBLE) / (nt - pt))
+             END AS DECIMAL(27,12)), 6) AS DOUBLE) AS v_interp
+    FROM ctx
+    """,
+    description="Dense hourly spine per user with gaps filled by linear "
+    "interpolation between the neighboring observations — the other "
+    "TimescaleDB gapfill mode next to gapfill_hourly_locf (interpolate "
+    "draws the line; locf holds the level). The fraction is a correctly "
+    "rounded division of exact int64 epoch seconds; prev/next are the "
+    "already-rounded hourly doubles, so the arithmetic is deterministic "
+    "IEEE on both engines; decimal-routed display. The spine spans each "
+    "user's observed range, so every gap has both neighbors.",
+    tags=("timeseries", "gapfill", "window"),
+)
+def gapfill_hourly_interpolate(spark, sf_dir):
+    ev = T(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.round(F.sum(dec("value", 18, 6)), 4).cast("double").alias("v")
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    joined = spine.join(hourly, ["user_id", "hour"], "left").select(
+        "user_id", "hour", F.col("v").alias("v_raw")
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    et = F.unix_timestamp("hour")
+    obs_t = F.when(F.col("v_raw").isNotNull(), et)
+    ctx = joined.select(
+        "user_id",
+        "hour",
+        "v_raw",
+        F.last("v_raw", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_t, ignorenulls=True).over(wp).alias("pt"),
+        F.first("v_raw", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_t, ignorenulls=True).over(wn).alias("nt"),
+    )
+    interp = F.when(F.col("v_raw").isNotNull(), F.col("v_raw")).otherwise(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * (
+            (et - F.col("pt")).cast("double")
+            / (F.col("nt") - F.col("pt"))
+        )
+    )
+    return ctx.select(
+        "user_id",
+        "hour",
+        "v_raw",
+        F.round(interp.cast("decimal(27,12)"), 6)
+        .cast("double")
+        .alias("v_interp"),
     )

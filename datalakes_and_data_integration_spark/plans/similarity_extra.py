@@ -1413,3 +1413,142 @@ def knn_classifier_eval(spark, sf_dir):
     return winner.groupBy("label_true", "label_pred").agg(
         F.count("*").alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH: the recall knob that does NOT grow the index. The
+# single-bucket path (ann_topk_lsh_bucketed) misses neighbors whose sign
+# vector differs by one plane — exactly the near-boundary cases; probing
+# the query's own bucket PLUS the 8 Hamming-distance-1 buckets recovers
+# them at 9x the candidate cost, with the corpus still indexed once
+# (classic multi-probe: Lv et al., VLDB'07). Exact cosine ranks the
+# candidate union; candidates never leave their buckets.
+# ---------------------------------------------------------------------------
+
+
+def _probe_buckets_spark(bucket: str) -> str:
+    from datalakes_and_data_integration_spark.plans.similarity import (
+        _PLANES,
+    )
+
+    flips = ", ".join(f"{bucket} ^ {1 << p}" for p in range(_PLANES))
+    return f"array({bucket}, {flips})"
+
+
+def _probe_buckets_duck(bucket: str) -> str:
+    from datalakes_and_data_integration_spark.plans.similarity import (
+        _PLANES,
+    )
+
+    flips = ", ".join(f"xor({bucket}, {1 << p})" for p in range(_PLANES))
+    return f"[{bucket}, {flips}]"
+
+
+def _multiprobe_oracle() -> str:
+    from datalakes_and_data_integration_spark.plans.similarity import (
+        _TOPK,
+        _bucket_duck,
+        _dot_duck,
+        _norm2_duck,
+    )
+
+    return f"""
+    WITH normed AS MATERIALIZED (
+      SELECT vec_id, embedding, sqrt({_norm2_duck('embedding')}) AS nrm,
+             {_bucket_duck('embedding')} AS bucket
+      FROM embeddings
+    ),
+    probes AS (
+      SELECT vec_id, unnest({_probe_buckets_duck('bucket')}) AS pbucket
+      FROM normed
+    ),
+    pairs AS (
+      SELECT p.vec_id, b.vec_id AS neighbor_id,
+             round({_dot_duck('a.embedding', 'b.embedding')}
+                   / a.nrm / b.nrm, 6) AS cos_sim
+      FROM probes p
+      JOIN normed a ON a.vec_id = p.vec_id
+      JOIN normed b ON b.bucket = p.pbucket AND b.vec_id <> p.vec_id
+    )
+    SELECT vec_id, neighbor_id, cos_sim, rank FROM (
+      SELECT vec_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM pairs
+    ) WHERE rank <= {_TOPK}
+    """
+
+
+@register(
+    "ann_topk_lsh_multiprobe",
+    oracle=_multiprobe_oracle(),
+    description="Multi-probe LSH top-5 (Lv et al., VLDB'07): each query "
+    "probes its own sign bucket plus the 8 Hamming-distance-1 buckets — "
+    "recovering exactly the near-boundary neighbors the single-bucket "
+    "path misses — while the corpus stays indexed ONCE (the recall knob "
+    "that costs probe time, not index memory; candidate recall is a "
+    "strict superset of ann_topk_lsh_bucketed's, pinned by test). Exact "
+    "cosine ranks the candidate union; the probe explode is a 9x narrow "
+    "map and candidates never leave their buckets.",
+    tags=("similarity", "ann", "lsh", "multiprobe", "llm-pipeline"),
+)
+def ann_topk_lsh_multiprobe(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans._util import spread
+    from datalakes_and_data_integration_spark.plans.similarity import (
+        _TOPK,
+        _bucket_spark,
+        _dot_spark,
+        _norm2_spark,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    normed = spread(
+        e.select(
+            "vec_id",
+            "embedding",
+            F.expr(f"sqrt({_norm2_spark('embedding')})").alias("nrm"),
+            F.expr(_bucket_spark("embedding")).alias("bucket"),
+        ),
+        spark,
+        by="vec_id",
+    ).persist()
+    probes = normed.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.explode(F.expr(_probe_buckets_spark("bucket"))).alias("pbucket"),
+    )
+    b = normed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+        F.col("bucket").alias("pbucket"),
+    )
+    pairs = (
+        probes.join(b, "pbucket")
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .select(
+            F.col("q_id").alias("vec_id"),
+            "neighbor_id",
+            F.round(
+                F.expr(_dot_spark("q_emb", "n_emb"))
+                / F.col("q_nrm")
+                / F.col("n_nrm"),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    # persist (not unpersisted here): both join sides evaluate the
+    # 8x64-term bucket expression otherwise — same pattern as
+    # ann_topk_lsh_bucketed; the ContextCleaner reclaims it.
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select("vec_id", "neighbor_id", "cos_sim", "rank")
+    )

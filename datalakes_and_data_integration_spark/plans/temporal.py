@@ -2172,3 +2172,87 @@ def twap_hourly(spark, sf_dir):
         .cast("double")
         .alias("twap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal train/test split with leakage audit — the one split-family
+# member the hash/cluster/balance suite doesn't cover: time-ordered data
+# (forecasting, drift eval) must split ON TIME or the future leaks into
+# training. The boundary is the first day whose cumulative event count
+# crosses 80% (int64 crossing test over the day spine); the audit emits
+# each side's min/max day so train_max < test_min is visible in the
+# result itself. Exact integers throughout.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "temporal_split_audit",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS c
+      FROM events GROUP BY 1
+    ),
+    win AS (
+      SELECT day, CAST(sum(c) OVER (ORDER BY day) AS BIGINT) AS cum
+      FROM daily
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM daily),
+    boundary AS (
+      SELECT min(w.day) AS bday FROM win w CROSS JOIN tot t
+      WHERE w.cum * 100 >= 80 * t.n
+    ),
+    assigned AS (
+      SELECT e.event_type,
+             CASE WHEN CAST(date_trunc('day', e.ts) AS DATE) <= b.bday
+                  THEN 'train' ELSE 'test' END AS split,
+             CAST(date_trunc('day', e.ts) AS DATE) AS day
+      FROM events e CROSS JOIN boundary b
+    )
+    SELECT a.event_type, a.split,
+           count(*) AS n_events,
+           min(a.day) AS min_day,
+           max(a.day) AS max_day,
+           b.bday AS boundary_day
+    FROM assigned a CROSS JOIN boundary b
+    GROUP BY a.event_type, a.split, b.bday
+    """,
+    description="Temporal 80/20 train/test split with leakage audit: the "
+    "boundary is the first day whose cumulative event count crosses 80% "
+    "(int64 crossing test over the day spine); per (type, split) the "
+    "result carries counts plus each side's min/max day, so "
+    "train_max <= boundary < test_min is visible in the output — the "
+    "time-ordered split the hash/cluster/balance split family cannot "
+    "provide (future leakage). Day spine is dim-sized; one grouped scan.",
+    tags=("temporal", "split", "audit", "llm-pipeline"),
+)
+def temporal_split_audit(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    daily = ev.groupBy(day.alias("day")).agg(F.count("*").alias("c"))
+    # scale-ok: window over the dim-sized day spine
+    wo = Window.orderBy("day")
+    win = daily.select(
+        "day", F.sum("c").over(wo).cast("long").alias("cum")
+    )
+    tot = daily.agg(F.sum("c").cast("long").alias("n"))
+    boundary = (
+        win.crossJoin(F.broadcast(tot))  # scale-ok: 1-row total
+        .filter(F.col("cum") * 100 >= 80 * F.col("n"))
+        .agg(F.min("day").alias("bday"))
+    )
+    assigned = ev.crossJoin(F.broadcast(boundary)).select(  # scale-ok: 1-row boundary
+        "event_type",
+        F.when(day <= F.col("bday"), "train").otherwise("test").alias(
+            "split"
+        ),
+        day.alias("day"),
+        "bday",
+    )
+    return assigned.groupBy("event_type", "split", F.col("bday").alias("boundary_day")).agg(
+        F.count("*").alias("n_events"),
+        F.min("day").alias("min_day"),
+        F.max("day").alias("max_day"),
+    ).select(
+        "event_type", "split", "n_events", "min_day", "max_day",
+        "boundary_day",
+    )

@@ -117,6 +117,32 @@ def test_stream_left_join_matched_equals_inner(spark):
     assert len(inner) == len(inner_named)
 
 
+def test_multiprobe_recall_dominates_single_bucket(spark):
+    """Multi-probe LSH probes a strict superset of the single-bucket
+    candidates, so its recall vs the exact top-k can only be >=."""
+    def recall(name):
+        got: dict[int, set] = {}
+        for r in _q(name)(spark, SF).collect():
+            got.setdefault(r[0], set()).add(r[1])
+        exact: dict[int, set] = {}
+        for r in _q("ann_topk_bruteforce")(spark, SF).collect():
+            exact.setdefault(r[0], set()).add(r[1])
+        vals = [
+            len(got.get(q, set()) & exact[q]) / len(exact[q])
+            for q in exact
+        ]
+        return sum(vals) / len(vals)
+
+    single = recall("ann_topk_lsh_bucketed")
+    multi = recall("ann_topk_lsh_multiprobe")
+    # Superset argument: multi-probe candidates contain the single-bucket
+    # candidates, so >= is a hard invariant; the margin asserts the 8
+    # extra probes add real recall (measured 0.002 -> 0.106 at sf0.001 —
+    # 256 buckets over 500 vectors leave single-probe nearly blind).
+    assert multi >= single
+    assert multi >= max(2 * single, 0.02)
+
+
 def test_cdc_chunking_is_edit_local():
     """The defining CDC property: appending bytes to a payload leaves
     every chunk before the edit region unchanged (fixed-size blocks

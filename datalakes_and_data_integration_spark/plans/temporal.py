@@ -2256,3 +2256,160 @@ def temporal_split_audit(spark, sf_dir):
         "event_type", "split", "n_events", "min_day", "max_day",
         "boundary_day",
     )
+
+
+# ---------------------------------------------------------------------------
+# Day-over-day / week-over-week value report: the BI headline deltas on
+# the daily spine. Daily totals are decimal-exact; the DoD/WoW lags run
+# on the dim-sized day series, and pct changes are decimal-routed ratios
+# of the already-rounded daily doubles.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "value_dod_wow_report",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+               AS total
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1
+    ),
+    lagged AS (
+      SELECT day, total,
+             lag(total, 1) OVER (ORDER BY day) AS prev_day,
+             lag(total, 7) OVER (ORDER BY day) AS prev_week
+      FROM daily
+    )
+    SELECT day, total, prev_day, prev_week,
+           CAST(ROUND(CAST((total - prev_day) / prev_day
+                           AS DECIMAL(27,12)), 6) AS DOUBLE) AS dod_pct,
+           CAST(ROUND(CAST((total - prev_week) / prev_week
+                           AS DECIMAL(27,12)), 6) AS DOUBLE) AS wow_pct
+    FROM lagged
+    """,
+    description="Day-over-day and week-over-week value deltas on the "
+    "daily spine: decimal-exact daily totals, lag(1)/lag(7) on the "
+    "dim-sized day series, decimal-routed pct changes of the already-"
+    "rounded doubles — the BI headline report. One grouped scan + one "
+    "bounded window.",
+    tags=("temporal", "window", "bi", "aggregate"),
+)
+def value_dod_wow_report(spark, sf_dir):
+    ev = T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.round(F.sum(dec("value", 18, 6)), 4).cast("double").alias("total")
+    )
+    # scale-ok: window over the dim-sized day spine
+    wo = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "total",
+        F.lag("total", 1).over(wo).alias("prev_day"),
+        F.lag("total", 7).over(wo).alias("prev_week"),
+    )
+
+    def pct(cur, prev, name):
+        return (
+            F.round(
+                ((cur - prev) / prev).cast("decimal(27,12)"), 6
+            )
+            .cast("double")
+            .alias(name)
+        )
+
+    return lagged.select(
+        "day",
+        "total",
+        "prev_day",
+        "prev_week",
+        pct(F.col("total"), F.col("prev_day"), "dod_pct"),
+        pct(F.col("total"), F.col("prev_week"), "wow_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top user journeys: the most common event-sequence strings — the path-
+# analysis headline on top of event_sequence_pattern's per-user journeys
+# (which products' flows dominate the traffic). Exact counts, bounded
+# top-k window, decimal-routed share.
+# ---------------------------------------------------------------------------
+
+_TJ_TOPK = 10
+
+
+@register(
+    "top_user_journeys",
+    oracle=f"""
+    WITH j AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS journey
+      FROM events GROUP BY user_id
+    ),
+    grp AS (
+      SELECT journey, count(*) AS n_users FROM j GROUP BY journey
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM j)
+    SELECT g.journey, CAST(g.n_users AS BIGINT) AS n_users, rk,
+           CAST(ROUND(CAST(CAST(g.n_users AS DOUBLE) / t.n
+                           AS DECIMAL(27,12)), 6) AS DOUBLE) AS share
+    FROM (
+      SELECT journey, n_users,
+             row_number() OVER (ORDER BY n_users DESC, journey) AS rk
+      FROM grp
+    ) g CROSS JOIN tot t
+    WHERE rk <= {_TJ_TOPK}
+    """,
+    description=f"Top {_TJ_TOPK} user journeys by frequency: the ordered "
+    "event-initial strings (same deterministic construction as "
+    "event_sequence_pattern) grouped and ranked with a lexical "
+    "tiebreak, with each journey's user share — the path-analysis "
+    "headline. One journey shuffle + a journey-cardinality-bounded "
+    "top-k window.",
+    tags=("sequence", "pattern", "bi", "product-analytics"),
+)
+def top_user_journeys(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    j = (
+        ev.select(
+            "user_id",
+            F.struct(
+                "ts",
+                "event_id",
+                F.expr("substr(event_type, 1, 1)").alias("ini"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "concat_ws('', transform(array_sort(collect_list(s)), "
+                "x -> x.ini))"
+            ).alias("journey")
+        )
+    )
+    grp = j.groupBy("journey").agg(F.count("*").alias("n_users"))
+    tot = j.agg(F.count("*").cast("long").alias("n"))
+    # scale-ok: top-k window over distinct journey strings (bounded)
+    wr = Window.orderBy(F.col("n_users").desc(), "journey")
+    return (
+        grp.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= _TJ_TOPK)
+        .crossJoin(F.broadcast(tot))  # scale-ok: 1-row total
+        .select(
+            "journey",
+            F.col("n_users").cast("long").alias("n_users"),
+            "rk",
+            F.round(
+                (F.col("n_users").cast("double") / F.col("n")).cast(
+                    "decimal(27,12)"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("share"),
+        )
+    )

@@ -16,6 +16,8 @@ window next round.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from datalakes_and_data_integration_spark.operators.quality import (
     ExpectationSuite,
     union_reports,
@@ -445,3 +447,86 @@ def l_diversity_audit(spark, sf_dir):
             .alias("pct_rows_at_risk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# The expectation suite applied to the TEXT corpus — operator-reuse
+# evidence: the same fused one-scan machinery that audits the warehouse
+# tables (data_quality_report) publishes the corpus contract a training
+# pipeline consumes (non-null fields, lang enum, metadata consistency,
+# id uniqueness, a deliberately discriminating length floor). All
+# predicate checks fuse into ONE aggregate over one scan; uniqueness is
+# the one extra shuffle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_corpus_quality_report",
+    oracle="""
+    WITH preds AS (
+      SELECT 'documents' AS table_name, 'text_not_null' AS check_name,
+             count(*) AS n_checked,
+             CAST(coalesce(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END),
+                           0) AS BIGINT) AS n_violations
+      FROM documents
+      UNION ALL
+      SELECT 'documents', 'lang_not_null', count(*),
+             CAST(coalesce(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+                           0) AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT 'documents', 'lang_accepted_values', count(*),
+             CAST(coalesce(sum(CASE WHEN lang IS NOT NULL
+                               AND lang NOT IN ('en','de','es','fr','zh')
+                               THEN 1 ELSE 0 END), 0) AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT 'documents', 'n_chars_between_100_10000', count(*),
+             CAST(coalesce(sum(CASE WHEN n_chars IS NOT NULL
+                               AND n_chars NOT BETWEEN 100 AND 10000
+                               THEN 1 ELSE 0 END), 0) AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT 'documents', 'n_chars_matches_text', count(*),
+             CAST(coalesce(sum(CASE WHEN length(text) = n_chars
+                               THEN 0 ELSE 1 END), 0) AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT 'documents', 'doc_id_unique', count(*),
+             CAST((SELECT coalesce(sum(c - 1), 0) FROM (
+               SELECT count(*) AS c FROM documents GROUP BY doc_id
+             ) WHERE c > 1) AS BIGINT)
+      FROM documents
+    )
+    SELECT table_name, check_name, n_checked, n_violations,
+           n_violations = 0 AS passed
+    FROM preds
+    """,
+    description="The declarative expectation suite (operators/quality.py) "
+    "applied to the text corpus: non-null text/lang, lang enum, metadata "
+    "consistency (length(text) == n_chars), doc_id uniqueness, and a "
+    "deliberately discriminating 100-char length floor — the corpus "
+    "contract a training pipeline publishes. All predicate checks fuse "
+    "into ONE aggregate over one scan (same machinery, same plan shape "
+    "as data_quality_report); uniqueness is the one extra shuffle.",
+    tags=("quality", "expectations", "text", "llm-pipeline"),
+)
+def doc_corpus_quality_report(spark, sf_dir):
+    from datalakes_and_data_integration_spark.operators.quality import (
+        ExpectationSuite,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    suite = (
+        ExpectationSuite(d, "documents")
+        .expect_not_null("text")
+        .expect_not_null("lang")
+        .expect_in("lang", ["en", "de", "es", "fr", "zh"])
+        .expect_between("n_chars", 100, 10000)
+        .expect_predicate(
+            "n_chars_matches_text",
+            F.length("text") == F.col("n_chars"),
+        )
+        .expect_unique("doc_id")
+    )
+    return suite.run()

@@ -832,3 +832,136 @@ def split_balance_audit(spark, sf_dir):
             .alias("deviation"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum) test: does English documents' quality
+# distribution stochastically dominate the rest of the corpus? The
+# rank-based two-sample test completing the drift family (KS = numeric
+# CDFs, chi2/PSI = categorical mixes; U = ordinal dominance, robust to
+# any monotone transform of the score). EXACT integers end-to-end: with
+# midranks for ties, 2*rank(v) = 2*|{smaller}| + c_v + 1 is an integer,
+# so the doubled rank sum R2 and doubled statistic 2U = R2 - n_a(n_a+1)
+# are exact int64 in both engines; the rank-biserial effect size
+# 2U/(n_a*n_b) - 1 is the one decimal-routed display ratio.
+#
+# Scale: one grouped scan to per-value counts, one window over distinct
+# score values (bounded), a 1-row reduction.
+# ---------------------------------------------------------------------------
+
+
+def _mwu_oracle() -> str:
+    from datalakes_and_data_integration_spark.functions.text import (
+        STOPWORDS,
+    )
+    from datalakes_and_data_integration_spark.plans.curation3 import (
+        _QUALITY_DUCK,
+    )
+
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    q = _QUALITY_DUCK.format(en=en)
+    return f"""
+    WITH tok AS (
+      SELECT lang, {_TOK_DUCK} AS toks, length(text) AS n,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct_cnt
+      FROM documents
+    ),
+    scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS in_a,
+             {q} AS quality
+      FROM tok
+    ),
+    grp AS (
+      SELECT quality, count(*) AS c,
+             CAST(sum(in_a) AS BIGINT) AS a
+      FROM scored GROUP BY quality
+    ),
+    win AS (
+      SELECT quality, c, a,
+             CAST(sum(c) OVER (ORDER BY quality) - c AS BIGINT) AS smaller
+      FROM grp
+    ),
+    agg AS (
+      SELECT CAST(sum(a) AS BIGINT) AS n_a,
+             CAST(sum(c - a) AS BIGINT) AS n_b,
+             CAST(sum(a * (2 * smaller + c + 1)) AS BIGINT) AS r2_a
+      FROM win
+    )
+    SELECT n_a, n_b,
+           r2_a - n_a * (n_a + 1) AS u2_a,
+           2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS u2_b,
+           CAST(ROUND(CAST(CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)
+                           / (n_a * n_b) - 1.0
+                           AS DECIMAL(27,12)), 6) AS DOUBLE)
+             AS rank_biserial
+    FROM agg
+    """
+
+
+@register(
+    "mannwhitney_quality_en_vs_rest",
+    oracle=_mwu_oracle(),
+    description="Mann-Whitney U rank-sum test of English vs rest-of-"
+    "corpus quality scores — the ordinal two-sample test completing the "
+    "drift family (KS: numeric CDFs; chi2/PSI: categorical mixes; U: "
+    "stochastic dominance, invariant to monotone score transforms). "
+    "Doubled midranks keep everything exact int64 (2*rank = 2*smaller + "
+    "ties + 1); the doubled statistic 2U and its complement are exact, "
+    "and the rank-biserial effect size is the one decimal-routed "
+    "display ratio. One grouped scan + one bounded distinct-value "
+    "window + a 1-row reduction.",
+    tags=("drift", "statistics", "text", "llm-pipeline"),
+)
+def mannwhitney_quality_en_vs_rest(spark, sf_dir):
+    from datalakes_and_data_integration_spark.plans.text import (
+        text_quality_score,
+    )
+
+    scored = (
+        text_quality_score(spark, sf_dir)
+        .select("doc_id", "quality")
+        .join(
+            T(spark, sf_dir, "documents").select("doc_id", "lang"),
+            "doc_id",
+        )
+        .select(
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("in_a"),
+            "quality",
+        )
+    )
+    grp = scored.groupBy("quality").agg(
+        F.count("*").alias("c"), F.sum("in_a").cast("long").alias("a")
+    )
+    # scale-ok: window over distinct quality values (bounded cardinality)
+    wo = Window.orderBy("quality")
+    win = grp.select(
+        "quality",
+        "c",
+        "a",
+        (F.sum("c").over(wo) - F.col("c")).cast("long").alias("smaller"),
+    )
+    agg = win.agg(
+        F.sum("a").cast("long").alias("n_a"),
+        F.sum(F.col("c") - F.col("a")).cast("long").alias("n_b"),
+        F.sum(
+            F.col("a") * (2 * F.col("smaller") + F.col("c") + 1)
+        )
+        .cast("long")
+        .alias("r2_a"),
+    )
+    u2_a = F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1)
+    return agg.select(
+        "n_a",
+        "n_b",
+        u2_a.alias("u2_a"),
+        (2 * F.col("n_a") * F.col("n_b") - u2_a).alias("u2_b"),
+        F.round(
+            (
+                u2_a.cast("double") / (F.col("n_a") * F.col("n_b"))
+                - F.lit(1.0)
+            ).cast("decimal(27,12)"),
+            6,
+        )
+        .cast("double")
+        .alias("rank_biserial"),
+    )

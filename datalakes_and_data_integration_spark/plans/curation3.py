@@ -1178,6 +1178,67 @@ def label_cov_power_iteration(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# label_cov_top_eigen, oracle-checked (bound form): composes the
+# applyInPandas/numpy float eigen path (similarity_extra.
+# label_cov_top_eigen_float — not SQL-expressible on its own) with the
+# fixed-point power iteration above, whose oracle IS cross-engine exact.
+# Output = the fixed-point spectrum columns (hash-checked against the
+# power-iteration oracle) plus `numpy_agrees`, TRUE iff the numpy path
+# sits inside the same convergence/bias bands tests/test_power_iteration
+# pins ((n-1)/n-corrected trace to 2e-3 rel, eigenvalue to 8% rel,
+# top_share to 0.015 abs). The oracle pins numpy_agrees as literal TRUE,
+# so numpy drift outside the band fails the hash — retiring the last
+# rows-only slot (VERDICT r3 #3 option b).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "label_cov_top_eigen",
+    oracle=f"""
+    SELECT label, n_vectors, top_eigenvalue, trace, top_share,
+           TRUE AS numpy_agrees
+    FROM ({_power_iter_oracle()})
+    """,
+    description="Leading covariance eigenvalue per embedding label, "
+    "audit form: the int64 fixed-point power-iteration spectrum "
+    "(oracle-exact) joined with the numpy/applyInPandas float twin; "
+    "numpy_agrees pins the float path inside its convergence band "
+    "(bias-corrected trace 2e-3 rel, eigenvalue 8% rel, share 0.015 "
+    "abs). Exercises the applyInPandas grouped-map tier under a real "
+    "oracle check.",
+    tags=("similarity", "pandas-udf", "spectrum", "llm-pipeline"),
+)
+def label_cov_top_eigen(spark, sf_dir):
+    from datalakes_and_data_integration_spark.plans.similarity_extra import (
+        label_cov_top_eigen_float,
+    )
+
+    fixed = label_cov_power_iteration(spark, sf_dir)
+    fl = label_cov_top_eigen_float(spark, sf_dir).select(
+        "label",
+        F.col("top_eigenvalue").alias("np_lam"),
+        F.col("trace").alias("np_tr"),
+        F.col("top_share").alias("np_share"),
+    )
+    bias = (F.col("n_vectors") - 1) / F.col("n_vectors")
+    agrees = (
+        (F.abs(F.col("trace") * bias - F.col("np_tr"))
+         <= F.lit(2e-3) * F.col("np_tr"))
+        & (F.abs(F.col("top_eigenvalue") * bias - F.col("np_lam"))
+           <= F.lit(0.08) * F.col("np_lam"))
+        & (F.abs(F.col("top_share") - F.col("np_share")) <= F.lit(0.015))
+    )
+    return fixed.join(fl, "label").select(
+        "label",
+        "n_vectors",
+        "top_eigenvalue",
+        "trace",
+        "top_share",
+        agrees.alias("numpy_agrees"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Retrieval-quality evaluation: mean reciprocal rank of the first
 # same-label neighbor in the exact cosine top-k, per label. The standard
 # embedding-space eval (does nearest-neighbor retrieval surface items of

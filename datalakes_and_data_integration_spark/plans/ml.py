@@ -573,8 +573,9 @@ def logreg_multihead_weights(spark, sf_dir):
 # Calibration bins: the reliability-diagram evidence for using the trained
 # quality classifier as a sampling weight (CCNet-style pipelines keep
 # documents proportionally to classifier score — miscalibrated scores
-# silently skew the corpus). Held-out logits are bucketed by floor(z)
-# (clamped to [-4, 3]); because z is a fixed-order double chain, both
+# silently skew the corpus). Held-out logits are bucketed by milli-logit
+# floor(1000*z) (clamped to [-8, 7]); because z is a fixed-order double
+# chain, both
 # engines compute bit-identical logits and therefore identical bins —
 # the whole report is integer counts plus one decimal-routed rate.
 # ---------------------------------------------------------------------------

@@ -60,70 +60,66 @@ def register(
 
 # The driver hash-verifies only the FIRST 50 entries of all_queries() per
 # round, so the window is rotated explicitly each round to retire
-# verification debt. Round-3 window (see VERDICT.md round 2, "Next round"
-# #1/#2/#4): the r1-err + r2-hash-fail queries that were just fixed, the 15
-# oracles repaired by the arrow-type audit, the two newly-oracled queries
-# (ann_topk_ivf, multimodal_audio_features), and 30 of the 72 queries no
-# driver round has ever checked. Every name here carries an oracle, so no
-# window slot is a guaranteed rows-only `err`; the remaining no-oracle
-# queries land behind position 50 automatically. Names are validated
-# against the registry by tests/test_registry_window.py.
+# verification debt. Round-4 window (the "ROUND 4 definitive list" pinned
+# in NOTES.md at the end of round 3, executed per VERDICT.md round 3
+# "Next round" #1): the 50 oracled queries no driver round has ever
+# verified — the PQ/IVFADC ANN scale path, both rows-only companions
+# (exact_quantiles_two_pass, label_cov_power_iteration), the streaming
+# state suite's oracled members, and the temporal/relational long tail.
+# Every name here carries an oracle, so no window slot is a guaranteed
+# rows-only `err`; the remaining no-oracle queries land behind position 50
+# automatically. Names are validated by tests/test_registry_window.py.
 WINDOW_PRIORITY: list[str] = [
-    # r1 driver `err`, fixed in r2 — must clear the record
-    "typed_cast_null_on_error",
-    # r2 hash-fails — DuckDB HUGEINT sums, cast in round 3
-    "doc_stats_cube",
-    "sequence_packing",
-    "vocab_zipf_stats",
-    "sessionization",
-    # latent HUGEINT oracles found by the round-3 arrow-type audit
-    "winsorized_stats_by_type",
-    "join_key_skew_report",
-    "boxplot_stats_by_type",
-    "props_schema_profile",
-    "seasonality_profile",
-    "source_mixture_weights",
-    "feature_hashing",
-    "quality_vs_duplication",
-    "tokenizer_fertility_by_lang",
-    "heavy_hitters_cms",
-    "bloom_prefilter_audit",
-    "pagerank_dup_hubs",
-    "ks_drift_n_chars",
-    # newly oracle-backed in round 3 (were rows-only `err` slots in r2)
-    "ann_topk_ivf",
-    "multimodal_audio_features",
-    # never driver-verified, highest-value first (capstone + suites)
-    "training_corpus_manifest",
-    "dedup_cluster_largestar",
-    "distinct_count_hll",
-    "hll_set_algebra",
-    "logreg_gd_weights",
-    "logreg_confusion",
-    "logreg_holdout_eval",
-    "logreg_multihead_weights",
-    "ngram_lm_perplexity",
-    "data_quality_report",
-    "quarantine_audit",
-    "streaming_quality_report",
-    "k_anonymity_audit",
-    "ann_lsh_recall_audit",
-    "salted_join_user_profile",
-    "fuzzy_name_match",
-    "session_window_native",
-    "rolling_zscore_anomaly",
-    "ewma_smoothing",
-    "benchmark_ngram_contamination",
-    "interdoc_duplicate_ngrams",
-    "cross_source_neardup_rate",
-    "dup_cluster_size_distribution",
-    "sketch_agreement_audit",
-    "streaming_static_enrich",
-    "streaming_threshold_alerts",
-    "chi2_lang_source",
-    "psi_drift_n_chars",
-    "split_leakage_audit",
-    "neardup_triangle_count",
+    "multimodal_phash_neardup",
+    "benford_first_digit",
+    "catalog_null_audit",
+    "market_basket_brand_pairs",
+    "geo_revenue_rollup",
+    "discount_quantity_correlation",
+    "window_rank_family",
+    "event_transition_matrix",
+    "time_decayed_popularity",
+    "trend_slope_by_type",
+    "revenue_pareto",
+    "interevent_gap_stats",
+    "event_burstiness_fano",
+    "value_autocorrelation_lag1",
+    "label_centroids",
+    "embedding_quantization_error",
+    "weighted_sample_quality",
+    "streaming_incremental_dedup",
+    "snapshot_diff_events",
+    "contrastive_negative_pairs",
+    "completeness_hourly_report",
+    "source_lang_entropy",
+    "embedding_norm_stats",
+    "label_centroid_distances",
+    "label_cov_moments",
+    "ann_topk_pq",
+    "ann_topk_ivfadc",
+    "doc_rarity_score",
+    "vocab_growth_curve",
+    "event_debounce",
+    "quality_quantile_normalization",
+    "continuous_aggregate_daily",
+    "pivot_unpivot_roundtrip",
+    "skew_salted_join_stats",
+    "passage_dedup_rewrite",
+    "dedup_containment_pairs",
+    "cusum_changepoint",
+    "embedding_random_projection",
+    "kcore_dup_graph",
+    "exact_quantiles_two_pass",
+    "quota_sample_apportionment",
+    "robust_scaling_mad",
+    "label_cov_power_iteration",
+    "ann_label_mrr",
+    "cluster_aware_split",
+    "balanced_batch_assignment",
+    "streaming_cusum_changepoint",
+    "l_diversity_audit",
+    "corpus_snapshot_stats",
+    "bpe_merge_learning",
 ]
 
 

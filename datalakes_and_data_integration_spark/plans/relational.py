@@ -475,16 +475,33 @@ def json_props_extract(spark, sf_dir):
 
 @register(
     "approx_stats_scale_path",
-    # Sketch values (HLL, t-digest) are engine-specific by construction —
-    # rows-only check; the exact twins (distinct_users_per_day,
-    # value_percentiles_by_type, and exact_quantiles_two_pass — the
-    # distributed rank-selection form of the same quantile statistic)
-    # are the hash-checked versions.
-    oracle=None,
+    # Sketch VALUES (HLL registers, KLL summaries) are engine-specific by
+    # construction, so raw sketch output can never hash-match DuckDB.
+    # Bound-style oracle instead (the ann_lsh_recall_audit pattern,
+    # VERDICT r3 #3): the exact columns are hash-checked, and the approx
+    # columns are checked AS BOUNDS — Spark compares its own sketch
+    # output against its own exact statistics inside the query and emits
+    # booleans; the oracle pins them as literal TRUE. A sketch that
+    # drifts outside its error envelope flips a boolean and fails the
+    # hash. Bounds: HLL rsd=0.02 checked at 10% (5 sigma); percentile
+    # sketch rank-eps=1e-4 checked against the exact +/-0.02-rank value
+    # window.
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS users_ok,
+           TRUE AS p50_ok,
+           TRUE AS p90_ok,
+           TRUE AS p99_ok
+    FROM events
+    GROUP BY event_type
+    """,
     description="The 100 TB scale path for distinct counts and percentiles: "
-    "approx_count_distinct (HLL) and approx_percentile (t-digest) per event "
-    "type — one mergeable pass, no sort, no (day,user) expansion. Exact "
-    "twins are oracle-checked separately.",
+    "approx_count_distinct (HLL) and approx_percentile per event type — "
+    "one mergeable pass, no sort, no (day,user) expansion. Oracle-checked "
+    "in bound form: exact columns hash-checked, sketch columns verified "
+    "to sit inside their error envelopes (booleans pinned TRUE).",
     tags=("aggregate", "approx", "sketch"),
 )
 def approx_stats_scale_path(spark, sf_dir):
@@ -492,19 +509,35 @@ def approx_stats_scale_path(spark, sf_dir):
     agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").alias(
-            "approx_pcts"
+            "ap"
         ),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr(
+            "percentile(value, array(0.48, 0.52, 0.88, 0.92, 0.97, 1.0))"
+        ).alias("ep"),
         F.count("*").alias("n"),
     )
-    # Flatten the t-digest output to scalar columns: the driver canonicalizer
-    # (pandas sort_values) cannot hash an array-typed cell.
+
+    def _within(lo, x, hi):
+        return F.coalesce((lo <= x) & (x <= hi), F.lit(True))
+
     return agg.select(
         "event_type",
-        "approx_users",
-        F.col("approx_pcts")[0].alias("approx_p50"),
-        F.col("approx_pcts")[1].alias("approx_p90"),
-        F.col("approx_pcts")[2].alias("approx_p99"),
         "n",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.lit(0.10) * F.col("exact_users")
+        ).alias("users_ok"),
+        _within(F.col("ep")[0], F.col("ap")[0], F.col("ep")[1]).alias(
+            "p50_ok"
+        ),
+        _within(F.col("ep")[2], F.col("ap")[1], F.col("ep")[3]).alias(
+            "p90_ok"
+        ),
+        _within(F.col("ep")[4], F.col("ap")[2], F.col("ep")[5]).alias(
+            "p99_ok"
+        ),
     )
 
 

@@ -10,32 +10,19 @@ from datalakes_and_data_integration_spark.plans.registry import register
 # ---------------------------------------------------------------------------
 # Per-label covariance spectrum head: leading eigenvalue of each label's
 # 64x64 embedding covariance, via applyInPandas (Arrow-batched grouped
-# map) — the one custom-operator tier not otherwise in the registry
-# (mapInPandas: multimodal; applyInPandasWithState: streaming). Power
-# iteration with a FIXED iteration count and a fixed all-ones start is
-# deterministic for a PSD matrix with a dominant eigenvalue; rows-only
-# for the driver because per-group eigen-iteration is not
-# SQL-expressible. The variance-concentration signal for deciding
-# quantization/projection budgets per class.
+# map) — the one custom-operator tier not otherwise exercised by a
+# registry query (mapInPandas: multimodal; applyInPandasWithState:
+# streaming). Power iteration with a FIXED iteration count and a fixed
+# all-ones start is deterministic for a PSD matrix with a dominant
+# eigenvalue. NOT registered directly (per-group float eigen-iteration
+# is not SQL-expressible): the registered `label_cov_top_eigen` (in
+# curation3.py, next to its fixed-point twin) composes this float path
+# with the oracle-checked power iteration and emits an agreement audit —
+# bound-style oracle, VERDICT r3 #3.
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "label_cov_top_eigen",
-    oracle=None,  # per-group eigen power iteration is not SQL-expressible
-    description="Leading covariance eigenvalue per embedding label via "
-    "applyInPandas: each group's vectors arrive as one Arrow batch, "
-    "numpy computes the 64x64 covariance and 30 fixed power iterations "
-    "from an all-ones start (deterministic). Scale: per-group work is "
-    "O(n x d^2) with d=64 — the shuffle is one hash partition by label; "
-    "the 100 TB variant pre-aggregates the d^2 moment sums as DataFrame "
-    "aggregates and eigensolves the tiny matrices on the driver. "
-    "Oracle-checked companions: label_cov_moments (the exact moment "
-    "sums) and label_cov_power_iteration (the same eigen statistic in "
-    "cross-engine-exact int64 fixed point, agreement pinned by test).",
-    tags=("similarity", "pandas-udf", "spectrum", "llm-pipeline"),
-)
-def label_cov_top_eigen(spark, sf_dir):
+def label_cov_top_eigen_float(spark, sf_dir):
     import pandas as pd  # noqa: PLC0415 - worker-side import
 
     e = T(spark, sf_dir, "embeddings")

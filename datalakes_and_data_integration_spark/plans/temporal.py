@@ -1955,14 +1955,18 @@ def dau_new_returning_resurrected(spark, sf_dir):
         F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
     ).distinct()
     first_day = du.groupBy("user_id").agg(F.min("day").alias("first_seen"))
-    days = du.select(F.col("day").alias("aday")).distinct()
+    # Trailing-7-day membership as an EQUI join: each active (day, user)
+    # pair fans out to its next 7 anchor days (aday in bday+1..bday+7 is
+    # exactly bday < aday AND bday >= aday-7), then a plain hash join on
+    # (day, user_id). Bounded 7x fan-out, shuffle-partitioned by key —
+    # no user-scale broadcast (the pair set grows with users, not dims).
     recent = (
-        days.join(
-            F.broadcast(du.select(F.col("day").alias("bday"), "user_id")),
-            (F.col("bday") < F.col("aday"))
-            & (F.col("bday") >= F.date_sub(F.col("aday"), 7)),
-        )  # scale-ok: bounded-day anchor join, <= 7 groups per pair
-        .select(F.col("aday").alias("day"), "user_id")
+        du.select(
+            F.explode(
+                F.sequence(F.date_add("day", 1), F.date_add("day", 7))
+            ).alias("day"),
+            "user_id",
+        )
         .distinct()
         .withColumn("recent", F.lit(1))
     )
@@ -2004,7 +2008,7 @@ def dau_new_returning_resurrected(spark, sf_dir):
     "session_bounce_rate_daily",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
                     PARTITION BY user_id ORDER BY ts, event_id) > 1800000
                   OR lag(epoch_ms(ts)) OVER (
@@ -2014,7 +2018,7 @@ def dau_new_returning_resurrected(spark, sf_dir):
     ),
     numbered AS (
       SELECT user_id, ts,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       FROM flagged
     ),

@@ -16,11 +16,12 @@ format is NOT one of Spark's built-ins (proprietary dumps, API exports):
   semantics — non-matching files are never opened, never even listed into
   partitions);
 - ``landing_csv_stream`` (incremental): a SimpleDataSourceStreamReader
-  whose offset is the count of processed files in sorted-name order — new
-  landing files are picked up exactly once per micro-batch, replay
-  between committed offsets is deterministic, and a restarted checkpoint
-  resumes where it left off (the reference's re-fetch-3-days trick
-  replaced by real offsets).
+  whose offset is the content-addressed set of processed file names —
+  new landing files (including late arrivals that sort before processed
+  names, as the reference's re-fetch-3-days produces) are picked up
+  exactly once per micro-batch, replay between committed offsets is
+  deterministic and independent of the live listing, and a restarted
+  checkpoint resumes where it left off.
 
 Parity with the built-in path is pinned by tests/test_python_datasource.py
 (same rows as ``read_landing_csv`` on the same landing dir). Note:
@@ -126,35 +127,60 @@ class _LandingCSVReader(DataSourceReader):
 
 
 class _LandingCSVStreamReader(SimpleDataSourceStreamReader):
-    """Offset = number of files processed in sorted-name order. Landing
-    files are append-only with unique names (the reference overwrites
-    re-fetches under the same key — here a re-fetch is a new dated file),
-    so the sorted prefix is stable and each file is read exactly once."""
+    """Content-addressed offsets: the offset is the sorted list of
+    processed file names (relative to the landing root), not a count.
+    A positional count-offset silently skips a file that arrives later
+    but sorts BEFORE already-processed names — exactly what the
+    reference's re-fetch-last-3-days pipeline produces
+    (`/root/reference/src/unpacked_to_raw.py:24-29` re-fetches earlier
+    dates) — and re-slicing the live listing on replay shifts the slice
+    if files were added/removed between commit and recovery. Name
+    membership fixes both: a late early-sorting file is new (not in the
+    set) and gets read; replay rebuilds paths FROM the committed offset,
+    independent of the live listing, and a deleted replay file fails
+    loudly instead of silently reading the wrong one.
+
+    Offset size is O(processed files) — fine for a landing zone (one
+    file per pollutant x day); at object-store scale the same contract
+    would compact to (watermark-name, set of late names behind it)."""
 
     def __init__(self, options):
         self._path = options["path"]
         self._pollutant = options.get("pollutant")
 
     def initialOffset(self):
-        return {"n_files": 0}
+        return {"processed": []}
 
     def _files(self) -> list[str]:
         return _list_landing_files(self._path, self._pollutant)
 
+    def _rel(self, path: str) -> str:
+        return os.path.relpath(path, self._path)
+
+    def _processed(self, offset) -> set[str]:
+        if "processed" in offset:
+            return set(offset["processed"])
+        # Legacy count-offset (pre content-addressing): the first
+        # n_files of the current sorted listing were processed.
+        return {self._rel(p) for p in self._files()[: offset["n_files"]]}
+
     def read(self, start):
-        files = self._files()
-        lo = start["n_files"]
-        rows = [
-            r for path in files[lo:] for r in _read_one_file(path)
-        ]
-        return iter(rows), {"n_files": len(files)}
+        done = self._processed(start)
+        new = [p for p in self._files() if self._rel(p) not in done]
+        rows = [r for path in new for r in _read_one_file(path)]
+        end = sorted(done | {self._rel(p) for p in new})
+        return iter(rows), {"processed": end}
 
     def readBetweenOffsets(self, start, end):
-        files = self._files()
+        done = self._processed(start)
+        batch = [n for n in self._processed(end) - done]
+        # Rebuild paths from the committed offset — never from the live
+        # listing. A missing file raises (FileNotFoundError) rather than
+        # shifting the batch onto the wrong files.
         return iter(
             r
-            for path in files[start["n_files"] : end["n_files"]]
-            for r in _read_one_file(path)
+            for name in sorted(batch)
+            for r in _read_one_file(os.path.join(self._path, name))
         )
 
 

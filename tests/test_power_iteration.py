@@ -1,5 +1,5 @@
 """label_cov_power_iteration (int64 fixed-point, oracle-checked) must
-agree with label_cov_top_eigen (numpy/applyInPandas, rows-only) on the
+agree with label_cov_top_eigen_float (numpy/applyInPandas) on the
 same spectra.
 
 The two differ by design in two bounded ways:
@@ -24,13 +24,13 @@ def results(spark):
         label_cov_power_iteration,
     )
     from datalakes_and_data_integration_spark.plans.similarity_extra import (
-        label_cov_top_eigen,
+        label_cov_top_eigen_float,
     )
 
     fixed = {
         r["label"]: r for r in label_cov_power_iteration(spark, SF).collect()
     }
-    fl = {r["label"]: r for r in label_cov_top_eigen(spark, SF).collect()}
+    fl = {r["label"]: r for r in label_cov_top_eigen_float(spark, SF).collect()}
     return fixed, fl
 
 

@@ -109,3 +109,44 @@ def test_stream_incremental_exactly_once(spark):
     assert len(second) == 3
     by_code = sorted(r.pollutant_code for r in second)
     assert by_code == ["03", "03", "24"]
+
+
+def test_stream_late_file_sorting_before_processed(spark):
+    """Content-addressed offsets: a file that ARRIVES later but SORTS
+    before already-processed names (the reference's re-fetch of an
+    earlier date) must still be read exactly once. A positional
+    count-offset silently skips it and double-reads the trailing file."""
+    from datalakes_and_data_integration_spark.sources.python_datasource import (
+        register_landing_source,
+    )
+
+    landing = tempfile.mkdtemp(prefix="pyds_late_")
+    ckpt = tempfile.mkdtemp(prefix="pyds_late_ckpt_")
+    out = tempfile.mkdtemp(prefix="pyds_late_out_")
+    # 'polluant-24_...' sorts AFTER 'polluant-03_...': process it first.
+    _write_landing(landing, "24", "2024-01-06", [9.0])
+    register_landing_source(spark)
+
+    def run_once():
+        q = (
+            spark.readStream.format("landing_csv")
+            .option("path", landing)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    assert len(run_once().collect()) == 1
+
+    # Late arrival that sorts BEFORE the processed file.
+    _write_landing(landing, "03", "2024-01-05", [1.0, 2.0])
+    rows = run_once().collect()
+    assert sorted(r.pollutant_code for r in rows) == ["03", "03", "24"]
+    # Exactly-once: the '24' file was NOT re-read.
+    assert len([r for r in rows if r.pollutant_code == "24"]) == 1

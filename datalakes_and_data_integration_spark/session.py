@@ -65,6 +65,17 @@ def get_spark(
         # local mode driver == executor. On a real cluster set the same flag
         # in spark.executor.extraJavaOptions.
         "spark.driver.extraJavaOptions": "-XX:-DontCompileHugeMethods",
+        # Shuffle/spill files default to /tmp, which some hosts purge on a
+        # timer — a purge mid-job deletes live blockmgr dirs and kills the
+        # stage (observed: "temp_local_... No such file or directory" ~25
+        # min into heavy runs). Keep scratch under the user's cache dir;
+        # SPARK_LOCAL_DIRS (honored by Spark itself) still overrides.
+        "spark.local.dir": os.environ.get(
+            "SPARK_LOCAL_DIRS",
+            os.path.join(
+                os.path.expanduser("~"), ".cache", "spark_graft_local"
+            ),
+        ),
         "spark.ui.enabled": "false",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         # files.maxPartitionBytes default 128m is right for the 100 TB design

@@ -27,8 +27,13 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import tempfile
 import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import numpy as np
 import pyarrow as pa
@@ -81,18 +86,26 @@ def build_tiled_corpus(src_dir: str, out_dir: str, tile: int) -> int:
     return n * tile
 
 
-def run_one(spark, name: str, sf_dir: str) -> tuple[float, set]:
-    """Warm wall-clock (min of 2 runs after 1 warmup) + result pair set."""
+def run_one(spark, name: str, sf_dir: str, runs: int = 3) -> tuple[float, set]:
+    """Warm wall-clock (min of runs-1 after 1 warmup; with runs=1 the
+    single cold run) + result pair set."""
     from datalakes_and_data_integration_spark.plans import QUERIES
 
     fn = QUERIES[name].spark
     pairs = None
     times = []
-    for i in range(3):
+    for i in range(runs):
         t0 = time.monotonic()
-        rows = fn(spark, sf_dir).select("vec_id", "neighbor_id").collect()
+        df = fn(spark, sf_dir)
+        # Strategies name the pair (vec_id, neighbor_id) or (q_id, n_id).
+        qc, nc = (
+            ("vec_id", "neighbor_id")
+            if "vec_id" in df.columns
+            else ("q_id", "n_id")
+        )
+        rows = df.select(qc, nc).collect()
         dt = time.monotonic() - t0
-        if i > 0:
+        if i > 0 or runs == 1:
             times.append(dt)
         pairs = {(r[0], r[1]) for r in rows}
     return min(times), pairs
@@ -105,7 +118,13 @@ def main() -> None:
                     default=True, help="expression brute force at 400M "
                     "pairs extrapolates to >3 min; hybrid is the exact "
                     "truth there (on by default)")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated strategy subset (the first "
+                    "exact one listed still anchors recall)")
+    ap.add_argument("--runs", type=int, default=3,
+                    help="runs per cell (first is warmup unless runs=1)")
     args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
 
     from datalakes_and_data_integration_spark.session import get_spark
 
@@ -125,7 +144,13 @@ def main() -> None:
             if (decade == "20k" and name == "ann_topk_bruteforce"
                     and args.skip_bruteforce_20k):
                 continue
-            t, pairs = run_one(spark, name, d)
+            if only is not None and name not in only:
+                continue
+            try:
+                t, pairs = run_one(spark, name, d, runs=args.runs)
+            except Exception as exc:  # keep the sweep going
+                print(f"# {decade} {name}: ERR {exc}", flush=True)
+                continue
             if truth is None and exact:
                 truth = pairs  # first exact strategy anchors recall
             recall = (len(pairs & truth) / len(truth)) if truth else 1.0

@@ -19,7 +19,11 @@ from datalakes_and_data_integration_spark.operators.merge import (
     outer_merge_pivot,
     prefix_columns,
 )
-from datalakes_and_data_integration_spark.operators.impute import impute_mean
+from datalakes_and_data_integration_spark.operators.impute import (
+    fill_with_means,
+    impute_mean,
+    mean_exprs,
+)
 from datalakes_and_data_integration_spark.operators.convert import (
     horizontal_sum,
     map_convert,
@@ -40,7 +44,9 @@ __all__ = [
     "full_outer_merge",
     "outer_merge_pivot",
     "prefix_columns",
+    "fill_with_means",
     "impute_mean",
+    "mean_exprs",
     "horizontal_sum",
     "map_convert",
     "bfill",

@@ -19,6 +19,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def mean_exprs(
+    cols: Sequence[str], precision: tuple[int, int] = (25, 6)
+) -> list:
+    """The exact-decimal global-mean aggregate for each column (sum in
+    DECIMAL so the result is order/partition-independent, divided by the
+    non-null count in double)."""
+    p, s = precision
+    return [
+        (
+            F.sum(F.col(c).cast(f"decimal({p},{s})")).cast("double")
+            / F.count(F.col(c))
+        ).alias(c)
+        for c in cols
+    ]
+
+
+def fill_with_means(df: DataFrame, means: dict) -> DataFrame:
+    """Narrow projection filling each column's nulls with its
+    pre-computed mean literal."""
+    return df.select(
+        *[
+            F.coalesce(F.col(c), F.lit(means[c])).alias(c)
+            if c in means
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
 def impute_mean(
     df: DataFrame,
     cols: Sequence[str],
@@ -27,20 +56,10 @@ def impute_mean(
     """Fill nulls in each of ``cols`` with that column's global mean.
 
     One aggregate job computes all means at once; the fill itself is a
-    narrow projection.
+    narrow projection. When ``df`` is expensive to evaluate (a join
+    chain), compute the means on the cheap upstream inputs instead and
+    apply ``fill_with_means`` — see pipeline/gold.py.
     """
-    p, s = precision
-    aggs = [
-        (
-            F.sum(F.col(c).cast(f"decimal({p},{s})")).cast("double")
-            / F.count(F.col(c))
-        ).alias(c)
-        for c in cols
-    ]
+    aggs = mean_exprs(cols, precision)
     means = df.agg(*aggs).collect()[0].asDict()  # scale-ok: 1-row global means
-    return df.select(
-        *[
-            F.coalesce(F.col(c), F.lit(means[c])).alias(c) if c in cols else F.col(c)
-            for c in df.columns
-        ]
-    )
+    return fill_with_means(df, means)

@@ -18,13 +18,21 @@ def write_partitioned(
     df: DataFrame,
     path: str,
     partition_by: Sequence[str] = (),
-    sort_within: Sequence[str] = (),
+    sort_within: Sequence = (),
     mode: str = "overwrite",
 ) -> None:
     """Partitioned parquet write; optional within-partition sort to mirror
     Cassandra's clustering order (reference preprocess_to_staging.py:107-108
     — `PRIMARY KEY (code_site, date_de_debut)` clustered ASC), which gives
-    time-locality for the window stages downstream."""
+    time-locality for the window stages downstream.
+
+    ``sort_within`` accepts names or Column sort expressions. When the
+    upstream plan already emits the requested order (e.g. a window stage
+    sorted by the same keys), pass sort expressions with the SAME null
+    ordering — Spark's RemoveRedundantSorts can then elide the SortExec
+    entirely, instead of re-sorting the full wide table before the write
+    (a default-direction mismatch like nulls_first vs the window's
+    nulls_last forces a redundant O(n log n) pass)."""
     if sort_within:
         df = df.sortWithinPartitions(*sort_within)
     writer = df.write.mode(mode)

@@ -114,6 +114,7 @@ def build_gold(
         for f in frames
         if any(c.endswith(value_suffixes) for c in f.columns)
     ]
+    # scale-ok: 1-row-per-side global-agg fan-in, N tiny frames
     means_df = reduce(lambda a, b: a.crossJoin(b), mean_aggs)
     means = means_df.collect()[0].asDict()  # scale-ok: 1-row global means
     wide = fill_with_means(wide, means)

@@ -1217,12 +1217,37 @@ def ann_topk_ivfadc_residual(spark, sf_dir):
             F.col("col").alias("d2"),
         )
     )
+    # ADC scoring WITHOUT the M-fold pair blowup: the naive shape
+    # (join per (m, code) row then groupBy (q, n) sum) shuffles
+    # |candidates| x M rows into a corpus-scale hash aggregate — at 10x
+    # corpus that stage OOM'd an 8g local JVM (BASELINE.md round-4 ANN
+    # ladder, note 4). Instead pivot the per-(q, probed-list) ADC table
+    # into ONE 128-slot array (m * K + code -> d2; the table is complete
+    # by construction) and each corpus vector's codes into an 8-slot
+    # array, join candidates once on the coarse list, and score each
+    # pair with an unrolled O(M) array-lookup sum — same int64 terms,
+    # same exact total (int64 addition is associative), zero aggregate
+    # state. The shortlist window then consumes the pair rows directly
+    # (WindowGroupLimit keeps the shuffle at ~shortlist x partitions).
+    qtab_piv = qtab.groupBy("q_id", "cluster").agg(
+        F.expr(
+            f"transform(array_sort(collect_list("
+            f"struct(m * {_PQ_K} + code AS idx, d2))), s -> s.d2)"
+        ).alias("tab")
+    )
+    codes_piv = codes.groupBy("n_id", "cluster").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(m, code))), "
+            "s -> s.code)"
+        ).alias("ncodes")
+    )
+    dist = " + ".join(
+        f"tab[{m} * {_PQ_K} + ncodes[{m}]]" for m in range(_PQ_M)
+    )
     adc = (
-        qtab.join(codes, ["cluster", "m", "code"])
+        qtab_piv.join(codes_piv, "cluster")
         .filter(F.col("q_id") != F.col("n_id"))
-        .groupBy("q_id", "n_id")
-        # int64 fixed-point d2: exact order-independent sum.
-        .agg(F.sum("d2").alias("adc_dist"))
+        .select("q_id", "n_id", F.expr(dist).alias("adc_dist"))
     )
     w = Window.partitionBy("q_id").orderBy("adc_dist", "n_id")
     shortlist = (

@@ -111,6 +111,37 @@ def test_stream_incremental_exactly_once(spark):
     assert by_code == ["03", "03", "24"]
 
 
+def test_stream_legacy_count_offset_conversion():
+    """A checkpoint written by the old positional count-offset format
+    ({"n_files": N}) must resume correctly: the first N files in
+    sorted-name order count as processed, and read()/readBetweenOffsets
+    emit content-addressed offsets from then on."""
+    from datalakes_and_data_integration_spark.sources.python_datasource import (
+        _LandingCSVStreamReader,
+    )
+
+    landing = tempfile.mkdtemp(prefix="pyds_legacy_")
+    _write_landing(landing, "03", "2024-01-05", [1.0])
+    _write_landing(landing, "24", "2024-01-06", [2.0, 3.0])
+    reader = _LandingCSVStreamReader({"path": landing})
+
+    # Legacy offset saying "first file (sorted) processed": only the
+    # second file's rows come back, and the new offset is name-based.
+    rows, end = reader.read({"n_files": 1})
+    rows = list(rows)
+    assert [r[8] for r in rows] == ["24", "24"]  # Polluant cell
+    assert sorted(end) == ["processed"]
+    assert len(end["processed"]) == 2
+
+    # Replay between a legacy start and a content-addressed end.
+    replay = list(reader.readBetweenOffsets({"n_files": 1}, end))
+    assert [r[8] for r in replay] == ["24", "24"]
+
+    # Fully-caught-up legacy offset: nothing new.
+    rows2, _ = reader.read({"n_files": 2})
+    assert list(rows2) == []
+
+
 def test_stream_late_file_sorting_before_processed(spark):
     """Content-addressed offsets: a file that ARRIVES later but SORTS
     before already-processed names (the reference's re-fetch of an

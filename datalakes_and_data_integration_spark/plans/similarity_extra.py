@@ -913,10 +913,19 @@ _IVFADC_PROBE = 6  # lists probed per query
 _IVFADC_REP = 3  # lists each corpus vector is assigned to
 
 
-def _coarse_lists(unit, probe: int = _IVFADC_PROBE):
+def _coarse_lists(unit, probe: int = _IVFADC_PROBE, train=None):
     """Deterministic k-means over the unit vectors; returns a frame with
     per-vector probe_lists (query side) and rep_lists (corpus side) —
-    the ann_topk_ivf shape, re-expressed over the normalized `arr`."""
+    the ann_topk_ivf shape, re-expressed over the normalized `arr`.
+
+    ``train`` (default: the full corpus) is the frame the Lloyd
+    iterations and seed selection run over. The 100 TB shape passes a
+    deterministic md5 sample here — faiss trains coarse quantizers on
+    ~100k vectors regardless of corpus size — so only the FINAL
+    assignment scans the corpus. Registered queries currently train on
+    the full corpus (their oracles unroll that exact computation);
+    tests/test_sampled_training.py pins the sampled path's recall for
+    the round-5 oracle switch."""
     from pyspark.sql import functions as F
 
     import math
@@ -931,8 +940,10 @@ def _coarse_lists(unit, probe: int = _IVFADC_PROBE):
         )
 
     cscale = float(_FX_C)
+    if train is None:
+        train = unit
     seeds = (
-        unit.select(
+        train.select(
             "vec_id", "arr", F.md5(F.col("vec_id").cast("string")).alias("h")
         )
         .orderBy("h", "vec_id")
@@ -971,7 +982,7 @@ def _coarse_lists(unit, probe: int = _IVFADC_PROBE):
 
     for _ in range(_IVFADC_ITERS):
         means = (
-            assign(unit)
+            assign(train)
             .groupBy("cluster")
             .agg(
                 F.count("*").alias("n"),

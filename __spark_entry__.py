@@ -11,7 +11,21 @@ this module is a thin adapter.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
+
+# Scratch-dir hardening for whoever builds the session AFTER importing
+# this module: shuffle/spill files default to /tmp, which this host
+# purges on a timer — a purge mid-job deletes live block-manager dirs
+# and fails the stage (observed ~25 min into heavy runs; see NOTES.md
+# round 4). Spark honors SPARK_LOCAL_DIRS at JVM launch; only a default,
+# an explicit setting always wins. The package session factory applies
+# the same default via spark.local.dir for sessions it builds itself.
+_scratch = os.path.join(
+    os.path.expanduser("~"), ".cache", "spark_graft_local"
+)
+os.makedirs(_scratch, exist_ok=True)
+os.environ.setdefault("SPARK_LOCAL_DIRS", _scratch)
 
 from pyspark.sql import DataFrame, SparkSession
 

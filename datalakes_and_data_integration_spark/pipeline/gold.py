@@ -114,10 +114,13 @@ def build_gold(
         for f in frames
         if any(c.endswith(value_suffixes) for c in f.columns)
     ]
-    # scale-ok: 1-row-per-side global-agg fan-in, N tiny frames
-    means_df = reduce(lambda a, b: a.crossJoin(b), mean_aggs)
-    means = means_df.collect()[0].asDict()  # scale-ok: 1-row global means
-    wide = fill_with_means(wide, means)
+    # Degenerate silver (no value-suffix column anywhere): nothing to
+    # impute — reduce() over an empty sequence would raise TypeError.
+    if mean_aggs:
+        # scale-ok: 1-row-per-side global-agg fan-in, N tiny frames
+        means_df = reduce(lambda a, b: a.crossJoin(b), mean_aggs)
+        means = means_df.collect()[0].asDict()  # scale-ok: 1-row globals
+        wide = fill_with_means(wide, means)
 
     # W4: fill unit columns per site along time, then F4/F5 convert.
     # Null timestamps (unparseable dates, P2) sort LAST so they never shift

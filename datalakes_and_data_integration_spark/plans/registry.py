@@ -60,66 +60,71 @@ def register(
 
 # The driver hash-verifies only the FIRST 50 entries of all_queries() per
 # round, so the window is rotated explicitly each round to retire
-# verification debt. Round-4 window (the "ROUND 4 definitive list" pinned
-# in NOTES.md at the end of round 3, executed per VERDICT.md round 3
-# "Next round" #1): the 50 oracled queries no driver round has ever
-# verified — the PQ/IVFADC ANN scale path, both rows-only companions
-# (exact_quantiles_two_pass, label_cov_power_iteration), the streaming
-# state suite's oracled members, and the temporal/relational long tail.
-# Every name here carries an oracle, so no window slot is a guaranteed
-# rows-only `err`; the remaining no-oracle queries land behind position 50
-# automatically. Names are validated by tests/test_registry_window.py.
+# verification debt. Round-5 window (the "ROUND 5 WINDOW (definitive)"
+# list pinned in NOTES.md at the end of round 4): the 43 queries still
+# lacking a driver CORRECTNESS row from any round — the streaming state
+# suite, the residual/multiprobe ANN tail, both re-oracled ex-rows-only
+# queries (approx_stats_scale_path, label_cov_top_eigen), both
+# round-4-changed temporal queries, and the remaining temporal/relational
+# long tail — plus 7 spare slots re-verifying this round's
+# behavior-adjacent greens (the sampled-training/array-ADC ANN family and
+# early-round anchors). After CORRECTNESS_r05 the never-driver-verified
+# set is empty. Every name here carries an oracle, so no window slot is a
+# guaranteed rows-only `err`; the remaining no-oracle queries land behind
+# position 50 automatically. Validated by tests/test_registry_window.py.
 WINDOW_PRIORITY: list[str] = [
-    "multimodal_phash_neardup",
-    "benford_first_digit",
-    "catalog_null_audit",
-    "market_basket_brand_pairs",
-    "geo_revenue_rollup",
-    "discount_quantity_correlation",
-    "window_rank_family",
-    "event_transition_matrix",
-    "time_decayed_popularity",
-    "trend_slope_by_type",
-    "revenue_pareto",
-    "interevent_gap_stats",
-    "event_burstiness_fano",
-    "value_autocorrelation_lag1",
-    "label_centroids",
-    "embedding_quantization_error",
-    "weighted_sample_quality",
-    "streaming_incremental_dedup",
-    "snapshot_diff_events",
-    "contrastive_negative_pairs",
-    "completeness_hourly_report",
-    "source_lang_entropy",
-    "embedding_norm_stats",
-    "label_centroid_distances",
-    "label_cov_moments",
-    "ann_topk_pq",
-    "ann_topk_ivfadc",
-    "doc_rarity_score",
-    "vocab_growth_curve",
-    "event_debounce",
-    "quality_quantile_normalization",
-    "continuous_aggregate_daily",
-    "pivot_unpivot_roundtrip",
-    "skew_salted_join_stats",
-    "passage_dedup_rewrite",
-    "dedup_containment_pairs",
-    "cusum_changepoint",
-    "embedding_random_projection",
-    "kcore_dup_graph",
-    "exact_quantiles_two_pass",
-    "quota_sample_apportionment",
-    "robust_scaling_mad",
-    "label_cov_power_iteration",
-    "ann_label_mrr",
-    "cluster_aware_split",
-    "balanced_batch_assignment",
-    "streaming_cusum_changepoint",
-    "l_diversity_audit",
-    "corpus_snapshot_stats",
-    "bpe_merge_learning",
+    # --- the 43 never-driver-verified queries (NOTES.md r4 #6) ---
+    "ann_hard_negatives",
+    "ann_topk_ivfadc_residual",
+    "ann_topk_lsh_multiprobe",
+    "approx_stats_scale_path",
+    "bpe_encode_token_stats",
+    "centroid_classifier_eval",
+    "conversion_latency_quantiles",
+    "dau_new_returning_resurrected",
+    "dedup_savings_report",
+    "doc_corpus_quality_report",
+    "event_sequence_pattern",
+    "functional_dependency_profile",
+    "gapfill_hourly_interpolate",
+    "gopher_quality_rules",
+    "holt_linear_forecast",
+    "inclusion_dependency_profile",
+    "knn_classifier_eval",
+    "label_cov_top_eigen",
+    "lineitem_correlation_matrix",
+    "logreg_calibration_bins",
+    "mannwhitney_quality_en_vs_rest",
+    "market_basket_lift",
+    "multimodal_cdc_chunking",
+    "ohlc_hourly_bars",
+    "props_key_drift",
+    "rfm_customer_segments",
+    "rolling_distinct_hll_7d",
+    "seasonal_adjusted_anomaly",
+    "session_bounce_rate_daily",
+    "shipping_delay_profile",
+    "spearman_quality_length",
+    "split_balance_audit",
+    "streaming_cusum_alerts",
+    "streaming_dedup_within_watermark",
+    "streaming_stream_stream_left_join",
+    "temperature_mixture_plan",
+    "temporal_split_audit",
+    "term_domain_signature",
+    "token_weighted_quality_quantile",
+    "top_user_journeys",
+    "twap_hourly",
+    "value_dod_wow_report",
+    "vocab_coverage_curve",
+    # --- 7 spare slots: re-verify behavior-adjacent greens ---
+    "mean_impute",
+    "full_outer_merge_events",
+    "ann_topk_bruteforce_hybrid",
+    "ann_topk_lsh_bucketed",
+    "ann_topk_ivf",
+    "heavy_hitters_cms",
+    "dedup_exact",
 ]
 
 

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import os
 import re
+import warnings
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -160,9 +161,25 @@ class _LandingCSVStreamReader(SimpleDataSourceStreamReader):
     def _processed(self, offset) -> set[str]:
         if "processed" in offset:
             return set(offset["processed"])
-        # Legacy count-offset (pre content-addressing): the first
-        # n_files of the current sorted listing were processed.
-        return {self._rel(p) for p in self._files()[: offset["n_files"]]}
+        # Legacy count-offset (pre content-addressing): n_files were
+        # processed at commit time. Slicing the LIVE sorted listing
+        # would mis-convert when a late-arriving file sorts before the
+        # processed names (it lands inside the first n_files and gets
+        # silently skipped). Landing files are write-once, so every
+        # file present at the legacy commit has an older mtime than any
+        # file added after it: the n_files oldest-by-mtime files are
+        # exactly the set the legacy offset described. Conversion
+        # happens once — read() emits a content-addressed offset — and
+        # warns so the one-time migration is visible in driver logs.
+        files = sorted(self._files(), key=lambda p: (os.path.getmtime(p), p))
+        conv = {self._rel(p) for p in files[: offset["n_files"]]}
+        warnings.warn(
+            "landing_csv stream: converting legacy count-offset "
+            f"(n_files={offset['n_files']}) to content-addressed form "
+            "by file mtime; the next commit persists file names.",
+            stacklevel=2,
+        )
+        return conv
 
     def read(self, start):
         done = self._processed(start)

@@ -113,21 +113,30 @@ def test_stream_incremental_exactly_once(spark):
 
 def test_stream_legacy_count_offset_conversion():
     """A checkpoint written by the old positional count-offset format
-    ({"n_files": N}) must resume correctly: the first N files in
-    sorted-name order count as processed, and read()/readBetweenOffsets
-    emit content-addressed offsets from then on."""
+    ({"n_files": N}) must resume correctly: the N files present at the
+    legacy commit (= the N oldest by mtime — landing files are
+    write-once) count as processed, and read()/readBetweenOffsets emit
+    content-addressed offsets from then on."""
+    import warnings
+
     from datalakes_and_data_integration_spark.sources.python_datasource import (
         _LandingCSVStreamReader,
     )
 
     landing = tempfile.mkdtemp(prefix="pyds_legacy_")
-    _write_landing(landing, "03", "2024-01-05", [1.0])
-    _write_landing(landing, "24", "2024-01-06", [2.0, 3.0])
+    p1 = _write_landing(landing, "03", "2024-01-05", [1.0])
+    p2 = _write_landing(landing, "24", "2024-01-06", [2.0, 3.0])
+    os.utime(p1, (1_700_000_000, 1_700_000_000))
+    os.utime(p2, (1_700_000_100, 1_700_000_100))
     reader = _LandingCSVStreamReader({"path": landing})
 
-    # Legacy offset saying "first file (sorted) processed": only the
-    # second file's rows come back, and the new offset is name-based.
-    rows, end = reader.read({"n_files": 1})
+    # Legacy offset saying "one file processed at commit": only the
+    # second (newer) file's rows come back, the new offset is
+    # name-based, and the one-time migration warns.
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        rows, end = reader.read({"n_files": 1})
+    assert any("legacy count-offset" in str(x.message) for x in w)
     rows = list(rows)
     assert [r[8] for r in rows] == ["24", "24"]  # Polluant cell
     assert sorted(end) == ["processed"]
@@ -140,6 +149,33 @@ def test_stream_legacy_count_offset_conversion():
     # Fully-caught-up legacy offset: nothing new.
     rows2, _ = reader.read({"n_files": 2})
     assert list(rows2) == []
+
+
+def test_stream_legacy_offset_ignores_late_early_sorting_file():
+    """The migration-boundary hazard the mtime anchor exists for: a
+    file that lands AFTER the legacy checkpoint committed but sorts
+    BEFORE the processed names must still be read. A pure
+    listing-position conversion counts it inside the first n_files and
+    silently skips it."""
+    from datalakes_and_data_integration_spark.sources.python_datasource import (
+        _LandingCSVStreamReader,
+    )
+
+    landing = tempfile.mkdtemp(prefix="pyds_legacy_late_")
+    # Processed before the legacy commit: the "24" file (sorts LAST).
+    p_old = _write_landing(landing, "24", "2024-01-06", [2.0])
+    # Landed after the commit: the "03" file (sorts FIRST, newer mtime).
+    p_new = _write_landing(landing, "03", "2024-01-05", [1.0])
+    os.utime(p_old, (1_700_000_000, 1_700_000_000))
+    os.utime(p_new, (1_700_000_100, 1_700_000_100))
+    reader = _LandingCSVStreamReader({"path": landing})
+
+    rows, end = reader.read({"n_files": 1})
+    rows = list(rows)
+    # mtime anchor: the late "03" file is NEW and gets read exactly
+    # once; a positional slice would have returned the "24" rows again.
+    assert [r[8] for r in rows] == ["03"]
+    assert len(end["processed"]) == 2
 
 
 def test_stream_late_file_sorting_before_processed(spark):

@@ -124,6 +124,8 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3,
                     help="runs per cell (first is warmup unless runs=1)")
     args = ap.parse_args()
+    if args.runs < 1:
+        ap.error("--runs must be >= 1")
     only = set(args.only.split(",")) if args.only else None
 
     from datalakes_and_data_integration_spark.session import get_spark
@@ -153,12 +155,18 @@ def main() -> None:
                 continue
             if truth is None and exact:
                 truth = pairs  # first exact strategy anchors recall
-            recall = (len(pairs & truth) / len(truth)) if truth else 1.0
+            # No exact anchor (e.g. --only approximate-only, or the
+            # exact strategy hit the ERR path): recall is unknown, not
+            # 1.0 — report None / '—'.
+            recall = (
+                round(len(pairs & truth) / len(truth), 4) if truth else None
+            )
             out.setdefault(name, {})[decade] = {
-                "sec": round(t, 2), "recall_at_5": round(recall, 4),
+                "sec": round(t, 2), "recall_at_5": recall,
             }
-            print(f"# {decade} {name}: {t:.2f}s recall@5="
-                  f"{recall:.4f}", flush=True)
+            rtxt = f"{recall:.4f}" if recall is not None else "—"
+            print(f"# {decade} {name}: {t:.2f}s recall@5={rtxt}",
+                  flush=True)
 
     print("\n| strategy | 2k warm s | 2k recall@5 | 20k warm s "
           "| 20k recall@5 |")
@@ -168,10 +176,15 @@ def main() -> None:
             continue
         r2 = out[name].get("2k", {})
         r20 = out[name].get("20k", {})
+
+        def cell(d, k):
+            v = d.get(k)
+            return "—" if v is None else v
+
         print(
-            f"| {name} | {r2.get('sec', '—')} | "
-            f"{r2.get('recall_at_5', '—')} | {r20.get('sec', '—')} | "
-            f"{r20.get('recall_at_5', '—')} |"
+            f"| {name} | {cell(r2, 'sec')} | "
+            f"{cell(r2, 'recall_at_5')} | {cell(r20, 'sec')} | "
+            f"{cell(r20, 'recall_at_5')} |"
         )
     print(json.dumps({"metric": "ann_ladder_probe", "results": out}))
 

@@ -809,6 +809,38 @@ def _pq_tables(unit):
     return codes, qdist
 
 
+def _pq_tables_piv(unit):
+    """Array form of _pq_tables (the residual variant's round-4 ADC
+    restructure, ported here per the round-5 recipe): the per-query ADC
+    table pivoted to ONE (M*K)-slot array (idx = m*K + code; the table is
+    complete by construction) and each corpus vector's codes to an M-slot
+    array, plus the unrolled O(M) lookup-sum SQL text that scores a pair.
+    Same int64 fixed-point terms as the row form, so totals — and the
+    oracles — are unchanged; what changes is the plan: candidate pairs are
+    scored inline by array lookups instead of joining M rows per pair into
+    a corpus-scale hash aggregate (the stage that OOM'd an 8g JVM at the
+    20k probe decade, BASELINE.md round-4 ANN ladder note 4)."""
+    from pyspark.sql import functions as F
+
+    codes, qdist = _pq_tables(unit)
+    qtab_piv = qdist.groupBy("q_id").agg(
+        F.expr(
+            f"transform(array_sort(collect_list("
+            f"struct(m * {_PQ_K} + code AS idx, d2))), s -> s.d2)"
+        ).alias("tab")
+    )
+    codes_piv = codes.groupBy("n_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(m, code))), "
+            "s -> s.code)"
+        ).alias("ncodes")
+    )
+    dist = " + ".join(
+        f"tab[{m} * {_PQ_K} + ncodes[{m}]]" for m in range(_PQ_M)
+    )
+    return codes_piv, qtab_piv, dist
+
+
 def _exact_rerank(unit, shortlist, topk: int):
     """Exact cosine re-ranking of a (q_id, n_id) shortlist — touches
     shortlist x 1 vector pairs only, never n^2."""
@@ -879,17 +911,23 @@ def ann_topk_pq(spark, sf_dir):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from datalakes_and_data_integration_spark.plans._util import spread
+
     unit = _unit_vectors(spark, sf_dir)
-    codes, qdist = _pq_tables(unit)
-    # ADC: look each corpus code up in the query's table; decimal-exact
-    # sum over the M subspaces keeps the score order-independent.
-    adc = (
-        qdist.join(codes, ["m", "code"])
-        .filter(F.col("q_id") != F.col("n_id"))
-        .groupBy("q_id", "n_id")
-        # d2 is int64 fixed-point, so the sum is exact and
-        # order-independent without a decimal detour.
-        .agg(F.sum("d2").alias("adc_dist"))
+    codes_piv, qtab_piv, dist = _pq_tables_piv(unit)
+    # Flat-PQ scan (the declared whole-corpus baseline — at retrieval
+    # scale PQ nests inside IVF lists, see ann_topk_ivfadc): each query
+    # row streams against the code table and scores a pair with M array
+    # lookups on int64 terms — no aggregate state, and the shortlist
+    # window consumes the pair rows directly (WindowGroupLimit bounds the
+    # shuffle at ~shortlist x partitions). The non-equi join is a BNLJ:
+    # spread the query side so every core gets a slice; the build side is
+    # the byte-code table (M small ints + id per vector — the 64x
+    # compression is exactly what makes it the broadcastable face of the
+    # corpus; at 100 TB this becomes block-wise like the hybrid scan).
+    q = spread(qtab_piv, spark, by="q_id")
+    adc = q.join(codes_piv, F.col("q_id") != F.col("n_id")).select(
+        "q_id", "n_id", F.expr(dist).alias("adc_dist")
     )
     w = Window.partitionBy("q_id").orderBy("adc_dist", "n_id")
     shortlist = (
@@ -1041,15 +1079,18 @@ def ann_topk_ivfadc(spark, sf_dir):
         .select("q_id", "n_id")
         .distinct()
     )
-    codes, qdist = _pq_tables(unit)
-    # ADC over candidates only: expand each pair to its M code rows, look
-    # them up in the query's distance table, decimal-sum.
+    codes_piv, qtab_piv, dist = _pq_tables_piv(unit)
+    # ADC over candidates only, in the array shape (round-5 port of the
+    # residual's restructure): hash-join each candidate pair to its
+    # query's 128-slot ADC array and its corpus vector's M-slot code
+    # array, then score inline with the unrolled O(M) lookup sum — same
+    # int64 terms and total as the old M-rows-per-pair join+aggregate,
+    # but the shuffle carries |candidates| rows instead of M x that, and
+    # there is no corpus-scale hash-aggregate state.
     adc = (
-        cand.join(codes, "n_id")
-        .join(qdist, ["q_id", "m", "code"])
-        .groupBy("q_id", "n_id")
-        # int64 fixed-point d2: exact order-independent sum.
-        .agg(F.sum("d2").alias("adc_dist"))
+        cand.join(qtab_piv, "q_id")
+        .join(codes_piv, "n_id")
+        .select("q_id", "n_id", F.expr(dist).alias("adc_dist"))
     )
     w = Window.partitionBy("q_id").orderBy("adc_dist", "n_id")
     shortlist = (

@@ -382,10 +382,14 @@ def _dist2_to_centroid(mvec: list[int]) -> "F.Column":
 def _ivf_oracle() -> str:
     """DuckDB replica of the full IVF pipeline: md5-seeded init, _IVF_ITERS
     unrolled Lloyd iterations in the same int64 fixed-point arithmetic as
-    the Spark side, probe/rep candidate generation, exact cosine re-rank."""
+    the Spark side, probe/rep candidate generation, exact cosine re-rank.
+    Seed ranking and the Lloyd assignments a1..aN run over the
+    deterministic 25% md5 sample (``tdims`` — the Spark side's training
+    frame); only the final ``af`` assignment scans the corpus."""
     cs, ds = _IVF_CSCALE, _IVF_DSCALE
+    samp = "md5(CAST(vec_id AS VARCHAR)) < '4'"
 
-    def assign(name: str, cents: str) -> str:
+    def assign(name: str, cents: str, rel: str = "dims") -> str:
         return f"""
     {name} AS (
       SELECT vec_id, cluster,
@@ -396,7 +400,7 @@ def _ivf_oracle() -> str:
                sum(CAST(floor((v.x - CAST(c.ms AS DOUBLE)/{cs})
                               * (v.x - CAST(c.ms AS DOUBLE)/{cs})
                               * {ds}) AS BIGINT)) AS dist
-        FROM dims v JOIN {cents} c ON c.d = v.d
+        FROM {rel} v JOIN {cents} c ON c.d = v.d
         GROUP BY v.vec_id, c.cluster
       )
     )"""
@@ -407,11 +411,15 @@ def _ivf_oracle() -> str:
       SELECT vec_id, i AS d, CAST(embedding[i] AS DOUBLE) AS x
       FROM embeddings, range(1, {_DIM} + 1) r(i)
     ),
+    tdims AS (
+      SELECT * FROM dims WHERE {samp}
+    ),
     seeds AS (
       SELECT vec_id,
              row_number() OVER (
                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster
       FROM embeddings
+      WHERE {samp}
       QUALIFY cluster < {_IVF_K}
     ),
     c0 AS (
@@ -420,7 +428,7 @@ def _ivf_oracle() -> str:
     )"""
     ]
     for k in range(1, _IVF_ITERS + 1):
-        blocks.append(assign(f"a{k}", f"c{k - 1}"))
+        blocks.append(assign(f"a{k}", f"c{k - 1}", "tdims"))
         blocks.append(f"""
     c{k} AS (
       SELECT p.cluster, p.d,
@@ -432,7 +440,7 @@ def _ivf_oracle() -> str:
                sum(CAST(floor(v.x * {cs}) AS BIGINT)) AS sv,
                count(*) AS n
         FROM (SELECT vec_id, cluster FROM a{k} WHERE rn = 1) a
-        JOIN dims v ON v.vec_id = a.vec_id
+        JOIN tdims v ON v.vec_id = a.vec_id
         GROUP BY a.cluster, v.d
       ) s ON s.cluster = p.cluster AND s.d = p.d
     )""")
@@ -501,11 +509,20 @@ def ann_topk_ivf(spark, sf_dir):
         by="vec_id",
     ).persist()
 
-    # Deterministic init: the K vectors with the smallest md5(vec_id).
+    # Training runs over the deterministic 25% md5 sample (the 100 TB
+    # shape — faiss trains coarse quantizers on a bounded sample
+    # regardless of corpus size; only the final assignment scans the
+    # corpus). Content-addressed, so the oracle reproduces it with a
+    # WHERE clause; recall premise pinned by
+    # tests/test_sampled_training.py.
+    train = normed.filter(F.md5(F.col("vec_id").cast("string")) < "4")
+
+    # Deterministic init: the K training vectors with the smallest
+    # md5(vec_id).
     import math
 
     seeds = (
-        normed.select(
+        train.select(
             "vec_id", "embedding", F.md5(F.col("vec_id").cast("string")).alias("h")
         )
         .orderBy("h", "vec_id")
@@ -549,11 +566,11 @@ def ann_topk_ivf(spark, sf_dir):
         )
 
     for _ in range(_IVF_ITERS):
-        # Update step: per-cluster mean (distributed agg, K rows collected —
-        # the standard Spark k-means shape: tiny driver state, big data stays
-        # distributed).
+        # Update step: per-cluster mean over the TRAINING sample
+        # (distributed agg, K rows collected — the standard Spark k-means
+        # shape: tiny driver state, big data stays distributed).
         means = (
-            assign(normed)
+            assign(train)
             .groupBy("cluster")
             .agg(
                 F.count("*").alias("n"),

@@ -443,9 +443,13 @@ def _fx_term_sql(x: str, ms: str) -> str:
     )
 
 
+_SAMPLE_PRED = "md5(CAST(vec_id AS VARCHAR)) < '4'"  # _train_sample's twin
+
+
 def _pq_prelude_sql() -> str:
     """The shared oracle prelude: unit-normalized vectors, global subspace
-    dims relation, and the md5 seed ranking."""
+    dims relation, and the md5 seed ranking (seeds rank inside the
+    deterministic 25% training sample — _train_sample's predicate)."""
     from datalakes_and_data_integration_spark.plans.similarity import (
         _norm2_duck,
     )
@@ -469,6 +473,7 @@ def _pq_prelude_sql() -> str:
              row_number() OVER (
                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
       FROM embeddings
+      WHERE {_SAMPLE_PRED}
       QUALIFY code < {_PQ_K}
     )"""
 
@@ -482,9 +487,16 @@ def _pq_oracle_blocks(dims: str = "sdims", prefix: str = "") -> str:
     the (vec_id, m, i, x) relation the codebooks train on — ``sdims``
     (raw unit subvectors) for PQ/IVFADC, a residual relation for the
     residual-PQ variant; with a non-default ``dims`` the caller supplies
-    unit/sdims/sranks itself and ``prefix`` keeps CTE names disjoint."""
+    unit/sdims/sranks itself and ``prefix`` keeps CTE names disjoint.
 
-    def passign(name: str, cb: str) -> str:
+    Training (seed ranking + Lloyd assignments pa1..paN) runs over the
+    deterministic 25% sample (``{prefix}tdims`` = dims restricted to
+    _SAMPLE_PRED — _pq_train's ``train`` twin); only the final ``paf``
+    assignment scans the full corpus."""
+
+    tdims = f"{prefix}tdims"
+
+    def passign(name: str, cb: str, rel: str = dims) -> str:
         return f"""
     {name} AS MATERIALIZED (
       SELECT vec_id, m, code, dist,
@@ -493,7 +505,7 @@ def _pq_oracle_blocks(dims: str = "sdims", prefix: str = "") -> str:
       FROM (
         SELECT v.vec_id, v.m, c.code,
                sum({_fx_term_sql('v.x', 'c.ms')}) AS dist
-        FROM {dims} v JOIN {cb} c ON c.m = v.m AND c.i = v.i
+        FROM {rel} v JOIN {cb} c ON c.m = v.m AND c.i = v.i
         GROUP BY v.vec_id, v.m, c.code
       )
     )"""
@@ -502,12 +514,16 @@ def _pq_oracle_blocks(dims: str = "sdims", prefix: str = "") -> str:
     if dims == "sdims":
         blocks.append(_pq_prelude_sql())
     blocks.append(f"""
+    {tdims} AS MATERIALIZED (
+      SELECT * FROM {dims} WHERE {_SAMPLE_PRED}
+    )""")
+    blocks.append(f"""
     {prefix}cb0 AS MATERIALIZED (
       SELECT d.m, s.code, d.i, CAST(floor(d.x * {_FX_C}) AS BIGINT) AS ms
       FROM sranks s JOIN {dims} d ON d.vec_id = s.vec_id
     )""")
     for t in range(1, _PQ_ITERS + 1):
-        blocks.append(passign(f"{prefix}pa{t}", f"{prefix}cb{t - 1}"))
+        blocks.append(passign(f"{prefix}pa{t}", f"{prefix}cb{t - 1}", tdims))
         blocks.append(f"""
     {prefix}cb{t} AS MATERIALIZED (
       SELECT p.m, p.code, p.i,
@@ -519,7 +535,7 @@ def _pq_oracle_blocks(dims: str = "sdims", prefix: str = "") -> str:
                sum(CAST(floor(v.x * {_FX_C}) AS BIGINT)) AS sv,
                count(*) AS n
         FROM (SELECT vec_id, m, code FROM {prefix}pa{t} WHERE rn = 1) a
-        JOIN {dims} v ON v.vec_id = a.vec_id AND v.m = a.m
+        JOIN {tdims} v ON v.vec_id = a.vec_id AND v.m = a.m
         GROUP BY a.m, a.code, v.i
       ) s ON s.m = p.m AND s.code = p.code AND s.i = p.i
     )""")
@@ -582,9 +598,12 @@ def _coarse_cte_blocks() -> list[str]:
     the `sdims` relation — shared by the IVFADC oracle and the residual-PQ
     oracle. ``caf`` is the final per-(vec, cluster) assignment relation
     (rn = 1 is the primary list) and ``cc{_IVFADC_ITERS}`` the final
-    centroid table."""
+    centroid table. Seed ranking and the Lloyd assignments ca1..caN run
+    over the deterministic 25% sample (``tsdims`` — _coarse_lists's
+    ``train`` twin); only the final ``caf`` assignment scans the
+    corpus."""
 
-    def cassign(name: str, cents: str) -> str:
+    def cassign(name: str, cents: str, rel: str = "sdims") -> str:
         return f"""
     {name} AS MATERIALIZED (
       SELECT vec_id, cluster,
@@ -593,18 +612,22 @@ def _coarse_cte_blocks() -> list[str]:
       FROM (
         SELECT v.vec_id, c.cluster,
                sum({_fx_term_sql('v.x', 'c.ms')}) AS dist
-        FROM sdims v JOIN {cents} c ON c.i = v.i
+        FROM {rel} v JOIN {cents} c ON c.i = v.i
         GROUP BY v.vec_id, c.cluster
       )
     )"""
 
     coarse = [
         f"""
+    tsdims AS MATERIALIZED (
+      SELECT * FROM sdims WHERE {_SAMPLE_PRED}
+    ),
     crank AS MATERIALIZED (
       SELECT vec_id,
              row_number() OVER (
                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster
       FROM embeddings
+      WHERE {_SAMPLE_PRED}
       QUALIFY cluster < {_IVFADC_K}
     ),
     cc0 AS MATERIALIZED (
@@ -613,7 +636,7 @@ def _coarse_cte_blocks() -> list[str]:
     )"""
     ]
     for t in range(1, _IVFADC_ITERS + 1):
-        coarse.append(cassign(f"ca{t}", f"cc{t - 1}"))
+        coarse.append(cassign(f"ca{t}", f"cc{t - 1}", "tsdims"))
         coarse.append(f"""
     cc{t} AS MATERIALIZED (
       SELECT p.cluster, p.i,
@@ -625,7 +648,7 @@ def _coarse_cte_blocks() -> list[str]:
                sum(CAST(floor(v.x * {_FX_C}) AS BIGINT)) AS sv,
                count(*) AS n
         FROM (SELECT vec_id, cluster FROM ca{t} WHERE rn = 1) a
-        JOIN sdims v ON v.vec_id = a.vec_id
+        JOIN tsdims v ON v.vec_id = a.vec_id
         GROUP BY a.cluster, v.i
       ) s ON s.cluster = p.cluster AND s.i = p.i
     )""")
@@ -703,24 +726,39 @@ def _subspace_rows(vecframe, arr_col: str = "arr", extra: tuple = ()):
     )
 
 
-def _pq_train(vecframe, arr_col: str = "arr"):
-    """Train the PQ codebooks on ``vecframe``'s (vec_id, <arr_col>)
+def _pq_train(vecframe, arr_col: str = "arr", train=None):
+    """Train the PQ codebooks on ``train``'s (vec_id, <arr_col>)
     subvectors — raw unit vectors for PQ/IVFADC, primary-centroid
     residuals for the residual variant. Returns ``(subrows, assign)``:
-    the persisted training subspace rows and the closure that scores ANY
-    (…, m, sub) frame against the trained codebooks (adds ``d``, the
-    K-element fixed-point distance array, and ``code``, its argmin)."""
+    the persisted FULL-corpus subspace rows (coding always scans the
+    corpus) and the closure that scores ANY (…, m, sub) frame against
+    the trained codebooks (adds ``d``, the K-element fixed-point
+    distance array, and ``code``, its argmin).
+
+    ``train`` (default: all of ``vecframe``) is the frame seed selection
+    and the Lloyd iterations run over. The registered queries pass the
+    deterministic 25% md5 sample (_train_sample) — the 100 TB shape:
+    faiss trains codebooks on ~100k vectors regardless of corpus size,
+    so training cost is O(sample), not O(corpus), and only the final
+    code assignment scans the corpus. The sample is content-addressed,
+    so the DuckDB oracles reproduce it with a WHERE clause; recall
+    premise pinned by tests/test_sampled_training.py."""
     import math
 
     from pyspark.sql import functions as F
 
     subrows = _subspace_rows(vecframe, arr_col).persist()
+    if train is None:
+        train = vecframe
+        tsub = subrows
+    else:
+        tsub = _subspace_rows(train, arr_col).persist()
 
-    # Deterministic init: the K smallest-md5 vectors seed every subspace
-    # with their own subvectors (fixed-point quantized).
+    # Deterministic init: the K smallest-md5 training vectors seed every
+    # subspace with their own subvectors (fixed-point quantized).
     cscale = float(_FX_C)
     seeds = (
-        vecframe.select(
+        train.select(
             "vec_id",
             F.col(arr_col).alias("arr"),
             F.md5(F.col("vec_id").cast("string")).alias("h"),
@@ -754,7 +792,7 @@ def _pq_train(vecframe, arr_col: str = "arr"):
 
     for _ in range(_PQ_ITERS):
         means = (
-            mk_assign(centroids)(subrows)
+            mk_assign(centroids)(tsub)
             .groupBy("m", "code")
             .agg(
                 F.count("*").alias("n"),
@@ -782,14 +820,25 @@ def _pq_train(vecframe, arr_col: str = "arr"):
     return subrows, mk_assign(centroids)
 
 
-def _pq_tables(unit):
+def _train_sample(vecframe):
+    """The deterministic 25% training sample shared by every k-means
+    stage (coarse lists and PQ codebooks): md5(vec_id) hex < '4'.
+    Content-addressed, so the DuckDB oracles reproduce it with the same
+    WHERE predicate; recall premise pinned by
+    tests/test_sampled_training.py."""
+    from pyspark.sql import functions as F
+
+    return vecframe.filter(F.md5(F.col("vec_id").cast("string")) < "4")
+
+
+def _pq_tables(unit, train=None):
     """Train the codebooks and emit (codes, qdist): the corpus code table
     and the per-query ADC distance tables. Shared by ann_topk_pq (codes
     scored against the whole corpus) and ann_topk_ivfadc (codes scored
     only inside probed IVF lists)."""
     from pyspark.sql import functions as F
 
-    subrows, assign = _pq_train(unit)
+    subrows, assign = _pq_train(unit, train=train)
 
     # Corpus side: the code table (what a 100 TB deployment stores).
     codes = assign(subrows).select(
@@ -809,7 +858,7 @@ def _pq_tables(unit):
     return codes, qdist
 
 
-def _pq_tables_piv(unit):
+def _pq_tables_piv(unit, train=None):
     """Array form of _pq_tables (the residual variant's round-4 ADC
     restructure, ported here per the round-5 recipe): the per-query ADC
     table pivoted to ONE (M*K)-slot array (idx = m*K + code; the table is
@@ -822,7 +871,7 @@ def _pq_tables_piv(unit):
     20k probe decade, BASELINE.md round-4 ANN ladder note 4)."""
     from pyspark.sql import functions as F
 
-    codes, qdist = _pq_tables(unit)
+    codes, qdist = _pq_tables(unit, train=train)
     qtab_piv = qdist.groupBy("q_id").agg(
         F.expr(
             f"transform(array_sort(collect_list("
@@ -914,7 +963,7 @@ def ann_topk_pq(spark, sf_dir):
     from datalakes_and_data_integration_spark.plans._util import spread
 
     unit = _unit_vectors(spark, sf_dir)
-    codes_piv, qtab_piv, dist = _pq_tables_piv(unit)
+    codes_piv, qtab_piv, dist = _pq_tables_piv(unit, train=_train_sample(unit))
     # Flat-PQ scan (the declared whole-corpus baseline — at retrieval
     # scale PQ nests inside IVF lists, see ann_topk_ivfadc): each query
     # row streams against the code table and scores a pair with M array
@@ -957,13 +1006,13 @@ def _coarse_lists(unit, probe: int = _IVFADC_PROBE, train=None):
     the ann_topk_ivf shape, re-expressed over the normalized `arr`.
 
     ``train`` (default: the full corpus) is the frame the Lloyd
-    iterations and seed selection run over. The 100 TB shape passes a
-    deterministic md5 sample here — faiss trains coarse quantizers on
-    ~100k vectors regardless of corpus size — so only the FINAL
-    assignment scans the corpus. Registered queries currently train on
-    the full corpus (their oracles unroll that exact computation);
-    tests/test_sampled_training.py pins the sampled path's recall for
-    the round-5 oracle switch."""
+    iterations and seed selection run over. The registered queries pass
+    the deterministic 25% md5 sample (_train_sample) — the 100 TB
+    shape: faiss trains coarse quantizers on ~100k vectors regardless
+    of corpus size — so only the FINAL assignment scans the corpus.
+    The sample is content-addressed, so the oracles unroll the exact
+    same computation with a WHERE clause; recall premise pinned by
+    tests/test_sampled_training.py."""
     from pyspark.sql import functions as F
 
     import math
@@ -1066,7 +1115,8 @@ def ann_topk_ivfadc(spark, sf_dir):
     from pyspark.sql import functions as F
 
     unit = _unit_vectors(spark, sf_dir).persist()
-    lists = _coarse_lists(unit)[0].persist()
+    tsamp = _train_sample(unit)
+    lists = _coarse_lists(unit, train=tsamp)[0].persist()
     qside = lists.select(
         F.col("vec_id").alias("q_id"), F.explode("probe_lists").alias("cluster")
     )
@@ -1079,7 +1129,7 @@ def ann_topk_ivfadc(spark, sf_dir):
         .select("q_id", "n_id")
         .distinct()
     )
-    codes_piv, qtab_piv, dist = _pq_tables_piv(unit)
+    codes_piv, qtab_piv, dist = _pq_tables_piv(unit, train=tsamp)
     # ADC over candidates only, in the array shape (round-5 port of the
     # residual's restructure): hash-join each candidate pair to its
     # query's 128-slot ADC array and its corpus vector's M-slot code
@@ -1217,7 +1267,9 @@ def ann_topk_ivfadc_residual(spark, sf_dir):
     from pyspark.sql import functions as F
 
     unit = _unit_vectors(spark, sf_dir).persist()
-    lists, ccents = _coarse_lists(unit, probe=_RES_PROBE)
+    lists, ccents = _coarse_lists(
+        unit, probe=_RES_PROBE, train=_train_sample(unit)
+    )
     lists = lists.persist()
 
     def residual(df, cluster_col):
@@ -1231,7 +1283,7 @@ def ann_topk_ivfadc_residual(spark, sf_dir):
     res = lists.select(
         "vec_id", "cluster", residual(lists, "cluster").alias("res")
     )
-    subrows, assign = _pq_train(res, arr_col="res")
+    subrows, assign = _pq_train(res, arr_col="res", train=_train_sample(res))
     codes = (
         assign(subrows)
         .select(F.col("vec_id").alias("n_id"), "m", "code")

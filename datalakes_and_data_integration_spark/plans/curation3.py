@@ -193,6 +193,7 @@ def _containment_oracle() -> str:
     "any dedup threshold. Inverted-index self-join, candidates-only "
     "shuffle, exact integer counts.",
     tags=("dedup", "containment", "llm-pipeline"),
+    bench=True,  # promoted round 5: green driver row in CORRECTNESS_r04
 )
 def dedup_containment_pairs(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
@@ -291,6 +292,7 @@ def dedup_containment_pairs(spark, sf_dir):
     "value is decimal-routed. One hourly pre-aggregate + two per-type "
     "windows over the small hourly series.",
     tags=("timeseries", "drift", "changepoint", "llm-pipeline"),
+    bench=True,  # promoted round 5: green driver row in CORRECTNESS_r04
 )
 def cusum_changepoint(spark, sf_dir):
     ev = T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
@@ -935,6 +937,7 @@ def _grouped_median(df):
     "over distinct values + one counting scan — the heavy-tail-safe twin "
     "of mean/stddev z-scoring.",
     tags=("aggregate", "robust", "quantile", "llm-pipeline"),
+    bench=True,  # promoted round 5: green driver row in CORRECTNESS_r04
 )
 def robust_scaling_mad(spark, sf_dir):
     ev = T(spark, sf_dir, "events").filter(F.col("value").isNotNull())

@@ -117,9 +117,14 @@ WINDOW_PRIORITY: list[str] = [
     "twap_hourly",
     "value_dod_wow_report",
     "vocab_coverage_curve",
-    # --- 7 spare slots: re-verify behavior-adjacent greens ---
-    "mean_impute",
-    "full_outer_merge_events",
+    # --- 7 spare slots: re-verify behavior-adjacent greens. ann_topk_pq /
+    # ann_topk_ivfadc replaced the r1/r2-verified mean_impute /
+    # full_outer_merge_events spares at round-5 start: both were CHANGED
+    # after their r4 green rows (array-ADC restructure + sampled k-means
+    # training), so they need fresh driver evidence more than untouched
+    # early-round anchors do. ---
+    "ann_topk_pq",
+    "ann_topk_ivfadc",
     "ann_topk_bruteforce_hybrid",
     "ann_topk_lsh_bucketed",
     "ann_topk_ivf",

@@ -25,6 +25,25 @@ from datalakes_and_data_integration_spark.plans.registry import register
 _DIM = 64
 _TOPK = 5
 
+# Deterministic 25% training sample shared by EVERY k-means stage in the
+# ANN family (the IVF coarse quantizer here; the PQ codebooks and the
+# IVFADC/residual compositions in similarity_extra.py): vectors whose
+# md5(vec_id) hex digest sorts below TRAIN_SAMPLE_HEX. Both the Spark
+# filter (``train_sample``) and the DuckDB oracle predicate
+# (``TRAIN_SAMPLE_PRED``) derive from this ONE constant, so changing the
+# sampling rate cannot desynchronize an engine-twin pair.
+TRAIN_SAMPLE_HEX = "4"
+TRAIN_SAMPLE_PRED = f"md5(CAST(vec_id AS VARCHAR)) < '{TRAIN_SAMPLE_HEX}'"
+
+
+def train_sample(df):
+    """Spark twin of TRAIN_SAMPLE_PRED: md5(vec_id) hex < TRAIN_SAMPLE_HEX.
+    Content-addressed, so oracles reproduce it with a WHERE clause; recall
+    premise pinned by tests/test_sampled_training.py."""
+    return df.filter(
+        F.md5(F.col("vec_id").cast("string")) < TRAIN_SAMPLE_HEX
+    )
+
 # --- shared expression builders (Spark SQL | DuckDB SQL kept adjacent) -----
 
 
@@ -387,7 +406,7 @@ def _ivf_oracle() -> str:
     deterministic 25% md5 sample (``tdims`` — the Spark side's training
     frame); only the final ``af`` assignment scans the corpus."""
     cs, ds = _IVF_CSCALE, _IVF_DSCALE
-    samp = "md5(CAST(vec_id AS VARCHAR)) < '4'"
+    samp = TRAIN_SAMPLE_PRED
 
     def assign(name: str, cents: str, rel: str = "dims") -> str:
         return f"""
@@ -512,10 +531,9 @@ def ann_topk_ivf(spark, sf_dir):
     # Training runs over the deterministic 25% md5 sample (the 100 TB
     # shape — faiss trains coarse quantizers on a bounded sample
     # regardless of corpus size; only the final assignment scans the
-    # corpus). Content-addressed, so the oracle reproduces it with a
-    # WHERE clause; recall premise pinned by
-    # tests/test_sampled_training.py.
-    train = normed.filter(F.md5(F.col("vec_id").cast("string")) < "4")
+    # corpus). train_sample is TRAIN_SAMPLE_PRED's Spark twin — both
+    # derive from TRAIN_SAMPLE_HEX, so the engines cannot drift.
+    train = train_sample(normed)
 
     # Deterministic init: the K training vectors with the smallest
     # md5(vec_id).

@@ -6,6 +6,10 @@ from __future__ import annotations
 
 from datalakes_and_data_integration_spark.plans._util import T
 from datalakes_and_data_integration_spark.plans.registry import register
+from datalakes_and_data_integration_spark.plans.similarity import (
+    TRAIN_SAMPLE_PRED,
+    train_sample,
+)
 
 # ---------------------------------------------------------------------------
 # Per-label covariance spectrum head: leading eigenvalue of each label's
@@ -315,7 +319,39 @@ _PQ_SUBDIM = 8  # dims per subspace (8 x 8 = 64)
 _PQ_K = 16  # codewords per subspace
 _PQ_ITERS = 4  # Lloyd iterations per subspace (all trained in one job)
 _PQ_TOPK = 5
-_PQ_SHORTLIST = 100  # ADC candidates per query that get exact re-ranking
+
+# ADC candidates per query that get exact re-ranking. A FIXED shortlist
+# is the budget that degrades silently with corpus growth (BASELINE.md
+# ladder note 2: recall@5 0.88 at 500 vectors -> 0.64 at 2k with the old
+# constant 100 — a fixed 100 is 4x more selective at 4x corpus): with a
+# fixed 8x16 codebook, the number of ADC-score distractors that beat a
+# true neighbor grows ~linearly in n, so holding recall needs a shortlist
+# ~proportional to n. Budget = max(MIN, ceil(n / DEN)) — 20% of the
+# corpus, floored at 100 — in pure INTEGER arithmetic so the Spark
+# literal and the DuckDB scalar subquery can never diverge by float
+# rounding. The Spark side resolves it to a literal (driver-side scalar
+# count) so the rank filter stays a constant and WindowGroupLimit keeps
+# bounding the shortlist shuffle. At 100 TB the better knob is codebook
+# bits (larger K / more subspaces shrink ADC noise instead of growing
+# the re-rank); see README "Cluster deployment deltas".
+_PQ_SHORTLIST_MIN = 100
+_PQ_SHORTLIST_DEN = 5
+_PQ_SHORTLIST_SQL = (
+    f"greatest({_PQ_SHORTLIST_MIN}, "
+    f"(SELECT (count(*) + {_PQ_SHORTLIST_DEN - 1}) // {_PQ_SHORTLIST_DEN} "
+    f"FROM embeddings))"
+)
+
+
+def _pq_shortlist(spark, sf_dir) -> int:
+    """The Spark twin of _PQ_SHORTLIST_SQL: max(MIN, ceil(n / DEN)) for
+    n = corpus vector count, as a driver-side Python int (a literal in
+    the rank filter -> WindowGroupLimit still prunes the window)."""
+    n = T(spark, sf_dir, "embeddings").count()  # scale-ok: 1 scalar count
+    return max(
+        _PQ_SHORTLIST_MIN,
+        (n + _PQ_SHORTLIST_DEN - 1) // _PQ_SHORTLIST_DEN,
+    )
 
 
 # Fixed-point quantization scales shared with ann_topk_ivf (see
@@ -443,7 +479,10 @@ def _fx_term_sql(x: str, ms: str) -> str:
     )
 
 
-_SAMPLE_PRED = "md5(CAST(vec_id AS VARCHAR)) < '4'"  # _train_sample's twin
+# _train_sample's oracle twin — one shared constant (similarity.py's
+# TRAIN_SAMPLE_HEX) feeds every Spark filter and SQL predicate, so the
+# sampling rate cannot be edited out of lockstep (ADVICE r5).
+_SAMPLE_PRED = TRAIN_SAMPLE_PRED
 
 
 def _pq_prelude_sql() -> str:
@@ -587,7 +626,7 @@ def _pq_oracle() -> str:
                row_number() OVER (PARTITION BY q_id
                                   ORDER BY adc_dist, n_id) AS srn
         FROM adc
-      ) WHERE srn <= {_PQ_SHORTLIST}
+      ) WHERE srn <= {_PQ_SHORTLIST_SQL}
     ),
     {_rerank_sql('short')}
     """
@@ -681,7 +720,7 @@ def _ivfadc_oracle() -> str:
                row_number() OVER (PARTITION BY q_id
                                   ORDER BY adc_dist, n_id) AS srn
         FROM adc
-      ) WHERE srn <= {_PQ_SHORTLIST}
+      ) WHERE srn <= {_PQ_SHORTLIST_SQL}
     ),
     {_rerank_sql('short')}
     """
@@ -817,18 +856,31 @@ def _pq_train(vecframe, arr_col: str = "arr", train=None):
             for m in range(_PQ_M)
         ]
 
+    # Training is done — tsub's cached partitions are never read again
+    # (codebooks are Python literals from here on). Without this, every
+    # invocation in a long-lived session leaks a cached training frame
+    # (two ANN queries call _pq_train per run). subrows stays persisted:
+    # it IS the returned coding frame.
+    if tsub is not subrows:
+        tsub.unpersist()
+
     return subrows, mk_assign(centroids)
 
 
 def _train_sample(vecframe):
     """The deterministic 25% training sample shared by every k-means
-    stage (coarse lists and PQ codebooks): md5(vec_id) hex < '4'.
-    Content-addressed, so the DuckDB oracles reproduce it with the same
-    WHERE predicate; recall premise pinned by
-    tests/test_sampled_training.py."""
-    from pyspark.sql import functions as F
+    stage (coarse lists and PQ codebooks) — similarity.train_sample,
+    i.e. md5(vec_id) hex < TRAIN_SAMPLE_HEX. Content-addressed, so the
+    DuckDB oracles reproduce it with the same WHERE predicate
+    (_SAMPLE_PRED, same shared constant); recall premise pinned by
+    tests/test_sampled_training.py.
 
-    return vecframe.filter(F.md5(F.col("vec_id").cast("string")) < "4")
+    At 100 TB a *fraction* is the wrong knob: faiss trains on a
+    fixed-size sample (~100k vectors) independent of corpus size. The
+    content-addressed form extends directly — tighten the hex threshold
+    as the corpus grows (each hex digit of threshold is a power-of-16
+    rate) — see README "Cluster deployment deltas"."""
+    return train_sample(vecframe)
 
 
 def _pq_tables(unit, train=None):
@@ -948,12 +1000,14 @@ def _exact_rerank(unit, shortlist, topk: int):
     "id+code rows; at retrieval scale PQ nests inside IVF lists "
     "(IVFADC) — same two operators composed. Standard two-stage "
     "retrieval: the lossy ADC score shortlists "
-    f"{_PQ_SHORTLIST} candidates per query (32-bit codes are coarse on "
-    "this near-isotropic corpus — ADC-only recall ~0.23), then the "
-    "shortlist — and ONLY the shortlist — is exactly re-ranked against "
-    "raw vectors (measured mean recall@5 0.88; pinned >= 0.8 by test; the compression story "
-    "survives because exact scoring touches SHORTLIST x n rows, not "
-    "n^2).",
+    f"max({_PQ_SHORTLIST_MIN}, ceil(n/{_PQ_SHORTLIST_DEN})) candidates "
+    "per query — the budget SCALES with the corpus (a fixed shortlist "
+    "loses recall silently as n grows: 0.88 -> 0.64 across one 4x "
+    "decade with the old constant 100) — then the shortlist, and ONLY "
+    "the shortlist, is exactly re-ranked against raw vectors (mean "
+    "recall@5 pinned >= 0.8 by test at gate scale AND at the 20k tiled "
+    "decade; the compression story survives because exact scoring "
+    "touches SHORTLIST x n rows, not n^2).",
     tags=("similarity", "ann", "pq", "compression", "llm-pipeline"),
 )
 def ann_topk_pq(spark, sf_dir):
@@ -981,7 +1035,7 @@ def ann_topk_pq(spark, sf_dir):
     w = Window.partitionBy("q_id").orderBy("adc_dist", "n_id")
     shortlist = (
         adc.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _PQ_SHORTLIST)
+        .filter(F.col("rnk") <= _pq_shortlist(spark, sf_dir))
         .select("q_id", "n_id")
     )
     return _exact_rerank(unit, shortlist, _PQ_TOPK)
@@ -1145,7 +1199,7 @@ def ann_topk_ivfadc(spark, sf_dir):
     w = Window.partitionBy("q_id").orderBy("adc_dist", "n_id")
     shortlist = (
         adc.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _PQ_SHORTLIST)
+        .filter(F.col("rnk") <= _pq_shortlist(spark, sf_dir))
         .select("q_id", "n_id")
     )
     return _exact_rerank(unit, shortlist, _PQ_TOPK)
@@ -1235,7 +1289,7 @@ def _ivfadc_residual_oracle() -> str:
                row_number() OVER (PARTITION BY q_id
                                   ORDER BY adc_dist, n_id) AS srn
         FROM adc
-      ) WHERE srn <= {_PQ_SHORTLIST}
+      ) WHERE srn <= {_PQ_SHORTLIST_SQL}
     ),
     {_rerank_sql('short')}
     """
@@ -1356,7 +1410,7 @@ def ann_topk_ivfadc_residual(spark, sf_dir):
     w = Window.partitionBy("q_id").orderBy("adc_dist", "n_id")
     shortlist = (
         adc.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _PQ_SHORTLIST)
+        .filter(F.col("rnk") <= _pq_shortlist(spark, sf_dir))
         .select("q_id", "n_id")
     )
     return _exact_rerank(unit, shortlist, _PQ_TOPK)

@@ -143,7 +143,16 @@ class _LandingCSVStreamReader(SimpleDataSourceStreamReader):
 
     Offset size is O(processed files) — fine for a landing zone (one
     file per pollutant x day); at object-store scale the same contract
-    would compact to (watermark-name, set of late names behind it)."""
+    would compact to (watermark-name, set of late names behind it).
+
+    Legacy count-offset checkpoints ({"n_files": N}) are converted by
+    file mtime, which REQUIRES monotonic write-once mtimes in the
+    landing zone: files must land with fresh timestamps (direct write
+    or default cp), never synced with preserved mtimes (rsync -a,
+    cp -p, object-store sync). A provable mtime tie at the conversion
+    boundary raises; a prefix disagreement with name order is warned
+    with the differing files. Content-addressed offsets (everything
+    after the first post-migration commit) have no such requirement."""
 
     def __init__(self, options):
         self._path = options["path"]
@@ -165,18 +174,55 @@ class _LandingCSVStreamReader(SimpleDataSourceStreamReader):
         # processed at commit time. Slicing the LIVE sorted listing
         # would mis-convert when a late-arriving file sorts before the
         # processed names (it lands inside the first n_files and gets
-        # silently skipped). Landing files are write-once, so every
-        # file present at the legacy commit has an older mtime than any
-        # file added after it: the n_files oldest-by-mtime files are
-        # exactly the set the legacy offset described. Conversion
-        # happens once — read() emits a content-addressed offset — and
-        # warns so the one-time migration is visible in driver logs.
+        # silently skipped). Landing files are write-once with fresh
+        # mtimes, so every file present at the legacy commit has an
+        # older mtime than any file added after it: the n_files
+        # oldest-by-mtime files are exactly the set the legacy offset
+        # described. That premise BREAKS for files landed with
+        # preserved mtimes (rsync -a, cp -p, object-store sync) or
+        # mtime ties at coarse filesystem granularity — cross-checks:
+        # (a) an mtime TIE at the slice boundary makes the conversion
+        # provably ambiguous -> raise rather than risk silently
+        # classifying a post-checkpoint file as processed; (b) an
+        # mtime-vs-name prefix disagreement is EXPECTED when a late
+        # file sorts early (mtime is then the correct anchor — see
+        # test_stream_legacy_offset_ignores_late_early_sorting_file)
+        # but is also the preserved-mtime failure's signature, so the
+        # warning names the differing files for the operator to audit.
+        # The warning re-fires on every call that sees a legacy start
+        # offset (readBetweenOffsets replays included) until read()'s
+        # next commit persists the content-addressed form.
+        n = offset["n_files"]
         files = sorted(self._files(), key=lambda p: (os.path.getmtime(p), p))
-        conv = {self._rel(p) for p in files[: offset["n_files"]]}
+        if 0 < n < len(files) and (
+            os.path.getmtime(files[n - 1]) == os.path.getmtime(files[n])
+        ):
+            raise ValueError(
+                "landing_csv stream: legacy count-offset conversion is "
+                f"ambiguous — files {self._rel(files[n - 1])!r} and "
+                f"{self._rel(files[n])!r} tie on mtime at the "
+                f"n_files={n} boundary (preserved mtimes or coarse "
+                "mtime granularity). Restart the stream from a fresh "
+                "checkpoint instead of risking silently skipped rows."
+            )
+        conv = {self._rel(p) for p in files[:n]}
+        by_name = {self._rel(p) for p in sorted(self._files())[:n]}
+        detail = (
+            "; mtime prefix and name prefix agree"
+            if conv == by_name
+            else (
+                f"; mtime prefix differs from name prefix (by-mtime-only "
+                f"{sorted(conv - by_name)}, by-name-only "
+                f"{sorted(by_name - conv)}) — correct iff these files "
+                "landed after the legacy commit with fresh mtimes; "
+                "WRONG if they were synced with preserved mtimes "
+                "(rsync -a, cp -p)"
+            )
+        )
         warnings.warn(
             "landing_csv stream: converting legacy count-offset "
-            f"(n_files={offset['n_files']}) to content-addressed form "
-            "by file mtime; the next commit persists file names.",
+            f"(n_files={n}) to content-addressed form by file mtime"
+            f"{detail}; the next commit persists file names.",
             stacklevel=2,
         )
         return conv

@@ -178,6 +178,27 @@ def test_stream_legacy_offset_ignores_late_early_sorting_file():
     assert len(end["processed"]) == 2
 
 
+def test_stream_legacy_offset_mtime_tie_raises():
+    """Preserved-mtime landings (rsync -a, cp -p) or coarse mtime
+    granularity can tie two files at the legacy-slice boundary; the
+    conversion is then provably ambiguous and must fail loudly instead
+    of silently classifying a post-checkpoint file as processed."""
+    import pytest
+
+    from datalakes_and_data_integration_spark.sources.python_datasource import (
+        _LandingCSVStreamReader,
+    )
+
+    landing = tempfile.mkdtemp(prefix="pyds_legacy_tie_")
+    p1 = _write_landing(landing, "03", "2024-01-05", [1.0])
+    p2 = _write_landing(landing, "24", "2024-01-06", [2.0])
+    os.utime(p1, (1_700_000_000, 1_700_000_000))
+    os.utime(p2, (1_700_000_000, 1_700_000_000))  # tie at the boundary
+    reader = _LandingCSVStreamReader({"path": landing})
+    with pytest.raises(ValueError, match="ambiguous"):
+        reader.read({"n_files": 1})
+
+
 def test_stream_late_file_sorting_before_processed(spark):
     """Content-addressed offsets: a file that ARRIVES later but SORTS
     before already-processed names (the reference's re-fetch of an

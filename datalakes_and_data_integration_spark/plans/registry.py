@@ -59,77 +59,86 @@ def register(
 
 
 # The driver hash-verifies only the FIRST 50 entries of all_queries() per
-# round, so the window is rotated explicitly each round to retire
-# verification debt. Round-5 window (the "ROUND 5 WINDOW (definitive)"
-# list pinned in NOTES.md at the end of round 4): the 43 queries still
-# lacking a driver CORRECTNESS row from any round — the streaming state
-# suite, the residual/multiprobe ANN tail, both re-oracled ex-rows-only
-# queries (approx_stats_scale_path, label_cov_top_eigen), both
-# round-4-changed temporal queries, and the remaining temporal/relational
-# long tail — plus 7 spare slots re-verifying this round's
-# behavior-adjacent greens (the sampled-training/array-ADC ANN family and
-# early-round anchors). After CORRECTNESS_r05 the never-driver-verified
-# set is empty. Every name here carries an oracle, so no window slot is a
-# guaranteed rows-only `err`; the remaining no-oracle queries land behind
-# position 50 automatically. Validated by tests/test_registry_window.py.
-WINDOW_PRIORITY: list[str] = [
-    # --- the 43 never-driver-verified queries (NOTES.md r4 #6) ---
-    "ann_hard_negatives",
-    "ann_topk_ivfadc_residual",
-    "ann_topk_lsh_multiprobe",
-    "approx_stats_scale_path",
-    "bpe_encode_token_stats",
-    "centroid_classifier_eval",
-    "conversion_latency_quantiles",
-    "dau_new_returning_resurrected",
-    "dedup_savings_report",
-    "doc_corpus_quality_report",
-    "event_sequence_pattern",
-    "functional_dependency_profile",
-    "gapfill_hourly_interpolate",
-    "gopher_quality_rules",
-    "holt_linear_forecast",
-    "inclusion_dependency_profile",
-    "knn_classifier_eval",
-    "label_cov_top_eigen",
-    "lineitem_correlation_matrix",
-    "logreg_calibration_bins",
-    "mannwhitney_quality_en_vs_rest",
-    "market_basket_lift",
-    "multimodal_cdc_chunking",
-    "ohlc_hourly_bars",
-    "props_key_drift",
-    "rfm_customer_segments",
-    "rolling_distinct_hll_7d",
-    "seasonal_adjusted_anomaly",
-    "session_bounce_rate_daily",
-    "shipping_delay_profile",
-    "spearman_quality_length",
-    "split_balance_audit",
-    "streaming_cusum_alerts",
-    "streaming_dedup_within_watermark",
-    "streaming_stream_stream_left_join",
-    "temperature_mixture_plan",
-    "temporal_split_audit",
-    "term_domain_signature",
-    "token_weighted_quality_quantile",
-    "top_user_journeys",
-    "twap_hourly",
-    "value_dod_wow_report",
-    "vocab_coverage_curve",
-    # --- 7 spare slots: re-verify behavior-adjacent greens. ann_topk_pq /
-    # ann_topk_ivfadc replaced the r1/r2-verified mean_impute /
-    # full_outer_merge_events spares at round-5 start: both were CHANGED
-    # after their r4 green rows (array-ADC restructure + sampled k-means
-    # training), so they need fresh driver evidence more than untouched
-    # early-round anchors do. ---
+# round, so the window is rotated explicitly each round. STANDING POLICY
+# (adopted round 6, after the round-5 window retired the last
+# verification debt — every one of the 230 registered queries now has a
+# green driver row):
+#   (a) every query whose code changed since its newest green driver row
+#       enters the next window (ROUND_CHANGED below names them — the
+#       round-5 precedent: changed code must carry FRESH driver
+#       evidence, not stale green rows);
+#   (b) the remaining slots re-verify the queries whose newest green row
+#       is OLDEST (cohort ties broken by keeping a round's cohort
+#       together alphabetically), so re-verification latency is bounded
+#       at ~(registry size / 50) rounds for every query.
+# Enforced by tests/test_registry_window.py::
+# test_window_follows_changed_plus_oldest_policy, which recomputes the
+# newest-green-row map from the CORRECTNESS_r*.json files older than
+# WINDOW_ROUND. Round-6 window: the 4 ANN queries changed this round
+# (scaled PQ shortlist budget; shared training-sample constant), the 43
+# queries whose newest green row is round 1, and 3 spares from the
+# round-2 cohort adjacent to this round's ANN work (the exact recall
+# anchor, the hybrid near-dup companion, and mean_impute — displaced
+# from the round-5 spare list).
+WINDOW_ROUND = 6  # the driver round this window was built for
+ROUND_CHANGED: list[str] = [
+    # policy clause (a): code changed since the newest green row
     "ann_topk_pq",
     "ann_topk_ivfadc",
-    "ann_topk_bruteforce_hybrid",
-    "ann_topk_lsh_bucketed",
+    "ann_topk_ivfadc_residual",
     "ann_topk_ivf",
-    "heavy_hitters_cms",
-    "dedup_exact",
+]
+WINDOW_PRIORITY: list[str] = [
+    "ann_topk_pq",
+    "ann_topk_ivfadc",
+    "ann_topk_ivfadc_residual",
+    "ann_topk_ivf",
+    "anti_join_inactive_customers",
+    "asof_join_last_click",
+    "cheapest_part_per_size",
+    "cohort_retention",
+    "conversion_funnel",
+    "daily_event_type_set",
+    "dau_by_nation",
+    "distinct_users_per_day",
+    "events_pivot_daily_by_type",
+    "full_outer_merge_events",
+    "json_props_extract",
+    "lineitem_unpivot_measures",
+    "orders_grouping_sets",
+    "orders_rollup",
+    "pk_dedup_first_writer",
+    "range_join_views_before_purchase",
+    "referential_integrity_check",
+    "semi_join_big_spenders",
+    "set_ops_user_cohorts",
+    "supplier_diversity_by_brand",
+    "table_profile_lineitem",
+    "top_customers_by_revenue",
+    "topn_orders_per_customer",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_filter",
+    "tpch_q1_pricing_summary",
+    "tpch_q22_idle_customers",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "union_dedup_events",
+    "user_first_last_event",
+    "value_histogram_by_type",
+    "value_percentiles_by_type",
+    "ann_topk_bruteforce",
+    "embedding_near_dup_hybrid",
+    "mean_impute",
 ]
 
 

@@ -53,6 +53,63 @@ def test_no_oracle_queries_sit_behind_the_window():
     assert not in_window
 
 
+def test_window_follows_changed_plus_oldest_policy():
+    """Standing rotation policy (round 6): the window is (a) every query
+    in registry.ROUND_CHANGED, then (b) the oldest-green-first cohort.
+    Recomputed from the CORRECTNESS_r*.json rows older than WINDOW_ROUND,
+    so a rotation that skips an old query in favor of a fresher one
+    fails here. If CORRECTNESS files >= WINDOW_ROUND exist, the window
+    is STALE: bump WINDOW_ROUND, refresh ROUND_CHANGED with this round's
+    changed queries, and rebuild the list (oldest cohort first)."""
+    import glob
+    import json
+    import os
+    import re
+    import warnings
+
+    from datalakes_and_data_integration_spark.plans import QUERIES
+    from datalakes_and_data_integration_spark.plans.registry import (
+        ROUND_CHANGED,
+        WINDOW_PRIORITY,
+        WINDOW_ROUND,
+    )
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    stale = []
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        if rnd >= WINDOW_ROUND:
+            stale.append(os.path.basename(path))
+            continue
+        for name in json.load(open(path)):
+            latest[name] = max(latest.get(name, 0), rnd)
+    if stale:
+        warnings.warn(
+            f"driver rounds {stale} landed after WINDOW_ROUND="
+            f"{WINDOW_ROUND}: rotate WINDOW_PRIORITY (changed + oldest "
+            "cohort) and bump WINDOW_ROUND/ROUND_CHANGED."
+        )
+
+    assert set(ROUND_CHANGED) <= set(WINDOW_PRIORITY)
+    window = set(WINDOW_PRIORITY)
+    non_changed = [n for n in WINDOW_PRIORITY if n not in set(ROUND_CHANGED)]
+    outside = [
+        n
+        for n in QUERIES
+        if n not in window and QUERIES[n].oracle is not None
+    ]
+    worst_in = max(latest.get(n, 0) for n in non_changed)
+    best_out = min(latest.get(n, 0) for n in outside)
+    assert best_out >= worst_in, (
+        f"window slot holds a query with a newer green row (r{worst_in}) "
+        f"than a query left outside (r{best_out}) — the oldest-first "
+        "clause is violated: "
+        f"in={[n for n in non_changed if latest.get(n, 0) == worst_in]} "
+        f"out={[n for n in outside if latest.get(n, 0) == best_out]}"
+    )
+
+
 def test_every_query_has_unique_columns_contract():
     """Oracle entries exist only for registered queries; no orphans."""
     from datalakes_and_data_integration_spark.plans import (

@@ -43,6 +43,7 @@ from datalakes_and_data_integration_spark.plans import (  # noqa: E402,F401
     ml,
     curation3,
     curation4,
+    curation5,
 )
 
 __all__ = ["QUERIES", "Query", "all_queries", "all_oracle_sql", "register"]

@@ -1,0 +1,308 @@
+"""Round-6 capstone queries (VERDICT r5 "next round" #6): the two
+north-star surfaces the registry was thinnest on.
+
+- ``ann_retrieval_quality_report``: an end-to-end retrieval-quality
+  harness that ties the ANN ladder to the dedup pipeline's OWN output —
+  recall of the approximate strategies measured on the near-duplicate
+  cluster representatives the embedding near-dup tier actually produces,
+  not on synthetic tiled corpora. This is the harness a training-data
+  pipeline runs after every index rebuild: "did retrieval quality hold
+  on the corpus we actually serve?".
+- ``split_decontamination_report``: eval-set contamination sweep — the
+  n-gram decontamination step every LLM data pipeline runs before
+  training (an eval/val document is contaminated when it shares a word
+  8-shingle with any train-split document), composed from the
+  registered deterministic split and the containment machinery's
+  shingle index.
+
+Both are compositions of registered operators (the policy for capstone
+queries since ``training_corpus_manifest``): new report semantics, no
+new kernel, full DuckDB oracles built by composing the constituent
+oracles as CTEs (the ``_hard_neg_oracle`` precedent).
+
+These extend the reference's capability surface (SURVEY.md §2
+extensions — the reference pipeline, `/root/reference/src/
+process_to_curated.py`, has no retrieval or decontamination stage);
+they exist for the 100 TB training-data mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalakes_and_data_integration_spark.functions.hashing import (
+    hash60_sql_duck,
+    hash60_sql_spark,
+)
+from datalakes_and_data_integration_spark.functions.text import (
+    shingles_expr_spark,
+    shingles_sql_duck,
+    tokens_sql_duck,
+)
+from datalakes_and_data_integration_spark.plans._util import T, spread
+from datalakes_and_data_integration_spark.plans.registry import QUERIES, register
+
+_TOK_SPARK = "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
+_TOK_DUCK = tokens_sql_duck("text")
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality harness on the pipeline's own near-dup corpus.
+#
+# Query set = near-dup cluster REPRESENTATIVES: vectors that appear in at
+# least one embedding near-dup pair and are the smallest id in every pair
+# they join (first-occurrence representatives — at least one per connected
+# component, deterministic, no iteration). These are exactly the vectors a
+# dedup-then-index pipeline keeps, and the regime where bucketed ANN is
+# easiest to get wrong (near-dup clusters concentrate mass near hyperplane
+# boundaries — BASELINE.md's ladder shows LSH recall is regime-dependent).
+#
+# For each approximate strategy, recall@5 = |strategy top-5 ∩ exact top-5|
+# / |exact top-5| over the representative queries, as integer hit counts
+# plus one rounded division (cross-engine deterministic).
+#
+# Scale: the harness READS two declared exact baselines (brute-force truth,
+# exact near-dup pairs) — it is a measurement harness, priced like the
+# exactness tier it audits. At 100 TB the query set derivation IS the
+# sampling knob: representatives of a bounded cluster sample (e.g. the
+# md5-first fraction of cluster ids), with the hybrid block-scan as truth —
+# same plan shape, bounded cost.
+# ---------------------------------------------------------------------------
+
+
+def _retrieval_quality_oracle() -> str:
+    nd = QUERIES["embedding_near_dup"].oracle
+    ex = QUERIES["ann_topk_bruteforce"].oracle
+    lshb = QUERIES["ann_topk_lsh_bucketed"].oracle
+    mp = QUERIES["ann_topk_lsh_multiprobe"].oracle
+
+    def leg(name: str, cte: str) -> str:
+        return f"""
+      SELECT '{name}' AS strategy,
+             CAST(count(DISTINCT e.vec_id) AS BIGINT) AS n_queries,
+             CAST(coalesce(
+               sum(CASE WHEN g.vec_id IS NOT NULL THEN 1 END), 0)
+               AS BIGINT) AS hits,
+             CAST(count(*) AS BIGINT) AS possible
+      FROM exq e
+      LEFT JOIN {cte} g
+        ON g.vec_id = e.vec_id AND g.neighbor_id = e.neighbor_id"""
+
+    return f"""
+    WITH nd AS ({nd}),
+    qset AS (
+      SELECT DISTINCT vec_a AS vec_id FROM nd
+      WHERE vec_a NOT IN (SELECT vec_b FROM nd)
+    ),
+    ex AS ({ex}),
+    exq AS (
+      SELECT e.vec_id, e.neighbor_id
+      FROM ex e JOIN qset q ON q.vec_id = e.vec_id
+    ),
+    lshb AS (
+      SELECT DISTINCT vec_id, neighbor_id FROM ({lshb})
+    ),
+    mp AS (
+      SELECT DISTINCT vec_id, neighbor_id FROM ({mp})
+    ),
+    score AS ({leg('lsh_bucketed', 'lshb')}
+      UNION ALL{leg('lsh_multiprobe', 'mp')}
+    )
+    SELECT strategy, n_queries, hits, possible,
+           round(CAST(hits AS DOUBLE) / possible, 6) AS recall_at_5
+    FROM score
+    """
+
+
+@register(
+    "ann_retrieval_quality_report",
+    oracle=_retrieval_quality_oracle(),
+    description="End-to-end retrieval-quality harness: recall@5 of the "
+    "bucketed LSH strategies vs the exact brute-force top-5, measured on "
+    "the near-dup cluster representatives the embedding-dedup tier itself "
+    "produces (first-occurrence representative per near-dup pair set) — "
+    "the post-index-rebuild quality gate of a training-data pipeline, on "
+    "its REAL near-dup corpus rather than synthetic tiles (the corpus-"
+    "wide, all-queries companion is ann_lsh_recall_audit; this one "
+    "restricts to the regime dedup actually serves). Integer hit counts "
+    "+ one rounded division keep the report cross-engine exact.",
+    tags=("similarity", "ann", "quality", "harness", "llm-pipeline"),
+)
+def ann_retrieval_quality_report(spark, sf_dir):
+    from datalakes_and_data_integration_spark.plans.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_lsh_bucketed,
+        embedding_near_dup,
+    )
+    from datalakes_and_data_integration_spark.plans.similarity_extra import (
+        ann_topk_lsh_multiprobe,
+    )
+
+    nd = embedding_near_dup(spark, sf_dir).select("vec_a", "vec_b").persist()
+    dup_side = nd.select(F.col("vec_b").alias("vec_id")).distinct()
+    qset = (
+        nd.select(F.col("vec_a").alias("vec_id"))
+        .distinct()
+        .join(dup_side, "vec_id", "left_anti")
+    )
+    exq = (
+        ann_topk_bruteforce(spark, sf_dir)
+        .select("vec_id", "neighbor_id")
+        .join(qset, "vec_id")
+        .persist()  # consumed once per audited strategy
+    )
+
+    def leg(name, df):
+        got = df.select("vec_id", "neighbor_id").distinct().withColumn(
+            "hit", F.lit(1)
+        )
+        return (
+            exq.join(got, ["vec_id", "neighbor_id"], "left")
+            .agg(
+                F.countDistinct("vec_id").cast("long").alias("n_queries"),
+                F.coalesce(F.sum("hit"), F.lit(0))
+                .cast("long")
+                .alias("hits"),
+                F.count("*").cast("long").alias("possible"),
+            )
+            .select(
+                F.lit(name).alias("strategy"),
+                "n_queries",
+                "hits",
+                "possible",
+                F.round(
+                    F.col("hits").cast("double") / F.col("possible"), 6
+                ).alias("recall_at_5"),
+            )
+        )
+
+    return leg("lsh_bucketed", ann_topk_lsh_bucketed(spark, sf_dir)).unionAll(
+        leg("lsh_multiprobe", ann_topk_lsh_multiprobe(spark, sf_dir))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Eval-split n-gram decontamination report.
+#
+# The deterministic 80/10/10 split (dataset_split_assignment's exact hash
+# expression) partitions documents; an eval document (val or test) is
+# CONTAMINATED when any of its word 8-shingles also occurs in any train
+# document — the n-gram overlap rule used to decontaminate benchmark eval
+# sets before training. 8 tokens is the standard n-gram window: long
+# enough that natural re-use is rare, short enough to catch quoted spans.
+#
+# Scale: shingling is partition-local; the check is a semi-join of eval
+# (doc, shingle-digest) rows against the DISTINCT train digest set —
+# candidates-only shuffle on the digest, the containment-index shape, no
+# pairwise comparison. Digests are md5 (engine-identical); counts are
+# integers; the single rate division is rounded once.
+# ---------------------------------------------------------------------------
+
+_DECON_N = 8  # tokens per decontamination shingle
+
+
+def _decontamination_oracle() -> str:
+    shing = shingles_sql_duck("toks", _DECON_N)
+    bucket = f"{hash60_sql_duck('CAST(doc_id AS VARCHAR)', seed=7)} % 100"
+    return f"""
+    WITH split_docs AS (
+      SELECT doc_id,
+             CASE WHEN {bucket} < 80 THEN 'train'
+                  WHEN {bucket} < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             {_TOK_DUCK} AS toks
+      FROM documents
+    ),
+    shingled AS (
+      SELECT doc_id, split, unnest({shing}) AS g
+      FROM split_docs WHERE len({shing}) > 0
+    ),
+    train_digests AS (
+      SELECT DISTINCT md5(g) AS d FROM shingled WHERE split = 'train'
+    ),
+    eval_digests AS (
+      SELECT DISTINCT doc_id, split, md5(g) AS d
+      FROM shingled WHERE split <> 'train'
+    ),
+    contaminated AS (
+      SELECT DISTINCT e.doc_id, e.split
+      FROM eval_digests e JOIN train_digests t ON t.d = e.d
+    ),
+    base AS (
+      SELECT split, CAST(count(*) AS BIGINT) AS n_docs
+      FROM split_docs WHERE split <> 'train' GROUP BY split
+    )
+    SELECT b.split, b.n_docs,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_contaminated,
+           round(CAST(coalesce(c.n, 0) AS DOUBLE) / b.n_docs, 6)
+             AS contamination_rate
+    FROM base b
+    LEFT JOIN (
+      SELECT split, count(*) AS n FROM contaminated GROUP BY split
+    ) c ON c.split = b.split
+    """
+
+
+@register(
+    "split_decontamination_report",
+    oracle=_decontamination_oracle(),
+    description=f"Eval-set n-gram decontamination: a val/test document "
+    f"(dataset_split_assignment's exact deterministic hash split) is "
+    f"contaminated when it shares a word {_DECON_N}-shingle with any "
+    "train document. Per-eval-split doc counts, contaminated counts, and "
+    "rate — the pre-training leakage gate (benchmark_ngram_contamination "
+    "is the external-benchmark twin; this one decontaminates the "
+    "pipeline's OWN eval splits). Semi-join of eval shingle digests "
+    "against the distinct train digest set: candidates-only shuffle on "
+    "md5 digests, never a doc-pair comparison.",
+    tags=("dedup", "contamination", "split", "quality", "llm-pipeline"),
+)
+def split_decontamination_report(spark, sf_dir):
+    d = spread(T(spark, sf_dir, "documents"), spark)
+    bucket = F.expr(hash60_sql_spark("CAST(doc_id AS STRING)", seed=7)) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    shing = shingles_expr_spark("toks", _DECON_N)
+    split_docs = d.select(
+        "doc_id", split.alias("split"), F.expr(_TOK_SPARK).alias("toks")
+    )
+    shingled = (
+        split_docs.select(
+            "doc_id", "split", F.explode(F.expr(shing)).alias("g")
+        )
+        .select("doc_id", "split", F.md5("g").alias("dg"))
+        .persist()  # consumed twice: train digest set + eval side
+    )
+    train_digests = (
+        shingled.filter(F.col("split") == "train").select("dg").distinct()
+    )
+    eval_digests = shingled.filter(F.col("split") != "train").select(
+        "doc_id", "split", "dg"
+    ).distinct()
+    contaminated = (
+        eval_digests.join(train_digests, "dg", "left_semi")
+        .select("doc_id", "split")
+        .distinct()
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+    )
+    base = (
+        split_docs.filter(F.col("split") != "train")
+        .groupBy("split")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    return (
+        base.join(contaminated, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias(
+                "n_contaminated"
+            ),
+            F.round(
+                F.coalesce(F.col("n"), F.lit(0)).cast("double")
+                / F.col("n_docs"),
+                6,
+            ).alias("contamination_rate"),
+        )
+    )

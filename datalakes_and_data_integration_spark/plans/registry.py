@@ -75,11 +75,11 @@ def register(
 # test_window_follows_changed_plus_oldest_policy, which recomputes the
 # newest-green-row map from the CORRECTNESS_r*.json files older than
 # WINDOW_ROUND. Round-6 window: the 4 ANN queries changed this round
-# (scaled PQ shortlist budget; shared training-sample constant), the 43
-# queries whose newest green row is round 1, and 3 spares from the
-# round-2 cohort adjacent to this round's ANN work (the exact recall
-# anchor, the hybrid near-dup companion, and mean_impute — displaced
-# from the round-5 spare list).
+# (scaled PQ shortlist budget; shared training-sample constant), the 2
+# round-6 newcomers (curation5.py — never verified, so clause (a) by
+# definition), the 43 queries whose newest green row is round 1, and 1
+# spare from the round-2 cohort (ann_topk_bruteforce — the exact recall
+# anchor every ANN measurement this round leans on).
 WINDOW_ROUND = 6  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # policy clause (a): code changed since the newest green row
@@ -87,12 +87,17 @@ ROUND_CHANGED: list[str] = [
     "ann_topk_ivfadc",
     "ann_topk_ivfadc_residual",
     "ann_topk_ivf",
+    # round-6 newcomers: no green row exists yet
+    "ann_retrieval_quality_report",
+    "split_decontamination_report",
 ]
 WINDOW_PRIORITY: list[str] = [
     "ann_topk_pq",
     "ann_topk_ivfadc",
     "ann_topk_ivfadc_residual",
     "ann_topk_ivf",
+    "ann_retrieval_quality_report",
+    "split_decontamination_report",
     "anti_join_inactive_customers",
     "asof_join_last_click",
     "cheapest_part_per_size",
@@ -137,8 +142,6 @@ WINDOW_PRIORITY: list[str] = [
     "value_histogram_by_type",
     "value_percentiles_by_type",
     "ann_topk_bruteforce",
-    "embedding_near_dup_hybrid",
-    "mean_impute",
 ]
 
 

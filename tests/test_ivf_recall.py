@@ -40,7 +40,8 @@ def test_ivf_no_duplicate_neighbors(spark):
 
 def test_pq_rerank_recall(spark, queries=None):
     """PQ+rerank mean recall@5 vs brute force stays >= 0.8 on the
-    near-isotropic corpus (measured 0.877 at shortlist=100)."""
+    near-isotropic corpus (measured 0.877 at gate scale, where the
+    shortlist budget sits at its 100 floor)."""
     from datalakes_and_data_integration_spark.plans import all_queries
 
     qs = all_queries()
@@ -52,6 +53,31 @@ def test_pq_rerank_recall(spark, queries=None):
     for r in qs["ann_topk_bruteforce"](spark, sf).collect():
         exact.setdefault(r[0], set()).add(r[1])
     recalls = [len(pq[q] & exact[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_pq_rerank_recall_scales_with_corpus(spark):
+    """The decade the FIXED shortlist budget silently failed at: 2,000
+    near-isotropic vectors (sf0.1), where shortlist=100 measured mean
+    recall@5 0.639 (BASELINE.md round-4 ladder). With the corpus-scaled
+    budget max(100, ceil(n/5)) = 400 the same cell measures 0.901; pin
+    the >= 0.8 bar HERE, not only at gate scale where the budget sits
+    at its floor and cannot regress. (The 20k tiled decade measures
+    0.998 via the committed `tools/ann_ladder_probe.py` — too slow for
+    the suite; this 2k pin is the canary for the same failure mode.)"""
+    from datalakes_and_data_integration_spark.plans import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.1"
+    pq: dict[int, set] = {}
+    for r in qs["ann_topk_pq"](spark, sf).collect():
+        pq.setdefault(r.q_id, set()).add(r.n_id)
+    exact: dict[int, set] = {}
+    for r in qs["ann_topk_bruteforce"](spark, sf).collect():
+        exact.setdefault(r[0], set()).add(r[1])
+    recalls = [
+        len(pq.get(q, set()) & exact[q]) / len(exact[q]) for q in exact
+    ]
     assert sum(recalls) / len(recalls) >= 0.8
 
 

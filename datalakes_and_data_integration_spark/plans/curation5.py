@@ -46,6 +46,224 @@ _TOK_SPARK = "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
 _TOK_DUCK = tokens_sql_duck("text")
 
 # ---------------------------------------------------------------------------
+# Dedup tier-overlap matrix: which documents each dedup tier flags, and
+# how much each tier adds over the others. dedup_savings_report prices
+# the tiers individually (docs/tokens removed); this report answers the
+# NEXT question a pipeline owner asks — "if I already run tier X, what
+# does tier Y still catch?" — as exact set intersections over the four
+# flagged-document sets:
+#   exact       non-keeper full-text md5 duplicates (first-writer-wins)
+#   passage     docs containing >= 1 repeated 16-token passage
+#   containment later doc of each >= 0.5 asymmetric-containment pair
+#   cluster     non-representative members of MinHash-CC clusters
+# "Later doc" (the larger doc_id) is the flagged side everywhere,
+# matching the first-occurrence-wins convention of the keeper tiers.
+#
+# Scale: each tier is the registered operator's own bucketed plan; the
+# overlap join is doc-id sets only (four narrow frames), one self-join
+# on doc_id — candidates bounded by the flagged sets, never the corpus.
+# ---------------------------------------------------------------------------
+
+_TIERS = ("cluster", "containment", "exact", "passage")
+
+
+def _tier_overlap_oracle() -> str:
+    from datalakes_and_data_integration_spark.plans.curation3 import (
+        _PASS,
+        _containment_oracle,
+    )
+    from datalakes_and_data_integration_spark.plans.dedup import (
+        _cluster_oracle,
+    )
+
+    tiers_values = ", ".join(f"('{t}')" for t in _TIERS)
+    return f"""
+    WITH tok AS (SELECT doc_id, {_TOK_DUCK} AS toks FROM documents),
+    exact_losers AS (
+      SELECT d.doc_id
+      FROM documents d
+      JOIN (
+        SELECT md5(text) AS h, min(doc_id) AS keeper
+        FROM documents GROUP BY md5(text)
+      ) k ON md5(d.text) = k.h AND d.doc_id <> k.keeper
+    ),
+    passages AS (
+      SELECT doc_id,
+             array_to_string(toks[p * {_PASS} + 1 : p * {_PASS} + {_PASS}],
+                             ' ') AS ptext,
+             CAST(p AS BIGINT) AS pidx
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(0,
+                 CAST(floor((len(toks) - 1) / {_PASS}) AS BIGINT))) AS p
+        FROM tok WHERE len(toks) > 0
+      )
+    ),
+    passage_losers AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY md5(ptext)
+                                  ORDER BY doc_id, pidx) AS rn
+        FROM passages
+      ) WHERE rn > 1
+    ),
+    cont AS MATERIALIZED ({_containment_oracle()}),
+    clusters AS MATERIALIZED ({_cluster_oracle()}),
+    flags AS MATERIALIZED (
+      SELECT 'exact' AS tier, doc_id FROM exact_losers
+      UNION ALL
+      SELECT 'passage', doc_id FROM passage_losers
+      UNION ALL
+      SELECT DISTINCT 'containment', doc_b FROM cont
+      UNION ALL
+      SELECT 'cluster', doc FROM clusters WHERE doc <> cluster_id
+    ),
+    tiers(tier) AS (VALUES {tiers_values}),
+    counts AS (
+      SELECT tier, CAST(count(*) AS BIGINT) AS n FROM flags GROUP BY tier
+    ),
+    ov AS (
+      SELECT a.tier AS ta, b.tier AS tb, CAST(count(*) AS BIGINT) AS nb
+      FROM flags a JOIN flags b
+        ON b.doc_id = a.doc_id AND a.tier < b.tier
+      GROUP BY a.tier, b.tier
+    )
+    SELECT p.ta AS tier_a, p.tb AS tier_b,
+           CAST(coalesce(ca.n, 0) AS BIGINT) AS n_a,
+           CAST(coalesce(cb.n, 0) AS BIGINT) AS n_b,
+           CAST(coalesce(o.nb, 0) AS BIGINT) AS n_both,
+           coalesce(round(CAST(coalesce(o.nb, 0) AS DOUBLE)
+                          / nullif(coalesce(ca.n, 0) + coalesce(cb.n, 0)
+                                   - coalesce(o.nb, 0), 0), 6),
+                    0.0) AS jaccard
+    FROM (SELECT a.tier AS ta, b.tier AS tb
+          FROM tiers a JOIN tiers b ON a.tier < b.tier) p
+    LEFT JOIN counts ca ON ca.tier = p.ta
+    LEFT JOIN counts cb ON cb.tier = p.tb
+    LEFT JOIN ov o ON o.ta = p.ta AND o.tb = p.tb
+    """
+
+
+@register(
+    "dedup_tier_overlap_report",
+    oracle=_tier_overlap_oracle(),
+    description="Dedup tier-overlap matrix: the 6 pairwise intersections "
+    "of the four flagged-document sets (exact md5 losers, repeated-"
+    "passage docs, containment later-docs, MinHash-cluster non-"
+    "representatives) with per-tier totals and overlap Jaccard — the "
+    "marginal-value table that tells a pipeline owner what each tier "
+    "still catches given the others (dedup_savings_report prices them "
+    "individually). Exact integer set counts; one rounded division.",
+    tags=("dedup", "curation", "report", "llm-pipeline"),
+)
+def dedup_tier_overlap_report(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from datalakes_and_data_integration_spark.plans.curation3 import (
+        _PASS,
+        dedup_containment_pairs,
+    )
+    from datalakes_and_data_integration_spark.plans.dedup import (
+        dedup_cluster_assignment,
+    )
+
+    d = spread(T(spark, sf_dir, "documents"), spark)
+    tok = d.select(
+        "doc_id", F.md5("text").alias("h"), F.expr(_TOK_SPARK).alias("toks")
+    )
+    keepers = tok.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    exact_losers = (
+        tok.join(keepers, "h")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id")
+    )
+    tok2 = tok.filter(F.size("toks") > 0)
+    passages = tok2.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"sequence(0, CAST(floor((size(toks) - 1) / {_PASS}) "
+                "AS BIGINT))"
+            )
+        ).alias("pidx"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.col("pidx").cast("long").alias("pidx"),
+        F.expr(
+            f"concat_ws(' ', slice(toks, pidx * {_PASS} + 1, {_PASS}))"
+        ).alias("ptext"),
+    )
+    w = Window.partitionBy(F.md5("ptext")).orderBy("doc_id", "pidx")
+    passage_losers = (
+        passages.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id")
+        .distinct()
+    )
+    cont_losers = (
+        dedup_containment_pairs(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    cluster_losers = (
+        dedup_cluster_assignment(spark, sf_dir)
+        .filter(F.col("doc") != F.col("cluster_id"))
+        .select(F.col("doc").alias("doc_id"))
+    )
+    flags = (
+        exact_losers.select(F.lit("exact").alias("tier"), "doc_id")
+        .unionAll(passage_losers.select(F.lit("passage").alias("tier"), "doc_id"))
+        .unionAll(cont_losers.select(F.lit("containment").alias("tier"), "doc_id"))
+        .unionAll(cluster_losers.select(F.lit("cluster").alias("tier"), "doc_id"))
+        .persist()  # consumed 3x: per-tier counts + both overlap sides
+    )
+    counts = flags.groupBy("tier").agg(F.count("*").cast("long").alias("n"))
+    ov = (
+        flags.alias("a")
+        .join(
+            flags.alias("b"),
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("a.tier") < F.col("b.tier")),
+        )
+        .groupBy(
+            F.col("a.tier").alias("ta"), F.col("b.tier").alias("tb")
+        )
+        .agg(F.count("*").cast("long").alias("nb"))
+    )
+    # The 6 tier pairs as a literal frame (plan-build-time constants, no
+    # inequality join -> no cartesian in the plan).
+    pairs = spark.createDataFrame(
+        [(a, b) for a in _TIERS for b in _TIERS if a < b], ["ta", "tb"]
+    )
+    ca = counts.select(F.col("tier").alias("ta"), F.col("n").alias("na"))
+    cb = counts.select(F.col("tier").alias("tb"), F.col("n").alias("nb2"))
+    n_a = F.coalesce(F.col("na"), F.lit(0)).cast("long")
+    n_b = F.coalesce(F.col("nb2"), F.lit(0)).cast("long")
+    n_both = F.coalesce(F.col("nb"), F.lit(0)).cast("long")
+    union_sz = n_a + n_b - n_both
+    return (
+        pairs.join(ca, "ta", "left")
+        .join(cb, "tb", "left")
+        .join(ov, ["ta", "tb"], "left")
+        .select(
+            F.col("ta").alias("tier_a"),
+            F.col("tb").alias("tier_b"),
+            n_a.alias("n_a"),
+            n_b.alias("n_b"),
+            n_both.alias("n_both"),
+            F.coalesce(
+                F.round(
+                    n_both.cast("double")
+                    / F.when(union_sz > 0, union_sz).otherwise(F.lit(None)),
+                    6,
+                ),
+                F.lit(0.0),
+            ).alias("jaccard"),
+        )
+    )
+
+# ---------------------------------------------------------------------------
 # Retrieval-quality harness on the pipeline's own near-dup corpus.
 #
 # Query set = near-dup cluster REPRESENTATIVES: vectors that appear in at

@@ -77,9 +77,10 @@ def register(
 # WINDOW_ROUND. Round-6 window: the 4 ANN queries changed this round
 # (scaled PQ shortlist budget; shared training-sample constant), the 2
 # round-6 newcomers (curation5.py — never verified, so clause (a) by
-# definition), the 43 queries whose newest green row is round 1, and 1
-# spare from the round-2 cohort (ann_topk_bruteforce — the exact recall
-# anchor every ANN measurement this round leans on).
+# definition — retrieval-quality harness, split decontamination, dedup
+# tier-overlap matrix), and the 43 queries whose newest green row is
+# round 1. 4 + 3 + 43 = 50; the round-2 cohort (incl. the
+# ann_topk_bruteforce exact anchor) heads the round-7 oldest cohort.
 WINDOW_ROUND = 6  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # policy clause (a): code changed since the newest green row
@@ -90,6 +91,7 @@ ROUND_CHANGED: list[str] = [
     # round-6 newcomers: no green row exists yet
     "ann_retrieval_quality_report",
     "split_decontamination_report",
+    "dedup_tier_overlap_report",
 ]
 WINDOW_PRIORITY: list[str] = [
     "ann_topk_pq",
@@ -98,6 +100,7 @@ WINDOW_PRIORITY: list[str] = [
     "ann_topk_ivf",
     "ann_retrieval_quality_report",
     "split_decontamination_report",
+    "dedup_tier_overlap_report",
     "anti_join_inactive_customers",
     "asof_join_last_click",
     "cheapest_part_per_size",
@@ -141,7 +144,6 @@ WINDOW_PRIORITY: list[str] = [
     "user_first_last_event",
     "value_histogram_by_type",
     "value_percentiles_by_type",
-    "ann_topk_bruteforce",
 ]
 
 

@@ -45,6 +45,42 @@ def test_retrieval_queries_are_neardup_representatives(spark):
     assert reps  # the sf0.001 corpus does produce near-dup pairs
 
 
+def test_tier_overlap_report_invariants(spark):
+    from datalakes_and_data_integration_spark.plans.curation5 import (
+        dedup_tier_overlap_report,
+    )
+    from datalakes_and_data_integration_spark.plans.curation3 import (
+        dedup_savings_report,
+    )
+
+    rows = dedup_tier_overlap_report(spark, SF).collect()
+    assert len(rows) == 6  # all 4-choose-2 tier pairs, even empty ones
+    assert {(r.tier_a, r.tier_b) for r in rows} == {
+        ("cluster", "containment"),
+        ("cluster", "exact"),
+        ("cluster", "passage"),
+        ("containment", "exact"),
+        ("containment", "passage"),
+        ("exact", "passage"),
+    }
+    for r in rows:
+        assert r.n_both <= min(r.n_a, r.n_b)
+        assert 0.0 <= r.jaccard <= 1.0
+        if r.n_a + r.n_b == 0:
+            assert r.jaccard == 0.0
+
+    # Per-tier totals agree with dedup_savings_report's accounting for
+    # the tiers both reports flag (exact and neardup-cluster losers).
+    savings = {r.tier: r.n_docs_affected for r in dedup_savings_report(spark, SF).collect()}
+    by_tier = {}
+    for r in rows:
+        by_tier[r.tier_a] = r.n_a
+        by_tier[r.tier_b] = r.n_b
+    assert by_tier["exact"] == savings["exact"]
+    assert by_tier["cluster"] == savings["neardup"]
+    assert by_tier["passage"] == savings["passage"]
+
+
 def test_split_decontamination_invariants(spark):
     from datalakes_and_data_integration_spark.plans.curation5 import (
         split_decontamination_report,

@@ -92,12 +92,15 @@ ROUND_CHANGED: list[str] = [
     "ann_retrieval_quality_report",
     "split_decontamination_report",
     "dedup_tier_overlap_report",
+    # spread() added to the bucket self-join input (plan change, same rows)
+    "ann_topk_lsh_bucketed",
 ]
 WINDOW_PRIORITY: list[str] = [
     "ann_topk_pq",
     "ann_topk_ivfadc",
     "ann_topk_ivfadc_residual",
     "ann_topk_ivf",
+    "ann_topk_lsh_bucketed",
     "ann_retrieval_quality_report",
     "split_decontamination_report",
     "dedup_tier_overlap_report",
@@ -143,7 +146,6 @@ WINDOW_PRIORITY: list[str] = [
     "union_dedup_events",
     "user_first_last_event",
     "value_histogram_by_type",
-    "value_percentiles_by_type",
 ]
 
 

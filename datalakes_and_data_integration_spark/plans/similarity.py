@@ -259,12 +259,22 @@ def _bucket_duck(col: str) -> str:
 def ann_topk_lsh_bucketed(spark, sf_dir):
     e = T(spark, sf_dir, "embeddings")
     # persist: both self-join sides evaluate the 8x64-term bucket expression
-    # otherwise (broadcast + stream subplans don't share).
-    normed = e.select(
-        "vec_id",
-        "embedding",
-        F.expr(f"sqrt({_norm2_spark('embedding')})").alias("nrm"),
-        F.expr(_bucket_spark("embedding")).alias("bucket"),
+    # otherwise (broadcast + stream subplans don't share). spread BEFORE
+    # persist: a small parquet scan is one partition, and the cached
+    # stream side of the bucket self-join would score every candidate
+    # pair on one core (measured 6.9 s vs 2.1 s for the 9x-probe
+    # multiprobe variant at the 20k decade — the only difference was
+    # this missing repartition; no-op on a real cluster where the scan
+    # already has >= cores splits).
+    normed = spread(
+        e.select(
+            "vec_id",
+            "embedding",
+            F.expr(f"sqrt({_norm2_spark('embedding')})").alias("nrm"),
+            F.expr(_bucket_spark("embedding")).alias("bucket"),
+        ),
+        spark,
+        by="vec_id",
     ).persist()
     a = normed.alias("a")
     b = normed.alias("b")

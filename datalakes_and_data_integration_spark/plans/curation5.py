@@ -211,11 +211,18 @@ def dedup_tier_overlap_report(spark, sf_dir):
         .filter(F.col("doc") != F.col("cluster_id"))
         .select(F.col("doc").alias("doc_id"))
     )
+    # Union SUMS its inputs' partitions (the CC loop's checkpointed
+    # frames alone contribute dozens) — left alone, every map stage over
+    # `flags` schedules 1,000+ near-empty tasks. One keyed repartition
+    # of the tiny (tier, doc_id) rows caps it at session parallelism
+    # and pre-hashes the self-join key.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     flags = (
         exact_losers.select(F.lit("exact").alias("tier"), "doc_id")
         .unionAll(passage_losers.select(F.lit("passage").alias("tier"), "doc_id"))
         .unionAll(cont_losers.select(F.lit("containment").alias("tier"), "doc_id"))
         .unionAll(cluster_losers.select(F.lit("cluster").alias("tier"), "doc_id"))
+        .repartition(n_part, "doc_id")
         .persist()  # consumed 3x: per-tier counts + both overlap sides
     )
     counts = flags.groupBy("tier").agg(F.count("*").cast("long").alias("n"))

@@ -1,0 +1,212 @@
+"""Documents-family decade probe (round-6 second session).
+
+The ANN ladder probe (tools/ann_ladder_probe.py) caught a real scale bug
+that was invisible at bench scale (ann_topk_lsh_bucketed scoring every
+pair on one cached partition). This is the same instrument pointed at
+the OTHER extension family: dedup / text / decontamination over the
+``documents`` table, measured at two decades:
+
+- sf0.1 as-is: 5,000 documents
+- a 10x deterministically tiled copy: 50,000 documents
+
+Tiling: copy 0 is the original corpus; copy c>0 offsets doc_id by
+c*stride and perturbs ~2.5% of whitespace tokens (every 40th token,
+phase-shifted per copy, gets a copy-specific suffix). Perturbed copies
+stay near-dups of their originals (word-3-shingle Jaccard ~0.85, far
+above the 0.2 / 0.15 verification thresholds) while every exact digest
+differs across copies — so the exact tier's group structure scales
+exactly 10x and the near-dup tiers gain a bounded ~45 true cross-copy
+pairs per original document (pair output stays O(n), not O(n^2)).
+
+For each query we record warm wall-clock and output rows at both
+decades. The scaling diagnosis: a healthy plan lands near-linear
+(ratio ~10-15x with log factors and the larger pair output); a
+partition-collapse or candidate-blowup bug shows up as a 30x+ ratio.
+
+Usage: python tools/dedup_ladder_probe.py [--skip-50k] [--only a,b]
+Prints a markdown table (BASELINE.md format) plus one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+TILE = 10
+_EVERY = 40  # perturb every 40th token => ~2.5% of tokens per copy
+
+# Ordered cheap->heavy. Linear anchors first (embarrassingly parallel
+# per-doc work), then the pair-producing tiers, then the compositions.
+LADDER = [
+    "doc_fingerprint",
+    "text_token_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard_join",
+    "dedup_containment_pairs",
+    "passage_dedup_rewrite",
+    "dedup_cluster_assignment",
+    "split_decontamination_report",
+    "dedup_tier_overlap_report",
+]
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _perturb(text: str, copy: int) -> str:
+    """Deterministically rewrite every ``_EVERY``-th whitespace token.
+
+    The phase shifts with the copy index so distinct copies perturb
+    DIFFERENT positions — cross-copy pairs (c1 vs c2, both nonzero)
+    then differ in ~5% of tokens and remain near-dups of each other,
+    not just of copy 0.
+    """
+    toks = text.split(" ")
+    phase = copy % _EVERY
+    for i in range(phase, len(toks), _EVERY):
+        toks[i] = f"{toks[i]}x{copy}"
+    return " ".join(toks)
+
+
+def build_tiled_docs(src_dir: str, out_dir: str, tile: int) -> int:
+    """Write a tile-x documents.parquet; symlink every other table so
+    composed queries (splits, tier overlap) resolve their inputs."""
+    t = pq.read_table(os.path.join(src_dir, "documents.parquet"))
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    langs = t.column("lang").to_pylist()
+    sources = t.column("source").to_pylist()
+    stride = max(ids) + 1
+    parts = []
+    for c in range(tile):
+        if c == 0:
+            txt = texts
+        else:
+            txt = [_perturb(x, c) for x in texts]
+        parts.append(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        [i + c * stride for i in ids], pa.int64()
+                    ),
+                    "text": pa.array(txt, pa.string()),
+                    "lang": pa.array(langs, pa.string()),
+                    "source": pa.array(sources, pa.string()),
+                    "n_chars": pa.array(
+                        [len(x) for x in txt], pa.int64()
+                    ),
+                }
+            )
+        )
+    pq.write_table(
+        pa.concat_tables(parts),
+        os.path.join(out_dir, "documents.parquet"),
+    )
+    for name in TABLES:
+        if name == "documents":
+            continue
+        src = os.path.join(src_dir, f"{name}.parquet")
+        if os.path.exists(src):
+            os.symlink(src, os.path.join(out_dir, f"{name}.parquet"))
+    return len(ids) * tile
+
+
+def run_one(spark, name: str, sf_dir: str, runs: int) -> tuple[float, int]:
+    """Warm wall-clock (min over runs-1 after a warmup; with runs=1 the
+    single cold run) + output row count (count() executes the full
+    plan — every laddered query aggregates or joins upstream)."""
+    from datalakes_and_data_integration_spark.plans import QUERIES
+
+    fn = QUERIES[name].spark
+    times, rows = [], 0
+    for i in range(runs):
+        t0 = time.monotonic()
+        rows = fn(spark, sf_dir).count()
+        dt = time.monotonic() - t0
+        if i > 0 or runs == 1:
+            times.append(dt)
+    return min(times), rows
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-50k", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query subset")
+    ap.add_argument("--runs", type=int, default=2,
+                    help="runs per cell (first is warmup unless runs=1)")
+    args = ap.parse_args()
+    if args.runs < 1:
+        ap.error("--runs must be >= 1")
+    only = set(args.only.split(",")) if args.only else None
+
+    from datalakes_and_data_integration_spark.session import get_spark
+
+    spark = get_spark()
+
+    decades = [("5k", SF_DIR)]
+    if not args.skip_50k:
+        tiled = tempfile.mkdtemp(prefix="dedup_probe_50k_")
+        n = build_tiled_docs(SF_DIR, tiled, TILE)
+        print(f"# tiled corpus: {n} documents at {tiled}")
+        decades.append(("50k", tiled))
+
+    out: dict[str, dict] = {}
+    for decade, d in decades:
+        for name in LADDER:
+            if only is not None and name not in only:
+                continue
+            try:
+                t, rows = run_one(spark, name, d, runs=args.runs)
+            except Exception as exc:  # keep the sweep going
+                print(f"# {decade} {name}: ERR {exc}", flush=True)
+                continue
+            out.setdefault(name, {})[decade] = {
+                "sec": round(t, 2), "rows": rows,
+            }
+            print(f"# {decade} {name}: {t:.2f}s rows={rows}", flush=True)
+
+    print("\n| query | 5k warm s | 5k rows | 50k warm s | 50k rows "
+          "| time ratio |")
+    print("|---|---|---|---|---|---|")
+    for name in LADDER:
+        if name not in out:
+            continue
+        r5 = out[name].get("5k", {})
+        r50 = out[name].get("50k", {})
+        ratio = (
+            round(r50["sec"] / r5["sec"], 1)
+            if r5.get("sec") and r50.get("sec")
+            else None
+        )
+
+        def cell(d, k):
+            v = d.get(k)
+            return "—" if v is None else v
+
+        print(
+            f"| {name} | {cell(r5, 'sec')} | {cell(r5, 'rows')} | "
+            f"{cell(r50, 'sec')} | {cell(r50, 'rows')} | "
+            f"{ratio if ratio is not None else '—'}x |"
+        )
+    print(json.dumps({"metric": "dedup_ladder_probe", "results": out}))
+
+
+if __name__ == "__main__":
+    main()

@@ -25,23 +25,49 @@ from datalakes_and_data_integration_spark.plans.registry import register
 _DIM = 64
 _TOPK = 5
 
-# Deterministic 25% training sample shared by EVERY k-means stage in the
+# Deterministic training sample shared by EVERY k-means stage in the
 # ANN family (the IVF coarse quantizer here; the PQ codebooks and the
 # IVFADC/residual compositions in similarity_extra.py): vectors whose
-# md5(vec_id) hex digest sorts below TRAIN_SAMPLE_HEX. Both the Spark
-# filter (``train_sample``) and the DuckDB oracle predicate
-# (``TRAIN_SAMPLE_PRED``) derive from this ONE constant, so changing the
-# sampling rate cannot desynchronize an engine-twin pair.
-TRAIN_SAMPLE_HEX = "4"
-TRAIN_SAMPLE_PRED = f"md5(CAST(vec_id AS VARCHAR)) < '{TRAIN_SAMPLE_HEX}'"
+# md5(vec_id) hex digest sorts below a threshold derived from the corpus
+# size in pure INTEGER arithmetic — rate = min(1/4, TRAIN_SAMPLE_CAP/n).
+# Below the cap this is the historical 25% fraction (threshold '400000'
+# selects exactly the old "md5 < '4'" sample); past n = 4*CAP the sample
+# SIZE holds at ~TRAIN_SAMPLE_CAP — the faiss shape, a fixed-size
+# training set independent of corpus size, so training cost stops being
+# O(corpus) (README "Cluster deployment deltas"). Both the Spark filter
+# (``train_sample``, threshold resolved to a literal from the caller's
+# one scalar count) and the DuckDB oracle predicate (``TRAIN_SAMPLE_
+# PRED``, a scalar subquery over count(*)) derive from the same
+# cap/scale constants, so the engines cannot drift (ADVICE r5).
+TRAIN_SAMPLE_CAP = 65536  # target max training vectors at scale
+_TS_SCALE = 16 ** 6  # threshold granularity: 6 hex digits
+_TS_QUARTER = _TS_SCALE // 4  # the 25% fraction's threshold
 
 
-def train_sample(df):
-    """Spark twin of TRAIN_SAMPLE_PRED: md5(vec_id) hex < TRAIN_SAMPLE_HEX.
-    Content-addressed, so oracles reproduce it with a WHERE clause; recall
-    premise pinned by tests/test_sampled_training.py."""
+def train_sample_hex(n: int) -> str:
+    """6-hex-digit md5-prefix threshold for an n-vector corpus: a digest
+    sorting below it marks a training vector. Integer arithmetic only
+    (no float rate), mirrored digit for digit by the DuckDB twin inside
+    TRAIN_SAMPLE_PRED."""
+    t = min(_TS_QUARTER, (TRAIN_SAMPLE_CAP * _TS_SCALE) // max(n, 1))
+    return format(t, "06x")
+
+
+TRAIN_SAMPLE_PRED = (
+    "md5(CAST(vec_id AS VARCHAR)) < (SELECT lower(lpad(to_hex("
+    f"least({_TS_QUARTER}, (CAST({TRAIN_SAMPLE_CAP} AS BIGINT) "
+    f"* {_TS_SCALE}) // count(*))), 6, '0')) FROM embeddings)"
+)
+
+
+def train_sample(df, n: int):
+    """Spark twin of TRAIN_SAMPLE_PRED for an n-vector corpus. The
+    threshold is a literal (callers pay one scalar count), content-
+    addressed so oracles reproduce it with a WHERE clause; recall
+    premise pinned by tests/test_sampled_training.py, threshold parity
+    by tests/test_train_sample_cap.py."""
     return df.filter(
-        F.md5(F.col("vec_id").cast("string")) < TRAIN_SAMPLE_HEX
+        F.md5(F.col("vec_id").cast("string")) < train_sample_hex(n)
     )
 
 # --- shared expression builders (Spark SQL | DuckDB SQL kept adjacent) -----
@@ -413,7 +439,7 @@ def _ivf_oracle() -> str:
     unrolled Lloyd iterations in the same int64 fixed-point arithmetic as
     the Spark side, probe/rep candidate generation, exact cosine re-rank.
     Seed ranking and the Lloyd assignments a1..aN run over the
-    deterministic 25% md5 sample (``tdims`` — the Spark side's training
+    deterministic corpus-capped md5 sample (``tdims`` — the Spark side's training
     frame); only the final ``af`` assignment scans the corpus."""
     cs, ds = _IVF_CSCALE, _IVF_DSCALE
     samp = TRAIN_SAMPLE_PRED
@@ -538,12 +564,14 @@ def ann_topk_ivf(spark, sf_dir):
         by="vec_id",
     ).persist()
 
-    # Training runs over the deterministic 25% md5 sample (the 100 TB
-    # shape — faiss trains coarse quantizers on a bounded sample
-    # regardless of corpus size; only the final assignment scans the
-    # corpus). train_sample is TRAIN_SAMPLE_PRED's Spark twin — both
-    # derive from TRAIN_SAMPLE_HEX, so the engines cannot drift.
-    train = train_sample(normed)
+    # Training runs over the deterministic corpus-capped md5 sample (the
+    # 100 TB shape — faiss trains coarse quantizers on a bounded
+    # training set regardless of corpus size; only the final assignment
+    # scans the corpus). train_sample is TRAIN_SAMPLE_PRED's Spark twin
+    # — both derive from the same cap/scale constants, so the engines
+    # cannot drift.
+    n_corpus = normed.count()  # scale-ok: 1 scalar count (threshold literal)
+    train = train_sample(normed, n_corpus)
 
     # Deterministic init: the K training vectors with the smallest
     # md5(vec_id).

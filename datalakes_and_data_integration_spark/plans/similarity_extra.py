@@ -343,11 +343,12 @@ _PQ_SHORTLIST_SQL = (
 )
 
 
-def _pq_shortlist(spark, sf_dir) -> int:
+def _pq_shortlist(n: int) -> int:
     """The Spark twin of _PQ_SHORTLIST_SQL: max(MIN, ceil(n / DEN)) for
-    n = corpus vector count, as a driver-side Python int (a literal in
-    the rank filter -> WindowGroupLimit still prunes the window)."""
-    n = T(spark, sf_dir, "embeddings").count()  # scale-ok: 1 scalar count
+    n = corpus vector count (the caller's one scalar count — shared with
+    the training-sample threshold), as a driver-side Python int (a
+    literal in the rank filter -> WindowGroupLimit still prunes the
+    window)."""
     return max(
         _PQ_SHORTLIST_MIN,
         (n + _PQ_SHORTLIST_DEN - 1) // _PQ_SHORTLIST_DEN,
@@ -479,16 +480,16 @@ def _fx_term_sql(x: str, ms: str) -> str:
     )
 
 
-# _train_sample's oracle twin — one shared constant (similarity.py's
-# TRAIN_SAMPLE_HEX) feeds every Spark filter and SQL predicate, so the
-# sampling rate cannot be edited out of lockstep (ADVICE r5).
+# _train_sample's oracle twin — one shared constant pair (similarity.py's
+# TRAIN_SAMPLE_CAP/_TS_SCALE) feeds every Spark filter and SQL predicate,
+# so the sampling rate cannot be edited out of lockstep (ADVICE r5).
 _SAMPLE_PRED = TRAIN_SAMPLE_PRED
 
 
 def _pq_prelude_sql() -> str:
     """The shared oracle prelude: unit-normalized vectors, global subspace
     dims relation, and the md5 seed ranking (seeds rank inside the
-    deterministic 25% training sample — _train_sample's predicate)."""
+    deterministic corpus-capped training sample — _train_sample's predicate)."""
     from datalakes_and_data_integration_spark.plans.similarity import (
         _norm2_duck,
     )
@@ -529,7 +530,7 @@ def _pq_oracle_blocks(dims: str = "sdims", prefix: str = "") -> str:
     unit/sdims/sranks itself and ``prefix`` keeps CTE names disjoint.
 
     Training (seed ranking + Lloyd assignments pa1..paN) runs over the
-    deterministic 25% sample (``{prefix}tdims`` = dims restricted to
+    deterministic corpus-capped sample (``{prefix}tdims`` = dims restricted to
     _SAMPLE_PRED — _pq_train's ``train`` twin); only the final ``paf``
     assignment scans the full corpus."""
 
@@ -638,7 +639,7 @@ def _coarse_cte_blocks() -> list[str]:
     oracle. ``caf`` is the final per-(vec, cluster) assignment relation
     (rn = 1 is the primary list) and ``cc{_IVFADC_ITERS}`` the final
     centroid table. Seed ranking and the Lloyd assignments ca1..caN run
-    over the deterministic 25% sample (``tsdims`` — _coarse_lists's
+    over the deterministic corpus-capped sample (``tsdims`` — _coarse_lists's
     ``train`` twin); only the final ``caf`` assignment scans the
     corpus."""
 
@@ -776,7 +777,7 @@ def _pq_train(vecframe, arr_col: str = "arr", train=None):
 
     ``train`` (default: all of ``vecframe``) is the frame seed selection
     and the Lloyd iterations run over. The registered queries pass the
-    deterministic 25% md5 sample (_train_sample) — the 100 TB shape:
+    deterministic corpus-capped md5 sample (_train_sample) — the 100 TB shape:
     faiss trains codebooks on ~100k vectors regardless of corpus size,
     so training cost is O(sample), not O(corpus), and only the final
     code assignment scans the corpus. The sample is content-addressed,
@@ -867,20 +868,22 @@ def _pq_train(vecframe, arr_col: str = "arr", train=None):
     return subrows, mk_assign(centroids)
 
 
-def _train_sample(vecframe):
-    """The deterministic 25% training sample shared by every k-means
-    stage (coarse lists and PQ codebooks) — similarity.train_sample,
-    i.e. md5(vec_id) hex < TRAIN_SAMPLE_HEX. Content-addressed, so the
-    DuckDB oracles reproduce it with the same WHERE predicate
-    (_SAMPLE_PRED, same shared constant); recall premise pinned by
-    tests/test_sampled_training.py.
+def _train_sample(vecframe, n):
+    """The deterministic corpus-capped training sample shared by every
+    k-means stage (coarse lists and PQ codebooks) —
+    similarity.train_sample: md5(vec_id) hex below a threshold derived
+    from n (rate = min(1/4, TRAIN_SAMPLE_CAP / n)). Content-addressed,
+    so the DuckDB oracles reproduce it with the same WHERE predicate
+    (_SAMPLE_PRED, same shared constants — its scalar subquery computes
+    the identical threshold from count(*)); recall premise pinned by
+    tests/test_sampled_training.py, threshold parity by
+    tests/test_train_sample_cap.py.
 
-    At 100 TB a *fraction* is the wrong knob: faiss trains on a
-    fixed-size sample (~100k vectors) independent of corpus size. The
-    content-addressed form extends directly — tighten the hex threshold
-    as the corpus grows (each hex digit of threshold is a power-of-16
-    rate) — see README "Cluster deployment deltas"."""
-    return train_sample(vecframe)
+    This IS the faiss shape: past n = 4*CAP the training set holds at
+    ~TRAIN_SAMPLE_CAP vectors regardless of corpus size, so training
+    cost stops being O(corpus) — see README "Cluster deployment
+    deltas"."""
+    return train_sample(vecframe, n)
 
 
 def _pq_tables(unit, train=None):
@@ -1017,7 +1020,10 @@ def ann_topk_pq(spark, sf_dir):
     from datalakes_and_data_integration_spark.plans._util import spread
 
     unit = _unit_vectors(spark, sf_dir)
-    codes_piv, qtab_piv, dist = _pq_tables_piv(unit, train=_train_sample(unit))
+    n_corpus = T(spark, sf_dir, "embeddings").count()  # scale-ok: 1 scalar count
+    codes_piv, qtab_piv, dist = _pq_tables_piv(
+        unit, train=_train_sample(unit, n_corpus)
+    )
     # Flat-PQ scan (the declared whole-corpus baseline — at retrieval
     # scale PQ nests inside IVF lists, see ann_topk_ivfadc): each query
     # row streams against the code table and scores a pair with M array
@@ -1035,7 +1041,7 @@ def ann_topk_pq(spark, sf_dir):
     w = Window.partitionBy("q_id").orderBy("adc_dist", "n_id")
     shortlist = (
         adc.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _pq_shortlist(spark, sf_dir))
+        .filter(F.col("rnk") <= _pq_shortlist(n_corpus))
         .select("q_id", "n_id")
     )
     return _exact_rerank(unit, shortlist, _PQ_TOPK)
@@ -1061,7 +1067,7 @@ def _coarse_lists(unit, probe: int = _IVFADC_PROBE, train=None):
 
     ``train`` (default: the full corpus) is the frame the Lloyd
     iterations and seed selection run over. The registered queries pass
-    the deterministic 25% md5 sample (_train_sample) — the 100 TB
+    the deterministic corpus-capped md5 sample (_train_sample) — the 100 TB
     shape: faiss trains coarse quantizers on ~100k vectors regardless
     of corpus size — so only the FINAL assignment scans the corpus.
     The sample is content-addressed, so the oracles unroll the exact
@@ -1169,7 +1175,8 @@ def ann_topk_ivfadc(spark, sf_dir):
     from pyspark.sql import functions as F
 
     unit = _unit_vectors(spark, sf_dir).persist()
-    tsamp = _train_sample(unit)
+    n_corpus = T(spark, sf_dir, "embeddings").count()  # scale-ok: 1 scalar count
+    tsamp = _train_sample(unit, n_corpus)
     lists = _coarse_lists(unit, train=tsamp)[0].persist()
     qside = lists.select(
         F.col("vec_id").alias("q_id"), F.explode("probe_lists").alias("cluster")
@@ -1199,7 +1206,7 @@ def ann_topk_ivfadc(spark, sf_dir):
     w = Window.partitionBy("q_id").orderBy("adc_dist", "n_id")
     shortlist = (
         adc.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _pq_shortlist(spark, sf_dir))
+        .filter(F.col("rnk") <= _pq_shortlist(n_corpus))
         .select("q_id", "n_id")
     )
     return _exact_rerank(unit, shortlist, _PQ_TOPK)
@@ -1321,8 +1328,9 @@ def ann_topk_ivfadc_residual(spark, sf_dir):
     from pyspark.sql import functions as F
 
     unit = _unit_vectors(spark, sf_dir).persist()
+    n_corpus = T(spark, sf_dir, "embeddings").count()  # scale-ok: 1 scalar count
     lists, ccents = _coarse_lists(
-        unit, probe=_RES_PROBE, train=_train_sample(unit)
+        unit, probe=_RES_PROBE, train=_train_sample(unit, n_corpus)
     )
     lists = lists.persist()
 
@@ -1337,7 +1345,9 @@ def ann_topk_ivfadc_residual(spark, sf_dir):
     res = lists.select(
         "vec_id", "cluster", residual(lists, "cluster").alias("res")
     )
-    subrows, assign = _pq_train(res, arr_col="res", train=_train_sample(res))
+    subrows, assign = _pq_train(
+        res, arr_col="res", train=_train_sample(res, n_corpus)
+    )
     codes = (
         assign(subrows)
         .select(F.col("vec_id").alias("n_id"), "m", "code")
@@ -1410,7 +1420,7 @@ def ann_topk_ivfadc_residual(spark, sf_dir):
     w = Window.partitionBy("q_id").orderBy("adc_dist", "n_id")
     shortlist = (
         adc.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _pq_shortlist(spark, sf_dir))
+        .filter(F.col("rnk") <= _pq_shortlist(n_corpus))
         .select("q_id", "n_id")
     )
     return _exact_rerank(unit, shortlist, _PQ_TOPK)

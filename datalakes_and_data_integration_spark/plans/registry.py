@@ -75,12 +75,15 @@ def register(
 # test_window_follows_changed_plus_oldest_policy, which recomputes the
 # newest-green-row map from the CORRECTNESS_r*.json files older than
 # WINDOW_ROUND. Round-6 window: the 4 ANN queries changed this round
-# (scaled PQ shortlist budget; shared training-sample constant), the 2
+# (scaled PQ shortlist budget; shared training-sample constant), the 3
 # round-6 newcomers (curation5.py — never verified, so clause (a) by
-# definition — retrieval-quality harness, split decontamination, dedup
-# tier-overlap matrix), and the 43 queries whose newest green row is
-# round 1. 4 + 3 + 43 = 50; the round-2 cohort (incl. the
-# ann_topk_bruteforce exact anchor) heads the round-7 oldest cohort.
+# definition), the lsh_bucketed spread fix, the 15 text-family spread
+# fixes from the third session (8 direct + 7 text_quality_score
+# composers), and the 27 alphabetically-first queries of the round-1
+# cohort. 8 + 15 + 27 = 50; the 16 yielded round-1 names (the tpch_q17+
+# tail, union_dedup_events, user_first_last_event, value_histogram_by_
+# type, value_percentiles_by_type) head the round-7 oldest cohort ahead
+# of the round-2 cohort.
 WINDOW_ROUND = 6  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # policy clause (a): code changed since the newest green row
@@ -94,6 +97,28 @@ ROUND_CHANGED: list[str] = [
     "dedup_tier_overlap_report",
     # spread() added to the bucket self-join input (plan change, same rows)
     "ann_topk_lsh_bucketed",
+    # round-6 third session: the dedup-ladder probe's noop-sink timing fix
+    # exposed single-input-split serialization of the scan-side tokenize/
+    # regex/rolling-hash work (count() had let Catalyst prune it); spread()
+    # added to these eight (plan change, same rows) ...
+    "doc_fingerprint",
+    "text_token_stats",
+    "text_lang_id",
+    "text_quality_score",
+    "text_pii_mask",
+    "lang_confusion_matrix",
+    "vocab_zipf_stats",
+    "tokenizer_fertility_by_lang",
+    # ... and these seven compose text_quality_score, so their executed
+    # plans changed too (the round-5 sampled-training precedent: every
+    # query whose plan a helper change reaches gets a fresh driver row).
+    "quality_vs_duplication",
+    "weighted_sample_quality",
+    "training_corpus_manifest",
+    "quality_quantile_normalization",
+    "token_weighted_quality_quantile",
+    "mannwhitney_quality_en_vs_rest",
+    "spearman_quality_length",
 ]
 WINDOW_PRIORITY: list[str] = [
     "ann_topk_pq",
@@ -104,6 +129,21 @@ WINDOW_PRIORITY: list[str] = [
     "ann_retrieval_quality_report",
     "split_decontamination_report",
     "dedup_tier_overlap_report",
+    "doc_fingerprint",
+    "text_token_stats",
+    "text_lang_id",
+    "text_quality_score",
+    "text_pii_mask",
+    "lang_confusion_matrix",
+    "vocab_zipf_stats",
+    "tokenizer_fertility_by_lang",
+    "quality_vs_duplication",
+    "weighted_sample_quality",
+    "training_corpus_manifest",
+    "quality_quantile_normalization",
+    "token_weighted_quality_quantile",
+    "mannwhitney_quality_en_vs_rest",
+    "spearman_quality_length",
     "anti_join_inactive_customers",
     "asof_join_last_click",
     "cheapest_part_per_size",
@@ -131,21 +171,6 @@ WINDOW_PRIORITY: list[str] = [
     "tpch_q13_customer_distribution",
     "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_filter",
-    "tpch_q1_pricing_summary",
-    "tpch_q22_idle_customers",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "union_dedup_events",
-    "user_first_last_event",
-    "value_histogram_by_type",
 ]
 
 

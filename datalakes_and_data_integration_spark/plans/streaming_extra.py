@@ -245,9 +245,12 @@ def tokenizer_fertility_by_lang(spark, sf_dir):
         bpe_token_count,
         tokens,
     )
-    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans._util import T, spread
 
-    d = T(spark, sf_dir, "documents")
+    # spread the raw scan: the whitespace split + BPE regex count read
+    # text and measured serial-linear on the single input split of a
+    # small scan (2.3 s at 50k docs, one task up to the groupBy).
+    d = spread(T(spark, sf_dir, "documents"), spark)
     tok = d.select(
         "lang",
         F.size(tokens("text")).alias("ws"),

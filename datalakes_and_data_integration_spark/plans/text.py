@@ -58,7 +58,11 @@ _TOK_DUCK = tokens_sql_duck("text")
     bench=True,
 )
 def text_token_stats(spark, sf_dir):
-    d = T(spark, sf_dir, "documents")
+    # spread BEFORE tokenizing: the BPE regex + whitespace split are the
+    # cost and both read raw text, so the exchange must ship text (the
+    # dedup-ladder probe measured this query serial-linear on the single
+    # input split: 1.9 s at 50k docs on one task).
+    d = spread(T(spark, sf_dir, "documents"), spark)
     tok = d.select("doc_id", "n_chars", "text", tokens("text").alias("toks"))
     return tok.select(
         "doc_id",
@@ -101,7 +105,14 @@ def _lang_oracle() -> str:
 )
 def text_lang_id(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
-    tok = d.select("doc_id", "lang", tokens("text").alias("toks"))
+    # spread AFTER tokenizing (the dedup_minhash_lsh idiom): the exchange
+    # is an optimizer barrier, so CollapseProject cannot re-inline the
+    # split into every per-language score lambda, and the scores — the
+    # heavy stage — run at session parallelism instead of on the scan's
+    # single input split.
+    tok = spread(
+        d.select("doc_id", "lang", tokens("text").alias("toks")), spark
+    )
     scores = lang_scores(F.col("toks"))
     return tok.select(
         "doc_id",
@@ -151,7 +162,12 @@ _EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     tags=("text", "llm-pipeline"),
 )
 def text_quality_score(spark, sf_dir):
-    d = T(spark, sf_dir, "documents")
+    # spread the raw scan: the tokenize + punctuation regex below are the
+    # cost and both read text. Seven registered queries compose this one
+    # (quality deciles, weighted sampling, the corpus manifest, quantile
+    # normalization, both rank statistics) — the single-split serialization
+    # measured here (4.0 s at 50k docs) taxed all of them.
+    d = spread(T(spark, sf_dir, "documents"), spark)
     tok = d.select(
         "doc_id",
         tokens("text").alias("toks"),
@@ -207,7 +223,13 @@ def text_quality_score(spark, sf_dir):
     tags=("text", "fingerprint", "llm-pipeline"),
 )
 def doc_fingerprint(spark, sf_dir):
-    d = T(spark, sf_dir, "documents")
+    # spread the raw scan: the rolling fingerprint hashes EVERY character
+    # position (O(n_chars) md5s per document) — by far the heaviest
+    # per-row expression in the text family. On the single input split of
+    # a small scan it measured serial-linear (3.0 s at 5k docs -> 30.0 s
+    # at 50k, one task); spread is a no-op once the input has >= cores
+    # splits, so the 100 TB plan shape is unchanged.
+    d = spread(T(spark, sf_dir, "documents"), spark)
     h = hash60_sql_spark("substr(text, i, 8)")
     return d.select(
         "doc_id",
@@ -608,7 +630,10 @@ _NUM_RE = "[0-9]{4,}"
     tags=("text", "pii", "cleaning", "llm-pipeline"),
 )
 def text_pii_mask(spark, sf_dir):
-    d = T(spark, sf_dir, "documents")
+    # spread the raw scan: four full-text regex passes per document
+    # (two replaces, two extract_alls) measured serial-linear on the
+    # single input split (4.0 s at 50k docs, one task).
+    d = spread(T(spark, sf_dir, "documents"), spark)
     masked = F.regexp_replace(
         F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _NUM_RE, "<NUM>"
     )
@@ -695,7 +720,11 @@ def _confusion_oracle() -> str:
 )
 def lang_confusion_matrix(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
-    tok = d.select("doc_id", "lang", tokens("text").alias("toks"))
+    # spread AFTER tokenizing (same rationale as text_lang_id): barrier
+    # against score-lambda re-inlining + parallel scoring.
+    tok = spread(
+        d.select("doc_id", "lang", tokens("text").alias("toks")), spark
+    )
     scores = lang_scores(F.col("toks"))
     pred = tok.select("lang", argmax_lang(scores).alias("lang_pred"))
     return pred.groupBy(
@@ -846,7 +875,10 @@ _ZIPF_TOP = 200
 def vocab_zipf_stats(spark, sf_dir):
     from pyspark.sql import Window
 
-    d = T(spark, sf_dir, "documents")
+    # spread the raw scan so tokenize + explode feed the term count from
+    # all cores (measured serial on the single input split: 2.0 s at 50k
+    # docs, one task up to the groupBy exchange).
+    d = spread(T(spark, sf_dir, "documents"), spark)
     counts = (
         d.select(F.explode(tokens("text")).alias("term"))
         .groupBy("term")

@@ -87,6 +87,30 @@ def test_salted_join_has_no_shuffle_on_hot_key_only(spark, queries):
     assert "Join" in plan
 
 
+def test_scan_heavy_text_queries_spread_small_scans(spark, queries):
+    """The eight scan-side-heavy text queries must not serialize their
+    tokenize/regex/rolling-hash work on a small scan's single input
+    split (the round-6 dedup-ladder finding: doc_fingerprint ran
+    30 s/50k docs on ONE task before spread() was added). At test scale
+    the parquet is one split, so the spread() repartition must appear
+    as a round-robin or hash Exchange below the heavy projection."""
+    for name in (
+        "doc_fingerprint",
+        "text_token_stats",
+        "text_lang_id",
+        "text_quality_score",
+        "text_pii_mask",
+        "lang_confusion_matrix",
+        "vocab_zipf_stats",
+        "tokenizer_fertility_by_lang",
+    ):
+        plan = _plan(spark, queries, name)
+        assert "Exchange" in plan, (
+            f"{name}: no Exchange in the plan — the spread() guard "
+            "regressed and scan-side per-row work runs on one task"
+        )
+
+
 def test_lm_scoring_join_broadcasts(spark, queries):
     """The bigram LM table is vocab²-bounded: scoring must broadcast it
     onto the per-doc bigram stream, never sort-merge the corpus side."""

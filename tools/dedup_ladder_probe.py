@@ -129,18 +129,23 @@ def build_tiled_docs(src_dir: str, out_dir: str, tile: int) -> int:
 
 def run_one(spark, name: str, sf_dir: str, runs: int) -> tuple[float, int]:
     """Warm wall-clock (min over runs-1 after a warmup; with runs=1 the
-    single cold run) + output row count (count() executes the full
-    plan — every laddered query aggregates or joins upstream)."""
+    single cold run) + output row count. Timed runs go through the noop
+    sink, same as bench.py — count() would let Catalyst PRUNE unused
+    projection/window work (a per-doc fingerprint column no one reads
+    costs nothing under count), which silently understates exactly the
+    per-row tiers this probe exists to measure. The row count runs
+    once, untimed."""
     from datalakes_and_data_integration_spark.plans import QUERIES
 
     fn = QUERIES[name].spark
-    times, rows = [], 0
+    times = []
     for i in range(runs):
         t0 = time.monotonic()
-        rows = fn(spark, sf_dir).count()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.monotonic() - t0
         if i > 0 or runs == 1:
             times.append(dt)
+    rows = fn(spark, sf_dir).count()
     return min(times), rows
 
 
@@ -148,13 +153,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-50k", action="store_true")
     ap.add_argument("--only", default=None,
-                    help="comma-separated query subset")
+                    help="comma-separated query subset (any registry "
+                    "names, ordered; not limited to the default LADDER)")
     ap.add_argument("--runs", type=int, default=2,
                     help="runs per cell (first is warmup unless runs=1)")
     args = ap.parse_args()
     if args.runs < 1:
         ap.error("--runs must be >= 1")
-    only = set(args.only.split(",")) if args.only else None
+    ladder = args.only.split(",") if args.only else LADDER
 
     from datalakes_and_data_integration_spark.session import get_spark
 
@@ -169,9 +175,7 @@ def main() -> None:
 
     out: dict[str, dict] = {}
     for decade, d in decades:
-        for name in LADDER:
-            if only is not None and name not in only:
-                continue
+        for name in ladder:
             try:
                 t, rows = run_one(spark, name, d, runs=args.runs)
             except Exception as exc:  # keep the sweep going
@@ -185,7 +189,7 @@ def main() -> None:
     print("\n| query | 5k warm s | 5k rows | 50k warm s | 50k rows "
           "| time ratio |")
     print("|---|---|---|---|---|---|")
-    for name in LADDER:
+    for name in ladder:
         if name not in out:
             continue
         r5 = out[name].get("5k", {})

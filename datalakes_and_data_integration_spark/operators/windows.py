@@ -51,9 +51,21 @@ def ffill(value: str | Column, w: WindowSpec) -> Column:
     )
 
 
-def bfill(value: str | Column, w: WindowSpec) -> Column:
-    """Backward-fill: first non-null from the current row on (W4)."""
+def bfill(value: str | Column, w_rev: WindowSpec) -> Column:
+    """Backward-fill: first non-null from the current row on (W4).
+
+    ``w_rev`` must be the EXACT REVERSE of the ffill spec (every order
+    key flipped, nulls_last -> nulls_first), over a total order. The
+    fill is computed as a running ``last(ignorenulls)`` over the
+    reversed order instead of ``first(ignorenulls)`` over a
+    current-row -> unbounded-following frame: Spark evaluates
+    unbounded-following frames by re-scanning the rest of the partition
+    for EVERY row — O(rows x partition size), measured 108 s vs 11.7 s
+    on a 9.2M-row spine (round-6 events ladder) — while an
+    unbounded-preceding frame is an O(rows) running accumulator. Same
+    rows, same values; only the frame direction changes.
+    """
     v = F.col(value) if isinstance(value, str) else value
-    return F.first(v, ignorenulls=True).over(
-        w.rowsBetween(0, Window.unboundedFollowing)
+    return F.last(v, ignorenulls=True).over(
+        w_rev.rowsBetween(Window.unboundedPreceding, 0)
     )

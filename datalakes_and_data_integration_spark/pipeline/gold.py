@@ -133,9 +133,16 @@ def build_gold(
     # wall-clock (5.5 -> 10.3 s cold, 3.9 -> 7.5 s warm on the reference
     # corpus). Chained projections are the cheap form here.
     w = ordered_window(["code_site"], [F.col("date_de_debut").asc_nulls_last()])
+    # bfill takes the exact reverse spec (desc_nulls_first) so it runs as
+    # a running accumulator, not Spark's per-row-rescan unbounded-
+    # following frame. One row per (site, date) after the merge, so the
+    # reversed order is the same total order walked backwards.
+    w_rev = ordered_window(
+        ["code_site"], [F.col("date_de_debut").desc_nulls_first()]
+    )
     unit_cols = [c for c in wide.columns if c.endswith("_unite_de_mesure")]
     filled_units = {
-        c: F.coalesce(ffill(c, w), bfill(c, w)).alias(c) for c in unit_cols
+        c: F.coalesce(ffill(c, w), bfill(c, w_rev)).alias(c) for c in unit_cols
     }
     wide = wide.select(
         *[filled_units.get(c, F.col(c)) for c in wide.columns]

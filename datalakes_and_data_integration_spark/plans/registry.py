@@ -79,8 +79,9 @@ def register(
 # round-6 newcomers (curation5.py — never verified, so clause (a) by
 # definition), the lsh_bucketed spread fix, the 15 text-family spread
 # fixes from the third session (8 direct + 7 text_quality_score
-# composers), and the 27 alphabetically-first queries of the round-1
-# cohort. 8 + 15 + 27 = 50; the 16 yielded round-1 names (the tpch_q17+
+# composers), the 2 reversed-order fill rewrites (gapfill interpolate +
+# ffill_bfill), and the 25 alphabetically-first queries of the round-1
+# cohort. 8 + 17 + 25 = 50; the 18 yielded round-1 names (the tpch_q14+
 # tail, union_dedup_events, user_first_last_event, value_histogram_by_
 # type, value_percentiles_by_type) head the round-7 oldest cohort ahead
 # of the round-2 cohort.
@@ -119,6 +120,13 @@ ROUND_CHANGED: list[str] = [
     "token_weighted_quality_quantile",
     "mannwhitney_quality_en_vs_rest",
     "spearman_quality_length",
+    # round-6 third session, events ladder: next-neighbor fills rewritten
+    # from first(ignorenulls) over current-row->unbounded-following frames
+    # (Spark re-scans the partition tail per row — O(n x partition)) to a
+    # running last(ignorenulls) over the reversed total order (same rows,
+    # 9.2x measured at the 1m-event decade).
+    "gapfill_hourly_interpolate",
+    "ffill_bfill",
 ]
 WINDOW_PRIORITY: list[str] = [
     "ann_topk_pq",
@@ -144,6 +152,8 @@ WINDOW_PRIORITY: list[str] = [
     "token_weighted_quality_quantile",
     "mannwhitney_quality_en_vs_rest",
     "spearman_quality_length",
+    "gapfill_hourly_interpolate",
+    "ffill_bfill",
     "anti_join_inactive_customers",
     "asof_join_last_click",
     "cheapest_part_per_size",
@@ -169,8 +179,6 @@ WINDOW_PRIORITY: list[str] = [
     "topn_orders_per_customer",
     "tpch_q10_returned_items",
     "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
 ]
 
 

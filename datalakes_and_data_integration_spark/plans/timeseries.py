@@ -127,12 +127,18 @@ def ffill_bfill(spark, sf_dir):
         .alias("v"),
     )
     w = _w()
+    # bfill takes the exact reverse of the ffill order (total: event_id
+    # breaks ts ties) so it runs as an O(rows) running accumulator
+    # instead of Spark's per-row-rescan unbounded-following frame.
+    w_rev = ordered_window(
+        ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
     return nulled.select(
         "event_id",
         "user_id",
         "ts",
         "v",
-        F.coalesce(ffill("v", w), bfill("v", w)).alias("v_filled"),
+        F.coalesce(ffill("v", w), bfill("v", w_rev)).alias("v_filled"),
     )
 
 
@@ -629,10 +635,17 @@ def gapfill_hourly_interpolate(spark, sf_dir):
         .orderBy("hour")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wn = (
+    # The NEXT-observation pair runs over the REVERSED order as a running
+    # last(ignorenulls), not first(ignorenulls) over a current-row ->
+    # unbounded-following frame: Spark re-scans the rest of the partition
+    # for every row under an unbounded-following frame — O(spine x
+    # per-user hours), measured 108 s -> 11.7 s on the 9.2M-row 1m-event
+    # spine (round-6 events ladder) with byte-identical output. `hour` is
+    # unique per user on the spine, so the reversal is exact.
+    wr = (
         Window.partitionBy("user_id")
-        .orderBy("hour")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("hour").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     et = F.unix_timestamp("hour")
     obs_t = F.when(F.col("v_raw").isNotNull(), et)
@@ -642,8 +655,8 @@ def gapfill_hourly_interpolate(spark, sf_dir):
         "v_raw",
         F.last("v_raw", ignorenulls=True).over(wp).alias("pv"),
         F.last(obs_t, ignorenulls=True).over(wp).alias("pt"),
-        F.first("v_raw", ignorenulls=True).over(wn).alias("nv"),
-        F.first(obs_t, ignorenulls=True).over(wn).alias("nt"),
+        F.last("v_raw", ignorenulls=True).over(wr).alias("nv"),
+        F.last(obs_t, ignorenulls=True).over(wr).alias("nt"),
     )
     interp = F.when(F.col("v_raw").isNotNull(), F.col("v_raw")).otherwise(
         F.col("pv")

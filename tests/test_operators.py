@@ -150,11 +150,14 @@ class TestWindows:
         ]
         df = spark.createDataFrame(rows, ["site", "ts", "v"])
         w = ordered_window(["site"], [F.col("ts")])
+        # bfill takes the REVERSED spec (runs as a running accumulator
+        # over the reverse order; see operators/windows.py).
+        w_rev = ordered_window(["site"], [F.col("ts").desc()])
         out = (
             df.select(
                 "ts",
                 ffill("v", w).alias("f"),
-                bfill("v", w).alias("b"),
+                bfill("v", w_rev).alias("b"),
             )
             .orderBy("ts")
             .collect()

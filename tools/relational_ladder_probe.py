@@ -1,0 +1,210 @@
+"""Relational/TPC-H-family decade probe (round-6 third session).
+
+Fourth member of the ladder-probe family (ANN: ann_ladder_probe.py;
+documents: dedup_ladder_probe.py; events: events_ladder_probe.py): the
+join / aggregate / window surface over the TPC-H-ish tables, measured
+at two decades:
+
+- sf0.1 as-is: 600k lineitem / 150k orders / 15k customer
+- a 10x tiled copy: 6m lineitem / 1.5m orders / 150k customer
+
+Tiling models how a 10x deployment actually grows — MORE CUSTOMERS
+buying from the SAME catalog: copy c>0 offsets c_custkey / o_orderkey /
+o_custkey / l_orderkey by c*stride and keeps every other column (dates,
+prices, l_partkey / l_suppkey, names) verbatim. All FK joins stay
+intact; fact-side cardinality grows 10x; part / supplier / nation /
+region dims are fixed, so every broadcast that is correct at sf0.1 must
+stay a broadcast at 10x — a dim that starts shuffling is exactly the
+regression this probe exists to catch.
+
+The scaling diagnosis: a healthy plan lands near-linear (~1-4x wall at
+10x input given fixed session overhead); a broadcast falling back to
+sort-merge, a partition collapse, or a per-row-rescan window frame
+shows up as a 10x+ ratio or an absolute blowup.
+
+Usage: python tools/relational_ladder_probe.py [--skip-10x] [--only a,b]
+Prints a markdown table (BASELINE.md format) plus one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+TILE = 10
+
+# Ordered cheap->heavy: scan-aggregates, windows/ranks, semi/anti and
+# star joins, then the multi-join TPC-H heavyweights and profiling
+# compositions. Every entry reads only region/nation/customer/supplier/
+# part/orders/lineitem (the tiled trio + fixed dims).
+LADDER = [
+    "tpch_q6_forecast_revenue",
+    "tpch_q1_pricing_summary",
+    "lineitem_unpivot_measures",
+    "orders_rollup",
+    "benford_first_digit",
+    "revenue_pareto",
+    "topn_orders_per_customer",
+    "customer_spend_quartiles",
+    "semi_join_big_spenders",
+    "anti_join_inactive_customers",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q13_customer_distribution",
+    "tpch_q18_large_orders",
+    "tpch_q9_product_profit",
+    "tpch_q8_market_share",
+    "shipping_delay_profile",
+    "market_basket_brand_pairs",
+    "table_profile_lineitem",
+    "referential_integrity_check",
+]
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# (table, key columns to offset by that table's stride-owner)
+_OFFSETS = {
+    "customer": {"c_custkey": "cust"},
+    "orders": {"o_orderkey": "okey", "o_custkey": "cust"},
+    "lineitem": {"l_orderkey": "okey"},
+}
+
+
+def build_tiled_relational(src_dir: str, out_dir: str, tile: int) -> dict:
+    """Write tile-x customer/orders/lineitem with offset keys (FKs
+    preserved); symlink every other table (fixed catalog dims)."""
+    src = {
+        t: pq.read_table(os.path.join(src_dir, f"{t}.parquet"))
+        for t in _OFFSETS
+    }
+    strides = {
+        "cust": int(src["customer"].column("c_custkey").to_numpy().max()) + 1,
+        "okey": int(src["orders"].column("o_orderkey").to_numpy().max()) + 1,
+    }
+    counts = {}
+    for t, table in src.items():
+        cols = {f.name: table.column(f.name) for f in table.schema}
+        keyed = {
+            k: table.column(k).to_numpy() for k in _OFFSETS[t]
+        }
+        parts = []
+        for c in range(tile):
+            data = dict(cols)
+            for k, owner in _OFFSETS[t].items():
+                data[k] = pa.array(
+                    keyed[k] + c * strides[owner], pa.int64()
+                )
+            parts.append(pa.table(data))
+        pq.write_table(
+            pa.concat_tables(parts), os.path.join(out_dir, f"{t}.parquet")
+        )
+        counts[t] = table.num_rows * tile
+    for name in TABLES:
+        if name in _OFFSETS:
+            continue
+        s = os.path.join(src_dir, f"{name}.parquet")
+        if os.path.exists(s):
+            os.symlink(s, os.path.join(out_dir, f"{name}.parquet"))
+    return counts
+
+
+def run_one(spark, name: str, sf_dir: str, runs: int) -> tuple[float, int]:
+    """Timed runs go through the noop sink, same as bench.py — count()
+    would let Catalyst prune unused projection/window work, silently
+    understating per-row tiers. The row count runs once, untimed."""
+    from datalakes_and_data_integration_spark.plans import QUERIES
+
+    fn = QUERIES[name].spark
+    times = []
+    for i in range(runs):
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.monotonic() - t0
+        if i > 0 or runs == 1:
+            times.append(dt)
+    rows = fn(spark, sf_dir).count()
+    return min(times), rows
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-10x", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query subset (any registry "
+                    "names, ordered; not limited to the default LADDER)")
+    ap.add_argument("--runs", type=int, default=3,
+                    help="runs per cell (first is warmup unless runs=1)")
+    args = ap.parse_args()
+    if args.runs < 1:
+        ap.error("--runs must be >= 1")
+    ladder = args.only.split(",") if args.only else LADDER
+
+    from datalakes_and_data_integration_spark.session import get_spark
+
+    spark = get_spark()
+
+    decades = [("600k", SF_DIR)]
+    if not args.skip_10x:
+        tiled = tempfile.mkdtemp(prefix="rel_probe_10x_")
+        counts = build_tiled_relational(SF_DIR, tiled, TILE)
+        print(f"# tiled corpus at {tiled}: {counts}")
+        decades.append(("6m", tiled))
+
+    out: dict[str, dict] = {}
+    for decade, d in decades:
+        for name in ladder:
+            try:
+                t, rows = run_one(spark, name, d, runs=args.runs)
+            except Exception as exc:  # keep the sweep going
+                print(f"# {decade} {name}: ERR {exc}", flush=True)
+                continue
+            out.setdefault(name, {})[decade] = {
+                "sec": round(t, 2), "rows": rows,
+            }
+            print(f"# {decade} {name}: {t:.2f}s rows={rows}", flush=True)
+
+    print("\n| query | 600k warm s | 600k rows | 6m warm s | 6m rows "
+          "| time ratio |")
+    print("|---|---|---|---|---|---|")
+    for name in ladder:
+        if name not in out:
+            continue
+        r1 = out[name].get("600k", {})
+        r10 = out[name].get("6m", {})
+        ratio = (
+            round(r10["sec"] / r1["sec"], 1)
+            if r1.get("sec") and r10.get("sec")
+            else None
+        )
+
+        def cell(d, k):
+            v = d.get(k)
+            return "—" if v is None else v
+
+        print(
+            f"| {name} | {cell(r1, 'sec')} | {cell(r1, 'rows')} | "
+            f"{cell(r10, 'sec')} | {cell(r10, 'rows')} | "
+            f"{ratio if ratio is not None else '—'}x |"
+        )
+    print(json.dumps(
+        {"metric": "relational_ladder_probe", "results": out}
+    ))
+
+
+if __name__ == "__main__":
+    main()

@@ -1285,7 +1285,9 @@ def _mrr_oracle() -> str:
     "of the first same-label neighbor in the exact cosine top-5 (0 when "
     "none), plus the hit count — class coherence of the embedding space, "
     "the go/no-go evidence for similarity-based curation and retrieval. "
-    "Composes ann_topk_bruteforce and its oracle; reciprocal ranks are "
+    "Composes the hybrid exact kernel (identical top-5 to "
+    "ann_topk_bruteforce, block-wise cost) and the exact oracle; "
+    "reciprocal ranks are "
     "decimal-summed (order-independent mean), label lookups are plain "
     "hash joins (AQE broadcasts when the label map is small — never "
     "forced, the map is corpus-sized).",
@@ -1293,10 +1295,12 @@ def _mrr_oracle() -> str:
 )
 def ann_label_mrr(spark, sf_dir):
     from datalakes_and_data_integration_spark.plans.similarity import (
-        ann_topk_bruteforce,
+        ann_topk_bruteforce_hybrid,
     )
 
-    tk = ann_topk_bruteforce(spark, sf_dir).select(
+    # Hybrid exact kernel — identical top-5, block-wise cost (see
+    # ann_hard_negatives in similarity_extra).
+    tk = ann_topk_bruteforce_hybrid(spark, sf_dir).select(
         "vec_id", "neighbor_id", "rank"
     )
     lab = T(spark, sf_dir, "embeddings").select("vec_id", "label")

@@ -80,11 +80,13 @@ def register(
 # definition), the lsh_bucketed spread fix, the 15 text-family spread
 # fixes from the third session (8 direct + 7 text_quality_score
 # composers), the 2 reversed-order fill rewrites (gapfill interpolate +
-# ffill_bfill), and the 25 alphabetically-first queries of the round-1
-# cohort. 8 + 17 + 25 = 50; the 18 yielded round-1 names (the tpch_q14+
-# tail, union_dedup_events, user_first_last_event, value_histogram_by_
-# type, value_percentiles_by_type) head the round-7 oldest cohort ahead
-# of the round-2 cohort.
+# ffill_bfill), the 3 hybrid-kernel swaps (knn/mrr/hard-negatives),
+# and the 22 alphabetically-first queries of the round-1 cohort.
+# 8 + 20 + 22 = 50; the 21 yielded round-1 names (topn_orders_per_
+# customer, the tpch tail from q10 on, union_dedup_events,
+# user_first_last_event, value_histogram_by_type,
+# value_percentiles_by_type) head the round-7 oldest cohort ahead of
+# the round-2 cohort.
 WINDOW_ROUND = 6  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # policy clause (a): code changed since the newest green row
@@ -127,6 +129,13 @@ ROUND_CHANGED: list[str] = [
     # 9.2x measured at the 1m-event decade).
     "gapfill_hourly_interpolate",
     "ffill_bfill",
+    # round-6 third session, ML ladder: the three eval reports now
+    # compose the hybrid exact kernel (identical top-5, block-wise cost
+    # — the bare-BNLJ baseline stays the truth anchor for the recall
+    # audits only).
+    "knn_classifier_eval",
+    "ann_label_mrr",
+    "ann_hard_negatives",
 ]
 WINDOW_PRIORITY: list[str] = [
     "ann_topk_pq",
@@ -154,6 +163,9 @@ WINDOW_PRIORITY: list[str] = [
     "spearman_quality_length",
     "gapfill_hourly_interpolate",
     "ffill_bfill",
+    "knn_classifier_eval",
+    "ann_label_mrr",
+    "ann_hard_negatives",
     "anti_join_inactive_customers",
     "asof_join_last_click",
     "cheapest_part_per_size",
@@ -176,9 +188,6 @@ WINDOW_PRIORITY: list[str] = [
     "supplier_diversity_by_brand",
     "table_profile_lineitem",
     "top_customers_by_revenue",
-    "topn_orders_per_customer",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
 ]
 
 

@@ -111,6 +111,39 @@ def test_scan_heavy_text_queries_spread_small_scans(spark, queries):
         )
 
 
+def test_backward_fills_use_reversed_running_frames(spark, queries):
+    """Next-observation fills must run as reversed-order running
+    accumulators, never as current-row -> unbounded-following frames
+    (Spark re-scans the partition tail per row under those — measured
+    108 s vs 11.7 s on the 9.2M-row gapfill spine, round-6 events
+    ladder). The one legitimate unbounded-following shape is the
+    FULL-partition frame (window_rank_family's nth_value), which is
+    computed once per partition — not present in these two queries."""
+    for name in ("gapfill_hourly_interpolate", "ffill_bfill"):
+        plan = _plan(spark, queries, name)
+        assert "unboundedfollowing" not in plan.lower(), (
+            f"{name}: an unbounded-following frame reappeared — the "
+            "reversed-order fill rewrite regressed"
+        )
+
+
+def test_label_eval_reports_avoid_bnlj_kernel(spark, queries):
+    """The label-eval reports compose the hybrid exact kernel (chunked
+    broadcasts + hash-join re-rank), not the bare BNLJ baseline whose
+    threshold/condition evaluates interpreted per pair (round-6 ML
+    ladder: 2.1-3.4x at the 20k decade). The bare baseline remains
+    composed only in the recall audits."""
+    for name in (
+        "knn_classifier_eval",
+        "ann_label_mrr",
+        "ann_hard_negatives",
+    ):
+        plan = _plan(spark, queries, name)
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: composing the bare-BNLJ kernel again"
+        )
+
+
 def test_lm_scoring_join_broadcasts(spark, queries):
     """The bigram LM table is vocab²-bounded: scoring must broadcast it
     onto the per-doc bigram stream, never sort-merge the corpus side."""

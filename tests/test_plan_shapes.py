@@ -105,9 +105,14 @@ def test_scan_heavy_text_queries_spread_small_scans(spark, queries):
         "tokenizer_fertility_by_lang",
     ):
         plan = _plan(spark, queries, name)
-        assert "Exchange" in plan, (
-            f"{name}: no Exchange in the plan — the spread() guard "
-            "regressed and scan-side per-row work runs on one task"
+        # Must be the spread() round-robin specifically: three of these
+        # queries end in a groupBy whose hash Exchange would satisfy a
+        # bare "Exchange" check even with the spread removed — and the
+        # bug is the SCAN-side work upstream of that aggregate.
+        assert "RoundRobinPartitioning" in plan, (
+            f"{name}: no round-robin Exchange in the plan — the "
+            "spread() guard regressed and scan-side per-row work runs "
+            "on one task"
         )
 
 

@@ -29,12 +29,8 @@ Prints a markdown table (BASELINE.md format) plus one JSON line.
 
 from __future__ import annotations
 
-import argparse
-import json
 import os
 import sys
-import tempfile
-import time
 
 sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -43,8 +39,9 @@ sys.path.insert(
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from _ladder_common import TABLES, probe_main
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-TILE = 10
 _EVERY = 40  # perturb every 40th token => ~2.5% of tokens per copy
 
 # Ordered cheap->heavy. Linear anchors first (embarrassingly parallel
@@ -61,11 +58,6 @@ LADDER = [
     "dedup_cluster_assignment",
     "split_decontamination_report",
     "dedup_tier_overlap_report",
-]
-
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
 
@@ -127,89 +119,18 @@ def build_tiled_docs(src_dir: str, out_dir: str, tile: int) -> int:
     return len(ids) * tile
 
 
-def run_one(spark, name: str, sf_dir: str, runs: int) -> tuple[float, int]:
-    """Warm wall-clock (min over runs-1 after a warmup; with runs=1 the
-    single cold run) + output row count. Timed runs go through the noop
-    sink, same as bench.py — count() would let Catalyst PRUNE unused
-    projection/window work (a per-doc fingerprint column no one reads
-    costs nothing under count), which silently understates exactly the
-    per-row tiers this probe exists to measure. The row count runs
-    once, untimed."""
-    from datalakes_and_data_integration_spark.plans import QUERIES
-
-    fn = QUERIES[name].spark
-    times = []
-    for i in range(runs):
-        t0 = time.monotonic()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = time.monotonic() - t0
-        if i > 0 or runs == 1:
-            times.append(dt)
-    rows = fn(spark, sf_dir).count()
-    return min(times), rows
-
-
 def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--skip-50k", action="store_true")
-    ap.add_argument("--only", default=None,
-                    help="comma-separated query subset (any registry "
-                    "names, ordered; not limited to the default LADDER)")
-    ap.add_argument("--runs", type=int, default=2,
-                    help="runs per cell (first is warmup unless runs=1)")
-    args = ap.parse_args()
-    if args.runs < 1:
-        ap.error("--runs must be >= 1")
-    ladder = args.only.split(",") if args.only else LADDER
-
-    from datalakes_and_data_integration_spark.session import get_spark
-
-    spark = get_spark()
-
-    decades = [("5k", SF_DIR)]
-    if not args.skip_50k:
-        tiled = tempfile.mkdtemp(prefix="dedup_probe_50k_")
-        n = build_tiled_docs(SF_DIR, tiled, TILE)
-        print(f"# tiled corpus: {n} documents at {tiled}")
-        decades.append(("50k", tiled))
-
-    out: dict[str, dict] = {}
-    for decade, d in decades:
-        for name in ladder:
-            try:
-                t, rows = run_one(spark, name, d, runs=args.runs)
-            except Exception as exc:  # keep the sweep going
-                print(f"# {decade} {name}: ERR {exc}", flush=True)
-                continue
-            out.setdefault(name, {})[decade] = {
-                "sec": round(t, 2), "rows": rows,
-            }
-            print(f"# {decade} {name}: {t:.2f}s rows={rows}", flush=True)
-
-    print("\n| query | 5k warm s | 5k rows | 50k warm s | 50k rows "
-          "| time ratio |")
-    print("|---|---|---|---|---|---|")
-    for name in ladder:
-        if name not in out:
-            continue
-        r5 = out[name].get("5k", {})
-        r50 = out[name].get("50k", {})
-        ratio = (
-            round(r50["sec"] / r5["sec"], 1)
-            if r5.get("sec") and r50.get("sec")
-            else None
-        )
-
-        def cell(d, k):
-            v = d.get(k)
-            return "—" if v is None else v
-
-        print(
-            f"| {name} | {cell(r5, 'sec')} | {cell(r5, 'rows')} | "
-            f"{cell(r50, 'sec')} | {cell(r50, 'rows')} | "
-            f"{ratio if ratio is not None else '—'}x |"
-        )
-    print(json.dumps({"metric": "dedup_ladder_probe", "results": out}))
+    probe_main(
+        metric="dedup_ladder_probe",
+        ladder=LADDER,
+        base_label="5k",
+        tiled_label="50k",
+        sf_dir=SF_DIR,
+        build_tiled=build_tiled_docs,
+        tempdir_prefix="dedup_probe_50k_",
+        default_runs=2,
+        corpus_noun="documents",
+    )
 
 
 if __name__ == "__main__":

@@ -26,12 +26,8 @@ Prints a markdown table (BASELINE.md format) plus one JSON line.
 
 from __future__ import annotations
 
-import argparse
-import json
 import os
 import sys
-import tempfile
-import time
 
 sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -40,8 +36,9 @@ sys.path.insert(
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from _ladder_common import TABLES, probe_main
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-TILE = 10
 
 # Ordered cheap->heavy; every entry reads ONLY the events table.
 LADDER = [
@@ -60,11 +57,6 @@ LADDER = [
     "json_props_extract",
     "cusum_changepoint",
     "robust_scaling_mad",
-]
-
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
 
@@ -102,88 +94,18 @@ def build_tiled_events(src_dir: str, out_dir: str, tile: int) -> int:
     return t.num_rows * tile
 
 
-def run_one(spark, name: str, sf_dir: str, runs: int) -> tuple[float, int]:
-    """Timed runs go through the noop sink, same as bench.py — count()
-    would let Catalyst PRUNE unused projection/window work (rolling
-    sums, gap-fill interpolation, session ids), silently understating
-    the window tiers this probe exists to measure. The row count runs
-    once, untimed."""
-    from datalakes_and_data_integration_spark.plans import QUERIES
-
-    fn = QUERIES[name].spark
-    times = []
-    for i in range(runs):
-        t0 = time.monotonic()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = time.monotonic() - t0
-        if i > 0 or runs == 1:
-            times.append(dt)
-    rows = fn(spark, sf_dir).count()
-    return min(times), rows
-
-
 def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--skip-1m", action="store_true")
-    ap.add_argument("--only", default=None,
-                    help="comma-separated query subset")
-    ap.add_argument("--runs", type=int, default=2,
-                    help="runs per cell (first is warmup unless runs=1)")
-    args = ap.parse_args()
-    if args.runs < 1:
-        ap.error("--runs must be >= 1")
-    only = set(args.only.split(",")) if args.only else None
-
-    from datalakes_and_data_integration_spark.session import get_spark
-
-    spark = get_spark()
-
-    decades = [("100k", SF_DIR)]
-    if not args.skip_1m:
-        tiled = tempfile.mkdtemp(prefix="events_probe_1m_")
-        n = build_tiled_events(SF_DIR, tiled, TILE)
-        print(f"# tiled corpus: {n} events at {tiled}")
-        decades.append(("1m", tiled))
-
-    out: dict[str, dict] = {}
-    for decade, d in decades:
-        for name in LADDER:
-            if only is not None and name not in only:
-                continue
-            try:
-                t, rows = run_one(spark, name, d, runs=args.runs)
-            except Exception as exc:  # keep the sweep going
-                print(f"# {decade} {name}: ERR {exc}", flush=True)
-                continue
-            out.setdefault(name, {})[decade] = {
-                "sec": round(t, 2), "rows": rows,
-            }
-            print(f"# {decade} {name}: {t:.2f}s rows={rows}", flush=True)
-
-    print("\n| query | 100k warm s | 100k rows | 1m warm s | 1m rows "
-          "| time ratio |")
-    print("|---|---|---|---|---|---|")
-    for name in LADDER:
-        if name not in out:
-            continue
-        r1 = out[name].get("100k", {})
-        r10 = out[name].get("1m", {})
-        ratio = (
-            round(r10["sec"] / r1["sec"], 1)
-            if r1.get("sec") and r10.get("sec")
-            else None
-        )
-
-        def cell(d, k):
-            v = d.get(k)
-            return "—" if v is None else v
-
-        print(
-            f"| {name} | {cell(r1, 'sec')} | {cell(r1, 'rows')} | "
-            f"{cell(r10, 'sec')} | {cell(r10, 'rows')} | "
-            f"{ratio if ratio is not None else '—'}x |"
-        )
-    print(json.dumps({"metric": "events_ladder_probe", "results": out}))
+    probe_main(
+        metric="events_ladder_probe",
+        ladder=LADDER,
+        base_label="100k",
+        tiled_label="1m",
+        sf_dir=SF_DIR,
+        build_tiled=build_tiled_events,
+        tempdir_prefix="events_probe_1m_",
+        default_runs=2,
+        corpus_noun="events",
+    )
 
 
 if __name__ == "__main__":

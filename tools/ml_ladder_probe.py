@@ -20,26 +20,17 @@ Prints a markdown table (BASELINE.md format) plus one JSON line.
 
 from __future__ import annotations
 
-import argparse
-import json
 import os
 import sys
-import tempfile
-import time
 
 _TOOLS = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(_TOOLS))
 sys.path.insert(0, _TOOLS)
 
+from _ladder_common import TABLES, probe_main  # noqa: E402
 from ann_ladder_probe import build_tiled_corpus  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-TILE = 10
-
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
 
 # Ordered cheap->heavy: profiling scans, dim-sized label analytics,
 # spectrum, quantization/projection, eval suites, the GD training
@@ -80,84 +71,18 @@ def build_decade(src_dir: str, out_dir: str, tile: int) -> int:
     return n
 
 
-def run_one(spark, name: str, sf_dir: str, runs: int) -> tuple[float, int]:
-    """Timed runs go through the noop sink, same as bench.py (count()
-    would let Catalyst prune unused per-row work). Row count untimed."""
-    from datalakes_and_data_integration_spark.plans import QUERIES
-
-    fn = QUERIES[name].spark
-    times = []
-    for i in range(runs):
-        t0 = time.monotonic()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = time.monotonic() - t0
-        if i > 0 or runs == 1:
-            times.append(dt)
-    rows = fn(spark, sf_dir).count()
-    return min(times), rows
-
-
 def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--skip-20k", action="store_true")
-    ap.add_argument("--only", default=None,
-                    help="comma-separated query subset (any registry "
-                    "names, ordered; not limited to the default LADDER)")
-    ap.add_argument("--runs", type=int, default=2,
-                    help="runs per cell (first is warmup unless runs=1)")
-    args = ap.parse_args()
-    if args.runs < 1:
-        ap.error("--runs must be >= 1")
-    ladder = args.only.split(",") if args.only else LADDER
-
-    from datalakes_and_data_integration_spark.session import get_spark
-
-    spark = get_spark()
-
-    decades = [("2k", SF_DIR)]
-    if not args.skip_20k:
-        tiled = tempfile.mkdtemp(prefix="ml_probe_20k_")
-        n = build_decade(SF_DIR, tiled, TILE)
-        print(f"# tiled corpus: {n} vectors at {tiled}")
-        decades.append(("20k", tiled))
-
-    out: dict[str, dict] = {}
-    for decade, d in decades:
-        for name in ladder:
-            try:
-                t, rows = run_one(spark, name, d, runs=args.runs)
-            except Exception as exc:  # keep the sweep going
-                print(f"# {decade} {name}: ERR {exc}", flush=True)
-                continue
-            out.setdefault(name, {})[decade] = {
-                "sec": round(t, 2), "rows": rows,
-            }
-            print(f"# {decade} {name}: {t:.2f}s rows={rows}", flush=True)
-
-    print("\n| query | 2k warm s | 2k rows | 20k warm s | 20k rows "
-          "| time ratio |")
-    print("|---|---|---|---|---|---|")
-    for name in ladder:
-        if name not in out:
-            continue
-        r1 = out[name].get("2k", {})
-        r10 = out[name].get("20k", {})
-        ratio = (
-            round(r10["sec"] / r1["sec"], 1)
-            if r1.get("sec") and r10.get("sec")
-            else None
-        )
-
-        def cell(d, k):
-            v = d.get(k)
-            return "—" if v is None else v
-
-        print(
-            f"| {name} | {cell(r1, 'sec')} | {cell(r1, 'rows')} | "
-            f"{cell(r10, 'sec')} | {cell(r10, 'rows')} | "
-            f"{ratio if ratio is not None else '—'}x |"
-        )
-    print(json.dumps({"metric": "ml_ladder_probe", "results": out}))
+    probe_main(
+        metric="ml_ladder_probe",
+        ladder=LADDER,
+        base_label="2k",
+        tiled_label="20k",
+        sf_dir=SF_DIR,
+        build_tiled=build_decade,
+        tempdir_prefix="ml_probe_20k_",
+        default_runs=2,
+        corpus_noun="vectors",
+    )
 
 
 if __name__ == "__main__":

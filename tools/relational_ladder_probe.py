@@ -22,18 +22,14 @@ The scaling diagnosis: a healthy plan lands near-linear (~1-4x wall at
 sort-merge, a partition collapse, or a per-row-rescan window frame
 shows up as a 10x+ ratio or an absolute blowup.
 
-Usage: python tools/relational_ladder_probe.py [--skip-10x] [--only a,b]
+Usage: python tools/relational_ladder_probe.py [--skip-6m] [--only a,b]
 Prints a markdown table (BASELINE.md format) plus one JSON line.
 """
 
 from __future__ import annotations
 
-import argparse
-import json
 import os
 import sys
-import tempfile
-import time
 
 sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -42,8 +38,9 @@ sys.path.insert(
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from _ladder_common import TABLES, probe_main
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-TILE = 10
 
 # Ordered cheap->heavy: scan-aggregates, windows/ranks, semi/anti and
 # star joins, then the multi-join TPC-H heavyweights and profiling
@@ -70,11 +67,6 @@ LADDER = [
     "market_basket_brand_pairs",
     "table_profile_lineitem",
     "referential_integrity_check",
-]
-
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
 # (table, key columns to offset by that table's stride-owner)
@@ -123,87 +115,18 @@ def build_tiled_relational(src_dir: str, out_dir: str, tile: int) -> dict:
     return counts
 
 
-def run_one(spark, name: str, sf_dir: str, runs: int) -> tuple[float, int]:
-    """Timed runs go through the noop sink, same as bench.py — count()
-    would let Catalyst prune unused projection/window work, silently
-    understating per-row tiers. The row count runs once, untimed."""
-    from datalakes_and_data_integration_spark.plans import QUERIES
-
-    fn = QUERIES[name].spark
-    times = []
-    for i in range(runs):
-        t0 = time.monotonic()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = time.monotonic() - t0
-        if i > 0 or runs == 1:
-            times.append(dt)
-    rows = fn(spark, sf_dir).count()
-    return min(times), rows
-
-
 def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--skip-10x", action="store_true")
-    ap.add_argument("--only", default=None,
-                    help="comma-separated query subset (any registry "
-                    "names, ordered; not limited to the default LADDER)")
-    ap.add_argument("--runs", type=int, default=3,
-                    help="runs per cell (first is warmup unless runs=1)")
-    args = ap.parse_args()
-    if args.runs < 1:
-        ap.error("--runs must be >= 1")
-    ladder = args.only.split(",") if args.only else LADDER
-
-    from datalakes_and_data_integration_spark.session import get_spark
-
-    spark = get_spark()
-
-    decades = [("600k", SF_DIR)]
-    if not args.skip_10x:
-        tiled = tempfile.mkdtemp(prefix="rel_probe_10x_")
-        counts = build_tiled_relational(SF_DIR, tiled, TILE)
-        print(f"# tiled corpus at {tiled}: {counts}")
-        decades.append(("6m", tiled))
-
-    out: dict[str, dict] = {}
-    for decade, d in decades:
-        for name in ladder:
-            try:
-                t, rows = run_one(spark, name, d, runs=args.runs)
-            except Exception as exc:  # keep the sweep going
-                print(f"# {decade} {name}: ERR {exc}", flush=True)
-                continue
-            out.setdefault(name, {})[decade] = {
-                "sec": round(t, 2), "rows": rows,
-            }
-            print(f"# {decade} {name}: {t:.2f}s rows={rows}", flush=True)
-
-    print("\n| query | 600k warm s | 600k rows | 6m warm s | 6m rows "
-          "| time ratio |")
-    print("|---|---|---|---|---|---|")
-    for name in ladder:
-        if name not in out:
-            continue
-        r1 = out[name].get("600k", {})
-        r10 = out[name].get("6m", {})
-        ratio = (
-            round(r10["sec"] / r1["sec"], 1)
-            if r1.get("sec") and r10.get("sec")
-            else None
-        )
-
-        def cell(d, k):
-            v = d.get(k)
-            return "—" if v is None else v
-
-        print(
-            f"| {name} | {cell(r1, 'sec')} | {cell(r1, 'rows')} | "
-            f"{cell(r10, 'sec')} | {cell(r10, 'rows')} | "
-            f"{ratio if ratio is not None else '—'}x |"
-        )
-    print(json.dumps(
-        {"metric": "relational_ladder_probe", "results": out}
-    ))
+    probe_main(
+        metric="relational_ladder_probe",
+        ladder=LADDER,
+        base_label="600k",
+        tiled_label="6m",
+        sf_dir=SF_DIR,
+        build_tiled=build_tiled_relational,
+        tempdir_prefix="rel_probe_10x_",
+        default_runs=3,
+        corpus_noun="rows (lineitem x10, orders x10, customer x10)",
+    )
 
 
 if __name__ == "__main__":

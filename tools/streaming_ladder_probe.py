@@ -26,20 +26,17 @@ Prints a markdown table (BASELINE.md format) plus one JSON line.
 
 from __future__ import annotations
 
-import argparse
-import json
 import os
 import sys
-import tempfile
 
 _TOOLS = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(_TOOLS))
 sys.path.insert(0, _TOOLS)
 
-from events_ladder_probe import build_tiled_events, run_one  # noqa: E402
+from _ladder_common import probe_main  # noqa: E402
+from events_ladder_probe import build_tiled_events  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-TILE = 10
 
 # Ordered cheap->heavy: stateless-ish aggregates, then watermarked
 # dedup/session state, then the stream-stream joins (two sources, state
@@ -60,66 +57,17 @@ LADDER = [
 
 
 def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--skip-1m", action="store_true")
-    ap.add_argument("--only", default=None,
-                    help="comma-separated query subset (any registry "
-                    "names, ordered; not limited to the default LADDER)")
-    ap.add_argument("--runs", type=int, default=3,
-                    help="runs per cell (first is warmup unless runs=1)")
-    args = ap.parse_args()
-    if args.runs < 1:
-        ap.error("--runs must be >= 1")
-    ladder = args.only.split(",") if args.only else LADDER
-
-    from datalakes_and_data_integration_spark.session import get_spark
-
-    spark = get_spark()
-
-    decades = [("100k", SF_DIR)]
-    if not args.skip_1m:
-        tiled = tempfile.mkdtemp(prefix="stream_probe_1m_")
-        n = build_tiled_events(SF_DIR, tiled, TILE)
-        print(f"# tiled corpus: {n} events at {tiled}")
-        decades.append(("1m", tiled))
-
-    out: dict[str, dict] = {}
-    for decade, d in decades:
-        for name in ladder:
-            try:
-                t, rows = run_one(spark, name, d, runs=args.runs)
-            except Exception as exc:  # keep the sweep going
-                print(f"# {decade} {name}: ERR {exc}", flush=True)
-                continue
-            out.setdefault(name, {})[decade] = {
-                "sec": round(t, 2), "rows": rows,
-            }
-            print(f"# {decade} {name}: {t:.2f}s rows={rows}", flush=True)
-
-    print("\n| query | 100k warm s | 100k rows | 1m warm s | 1m rows "
-          "| time ratio |")
-    print("|---|---|---|---|---|---|")
-    for name in ladder:
-        if name not in out:
-            continue
-        r1 = out[name].get("100k", {})
-        r10 = out[name].get("1m", {})
-        ratio = (
-            round(r10["sec"] / r1["sec"], 1)
-            if r1.get("sec") and r10.get("sec")
-            else None
-        )
-
-        def cell(d, k):
-            v = d.get(k)
-            return "—" if v is None else v
-
-        print(
-            f"| {name} | {cell(r1, 'sec')} | {cell(r1, 'rows')} | "
-            f"{cell(r10, 'sec')} | {cell(r10, 'rows')} | "
-            f"{ratio if ratio is not None else '—'}x |"
-        )
-    print(json.dumps({"metric": "streaming_ladder_probe", "results": out}))
+    probe_main(
+        metric="streaming_ladder_probe",
+        ladder=LADDER,
+        base_label="100k",
+        tiled_label="1m",
+        sf_dir=SF_DIR,
+        build_tiled=build_tiled_events,
+        tempdir_prefix="stream_probe_1m_",
+        default_runs=3,
+        corpus_noun="events",
+    )
 
 
 if __name__ == "__main__":

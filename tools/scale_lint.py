@@ -10,6 +10,13 @@ hand (driver-side corpus collects, global windows, cartesian joins):
 - ``Window.orderBy(...)`` without a ``partitionBy`` (incl. empty
   ``partitionBy()``) — funnels the frame through ONE task.
 - ``.crossJoin(`` — cartesian unless the broadcast side is bounded.
+- ``unboundedFollowing`` frames whose start is not unboundedPreceding —
+  Spark evaluates those by re-scanning the rest of the partition for
+  EVERY row, O(rows × partition size) (the round-6 gapfill finding:
+  12 s → 119 s across one decade). The FULL-partition frame
+  (unboundedPreceding → unboundedFollowing) is computed once per
+  partition and passes; "next value" lookups must be written as
+  running ``last(ignorenulls)`` over the reversed total order.
 
 A legitimate site must carry a ``# scale-ok: <why>`` marker on the same
 line or the line above; the reason is the reviewable artifact. crossJoin
@@ -35,6 +42,8 @@ SCAN_DIRS = ["plans", "operators", "streaming", "functions", "pipeline", "source
 _COLLECT = re.compile(r"\.collect\(\)|\.toPandas\(\)")
 _CROSS = re.compile(r"\.crossJoin\(")
 _GLOBAL_WINDOW = re.compile(r"Window\s*\.\s*orderBy\(")
+_TAIL_FRAME = re.compile(r"unboundedFollowing", re.IGNORECASE)
+_FULL_FRAME = re.compile(r"unboundedPreceding", re.IGNORECASE)
 _MARKER = "scale-ok"
 
 
@@ -55,6 +64,16 @@ def lint_file(path: str) -> list[tuple[int, str, str]]:
             # Window.orderBy(...) chained after partitionBy is fine; the
             # pattern only matches orderBy called directly on the class.
             out.append((i + 1, "global-window", stripped))
+        if (
+            _TAIL_FRAME.search(line)
+            and not _FULL_FRAME.search(line)
+            and not ok
+        ):
+            # (x, unboundedFollowing) with x != unboundedPreceding
+            # re-scans the partition tail per row; the full-partition
+            # frame carries unboundedPreceding on the same line and
+            # passes (computed once per partition).
+            out.append((i + 1, "tail-rescan-frame", stripped))
     return out
 
 

@@ -60,6 +60,7 @@ def probe_main(
     tempdir_prefix: str,
     default_runs: int = 2,
     corpus_noun: str = "rows",
+    tilings: dict[str, Callable[[str, str, int], object]] | None = None,
 ) -> None:
     """The shared CLI + sweep + report loop.
 
@@ -78,7 +79,13 @@ def probe_main(
                     "names, ordered; not limited to the default LADDER)")
     ap.add_argument("--runs", type=int, default=default_runs,
                     help="runs per cell (first is warmup unless runs=1)")
+    if tilings:
+        ap.add_argument("--tiling", default="default",
+                        choices=["default", *tilings],
+                        help="alternate tiled-corpus builder")
     args = ap.parse_args()
+    if tilings and args.tiling != "default":
+        build_tiled = tilings[args.tiling]
     if args.runs < 1:
         ap.error("--runs must be >= 1")
     names = args.only.split(",") if args.only else ladder

@@ -58,16 +58,51 @@ LADDER = [
 ]
 
 
-def build_decade(src_dir: str, out_dir: str, tile: int) -> int:
-    """ann_ladder_probe's embeddings tiling + symlinks for every other
-    table so composed queries resolve their inputs."""
-    n = build_tiled_corpus(src_dir, out_dir, tile)
+def _symlink_rest(src_dir: str, out_dir: str) -> None:
     for name in TABLES:
         if name == "embeddings":
             continue
         src = os.path.join(src_dir, f"{name}.parquet")
         if os.path.exists(src):
             os.symlink(src, os.path.join(out_dir, f"{name}.parquet"))
+
+
+def build_decade(src_dir: str, out_dir: str, tile: int) -> int:
+    """ann_ladder_probe's embeddings tiling + symlinks for every other
+    table so composed queries resolve their inputs."""
+    n = build_tiled_corpus(src_dir, out_dir, tile)
+    _symlink_rest(src_dir, out_dir)
+    return n
+
+
+def build_decade_rotated(src_dir: str, out_dir: str, tile: int) -> int:
+    """Same geometric tiling, but copy c's labels are ROTATED by c
+    (mod the 10-label domain). The default tiling keeps labels on the
+    noisy copies, which degenerates LABEL-based evals — every vector's
+    exact top-5 is its own copies sharing its label, so hard-negative
+    mining returns 0 rows and kNN/MRR are trivially perfect. Rotation
+    keeps class sizes balanced while making a vector's nearest
+    neighbors (its copies) carry DIFFERENT labels — the adversarial
+    regime for label evals. Use with
+    ``--tiling rotated --only knn_classifier_eval,ann_label_mrr,...``;
+    recall-style queries should keep the default tiling (rotation
+    does not change geometry, only labels)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = build_tiled_corpus(src_dir, out_dir, tile)
+    path = os.path.join(out_dir, "embeddings.parquet")
+    t = pq.read_table(path)
+    labels = t.column("label").to_numpy()
+    n_base = n // tile
+    copy_idx = [i // n_base for i in range(n)]
+    rotated = pa.array(
+        [int((lab + c) % 10) for lab, c in zip(labels, copy_idx)],
+        pa.int32(),
+    )
+    t = t.set_column(t.schema.get_field_index("label"), "label", rotated)
+    pq.write_table(t, path)
+    _symlink_rest(src_dir, out_dir)
     return n
 
 
@@ -82,6 +117,7 @@ def main() -> None:
         tempdir_prefix="ml_probe_20k_",
         default_runs=2,
         corpus_noun="vectors",
+        tilings={"rotated": build_decade_rotated},
     )
 
 

@@ -285,18 +285,21 @@ def dedup_tier_overlap_report(spark, sf_dir):
 # / |exact top-5| over the representative queries, as integer hit counts
 # plus one rounded division (cross-engine deterministic).
 #
-# Scale: the harness READS two declared exact baselines (brute-force truth,
-# exact near-dup pairs) — it is a measurement harness, priced like the
-# exactness tier it audits. At 100 TB the query set derivation IS the
-# sampling knob: representatives of a bounded cluster sample (e.g. the
-# md5-first fraction of cluster ids), with the hybrid block-scan as truth —
-# same plan shape, bounded cost.
+# Scale: both exact legs compose the HYBRID kernels (chunked-broadcast
+# numpy blocks + codegen re-rank — byte-identical to the bare baselines,
+# proven by the shared oracles; round-6 ladder: 47.8 s vs 857 s near-dup,
+# 16.2 s vs >3 min top-k at 20k). At 100 TB the query set derivation IS
+# the sampling knob: representatives of a bounded cluster sample (e.g.
+# the md5-first fraction of cluster ids), with the hybrid block-scan as
+# truth — same plan shape, bounded cost.
 # ---------------------------------------------------------------------------
 
 
 def _retrieval_quality_oracle() -> str:
-    nd = QUERIES["embedding_near_dup"].oracle
-    ex = QUERIES["ann_topk_bruteforce"].oracle
+    # The hybrids carry the SAME oracle strings as the bare baselines
+    # (that identity is why the swap needs no oracle change).
+    nd = QUERIES["embedding_near_dup_hybrid"].oracle
+    ex = QUERIES["ann_topk_bruteforce_hybrid"].oracle
     lshb = QUERIES["ann_topk_lsh_bucketed"].oracle
     mp = QUERIES["ann_topk_lsh_multiprobe"].oracle
 
@@ -353,16 +356,24 @@ def _retrieval_quality_oracle() -> str:
     tags=("similarity", "ann", "quality", "harness", "llm-pipeline"),
 )
 def ann_retrieval_quality_report(spark, sf_dir):
+    # Compose the HYBRID exact kernels, not the bare-BNLJ baselines —
+    # byte-identical results (shared oracles), block-wise cost (the
+    # round-6 label-eval-report precedent, commit 82bebbc; pinned by
+    # test_label_eval_reports_avoid_bnlj_kernel).
     from datalakes_and_data_integration_spark.plans.similarity import (
-        ann_topk_bruteforce,
+        ann_topk_bruteforce_hybrid,
         ann_topk_lsh_bucketed,
-        embedding_near_dup,
+        embedding_near_dup_hybrid,
     )
     from datalakes_and_data_integration_spark.plans.similarity_extra import (
         ann_topk_lsh_multiprobe,
     )
 
-    nd = embedding_near_dup(spark, sf_dir).select("vec_a", "vec_b").persist()
+    nd = (
+        embedding_near_dup_hybrid(spark, sf_dir)
+        .select("vec_a", "vec_b")
+        .persist()
+    )
     dup_side = nd.select(F.col("vec_b").alias("vec_id")).distinct()
     qset = (
         nd.select(F.col("vec_a").alias("vec_id"))
@@ -370,7 +381,7 @@ def ann_retrieval_quality_report(spark, sf_dir):
         .join(dup_side, "vec_id", "left_anti")
     )
     exq = (
-        ann_topk_bruteforce(spark, sf_dir)
+        ann_topk_bruteforce_hybrid(spark, sf_dir)
         .select("vec_id", "neighbor_id")
         .join(qset, "vec_id")
         .persist()  # consumed once per audited strategy

@@ -137,11 +137,14 @@ def test_label_eval_reports_avoid_bnlj_kernel(spark, queries):
     broadcasts + hash-join re-rank), not the bare BNLJ baseline whose
     threshold/condition evaluates interpreted per pair (round-6 ML
     ladder: 2.1-3.4x at the 20k decade). The bare baseline remains
-    composed only in the recall audits."""
+    composed only in the recall audits. ann_retrieval_quality_report
+    joined the list in round 7 (VERDICT r6 #1): its near-dup query-set
+    and exact-top-5 legs now compose the hybrid twins too."""
     for name in (
         "knn_classifier_eval",
         "ann_label_mrr",
         "ann_hard_negatives",
+        "ann_retrieval_quality_report",
     ):
         plan = _plan(spark, queries, name)
         assert "BroadcastNestedLoopJoin" not in plan, (

@@ -650,24 +650,95 @@ def ann_topk_ivf(spark, sf_dir):
         centroids = [by_id.get(k, centroids[k]) for k in range(_IVF_K)]
 
     final = assign(normed).persist()
-    queries = final.select(
-        F.col("vec_id").alias("q_id"),
-        F.explode("probe_lists").alias("cluster"),
-    )
-    members = final.select(
-        F.col("vec_id").alias("n_id"),
-        F.explode("rep_lists").alias("cluster"),
-    )
-    # A (q, n) pair can meet in up to min(PROBE, REP) shared lists — dedup
-    # the slim id-pair stream BEFORE pulling embeddings back in, so the
-    # exact-scoring join below never scores a pair twice (and the top-k
-    # window never sees duplicate rows).
-    cand = (
-        queries.join(members, "cluster")
-        .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id")
-        .distinct()
-    )
+    # Candidate generation + exact scoring in a vectorized kernel
+    # (round 7, VERDICT r6 #2 — at the 20k decade the explode/join/
+    # distinct candidate stream plus the per-pair codegen scoring ran
+    # 64 s, 4x slower than the hybrid exact scan of the SAME corpus):
+    # with K <= 64 lists, probe/rep membership is one int64 bitmask per
+    # side, so the candidate set is a bitwise AND against the broadcast
+    # corpus chunk (identical to the exploded equi-join's distinct pair
+    # set), and the exact cosine runs in the hybrid kernel's sequential
+    # per-dimension fold (bit-identical doubles). Per chunk, candidates
+    # within _MARGIN of the raw 5th best go back to Spark for the
+    # authoritative codegen re-score + rounded ranking — the
+    # ann_topk_bruteforce_hybrid margin argument verbatim (chunk-local
+    # kth <= global kth, so each chunk keeps a superset of its global
+    # top-k members; no shortlist cut exists here to complicate it).
+    import numpy as np
+    import pandas as pd
+
+    corpus_df = final.select("vec_id", "embedding", "nrm", "rep_lists")
+
+    def build(rows):
+        return (
+            np.array([r.vec_id for r in rows], dtype=np.int64),
+            np.array(
+                [r.embedding for r in rows], dtype=np.float32
+            ).astype(np.float64),
+            np.array([r.nrm for r in rows], dtype=np.float64),
+            np.array(
+                [sum(1 << int(c) for c in r.rep_lists) for r in rows],
+                dtype=np.int64,
+            ),
+        )
+
+    def make_scan(bc):
+        def scan(batches):
+            import numpy as np
+
+            ids, E, nb, rep_mask = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                Q = np.array(
+                    [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]]
+                ).astype(np.float64)
+                q_nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+                pmasks = np.array(
+                    [
+                        sum(1 << int(c) for c in pl)
+                        for pl in pdf["probe_lists"]
+                    ],
+                    dtype=np.int64,
+                )
+                out_q, out_n = [], []
+                for i in range(len(q_ids)):
+                    sel = ((rep_mask & pmasks[i]) != 0) & (ids != q_ids[i])
+                    cand_i = np.nonzero(sel)[0]
+                    if cand_i.size == 0:
+                        continue
+                    Ec = E[cand_i]
+                    acc = np.zeros(cand_i.size)
+                    for d_i in range(E.shape[1]):
+                        acc += Q[i, d_i] * Ec[:, d_i]
+                    cos = (acc / q_nrm[i]) / nb[cand_i]
+                    k = min(_TOPK, cos.size)
+                    kth = np.partition(cos, -k)[-k]
+                    keep = np.nonzero(cos >= kth - _MARGIN)[0]
+                    out_q.extend([q_ids[i]] * keep.size)
+                    out_n.extend(ids[cand_i[keep]].tolist())
+                yield pd.DataFrame({"q_id": out_q, "n_id": out_n})
+
+        return scan
+
+    probe = final.select("vec_id", "embedding", "nrm", "probe_lists")
+    n_chunks = max(1, -(-n_corpus // _CORPUS_CHUNK_ROWS))
+    cand = None
+    for ci in range(n_chunks):
+        chunk = (
+            corpus_df
+            if n_chunks == 1
+            else corpus_df.filter(
+                F.pmod(F.col("vec_id"), F.lit(n_chunks)) == ci
+            )
+        )
+        rows = chunk.collect()  # scale-ok: bounded by _CORPUS_CHUNK_ROWS
+        if not rows:
+            continue
+        bc = spark.sparkContext.broadcast(build(rows))
+        part = probe.mapInPandas(make_scan(bc), "q_id long, n_id long")
+        cand = part if cand is None else cand.unionAll(part)
     qv = final.select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),

@@ -981,6 +981,256 @@ def _exact_rerank(unit, shortlist, topk: int):
     )
 
 
+# ---------------------------------------------------------------------------
+# Vectorized ADC scoring (round 7, VERDICT r6 #2). The round-5 array-ADC
+# restructure killed the M-fold pair shuffle but left the per-pair O(M)
+# array-lookup sum as an interpreted Spark expression — at the 20k ladder
+# decade the IVF/PQ family was scoring-bound at 61-80 s, 4-5x SLOWER than
+# the exact hybrid kernel (16.2 s): an index that loses to brute force at
+# its own decade is not an index. Fix = the hybrid kernels' own shape,
+# applied to ADC: training, table/code construction, and the final exact
+# re-scoring stay in Spark (the int64 fixed-point oracles are untouched);
+# only the pair SCORING moves into an Arrow-batched numpy kernel that
+# streams query rows against a bounded broadcast of the corpus codes:
+#   - ADC totals are int64 sums of Spark-computed int64 table cells —
+#     associative, so the numpy gather-sum is bit-identical;
+#   - the shortlist is selected in-kernel by the exact oracle order
+#     (adc_dist, n_id) via a stable lexsort — same rows as the
+#     row_number window it replaces;
+#   - the exact re-rank runs in-kernel on unit vectors with the SQL
+#     expression's sequential left-fold (bit-identical doubles), and
+#     candidates within _MARGIN of the raw kth best go back to Spark for
+#     the authoritative codegen re-score + rounded ranking (the
+#     ann_topk_bruteforce_hybrid margin argument, verbatim).
+# Chunking: one corpus chunk (<= _NP_CHUNK_ROWS) is the whole pipeline
+# in-kernel. With multiple chunks a per-chunk GLOBAL shortlist cut would
+# be wrong (a chunk-local shortlist is a superset of the global
+# shortlist's members in that chunk, but re-ranking the superset could
+# admit a high-cosine vector the true pipeline never shortlists), so the
+# multi-chunk path emits per-chunk shortlist rows WITH adc_dist and
+# Spark takes the exact global cut + _exact_rerank — correct at any
+# scale, engaged past ~250k vectors (pinned equal to the single-chunk
+# result by tests/test_adc_kernel_chunked.py).
+# ---------------------------------------------------------------------------
+
+_NP_CHUNK_ROWS = 250_000  # corpus rows per broadcast chunk (~140 MB)
+_ADC_QBLOCK = 64  # query rows per in-kernel ADC block (~10 MB at 20k)
+
+
+def _np_chunk_count(n: int) -> int:
+    return max(1, -(-n // _NP_CHUNK_ROWS))
+
+
+def _np_chunks(spark, df, build, n_chunks: int):
+    """Broadcast ``build(rows)`` for each pmod(vec_id) chunk of ``df`` —
+    the similarity._corpus_chunk_broadcasts discipline: driver heap is
+    bounded by ONE chunk; broadcast payloads live in the block manager."""
+    from pyspark.sql import functions as F
+
+    for ci in range(n_chunks):
+        chunk = (
+            df
+            if n_chunks == 1
+            else df.filter(F.pmod(F.col("vec_id"), F.lit(n_chunks)) == ci)
+        )
+        rows = chunk.collect()  # scale-ok: bounded by _NP_CHUNK_ROWS
+        if rows:
+            yield spark.sparkContext.broadcast(build(rows))
+
+
+def _np_emit(single_chunk, out):
+    """Column dict for the kernel's yield (schema differs by mode)."""
+    q, n, d = out
+    if single_chunk:
+        return {"q_id": q, "n_id": n}
+    return {"q_id": q, "n_id": n, "adc_dist": d}
+
+
+def _shortlist_then_rerank(
+    q_id, vals, cand, ids, U, qarr, shortlist_n, single_chunk, out
+):
+    """Shared per-query tail: exact (adc_dist, n_id) shortlist cut via
+    stable lexsort over the candidates' int64 ADC scores, then
+    (single-chunk) the in-kernel exact re-rank that emits the
+    margin-guarded top-k candidates, or (multi-chunk) the per-chunk
+    shortlist rows with their int64 ADC scores."""
+    import numpy as np
+
+    from datalakes_and_data_integration_spark.plans.similarity import (
+        _MARGIN,
+    )
+
+    if cand.size == 0:
+        return
+    order = np.lexsort((ids[cand], vals))[: min(shortlist_n, cand.size)]
+    sl = cand[order]
+    out_q, out_n, out_d = out
+    if not single_chunk:
+        out_q.extend([q_id] * sl.size)
+        out_n.extend(ids[sl].tolist())
+        out_d.extend(vals[order].tolist())
+        return
+    # Exact cosine of the shortlist pairs: unit-vector dot in the SQL
+    # expression's sequential left-fold order (bit-identical doubles).
+    Us = U[sl]
+    acc = np.zeros(sl.size)
+    for d_i in range(U.shape[1]):
+        acc += qarr[d_i] * Us[:, d_i]
+    k = min(_PQ_TOPK, acc.size)
+    kth = np.partition(acc, -k)[-k]
+    keep = np.nonzero(acc >= kth - _MARGIN)[0]
+    out_q.extend([q_id] * keep.size)
+    out_n.extend(ids[sl[keep]].tolist())
+
+
+def _mk_adc_scan(bc, shortlist_n: int, single_chunk: bool, masked: bool):
+    """mapInPandas kernel for the flat-PQ and IVFADC scans. Input rows:
+    (q_id, tab[128], arr[64][, probe_lists]); broadcast: ids, codes
+    (n x M), arr (n x 64)[, rep_mask]. ADC = 8 int64 gather-adds per
+    query block; candidates = all non-self rows (flat) or the bitmask
+    probe/rep list intersection (IVFADC, K <= 64 so one int64 mask)."""
+    import pandas as pd
+
+    def scan(batches):
+        import numpy as np
+
+        data = bc.value
+        ids, NC, U = data["ids"], data["codes"], data["arr"]
+        rep_mask = data.get("rep_mask")
+        cols = np.stack(
+            [m * _PQ_K + NC[:, m] for m in range(_PQ_M)]
+        )  # (M, n) gather columns
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q_ids = pdf["q_id"].to_numpy(dtype=np.int64)
+            tabs = np.array(pdf["tab"].tolist(), dtype=np.int64)
+            qarrs = np.array(pdf["arr"].tolist(), dtype=np.float64)
+            if masked:
+                pmasks = np.array(
+                    [
+                        sum(1 << int(c) for c in pl)
+                        for pl in pdf["probe_lists"]
+                    ],
+                    dtype=np.int64,
+                )
+            out = ([], [], [])
+            for b0 in range(0, len(q_ids), _ADC_QBLOCK):
+                b1 = min(b0 + _ADC_QBLOCK, len(q_ids))
+                tb = tabs[b0:b1]
+                adc = np.zeros((b1 - b0, len(ids)), dtype=np.int64)
+                for m in range(_PQ_M):
+                    adc += tb[:, cols[m]]
+                for i in range(b1 - b0):
+                    qi = b0 + i
+                    sel = ids != q_ids[qi]
+                    if masked:
+                        sel &= (rep_mask & pmasks[qi]) != 0
+                    cand = np.nonzero(sel)[0]
+                    _shortlist_then_rerank(
+                        q_ids[qi],
+                        adc[i, cand],
+                        cand,
+                        ids,
+                        U,
+                        qarrs[qi],
+                        shortlist_n,
+                        single_chunk,
+                        out,
+                    )
+            yield pd.DataFrame(_np_emit(single_chunk, out))
+
+    return scan
+
+
+def _mk_res_scan(bc, shortlist_n: int, single_chunk: bool):
+    """mapInPandas kernel for the residual-PQ scan. Input rows: (q_id,
+    probes = list of (cluster, tab[128]), arr[64]); broadcast adds the
+    per-vector PRIMARY list. Each probed list l contributes exactly the
+    corpus vectors stored in l, scored against the query's l-specific
+    ADC table — primaries are unique, so the union over probed lists is
+    duplicate-free by construction."""
+    import pandas as pd
+
+    def scan(batches):
+        import numpy as np
+
+        data = bc.value
+        ids, NC, U, prim = (
+            data["ids"],
+            data["codes"],
+            data["arr"],
+            data["prim"],
+        )
+        by_list = {
+            int(c): np.nonzero(prim == c)[0] for c in np.unique(prim)
+        }
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q_ids = pdf["q_id"].to_numpy(dtype=np.int64)
+            qarrs = np.array(pdf["arr"].tolist(), dtype=np.float64)
+            out = ([], [], [])
+            for qi in range(len(q_ids)):
+                idx_parts, val_parts = [], []
+                for p in pdf["probes"].iloc[qi]:
+                    sel = by_list.get(int(p["cluster"]))
+                    if sel is None:
+                        continue
+                    tab = np.asarray(p["tab"], dtype=np.int64)
+                    v = np.zeros(sel.size, dtype=np.int64)
+                    for m in range(_PQ_M):
+                        v += tab[m * _PQ_K + NC[sel, m]]
+                    idx_parts.append(sel)
+                    val_parts.append(v)
+                if not idx_parts:
+                    continue
+                cand = np.concatenate(idx_parts)
+                vals = np.concatenate(val_parts)
+                keep = ids[cand] != q_ids[qi]
+                _shortlist_then_rerank(
+                    q_ids[qi],
+                    vals[keep],
+                    cand[keep],
+                    ids,
+                    U,
+                    qarrs[qi],
+                    shortlist_n,
+                    single_chunk,
+                    out,
+                )
+            yield pd.DataFrame(_np_emit(single_chunk, out))
+
+    return scan
+
+
+def _adc_scan_pipeline(
+    spark, unit, qin, corpus_df, build, mk_kernel, n_corpus: int
+):
+    """Shared driver: chunked broadcasts x mapInPandas scan, then the
+    mode-dependent tail (in-kernel shortlist+margin -> _exact_rerank, or
+    per-chunk shortlist rows -> exact global window cut -> rerank)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    shortlist_n = _pq_shortlist(n_corpus)
+    n_chunks = _np_chunk_count(n_corpus)
+    single = n_chunks == 1
+    schema = "q_id long, n_id long" + ("" if single else ", adc_dist long")
+    cand = None
+    for bc in _np_chunks(spark, corpus_df, build, n_chunks):
+        part = qin.mapInPandas(mk_kernel(bc, shortlist_n, single), schema)
+        cand = part if cand is None else cand.unionAll(part)
+    if not single:
+        w = Window.partitionBy("q_id").orderBy("adc_dist", "n_id")
+        cand = (
+            cand.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= shortlist_n)
+            .select("q_id", "n_id")
+        )
+    return _exact_rerank(unit, cand, _PQ_TOPK)
+
+
 @register(
     "ann_topk_pq",
     # Codebook training is iterative k-means — but in int64 fixed-point
@@ -1014,37 +1264,44 @@ def _exact_rerank(unit, shortlist, topk: int):
     tags=("similarity", "ann", "pq", "compression", "llm-pipeline"),
 )
 def ann_topk_pq(spark, sf_dir):
-    from pyspark.sql import Window
+    import numpy as np
     from pyspark.sql import functions as F
 
-    from datalakes_and_data_integration_spark.plans._util import spread
-
-    unit = _unit_vectors(spark, sf_dir)
+    unit = _unit_vectors(spark, sf_dir).persist()
     n_corpus = T(spark, sf_dir, "embeddings").count()  # scale-ok: 1 scalar count
-    codes_piv, qtab_piv, dist = _pq_tables_piv(
+    codes_piv, qtab_piv, _ = _pq_tables_piv(
         unit, train=_train_sample(unit, n_corpus)
     )
     # Flat-PQ scan (the declared whole-corpus baseline — at retrieval
-    # scale PQ nests inside IVF lists, see ann_topk_ivfadc): each query
-    # row streams against the code table and scores a pair with M array
-    # lookups on int64 terms — no aggregate state, and the shortlist
-    # window consumes the pair rows directly (WindowGroupLimit bounds the
-    # shuffle at ~shortlist x partitions). The non-equi join is a BNLJ:
-    # spread the query side so every core gets a slice; the build side is
-    # the byte-code table (M small ints + id per vector — the 64x
-    # compression is exactly what makes it the broadcastable face of the
-    # corpus; at 100 TB this becomes block-wise like the hybrid scan).
-    q = spread(qtab_piv, spark, by="q_id")
-    adc = q.join(codes_piv, F.col("q_id") != F.col("n_id")).select(
-        "q_id", "n_id", F.expr(dist).alias("adc_dist")
+    # scale PQ nests inside IVF lists, see ann_topk_ivfadc), scored by
+    # the vectorized ADC kernel: query rows stream against a bounded
+    # broadcast of the corpus code table (M one-byte codes + id per
+    # vector — the 64x compression is exactly what makes it the
+    # broadcastable face of the corpus) and each query block scores the
+    # chunk with 8 int64 gather-adds; shortlist cut and the
+    # margin-guarded exact re-rank happen in-kernel (see the section
+    # comment above _np_chunk_count for the exactness argument).
+    corpus_df = codes_piv.select(
+        F.col("n_id").alias("vec_id"), "ncodes"
+    ).join(unit, "vec_id")
+
+    def build(rows):
+        return {
+            "ids": np.array([r.vec_id for r in rows], dtype=np.int64),
+            "codes": np.array([r.ncodes for r in rows], dtype=np.int64),
+            "arr": np.array([r.arr for r in rows], dtype=np.float64),
+        }
+
+    qin = qtab_piv.join(unit.withColumnRenamed("vec_id", "q_id"), "q_id")
+    return _adc_scan_pipeline(
+        spark,
+        unit,
+        qin,
+        corpus_df,
+        build,
+        lambda bc, s, single: _mk_adc_scan(bc, s, single, masked=False),
+        n_corpus,
     )
-    w = Window.partitionBy("q_id").orderBy("adc_dist", "n_id")
-    shortlist = (
-        adc.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _pq_shortlist(n_corpus))
-        .select("q_id", "n_id")
-    )
-    return _exact_rerank(unit, shortlist, _PQ_TOPK)
 
 
 # ---------------------------------------------------------------------------
@@ -1171,45 +1428,49 @@ def _coarse_lists(unit, probe: int = _IVFADC_PROBE, train=None):
     tags=("similarity", "ann", "ivf", "pq", "compression", "llm-pipeline"),
 )
 def ann_topk_ivfadc(spark, sf_dir):
-    from pyspark.sql import Window
+    import numpy as np
     from pyspark.sql import functions as F
 
     unit = _unit_vectors(spark, sf_dir).persist()
     n_corpus = T(spark, sf_dir, "embeddings").count()  # scale-ok: 1 scalar count
     tsamp = _train_sample(unit, n_corpus)
     lists = _coarse_lists(unit, train=tsamp)[0].persist()
-    qside = lists.select(
-        F.col("vec_id").alias("q_id"), F.explode("probe_lists").alias("cluster")
+    codes_piv, qtab_piv, _ = _pq_tables_piv(unit, train=tsamp)
+    # Candidates AND scoring in the vectorized ADC kernel: with K <= 64
+    # coarse lists the probe/rep membership is one int64 bitmask per
+    # side, so "q probes a list x is stored in" is a bitwise AND over the
+    # broadcast chunk — the explode/join/distinct candidate generation
+    # collapses into the mask, and the ADC gather-sum scores exactly the
+    # masked rows (same int64 totals as the unrolled lookup expression
+    # it replaces; see the section comment above _np_chunk_count).
+    corpus_df = lists.select("vec_id", "arr", "rep_lists").join(
+        codes_piv.select(F.col("n_id").alias("vec_id"), "ncodes"), "vec_id"
     )
-    nside = lists.select(
-        F.col("vec_id").alias("n_id"), F.explode("rep_lists").alias("cluster")
+
+    def build(rows):
+        mask = np.array(
+            [sum(1 << int(c) for c in r.rep_lists) for r in rows],
+            dtype=np.int64,
+        )
+        return {
+            "ids": np.array([r.vec_id for r in rows], dtype=np.int64),
+            "codes": np.array([r.ncodes for r in rows], dtype=np.int64),
+            "arr": np.array([r.arr for r in rows], dtype=np.float64),
+            "rep_mask": mask,
+        }
+
+    qin = lists.select(
+        F.col("vec_id").alias("q_id"), "arr", "probe_lists"
+    ).join(qtab_piv, "q_id")
+    return _adc_scan_pipeline(
+        spark,
+        unit,
+        qin,
+        corpus_df,
+        build,
+        lambda bc, s, single: _mk_adc_scan(bc, s, single, masked=True),
+        n_corpus,
     )
-    cand = (
-        qside.join(nside, "cluster")
-        .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id")
-        .distinct()
-    )
-    codes_piv, qtab_piv, dist = _pq_tables_piv(unit, train=tsamp)
-    # ADC over candidates only, in the array shape (round-5 port of the
-    # residual's restructure): hash-join each candidate pair to its
-    # query's 128-slot ADC array and its corpus vector's M-slot code
-    # array, then score inline with the unrolled O(M) lookup sum — same
-    # int64 terms and total as the old M-rows-per-pair join+aggregate,
-    # but the shuffle carries |candidates| rows instead of M x that, and
-    # there is no corpus-scale hash-aggregate state.
-    adc = (
-        cand.join(qtab_piv, "q_id")
-        .join(codes_piv, "n_id")
-        .select("q_id", "n_id", F.expr(dist).alias("adc_dist"))
-    )
-    w = Window.partitionBy("q_id").orderBy("adc_dist", "n_id")
-    shortlist = (
-        adc.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _pq_shortlist(n_corpus))
-        .select("q_id", "n_id")
-    )
-    return _exact_rerank(unit, shortlist, _PQ_TOPK)
 
 
 # ---------------------------------------------------------------------------
@@ -1324,7 +1585,6 @@ def _ivfadc_residual_oracle() -> str:
           "llm-pipeline"),
 )
 def ann_topk_ivfadc_residual(spark, sf_dir):
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     unit = _unit_vectors(spark, sf_dir).persist()
@@ -1385,18 +1645,18 @@ def ann_topk_ivfadc_residual(spark, sf_dir):
             F.col("col").alias("d2"),
         )
     )
-    # ADC scoring WITHOUT the M-fold pair blowup: the naive shape
-    # (join per (m, code) row then groupBy (q, n) sum) shuffles
-    # |candidates| x M rows into a corpus-scale hash aggregate — at 10x
-    # corpus that stage OOM'd an 8g local JVM (BASELINE.md round-4 ANN
-    # ladder, note 4). Instead pivot the per-(q, probed-list) ADC table
-    # into ONE 128-slot array (m * K + code -> d2; the table is complete
-    # by construction) and each corpus vector's codes into an 8-slot
-    # array, join candidates once on the coarse list, and score each
-    # pair with an unrolled O(M) array-lookup sum — same int64 terms,
-    # same exact total (int64 addition is associative), zero aggregate
-    # state. The shortlist window then consumes the pair rows directly
-    # (WindowGroupLimit keeps the shuffle at ~shortlist x partitions).
+    # ADC scoring in the vectorized kernel (round-7 port of the flat-PQ
+    # restructure — the round-5 array pivot killed the M-fold pair
+    # shuffle, this kills the interpreted per-pair lookup expression):
+    # the per-(q, probed-list) ADC table stays pivoted to ONE 128-slot
+    # int64 array and each corpus vector's codes to an M-slot array, but
+    # the per-pair O(M) gather-sum now runs vectorized over the
+    # broadcast corpus chunk, restricted per probed list to exactly the
+    # vectors stored in that list (primaries are unique, so the union
+    # over probed lists is duplicate-free). Same int64 terms, same exact
+    # totals; see the section comment above _np_chunk_count.
+    import numpy as np
+
     qtab_piv = qtab.groupBy("q_id", "cluster").agg(
         F.expr(
             f"transform(array_sort(collect_list("
@@ -1409,21 +1669,26 @@ def ann_topk_ivfadc_residual(spark, sf_dir):
             "s -> s.code)"
         ).alias("ncodes")
     )
-    dist = " + ".join(
-        f"tab[{m} * {_PQ_K} + ncodes[{m}]]" for m in range(_PQ_M)
+    corpus_df = codes_piv.select(
+        F.col("n_id").alias("vec_id"),
+        F.col("cluster").alias("prim"),
+        "ncodes",
+    ).join(unit, "vec_id")
+
+    def build(rows):
+        return {
+            "ids": np.array([r.vec_id for r in rows], dtype=np.int64),
+            "codes": np.array([r.ncodes for r in rows], dtype=np.int64),
+            "arr": np.array([r.arr for r in rows], dtype=np.float64),
+            "prim": np.array([r.prim for r in rows], dtype=np.int64),
+        }
+
+    qin = qtab_piv.groupBy("q_id").agg(
+        F.collect_list(F.struct("cluster", "tab")).alias("probes")
+    ).join(unit.withColumnRenamed("vec_id", "q_id"), "q_id")
+    return _adc_scan_pipeline(
+        spark, unit, qin, corpus_df, build, _mk_res_scan, n_corpus
     )
-    adc = (
-        qtab_piv.join(codes_piv, "cluster")
-        .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", F.expr(dist).alias("adc_dist"))
-    )
-    w = Window.partitionBy("q_id").orderBy("adc_dist", "n_id")
-    shortlist = (
-        adc.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _pq_shortlist(n_corpus))
-        .select("q_id", "n_id")
-    )
-    return _exact_rerank(unit, shortlist, _PQ_TOPK)
 
 
 # ---------------------------------------------------------------------------

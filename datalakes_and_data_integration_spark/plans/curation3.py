@@ -195,17 +195,24 @@ def _containment_oracle() -> str:
     tags=("dedup", "containment", "llm-pipeline"),
     bench=True,  # promoted round 5: green driver row in CORRECTNESS_r04
 )
-def dedup_containment_pairs(spark, sf_dir):
-    d = T(spark, sf_dir, "documents")
-    tok_df = spread(
-        d.select("doc_id", F.expr(_TOK_SPARK).alias("toks")), spark
-    )
-    shing = shingles_expr_spark("toks", 3)
-    shingled = (
-        tok_df.select("doc_id", F.expr(shing).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .persist()  # consumed 3x: sizes twice + inverted
-    )
+def dedup_containment_pairs(spark, sf_dir, shingled=None):
+    # ``shingled`` (doc_id, sh = word-3-shingle array, empty docs
+    # filtered, caller-persisted) lets compositions that run several
+    # dedup tiers share ONE tokenize/shingle pass (the
+    # dedup_tier_overlap_report materialized-shingle-frame shape,
+    # VERDICT r6 #4) — identical frame to the default path, so results
+    # and the oracle are unchanged.
+    if shingled is None:
+        d = T(spark, sf_dir, "documents")
+        tok_df = spread(
+            d.select("doc_id", F.expr(_TOK_SPARK).alias("toks")), spark
+        )
+        shing = shingles_expr_spark("toks", 3)
+        shingled = (
+            tok_df.select("doc_id", F.expr(shing).alias("sh"))
+            .filter(F.size("sh") > 0)
+            .persist()  # consumed 3x: sizes twice + inverted
+        )
     sizes = shingled.select("doc_id", F.size("sh").alias("sz"))
     inverted = shingled.select("doc_id", F.explode("sh").alias("g"))
     a, b = inverted.alias("a"), inverted.alias("b")

@@ -168,8 +168,24 @@ def dedup_tier_overlap_report(spark, sf_dir):
     )
 
     d = spread(T(spark, sf_dir, "documents"), spark)
+    # ONE materialized tokenize pass feeds all four tiers (VERDICT r6
+    # #4 — each tier re-tokenized before: 35.5 s honest fresh-session
+    # sum at the 50k decade). `tok` drives the exact and passage tiers
+    # directly; the shared word-3-shingle frame derived from it is
+    # handed to the containment and MinHash-cluster tiers, which accept
+    # a pre-built shingled frame precisely for this composition. Both
+    # frames are what those tiers would have built themselves, so every
+    # tier's rows — and the composed oracle — are unchanged.
     tok = d.select(
         "doc_id", F.md5("text").alias("h"), F.expr(_TOK_SPARK).alias("toks")
+    ).persist()  # consumed by keepers + exact + passages + shingled
+    shingled = (
+        tok.select(
+            "doc_id",
+            F.expr(shingles_expr_spark("toks", 3)).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .persist()  # consumed 3x by containment + 3x by MinHash
     )
     keepers = tok.groupBy("h").agg(F.min("doc_id").alias("keeper"))
     exact_losers = (
@@ -202,12 +218,12 @@ def dedup_tier_overlap_report(spark, sf_dir):
         .distinct()
     )
     cont_losers = (
-        dedup_containment_pairs(spark, sf_dir)
+        dedup_containment_pairs(spark, sf_dir, shingled=shingled)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
     cluster_losers = (
-        dedup_cluster_assignment(spark, sf_dir)
+        dedup_cluster_assignment(spark, sf_dir, shingled=shingled)
         .filter(F.col("doc") != F.col("cluster_id"))
         .select(F.col("doc").alias("doc_id"))
     )

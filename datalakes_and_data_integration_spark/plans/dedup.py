@@ -136,18 +136,25 @@ def _minhash_oracle() -> str:
     tags=("dedup", "lsh", "llm-pipeline"),
     bench=True,
 )
-def dedup_minhash_lsh(spark, sf_dir):
-    d = T(spark, sf_dir, "documents")
-    # The spread() exchange sits AFTER tokenization on purpose: CollapseProject
-    # merges adjacent projections, re-inlining the split/filter expression into
-    # every lambda reference of the shingle stage (measured 3.8s -> 1.1s at
-    # sf0.1). An exchange is an optimizer barrier, and it also ships the
-    # narrow (doc_id, toks) pair instead of raw text.
-    tok_df = spread(d.select("doc_id", F.expr(_TOK_SPARK).alias("toks")), spark)
-    shing = shingles_expr_spark("toks", 3)
-    shingled = tok_df.select("doc_id", F.expr(shing).alias("sh")).filter(
-        F.size("sh") > 0
-    ).persist()
+def dedup_minhash_lsh(spark, sf_dir, shingled=None):
+    # ``shingled`` (doc_id, sh, caller-persisted): share one tokenize/
+    # shingle pass across composed dedup tiers — see
+    # dedup_containment_pairs; identical frame, results unchanged.
+    if shingled is None:
+        d = T(spark, sf_dir, "documents")
+        # The spread() exchange sits AFTER tokenization on purpose:
+        # CollapseProject merges adjacent projections, re-inlining the
+        # split/filter expression into every lambda reference of the shingle
+        # stage (measured 3.8s -> 1.1s at sf0.1). An exchange is an optimizer
+        # barrier, and it also ships the narrow (doc_id, toks) pair instead
+        # of raw text.
+        tok_df = spread(
+            d.select("doc_id", F.expr(_TOK_SPARK).alias("toks")), spark
+        )
+        shing = shingles_expr_spark("toks", 3)
+        shingled = tok_df.select("doc_id", F.expr(shing).alias("sh")).filter(
+            F.size("sh") > 0
+        ).persist()
     # shingled is consumed 3x (signature path + both verify sides) and the
     # band self-join evaluates its build side as a broadcast — without
     # persist, the whole tokenize->shingle->hash subtree runs 4-5x (measured
@@ -399,8 +406,14 @@ def _cluster_oracle() -> str:
     "rounds — same convergence, fewer iterations.",
     tags=("dedup", "graph", "llm-pipeline"),
 )
-def dedup_cluster_assignment(spark, sf_dir):
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
+def dedup_cluster_assignment(spark, sf_dir, shingled=None):
+    # ``shingled`` passes straight through to the MinHash tier (shared
+    # tokenize/shingle pass — see dedup_containment_pairs).
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir, shingled=shingled)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")

@@ -74,120 +74,83 @@ def register(
 # Enforced by tests/test_registry_window.py::
 # test_window_follows_changed_plus_oldest_policy, which recomputes the
 # newest-green-row map from the CORRECTNESS_r*.json files older than
-# WINDOW_ROUND. Round-6 window: the 4 ANN queries changed this round
-# (scaled PQ shortlist budget; shared training-sample constant), the 3
-# round-6 newcomers (curation5.py — never verified, so clause (a) by
-# definition), the lsh_bucketed spread fix, the 15 text-family spread
-# fixes from the third session (8 direct + 7 text_quality_score
-# composers), the 2 reversed-order fill rewrites (gapfill interpolate +
-# ffill_bfill), the 3 hybrid-kernel swaps (knn/mrr/hard-negatives),
-# and the 22 alphabetically-first queries of the round-1 cohort.
-# 8 + 20 + 22 = 50; the 21 yielded round-1 names (topn_orders_per_
-# customer, the tpch tail from q10 on, union_dedup_events,
-# user_first_last_event, value_histogram_by_type,
-# value_percentiles_by_type) head the round-7 oldest cohort ahead of
-# the round-2 cohort.
-WINDOW_ROUND = 6  # the driver round this window was built for
+# WINDOW_ROUND. Round-7 window: the 4 IVF/PQ ANN queries whose scoring
+# moved into the vectorized numpy scan kernels (VERDICT r6 #2), the
+# retrieval-quality capstone's hybrid-kernel swap (VERDICT r6 #1), the
+# tier-overlap report's shared materialized shingle pass (VERDICT r6
+# #4) plus the three dedup tiers whose signatures grew the optional
+# pre-shingled frame for it (default path byte-identical, but changed
+# code carries fresh driver evidence — the standing clause (a)), and
+# the 41-query oldest cohort: the 21 round-1 names that yielded slots
+# in rounds 5/6 (topn, the tpch suite, union_dedup_events,
+# user_first_last_event, value_histogram/percentiles) followed by the
+# alphabetically-first 20 of the round-2 cohort. 9 + 41 = 50.
+WINDOW_ROUND = 7  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # policy clause (a): code changed since the newest green row
     "ann_topk_pq",
     "ann_topk_ivfadc",
     "ann_topk_ivfadc_residual",
     "ann_topk_ivf",
-    # round-6 newcomers: no green row exists yet
     "ann_retrieval_quality_report",
-    "split_decontamination_report",
     "dedup_tier_overlap_report",
-    # spread() added to the bucket self-join input (plan change, same rows)
-    "ann_topk_lsh_bucketed",
-    # round-6 third session: the dedup-ladder probe's noop-sink timing fix
-    # exposed single-input-split serialization of the scan-side tokenize/
-    # regex/rolling-hash work (count() had let Catalyst prune it); spread()
-    # added to these eight (plan change, same rows) ...
-    "doc_fingerprint",
-    "text_token_stats",
-    "text_lang_id",
-    "text_quality_score",
-    "text_pii_mask",
-    "lang_confusion_matrix",
-    "vocab_zipf_stats",
-    "tokenizer_fertility_by_lang",
-    # ... and these seven compose text_quality_score, so their executed
-    # plans changed too (the round-5 sampled-training precedent: every
-    # query whose plan a helper change reaches gets a fresh driver row).
-    "quality_vs_duplication",
-    "weighted_sample_quality",
-    "training_corpus_manifest",
-    "quality_quantile_normalization",
-    "token_weighted_quality_quantile",
-    "mannwhitney_quality_en_vs_rest",
-    "spearman_quality_length",
-    # round-6 third session, events ladder: next-neighbor fills rewritten
-    # from first(ignorenulls) over current-row->unbounded-following frames
-    # (Spark re-scans the partition tail per row — O(n x partition)) to a
-    # running last(ignorenulls) over the reversed total order (same rows,
-    # 9.2x measured at the 1m-event decade).
-    "gapfill_hourly_interpolate",
-    "ffill_bfill",
-    # round-6 third session, ML ladder: the three eval reports now
-    # compose the hybrid exact kernel (identical top-5, block-wise cost
-    # — the bare-BNLJ baseline stays the truth anchor for the recall
-    # audits only).
-    "knn_classifier_eval",
-    "ann_label_mrr",
-    "ann_hard_negatives",
+    "dedup_containment_pairs",
+    "dedup_minhash_lsh",
+    "dedup_cluster_assignment",
 ]
 WINDOW_PRIORITY: list[str] = [
     "ann_topk_pq",
     "ann_topk_ivfadc",
     "ann_topk_ivfadc_residual",
     "ann_topk_ivf",
-    "ann_topk_lsh_bucketed",
     "ann_retrieval_quality_report",
-    "split_decontamination_report",
     "dedup_tier_overlap_report",
-    "doc_fingerprint",
-    "text_token_stats",
-    "text_lang_id",
-    "text_quality_score",
-    "text_pii_mask",
-    "lang_confusion_matrix",
-    "vocab_zipf_stats",
-    "tokenizer_fertility_by_lang",
-    "quality_vs_duplication",
-    "weighted_sample_quality",
-    "training_corpus_manifest",
-    "quality_quantile_normalization",
-    "token_weighted_quality_quantile",
-    "mannwhitney_quality_en_vs_rest",
-    "spearman_quality_length",
-    "gapfill_hourly_interpolate",
-    "ffill_bfill",
-    "knn_classifier_eval",
-    "ann_label_mrr",
-    "ann_hard_negatives",
-    "anti_join_inactive_customers",
-    "asof_join_last_click",
-    "cheapest_part_per_size",
-    "cohort_retention",
-    "conversion_funnel",
-    "daily_event_type_set",
-    "dau_by_nation",
-    "distinct_users_per_day",
-    "events_pivot_daily_by_type",
-    "full_outer_merge_events",
-    "json_props_extract",
-    "lineitem_unpivot_measures",
-    "orders_grouping_sets",
-    "orders_rollup",
-    "pk_dedup_first_writer",
-    "range_join_views_before_purchase",
-    "referential_integrity_check",
-    "semi_join_big_spenders",
-    "set_ops_user_cohorts",
-    "supplier_diversity_by_brand",
-    "table_profile_lineitem",
-    "top_customers_by_revenue",
+    "dedup_containment_pairs",
+    "dedup_minhash_lsh",
+    "dedup_cluster_assignment",
+    # oldest cohort, newest green row r1 (oldest-first, alphabetical)
+    "topn_orders_per_customer",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_filter",
+    "tpch_q1_pricing_summary",
+    "tpch_q22_idle_customers",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "union_dedup_events",
+    "user_first_last_event",
+    "value_histogram_by_type",
+    "value_percentiles_by_type",
+    # oldest cohort, newest green row r2 (alphabetical prefix)
+    "ann_topk_bruteforce",
+    "cross_source_duplication",
+    "curation_funnel",
+    "customer_spend_quartiles",
+    "dataset_split_assignment",
+    "dedup_kept_corpus",
+    "dedup_ngram_jaccard_join",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "doc_chunking",
+    "doc_top_terms",
+    "embedding_near_dup",
+    "embedding_near_dup_hybrid",
+    "gapfill_hourly_locf",
+    "intradoc_repetition",
+    "lag6_diff",
+    "lag6_pct_change",
+    "mean_impute",
+    "minhash_jaccard_calibration",
+    "multimodal_feature_extract",
 ]
 
 

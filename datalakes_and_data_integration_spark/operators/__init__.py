@@ -29,7 +29,7 @@ from datalakes_and_data_integration_spark.operators.convert import (
     map_convert,
 )
 from datalakes_and_data_integration_spark.operators.windows import (
-    bfill,
+    bfill_rev,
     ffill,
     lag_diff,
     lag_pct_change,
@@ -49,7 +49,7 @@ __all__ = [
     "mean_exprs",
     "horizontal_sum",
     "map_convert",
-    "bfill",
+    "bfill_rev",
     "ffill",
     "lag_diff",
     "lag_pct_change",

@@ -51,7 +51,7 @@ def ffill(value: str | Column, w: WindowSpec) -> Column:
     )
 
 
-def bfill(value: str | Column, w_rev: WindowSpec) -> Column:
+def bfill_rev(value: str | Column, w_rev: WindowSpec) -> Column:
     """Backward-fill: first non-null from the current row on (W4).
 
     ``w_rev`` must be the EXACT REVERSE of the ffill spec (every order

@@ -2,7 +2,7 @@
 
 Operator order is FIXED and observable in outputs (reference
 `process_to_curated.py:245-260`, SURVEY.md §7.4): outer-merge -> mean-impute
-(in RAW units, before conversion) -> unit ffill/bfill + convert -> horizontal
+(in RAW units, before conversion) -> unit ffill/bfill_rev + convert -> horizontal
 total -> lag diff -> lag pct-change. The lag features use per-site
 time-ordered windows — the reference's *intended* semantics; its positional
 shift over an unspecified global order (and the np.roll wrap-around bug in
@@ -12,8 +12,12 @@ Shuffle budget: N-1 join shuffles for the merge (the single-shuffle
 union+regroup alternative, operators.merge.outer_merge_pivot, trades those
 for a very wide hash aggregation — measured slower at N=5, better for
 large N / network-bound clusters), one aggregate pass for the means (tiny
-result to the driver), and ONE window shuffle on code_site shared by
-ffill/bfill/lag/pct (same window spec). Gold is written partitioned-free
+result to the driver), and ONE window hash-exchange on code_site shared by
+ffill/bfill_rev/lag/pct. The forward spec (ffill/lag/pct) and the reversed
+bfill_rev spec share that exchange but sort separately — the reversed-order
+rewrite (round 6) trades a second in-partition sort for killing the
+per-row partition-tail rescan of the unbounded-following frame (108 s ->
+11.7 s at the decade scale). Gold is written partitioned-free
 (single wide table, like the reference's one `curated` table) but sorted by
 (code_site, date_de_debut) for scan locality.
 """
@@ -36,7 +40,7 @@ from datalakes_and_data_integration_spark.operators import (
     prefix_columns,
 )
 from datalakes_and_data_integration_spark.operators.windows import (
-    bfill,
+    bfill_rev,
     ffill,
     ordered_window,
 )
@@ -132,17 +136,32 @@ def build_gold(
     # alone re-computes all 12 conversion CASE chains) — measured 2x gold
     # wall-clock (5.5 -> 10.3 s cold, 3.9 -> 7.5 s warm on the reference
     # corpus). Chained projections are the cheap form here.
-    w = ordered_window(["code_site"], [F.col("date_de_debut").asc_nulls_last()])
-    # bfill takes the exact reverse spec (desc_nulls_first) so it runs as
+    # The merge leaves one row per (site, date) EXCEPT in the null-date
+    # group: NULL keys never match in a full outer join, so several
+    # (site, NULL) rows can coexist — and with two independent window
+    # orders (forward ffill, reversed bfill_rev) tie resolution inside
+    # that group could diverge between the fills. A stable row id
+    # appended to BOTH specs (flipped with the order) makes them the
+    # same total order walked in both directions; for the unique
+    # non-null rows it is inert.
+    wide = wide.withColumn("__fill_ord", F.monotonically_increasing_id())
+    w = ordered_window(
+        ["code_site"],
+        [F.col("date_de_debut").asc_nulls_last(), F.col("__fill_ord").asc()],
+    )
+    # bfill_rev takes the exact reverse spec (desc_nulls_first) so it runs as
     # a running accumulator, not Spark's per-row-rescan unbounded-
-    # following frame. One row per (site, date) after the merge, so the
-    # reversed order is the same total order walked backwards.
+    # following frame.
     w_rev = ordered_window(
-        ["code_site"], [F.col("date_de_debut").desc_nulls_first()]
+        ["code_site"],
+        [
+            F.col("date_de_debut").desc_nulls_first(),
+            F.col("__fill_ord").desc(),
+        ],
     )
     unit_cols = [c for c in wide.columns if c.endswith("_unite_de_mesure")]
     filled_units = {
-        c: F.coalesce(ffill(c, w), bfill(c, w_rev)).alias(c) for c in unit_cols
+        c: F.coalesce(ffill(c, w), bfill_rev(c, w_rev)).alias(c) for c in unit_cols
     }
     wide = wide.select(
         *[filled_units.get(c, F.col(c)) for c in wide.columns]
@@ -179,9 +198,10 @@ def build_gold(
 
     # Clustering sort matches the window stage's order INCLUDING the null
     # direction (asc_nulls_last) so RemoveRedundantSorts elides the
-    # SortExec — the rows already leave the lag window in this order.
+    # SortExec — the rows leave the lag window in (code_site, date,
+    # __fill_ord) order, of which this sort is a satisfied prefix.
     write_partitioned(
-        wide,
+        wide.drop("__fill_ord"),
         gold_dir,
         sort_within=[
             F.col("code_site").asc(),  # window partition key: nulls_first

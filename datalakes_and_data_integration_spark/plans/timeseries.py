@@ -17,7 +17,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from datalakes_and_data_integration_spark.operators import (
-    bfill,
+    bfill_rev,
     ffill,
     horizontal_sum,
     impute_mean,
@@ -112,7 +112,7 @@ def lag6_pct_change(spark, sf_dir):
            ) AS v_filled
     FROM nulled
     """,
-    description="Per-user ordered ffill-then-bfill over gapped values "
+    description="Per-user ordered forward-then-backward fill over gapped values "
     "(reference W4 unit-column fill, rebuilt per-key as §7.4 prescribes).",
     tags=("window", "timeseries", "parity"),
 )
@@ -127,7 +127,7 @@ def ffill_bfill(spark, sf_dir):
         .alias("v"),
     )
     w = _w()
-    # bfill takes the exact reverse of the ffill order (total: event_id
+    # bfill_rev takes the exact reverse of the ffill order (total: event_id
     # breaks ts ties) so it runs as an O(rows) running accumulator
     # instead of Spark's per-row-rescan unbounded-following frame.
     w_rev = ordered_window(
@@ -138,7 +138,7 @@ def ffill_bfill(spark, sf_dir):
         "user_id",
         "ts",
         "v",
-        F.coalesce(ffill("v", w), bfill("v", w_rev)).alias("v_filled"),
+        F.coalesce(ffill("v", w), bfill_rev("v", w_rev)).alias("v_filled"),
     )
 
 

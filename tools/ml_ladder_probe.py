@@ -87,6 +87,7 @@ def build_decade_rotated(src_dir: str, out_dir: str, tile: int) -> int:
     ``--tiling rotated --only knn_classifier_eval,ann_label_mrr,...``;
     recall-style queries should keep the default tiling (rotation
     does not change geometry, only labels)."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -94,11 +95,24 @@ def build_decade_rotated(src_dir: str, out_dir: str, tile: int) -> int:
     path = os.path.join(out_dir, "embeddings.parquet")
     t = pq.read_table(path)
     labels = t.column("label").to_numpy()
+    # build_tiled_corpus concatenates whole copies (copy-major row
+    # order) — the rotation below depends on that, so pin it instead of
+    # assuming it: exact tiling, and copy 0 must equal the source labels.
+    assert n % tile == 0, f"tiled corpus {n} not divisible by tile {tile}"
     n_base = n // tile
-    copy_idx = [i // n_base for i in range(n)]
+    src_labels = pq.read_table(
+        os.path.join(src_dir, "embeddings.parquet")
+    ).column("label").to_numpy()
+    assert np.array_equal(labels[:n_base], src_labels), (
+        "tiling is not copy-major: copy 0 does not match source labels"
+    )
+    # Rotate modulo the OBSERVED label domain (a hardcoded %10 would
+    # silently skew the eval corpus if the generator's domain changed),
+    # preserving the source dtype.
+    domain = int(labels.max()) + 1
+    copy_idx = np.arange(n) // n_base
     rotated = pa.array(
-        [int((lab + c) % 10) for lab, c in zip(labels, copy_idx)],
-        pa.int32(),
+        ((labels + copy_idx) % domain).astype(labels.dtype)
     )
     t = t.set_column(t.schema.get_field_index("label"), "label", rotated)
     pq.write_table(t, path)

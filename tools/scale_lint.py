@@ -44,7 +44,28 @@ _CROSS = re.compile(r"\.crossJoin\(")
 _GLOBAL_WINDOW = re.compile(r"Window\s*\.\s*orderBy\(")
 _TAIL_FRAME = re.compile(r"unboundedFollowing", re.IGNORECASE)
 _FULL_FRAME = re.compile(r"unboundedPreceding", re.IGNORECASE)
+_BETWEEN = re.compile(r"\.(?:rows|range)Between\s*\(")
 _MARKER = "scale-ok"
+
+
+def _frame_spans(text: str):
+    """(char offset, argument span) of every rows/rangeBetween(...) call,
+    matched to the balanced closing paren — the frame's two bounds are
+    routinely split across lines by formatting, so a single-line check
+    both false-positives (full-partition frame wrapped) and
+    false-negatives (tail frame wrapped past a line that happens to
+    contain 'unboundedPreceding')."""
+    for m in _BETWEEN.finditer(text):
+        start = text.index("(", m.start())
+        depth = 0
+        for j in range(start, min(len(text), start + 2000)):
+            if text[j] == "(":
+                depth += 1
+            elif text[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    yield m.start(), text[start : j + 1]
+                    break
 
 
 def lint_file(path: str) -> list[tuple[int, str, str]]:
@@ -64,16 +85,21 @@ def lint_file(path: str) -> list[tuple[int, str, str]]:
             # Window.orderBy(...) chained after partitionBy is fine; the
             # pattern only matches orderBy called directly on the class.
             out.append((i + 1, "global-window", stripped))
-        if (
-            _TAIL_FRAME.search(line)
-            and not _FULL_FRAME.search(line)
-            and not ok
-        ):
-            # (x, unboundedFollowing) with x != unboundedPreceding
-            # re-scans the partition tail per row; the full-partition
-            # frame carries unboundedPreceding on the same line and
-            # passes (computed once per partition).
-            out.append((i + 1, "tail-rescan-frame", stripped))
+    # Tail-rescan frames are matched on the whole rows/rangeBetween(...)
+    # argument span (frames wrap across lines): (x, unboundedFollowing)
+    # with x != unboundedPreceding re-scans the partition tail per row;
+    # the full-partition frame passes (computed once per partition).
+    text = "".join(lines)
+    for pos, span in _frame_spans(text):
+        lineno = text.count("\n", 0, pos) + 1
+        first = lines[lineno - 1]
+        if first.strip().startswith("#"):
+            continue
+        ok = _MARKER in first or (
+            lineno >= 2 and _MARKER in lines[lineno - 2]
+        )
+        if _TAIL_FRAME.search(span) and not _FULL_FRAME.search(span) and not ok:
+            out.append((lineno, "tail-rescan-frame", first.strip()))
     return out
 
 

@@ -355,7 +355,15 @@ _NEAR_DUP_MIN = 0.35
     """,
     description=f"Embedding-cosine near-duplicate pairs (cosine >= "
     f"{_NEAR_DUP_MIN}) with label agreement — the embedding analogue of "
-    "MinHash verify.",
+    "MinHash verify. DEFINITION/ORACLE FORM ONLY: this one-line "
+    "expression join is the semantic definition and the truth anchor "
+    "for the recall audits; the OPERATIONAL form is "
+    "embedding_near_dup_hybrid (byte-identical result — same oracle — "
+    "at block-wise cost: Catalyst pushes the threshold into the BNLJ "
+    "condition here, where the 64-term dot evaluates interpreted per "
+    "pair — measured 857 s vs the hybrid's 47.8 s at the 20k decade). "
+    "Compositions must use the hybrid (ann_topk_bruteforce precedent; "
+    "pinned by test_label_eval_reports_avoid_bnlj_kernel).",
     tags=("similarity", "dedup", "llm-pipeline"),
 )
 def embedding_near_dup(spark, sf_dir):

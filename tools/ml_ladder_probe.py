@@ -120,6 +120,59 @@ def build_decade_rotated(src_dir: str, out_dir: str, tile: int) -> int:
     return n
 
 
+# Labeled eval fixture (VERDICT r6 #5): the tiled corpora measure
+# RUNTIME shapes, but their label structure is degenerate (default
+# tiling: neighbors are your own copies, same label; rotated tiling:
+# neighbors are your copies with systematically rotated labels) — label
+# METRICS on them mean nothing. This fixture is a driver-independent
+# cluster-structured corpus where label metrics are meaningful:
+# 10 Gaussian clusters (unit-normalized seeded centers, scale 0.45;
+# within-cluster sigma 0.12 per dim — tuned so clean 5-NN accuracy is
+# ~0.92 and ~55% of vectors carry a different-label neighbor in their
+# top-5, the adversarial-but-learnable regime), balanced labels, plus
+# 10% held-out label noise (observed label rotated off the true one),
+# which upper-bounds every classifier's observable accuracy and
+# guarantees hard negatives exist. Same schema as embeddings.parquet.
+_LBL_CLUSTERS = 10
+_LBL_CENTER_SCALE = 0.45
+_LBL_SIGMA = 0.12
+_LBL_NOISE = 0.10
+
+
+def build_labeled_corpus(src_dir: str, out_dir: str, tile: int) -> int:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n_base = pq.read_table(
+        os.path.join(src_dir, "embeddings.parquet"), columns=["vec_id"]
+    ).num_rows
+    n, d = n_base * tile, 64
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0, 1, (_LBL_CLUSTERS, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    centers *= _LBL_CENTER_SCALE
+    g = np.random.default_rng(11)
+    true = np.arange(n) % _LBL_CLUSTERS
+    X = (centers[true] + g.normal(0, _LBL_SIGMA, (n, d))).astype(np.float32)
+    noise = np.random.default_rng(13)
+    flip = noise.random(n) < _LBL_NOISE
+    shift = 1 + np.floor(noise.random(n) * (_LBL_CLUSTERS - 1)).astype(
+        np.int64
+    )  # 1..9: a flipped label is never the true one
+    observed = np.where(flip, (true + shift) % _LBL_CLUSTERS, true)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(X), pa.list_(pa.float32())),
+            "label": pa.array(observed.astype(np.int32)),
+        }
+    )
+    pq.write_table(t, os.path.join(out_dir, "embeddings.parquet"))
+    _symlink_rest(src_dir, out_dir)
+    return n
+
+
 def main() -> None:
     probe_main(
         metric="ml_ladder_probe",
@@ -131,7 +184,10 @@ def main() -> None:
         tempdir_prefix="ml_probe_20k_",
         default_runs=2,
         corpus_noun="vectors",
-        tilings={"rotated": build_decade_rotated},
+        tilings={
+            "rotated": build_decade_rotated,
+            "labeled": build_labeled_corpus,
+        },
     )
 
 

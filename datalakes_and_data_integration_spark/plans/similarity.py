@@ -555,9 +555,12 @@ def _ivf_oracle() -> str:
     "The synthetic corpus is near-isotropic (max pairwise cosine ~0.51), "
     "which is the hardest case for IVF — the candidate fraction at this "
     "recall is ~0.8 here, while on real clustered embeddings the same "
-    "PROBE/K shape prunes far harder. The 100 TB shape is unchanged: lists "
-    "are hash-partitioned, candidates shuffle, the corpus never "
-    "concentrates.",
+    "PROBE/K shape prunes far harder. Since round 7 candidate generation "
+    "and scoring run in a vectorized scan kernel: probe/rep membership "
+    "is one int64 bitmask per side (K <= 64), candidates are a bitwise "
+    "AND against bounded corpus-chunk broadcasts, exact cosines run in "
+    "the hybrid kernel's sequential fold, and margin-guarded top-k "
+    "candidates return to Spark for the codegen re-score.",
     tags=("similarity", "ann", "ivf", "llm-pipeline"),
 )
 def ann_topk_ivf(spark, sf_dir):

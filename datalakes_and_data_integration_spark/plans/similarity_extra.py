@@ -1242,25 +1242,27 @@ def _adc_scan_pipeline(
     f"{_PQ_K} codewords (one-byte codes, 64x compression), codebooks "
     f"trained with {_PQ_ITERS} deterministic Lloyd iterations — ALL "
     "subspaces in one posexploded job per iteration (one shuffle trains "
-    "8 codebooks). Queries rank by asymmetric distance: per-query "
-    "distance tables (M x K cells) join the code table on (m, code), and "
-    "decimal-exact sums make the ADC score order-independent, so top-k "
-    "(dist, id tiebreak) is deterministic. Unit-normalized inputs make "
-    "squared-L2 ADC == cosine ranking (recall vs ann_topk_bruteforce "
-    "pinned in tests/test_ivf_recall.py). The 100 TB shape: the corpus "
-    "lives as codes (bytes, not floats), scoring never touches raw "
-    "vectors, and the (m, code) join is a bounded-fanout shuffle of "
-    "id+code rows; at retrieval scale PQ nests inside IVF lists "
-    "(IVFADC) — same two operators composed. Standard two-stage "
-    "retrieval: the lossy ADC score shortlists "
+    "8 codebooks). Queries rank by asymmetric distance, scored by the "
+    "vectorized ADC scan kernel (round 7): query rows stream against a "
+    "bounded broadcast of the corpus code table and each block scores "
+    "the chunk with M int64 gather-adds — associative int64 sums, so "
+    "totals are bit-identical to the lookup expression they replace and "
+    "top-k (dist, id tiebreak) stays deterministic. Unit-normalized "
+    "inputs make squared-L2 ADC == cosine ranking (recall vs "
+    "ann_topk_bruteforce pinned in tests/test_ivf_recall.py). The "
+    "100 TB shape: the corpus lives as codes (bytes, not floats — the "
+    "broadcastable face of the corpus), pair scoring never touches raw "
+    "vectors; at retrieval scale PQ nests inside IVF lists (IVFADC) — "
+    "same two operators composed. Standard two-stage retrieval: the "
+    "lossy ADC score shortlists "
     f"max({_PQ_SHORTLIST_MIN}, ceil(n/{_PQ_SHORTLIST_DEN})) candidates "
     "per query — the budget SCALES with the corpus (a fixed shortlist "
     "loses recall silently as n grows: 0.88 -> 0.64 across one 4x "
-    "decade with the old constant 100) — then the shortlist, and ONLY "
-    "the shortlist, is exactly re-ranked against raw vectors (mean "
-    "recall@5 pinned >= 0.8 by test at gate scale AND at the 20k tiled "
-    "decade; the compression story survives because exact scoring "
-    "touches SHORTLIST x n rows, not n^2).",
+    "decade with the old constant 100) — cut in-kernel by the exact "
+    "(adc_dist, id) order, then the shortlist, and ONLY the shortlist, "
+    "is exactly re-ranked against raw vectors (margin-guarded in-kernel "
+    "+ authoritative Spark codegen re-score; mean recall@5 pinned "
+    ">= 0.8 by test at gate scale AND at the 20k tiled decade).",
     tags=("similarity", "ann", "pq", "compression", "llm-pipeline"),
 )
 def ann_topk_pq(spark, sf_dir):
@@ -1415,15 +1417,18 @@ def _coarse_lists(unit, probe: int = _IVFADC_PROBE, train=None):
     oracle=_ivfadc_oracle(),
     description=f"IVFADC retrieval (faiss shape): {_IVFADC_K} coarse "
     f"k-means lists bound WHICH pairs are considered (queries probe "
-    f"{_IVFADC_PROBE} lists, corpus vectors join {_IVFADC_REP} — "
-    "candidates shuffle, never the corpus), PQ codes bound what scoring "
-    "COSTS (ADC table lookups on one-byte codes, decimal-exact sums), "
-    "and the ADC shortlist is exactly re-ranked (shortlist x 1 vector "
-    "pairs). Composes the registered coarse quantizer and the "
-    "ann_topk_pq codebooks unchanged — the composition is three "
-    "DataFrame stages, no new kernel. Codebooks quantize raw unit "
-    "vectors; ann_topk_ivfadc_residual is the refinement that "
-    "quantizes vector-minus-centroid. Mean recall@5 pinned by "
+    f"{_IVFADC_PROBE} lists, corpus vectors join {_IVFADC_REP}), PQ "
+    "codes bound what scoring COSTS, and the ADC shortlist is exactly "
+    "re-ranked. Since round 7 candidates AND scoring run in the "
+    "vectorized ADC scan kernel: probe/rep list membership packs into "
+    "one int64 bitmask per side (K <= 64), so the candidate set is a "
+    "bitwise AND against the bounded corpus-code broadcast chunk — "
+    "identical to the exploded equi-join's distinct pair set — and ADC "
+    "is M int64 gather-adds (bit-identical totals). Composes the "
+    "registered coarse quantizer and the ann_topk_pq codebooks "
+    "unchanged. Codebooks quantize raw unit vectors; "
+    "ann_topk_ivfadc_residual is the refinement that quantizes "
+    "vector-minus-centroid. Mean recall@5 pinned by "
     "tests/test_ivf_recall.py.",
     tags=("similarity", "ann", "ivf", "pq", "compression", "llm-pipeline"),
 )
@@ -1575,12 +1580,14 @@ def _ivfadc_residual_oracle() -> str:
     "scoring (q, x) as ||(q - c_l) - pq(x - c_l)||^2 for x's own list l. "
     "Both k-means stages run in int64 fixed point, so even the residual "
     "double subtraction is bit-identical cross-engine and the full "
-    "two-quantizer pipeline (training included) is oracle-checked. ADC "
-    "shortlist + exact re-rank as in ann_topk_pq; single-assignment "
-    "storage means the candidate join shuffles (list, code) id rows "
-    "once per corpus vector, not per replica — the 100 TB memory story "
-    "(1 byte/subspace/vector + one list id) with recall pinned by "
-    "tests/test_ivf_recall.py.",
+    "two-quantizer pipeline (training included) is oracle-checked. "
+    "Since round 7 the per-list ADC scoring runs in the vectorized scan "
+    "kernel (each probed list contributes exactly the vectors stored in "
+    "it — primaries unique, union duplicate-free — scored by int64 "
+    "gather-adds against that list's 128-slot query table); shortlist "
+    "cut + margin re-rank as in ann_topk_pq. Single-assignment storage "
+    "is the 100 TB memory story (1 byte/subspace/vector + one list id); "
+    "recall pinned by tests/test_ivf_recall.py.",
     tags=("similarity", "ann", "ivf", "pq", "residual", "compression",
           "llm-pipeline"),
 )

@@ -81,10 +81,12 @@ def register(
 # #4) plus the three dedup tiers whose signatures grew the optional
 # pre-shingled frame for it (default path byte-identical, but changed
 # code carries fresh driver evidence — the standing clause (a)), and
-# the 41-query oldest cohort: the 21 round-1 names that yielded slots
-# in rounds 5/6 (topn, the tpch suite, union_dedup_events,
-# user_first_last_event, value_histogram/percentiles) followed by the
-# alphabetically-first 20 of the round-2 cohort. 9 + 41 = 50.
+# the ann_index_health_report newcomer (never verified — clause (a) by
+# definition), and the 40-query oldest cohort: the 21 round-1 names
+# that yielded slots in rounds 5/6 (topn, the tpch suite,
+# union_dedup_events, user_first_last_event,
+# value_histogram/percentiles) followed by the alphabetically-first 19
+# of the round-2 cohort. 10 + 40 = 50.
 WINDOW_ROUND = 7  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # policy clause (a): code changed since the newest green row
@@ -97,6 +99,8 @@ ROUND_CHANGED: list[str] = [
     "dedup_containment_pairs",
     "dedup_minhash_lsh",
     "dedup_cluster_assignment",
+    # round-7 newcomer: no green row exists yet
+    "ann_index_health_report",
 ]
 WINDOW_PRIORITY: list[str] = [
     "ann_topk_pq",
@@ -108,6 +112,7 @@ WINDOW_PRIORITY: list[str] = [
     "dedup_containment_pairs",
     "dedup_minhash_lsh",
     "dedup_cluster_assignment",
+    "ann_index_health_report",
     # oldest cohort, newest green row r1 (oldest-first, alphabetical)
     "topn_orders_per_customer",
     "tpch_q10_returned_items",
@@ -150,7 +155,6 @@ WINDOW_PRIORITY: list[str] = [
     "lag6_pct_change",
     "mean_impute",
     "minhash_jaccard_calibration",
-    "multimodal_feature_extract",
 ]
 
 

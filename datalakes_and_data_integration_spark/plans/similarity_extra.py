@@ -1479,6 +1479,166 @@ def ann_topk_ivfadc(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# ANN index-health report: the introspection a pipeline runs after every
+# index (re)build, before serving a single query — faiss's index stats
+# surface re-expressed over the registered quantizers. Coarse-list
+# occupancy answers "is the inverted file balanced?" (a hot list breaks
+# the candidates-bounded cost story: its bucket join degenerates toward
+# the corpus); PQ codeword usage answers "is the codebook trained?"
+# (dead codewords = wasted bits, one dominant codeword = a collapsed
+# subspace); per-subspace quantization error prices the lossy tier the
+# ADC shortlist rides on. Every statistic is an exact integer count or
+# an int64 fixed-point error sum over the SAME oracled training chain
+# the retrieval queries use — so the full report, training included, is
+# hash-checked cross-engine (one rounded occupancy share is the only
+# division).
+#
+# Scale: occupancy = two grouped counts over (vec, list) id rows; PQ
+# stats = one (m, code) grouped count + a per-m rollup of M x K rows;
+# the K-row / M-row spines are plan-build literals. Nothing new
+# shuffles beyond the coding pass the retrieval queries already pay.
+# ---------------------------------------------------------------------------
+
+
+def _index_health_oracle() -> str:
+    coarse = _coarse_cte_blocks()
+    list_vals = ", ".join(f"({l})" for l in range(_IVFADC_K))
+    sub_vals = ", ".join(f"({m})" for m in range(_PQ_M))
+    return f"""
+    WITH {_pq_oracle_blocks()},{",".join(coarse)},
+    cprim AS (SELECT vec_id, cluster FROM caf WHERE rn = 1),
+    crep AS (SELECT vec_id, cluster FROM caf WHERE rn <= {_IVFADC_REP}),
+    pcode AS (SELECT vec_id, m, code, dist FROM paf WHERE rn = 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+    lspine(idx) AS (VALUES {list_vals}),
+    mspine(m) AS (VALUES {sub_vals}),
+    prim_n AS (
+      SELECT cluster, CAST(count(*) AS BIGINT) AS n FROM cprim
+      GROUP BY cluster
+    ),
+    rep_n AS (
+      SELECT cluster, CAST(count(*) AS BIGINT) AS n FROM crep
+      GROUP BY cluster
+    ),
+    coarse_rows AS (
+      SELECT 'coarse_list' AS component, CAST(s.idx AS BIGINT) AS idx,
+             CAST(coalesce(p.n, 0) AS BIGINT) AS n_a,
+             CAST(coalesce(r.n, 0) AS BIGINT) AS n_b,
+             round(CAST(coalesce(p.n, 0) AS DOUBLE) / t.n, 6) AS share,
+             CAST(NULL AS BIGINT) AS err_fixed
+      FROM lspine s
+      LEFT JOIN prim_n p ON p.cluster = s.idx
+      LEFT JOIN rep_n r ON r.cluster = s.idx
+      CROSS JOIN tot t
+    ),
+    code_n AS (
+      SELECT m, code, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dist) AS BIGINT) AS err
+      FROM pcode GROUP BY m, code
+    ),
+    pq_rows AS (
+      SELECT 'pq_subspace' AS component, CAST(s.m AS BIGINT) AS idx,
+             CAST(count(c.code) AS BIGINT) AS n_a,
+             CAST(coalesce(max(c.n), 0) AS BIGINT) AS n_b,
+             CAST(NULL AS DOUBLE) AS share,
+             CAST(coalesce(sum(c.err), 0) AS BIGINT) AS err_fixed
+      FROM mspine s LEFT JOIN code_n c ON c.m = s.m
+      GROUP BY s.m
+    )
+    SELECT * FROM coarse_rows UNION ALL SELECT * FROM pq_rows
+    """
+
+
+@register(
+    "ann_index_health_report",
+    oracle=_index_health_oracle(),
+    description=f"ANN index-health report (faiss index-stats shape) over "
+    f"the registered quantizers: per coarse list ({_IVFADC_K} rows) the "
+    f"primary occupancy, {_IVFADC_REP}x-replicated membership, and "
+    "rounded occupancy share — the inverted-file balance gate (a hot "
+    f"list degenerates the bucket join toward the corpus); per PQ "
+    f"subspace ({_PQ_M} rows) the used-codeword count, the hottest "
+    "codeword's occupancy, and the int64 fixed-point quantization-error "
+    "sum of the assigned codes — the dead-codeword / collapsed-subspace "
+    "/ lossy-tier-price gate. Composes the SAME sampled fixed-point "
+    "training chain the retrieval queries use, so the whole report "
+    "(training included) is hash-checked; integer counts + one rounded "
+    "division.",
+    tags=("similarity", "ann", "index-ops", "report", "llm-pipeline"),
+)
+def ann_index_health_report(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    unit = _unit_vectors(spark, sf_dir).persist()
+    n_corpus = T(spark, sf_dir, "embeddings").count()  # scale-ok: 1 scalar count
+    tsamp = _train_sample(unit, n_corpus)
+    lists = _coarse_lists(unit, train=tsamp)[0]
+    subrows, assign = _pq_train(unit, train=tsamp)
+
+    lspine = spark.createDataFrame(
+        [(l,) for l in range(_IVFADC_K)], "idx long"
+    )
+    mspine = spark.createDataFrame([(m,) for m in range(_PQ_M)], "m long")
+
+    prim_n = (
+        lists.groupBy(F.col("cluster").cast("long").alias("idx"))
+        .agg(F.count("*").cast("long").alias("np"))
+    )
+    rep_n = (
+        lists.select(F.explode("rep_lists").alias("cluster"))
+        .groupBy(F.col("cluster").cast("long").alias("idx"))
+        .agg(F.count("*").cast("long").alias("nr"))
+    )
+    coarse_rows = (
+        lspine.join(prim_n, "idx", "left")
+        .join(rep_n, "idx", "left")
+        .select(
+            F.lit("coarse_list").alias("component"),
+            "idx",
+            F.coalesce("np", F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce("nr", F.lit(0)).cast("long").alias("n_b"),
+            F.round(
+                F.coalesce("np", F.lit(0)).cast("double") / F.lit(n_corpus),
+                6,
+            ).alias("share"),
+            F.lit(None).cast("long").alias("err_fixed"),
+        )
+    )
+    # Chosen-code quantization error: d[code] is the assigned codeword's
+    # own fixed-point distance (0-based array subscript, matching the
+    # 0-based code id).
+    code_n = (
+        assign(subrows)
+        .select("m", "code", F.expr("d[code]").alias("dist"))
+        .groupBy("m", "code")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("dist").cast("long").alias("err"),
+        )
+    )
+    pq_rows = (
+        mspine.join(code_n, "m", "left")
+        .groupBy("m")
+        .agg(
+            F.count("code").cast("long").alias("n_a"),
+            F.coalesce(F.max("n"), F.lit(0)).cast("long").alias("n_b"),
+            F.coalesce(F.sum("err"), F.lit(0)).cast("long").alias(
+                "err_fixed"
+            ),
+        )
+        .select(
+            F.lit("pq_subspace").alias("component"),
+            F.col("m").alias("idx"),
+            "n_a",
+            "n_b",
+            F.lit(None).cast("double").alias("share"),
+            "err_fixed",
+        )
+    )
+    return coarse_rows.unionByName(pq_rows)
+
+
+# ---------------------------------------------------------------------------
 # Residual PQ (IVFADC-residual): the refinement the ann_topk_ivfadc
 # docstring promises. The corpus is stored ONCE, in its primary coarse
 # list (faiss's actual layout — the plain IVFADC above multi-assigns for

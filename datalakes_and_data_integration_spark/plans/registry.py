@@ -81,12 +81,13 @@ def register(
 # #4) plus the three dedup tiers whose signatures grew the optional
 # pre-shingled frame for it (default path byte-identical, but changed
 # code carries fresh driver evidence — the standing clause (a)), and
-# the ann_index_health_report newcomer (never verified — clause (a) by
-# definition), and the 40-query oldest cohort: the 21 round-1 names
+# the two round-7 newcomers ann_index_health_report +
+# streaming_decontamination_gate (never verified — clause (a) by
+# definition), and the 39-query oldest cohort: the 21 round-1 names
 # that yielded slots in rounds 5/6 (topn, the tpch suite,
 # union_dedup_events, user_first_last_event,
-# value_histogram/percentiles) followed by the alphabetically-first 19
-# of the round-2 cohort. 10 + 40 = 50.
+# value_histogram/percentiles) followed by the alphabetically-first 18
+# of the round-2 cohort. 11 + 39 = 50.
 WINDOW_ROUND = 7  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # policy clause (a): code changed since the newest green row
@@ -99,8 +100,9 @@ ROUND_CHANGED: list[str] = [
     "dedup_containment_pairs",
     "dedup_minhash_lsh",
     "dedup_cluster_assignment",
-    # round-7 newcomer: no green row exists yet
+    # round-7 newcomers: no green row exists yet
     "ann_index_health_report",
+    "streaming_decontamination_gate",
 ]
 WINDOW_PRIORITY: list[str] = [
     "ann_topk_pq",
@@ -113,6 +115,7 @@ WINDOW_PRIORITY: list[str] = [
     "dedup_minhash_lsh",
     "dedup_cluster_assignment",
     "ann_index_health_report",
+    "streaming_decontamination_gate",
     # oldest cohort, newest green row r1 (oldest-first, alphabetical)
     "topn_orders_per_customer",
     "tpch_q10_returned_items",
@@ -154,7 +157,6 @@ WINDOW_PRIORITY: list[str] = [
     "lag6_diff",
     "lag6_pct_change",
     "mean_impute",
-    "minhash_jaccard_calibration",
 ]
 
 

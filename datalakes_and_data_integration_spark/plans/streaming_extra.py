@@ -573,3 +573,67 @@ def streaming_cusum_changepoint(spark, sf_dir):
         name="streaming_cusum_hourly_out",
     )
     return cusum_stat(hourly)
+
+
+def _decon_gate_oracle() -> str:
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_sql_duck,
+    )
+    from datalakes_and_data_integration_spark.functions.text import (
+        shingles_sql_duck,
+        tokens_sql_duck,
+    )
+
+    tok = tokens_sql_duck("text")
+    shing = shingles_sql_duck("toks", 8)
+    bucket = f"{hash60_sql_duck('CAST(doc_id AS VARCHAR)', seed=7)} % 100"
+    return f"""
+    WITH split_docs AS (
+      SELECT doc_id, {bucket} AS b, {tok} AS toks FROM documents
+    ),
+    shingled AS (
+      SELECT doc_id, b, unnest({shing}) AS g
+      FROM split_docs WHERE len({shing}) > 0
+    ),
+    eval_digests AS (
+      SELECT DISTINCT md5(g) AS dg FROM shingled WHERE b >= 80
+    ),
+    train_digests AS (
+      SELECT DISTINCT doc_id, md5(g) AS dg FROM shingled WHERE b < 80
+    )
+    SELECT DISTINCT t.doc_id
+    FROM train_digests t JOIN eval_digests e ON e.dg = t.dg
+    """
+
+
+@register(
+    "streaming_decontamination_gate",
+    oracle=_decon_gate_oracle(),
+    description="Online eval-leakage admission gate: TRAIN-split documents "
+    "(dataset_split_assignment's exact deterministic hash) streaming in "
+    "are flagged when any of their word 8-shingle md5 digests occurs in "
+    "the static val/test corpus — the streaming INVERSE of "
+    "split_decontamination_report (that one decontaminates the eval side "
+    "after the fact; this one stops eval content entering training as it "
+    "arrives — the gate a continuously-ingesting pipeline runs in front "
+    "of its training store). Stream-static inner digest join (eval digest "
+    "set re-read per trigger, AQE-broadcast, NO join state) + "
+    "dropDuplicates on flagged ids, run to completion with "
+    "Trigger.AvailableNow in append mode; equals the batch semi-join "
+    "(the oracle).",
+    tags=("streaming", "contamination", "split", "llm-pipeline"),
+)
+def streaming_decontamination_gate(spark, sf_dir):
+    from datalakes_and_data_integration_spark.streaming import (
+        run_available_now,
+    )
+    from datalakes_and_data_integration_spark.streaming.file_stream import (
+        decontamination_gate_stream,
+        documents_stream,
+    )
+
+    stream = documents_stream(spark, sf_dir)
+    gated = decontamination_gate_stream(stream, spark, sf_dir)
+    return run_available_now(
+        gated, spark, name="streaming_decon_gate_out", output_mode="append"
+    )

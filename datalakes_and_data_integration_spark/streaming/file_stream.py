@@ -478,3 +478,77 @@ def hourly_fixed_stream(stream: DataFrame) -> DataFrame:
         )
         .select(F.col("window.start").alias("hour"), "event_type", "h")
     )
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents parquet (same pathGlobFilter trick
+    as events_stream — the file source wants a directory)."""
+    batch = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def decontamination_gate_stream(
+    stream: DataFrame, spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Online eval-leakage admission gate: incoming TRAIN-split documents
+    are flagged when they share a word 8-shingle digest with the static
+    val/test corpus — the streaming inverse of the batch
+    split_decontamination_report (that one decontaminates the EVAL side
+    after the fact; this one stops eval content entering TRAINING as it
+    arrives). Stream-static inner join on md5 digests: the eval digest
+    set is dim-like (distinct 8-shingle digests of the 20% eval split),
+    re-read per micro-batch and broadcast by AQE, so the join keeps NO
+    streaming state; the only state is dropDuplicates on the flagged
+    doc ids (bounded by the contaminated-doc count — at 100 TB add a
+    processing-time watermark + dropDuplicatesWithinWatermark if flagged
+    ids must expire). Emits contaminated train doc_ids, append mode.
+    """
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_sql_spark,
+    )
+    from datalakes_and_data_integration_spark.functions.text import (
+        shingles_expr_spark,
+    )
+
+    _tok = "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
+    bucket = (
+        F.expr(hash60_sql_spark("CAST(doc_id AS STRING)", seed=7)) % 100
+    )
+    shing = shingles_expr_spark("toks", 8)
+
+    # Static side: the eval split's distinct shingle digests (batch read,
+    # re-evaluated per trigger so an eval-set refresh lands without a
+    # restart).
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    eval_digests = (
+        docs.select("doc_id", F.expr(_tok).alias("toks"))
+        .filter(bucket >= 80)
+        .select(F.explode(F.expr(shing)).alias("g"))
+        .select(F.md5("g").alias("dg"))
+        .distinct()
+    )
+
+    # Repartition the narrow (doc_id, toks) pair before the shingle
+    # explode — the text-family single-split rule (plans/_util.spread):
+    # a one-file micro-batch otherwise runs all tokenize/shingle/hash
+    # work on one task. Streams can't inspect partition counts, so the
+    # exchange is unconditional; it ships the narrow pair, never text
+    # twice.
+    n_part = min(int(spark.conf.get("spark.sql.shuffle.partitions")), 64)
+    train = (
+        stream.filter(bucket < 80)
+        .select("doc_id", F.expr(_tok).alias("toks"))
+        .repartition(n_part, "doc_id")
+    )
+    train_digests = train.select(
+        "doc_id", F.explode(F.expr(shing)).alias("g")
+    ).select("doc_id", F.md5("g").alias("dg"))
+    return (
+        train_digests.join(eval_digests, "dg")
+        .select("doc_id")
+        .dropDuplicates(["doc_id"])
+    )

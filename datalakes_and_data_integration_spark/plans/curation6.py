@@ -1,0 +1,243 @@
+"""Embedding-space curation (round 7): the two cluster-then-prune
+operators large-scale training-data pipelines run on top of the very
+coarse quantizer the ANN tier already trains.
+
+- ``semantic_dedup_assignment``: SemDeDup (Abbas et al. 2023,
+  arXiv:2303.09540) — k-means-cluster the embeddings, then call two
+  documents semantic duplicates when their cosine inside the SAME
+  cluster clears a threshold, and keep ONE representative per duplicate
+  neighborhood. Pair generation is cluster-bounded (an equi join on the
+  cluster id), which is the entire point of the method: no all-pairs
+  term anywhere, the quadratic cost is capped by the largest cluster —
+  the same scale shape as the LSH bucket join, and the inverted-file
+  balance that ``ann_index_health_report`` measures is exactly the
+  hazard that would degrade it.
+- ``prototypicality_pruning``: SSL-prototype data pruning (Sorscher et
+  al. 2022, arXiv:2206.14486) — rank every vector by its distance to
+  its cluster centroid and prune the most prototypical quarter (the
+  "easy", redundant examples; at scale you keep the hard tail). One
+  hash shuffle on the cluster id; the per-cluster sort is bounded by
+  the largest cluster.
+
+Both compose the REGISTERED coarse quantizer (`similarity_extra.
+_coarse_lists` — deterministic md5-seeded init, corpus-capped md5
+training sample, int64 fixed-point Lloyd steps), so the full pipeline
+INCLUDING training is exactly reproducible in SQL and hash-checked:
+cluster ids, fixed-point centroid distances, ranks, and booleans only —
+the one float boundary (the cosine threshold) compares 6-decimal-rounded
+doubles computed with the identical left-fold operation order on both
+engines (the ``embedding_near_dup`` recipe).
+
+These extend the reference's capability surface (SURVEY.md §2
+extensions — the reference ETL, `/root/reference/src/
+process_to_curated.py`, has no embedding stage at all); they exist for
+the 100 TB training-data mandate. At that scale K grows with the corpus
+(SemDeDup runs ~50k clusters for 600M embeddings) so cluster size — and
+with it both the pair join and the rank sort — stays bounded; K here
+follows the ANN tier's 16 so the trained chain is byte-shared with the
+IVF oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalakes_and_data_integration_spark.plans.registry import register
+from datalakes_and_data_integration_spark.plans.similarity import (
+    _dot_duck,
+    _dot_spark,
+)
+from datalakes_and_data_integration_spark.plans.similarity_extra import (
+    _IVFADC_ITERS,
+    _coarse_cte_blocks,
+    _coarse_lists,
+    _fx_term,
+    _fx_term_sql,
+    _pq_prelude_sql,
+    _train_sample,
+    _unit_vectors,
+)
+
+# Cosine threshold for "semantic duplicate" INSIDE a cluster. The corpus
+# is near-isotropic (max pairwise cosine ~0.5), so the near-dup tier's
+# 0.35 keeps the check non-vacuous at every SF while staying selective;
+# on real embedding corpora SemDeDup runs 0.9+ — the threshold is a
+# knob, the semantics don't change.
+_SEM_TAU = "0.35"
+
+
+def _primary_assign_sql() -> str:
+    """Oracle CTEs ``cdist0``/``prim``: per-vector primary cluster AND its
+    fixed-point distance — the ``caf`` assignment re-derived with the
+    distance column exposed (caf itself keeps only the rank). ``dist``
+    is cast back to BIGINT (DuckDB integer sum() returns HUGEINT, which
+    the driver's arrow hash renders as decimal128 — the CORRECTNESS_r02
+    trap)."""
+    return f"""
+    cdist0 AS MATERIALIZED (
+      SELECT v.vec_id, c.cluster, sum({_fx_term_sql('v.x', 'c.ms')}) AS dist
+      FROM sdims v JOIN cc{_IVFADC_ITERS} c ON c.i = v.i
+      GROUP BY v.vec_id, c.cluster
+    ),
+    prim AS MATERIALIZED (
+      SELECT vec_id, cluster, CAST(dist AS BIGINT) AS dist
+      FROM (
+        SELECT vec_id, cluster, dist,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM cdist0
+      ) WHERE rn = 1
+    )"""
+
+
+def _chain_prefix_sql() -> str:
+    """Prelude + coarse Lloyd chain + primary assignment with distance.
+    ``_coarse_cte_blocks()[:-1]`` drops the trailing ``caf`` CTE (the
+    rank-only final assignment) — ``prim`` re-derives it WITH the
+    distance column, so keeping caf would only duplicate the corpus-
+    scale aggregate."""
+    coarse = _coarse_cte_blocks()[:-1]
+    return f"{_pq_prelude_sql()},{','.join(coarse)},{_primary_assign_sql()}"
+
+
+def _primary_assign_spark(unit, cents):
+    """Spark twin of ``prim``: primary cluster + fixed-point distance from
+    the trained centroid literals. Same argmin tiebreak as the oracle's
+    ORDER BY dist, cluster (array_position returns the FIRST index
+    achieving the min)."""
+    term = _fx_term("x", "c")
+
+    def dist2(mvec):
+        lits = ", ".join(f"{v}L" for v in mvec)
+        return F.expr(
+            f"aggregate(zip_with(arr, array({lits}), "
+            f"(x, c) -> {term}), CAST(0 AS BIGINT), (a, v) -> a + v)"
+        )
+
+    dists = F.array(*[dist2(c) for c in cents])
+    return unit.withColumn("d", dists).select(
+        "vec_id",
+        "arr",
+        F.expr("CAST(array_position(d, array_min(d)) - 1 AS INT)").alias(
+            "cluster"
+        ),
+        F.expr("array_min(d)").alias("dist"),
+    )
+
+
+def _trained_primary(spark, sf_dir):
+    """Unit vectors -> trained centroids (corpus-capped md5 sample, the
+    ANN tier's exact chain) -> per-vector (vec_id, arr, cluster, dist)."""
+    unit = _unit_vectors(spark, sf_dir).persist()
+    n = unit.count()  # scale-ok: 1 scalar count (sample-threshold literal)
+    _, cents = _coarse_lists(unit, train=_train_sample(unit, n))
+    return _primary_assign_spark(unit, cents)
+
+
+@register(
+    "semantic_dedup_assignment",
+    oracle=f"""
+    WITH {_chain_prefix_sql()},
+    removed AS MATERIALIZED (
+      SELECT DISTINCT a.vec_id
+      FROM prim a
+      JOIN prim b ON b.cluster = a.cluster AND b.vec_id <> a.vec_id
+      JOIN unit ua ON ua.vec_id = a.vec_id
+      JOIN unit ub ON ub.vec_id = b.vec_id
+      WHERE round({_dot_duck('ua.arr', 'ub.arr')}, 6) >= {_SEM_TAU}
+        AND (b.dist > a.dist
+             OR (b.dist = a.dist AND b.vec_id < a.vec_id))
+    )
+    SELECT p.vec_id, p.cluster, p.dist,
+           (p.vec_id IN (SELECT vec_id FROM removed)) AS is_removed
+    FROM prim p
+    """,
+    description="SemDeDup semantic deduplication (Abbas et al. 2023): "
+    "embeddings are k-means-clustered by the ANN tier's fixed-point "
+    f"coarse quantizer, and within each cluster a vector is removed when "
+    f"a semantic duplicate (unit-vector cosine >= {_SEM_TAU}, 6-decimal-"
+    "rounded identical-fold doubles) exists that is LESS prototypical — "
+    "farther from the centroid in int64 fixed-point distance, ties to "
+    "the smaller vec_id — so each duplicate neighborhood keeps its most "
+    "diverse member (the paper's keep-low-centroid-similarity rule). "
+    "Pair generation is an equi join on the cluster id: no all-pairs "
+    "term, quadratic cost bounded by the largest cluster (the LSH-bucket "
+    "shape), and at 100 TB K scales with the corpus to keep clusters "
+    "bounded. Output is per-vector: cluster, fixed-point centroid "
+    "distance, and the removal verdict — training included, the whole "
+    "report is hash-checked.",
+    tags=("similarity", "dedup", "curation", "semdedup", "llm-pipeline"),
+)
+def semantic_dedup_assignment(spark, sf_dir):
+    prim = _trained_primary(spark, sf_dir).persist()
+    a, b = prim.alias("a"), prim.alias("b")
+    cos = F.round(F.expr(_dot_spark("a.arr", "b.arr")), 6)
+    removed = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") != F.col("b.vec_id"))
+            & (cos >= F.lit(float(_SEM_TAU)))
+            & (
+                (F.col("b.dist") > F.col("a.dist"))
+                | (
+                    (F.col("b.dist") == F.col("a.dist"))
+                    & (F.col("b.vec_id") < F.col("a.vec_id"))
+                )
+            ),
+            "left_semi",
+        )
+        .select("vec_id")
+        .withColumn("is_removed", F.lit(True))
+    )
+    return prim.select("vec_id", "cluster", "dist").join(
+        removed, "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cluster",
+        "dist",
+        F.coalesce("is_removed", F.lit(False)).alias("is_removed"),
+    )
+
+
+@register(
+    "prototypicality_pruning",
+    oracle=f"""
+    WITH {_chain_prefix_sql()}
+    SELECT vec_id, cluster, dist, proto_rank, n_cluster,
+           (proto_rank * 4 <= n_cluster) AS is_pruned
+    FROM (
+      SELECT vec_id, cluster, dist,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY dist, vec_id) AS proto_rank,
+             count(*) OVER (PARTITION BY cluster) AS n_cluster
+      FROM prim
+    )
+    """,
+    description="SSL-prototype data pruning (Sorscher et al. 2022): rank "
+    "every vector inside its coarse cluster by int64 fixed-point distance "
+    "to the trained centroid (ascending = most prototypical first, ties "
+    "to the smaller vec_id) and prune the most prototypical quarter "
+    "(rank*4 <= cluster size, pure integer arithmetic) — the "
+    "easy/redundant examples a scaling-law-beating pruning schedule "
+    "drops first. One hash shuffle on the cluster id; the per-cluster "
+    "sort is bounded by the largest cluster, and at 100 TB K grows with "
+    "the corpus exactly as in semantic_dedup_assignment. Composes the "
+    "same fixed-point training chain, so ranks and the prune verdict "
+    "are exact cross-engine.",
+    tags=("similarity", "curation", "pruning", "llm-pipeline"),
+)
+def prototypicality_pruning(spark, sf_dir):
+    from pyspark.sql import Window
+
+    prim = _trained_primary(spark, sf_dir)
+    w = Window.partitionBy("cluster").orderBy("dist", "vec_id")
+    wc = Window.partitionBy("cluster")
+    return (
+        prim.select("vec_id", "cluster", "dist")
+        .withColumn("proto_rank", F.row_number().over(w))
+        .withColumn("n_cluster", F.count(F.lit(1)).over(wc))
+        .withColumn(
+            "is_pruned", F.col("proto_rank") * 4 <= F.col("n_cluster")
+        )
+    )

@@ -81,13 +81,14 @@ def register(
 # #4) plus the three dedup tiers whose signatures grew the optional
 # pre-shingled frame for it (default path byte-identical, but changed
 # code carries fresh driver evidence — the standing clause (a)), and
-# the two round-7 newcomers ann_index_health_report +
-# streaming_decontamination_gate (never verified — clause (a) by
-# definition), and the 39-query oldest cohort: the 21 round-1 names
+# the four round-7 newcomers ann_index_health_report +
+# streaming_decontamination_gate + semantic_dedup_assignment +
+# prototypicality_pruning (never verified — clause (a) by
+# definition), and the 37-query oldest cohort: the 21 round-1 names
 # that yielded slots in rounds 5/6 (topn, the tpch suite,
 # union_dedup_events, user_first_last_event,
-# value_histogram/percentiles) followed by the alphabetically-first 18
-# of the round-2 cohort. 11 + 39 = 50.
+# value_histogram/percentiles) followed by the alphabetically-first 16
+# of the round-2 cohort. 13 + 37 = 50.
 WINDOW_ROUND = 7  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # policy clause (a): code changed since the newest green row
@@ -103,6 +104,8 @@ ROUND_CHANGED: list[str] = [
     # round-7 newcomers: no green row exists yet
     "ann_index_health_report",
     "streaming_decontamination_gate",
+    "semantic_dedup_assignment",
+    "prototypicality_pruning",
 ]
 WINDOW_PRIORITY: list[str] = [
     "ann_topk_pq",
@@ -116,6 +119,8 @@ WINDOW_PRIORITY: list[str] = [
     "dedup_cluster_assignment",
     "ann_index_health_report",
     "streaming_decontamination_gate",
+    "semantic_dedup_assignment",
+    "prototypicality_pruning",
     # oldest cohort, newest green row r1 (oldest-first, alphabetical)
     "topn_orders_per_customer",
     "tpch_q10_returned_items",
@@ -155,8 +160,6 @@ WINDOW_PRIORITY: list[str] = [
     "gapfill_hourly_locf",
     "intradoc_repetition",
     "lag6_diff",
-    "lag6_pct_change",
-    "mean_impute",
 ]
 
 

@@ -44,6 +44,7 @@ LADDER = [
     "embedding_random_projection",
     "embedding_quantization_error",
     "balanced_batch_assignment",
+    "prototypicality_pruning",
     "centroid_classifier_eval",
     "ann_label_mrr",
     "knn_classifier_eval",
@@ -55,6 +56,7 @@ LADDER = [
     "ann_hard_negatives",
     "embedding_near_dup",
     "embedding_near_dup_hybrid",
+    "semantic_dedup_assignment",
 ]
 
 

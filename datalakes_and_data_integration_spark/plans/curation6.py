@@ -28,6 +28,20 @@ the one float boundary (the cosine threshold) compares 6-decimal-rounded
 doubles computed with the identical left-fold operation order on both
 engines (the ``embedding_near_dup`` recipe).
 
+The module also carries the LEXICAL retrieval surface:
+
+- ``lexical_topk_retrieval``: sparse inverted-index retrieval — eval
+  documents retrieve their top-5 train documents by rare-shingle
+  overlap, scored with an integer idf surrogate (train-corpus size
+  integer-divided by document frequency, so the whole score is exact
+  int64 — BM25's ln() is not correctly rounded cross-engine, the
+  integer weight is, and the RANKING shape is identical). Candidates
+  come only from the posting-list join on the shingle digest, and a
+  document-frequency prune (df > N/10) caps posting-list length — the
+  hot-term guard that bounds the join at scale (non-binding on this
+  synthetic corpus, max df ≈ N/70; binding on natural stopword-heavy
+  text, exactly like the ANN training-sample cap).
+
 These extend the reference's capability surface (SURVEY.md §2
 extensions — the reference ETL, `/root/reference/src/
 process_to_curated.py`, has no embedding stage at all); they exist for
@@ -240,4 +254,135 @@ def prototypicality_pruning(spark, sf_dir):
         .withColumn(
             "is_pruned", F.col("proto_rank") * 4 <= F.col("n_cluster")
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lexical sparse retrieval over the shingle inverted index.
+# ---------------------------------------------------------------------------
+
+_RET_N = 3  # words per retrieval shingle (the containment tier's feature)
+_RET_TOPK = 5
+_RET_DF_CAP = 10  # prune shingles present in more than 1/_RET_DF_CAP of docs
+
+
+def _lexical_retrieval_oracle() -> str:
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_sql_duck,
+    )
+    from datalakes_and_data_integration_spark.functions.text import (
+        shingles_sql_duck,
+        tokens_sql_duck,
+    )
+
+    shing = shingles_sql_duck("toks", _RET_N)
+    bucket = f"{hash60_sql_duck('CAST(doc_id AS VARCHAR)', seed=7)} % 100"
+    return f"""
+    WITH split_docs AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN {bucket} < 80 THEN 'train' ELSE 'eval' END AS split,
+             {tokens_sql_duck('text')} AS toks
+      FROM documents
+    ),
+    ntrain AS MATERIALIZED (
+      SELECT count(*) AS n FROM split_docs WHERE split = 'train'
+    ),
+    shingled AS MATERIALIZED (
+      SELECT doc_id, split, md5(g) AS dg
+      FROM (SELECT doc_id, split, unnest({shing}) AS g FROM split_docs)
+    ),
+    corpus AS MATERIALIZED (
+      SELECT doc_id, dg FROM shingled WHERE split = 'train'
+    ),
+    w AS MATERIALIZED (
+      SELECT dg, (SELECT n FROM ntrain) // df AS w
+      FROM (SELECT dg, count(*) AS df FROM corpus GROUP BY dg)
+      WHERE df * {_RET_DF_CAP} <= (SELECT n FROM ntrain)
+    ),
+    cand AS (
+      SELECT e.doc_id AS query_doc_id, c.doc_id AS doc_id,
+             CAST(sum(w.w) AS BIGINT) AS score
+      FROM (SELECT doc_id, dg FROM shingled WHERE split = 'eval') e
+      JOIN w ON w.dg = e.dg
+      JOIN corpus c ON c.dg = e.dg
+      GROUP BY 1, 2
+    )
+    SELECT query_doc_id, doc_id, score, rank FROM (
+      SELECT query_doc_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_doc_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM cand
+    ) WHERE rank <= {_RET_TOPK}
+    """
+
+
+@register(
+    "lexical_topk_retrieval",
+    oracle=_lexical_retrieval_oracle(),
+    description=f"Sparse lexical retrieval: every eval-split document "
+    f"(dataset_split_assignment's deterministic hash split, val+test) "
+    f"retrieves its top-{_RET_TOPK} train documents by rare-shingle "
+    f"overlap — score = sum over shared word-{_RET_N}-shingles of the "
+    "integer idf surrogate (train-corpus size integer-divided by the "
+    "shingle's document frequency), all-int64 so ranking is exact "
+    "cross-engine where BM25's ln() would not be. Candidates come ONLY "
+    "from the posting-list equi join on md5 shingle digests (the "
+    "inverted-index shape — no doc-pair term anywhere), and shingles in "
+    f"more than 1/{_RET_DF_CAP} of the corpus are pruned, capping "
+    "posting-list length: the hot-term guard that bounds the join fan-out "
+    "at 100 TB (binding on natural stopword-heavy text; non-binding "
+    "here). The weight table is vocabulary-sized and broadcasts; the "
+    "top-k runs as a partial-top-k window. The lexical leg of a "
+    "retrieval stack next to the ANN tier.",
+    tags=("text", "retrieval", "inverted-index", "llm-pipeline"),
+)
+def lexical_topk_retrieval(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_sql_spark,
+    )
+    from datalakes_and_data_integration_spark.functions.text import (
+        shingles_expr_spark,
+    )
+    from datalakes_and_data_integration_spark.plans._util import T, spread
+
+    d = spread(T(spark, sf_dir, "documents"), spark)
+    bucket = F.expr(hash60_sql_spark("CAST(doc_id AS STRING)", seed=7)) % 100
+    split_docs = d.select(
+        "doc_id",
+        F.when(bucket < 80, "train").otherwise("eval").alias("split"),
+        F.expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')").alias(
+            "toks"
+        ),
+    )
+    shing = shingles_expr_spark("toks", _RET_N)
+    shingled = split_docs.select(
+        "doc_id", "split", F.explode(F.expr(shing)).alias("g")
+    ).select("doc_id", "split", F.md5("g").alias("dg")).persist()
+    corpus = shingled.filter(F.col("split") == "train").select("doc_id", "dg")
+    n_train = split_docs.filter(
+        F.col("split") == "train"
+    ).count()  # scale-ok: 1 scalar count (weight-table literal)
+    w = (
+        corpus.groupBy("dg")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") * _RET_DF_CAP <= F.lit(n_train))
+        .select("dg", F.expr(f"CAST({n_train} AS BIGINT) div df").alias("w"))
+    )
+    cand = (
+        shingled.filter(F.col("split") == "eval")
+        .select(F.col("doc_id").alias("query_doc_id"), "dg")
+        .join(w, "dg")
+        .join(corpus, "dg")
+        .groupBy("query_doc_id", "doc_id")
+        .agg(F.sum("w").alias("score"))
+    )
+    rw = Window.partitionBy("query_doc_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= _RET_TOPK)
+        .select("query_doc_id", "doc_id", "score", "rank")
     )

@@ -81,14 +81,14 @@ def register(
 # #4) plus the three dedup tiers whose signatures grew the optional
 # pre-shingled frame for it (default path byte-identical, but changed
 # code carries fresh driver evidence — the standing clause (a)), and
-# the four round-7 newcomers ann_index_health_report +
+# the five round-7 newcomers ann_index_health_report +
 # streaming_decontamination_gate + semantic_dedup_assignment +
-# prototypicality_pruning (never verified — clause (a) by
-# definition), and the 37-query oldest cohort: the 21 round-1 names
-# that yielded slots in rounds 5/6 (topn, the tpch suite,
-# union_dedup_events, user_first_last_event,
-# value_histogram/percentiles) followed by the alphabetically-first 16
-# of the round-2 cohort. 13 + 37 = 50.
+# prototypicality_pruning + lexical_topk_retrieval (never verified —
+# clause (a) by definition), and the 36-query oldest cohort: the 21
+# round-1 names that yielded slots in rounds 5/6 (topn, the tpch
+# suite, union_dedup_events, user_first_last_event,
+# value_histogram/percentiles) followed by the alphabetically-first 15
+# of the round-2 cohort. 14 + 36 = 50.
 WINDOW_ROUND = 7  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # policy clause (a): code changed since the newest green row
@@ -106,6 +106,7 @@ ROUND_CHANGED: list[str] = [
     "streaming_decontamination_gate",
     "semantic_dedup_assignment",
     "prototypicality_pruning",
+    "lexical_topk_retrieval",
 ]
 WINDOW_PRIORITY: list[str] = [
     "ann_topk_pq",
@@ -121,6 +122,7 @@ WINDOW_PRIORITY: list[str] = [
     "streaming_decontamination_gate",
     "semantic_dedup_assignment",
     "prototypicality_pruning",
+    "lexical_topk_retrieval",
     # oldest cohort, newest green row r1 (oldest-first, alphabetical)
     "topn_orders_per_customer",
     "tpch_q10_returned_items",
@@ -159,7 +161,6 @@ WINDOW_PRIORITY: list[str] = [
     "embedding_near_dup_hybrid",
     "gapfill_hourly_locf",
     "intradoc_repetition",
-    "lag6_diff",
 ]
 
 

@@ -77,3 +77,47 @@ def test_semantic_dedup_pair_join_is_cluster_bounded(spark):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lexical_retrieval_invariants(spark):
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_py,
+    )
+    from datalakes_and_data_integration_spark.plans.curation6 import (
+        lexical_topk_retrieval,
+    )
+
+    rows = lexical_topk_retrieval(spark, SF).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_doc_id, []).append(r)
+        # Queries are eval-split docs, retrieved docs are train-split.
+        assert hash60_py(str(r.query_doc_id), seed=7) % 100 >= 80
+        assert hash60_py(str(r.doc_id), seed=7) % 100 < 80
+        assert r.score > 0
+    for q, hits in by_q.items():
+        # <= k hits, ranks are the contiguous prefix, scores descend
+        # along ranks (ties broken by doc_id — monotone non-increasing).
+        assert len(hits) <= 5
+        hits.sort(key=lambda r: r.rank)
+        assert [r.rank for r in hits] == list(range(1, len(hits) + 1))
+        scores = [r.score for r in hits]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_lexical_retrieval_plan_shapes(spark):
+    """The inverted-index join must stay a hash equi join (no pair
+    term), and the per-query top-k must run the partial-top-k
+    optimization instead of materializing every candidate."""
+    from datalakes_and_data_integration_spark.plans.curation6 import (
+        lexical_topk_retrieval,
+    )
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        lexical_topk_retrieval(spark, SF).explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan

@@ -58,6 +58,7 @@ LADDER = [
     "dedup_cluster_assignment",
     "split_decontamination_report",
     "dedup_tier_overlap_report",
+    "lexical_topk_retrieval",
 ]
 
 

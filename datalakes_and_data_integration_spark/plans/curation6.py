@@ -261,24 +261,27 @@ def prototypicality_pruning(spark, sf_dir):
 # Lexical sparse retrieval over the shingle inverted index.
 # ---------------------------------------------------------------------------
 
-_RET_N = 3  # words per retrieval shingle (the containment tier's feature)
+_RET_N = 3  # words per idf-leg shingle (the containment tier's feature)
+_RET_OVERLAP_N = 8  # words per overlap-leg shingle (the decontamination n)
 _RET_TOPK = 5
 _RET_DF_CAP = 10  # prune shingles present in more than 1/_RET_DF_CAP of docs
+_RRF_K = 60  # the standard RRF rank constant
+_RRF_SCALE = 1_000_000  # integer RRF: _RRF_SCALE // (_RRF_K + rank)
 
 
-def _lexical_retrieval_oracle() -> str:
+def _retrieval_prelude_sql() -> str:
+    """Shared oracle CTEs: the deterministic train/eval hash split with
+    tokens, and the train-corpus size."""
     from datalakes_and_data_integration_spark.functions.hashing import (
         hash60_sql_duck,
     )
     from datalakes_and_data_integration_spark.functions.text import (
-        shingles_sql_duck,
         tokens_sql_duck,
     )
 
-    shing = shingles_sql_duck("toks", _RET_N)
     bucket = f"{hash60_sql_duck('CAST(doc_id AS VARCHAR)', seed=7)} % 100"
     return f"""
-    WITH split_docs AS MATERIALIZED (
+    split_docs AS MATERIALIZED (
       SELECT doc_id,
              CASE WHEN {bucket} < 80 THEN 'train' ELSE 'eval' END AS split,
              {tokens_sql_duck('text')} AS toks
@@ -286,32 +289,105 @@ def _lexical_retrieval_oracle() -> str:
     ),
     ntrain AS MATERIALIZED (
       SELECT count(*) AS n FROM split_docs WHERE split = 'train'
-    ),
-    shingled AS MATERIALIZED (
+    )"""
+
+
+def _shingled_sql(name: str, n: int) -> str:
+    """One (doc_id, split, dg) digest relation per shingle width."""
+    from datalakes_and_data_integration_spark.functions.text import (
+        shingles_sql_duck,
+    )
+
+    shing = shingles_sql_duck("toks", n)
+    return f"""
+    {name} AS MATERIALIZED (
       SELECT doc_id, split, md5(g) AS dg
       FROM (SELECT doc_id, split, unnest({shing}) AS g FROM split_docs)
+    )"""
+
+
+def _leg_idf_sql(out: str, shingled: str) -> str:
+    """The integer-idf leg's CTEs, ending in ``{out}`` =
+    (query_doc_id, doc_id, score, rank <= _RET_TOPK)."""
+    return f"""
+    {out}_corpus AS MATERIALIZED (
+      SELECT doc_id, dg FROM {shingled} WHERE split = 'train'
     ),
-    corpus AS MATERIALIZED (
-      SELECT doc_id, dg FROM shingled WHERE split = 'train'
-    ),
-    w AS MATERIALIZED (
+    {out}_w AS MATERIALIZED (
       SELECT dg, (SELECT n FROM ntrain) // df AS w
-      FROM (SELECT dg, count(*) AS df FROM corpus GROUP BY dg)
+      FROM (SELECT dg, count(*) AS df FROM {out}_corpus GROUP BY dg)
       WHERE df * {_RET_DF_CAP} <= (SELECT n FROM ntrain)
     ),
-    cand AS (
+    {out}_cand AS (
       SELECT e.doc_id AS query_doc_id, c.doc_id AS doc_id,
              CAST(sum(w.w) AS BIGINT) AS score
-      FROM (SELECT doc_id, dg FROM shingled WHERE split = 'eval') e
-      JOIN w ON w.dg = e.dg
-      JOIN corpus c ON c.dg = e.dg
+      FROM (SELECT doc_id, dg FROM {shingled} WHERE split = 'eval') e
+      JOIN {out}_w w ON w.dg = e.dg
+      JOIN {out}_corpus c ON c.dg = e.dg
       GROUP BY 1, 2
+    ),
+    {out} AS MATERIALIZED (
+      SELECT query_doc_id, doc_id, score, rank FROM (
+        SELECT query_doc_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_doc_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM {out}_cand
+      ) WHERE rank <= {_RET_TOPK}
+    )"""
+
+
+def _leg_overlap_sql(out: str, shingled: str) -> str:
+    """The overlap-count leg's CTEs: score = number of shared shingle
+    digests (the containment feature, near-unique at width
+    _RET_OVERLAP_N so no df weighting), ending in ``{out}``."""
+    return f"""
+    {out}_cand AS (
+      SELECT e.doc_id AS query_doc_id, c.doc_id AS doc_id,
+             CAST(count(*) AS BIGINT) AS score
+      FROM (SELECT doc_id, dg FROM {shingled} WHERE split = 'eval') e
+      JOIN (SELECT doc_id, dg FROM {shingled} WHERE split = 'train') c
+        ON c.dg = e.dg
+      GROUP BY 1, 2
+    ),
+    {out} AS MATERIALIZED (
+      SELECT query_doc_id, doc_id, score, rank FROM (
+        SELECT query_doc_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_doc_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM {out}_cand
+      ) WHERE rank <= {_RET_TOPK}
+    )"""
+
+
+def _lexical_retrieval_oracle() -> str:
+    return f"""
+    WITH {_retrieval_prelude_sql()},{_shingled_sql('sh3', _RET_N)},
+    {_leg_idf_sql('leg_a', 'sh3')}
+    SELECT query_doc_id, doc_id, score, rank FROM leg_a
+    """
+
+
+def _hybrid_rrf_oracle() -> str:
+    return f"""
+    WITH {_retrieval_prelude_sql()},{_shingled_sql('sh3', _RET_N)},
+    {_shingled_sql('sh8', _RET_OVERLAP_N)},
+    {_leg_idf_sql('leg_a', 'sh3')},
+    {_leg_overlap_sql('leg_b', 'sh8')},
+    fused AS (
+      SELECT coalesce(a.query_doc_id, b.query_doc_id) AS query_doc_id,
+             coalesce(a.doc_id, b.doc_id) AS doc_id,
+             CAST(coalesce({_RRF_SCALE} // ({_RRF_K} + a.rank), 0)
+                + coalesce({_RRF_SCALE} // ({_RRF_K} + b.rank), 0)
+                AS BIGINT) AS rrf_score
+      FROM leg_a a
+      FULL OUTER JOIN leg_b b
+        ON b.query_doc_id = a.query_doc_id AND b.doc_id = a.doc_id
     )
-    SELECT query_doc_id, doc_id, score, rank FROM (
-      SELECT query_doc_id, doc_id, score,
+    SELECT query_doc_id, doc_id, rrf_score, rank FROM (
+      SELECT query_doc_id, doc_id, rrf_score,
              row_number() OVER (PARTITION BY query_doc_id
-                                ORDER BY score DESC, doc_id) AS rank
-      FROM cand
+                                ORDER BY rrf_score DESC, doc_id) AS rank
+      FROM fused
     ) WHERE rank <= {_RET_TOPK}
     """
 
@@ -337,33 +413,68 @@ def _lexical_retrieval_oracle() -> str:
     tags=("text", "retrieval", "inverted-index", "llm-pipeline"),
 )
 def lexical_topk_retrieval(spark, sf_dir):
-    from pyspark.sql import Window
+    split_docs = _split_docs_spark(spark, sf_dir)
+    n_train = split_docs.filter(
+        F.col("split") == "train"
+    ).count()  # scale-ok: 1 scalar count (weight-table literal)
+    return _leg_idf_spark(_digests_spark(split_docs, _RET_N), n_train)
 
+
+def _split_docs_spark(spark, sf_dir):
+    """(doc_id, split train|eval, toks) under the deterministic hash
+    split — the retrieval legs' shared tokenize pass."""
     from datalakes_and_data_integration_spark.functions.hashing import (
         hash60_sql_spark,
-    )
-    from datalakes_and_data_integration_spark.functions.text import (
-        shingles_expr_spark,
     )
     from datalakes_and_data_integration_spark.plans._util import T, spread
 
     d = spread(T(spark, sf_dir, "documents"), spark)
     bucket = F.expr(hash60_sql_spark("CAST(doc_id AS STRING)", seed=7)) % 100
-    split_docs = d.select(
+    return d.select(
         "doc_id",
         F.when(bucket < 80, "train").otherwise("eval").alias("split"),
         F.expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')").alias(
             "toks"
         ),
     )
-    shing = shingles_expr_spark("toks", _RET_N)
-    shingled = split_docs.select(
-        "doc_id", "split", F.explode(F.expr(shing)).alias("g")
-    ).select("doc_id", "split", F.md5("g").alias("dg")).persist()
+
+
+def _digests_spark(split_docs, n: int):
+    """(doc_id, split, dg): per-doc DISTINCT word-n-shingle md5 digests,
+    persisted (each leg consumes its digest frame 2-3 times)."""
+    from datalakes_and_data_integration_spark.functions.text import (
+        shingles_expr_spark,
+    )
+
+    shing = shingles_expr_spark("toks", n)
+    return (
+        split_docs.select(
+            "doc_id", "split", F.explode(F.expr(shing)).alias("g")
+        )
+        .select("doc_id", "split", F.md5("g").alias("dg"))
+        .persist()
+    )
+
+
+def _topk_by_score(cand):
+    """(query_doc_id, doc_id, score) -> rank <= _RET_TOPK rows under the
+    (score desc, doc_id) total order — a WindowGroupLimit partial top-k."""
+    from pyspark.sql import Window
+
+    rw = Window.partitionBy("query_doc_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= _RET_TOPK)
+        .select("query_doc_id", "doc_id", "score", "rank")
+    )
+
+
+def _leg_idf_spark(shingled, n_train: int):
+    """The integer-idf leg: weighted rare-shingle overlap via the
+    posting-list join with the df > N/_RET_DF_CAP hot-term prune."""
     corpus = shingled.filter(F.col("split") == "train").select("doc_id", "dg")
-    n_train = split_docs.filter(
-        F.col("split") == "train"
-    ).count()  # scale-ok: 1 scalar count (weight-table literal)
     w = (
         corpus.groupBy("dg")
         .agg(F.count("*").alias("df"))
@@ -378,11 +489,78 @@ def lexical_topk_retrieval(spark, sf_dir):
         .groupBy("query_doc_id", "doc_id")
         .agg(F.sum("w").alias("score"))
     )
+    return _topk_by_score(cand)
+
+
+def _leg_overlap_spark(shingled):
+    """The overlap-count leg: score = shared digest count (near-unique
+    wide shingles need no df weighting — the containment feature)."""
+    cand = (
+        shingled.filter(F.col("split") == "eval")
+        .select(F.col("doc_id").alias("query_doc_id"), "dg")
+        .join(
+            shingled.filter(F.col("split") == "train").select("doc_id", "dg"),
+            "dg",
+        )
+        .groupBy("query_doc_id", "doc_id")
+        .agg(F.count("*").alias("score"))
+    )
+    return _topk_by_score(cand)
+
+
+@register(
+    "hybrid_retrieval_rrf",
+    oracle=_hybrid_rrf_oracle(),
+    description="Reciprocal-rank fusion of two lexical retrieval legs — "
+    f"the integer-idf rare-{_RET_N}-shingle ranker (lexical_topk_"
+    f"retrieval's leg) and a {_RET_OVERLAP_N}-shingle overlap-count "
+    "ranker (the decontamination/containment feature, near-unique so "
+    "unweighted) — the fusion step every multi-signal retrieval stack "
+    f"runs. RRF in pure integers: {_RRF_SCALE} div ({_RRF_K} + rank) "
+    "summed over the legs a candidate appears in (absent leg = 0), so "
+    "the fused ranking is exact cross-engine with no float reciprocal. "
+    "Scale shape: each leg is the bounded posting-list join with a "
+    "partial top-k, the fusion is a full outer join of two k-row-per-"
+    "query frames (k-bounded, trivially shuffled on the query id), and "
+    "the shared tokenize pass feeds both legs' shingle frames once.",
+    tags=("text", "retrieval", "rank-fusion", "llm-pipeline"),
+)
+def hybrid_retrieval_rrf(spark, sf_dir):
+    from pyspark.sql import Window
+
+    split_docs = _split_docs_spark(spark, sf_dir)
+    n_train = split_docs.filter(
+        F.col("split") == "train"
+    ).count()  # scale-ok: 1 scalar count (weight-table literal)
+    leg_a = _leg_idf_spark(_digests_spark(split_docs, _RET_N), n_train)
+    leg_b = _leg_overlap_spark(
+        _digests_spark(split_docs, _RET_OVERLAP_N)
+    )
+    a = leg_a.select(
+        "query_doc_id",
+        "doc_id",
+        F.expr(f"{_RRF_SCALE} div ({_RRF_K} + rank)").alias("ra"),
+    )
+    b = leg_b.select(
+        "query_doc_id",
+        "doc_id",
+        F.expr(f"{_RRF_SCALE} div ({_RRF_K} + rank)").alias("rb"),
+    )
+    fused = (
+        a.join(b, ["query_doc_id", "doc_id"], "full_outer")
+        .select(
+            "query_doc_id",
+            "doc_id",
+            (
+                F.coalesce("ra", F.lit(0)) + F.coalesce("rb", F.lit(0))
+            ).alias("rrf_score"),
+        )
+    )
     rw = Window.partitionBy("query_doc_id").orderBy(
-        F.col("score").desc(), F.col("doc_id")
+        F.col("rrf_score").desc(), F.col("doc_id")
     )
     return (
-        cand.withColumn("rank", F.row_number().over(rw))
+        fused.withColumn("rank", F.row_number().over(rw))
         .filter(F.col("rank") <= _RET_TOPK)
-        .select("query_doc_id", "doc_id", "score", "rank")
+        .select("query_doc_id", "doc_id", "rrf_score", "rank")
     )

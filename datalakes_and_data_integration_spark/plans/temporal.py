@@ -2417,3 +2417,90 @@ def top_user_journeys(spark, sf_dir):
             .alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 2 dimension build: rebuild a slowly-changing-dimension history
+# table from the raw event log — the Kimball warehouse-modeling operator
+# the reference's JDBC warehouse sink (SURVEY.md §2 S18) would feed at
+# scale. The tracked attribute is the coarse bucket of the JSON payload's
+# ``k`` field (k div 25): per user, each run of consecutive equal attr
+# values is one dimension VERSION with [valid_from, valid_to) validity
+# and an is_current flag on the open version.
+#
+# Scale shape: one shuffle on user_id shared by both window passes — the
+# change-detection lag runs over the event rows, and the version
+# numbering/lead runs over the (much smaller) change rows, which keep
+# the same partitioning so no second exchange. The rebuild-from-log form
+# is the batch/backfill path; the incremental path at 100 TB is the
+# registered streaming upsert (operators/upsert.py) applying the same
+# change rule per micro-batch.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_dimension_build",
+    oracle="""
+    WITH parsed AS (
+      SELECT user_id, ts, event_id,
+             CAST(json_extract(props, '$.k') AS BIGINT) // 25 AS attr
+      FROM events WHERE props IS NOT NULL
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_id, attr,
+             CASE WHEN lag(event_id) OVER w IS NULL
+                    OR attr IS DISTINCT FROM lag(attr) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM parsed
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    versions AS (
+      SELECT user_id, attr, ts AS valid_from, event_id
+      FROM flagged WHERE chg = 1
+    )
+    SELECT user_id, attr, valid_from,
+           lead(valid_from) OVER w2 AS valid_to,
+           row_number() OVER w2 AS version,
+           (lead(valid_from) OVER w2 IS NULL) AS is_current
+    FROM versions
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    """,
+    description="SCD Type 2 dimension rebuild from the event log: per "
+    "user, each run of consecutive equal attribute values (the JSON "
+    "payload's k field bucketed by integer div 25) becomes one dimension "
+    "version with [valid_from, valid_to) validity, version number, and "
+    "an is_current flag — the Kimball warehouse-history operator, "
+    "deterministic under the (ts, event_id) total order with null-safe "
+    "change detection (IS DISTINCT FROM). One shuffle on user_id: the "
+    "change-detection lag scans event rows, then version numbering and "
+    "the closing lead run over the change rows only, reusing the "
+    "partitioning. The batch/backfill path; incremental maintenance is "
+    "the streaming upsert tier.",
+    tags=("temporal", "window", "warehouse", "scd2"),
+)
+def scd2_dimension_build(spark, sf_dir):
+    from pyspark.sql import types as T_
+
+    ev = T(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    schema = T_.StructType([T_.StructField("k", T_.LongType())])
+    parsed = ev.withColumn("p", F.from_json("props", schema)).select(
+        "user_id", "ts", "event_id", F.expr("p.k div 25").alias("attr")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = parsed.withColumn(
+        "chg",
+        F.lag("event_id").over(w).isNull()
+        | ~F.col("attr").eqNullSafe(F.lag("attr").over(w)),
+    )
+    versions = flagged.filter(F.col("chg")).select(
+        "user_id", "attr", F.col("ts").alias("valid_from"), "event_id"
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return versions.select(
+        "user_id",
+        "attr",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )

@@ -106,6 +106,77 @@ def test_lexical_retrieval_invariants(spark):
         assert scores == sorted(scores, reverse=True)
 
 
+def test_hybrid_rrf_invariants(spark):
+    """RRF semantics against the legs it fuses: a doc in BOTH legs' top-5
+    must score the sum of the two reciprocal terms; a doc in one leg
+    scores exactly that leg's term; rank-1 agreement between a leg and
+    the fusion holds whenever the leg's top doc also tops the other leg
+    (not asserted — just the score identity, which pins the fusion
+    arithmetic end to end)."""
+    from datalakes_and_data_integration_spark.plans.curation6 import (
+        _RRF_K,
+        _RRF_SCALE,
+        _digests_spark,
+        _leg_idf_spark,
+        _leg_overlap_spark,
+        _split_docs_spark,
+        hybrid_retrieval_rrf,
+    )
+    from pyspark.sql import functions as F
+
+    split_docs = _split_docs_spark(spark, SF)
+    n_train = split_docs.filter(F.col("split") == "train").count()
+    leg_a = {
+        (r.query_doc_id, r.doc_id): r.rank
+        for r in _leg_idf_spark(_digests_spark(split_docs, 3), n_train).collect()
+    }
+    leg_b = {
+        (r.query_doc_id, r.doc_id): r.rank
+        for r in _leg_overlap_spark(_digests_spark(split_docs, 8)).collect()
+    }
+    fused = hybrid_retrieval_rrf(spark, SF).collect()
+    assert fused
+    both = 0
+    for r in fused:
+        key = (r.query_doc_id, r.doc_id)
+        expect = 0
+        if key in leg_a:
+            expect += _RRF_SCALE // (_RRF_K + leg_a[key])
+        if key in leg_b:
+            expect += _RRF_SCALE // (_RRF_K + leg_b[key])
+        assert expect > 0, f"fused row {key} is in neither leg's top-k"
+        assert r.rrf_score == expect
+        if key in leg_a and key in leg_b:
+            both += 1
+    # The two signals must actually overlap somewhere, or the fusion is
+    # a trivial union.
+    assert both > 0
+
+
+def test_scd2_dimension_build_invariants(spark):
+    from datalakes_and_data_integration_spark.plans.temporal import (
+        scd2_dimension_build,
+    )
+
+    rows = scd2_dimension_build(spark, SF).collect()
+    assert rows
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for u, vs in by_user.items():
+        vs.sort(key=lambda r: r.version)
+        assert [r.version for r in vs] == list(range(1, len(vs) + 1))
+        # Exactly one open (current) version per user — the last one.
+        currents = [r for r in vs if r.is_current]
+        assert len(currents) == 1 and currents[0].version == len(vs)
+        for prev, nxt in zip(vs, vs[1:]):
+            # Contiguous validity: each version closes where the next
+            # opens, and consecutive versions carry DIFFERENT attrs
+            # (change detection compresses runs).
+            assert prev.valid_to == nxt.valid_from
+            assert prev.attr != nxt.attr
+
+
 def test_lexical_retrieval_plan_shapes(spark):
     """The inverted-index join must stay a hash equi join (no pair
     term), and the per-query top-k must run the partial-top-k

@@ -59,6 +59,7 @@ LADDER = [
     "split_decontamination_report",
     "dedup_tier_overlap_report",
     "lexical_topk_retrieval",
+    "hybrid_retrieval_rrf",
 ]
 
 

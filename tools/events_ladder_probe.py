@@ -55,6 +55,7 @@ LADDER = [
     "session_bounce_rate_daily",
     "gapfill_hourly_interpolate",
     "json_props_extract",
+    "scd2_dimension_build",
     "cusum_changepoint",
     "robust_scaling_mad",
 ]

@@ -184,9 +184,22 @@ def _trained_primary(spark, sf_dir):
 )
 def semantic_dedup_assignment(spark, sf_dir):
     prim = _trained_primary(spark, sf_dir).persist()
+    return prim.select("vec_id", "cluster", "dist").join(
+        _semantic_removed(prim), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cluster",
+        "dist",
+        F.coalesce("is_removed", F.lit(False)).alias("is_removed"),
+    )
+
+
+def _semantic_removed(prim):
+    """(vec_id, is_removed=True) rows: vectors with a less-prototypical
+    same-cluster semantic duplicate — the SemDeDup removal set."""
     a, b = prim.alias("a"), prim.alias("b")
     cos = F.round(F.expr(_dot_spark("a.arr", "b.arr")), 6)
-    removed = (
+    return (
         a.join(
             b,
             (F.col("a.cluster") == F.col("b.cluster"))
@@ -203,14 +216,6 @@ def semantic_dedup_assignment(spark, sf_dir):
         )
         .select("vec_id")
         .withColumn("is_removed", F.lit(True))
-    )
-    return prim.select("vec_id", "cluster", "dist").join(
-        removed, "vec_id", "left"
-    ).select(
-        "vec_id",
-        "cluster",
-        "dist",
-        F.coalesce("is_removed", F.lit(False)).alias("is_removed"),
     )
 
 
@@ -253,6 +258,99 @@ def prototypicality_pruning(spark, sf_dir):
         .withColumn("n_cluster", F.count(F.lit(1)).over(wc))
         .withColumn(
             "is_pruned", F.col("proto_rank") * 4 <= F.col("n_cluster")
+        )
+    )
+
+
+def _manifest_oracle() -> str:
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_sql_duck,
+    )
+
+    bucket = f"{hash60_sql_duck('CAST(vec_id AS VARCHAR)', seed=7)} % 100"
+    return f"""
+    WITH {_chain_prefix_sql()},
+    removed AS MATERIALIZED (
+      SELECT DISTINCT a.vec_id
+      FROM prim a
+      JOIN prim b ON b.cluster = a.cluster AND b.vec_id <> a.vec_id
+      JOIN unit ua ON ua.vec_id = a.vec_id
+      JOIN unit ub ON ub.vec_id = b.vec_id
+      WHERE round({_dot_duck('ua.arr', 'ub.arr')}, 6) >= {_SEM_TAU}
+        AND (b.dist > a.dist
+             OR (b.dist = a.dist AND b.vec_id < a.vec_id))
+    ),
+    proto AS (
+      SELECT vec_id, cluster, dist,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY dist, vec_id) AS proto_rank,
+             count(*) OVER (PARTITION BY cluster) AS n_cluster
+      FROM prim
+    )
+    SELECT vec_id, cluster, dist, split, is_removed, is_pruned,
+           (split = 'train' AND NOT is_removed AND NOT is_pruned) AS kept
+    FROM (
+      SELECT vec_id, cluster, dist,
+             CASE WHEN {bucket} < 80 THEN 'train' ELSE 'eval' END AS split,
+             (vec_id IN (SELECT vec_id FROM removed)) AS is_removed,
+             (proto_rank * 4 <= n_cluster) AS is_pruned
+      FROM proto
+    )
+    """
+
+
+@register(
+    "embedding_corpus_manifest",
+    oracle=_manifest_oracle(),
+    description="The embedding-side curation verdict, one row per vector "
+    "(the training_corpus_manifest twin for the vector corpus): coarse "
+    "cluster and fixed-point centroid distance, the deterministic hash "
+    "split, the SemDeDup removal verdict, the prototypicality prune "
+    "verdict, and the final `kept` flag the embedding-training writer "
+    "filters on (train-split AND not a semantic duplicate AND not in "
+    "the prototypical quarter). One trained chain feeds every stage — "
+    "the composition trains ONCE and both prune tiers reuse the same "
+    "persisted assignment, the shared-pass discipline from "
+    "dedup_tier_overlap_report. Integer/boolean output throughout; "
+    "training included, the whole manifest hash-checks.",
+    tags=("similarity", "curation", "capstone", "llm-pipeline"),
+)
+def embedding_corpus_manifest(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_sql_spark,
+    )
+
+    prim = _trained_primary(spark, sf_dir).persist()
+    w = Window.partitionBy("cluster").orderBy("dist", "vec_id")
+    wc = Window.partitionBy("cluster")
+    bucket = (
+        F.expr(hash60_sql_spark("CAST(vec_id AS STRING)", seed=7)) % 100
+    )
+    return (
+        prim.select("vec_id", "cluster", "dist")
+        .withColumn("proto_rank", F.row_number().over(w))
+        .withColumn("n_cluster", F.count(F.lit(1)).over(wc))
+        .withColumn(
+            "split", F.when(bucket < 80, "train").otherwise("eval")
+        )
+        .join(_semantic_removed(prim), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            "dist",
+            "split",
+            F.coalesce("is_removed", F.lit(False)).alias("is_removed"),
+            (F.col("proto_rank") * 4 <= F.col("n_cluster")).alias(
+                "is_pruned"
+            ),
+        )
+        .withColumn(
+            "kept",
+            (F.col("split") == "train")
+            & ~F.col("is_removed")
+            & ~F.col("is_pruned"),
         )
     )
 

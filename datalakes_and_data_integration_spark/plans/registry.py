@@ -81,15 +81,16 @@ def register(
 # #4) plus the three dedup tiers whose signatures grew the optional
 # pre-shingled frame for it (default path byte-identical, but changed
 # code carries fresh driver evidence — the standing clause (a)), and
-# the seven round-7 newcomers ann_index_health_report +
+# the eight round-7 newcomers ann_index_health_report +
 # streaming_decontamination_gate + semantic_dedup_assignment +
 # prototypicality_pruning + lexical_topk_retrieval +
-# hybrid_retrieval_rrf + scd2_dimension_build (never verified —
-# clause (a) by definition), and the 34-query oldest cohort: the 21
-# round-1 names that yielded slots in rounds 5/6 (topn, the tpch
-# suite, union_dedup_events, user_first_last_event,
-# value_histogram/percentiles) followed by the alphabetically-first 13
-# of the round-2 cohort. 16 + 34 = 50.
+# hybrid_retrieval_rrf + scd2_dimension_build +
+# embedding_corpus_manifest (never verified — clause (a) by
+# definition), and the 33-query oldest cohort: the 21 round-1 names
+# that yielded slots in rounds 5/6 (topn, the tpch suite,
+# union_dedup_events, user_first_last_event,
+# value_histogram/percentiles) followed by the alphabetically-first 12
+# of the round-2 cohort. 17 + 33 = 50.
 WINDOW_ROUND = 7  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # policy clause (a): code changed since the newest green row
@@ -110,6 +111,7 @@ ROUND_CHANGED: list[str] = [
     "lexical_topk_retrieval",
     "hybrid_retrieval_rrf",
     "scd2_dimension_build",
+    "embedding_corpus_manifest",
 ]
 WINDOW_PRIORITY: list[str] = [
     "ann_topk_pq",
@@ -128,6 +130,7 @@ WINDOW_PRIORITY: list[str] = [
     "lexical_topk_retrieval",
     "hybrid_retrieval_rrf",
     "scd2_dimension_build",
+    "embedding_corpus_manifest",
     # oldest cohort, newest green row r1 (oldest-first, alphabetical)
     "topn_orders_per_customer",
     "tpch_q10_returned_items",
@@ -163,7 +166,6 @@ WINDOW_PRIORITY: list[str] = [
     "doc_chunking",
     "doc_top_terms",
     "embedding_near_dup",
-    "embedding_near_dup_hybrid",
 ]
 
 

@@ -177,6 +177,35 @@ def test_scd2_dimension_build_invariants(spark):
             assert prev.attr != nxt.attr
 
 
+def test_embedding_corpus_manifest_composes_the_tiers(spark):
+    """The manifest's verdict columns must equal the registered tier
+    queries' verdicts row for row, and `kept` must be their exact
+    conjunction with the train split."""
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_py,
+    )
+    from datalakes_and_data_integration_spark.plans.curation6 import (
+        embedding_corpus_manifest,
+        prototypicality_pruning,
+        semantic_dedup_assignment,
+    )
+
+    man = {r.vec_id: r for r in embedding_corpus_manifest(spark, SF).collect()}
+    sem = {r.vec_id: r for r in semantic_dedup_assignment(spark, SF).collect()}
+    pro = {r.vec_id: r for r in prototypicality_pruning(spark, SF).collect()}
+    assert set(man) == set(sem) == set(pro)
+    kept = 0
+    for vid, r in man.items():
+        assert r.is_removed == sem[vid].is_removed
+        assert r.is_pruned == pro[vid].is_pruned
+        assert r.cluster == sem[vid].cluster == pro[vid].cluster
+        is_train = hash60_py(str(vid), seed=7) % 100 < 80
+        assert (r.split == "train") == is_train
+        assert r.kept == (is_train and not r.is_removed and not r.is_pruned)
+        kept += r.kept
+    assert 0 < kept < len(man)
+
+
 def test_lexical_retrieval_plan_shapes(spark):
     """The inverted-index join must stay a hash equi join (no pair
     term), and the per-query top-k must run the partial-top-k

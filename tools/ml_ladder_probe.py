@@ -57,6 +57,7 @@ LADDER = [
     "embedding_near_dup",
     "embedding_near_dup_hybrid",
     "semantic_dedup_assignment",
+    "embedding_corpus_manifest",
 ]
 
 

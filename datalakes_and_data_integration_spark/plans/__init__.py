@@ -45,6 +45,7 @@ from datalakes_and_data_integration_spark.plans import (  # noqa: E402,F401
     curation4,
     curation5,
     curation6,
+    curation7,
 )
 
 __all__ = ["QUERIES", "Query", "all_queries", "all_oracle_sql", "register"]

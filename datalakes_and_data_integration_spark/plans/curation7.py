@@ -1,0 +1,416 @@
+"""Round-7 curation additions — three corpus-preparation operators a
+large-scale training-data pipeline runs that the earlier suites do not
+cover:
+
+- ``dedup_span_rewrite``: span-level exact-substring deduplication with
+  document rewrite (Lee et al. 2022, "Deduplicating Training Data Makes
+  Language Models Better", arXiv:2107.06499) at word-k-gram resolution —
+  every occurrence of a duplicated k-token span except the globally
+  first one is removed from the text. Catches the *within-passage*
+  boilerplate that passage_dedup_rewrite's fixed non-overlapping blocks
+  straddle and document-level dedup cannot touch at all. The paper's
+  suffix-array form finds variable-length spans on one machine; the
+  distributed form is this one — a rolling k-gram digest group-by (the
+  MapReduce shape), trading span-length resolution for a corpus-scale
+  shuffle of fixed-width (digest, doc, position) triples.
+- ``doc_novelty_score``: per-document contribution scoring — how many of
+  a document's distinct word-3-shingles does the corpus see FIRST in
+  this document (first occurrence = smallest doc_id)? Low-novelty
+  documents are re-combinations of text the corpus already has; the
+  signal data-valuation schedules prune on. Integer counts plus an
+  integer per-mille ratio, so the score is exact cross-engine.
+- ``token_budget_mixture_sample``: deterministic mixture sampling to a
+  per-language token budget (the DoReMi/data-mixture shape): documents
+  are admitted in md5-hash order per language until the language's
+  token budget (equal share of the corpus total here — the target
+  mixture is a knob) is exhausted. The IMPLEMENTATION is the two-pass
+  scalable form — per-(lang, hash-prefix-bucket) token subtotals first,
+  then a running sum only WITHIN each bucket plus the tiny cross-bucket
+  offset — so no language ever needs a single-reducer global sort; the
+  oracle is the naive one-window definition, and the driver's
+  hash-match is the proof the two are equivalent (bucket = the hash's
+  top bits, so (bucket, hash) order IS hash order).
+
+All three are extensions beyond the reference's capability surface
+(SURVEY.md §2 extensions — the reference ETL at
+``/root/reference/src/process_to_curated.py`` has no text-corpus stage);
+they exist for the 100 TB training-data mandate.
+
+Determinism: md5-derived digests and hashes only, integer scores and
+verdicts throughout, md5 fingerprints for rebuilt text (the
+passage_dedup_rewrite precedent), every ranking totally ordered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from datalakes_and_data_integration_spark.functions.hashing import (
+    hash60_seeded,
+    hash60_sql_duck,
+)
+from datalakes_and_data_integration_spark.functions.text import (
+    shingles_expr_spark,
+    shingles_sql_duck,
+    tokens_sql_duck,
+)
+from datalakes_and_data_integration_spark.plans._util import T, spread
+from datalakes_and_data_integration_spark.plans.registry import register
+
+_TOK_SPARK = "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
+_TOK_DUCK = tokens_sql_duck("text")
+
+# ---------------------------------------------------------------------------
+# Span-level exact-substring dedup + rewrite.
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8  # tokens per span — the decontamination tier's 8-gram width
+
+
+def _pos_grams_spark(tokens_expr: str, n: int) -> str:
+    """POSITIONAL word n-grams (no array_distinct — index i of the result
+    is the gram starting at token i+1). Same slice/zip_with construction
+    as functions.text.shingles_expr_spark, for the same reason: no array
+    indexing inside a lambda, so CollapseProject cannot re-inline the
+    tokenizer per element (the documented O(tokens^2) hazard)."""
+    m = f"(size({tokens_expr}) - {n - 1})"
+    acc = f"slice({tokens_expr}, 1, {m})"
+    for k in range(2, n + 1):
+        acc = (
+            f"zip_with({acc}, slice({tokens_expr}, {k}, {m}), "
+            f"(a, b) -> concat(a, ' ', b))"
+        )
+    return (
+        f"CASE WHEN size({tokens_expr}) >= {n} THEN {acc} "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
+def _pos_grams_duck(n: int) -> str:
+    """DuckDB twin: zipped parallel unnests of (start, gram text)."""
+    parts = ", ".join(f"toks[i + {k}]" for k in range(n))
+    rng = f"range(1, len(toks) - {n} + 2)"
+    return f"""
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= {n} THEN {rng}
+                    ELSE [] END) AS p,
+             unnest(CASE WHEN len(toks) >= {n} THEN
+                      list_transform({rng}, i -> concat_ws(' ', {parts}))
+                    ELSE [] END) AS g
+      FROM tok2"""
+
+
+def _span_rewrite_oracle() -> str:
+    k = _SPAN_K
+    return f"""
+    WITH tok AS (SELECT doc_id, {_TOK_DUCK} AS toks FROM documents),
+    tok2 AS (SELECT doc_id, toks FROM tok WHERE len(toks) > 0),
+    grams AS (
+      SELECT doc_id, p, md5(g) AS dg FROM ({_pos_grams_duck(k)})
+    ),
+    dups AS (
+      SELECT doc_id, p FROM (
+        SELECT doc_id, p,
+               row_number() OVER (PARTITION BY dg
+                                  ORDER BY doc_id, p) AS rn
+        FROM grams
+      ) WHERE rn > 1
+    ),
+    unioned AS (
+      SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p,
+             unnest(toks) AS tok, 0 AS f
+      FROM tok2
+      UNION ALL
+      SELECT doc_id, p, NULL AS tok, 1 AS f FROM dups
+    ),
+    cov AS (
+      SELECT doc_id, p, tok, f,
+             max(f) OVER (PARTITION BY doc_id ORDER BY p
+                          RANGE BETWEEN {k - 1} PRECEDING
+                          AND CURRENT ROW) AS covered
+      FROM unioned
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN tok IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tokens,
+           CAST(sum(f) AS BIGINT) AS n_dup_spans,
+           CAST(sum(CASE WHEN tok IS NOT NULL AND covered = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           md5(coalesce(
+             string_agg(CASE WHEN tok IS NOT NULL AND covered = 0
+                        THEN tok END, ' ' ORDER BY p),
+             '')) AS rebuilt_md5
+    FROM cov GROUP BY doc_id
+    """
+
+
+@register(
+    "dedup_span_rewrite",
+    oracle=_span_rewrite_oracle(),
+    description=f"Span-level exact-substring dedup with rewrite (Lee et "
+    f"al. 2022, word-{_SPAN_K}-gram resolution): every occurrence of a "
+    f"duplicated {_SPAN_K}-token span except the globally FIRST one "
+    "(ordered by doc_id then position) is removed; a token survives only "
+    "if NO duplicate span covers it, and the document is rebuilt from the "
+    "survivors in order (rebuilt_md5 fingerprints the result). Coverage "
+    "is a bounded RANGE-frame window over a union of token rows and "
+    "duplicate-span-start markers — never a per-token scan of the span "
+    "list. Two corpus-scale shuffles: the first-occurrence window on the "
+    "rolling gram digest (fixed-width triples, the distributed form of "
+    "the paper's suffix-array pass), and the doc_id window whose hash "
+    "exchange the rebuild group-by then reuses.",
+    tags=("dedup", "curation", "text", "llm-pipeline"),
+)
+def dedup_span_rewrite(spark, sf_dir):
+    k = _SPAN_K
+    d = spread(T(spark, sf_dir, "documents"), spark)
+    tok = (
+        d.select("doc_id", F.expr(_TOK_SPARK).alias("toks"))
+        .filter(F.size("toks") > 0)
+        .persist()  # two consumers: the gram pass and the token pass
+    )
+    grams = tok.select(
+        "doc_id",
+        F.posexplode(F.expr(_pos_grams_spark("toks", k))).alias("p0", "g"),
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).cast("long").alias("p"),
+        F.md5("g").alias("dg"),
+    )
+    wdg = Window.partitionBy("dg").orderBy("doc_id", "p")
+    dups = (
+        grams.withColumn("rn", F.row_number().over(wdg))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "p")
+    )
+    positions = tok.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("p"), "tok")
+    unioned = positions.withColumn("f", F.lit(0)).unionByName(
+        dups.select(
+            "doc_id",
+            "p",
+            F.lit(None).cast("string").alias("tok"),
+            F.lit(1).alias("f"),
+        )
+    )
+    wcov = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rangeBetween(-(k - 1), Window.currentRow)
+    )
+    cov = unioned.withColumn("covered", F.max("f").over(wcov))
+    kept = F.when(
+        F.col("tok").isNotNull() & (F.col("covered") == 0),
+        F.struct(F.col("p"), F.col("tok")),
+    )  # collect_list drops NULLs (removed tokens, span markers)
+    return cov.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("tok").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_tokens"),
+        F.sum("f").cast("long").alias("n_dup_spans"),
+        F.sum(
+            F.when(
+                F.col("tok").isNotNull() & (F.col("covered") == 1), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_removed"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept)),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("rebuilt_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-document novelty (first-occurrence contribution) scoring.
+# ---------------------------------------------------------------------------
+
+
+def _novelty_oracle() -> str:
+    shing = shingles_sql_duck("toks", 3)
+    return f"""
+    WITH tok AS (SELECT doc_id, {_TOK_DUCK} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, md5(g) AS dg FROM (
+        SELECT doc_id, unnest({shing}) AS g
+        FROM tok WHERE len(toks) >= 3
+      )
+    ),
+    own AS (SELECT dg, min(doc_id) AS owner FROM sh GROUP BY dg)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN o.owner = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST((1000 * sum(CASE WHEN o.owner = s.doc_id THEN 1 ELSE 0
+                            END)) // count(*) AS BIGINT)
+             AS novelty_permille
+    FROM sh s JOIN own o ON o.dg = s.dg
+    GROUP BY s.doc_id
+    """
+
+
+@register(
+    "doc_novelty_score",
+    oracle=_novelty_oracle(),
+    description="Per-document novelty: of a document's DISTINCT word-3-"
+    "shingles, how many does the corpus see FIRST in this document "
+    "(first occurrence = smallest doc_id)? n_novel/n_shingles as an "
+    "exact integer per-mille — low-novelty documents are recombinations "
+    "of text the corpus already has, the data-valuation signal pruning "
+    "schedules act on. Inverted-index shape end to end: one map-side-"
+    "combined group-by on the shingle digest for the owners, an equi "
+    "join back on the SAME digest partitioning (exchange reused), one "
+    "doc_id regroup. No pair term anywhere — cost is linear in total "
+    "shingle occurrences at any corpus size.",
+    tags=("text", "curation", "scoring", "llm-pipeline"),
+)
+def doc_novelty_score(spark, sf_dir):
+    d = spread(T(spark, sf_dir, "documents"), spark)
+    sh = (
+        d.select("doc_id", F.expr(_TOK_SPARK).alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.expr(shingles_expr_spark("toks", 3))).alias("g"),
+        )
+        .select("doc_id", F.md5("g").alias("dg"))
+    )
+    own = sh.groupBy("dg").agg(F.min("doc_id").alias("owner"))
+    return (
+        sh.join(own, "dg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_permille",
+            F.expr("(1000 * n_novel) div n_shingles").cast("long"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-language token-budget mixture sampling.
+# ---------------------------------------------------------------------------
+
+_MIX_SEED = 11
+_MIX_BUCKET_DIV = 2**52  # 60-bit hash -> 256 top-bit buckets
+
+
+def _mixture_oracle() -> str:
+    h = hash60_sql_duck("CAST(doc_id AS VARCHAR)", seed=_MIX_SEED)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(len({_TOK_DUCK}) AS BIGINT) AS n_tokens,
+             {h} AS h
+      FROM documents
+    ),
+    bud AS (
+      SELECT CAST(sum(n_tokens) // count(DISTINCT lang) AS BIGINT)
+               AS budget
+      FROM d
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang
+                                      ORDER BY h, doc_id
+                                      ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_tokens
+      FROM d
+    )
+    SELECT doc_id, lang, n_tokens, cum_tokens,
+           (cum_tokens <= (SELECT budget FROM bud)) AS selected
+    FROM c
+    """
+
+
+@register(
+    "token_budget_mixture_sample",
+    oracle=_mixture_oracle(),
+    description="Deterministic mixture sampling to a per-language token "
+    "budget (the data-mixture rebalancing step): documents are admitted "
+    "in seeded-md5-hash order per language until the language's budget — "
+    "an equal share of the corpus token total here; the target mixture "
+    "is a knob — is exhausted (cumulative tokens including the document "
+    "must fit). The oracle is the textbook one-window running sum per "
+    "language; the IMPLEMENTATION is the two-pass form that survives "
+    "100 TB: per-(lang, hash-top-bits-bucket) token subtotals (tiny "
+    "frame), cross-bucket offsets on that frame, then a running sum "
+    "only WITHIN each of the 256 buckets plus the broadcast offset — "
+    "so no language is ever a single-reducer global sort. Hash order "
+    "equals (bucket, hash) order because the bucket IS the hash's top "
+    "bits; the driver's hash-match proves the two forms equivalent. "
+    "All integers.",
+    tags=("text", "curation", "sampling", "llm-pipeline"),
+)
+def token_budget_mixture_sample(spark, sf_dir):
+    d = (
+        spread(T(spark, sf_dir, "documents"), spark)
+        .select(
+            "doc_id",
+            "lang",
+            F.size(F.expr(_TOK_SPARK)).cast("long").alias("n_tokens"),
+            hash60_seeded(
+                F.col("doc_id").cast("string"), _MIX_SEED
+            ).alias("h"),
+        )
+        .withColumn("bucket", F.expr(f"h div {_MIX_BUCKET_DIV}L"))
+        .persist()  # three consumers: budget, bucket subtotals, final scan
+    )
+    budget = F.broadcast(
+        d.agg(
+            F.expr(
+                "CAST(sum(n_tokens) div count(DISTINCT lang) AS BIGINT)"
+            ).alias("budget")
+        )
+    )
+    # Pass 1: (lang, bucket) subtotals -> cross-bucket offsets. The frame
+    # is at most |langs| * 256 rows; the running window on it is trivial.
+    wb = (
+        Window.partitionBy("lang")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = F.broadcast(
+        d.groupBy("lang", "bucket")
+        .agg(F.sum("n_tokens").alias("btok"))
+        .withColumn(
+            "base", F.coalesce(F.sum("btok").over(wb), F.lit(0).cast("long"))
+        )
+        .select("lang", "bucket", "base")
+    )
+    # Pass 2: running sum within (lang, bucket) partitions only.
+    win = (
+        Window.partitionBy("lang", "bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.join(offsets, ["lang", "bucket"])
+        .withColumn(
+            "cum_tokens",
+            (F.col("base") + F.sum("n_tokens").over(win)).cast("long"),
+        )
+        .crossJoin(budget)  # scale-ok: 1-row broadcast budget scalar
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "cum_tokens",
+            (F.col("cum_tokens") <= F.col("budget")).alias("selected"),
+        )
+    )

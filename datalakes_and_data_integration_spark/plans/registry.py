@@ -81,17 +81,17 @@ def register(
 # #4) plus the three dedup tiers whose signatures grew the optional
 # pre-shingled frame for it (default path byte-identical, but changed
 # code carries fresh driver evidence — the standing clause (a)), and
-# the eleven round-7 newcomers ann_index_health_report +
+# the twelve round-7 newcomers ann_index_health_report +
 # streaming_decontamination_gate + semantic_dedup_assignment +
 # prototypicality_pruning + lexical_topk_retrieval +
 # hybrid_retrieval_rrf + scd2_dimension_build +
 # embedding_corpus_manifest + dedup_span_rewrite + doc_novelty_score +
-# token_budget_mixture_sample (never verified — clause (a) by
-# definition), and the 30-query oldest cohort: the 21 round-1 names
-# that yielded slots in rounds 5/6 (topn, the tpch suite,
+# token_budget_mixture_sample + streaming_scd2_upsert (never verified —
+# clause (a) by definition), and the 29-query oldest cohort: the 21
+# round-1 names that yielded slots in rounds 5/6 (topn, the tpch suite,
 # union_dedup_events, user_first_last_event,
-# value_histogram/percentiles) followed by the alphabetically-first 9
-# of the round-2 cohort. 20 + 30 = 50.
+# value_histogram/percentiles) followed by the alphabetically-first 8
+# of the round-2 cohort. 21 + 29 = 50.
 WINDOW_ROUND = 7  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # policy clause (a): code changed since the newest green row
@@ -116,6 +116,7 @@ ROUND_CHANGED: list[str] = [
     "dedup_span_rewrite",
     "doc_novelty_score",
     "token_budget_mixture_sample",
+    "streaming_scd2_upsert",
 ]
 WINDOW_PRIORITY: list[str] = [
     "ann_topk_pq",
@@ -138,6 +139,7 @@ WINDOW_PRIORITY: list[str] = [
     "dedup_span_rewrite",
     "doc_novelty_score",
     "token_budget_mixture_sample",
+    "streaming_scd2_upsert",
     # oldest cohort, newest green row r1 (oldest-first, alphabetical)
     "topn_orders_per_customer",
     "tpch_q10_returned_items",
@@ -169,7 +171,6 @@ WINDOW_PRIORITY: list[str] = [
     "dedup_kept_corpus",
     "dedup_ngram_jaccard_join",
     "dedup_simhash",
-    "dedup_simhash_pairs",
 ]
 
 

@@ -2438,9 +2438,44 @@ def top_user_journeys(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "scd2_dimension_build",
-    oracle="""
+def scd2_parse(spark, sf_dir):
+    """(user_id, ts, event_id, attr): the tracked attribute stream the
+    SCD2 build and its incremental streaming twin both version."""
+    from pyspark.sql import types as T_
+
+    ev = T(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    schema = T_.StructType([T_.StructField("k", T_.LongType())])
+    return ev.withColumn("p", F.from_json("props", schema)).select(
+        "user_id", "ts", "event_id", F.expr("p.k div 25").alias("attr")
+    )
+
+
+def scd2_versions(parsed):
+    """(user_id, ts, event_id, attr) -> SCD2 version rows. Shared by the
+    batch rebuild and the per-batch scoped recompute in
+    streaming/incremental_scd2.py — one definition of 'version' so the
+    incremental path cannot drift from the batch one."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = parsed.withColumn(
+        "chg",
+        F.lag("event_id").over(w).isNull()
+        | ~F.col("attr").eqNullSafe(F.lag("attr").over(w)),
+    )
+    versions = flagged.filter(F.col("chg")).select(
+        "user_id", "attr", F.col("ts").alias("valid_from"), "event_id"
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return versions.select(
+        "user_id",
+        "attr",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )
+
+
+SCD2_ORACLE = """
     WITH parsed AS (
       SELECT user_id, ts, event_id,
              CAST(json_extract(props, '$.k') AS BIGINT) // 25 AS attr
@@ -2464,7 +2499,12 @@ def top_user_journeys(spark, sf_dir):
            (lead(valid_from) OVER w2 IS NULL) AS is_current
     FROM versions
     WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
-    """,
+    """
+
+
+@register(
+    "scd2_dimension_build",
+    oracle=SCD2_ORACLE,
     description="SCD Type 2 dimension rebuild from the event log: per "
     "user, each run of consecutive equal attribute values (the JSON "
     "payload's k field bucketed by integer div 25) becomes one dimension "
@@ -2479,28 +2519,4 @@ def top_user_journeys(spark, sf_dir):
     tags=("temporal", "window", "warehouse", "scd2"),
 )
 def scd2_dimension_build(spark, sf_dir):
-    from pyspark.sql import types as T_
-
-    ev = T(spark, sf_dir, "events").filter(F.col("props").isNotNull())
-    schema = T_.StructType([T_.StructField("k", T_.LongType())])
-    parsed = ev.withColumn("p", F.from_json("props", schema)).select(
-        "user_id", "ts", "event_id", F.expr("p.k div 25").alias("attr")
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = parsed.withColumn(
-        "chg",
-        F.lag("event_id").over(w).isNull()
-        | ~F.col("attr").eqNullSafe(F.lag("attr").over(w)),
-    )
-    versions = flagged.filter(F.col("chg")).select(
-        "user_id", "attr", F.col("ts").alias("valid_from"), "event_id"
-    )
-    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
-    return versions.select(
-        "user_id",
-        "attr",
-        "valid_from",
-        F.lead("valid_from").over(w2).alias("valid_to"),
-        F.row_number().over(w2).alias("version"),
-        F.lead("valid_from").over(w2).isNull().alias("is_current"),
-    )
+    return scd2_versions(scd2_parse(spark, sf_dir))

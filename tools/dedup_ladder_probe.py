@@ -60,6 +60,9 @@ LADDER = [
     "dedup_tier_overlap_report",
     "lexical_topk_retrieval",
     "hybrid_retrieval_rrf",
+    "dedup_span_rewrite",
+    "doc_novelty_score",
+    "token_budget_mixture_sample",
 ]
 
 

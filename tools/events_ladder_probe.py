@@ -56,6 +56,7 @@ LADDER = [
     "gapfill_hourly_interpolate",
     "json_props_extract",
     "scd2_dimension_build",
+    "streaming_scd2_upsert",
     "cusum_changepoint",
     "robust_scaling_mad",
 ]

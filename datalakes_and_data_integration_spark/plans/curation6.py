@@ -662,3 +662,84 @@ def hybrid_retrieval_rrf(spark, sf_dir):
         .filter(F.col("rank") <= _RET_TOPK)
         .select("query_doc_id", "doc_id", "rrf_score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-vs-label purity: quantizer quality against the labeled corpus.
+# ---------------------------------------------------------------------------
+
+
+def _purity_oracle() -> str:
+    return f"""
+    WITH {_chain_prefix_sql()},
+    cl AS (
+      SELECT p.cluster, e.label, count(*) AS c
+      FROM prim p JOIN embeddings e ON e.vec_id = p.vec_id
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT cluster, CAST(sum(c) AS BIGINT) AS n FROM cl GROUP BY 1),
+    maj AS (
+      SELECT cluster, label AS majority_label,
+             CAST(c AS BIGINT) AS majority_n
+      FROM (
+        SELECT cluster, label, c,
+               row_number() OVER (PARTITION BY cluster
+                                  ORDER BY c DESC, label) AS rn
+        FROM cl
+      ) WHERE rn = 1
+    )
+    SELECT t.cluster, t.n, m.majority_label, m.majority_n,
+           CAST((1000 * m.majority_n) // t.n AS BIGINT) AS purity_permille
+    FROM tot t JOIN maj m ON m.cluster = t.cluster
+    """
+
+
+@register(
+    "cluster_label_purity",
+    oracle=_purity_oracle(),
+    description="Coarse-quantizer quality against the labeled corpus: "
+    "per cluster, the member count, the majority label (ties to the "
+    "smaller label id), its count, and the purity as an exact integer "
+    "per-mille — the unsupervised-structure-vs-labels report an "
+    "embedding-pipeline owner reads next to ann_index_health_report's "
+    "occupancy balance (a pure quantizer can be balanced yet mix "
+    "classes; this catches that). Composes the SAME fixed-point trained "
+    "chain as the retrieval tier, so the whole report including "
+    "training hash-checks. Two map-side-combined group-bys on "
+    "(cluster, label) then cluster; the label join is vec_id-keyed, "
+    "no pair term anywhere.",
+    tags=("similarity", "ml", "eval", "llm-pipeline"),
+)
+def cluster_label_purity(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from datalakes_and_data_integration_spark.plans._util import T
+
+    prim = _trained_primary(spark, sf_dir)
+    lab = T(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cl = (
+        prim.select("vec_id", "cluster")
+        .join(lab, "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = cl.groupBy("cluster").agg(F.sum("c").cast("long").alias("n"))
+    wr = Window.partitionBy("cluster").orderBy(
+        F.col("c").desc(), F.col("label")
+    )
+    maj = (
+        cl.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("label").alias("majority_label"),
+            F.col("c").cast("long").alias("majority_n"),
+        )
+    )
+    return (
+        tot.join(maj, "cluster")
+        .withColumn(
+            "purity_permille",
+            F.expr("(1000 * majority_n) div n").cast("long"),
+        )
+    )

@@ -190,3 +190,98 @@ def skew_salted_join_stats(spark, sf_dir):
             .alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# GDPR right-to-be-forgotten delete planning.
+# ---------------------------------------------------------------------------
+
+_GDPR_SEED = 17  # seed 13 samples ZERO of sf0.001's 150 customers
+_GDPR_PCT = 2  # % of customers requesting erasure (deterministic sample)
+
+
+def _gdpr_oracle() -> str:
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_sql_duck,
+    )
+
+    h = hash60_sql_duck("CAST(c_custkey AS VARCHAR)", seed=_GDPR_SEED)
+    return f"""
+    WITH forget AS MATERIALIZED (
+      SELECT c_custkey AS k FROM customer WHERE {h} % 100 < {_GDPR_PCT}
+    )
+    SELECT 'customer' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_keys,
+           CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_partitions
+    FROM customer WHERE c_custkey IN (SELECT k FROM forget)
+    UNION ALL
+    SELECT 'orders',
+           CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(count(DISTINCT date_trunc('month', o_orderdate)) AS BIGINT)
+    FROM orders WHERE o_custkey IN (SELECT k FROM forget)
+    UNION ALL
+    SELECT 'events',
+           CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT user_id) AS BIGINT),
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+    FROM events WHERE user_id IN (SELECT k FROM forget)
+    """
+
+
+@register(
+    "gdpr_delete_manifest",
+    oracle=_gdpr_oracle(),
+    description=f"Right-to-be-forgotten delete planning: a deterministic "
+    f"{_GDPR_PCT}% erasure-request sample of customers (seeded md5 on "
+    "c_custkey) is resolved into a per-table delete manifest — affected "
+    "row count, affected key count, and the number of physical "
+    "partitions the deletion executor must rewrite (customer bucketed "
+    "by nation, orders partitioned by order month, events by event "
+    "day). On immutable columnar storage a delete IS a partition "
+    "rewrite, so the manifest's n_partitions is the job's real cost "
+    "estimate. The forget set is dimension-sized and broadcast: every "
+    "fact table is probed by a broadcast LEFT SEMI join — facts never "
+    "shuffle — and each branch is one map-side-combined aggregate. "
+    "Completes the governance family next to k_anonymity_audit / "
+    "l_diversity_audit / text_pii_mask.",
+    tags=("maintenance", "governance", "privacy", "audit"),
+)
+def gdpr_delete_manifest(spark, sf_dir):
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_seeded,
+    )
+
+    cust = T(spark, sf_dir, "customer")
+    forget = cust.filter(
+        hash60_seeded(F.col("c_custkey").cast("string"), _GDPR_SEED) % 100
+        < _GDPR_PCT
+    ).select(F.col("c_custkey").alias("k"))
+
+    def branch(df, name, key, part_expr):
+        hit = df.join(
+            F.broadcast(forget), F.col(key) == F.col("k"), "left_semi"
+        )
+        return hit.agg(
+            F.lit(name).alias("table_name"),
+            F.count("*").alias("n_rows"),
+            F.countDistinct(key).cast("long").alias("n_keys"),
+            F.countDistinct(part_expr).cast("long").alias("n_partitions"),
+        )
+
+    ev = T(spark, sf_dir, "events")
+    return (
+        branch(cust, "customer", "c_custkey", F.col("c_nationkey"))
+        .unionByName(
+            branch(
+                T(spark, sf_dir, "orders"),
+                "orders",
+                "o_custkey",
+                F.date_trunc("month", F.col("o_orderdate")),
+            )
+        )
+        .unionByName(
+            branch(ev, "events", "user_id", F.col("ts").cast("date"))
+        )
+    )

@@ -704,3 +704,80 @@ def streaming_scd2_upsert(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.read.parquet(state["dim"])
+
+
+def _ivf_ingest_oracle() -> str:
+    from datalakes_and_data_integration_spark.plans.curation6 import (
+        _chain_prefix_sql,
+    )
+
+    return f"""
+    WITH {_chain_prefix_sql()}
+    SELECT vec_id, cluster, dist FROM prim
+    """
+
+
+@register(
+    "streaming_ivf_ingest",
+    oracle=_ivf_ingest_oracle(),
+    description="Streaming ANN index ingest — the faiss add() path: the "
+    "coarse quantizer is trained OFFLINE on the static corpus (the ANN "
+    "tier's exact corpus-capped md5-sampled fixed-point Lloyd chain, so "
+    "the whole report including training hash-checks), then embeddings "
+    "arrive as micro-batches (4 files, maxFilesPerTrigger=1) and each "
+    "batch is assigned to its nearest centroid by a STATELESS streaming "
+    "projection — centroid literals broadcast in the plan, int64 "
+    "fixed-point argmin per vector, no shuffle, no streaming state, "
+    "append sink. Ingest therefore scales with arrival rate only; the "
+    "inverted-file append is partition-local, occupancy drift is "
+    "ann_index_health_report's job, and re-training is the batch tier. "
+    "The assignments equal the batch primary assignment regardless of "
+    "batching — the oracle is the trained chain's prim relation.",
+    tags=("streaming", "similarity", "ann", "index", "llm-pipeline"),
+)
+def streaming_ivf_ingest(spark, sf_dir):
+    import tempfile
+
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans.curation6 import (
+        _primary_assign_spark,
+    )
+    from datalakes_and_data_integration_spark.plans.similarity import (
+        _norm2_spark,
+    )
+    from datalakes_and_data_integration_spark.plans.similarity_extra import (
+        _coarse_lists,
+        _train_sample,
+        _unit_vectors,
+    )
+    from datalakes_and_data_integration_spark.streaming import (
+        run_available_now,
+    )
+
+    unit = _unit_vectors(spark, sf_dir).persist()
+    n = unit.count()  # scale-ok: 1 scalar count (sample-threshold literal)
+    _, cents = _coarse_lists(unit, train=_train_sample(unit, n))
+    e = T(spark, sf_dir, "embeddings")
+    src = tempfile.mkdtemp(prefix="ivf_ingest_src_")
+    e.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    ustream = stream.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(x AS DOUBLE) "
+            f"/ sqrt({_norm2_spark('embedding')}))"
+        ).alias("arr"),
+    )
+    assigned = _primary_assign_spark(ustream, cents).select(
+        "vec_id", "cluster", "dist"
+    )
+    return run_available_now(
+        assigned,
+        spark,
+        name="streaming_ivf_ingest_out",
+        output_mode="append",
+    )

@@ -58,6 +58,8 @@ LADDER = [
     "embedding_near_dup_hybrid",
     "semantic_dedup_assignment",
     "embedding_corpus_manifest",
+    "streaming_ivf_ingest",
+    "cluster_label_purity",
 ]
 
 

@@ -67,6 +67,7 @@ LADDER = [
     "market_basket_brand_pairs",
     "table_profile_lineitem",
     "referential_integrity_check",
+    "gdpr_delete_manifest",
 ]
 
 # (table, key columns to offset by that table's stride-owner)

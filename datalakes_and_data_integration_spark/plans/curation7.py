@@ -414,3 +414,154 @@ def token_budget_mixture_sample(spark, sf_dir):
             (F.col("cum_tokens") <= F.col("budget")).alias("selected"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator-quality audit over the LSH candidate pairs.
+# ---------------------------------------------------------------------------
+
+
+def _estimate_audit_oracle() -> str:
+    from datalakes_and_data_integration_spark.plans.dedup import (
+        _K,
+        _bands_cte_sql,
+    )
+
+    matches = " + ".join(
+        f"CAST(sa.s{k} = sb.s{k} AS INT)" for k in range(_K)
+    )
+    inter = "len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))"
+    return f"""
+    WITH {_bands_cte_sql()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+      WHERE a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST((1000 * ({matches})) // {_K} AS BIGINT) AS est_permille
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.doc_a
+      JOIN sigs sb ON sb.doc_id = c.doc_b
+    ),
+    ex AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST((1000 * {inter})
+                  // (len(sa.sh) + len(sb.sh) - {inter}) AS BIGINT)
+               AS exact_permille
+      FROM cand c
+      JOIN shingled sa ON sa.doc_id = c.doc_a
+      JOIN shingled sb ON sb.doc_id = c.doc_b
+    )
+    SELECT e.doc_a, e.doc_b, e.est_permille, x.exact_permille,
+           e.est_permille - x.exact_permille AS err_permille
+    FROM est e JOIN ex x ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b
+    """
+
+
+@register(
+    "minhash_estimate_audit",
+    oracle=_estimate_audit_oracle(),
+    description="MinHash estimator-quality audit: for every LSH "
+    "band-collision candidate pair, the signature-agreement Jaccard "
+    "estimate (matching components / K, as an exact integer per-mille) "
+    "side by side with the TRUE shingle Jaccard and the signed error — "
+    "the measurement that tells a dedup-pipeline owner whether K=8 "
+    "signatures bias the verify threshold (candidates are "
+    "collision-conditioned, so the estimator is biased HIGH on them — "
+    "the audit quantifies by how much, which is what sets the safe "
+    "verification threshold). Same bounded candidate shuffle as the "
+    "LSH tier itself — signatures and shingle sets join per candidate "
+    "pair, never all pairs; the signature/band builders are the LSH "
+    "tier's own (plans/dedup.minhash_sigs), so the audit measures the "
+    "production estimator, not a reimplementation.",
+    tags=("dedup", "lsh", "audit", "llm-pipeline"),
+)
+def minhash_estimate_audit(spark, sf_dir):
+    from datalakes_and_data_integration_spark.plans.dedup import (
+        _K,
+        _TOK_SPARK as _DTOK,
+        minhash_band_rows,
+        minhash_sigs,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    tok_df = spread(
+        d.select("doc_id", F.expr(_DTOK).alias("toks")), spark
+    )
+    shingled = (
+        tok_df.select(
+            "doc_id", F.expr(shingles_expr_spark("toks", 3)).alias("sh")
+        )
+        .filter(F.size("sh") > 0)
+        .persist()  # consumed by sigs + both exact sides
+    )
+    sigs = minhash_sigs(shingled).persist()  # bands + both estimate sides
+    bands = minhash_band_rows(sigs)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"s{k}").alias(f"a{k}") for k in range(_K)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"s{k}").alias(f"b{k}") for k in range(_K)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+        for k in range(_K)
+    )
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("m", matches)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(f"CAST((1000 * m) div {_K} AS BIGINT)").alias(
+                "est_permille"
+            ),
+        )
+    )
+    xa = shingled.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    xb = shingled.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    ex = (
+        cand.join(xa, "doc_a")
+        .join(xb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "CAST((1000 * size(array_intersect(sh_a, sh_b))) div "
+                "(size(sh_a) + size(sh_b) "
+                "- size(array_intersect(sh_a, sh_b))) AS BIGINT)"
+            ).alias("exact_permille"),
+        )
+    )
+    return est.join(ex, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        "est_permille",
+        "exact_permille",
+        (F.col("est_permille") - F.col("exact_permille")).alias(
+            "err_permille"
+        ),
+    )

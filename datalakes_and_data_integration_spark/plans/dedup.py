@@ -104,6 +104,43 @@ def _bands_cte_sql() -> str:
     bands AS ({band_rows})"""
 
 
+def minhash_sigs(shingled):
+    """(doc_id, sh) -> (doc_id, s0..s{K-1}): the Kirsch-Mitzenmacher
+    double-hashed MinHash signatures — ONE definition shared by the LSH
+    tier, the incremental-dedup stream module (which re-states it over
+    text batches), and the estimator audit in plans/curation7.py."""
+    exploded = shingled.select("doc_id", F.explode("sh").alias("x")).select(
+        "doc_id",
+        F.expr(hash60_sql_spark("x", seed=0)).alias("h1"),
+        F.expr(hash60_sql_spark("x", seed=1)).alias("h2"),
+    )
+    return exploded.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.col("h1") + F.lit(k) * F.col("h2")).bitwiseAND(F.lit(_MASK))
+            ).alias(f"s{k}")
+            for k in range(_K)
+        ]
+    )
+
+
+def minhash_band_rows(sigs):
+    """(doc_id, s0..s7) -> (doc_id, band, bv). One posexplode, NOT a
+    4-way union: each union branch would re-evaluate the whole
+    tokenize->shingle->hash->groupBy pipeline (x2 again for the
+    self-join sides); exploding an inline array evaluates sigs once per
+    side."""
+    band_array = F.array(
+        *[
+            F.concat_ws(",", f"s{2 * b}", f"s{2 * b + 1}")
+            for b in range(_BANDS)
+        ]
+    )
+    return sigs.select(
+        "doc_id", F.posexplode(band_array).alias("band", "bv")
+    )
+
+
 def _minhash_oracle() -> str:
     return f"""
     WITH {_bands_cte_sql()},
@@ -160,31 +197,7 @@ def dedup_minhash_lsh(spark, sf_dir, shingled=None):
     # persist, the whole tokenize->shingle->hash subtree runs 4-5x (measured
     # 9.2s -> 3s at sf0.1). At 100 TB this intermediate is a materialized
     # signatures table; persist is the single-job equivalent.
-    exploded = shingled.select("doc_id", F.explode("sh").alias("x")).select(
-        "doc_id",
-        F.expr(hash60_sql_spark("x", seed=0)).alias("h1"),
-        F.expr(hash60_sql_spark("x", seed=1)).alias("h2"),
-    )
-    sigs = exploded.groupBy("doc_id").agg(
-        *[
-            F.min(
-                (F.col("h1") + F.lit(k) * F.col("h2")).bitwiseAND(F.lit(_MASK))
-            ).alias(f"s{k}")
-            for k in range(_K)
-        ]
-    )
-    # One posexplode, NOT a 4-way union: each union branch would re-evaluate
-    # the whole tokenize->shingle->hash->groupBy pipeline (x2 again for the
-    # self-join sides); exploding an inline array evaluates sigs once per side.
-    band_array = F.array(
-        *[
-            F.concat_ws(",", f"s{2 * b}", f"s{2 * b + 1}")
-            for b in range(_BANDS)
-        ]
-    )
-    bands = sigs.select(
-        "doc_id", F.posexplode(band_array).alias("band", "bv")
-    ).persist()
+    bands = minhash_band_rows(minhash_sigs(shingled)).persist()
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

@@ -81,18 +81,19 @@ def register(
 # #4) plus the three dedup tiers whose signatures grew the optional
 # pre-shingled frame for it (default path byte-identical, but changed
 # code carries fresh driver evidence — the standing clause (a)), and
-# the fifteen round-7 newcomers ann_index_health_report +
+# the eighteen round-7 newcomers ann_index_health_report +
 # streaming_decontamination_gate + semantic_dedup_assignment +
 # prototypicality_pruning + lexical_topk_retrieval +
 # hybrid_retrieval_rrf + scd2_dimension_build +
 # embedding_corpus_manifest + dedup_span_rewrite + doc_novelty_score +
 # token_budget_mixture_sample + streaming_scd2_upsert +
-# streaming_ivf_ingest + cluster_label_purity + gdpr_delete_manifest
-# (never verified — clause (a) by definition), and the 26-query oldest
+# streaming_ivf_ingest + cluster_label_purity + gdpr_delete_manifest +
+# minhash_estimate_audit + attribution_multi_touch + dim_snapshot_diff
+# (never verified — clause (a) by definition), and the 23-query oldest
 # cohort: the 21 round-1 names that yielded slots in rounds 5/6 (topn,
 # the tpch suite, union_dedup_events, user_first_last_event,
-# value_histogram/percentiles) followed by the alphabetically-first 5
-# of the round-2 cohort. 24 + 26 = 50.
+# value_histogram/percentiles) followed by the alphabetically-first 2
+# of the round-2 cohort. 27 + 23 = 50.
 WINDOW_ROUND = 7  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # policy clause (a): code changed since the newest green row
@@ -121,6 +122,9 @@ ROUND_CHANGED: list[str] = [
     "streaming_ivf_ingest",
     "cluster_label_purity",
     "gdpr_delete_manifest",
+    "minhash_estimate_audit",
+    "attribution_multi_touch",
+    "dim_snapshot_diff",
 ]
 WINDOW_PRIORITY: list[str] = [
     "ann_topk_pq",
@@ -147,6 +151,9 @@ WINDOW_PRIORITY: list[str] = [
     "streaming_ivf_ingest",
     "cluster_label_purity",
     "gdpr_delete_manifest",
+    "minhash_estimate_audit",
+    "attribution_multi_touch",
+    "dim_snapshot_diff",
     # oldest cohort, newest green row r1 (oldest-first, alphabetical)
     "topn_orders_per_customer",
     "tpch_q10_returned_items",
@@ -172,9 +179,6 @@ WINDOW_PRIORITY: list[str] = [
     # oldest cohort, newest green row r2 (alphabetical prefix)
     "ann_topk_bruteforce",
     "cross_source_duplication",
-    "curation_funnel",
-    "customer_spend_quartiles",
-    "dataset_split_assignment",
 ]
 
 

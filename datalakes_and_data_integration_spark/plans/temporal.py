@@ -2520,3 +2520,206 @@ SCD2_ORACLE = """
 )
 def scd2_dimension_build(spark, sf_dir):
     return scd2_versions(scd2_parse(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution: equal-credit (linear) attribution of each
+# purchase to the views in its 7-day lookback, in pure integers.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "attribution_multi_touch",
+    oracle="""
+    WITH touches AS (
+      SELECT p.event_id AS purchase_id, v.event_id AS touch_id,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY v.ts DESC, v.event_id)
+               AS touch_rank,
+             count(*) OVER (PARTITION BY p.event_id) AS n_touches
+      FROM events p
+      JOIN events v
+        ON v.user_id = p.user_id AND v.event_type = 'view'
+       AND v.ts < p.ts AND v.ts >= p.ts - INTERVAL 7 DAY
+      WHERE p.event_type = 'purchase'
+    )
+    SELECT purchase_id, touch_id, touch_rank,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           CAST((1000 // n_touches)
+                + CASE WHEN touch_rank = 1 THEN 1000 % n_touches
+                       ELSE 0 END AS BIGINT) AS credit_permille
+    FROM touches
+    """,
+    description="Multi-touch (linear) attribution: every view in the "
+    "7-day lookback window before a purchase receives an equal integer "
+    "per-mille share of the credit, with the integer-division remainder "
+    "assigned to the most recent touch (rank 1 under the (ts desc, "
+    "event_id) total order) so each purchase's credits sum to exactly "
+    "1000 — the attribution statement marketing pipelines reconcile "
+    "against, exact cross-engine because no float ever appears. Same "
+    "scale shape as the registered range join: equi-join on user_id "
+    "with the time range as a join-time filter (user-bucketed layout "
+    "removes the shuffle), then per-purchase ranking windows over the "
+    "bounded lookback fan-out.",
+    tags=("temporal", "range-join", "attribution", "window"),
+)
+def attribution_multi_touch(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("touch_id"),
+    )
+    touches = p.join(
+        v,
+        (p.user_id == v.v_user_id)
+        & (F.col("v_ts") < F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    wr = Window.partitionBy("purchase_id").orderBy(
+        F.col("v_ts").desc(), F.col("touch_id")
+    )
+    wc = Window.partitionBy("purchase_id")
+    return (
+        touches.withColumn("touch_rank", F.row_number().over(wr))
+        .withColumn("n_touches", F.count(F.lit(1)).over(wc).cast("long"))
+        .select(
+            "purchase_id",
+            "touch_id",
+            "touch_rank",
+            "n_touches",
+            (
+                F.expr("1000 div n_touches")
+                + F.when(
+                    F.col("touch_rank") == 1, F.expr("1000 % n_touches")
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("credit_permille"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dimension snapshot diff: what changed between the SCD2 dimension as of
+# a cutoff and the dimension now — the table-format snapshot diff as a
+# query.
+# ---------------------------------------------------------------------------
+
+_DIFF_CUT_DAYS = 24  # cutoff = min(ts) + 24 days (events span ~30 days)
+
+
+def _scd2_cte(suffix: str, where: str) -> str:
+    """One SCD2 version build as oracle CTEs with a name suffix."""
+    return f"""
+    flagged{suffix} AS (
+      SELECT user_id, ts, event_id, attr,
+             CASE WHEN lag(event_id) OVER w IS NULL
+                    OR attr IS DISTINCT FROM lag(attr) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM parsed {where}
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    dim{suffix} AS (
+      SELECT user_id, attr, valid_from,
+             lead(valid_from) OVER w2 AS valid_to,
+             row_number() OVER w2 AS version,
+             (lead(valid_from) OVER w2 IS NULL) AS is_current
+      FROM (
+        SELECT user_id, attr, ts AS valid_from, event_id
+        FROM flagged{suffix} WHERE chg = 1
+      )
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    )"""
+
+
+@register(
+    "dim_snapshot_diff",
+    oracle=f"""
+    WITH parsed AS MATERIALIZED (
+      SELECT user_id, ts, event_id,
+             CAST(json_extract(props, '$.k') AS BIGINT) // 25 AS attr
+      FROM events WHERE props IS NOT NULL
+    ),
+    cutoff AS (
+      SELECT min(ts) + INTERVAL {_DIFF_CUT_DAYS} DAY AS cut FROM parsed
+    ),
+    {_scd2_cte('1', 'WHERE ts < (SELECT cut FROM cutoff)')},
+    {_scd2_cte('2', '')}
+    SELECT coalesce(n.user_id, o.user_id) AS user_id,
+           coalesce(n.version, o.version) AS version,
+           CASE WHEN o.user_id IS NULL THEN 'added'
+                WHEN n.user_id IS NULL THEN 'removed'
+                WHEN o.attr IS NOT DISTINCT FROM n.attr
+                 AND o.valid_from IS NOT DISTINCT FROM n.valid_from
+                 AND o.valid_to IS NOT DISTINCT FROM n.valid_to
+                 AND o.is_current IS NOT DISTINCT FROM n.is_current
+                THEN 'unchanged' ELSE 'changed' END AS change_type,
+           n.attr AS attr, n.valid_from AS valid_from,
+           n.valid_to AS valid_to, n.is_current AS is_current
+    FROM dim1 o
+    FULL OUTER JOIN dim2 n
+      ON n.user_id = o.user_id AND n.version = o.version
+    """,
+    description=f"Dimension snapshot diff — the table-format snapshot "
+    "comparison as a query: the SCD2 dimension built from events before "
+    f"a cutoff (corpus min(ts) + {_DIFF_CUT_DAYS} days) FULL OUTER "
+    "joined on (user_id, version) against the dimension built from the "
+    "full log, each row classified added / changed / unchanged "
+    "(removed is defensive: appending later events can close or extend "
+    "versions but never delete one — the diff PROVES that invariant "
+    "when no removed row appears). Null-safe comparison on every "
+    "tracked column; this is the audit a warehouse runs after an "
+    "incremental upsert window to see exactly which history rows the "
+    "new data touched. One shuffle per snapshot build plus the "
+    "user-keyed diff join; both builds share the parsed event scan.",
+    tags=("temporal", "warehouse", "scd2", "audit"),
+)
+def dim_snapshot_diff(spark, sf_dir):
+    parsed = scd2_parse(spark, sf_dir).persist()
+    cut = F.broadcast(
+        parsed.agg(
+            (F.min("ts") + F.expr(f"INTERVAL {_DIFF_CUT_DAYS} DAYS")).alias(
+                "cut"
+            )
+        )
+    )
+    old_events = (
+        parsed.crossJoin(cut)  # scale-ok: 1-row broadcast cutoff scalar
+        .filter(F.col("ts") < F.col("cut"))
+        .select("user_id", "ts", "event_id", "attr")
+    )
+    o = scd2_versions(old_events).alias("o")
+    n = scd2_versions(parsed).alias("n")
+    same = (
+        F.col("o.attr").eqNullSafe(F.col("n.attr"))
+        & F.col("o.valid_from").eqNullSafe(F.col("n.valid_from"))
+        & F.col("o.valid_to").eqNullSafe(F.col("n.valid_to"))
+        & F.col("o.is_current").eqNullSafe(F.col("n.is_current"))
+    )
+    return (
+        o.join(
+            n,
+            (F.col("o.user_id") == F.col("n.user_id"))
+            & (F.col("o.version") == F.col("n.version")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("n.user_id", "o.user_id").alias("user_id"),
+            F.coalesce("n.version", "o.version").alias("version"),
+            F.when(F.col("o.user_id").isNull(), "added")
+            .when(F.col("n.user_id").isNull(), "removed")
+            .when(same, "unchanged")
+            .otherwise("changed")
+            .alias("change_type"),
+            F.col("n.attr").alias("attr"),
+            F.col("n.valid_from").alias("valid_from"),
+            F.col("n.valid_to").alias("valid_to"),
+            F.col("n.is_current").alias("is_current"),
+        )
+    )

@@ -68,3 +68,67 @@ def test_gdpr_delete_manifest_consistency(spark):
     # Facts only reference forgotten customers that exist.
     assert rows["orders"].n_keys <= rows["customer"].n_keys
     assert rows["events"].n_keys <= rows["customer"].n_keys
+
+
+def test_attribution_credits_sum_to_1000_per_purchase(spark):
+    from datalakes_and_data_integration_spark.plans.temporal import (
+        attribution_multi_touch,
+    )
+
+    rows = attribution_multi_touch(spark, SF).collect()
+    assert rows
+    by_p: dict[int, list] = {}
+    for r in rows:
+        by_p.setdefault(r.purchase_id, []).append(r)
+    for pid, touches in by_p.items():
+        assert sum(t.credit_permille for t in touches) == 1000, pid
+        n = touches[0].n_touches
+        assert all(t.n_touches == n for t in touches)
+        assert sorted(t.touch_rank for t in touches) == list(
+            range(1, n + 1)
+        )
+        # Remainder goes to the most recent touch only.
+        base = 1000 // n
+        for t in touches:
+            expect = base + (1000 % n if t.touch_rank == 1 else 0)
+            assert t.credit_permille == expect, (pid, t.touch_rank)
+
+
+def test_minhash_estimate_audit_ranges_and_bias(spark):
+    from datalakes_and_data_integration_spark.plans.curation7 import (
+        minhash_estimate_audit,
+    )
+
+    rows = minhash_estimate_audit(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.est_permille <= 1000
+        assert 0 <= r.exact_permille <= 1000
+        assert r.err_permille == r.est_permille - r.exact_permille
+        # A band collision means at least one 2-row band agrees, so at
+        # least 2 of the 8 signature components match: est >= 250.
+        assert r.est_permille >= 250
+    # Collision-conditioning biases the estimator HIGH on candidates —
+    # the audit's reason to exist. Check the direction on average.
+    mean_err = sum(r.err_permille for r in rows) / len(rows)
+    assert mean_err > 0
+
+
+def test_dim_snapshot_diff_invariants(spark):
+    from datalakes_and_data_integration_spark.plans.temporal import (
+        dim_snapshot_diff,
+    )
+
+    rows = dim_snapshot_diff(spark, SF).collect()
+    kinds = {r.change_type for r in rows}
+    # Appending later events can never delete a version.
+    assert "removed" not in kinds
+    # The later window both adds versions and closes formerly-open ones.
+    assert "added" in kinds and "changed" in kinds and "unchanged" in kinds
+    # Added rows always carry the new side's validity columns.
+    for r in rows:
+        if r.change_type == "added":
+            assert r.valid_from is not None
+    # (user_id, version) is the diff key: unique.
+    keys = [(r.user_id, r.version) for r in rows]
+    assert len(keys) == len(set(keys))

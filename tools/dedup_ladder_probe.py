@@ -63,6 +63,7 @@ LADDER = [
     "dedup_span_rewrite",
     "doc_novelty_score",
     "token_budget_mixture_sample",
+    "minhash_estimate_audit",
 ]
 
 

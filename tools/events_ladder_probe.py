@@ -57,6 +57,8 @@ LADDER = [
     "json_props_extract",
     "scd2_dimension_build",
     "streaming_scd2_upsert",
+    "attribution_multi_touch",
+    "dim_snapshot_diff",
     "cusum_changepoint",
     "robust_scaling_mad",
 ]

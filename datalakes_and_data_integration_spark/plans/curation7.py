@@ -565,3 +565,207 @@ def minhash_estimate_audit(spark, sf_dir):
             "err_permille"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH banding tradeoff: candidates / recall / precision per (bands, rows)
+# configuration, against the EXACT inverted-index ground truth.
+# ---------------------------------------------------------------------------
+
+_LSH_CONFIGS = [(4, 2), (2, 4), (8, 1)]  # (bands, rows per band); 4x2 = prod
+
+
+def _band_cfg_sql(nb: int, rpb: int) -> str:
+    """Band rows for one (bands, rows) config over the sigs CTE."""
+    rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat({cols}) AS bv FROM sigs".format(
+            b=b,
+            cols=", ',', ".join(f"s{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(nb)
+    )
+    return rows
+
+
+def _band_tradeoff_oracle() -> str:
+    from datalakes_and_data_integration_spark.plans.dedup import (
+        _bands_cte_sql,
+    )
+
+    cfg_ctes = ",\n".join(
+        f"""cand_{nb}x{rpb} AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM ({_band_cfg_sql(nb, rpb)}) a
+          JOIN ({_band_cfg_sql(nb, rpb)}) b
+            ON a.band = b.band AND a.bv = b.bv
+          WHERE a.doc_id < b.doc_id
+        )"""
+        for nb, rpb in _LSH_CONFIGS
+    )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {nb} AS n_bands, {rpb} AS rows_per_band, da, db "
+        f"FROM cand_{nb}x{rpb}"
+        for nb, rpb in _LSH_CONFIGS
+    )
+    return f"""
+    WITH {_bands_cte_sql()},
+    inv AS (SELECT doc_id, unnest(sh) AS g FROM shingled),
+    pairc AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(sh) AS sz FROM shingled),
+    true_pairs AS MATERIALIZED (
+      SELECT p.da, p.db
+      FROM pairc p
+      JOIN sizes sa ON sa.doc_id = p.da
+      JOIN sizes sb ON sb.doc_id = p.db
+      WHERE 5 * p.inter >= (sa.sz + sb.sz - p.inter)
+    ),
+    ntrue AS (SELECT count(*) AS n FROM true_pairs),
+    {cfg_ctes},
+    cands AS ({unions})
+    SELECT n_bands, rows_per_band,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST((SELECT n FROM ntrue) AS BIGINT) AS n_true_pairs,
+           CAST(sum(CASE WHEN t.da IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_caught,
+           CAST((1000 * sum(CASE WHEN t.da IS NOT NULL THEN 1 ELSE 0 END))
+                // greatest((SELECT n FROM ntrue), 1) AS BIGINT)
+             AS recall_permille,
+           CAST((1000 * sum(CASE WHEN t.da IS NOT NULL THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS precision_permille
+    FROM cands c
+    LEFT JOIN true_pairs t ON t.da = c.da AND t.db = c.db
+    GROUP BY n_bands, rows_per_band
+    """
+
+
+@register(
+    "lsh_band_tradeoff_report",
+    oracle=_band_tradeoff_oracle(),
+    description="LSH banding tradeoff report: candidate count, recall, "
+    "and precision (integer per-mille) of three (bands x rows) framings "
+    "of the SAME K=8 MinHash signatures — 4x2 (production), 2x4 "
+    "(high-precision), 8x1 (high-recall) — measured against the EXACT "
+    "Jaccard >= 0.2 ground truth from the inverted-index set-similarity "
+    "join (integer cross-multiplication 5*inter >= union, so truth "
+    "membership is exact; no all-pairs term anywhere — truth candidates "
+    "come only from the shingle posting-list join). The tuning curve an "
+    "LSH-dedup owner reads before changing the collision threshold: "
+    "recall rises and precision falls as rows-per-band shrinks, and "
+    "every number here is the production signature family's, not a "
+    "simulation. One tagged union of the three candidate sets feeds a "
+    "single group-by; signatures and the truth table each build once.",
+    tags=("dedup", "lsh", "tuning", "audit", "llm-pipeline"),
+)
+def lsh_band_tradeoff_report(spark, sf_dir):
+    from datalakes_and_data_integration_spark.plans.dedup import (
+        _TOK_SPARK as _DTOK,
+        minhash_sigs,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    tok_df = spread(
+        d.select("doc_id", F.expr(_DTOK).alias("toks")), spark
+    )
+    shingled = (
+        tok_df.select(
+            "doc_id", F.expr(shingles_expr_spark("toks", 3)).alias("sh")
+        )
+        .filter(F.size("sh") > 0)
+        .persist()  # consumed by sigs + the inverted-index truth
+    )
+    sigs = minhash_sigs(shingled).persist()  # three band framings
+
+    def cand(nb: int, rpb: int):
+        band_array = F.array(
+            *[
+                F.concat_ws(
+                    ",", *[f"s{b * rpb + r}" for r in range(rpb)]
+                )
+                for b in range(nb)
+            ]
+        )
+        bands = sigs.select(
+            "doc_id", F.posexplode(band_array).alias("band", "bv")
+        )
+        a, b = bands.alias("a"), bands.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bv") == F.col("b.bv"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("da"),
+                F.col("b.doc_id").alias("db"),
+            )
+            .distinct()
+            .select(
+                F.lit(nb).alias("n_bands"),
+                F.lit(rpb).alias("rows_per_band"),
+                "da",
+                "db",
+            )
+        )
+
+    cands = cand(*_LSH_CONFIGS[0])
+    for cfg in _LSH_CONFIGS[1:]:
+        cands = cands.unionByName(cand(*cfg))
+    inv = shingled.select("doc_id", F.explode("sh").alias("g"))
+    ia, ib = inv.alias("ia"), inv.alias("ib")
+    pairc = (
+        ia.join(
+            ib,
+            (F.col("ia.g") == F.col("ib.g"))
+            & (F.col("ia.doc_id") < F.col("ib.doc_id")),
+        )
+        .groupBy(
+            F.col("ia.doc_id").alias("da"), F.col("ib.doc_id").alias("db")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sz = shingled.select("doc_id", F.size("sh").alias("sz"))
+    truth = (
+        pairc.join(sz.select(F.col("doc_id").alias("da"),
+                             F.col("sz").alias("sa")), "da")
+        .join(sz.select(F.col("doc_id").alias("db"),
+                        F.col("sz").alias("sb")), "db")
+        .filter(
+            F.lit(5) * F.col("inter")
+            >= F.col("sa") + F.col("sb") - F.col("inter")
+        )
+        .select("da", "db", F.lit(1).alias("is_true"))
+        .persist()  # joined by the tagged candidate union + counted once
+    )
+    ntrue = F.broadcast(
+        truth.agg(F.count("*").cast("long").alias("n_true_pairs"))
+    )
+    return (
+        cands.join(truth, ["da", "db"], "left")
+        .groupBy("n_bands", "rows_per_band")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.sum(F.coalesce("is_true", F.lit(0)))
+            .cast("long")
+            .alias("n_caught"),
+        )
+        .crossJoin(ntrue)  # scale-ok: 1-row broadcast truth count
+        .select(
+            "n_bands",
+            "rows_per_band",
+            "n_candidates",
+            "n_true_pairs",
+            "n_caught",
+            F.expr(
+                "CAST((1000 * n_caught) div greatest(n_true_pairs, 1) "
+                "AS BIGINT)"
+            ).alias("recall_permille"),
+            F.expr(
+                "CAST((1000 * n_caught) div n_candidates AS BIGINT)"
+            ).alias("precision_permille"),
+        )
+    )

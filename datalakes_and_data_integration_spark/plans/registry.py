@@ -81,19 +81,21 @@ def register(
 # #4) plus the three dedup tiers whose signatures grew the optional
 # pre-shingled frame for it (default path byte-identical, but changed
 # code carries fresh driver evidence — the standing clause (a)), and
-# the eighteen round-7 newcomers ann_index_health_report +
+# the twenty round-7 newcomers ann_index_health_report +
 # streaming_decontamination_gate + semantic_dedup_assignment +
 # prototypicality_pruning + lexical_topk_retrieval +
 # hybrid_retrieval_rrf + scd2_dimension_build +
 # embedding_corpus_manifest + dedup_span_rewrite + doc_novelty_score +
 # token_budget_mixture_sample + streaming_scd2_upsert +
 # streaming_ivf_ingest + cluster_label_purity + gdpr_delete_manifest +
-# minhash_estimate_audit + attribution_multi_touch + dim_snapshot_diff
-# (never verified — clause (a) by definition), and the 23-query oldest
-# cohort: the 21 round-1 names that yielded slots in rounds 5/6 (topn,
-# the tpch suite, union_dedup_events, user_first_last_event,
-# value_histogram/percentiles) followed by the alphabetically-first 2
-# of the round-2 cohort. 27 + 23 = 50.
+# minhash_estimate_audit + attribution_multi_touch + dim_snapshot_diff +
+# lsh_band_tradeoff_report + user_lifespan_survival (never verified —
+# clause (a) by definition), the dedup_minhash_lsh refactor onto the
+# shared signature builders (clause (a): changed code, byte-identical
+# plan), and the 21-query oldest cohort: exactly the 21 round-1 names
+# that yielded slots in rounds 5/6 (topn, the tpch suite,
+# union_dedup_events, user_first_last_event,
+# value_histogram/percentiles). 29 + 21 = 50.
 WINDOW_ROUND = 7  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # policy clause (a): code changed since the newest green row
@@ -125,6 +127,8 @@ ROUND_CHANGED: list[str] = [
     "minhash_estimate_audit",
     "attribution_multi_touch",
     "dim_snapshot_diff",
+    "lsh_band_tradeoff_report",
+    "user_lifespan_survival",
 ]
 WINDOW_PRIORITY: list[str] = [
     "ann_topk_pq",
@@ -154,6 +158,8 @@ WINDOW_PRIORITY: list[str] = [
     "minhash_estimate_audit",
     "attribution_multi_touch",
     "dim_snapshot_diff",
+    "lsh_band_tradeoff_report",
+    "user_lifespan_survival",
     # oldest cohort, newest green row r1 (oldest-first, alphabetical)
     "topn_orders_per_customer",
     "tpch_q10_returned_items",
@@ -176,9 +182,6 @@ WINDOW_PRIORITY: list[str] = [
     "user_first_last_event",
     "value_histogram_by_type",
     "value_percentiles_by_type",
-    # oldest cohort, newest green row r2 (alphabetical prefix)
-    "ann_topk_bruteforce",
-    "cross_source_duplication",
 ]
 
 

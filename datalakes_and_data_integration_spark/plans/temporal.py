@@ -2723,3 +2723,82 @@ def dim_snapshot_diff(spark, sf_dir):
             F.col("n.is_current").alias("is_current"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# User lifespan survival curve (Kaplan-Meier over exact integer counts).
+# ---------------------------------------------------------------------------
+
+_SURV_DAYS = 30  # the events corpus spans ~30 days at every SF
+
+
+@register(
+    "user_lifespan_survival",
+    oracle=f"""
+    WITH life AS (
+      SELECT user_id,
+             date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+               AS span_days
+      FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT count(*) AS n FROM life),
+    hist AS (SELECT span_days, count(*) AS c FROM life GROUP BY 1),
+    grid AS (SELECT unnest(range(0, {_SURV_DAYS})) AS day_offset)
+    SELECT g.day_offset,
+           CAST(coalesce(sum(CASE WHEN h.span_days >= g.day_offset
+                                  THEN h.c ELSE 0 END), 0) AS BIGINT)
+             AS n_surviving,
+           CAST((1000 * coalesce(sum(CASE WHEN h.span_days >= g.day_offset
+                                          THEN h.c ELSE 0 END), 0))
+                // (SELECT n FROM tot) AS BIGINT) AS survival_permille
+    FROM grid g CROSS JOIN hist h
+    GROUP BY g.day_offset
+    """,
+    description=f"User-lifespan survival curve: for each day offset d in "
+    f"[0, {_SURV_DAYS}), the number and exact integer per-mille share of "
+    "users whose observed lifespan (calendar days between first and last "
+    "event) is at least d — the retention/survival statistic cohort "
+    "tables approximate, computed exactly. Scale shape: one "
+    "map-side-combined group-by per user for the lifespans, then a "
+    f"{_SURV_DAYS}-row histogram; the survival suffix-sum runs on the "
+    "HISTOGRAM cross-joined with the day grid (bounded by days², never "
+    "users x days), so the curve costs one user-keyed aggregate at any "
+    "corpus size. All integers.",
+    tags=("temporal", "analytics", "retention"),
+)
+def user_lifespan_survival(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    life = e.groupBy("user_id").agg(
+        F.datediff(
+            F.max("ts").cast("date"), F.min("ts").cast("date")
+        ).alias("span_days")
+    )
+    hist = life.groupBy("span_days").agg(F.count("*").alias("c"))
+    tot = F.broadcast(life.agg(F.count("*").alias("n")))
+    grid = spark.range(0, _SURV_DAYS).select(
+        F.col("id").cast("long").alias("day_offset")
+    )
+    surviving = (
+        grid.crossJoin(hist)  # scale-ok: day-grid x bounded histogram
+        .groupBy("day_offset")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("span_days") >= F.col("day_offset"),
+                        F.col("c"),
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_surviving")
+        )
+    )
+    return surviving.crossJoin(tot).select(  # scale-ok: 1-row total
+        "day_offset",
+        "n_surviving",
+        F.expr("CAST((1000 * n_surviving) div n AS BIGINT)").alias(
+            "survival_permille"
+        ),
+    )

@@ -132,3 +132,53 @@ def test_dim_snapshot_diff_invariants(spark):
     # (user_id, version) is the diff key: unique.
     keys = [(r.user_id, r.version) for r in rows]
     assert len(keys) == len(set(keys))
+
+
+def test_lsh_band_tradeoff_nesting_and_monotonicity(spark):
+    """The three framings of the same signatures NEST: a 4-row band
+    agreement implies both 2-row halves agree, and a 2-row agreement
+    implies each component agrees — so candidates (and with them
+    recall) are monotone in rows-per-band."""
+    from datalakes_and_data_integration_spark.plans.curation7 import (
+        lsh_band_tradeoff_report,
+    )
+
+    rows = {
+        (r.n_bands, r.rows_per_band): r
+        for r in lsh_band_tradeoff_report(spark, SF).collect()
+    }
+    assert set(rows) == {(4, 2), (2, 4), (8, 1)}
+    assert (
+        rows[(2, 4)].n_candidates
+        <= rows[(4, 2)].n_candidates
+        <= rows[(8, 1)].n_candidates
+    )
+    assert (
+        rows[(2, 4)].n_caught
+        <= rows[(4, 2)].n_caught
+        <= rows[(8, 1)].n_caught
+    )
+    n_true = rows[(4, 2)].n_true_pairs
+    for r in rows.values():
+        assert r.n_true_pairs == n_true
+        assert 0 <= r.n_caught <= min(r.n_candidates, n_true)
+        assert r.recall_permille == (1000 * r.n_caught) // max(n_true, 1)
+        assert r.precision_permille == (
+            1000 * r.n_caught
+        ) // r.n_candidates
+
+
+def test_user_lifespan_survival_monotone(spark):
+    from datalakes_and_data_integration_spark.plans.temporal import (
+        user_lifespan_survival,
+    )
+
+    rows = sorted(
+        user_lifespan_survival(spark, SF).collect(),
+        key=lambda r: r.day_offset,
+    )
+    assert [r.day_offset for r in rows] == list(range(30))
+    # Day 0: every user's span is >= 0.
+    assert rows[0].survival_permille == 1000
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_surviving <= a.n_surviving

@@ -64,6 +64,7 @@ LADDER = [
     "doc_novelty_score",
     "token_budget_mixture_sample",
     "minhash_estimate_audit",
+    "lsh_band_tradeoff_report",
 ]
 
 

@@ -59,6 +59,7 @@ LADDER = [
     "streaming_scd2_upsert",
     "attribution_multi_touch",
     "dim_snapshot_diff",
+    "user_lifespan_survival",
     "cusum_changepoint",
     "robust_scaling_mad",
 ]

@@ -89,13 +89,14 @@ def register(
 # token_budget_mixture_sample + streaming_scd2_upsert +
 # streaming_ivf_ingest + cluster_label_purity + gdpr_delete_manifest +
 # minhash_estimate_audit + attribution_multi_touch + dim_snapshot_diff +
-# lsh_band_tradeoff_report + user_lifespan_survival (never verified —
-# clause (a) by definition), the dedup_minhash_lsh refactor onto the
-# shared signature builders (clause (a): changed code, byte-identical
-# plan), and the 21-query oldest cohort: exactly the 21 round-1 names
+# lsh_band_tradeoff_report + user_lifespan_survival +
+# dim_asof_enrichment + order_backlog_curve (never verified — clause
+# (a) by definition), the dedup_minhash_lsh refactor onto the shared
+# signature builders (clause (a): changed code, byte-identical plan),
+# and the 19-query oldest cohort: the first 19 of the round-1 names
 # that yielded slots in rounds 5/6 (topn, the tpch suite,
-# union_dedup_events, user_first_last_event,
-# value_histogram/percentiles). 29 + 21 = 50.
+# union_dedup_events, user_first_last_event;
+# value_histogram/percentiles yielded this round). 31 + 19 = 50.
 WINDOW_ROUND = 7  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # policy clause (a): code changed since the newest green row
@@ -129,6 +130,8 @@ ROUND_CHANGED: list[str] = [
     "dim_snapshot_diff",
     "lsh_band_tradeoff_report",
     "user_lifespan_survival",
+    "dim_asof_enrichment",
+    "order_backlog_curve",
 ]
 WINDOW_PRIORITY: list[str] = [
     "ann_topk_pq",
@@ -160,6 +163,8 @@ WINDOW_PRIORITY: list[str] = [
     "dim_snapshot_diff",
     "lsh_band_tradeoff_report",
     "user_lifespan_survival",
+    "dim_asof_enrichment",
+    "order_backlog_curve",
     # oldest cohort, newest green row r1 (oldest-first, alphabetical)
     "topn_orders_per_customer",
     "tpch_q10_returned_items",
@@ -180,8 +185,6 @@ WINDOW_PRIORITY: list[str] = [
     "tpch_q9_product_profit",
     "union_dedup_events",
     "user_first_last_event",
-    "value_histogram_by_type",
-    "value_percentiles_by_type",
 ]
 
 

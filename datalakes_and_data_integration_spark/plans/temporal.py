@@ -2802,3 +2802,196 @@ def user_lifespan_survival(spark, sf_dir):
             "survival_permille"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time dimension enrichment: the SCD2 consumer join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dim_asof_enrichment",
+    oracle=f"""
+    WITH parsed AS MATERIALIZED (
+      SELECT user_id, ts, event_id,
+             CAST(json_extract(props, '$.k') AS BIGINT) // 25 AS attr
+      FROM events WHERE props IS NOT NULL
+    ),
+    {_scd2_cte('2', '')}
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+           d.attr AS attr_at_purchase, d.version
+    FROM events p
+    LEFT JOIN dim2 d
+      ON d.user_id = p.user_id
+     AND d.valid_from <= p.ts
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    WHERE p.event_type = 'purchase'
+    """,
+    description="Point-in-time dimension enrichment — the join every "
+    "SCD2 dimension exists to serve: each purchase event picks up the "
+    "attribute version that was valid AT ITS TIMESTAMP "
+    "(valid_from <= ts < valid_to, open version unbounded). Validity "
+    "intervals are disjoint per user by construction, so the interval "
+    "join matches at most one version per fact row — no dedup step, "
+    "no row explosion. Scale shape: an equi join on user_id with the "
+    "interval predicate as a join-time filter (the as-of shape; "
+    "user-bucketed layout removes the shuffle), dimension side is the "
+    "version table, orders of magnitude smaller than the event log. "
+    "Composes the registered scd2_versions definition.",
+    tags=("temporal", "warehouse", "scd2", "asof"),
+)
+def dim_asof_enrichment(spark, sf_dir):
+    dim = scd2_versions(scd2_parse(spark, sf_dir))
+    p = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "ts",
+        )
+    )
+    d = dim.alias("d")
+    return (
+        p.alias("p")
+        .join(
+            d,
+            (F.col("p.user_id") == F.col("d.user_id"))
+            & (F.col("d.valid_from") <= F.col("p.ts"))
+            & (
+                F.col("d.valid_to").isNull()
+                | (F.col("p.ts") < F.col("d.valid_to"))
+            ),
+            "left",
+        )
+        .select(
+            "purchase_id",
+            F.col("p.user_id").alias("user_id"),
+            F.col("p.ts").alias("ts"),
+            F.col("d.attr").alias("attr_at_purchase"),
+            F.col("d.version").alias("version"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order backlog curve: sweep-line interval counting over the date grid.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_backlog_curve",
+    oracle="""
+    WITH spans AS (
+      SELECT o.o_orderkey,
+             CAST(o.o_orderdate AS DATE) AS start_day,
+             CAST(max(l.l_shipdate) AS DATE) AS end_day
+      FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    deltas AS (
+      SELECT start_day AS day, count(*) AS opened, 0 AS closed
+      FROM spans GROUP BY start_day
+      UNION ALL
+      SELECT end_day + INTERVAL 1 DAY AS day, 0 AS opened,
+             count(*) AS closed
+      FROM spans WHERE end_day IS NOT NULL GROUP BY end_day
+    ),
+    bounds AS (
+      SELECT min(start_day) AS lo,
+             max(greatest(coalesce(end_day, start_day), start_day)) AS hi
+      FROM spans
+    ),
+    grid AS (
+      SELECT CAST(unnest(generate_series(
+               (SELECT lo FROM bounds),
+               (SELECT hi FROM bounds),
+               INTERVAL 1 DAY)) AS DATE) AS day
+    ),
+    daily AS (
+      SELECT g.day,
+             CAST(coalesce(sum(d.opened), 0) AS BIGINT) AS n_opened,
+             CAST(coalesce(sum(d.closed), 0) AS BIGINT) AS n_closed
+      FROM grid g LEFT JOIN deltas d ON d.day = g.day
+      GROUP BY g.day
+    )
+    SELECT day, n_opened, n_closed,
+           CAST(sum(n_opened - n_closed) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_open
+    FROM daily
+    """,
+    description="Order backlog curve by sweep-line interval counting: "
+    "an order is open from its order date until its last lineitem ship "
+    "date (orders with no lineitems yet never close — they ARE "
+    "backlog); the curve reports, for every calendar day in the corpus "
+    "span, how many orders opened, closed, and remain open. The naive "
+    "form is a days x orders interval cross join; this one reduces "
+    "each order to two DELTA rows (+1 at start, -1 the day after "
+    "close), aggregates deltas per day (map-side combined, bounded by "
+    "the date domain), and takes ONE running sum over the "
+    "days-sized grid — the difference-array pattern for any "
+    "interval-count statistic (open tickets, active sessions, "
+    "concurrent jobs) at unbounded fact scale. All integers.",
+    tags=("temporal", "analytics", "sweep-line", "relational"),
+)
+def order_backlog_curve(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    spans = (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("ship_end"))
+        .select(
+            F.col("o_orderdate").cast("date").alias("start_day"),
+            F.col("ship_end").cast("date").alias("end_day"),
+        )
+    )  # end_day NULL = no lineitems yet: the order stays open forever
+    deltas = (
+        spans.groupBy(F.col("start_day").alias("day"))
+        .agg(F.count("*").alias("opened"), F.lit(0).alias("closed"))
+        .unionByName(
+            spans.filter(F.col("end_day").isNotNull())
+            .groupBy(F.date_add(F.col("end_day"), 1).alias("day"))
+            .agg(F.lit(0).alias("opened"), F.count("*").alias("closed"))
+        )
+    )
+    bounds = spans.agg(
+        F.min("start_day").alias("lo"),
+        F.max(
+            F.greatest(
+                F.coalesce("end_day", "start_day"), F.col("start_day")
+            )
+        ).alias("hi"),
+    )
+    grid = (
+        bounds.select(
+            F.explode(
+                F.expr("sequence(lo, hi, interval 1 day)")
+            ).alias("day")
+        )
+    )
+    daily = (
+        # deltas is bounded by the date domain (two rows per active day)
+        # — broadcast the RIGHT side of the grid's left join.
+        grid.join(F.broadcast(deltas), "day", "left")
+        .groupBy("day")
+        .agg(
+            F.coalesce(F.sum("opened"), F.lit(0))
+            .cast("long")
+            .alias("n_opened"),
+            F.coalesce(F.sum("closed"), F.lit(0))
+            .cast("long")
+            .alias("n_closed"),
+        )
+    )
+    # The running sum runs over the DAYS-sIZED grid (~2,500 rows at any
+    # fact scale) — a bounded single-partition window, same class as the
+    # survival curve's histogram pass.
+    w = (
+        Window.orderBy("day")  # scale-ok: date-domain-bounded frame
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.withColumn(
+        "n_open",
+        F.sum(F.col("n_opened") - F.col("n_closed")).over(w).cast("long"),
+    )

@@ -182,3 +182,58 @@ def test_user_lifespan_survival_monotone(spark):
     assert rows[0].survival_permille == 1000
     for a, b in zip(rows, rows[1:]):
         assert b.n_surviving <= a.n_surviving
+
+
+def test_asof_enrichment_matches_event_own_attr(spark):
+    """Every purchase event carries props in this corpus, so it is
+    itself a change-candidate row of the dimension — the point-in-time
+    join must therefore return exactly the attr of the version the
+    purchase's own event belongs to: its own parsed attr bucket."""
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans.temporal import (
+        dim_asof_enrichment,
+        scd2_parse,
+    )
+
+    got = {
+        r.purchase_id: r for r in dim_asof_enrichment(spark, SF).collect()
+    }
+    own = {
+        r.event_id: r.attr
+        for r in scd2_parse(spark, SF)
+        .join(
+            spark.read.parquet(f"{SF}/events.parquet")
+            .filter(F.col("event_type") == "purchase")
+            .select("event_id"),
+            "event_id",
+        )
+        .collect()
+    }
+    assert set(got) == set(own)  # one row per purchase, none dropped
+    for eid, r in got.items():
+        assert r.attr_at_purchase == own[eid], eid
+        assert r.version is not None and r.version >= 1
+
+
+def test_order_backlog_curve_accounting(spark):
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans.temporal import (
+        order_backlog_curve,
+    )
+
+    rows = sorted(
+        order_backlog_curve(spark, SF).collect(), key=lambda r: r.day
+    )
+    n_orders = T(spark, SF, "orders").count()
+    # Every order opens exactly once inside the grid.
+    assert sum(r.n_opened for r in rows) == n_orders
+    # The curve is the running difference and never dips negative.
+    run = 0
+    for r in rows:
+        run += r.n_opened - r.n_closed
+        assert r.n_open == run, r.day
+        assert r.n_open >= 0
+    # The grid is a contiguous daily spine.
+    days = [r.day for r in rows]
+    assert all((b - a).days == 1 for a, b in zip(days, days[1:]))

@@ -60,6 +60,7 @@ LADDER = [
     "attribution_multi_touch",
     "dim_snapshot_diff",
     "user_lifespan_survival",
+    "dim_asof_enrichment",
     "cusum_changepoint",
     "robust_scaling_mad",
 ]

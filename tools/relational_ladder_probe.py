@@ -68,6 +68,7 @@ LADDER = [
     "table_profile_lineitem",
     "referential_integrity_check",
     "gdpr_delete_manifest",
+    "order_backlog_curve",
 ]
 
 # (table, key columns to offset by that table's stride-owner)

@@ -509,6 +509,7 @@ def _hybrid_rrf_oracle() -> str:
     "top-k runs as a partial-top-k window. The lexical leg of a "
     "retrieval stack next to the ANN tier.",
     tags=("text", "retrieval", "inverted-index", "llm-pipeline"),
+    bench=True,  # promoted r7: the lexical retrieval flagship
 )
 def lexical_topk_retrieval(spark, sf_dir):
     split_docs = _split_docs_spark(spark, sf_dir)

@@ -161,6 +161,7 @@ def _span_rewrite_oracle() -> str:
     "the paper's suffix-array pass), and the doc_id window whose hash "
     "exchange the rebuild group-by then reuses.",
     tags=("dedup", "curation", "text", "llm-pipeline"),
+    bench=True,  # promoted r7: the span tier of the dedup ladder
 )
 def dedup_span_rewrite(spark, sf_dir):
     k = _SPAN_K

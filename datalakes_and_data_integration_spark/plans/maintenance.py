@@ -247,6 +247,7 @@ def _gdpr_oracle() -> str:
     "Completes the governance family next to k_anonymity_audit / "
     "l_diversity_audit / text_pii_mask.",
     tags=("maintenance", "governance", "privacy", "audit"),
+    bench=True,  # promoted r7: the governance probe (broadcast semi-joins)
 )
 def gdpr_delete_manifest(spark, sf_dir):
     from datalakes_and_data_integration_spark.functions.hashing import (

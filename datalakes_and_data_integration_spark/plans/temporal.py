@@ -2517,6 +2517,7 @@ SCD2_ORACLE = """
     "partitioning. The batch/backfill path; incremental maintenance is "
     "the streaming upsert tier.",
     tags=("temporal", "window", "warehouse", "scd2"),
+    bench=True,  # promoted r7: the warehouse-history flagship
 )
 def scd2_dimension_build(spark, sf_dir):
     return scd2_versions(scd2_parse(spark, sf_dir))

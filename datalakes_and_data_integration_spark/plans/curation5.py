@@ -64,7 +64,18 @@ _TOK_DUCK = tokens_sql_duck("text")
 # on doc_id — candidates bounded by the flagged sets, never the corpus.
 # ---------------------------------------------------------------------------
 
-_TIERS = ("cluster", "containment", "exact", "passage")
+_TIERS = ("cluster", "containment", "exact", "passage", "span")
+
+
+def _span_grams_duck() -> str:
+    """Positional word-8-gram rows over the report's shared ``tok`` CTE
+    (curation7's builder, pointed at this oracle's tokenize pass)."""
+    from datalakes_and_data_integration_spark.plans.curation7 import (
+        _SPAN_K,
+        _pos_grams_duck,
+    )
+
+    return _pos_grams_duck(_SPAN_K, src="tok")
 
 
 def _tier_overlap_oracle() -> str:
@@ -107,12 +118,25 @@ def _tier_overlap_oracle() -> str:
         FROM passages
       ) WHERE rn > 1
     ),
+    span_grams AS (
+      SELECT doc_id, p, md5(g) AS dg FROM ({_span_grams_duck()})
+    ),
+    span_losers AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY dg
+                                  ORDER BY doc_id, p) AS rn
+        FROM span_grams
+      ) WHERE rn > 1
+    ),
     cont AS MATERIALIZED ({_containment_oracle()}),
     clusters AS MATERIALIZED ({_cluster_oracle()}),
     flags AS MATERIALIZED (
       SELECT 'exact' AS tier, doc_id FROM exact_losers
       UNION ALL
       SELECT 'passage', doc_id FROM passage_losers
+      UNION ALL
+      SELECT 'span', doc_id FROM span_losers
       UNION ALL
       SELECT DISTINCT 'containment', doc_b FROM cont
       UNION ALL
@@ -147,13 +171,15 @@ def _tier_overlap_oracle() -> str:
 @register(
     "dedup_tier_overlap_report",
     oracle=_tier_overlap_oracle(),
-    description="Dedup tier-overlap matrix: the 6 pairwise intersections "
-    "of the four flagged-document sets (exact md5 losers, repeated-"
-    "passage docs, containment later-docs, MinHash-cluster non-"
-    "representatives) with per-tier totals and overlap Jaccard — the "
-    "marginal-value table that tells a pipeline owner what each tier "
-    "still catches given the others (dedup_savings_report prices them "
-    "individually). Exact integer set counts; one rounded division.",
+    description="Dedup tier-overlap matrix: the 10 pairwise intersections "
+    "of the five flagged-document sets (exact md5 losers, repeated-"
+    "passage docs, duplicate-8-gram-SPAN docs — the exact-substring "
+    "tier, sharing the report's one tokenize pass — containment "
+    "later-docs, MinHash-cluster non-representatives) with per-tier "
+    "totals and overlap Jaccard — the marginal-value table that tells a "
+    "pipeline owner what each tier still catches given the others "
+    "(dedup_savings_report prices them individually). Exact integer "
+    "set counts; one rounded division.",
     tags=("dedup", "curation", "report", "llm-pipeline"),
 )
 def dedup_tier_overlap_report(spark, sf_dir):
@@ -217,6 +243,28 @@ def dedup_tier_overlap_report(spark, sf_dir):
         .select("doc_id")
         .distinct()
     )
+    from datalakes_and_data_integration_spark.plans.curation7 import (
+        _SPAN_K,
+        _pos_grams_spark,
+    )
+
+    span_grams = tok.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(_pos_grams_spark("toks", _SPAN_K))
+        ).alias("p0", "g"),
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).cast("long").alias("p"),
+        F.md5("g").alias("dg"),
+    )
+    wsp = Window.partitionBy("dg").orderBy("doc_id", "p")
+    span_losers = (
+        span_grams.withColumn("rn", F.row_number().over(wsp))
+        .filter(F.col("rn") > 1)
+        .select("doc_id")
+        .distinct()
+    )
     cont_losers = (
         dedup_containment_pairs(spark, sf_dir, shingled=shingled)
         .select(F.col("doc_b").alias("doc_id"))
@@ -236,6 +284,7 @@ def dedup_tier_overlap_report(spark, sf_dir):
     flags = (
         exact_losers.select(F.lit("exact").alias("tier"), "doc_id")
         .unionAll(passage_losers.select(F.lit("passage").alias("tier"), "doc_id"))
+        .unionAll(span_losers.select(F.lit("span").alias("tier"), "doc_id"))
         .unionAll(cont_losers.select(F.lit("containment").alias("tier"), "doc_id"))
         .unionAll(cluster_losers.select(F.lit("cluster").alias("tier"), "doc_id"))
         .repartition(n_part, "doc_id")

@@ -87,8 +87,10 @@ def _pos_grams_spark(tokens_expr: str, n: int) -> str:
     )
 
 
-def _pos_grams_duck(n: int) -> str:
-    """DuckDB twin: zipped parallel unnests of (start, gram text)."""
+def _pos_grams_duck(n: int, src: str = "tok2") -> str:
+    """DuckDB twin: zipped parallel unnests of (start, gram text) over a
+    (doc_id, toks) relation ``src`` (the CASE guards len < n, so the
+    source needs no emptiness filter)."""
     parts = ", ".join(f"toks[i + {k}]" for k in range(n))
     rng = f"range(1, len(toks) - {n} + 2)"
     return f"""
@@ -98,7 +100,7 @@ def _pos_grams_duck(n: int) -> str:
              unnest(CASE WHEN len(toks) >= {n} THEN
                       list_transform({rng}, i -> concat_ws(' ', {parts}))
                     ELSE [] END) AS g
-      FROM tok2"""
+      FROM {src}"""
 
 
 def _span_rewrite_oracle() -> str:

@@ -54,14 +54,18 @@ def test_tier_overlap_report_invariants(spark):
     )
 
     rows = dedup_tier_overlap_report(spark, SF).collect()
-    assert len(rows) == 6  # all 4-choose-2 tier pairs, even empty ones
+    assert len(rows) == 10  # all 5-choose-2 tier pairs, even empty ones
     assert {(r.tier_a, r.tier_b) for r in rows} == {
         ("cluster", "containment"),
         ("cluster", "exact"),
         ("cluster", "passage"),
+        ("cluster", "span"),
         ("containment", "exact"),
         ("containment", "passage"),
+        ("containment", "span"),
         ("exact", "passage"),
+        ("exact", "span"),
+        ("passage", "span"),
     }
     for r in rows:
         assert r.n_both <= min(r.n_a, r.n_b)

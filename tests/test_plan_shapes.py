@@ -166,3 +166,30 @@ def test_quality_report_has_no_fact_shuffle_joins(spark, queries):
     plan = _plan(spark, queries, "data_quality_report")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_r7_session3_newcomer_plan_shapes(spark, queries):
+    """Scale-critical plan properties of the round-7 third-session
+    queries, pinned: the GDPR probe must broadcast (facts never
+    shuffle for a dimension-sized forget set); the mixture sampler's
+    offsets/budget frames must broadcast (no sort-merge join anywhere);
+    the backlog curve's deltas side must broadcast against the day
+    grid; the span rewrite is windows + group-bys only — any join
+    appearing means the union trick regressed to a positional join."""
+    plan = _plan(spark, queries, "gdpr_delete_manifest")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    plan = _plan(spark, queries, "token_budget_mixture_sample")
+    assert "SortMergeJoin" not in plan
+
+    plan = _plan(spark, queries, "order_backlog_curve")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(spark, queries, "dedup_span_rewrite")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(spark, queries, "dim_asof_enrichment")
+    assert "CartesianProduct" not in plan

@@ -90,13 +90,14 @@ def register(
 # streaming_ivf_ingest + cluster_label_purity + gdpr_delete_manifest +
 # minhash_estimate_audit + attribution_multi_touch + dim_snapshot_diff +
 # lsh_band_tradeoff_report + user_lifespan_survival +
-# dim_asof_enrichment + order_backlog_curve (never verified — clause
-# (a) by definition), the dedup_minhash_lsh refactor onto the shared
+# dim_asof_enrichment + order_backlog_curve +
+# join_cardinality_estimate_audit (never verified — clause (a) by
+# definition), the dedup_minhash_lsh refactor onto the shared
 # signature builders (clause (a): changed code, byte-identical plan),
-# and the 19-query oldest cohort: the first 19 of the round-1 names
+# and the 18-query oldest cohort: the first 18 of the round-1 names
 # that yielded slots in rounds 5/6 (topn, the tpch suite,
-# union_dedup_events, user_first_last_event;
-# value_histogram/percentiles yielded this round). 31 + 19 = 50.
+# union_dedup_events; user_first_last_event and
+# value_histogram/percentiles yielded this round). 32 + 18 = 50.
 WINDOW_ROUND = 7  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # policy clause (a): code changed since the newest green row
@@ -132,6 +133,7 @@ ROUND_CHANGED: list[str] = [
     "user_lifespan_survival",
     "dim_asof_enrichment",
     "order_backlog_curve",
+    "join_cardinality_estimate_audit",
 ]
 WINDOW_PRIORITY: list[str] = [
     "ann_topk_pq",
@@ -165,6 +167,7 @@ WINDOW_PRIORITY: list[str] = [
     "user_lifespan_survival",
     "dim_asof_enrichment",
     "order_backlog_curve",
+    "join_cardinality_estimate_audit",
     # oldest cohort, newest green row r1 (oldest-first, alphabetical)
     "topn_orders_per_customer",
     "tpch_q10_returned_items",
@@ -184,7 +187,6 @@ WINDOW_PRIORITY: list[str] = [
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
     "union_dedup_events",
-    "user_first_last_event",
 ]
 
 

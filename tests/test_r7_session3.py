@@ -237,3 +237,23 @@ def test_order_backlog_curve_accounting(spark):
     # The grid is a contiguous daily spine.
     days = [r.day for r in rows]
     assert all((b - a).days == 1 for a, b in zip(days, days[1:]))
+
+
+def test_join_cardinality_estimate_never_underestimates(spark):
+    """CMS inner products upper-bound the true join size (collisions
+    only ADD cross terms) — every per-hash estimate must be >= exact,
+    and the reported minimum must be the row-wise minimum."""
+    from datalakes_and_data_integration_spark.plans.sketches import (
+        join_cardinality_estimate_audit,
+    )
+
+    rows = join_cardinality_estimate_audit(spark, SF).collect()
+    assert len(rows) == 4
+    exact = rows[0].exact_join_rows
+    assert exact > 0
+    assert all(r.exact_join_rows == exact for r in rows)
+    est_min = min(r.estimate_i for r in rows)
+    for r in rows:
+        assert r.estimate_i >= exact, r.hash_i
+        assert r.est_min == est_min
+        assert r.over_permille == (1000 * (est_min - exact)) // exact

@@ -69,6 +69,7 @@ LADDER = [
     "referential_integrity_check",
     "gdpr_delete_manifest",
     "order_backlog_curve",
+    "join_cardinality_estimate_audit",
 ]
 
 # (table, key columns to offset by that table's stride-owner)

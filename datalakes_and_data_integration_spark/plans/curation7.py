@@ -1,4 +1,4 @@
-"""Round-7 curation additions — three corpus-preparation operators a
+"""Round-7 curation additions — corpus-preparation operators a
 large-scale training-data pipeline runs that the earlier suites do not
 cover:
 
@@ -30,8 +30,14 @@ cover:
   oracle is the naive one-window definition, and the driver's
   hash-match is the proof the two are equivalent (bucket = the hash's
   top bits, so (bucket, hash) order IS hash order).
+- ``minhash_estimate_audit`` / ``lsh_band_tradeoff_report``: the
+  estimator-quality and banding-tradeoff audits of the LSH dedup tier,
+  measured per candidate pair against EXACT shingle-Jaccard ground
+  truth (integer cross-multiplied thresholds) using the production
+  signature builders (plans/dedup.minhash_sigs) — auditing the index
+  never costs more than running it.
 
-All three are extensions beyond the reference's capability surface
+All are extensions beyond the reference's capability surface
 (SURVEY.md §2 extensions — the reference ETL at
 ``/root/reference/src/process_to_curated.py`` has no text-corpus stage);
 they exist for the 100 TB training-data mandate.

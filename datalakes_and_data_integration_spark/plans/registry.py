@@ -134,6 +134,8 @@ ROUND_CHANGED: list[str] = [
     "dim_asof_enrichment",
     "order_backlog_curve",
     "join_cardinality_estimate_audit",
+    # round-7 fourth session newcomers
+    "skyline_pareto_frontier",
 ]
 WINDOW_PRIORITY: list[str] = [
     "ann_topk_pq",
@@ -168,6 +170,7 @@ WINDOW_PRIORITY: list[str] = [
     "dim_asof_enrichment",
     "order_backlog_curve",
     "join_cardinality_estimate_audit",
+    "skyline_pareto_frontier",
     # oldest cohort, newest green row r1 (oldest-first, alphabetical)
     "topn_orders_per_customer",
     "tpch_q10_returned_items",
@@ -186,7 +189,6 @@ WINDOW_PRIORITY: list[str] = [
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
-    "union_dedup_events",
 ]
 
 

@@ -2011,3 +2011,65 @@ def market_basket_lift(spark, sf_dir):
             .alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier) — the multi-objective dominance operator
+# (Börzsönyi et al., ICDE'01 "The Skyline Operator"). Per brand: the parts
+# for which no same-brand part is at-least-as-cheap AND at-least-as-large
+# with one inequality strict (minimize p_retailprice, maximize p_size).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skyline_pareto_frontier",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice, p_size
+    FROM part b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part a
+      WHERE a.p_brand = b.p_brand
+        AND a.p_retailprice <= b.p_retailprice
+        AND a.p_size >= b.p_size
+        AND (a.p_retailprice < b.p_retailprice OR a.p_size > b.p_size)
+    )
+    """,
+    description="Per-brand skyline (Pareto frontier, Börzsönyi ICDE'01): "
+    "parts not weakly dominated on (price min, size max) within their "
+    "brand. Spark side is the REDUCTION-FIRST form: dominance is decided "
+    "on the (brand, price)->max(size) reduced frame (bounded by distinct "
+    "catalog keys, never the fact rows) with a per-brand running-max "
+    "window — a (brand,price) group is on the frontier iff its max size "
+    "strictly exceeds the running max over all strictly-cheaper prices, "
+    "and within the group exactly the max-size rows survive. Fact rows "
+    "only probe the tiny frontier frame by broadcast equi-join. The "
+    "oracle is the quadratic NOT-EXISTS dominance definition, so the "
+    "hash match proves the O(n log n) windowed form equals the O(n^2) "
+    "definition. 100 TB: the reduced frame is distinct-key-bounded; were "
+    "even that huge, the same reduction nests (bucketize price, recurse).",
+    tags=("skyline", "window", "relational"),
+)
+def skyline_pareto_frontier(spark, sf_dir):
+    part = T(spark, sf_dir, "part")
+    grp = part.groupBy("p_brand", "p_retailprice").agg(
+        F.max("p_size").alias("gmax")
+    )
+    # One row per (brand, price): the inclusive running max at the PREVIOUS
+    # row is exactly the best size among strictly-cheaper prices.
+    w_run = (
+        Window.partitionBy("p_brand")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lag = Window.partitionBy("p_brand").orderBy("p_retailprice")
+    frontier_groups = (
+        grp.withColumn("run", F.max("gmax").over(w_run))
+        .withColumn("prev", F.lag("run").over(w_lag))
+        .filter(F.col("prev").isNull() | (F.col("gmax") > F.col("prev")))
+        .select("p_brand", "p_retailprice", "gmax")
+    )
+    return (
+        part.join(F.broadcast(frontier_groups), ["p_brand", "p_retailprice"])
+        .filter(F.col("p_size") == F.col("gmax"))
+        .select("p_partkey", "p_brand", "p_retailprice", "p_size")
+    )

@@ -286,3 +286,165 @@ def gdpr_delete_manifest(spark, sf_dir):
             branch(ev, "events", "user_id", F.col("ts").cast("date"))
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustered layout planning (Delta/Iceberg OPTIMIZE ZORDER shape).
+# ---------------------------------------------------------------------------
+
+_Z_FILES = 32
+_Z_BITS = 16  # per-dimension quantization width; 2 dims -> 32-bit codes
+_Z_MASKS = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def _spread_sql(expr: str, shift: str) -> str:
+    """Bit-spread a 16-bit value so its bits occupy even positions.
+
+    ``shift`` is an engine template for left shift with placeholders
+    ``{v}`` and ``{n}`` — Spark lacks ``<<`` but has shiftleft(); DuckDB
+    has ``<<``. Masks/adds are plain int64 arithmetic in both.
+    """
+    v = expr
+    for n, mask in _Z_MASKS:
+        sh = shift.format(v=v, n=n)
+        v = f"(({v} | {sh}) & {mask})"
+    return v
+
+
+def _morton_sql(qx: str, qy: str, shift: str) -> str:
+    # Disjoint bit positions, so + == | between the two spread values.
+    return f"({_spread_sql(qx, shift)} + 2 * {_spread_sql(qy, shift)})"
+
+
+_SPARK_SHIFT = "shiftleft({v}, {n})"
+_DUCK_SHIFT = "({v} << {n})"
+
+
+def _zorder_oracle() -> str:
+    q = 1 << _Z_BITS
+    morton = _morton_sql("qx", "qy", _DUCK_SHIFT)
+    return f"""
+    WITH base AS (
+      SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,
+             (l_partkey * {q}) // (SELECT max(l_partkey) + 1 FROM lineitem)
+               AS qx,
+             (l_suppkey * {q}) // (SELECT max(l_suppkey) + 1 FROM lineitem)
+               AS qy
+      FROM lineitem
+    ),
+    coded AS (SELECT *, {morton} AS z FROM base),
+    ranked AS (
+      SELECT 'zorder' AS layout, l_partkey, l_suppkey,
+             ROW_NUMBER() OVER (ORDER BY z, l_orderkey, l_linenumber) - 1
+               AS rank0
+      FROM coded
+      UNION ALL
+      SELECT 'linear' AS layout, l_partkey, l_suppkey,
+             ROW_NUMBER()
+               OVER (ORDER BY l_partkey, l_orderkey, l_linenumber) - 1
+               AS rank0
+      FROM coded
+    )
+    SELECT layout,
+           CAST((rank0 * {_Z_FILES}) // (SELECT count(*) FROM lineitem)
+                AS BIGINT) AS file_id,
+           count(*) AS n_rows,
+           min(l_partkey) AS min_partkey, max(l_partkey) AS max_partkey,
+           min(l_suppkey) AS min_suppkey, max(l_suppkey) AS max_suppkey
+    FROM ranked
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "zorder_layout_plan",
+    oracle=_zorder_oracle(),
+    description="Z-order clustered rewrite planning (the Delta/Iceberg "
+    "OPTIMIZE ZORDER shape): lineitem rows get a 32-bit Morton code — "
+    "each of (l_partkey, l_suppkey) monotonically quantized to 16 bits, "
+    "bits interleaved by the shift-or-mask spread, pure int64 in both "
+    "engines — and are packed into 32 equal-row files in code order; the "
+    "report is each file's (partkey, suppkey) min/max envelope next to "
+    "the single-column LINEAR sort baseline, i.e. exactly the footer "
+    "stats a reader prunes on: z-order bounds BOTH dims per file, linear "
+    "bounds one and spans the other (pinned by test). Global rank uses "
+    "the bucketed two-pass running count (top-8-bits bucket subtotals + "
+    "within-bucket row_number; bucket order == code order because the "
+    "bucket IS the code's top bits) so no global single-reducer sort "
+    "exists in the plan; the oracle is the naive one-window ROW_NUMBER, "
+    "and the driver hash match proves the two-pass form equal. At 100 TB "
+    "the physical rewrite is repartitionByRange(z) + sortWithinPartitions "
+    "(sinks.write_clustered); this query is its planning/audit half.",
+    tags=("layout", "maintenance", "zorder", "scale"),
+)
+def zorder_layout_plan(spark, sf_dir):
+    from pyspark.sql import Window
+
+    q = 1 << _Z_BITS
+    li = T(spark, sf_dir, "lineitem")
+    mx_p, mx_s, n = li.agg(
+        F.max("l_partkey"), F.max("l_suppkey"), F.count("*")
+    ).collect()[0]  # scale-ok: 3 scalars (quantization bounds + row count)
+    morton = _morton_sql("qx", "qy", _SPARK_SHIFT)
+    coded = (
+        li.select("l_partkey", "l_suppkey", "l_orderkey", "l_linenumber")
+        .withColumn("qx", F.expr(f"(l_partkey * {q}) div {mx_p + 1}"))
+        .withColumn("qy", F.expr(f"(l_suppkey * {q}) div {mx_s + 1}"))
+        .withColumn("z", F.expr(morton))
+        .persist()  # two layout passes over the same coded frame
+    )
+
+    def layout(name: str, key: str, order: list[str], bucket_expr: str):
+        d = coded.withColumn("bucket", F.expr(bucket_expr))
+        wb = (
+            Window.orderBy("bucket")  # scale-ok: offsets frame <= 256 rows (bucket subtotals, not fact rows)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = F.broadcast(
+            d.groupBy("bucket")
+            .agg(F.count("*").alias("bn"))
+            .withColumn(
+                "base",
+                F.coalesce(F.sum("bn").over(wb), F.lit(0).cast("long")),
+            )
+            .select("bucket", "base")
+        )
+        win = Window.partitionBy("bucket").orderBy(*order)
+        return (
+            d.join(offsets, "bucket")
+            .withColumn(
+                "rank0", F.col("base") + F.row_number().over(win) - 1
+            )
+            .select(
+                F.lit(name).alias("layout"),
+                F.expr(f"(rank0 * {_Z_FILES}) div {n}")
+                .cast("long")
+                .alias("file_id"),
+                "l_partkey",
+                "l_suppkey",
+            )
+        )
+
+    both = layout(
+        "zorder", "z", ["z", "l_orderkey", "l_linenumber"],
+        f"z div {1 << (2 * _Z_BITS - 8)}",
+    ).unionByName(
+        layout(
+            "linear",
+            "l_partkey",
+            ["l_partkey", "l_orderkey", "l_linenumber"],
+            "qx div 256",
+        )
+    )
+    return both.groupBy("layout", "file_id").agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_partkey").alias("min_partkey"),
+        F.max("l_partkey").alias("max_partkey"),
+        F.min("l_suppkey").alias("min_suppkey"),
+        F.max("l_suppkey").alias("max_suppkey"),
+    )

@@ -136,6 +136,7 @@ ROUND_CHANGED: list[str] = [
     "join_cardinality_estimate_audit",
     # round-7 fourth session newcomers
     "skyline_pareto_frontier",
+    "zorder_layout_plan",
 ]
 WINDOW_PRIORITY: list[str] = [
     "ann_topk_pq",
@@ -171,6 +172,7 @@ WINDOW_PRIORITY: list[str] = [
     "order_backlog_curve",
     "join_cardinality_estimate_audit",
     "skyline_pareto_frontier",
+    "zorder_layout_plan",
     # oldest cohort, newest green row r1 (oldest-first, alphabetical)
     "topn_orders_per_customer",
     "tpch_q10_returned_items",
@@ -188,7 +190,6 @@ WINDOW_PRIORITY: list[str] = [
     "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
-    "tpch_q9_product_profit",
 ]
 
 

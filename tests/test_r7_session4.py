@@ -49,3 +49,35 @@ def test_skyline_is_sound_and_complete(spark):
         assert any(
             _dominates(f, p) for f in fr_by_brand.get(p.p_brand, [])
         ), p
+
+
+def test_zorder_bounds_both_dims_and_balances_files(spark):
+    """The point of z-order: every file's envelope is narrow in BOTH
+    dims, while the linear sort bounds partkey and spans suppkey. Also:
+    equal-row packing (sizes differ by at most 1)."""
+    from datalakes_and_data_integration_spark.plans.maintenance import (
+        zorder_layout_plan,
+    )
+
+    rows = zorder_layout_plan(spark, SF).collect()
+    by_layout: dict[str, list] = {}
+    for r in rows:
+        by_layout.setdefault(r.layout, []).append(r)
+    assert set(by_layout) == {"zorder", "linear"}
+    for layout, files in by_layout.items():
+        sizes = [r.n_rows for r in files]
+        assert max(sizes) - min(sizes) <= 1, (layout, sizes)
+    spans = {
+        layout: sum(r.max_suppkey - r.min_suppkey for r in files)
+        for layout, files in by_layout.items()
+    }
+    # Linear (partkey-sorted) files each span ~the full suppkey domain;
+    # z-order cuts the summed suppkey span by a large factor.
+    assert spans["zorder"] * 2 < spans["linear"], spans
+    # ...without giving up ALL partkey locality: z-order's summed
+    # partkey span stays well under the worst case (32 full-domain files).
+    dom = max(r.max_partkey for r in by_layout["zorder"]) - min(
+        r.min_partkey for r in by_layout["zorder"]
+    )
+    z_x = sum(r.max_partkey - r.min_partkey for r in by_layout["zorder"])
+    assert z_x < 32 * dom / 2, (z_x, dom)

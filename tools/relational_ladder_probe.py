@@ -70,6 +70,7 @@ LADDER = [
     "gdpr_delete_manifest",
     "order_backlog_curve",
     "join_cardinality_estimate_audit",
+    "zorder_layout_plan",
 ]
 
 # (table, key columns to offset by that table's stride-owner)

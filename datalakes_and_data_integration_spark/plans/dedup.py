@@ -419,14 +419,18 @@ def _cluster_oracle() -> str:
     "rounds — same convergence, fewer iterations.",
     tags=("dedup", "graph", "llm-pipeline"),
 )
-def dedup_cluster_assignment(spark, sf_dir, shingled=None):
+def dedup_cluster_assignment(spark, sf_dir, shingled=None, pairs=None):
     # ``shingled`` passes straight through to the MinHash tier (shared
-    # tokenize/shingle pass — see dedup_containment_pairs).
-    pairs = (
-        dedup_minhash_lsh(spark, sf_dir, shingled=shingled)
-        .select("doc_a", "doc_b")
-        .persist()
-    )
+    # tokenize/shingle pass — see dedup_containment_pairs). ``pairs``
+    # ((doc_a, doc_b), caller-persisted) shares the whole LSH pass when a
+    # composer also consumes the edge set itself (graph.dup_chain_depth);
+    # the default path is byte-identical.
+    if pairs is None:
+        pairs = (
+            dedup_minhash_lsh(spark, sf_dir, shingled=shingled)
+            .select("doc_a", "doc_b")
+            .persist()
+        )
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")

@@ -137,6 +137,7 @@ ROUND_CHANGED: list[str] = [
     # round-7 fourth session newcomers
     "skyline_pareto_frontier",
     "zorder_layout_plan",
+    "dup_chain_depth",
 ]
 WINDOW_PRIORITY: list[str] = [
     "ann_topk_pq",
@@ -173,6 +174,7 @@ WINDOW_PRIORITY: list[str] = [
     "join_cardinality_estimate_audit",
     "skyline_pareto_frontier",
     "zorder_layout_plan",
+    "dup_chain_depth",
     # oldest cohort, newest green row r1 (oldest-first, alphabetical)
     "topn_orders_per_customer",
     "tpch_q10_returned_items",
@@ -189,7 +191,6 @@ WINDOW_PRIORITY: list[str] = [
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
 ]
 
 

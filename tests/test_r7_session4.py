@@ -81,3 +81,43 @@ def test_zorder_bounds_both_dims_and_balances_files(spark):
     )
     z_x = sum(r.max_partkey - r.min_partkey for r in by_layout["zorder"])
     assert z_x < 32 * dom / 2, (z_x, dom)
+
+
+def test_dup_chain_depth_planted_chain(spark, tmp_path):
+    """Plant a 3-doc similarity CHAIN (A~B, B~C, but J(A,C) ~ 0.17 <
+    threshold): the tail doc must sit at depth 2 — reachable from the
+    representative only transitively. Word set pre-searched against the
+    oracle so both chain pairs land in an LSH band under the production
+    seeds (trial 0 of the w{i}x{t} family)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datalakes_and_data_integration_spark.plans.graph import (
+        dup_chain_depth,
+    )
+
+    words = [f"w{i}x0" for i in range(60)]
+    docs = {
+        1: " ".join(words[0:30]),   # representative (min doc_id)
+        2: " ".join(words[10:40]),  # 20/30-word overlap with both ends
+        3: " ".join(words[20:50]),  # chained: near-dup of 2, not of 1
+        4: "lonely isolated document text here",
+    }
+    table = pa.table(
+        {
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values())),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["syn"] * 4),
+            "n_chars": pa.array(
+                [len(v) for v in docs.values()], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+    got = {
+        r.doc_id: (r.cluster_id, r.depth)
+        for r in dup_chain_depth(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (1, 0), 2: (1, 1), 3: (1, 2), 4: (4, 0)}

@@ -65,6 +65,7 @@ LADDER = [
     "token_budget_mixture_sample",
     "minhash_estimate_audit",
     "lsh_band_tradeoff_report",
+    "dup_chain_depth",
 ]
 
 

@@ -138,6 +138,7 @@ ROUND_CHANGED: list[str] = [
     "skyline_pareto_frontier",
     "zorder_layout_plan",
     "dup_chain_depth",
+    "importance_resampling_weights",
 ]
 WINDOW_PRIORITY: list[str] = [
     "ann_topk_pq",
@@ -175,6 +176,7 @@ WINDOW_PRIORITY: list[str] = [
     "skyline_pareto_frontier",
     "zorder_layout_plan",
     "dup_chain_depth",
+    "importance_resampling_weights",
     # oldest cohort, newest green row r1 (oldest-first, alphabetical)
     "topn_orders_per_customer",
     "tpch_q10_returned_items",
@@ -190,7 +192,6 @@ WINDOW_PRIORITY: list[str] = [
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
 ]
 
 

@@ -121,3 +121,34 @@ def test_dup_chain_depth_planted_chain(spark, tmp_path):
         for r in dup_chain_depth(spark, str(tmp_path)).collect()
     }
     assert got == {1: (1, 0), 2: (1, 1), 3: (1, 2), 4: (4, 0)}
+
+
+def test_dsir_weights_separate_target_from_rest(spark):
+    """The importance weights must actually point toward the target
+    domain: target-language docs average above the raw-average score
+    (1000 per-mille), the rest below, and the gap is material."""
+    from datalakes_and_data_integration_spark.plans.curation8 import (
+        importance_resampling_weights,
+    )
+
+    rows = importance_resampling_weights(spark, SF).collect()
+    assert len(rows) > 0
+    en = [r.dsir_permille for r in rows if r.lang == "en"]
+    rest = [r.dsir_permille for r in rows if r.lang != "en"]
+    assert en and rest
+    mean_en = sum(en) / len(en)
+    mean_rest = sum(rest) / len(rest)
+    # Direction + material gap. The synthetic corpus shares most of its
+    # vocabulary across languages (the lang signal lives in stopwords),
+    # so the per-mille gap is tens, not hundreds — what matters for a
+    # SELECTOR is the ranking, checked below.
+    assert mean_en > mean_rest + 30, (mean_en, mean_rest)
+    # Resampling usefulness: the top decile by weight must be strongly
+    # target-enriched over the base rate (measured 46/50 vs 38.6%).
+    ranked = sorted(rows, key=lambda r: (-r.dsir_permille, r.doc_id))
+    top = ranked[: max(1, len(rows) // 10)]
+    base = len(en) / len(rows)
+    top_frac = sum(1 for r in top if r.lang == "en") / len(top)
+    assert top_frac > 2 * base, (top_frac, base)
+    for r in rows:
+        assert r.n_feats > 0 and r.dsir_permille >= 0

@@ -66,6 +66,7 @@ LADDER = [
     "minhash_estimate_audit",
     "lsh_band_tradeoff_report",
     "dup_chain_depth",
+    "importance_resampling_weights",
 ]
 
 

@@ -139,6 +139,7 @@ ROUND_CHANGED: list[str] = [
     "zorder_layout_plan",
     "dup_chain_depth",
     "importance_resampling_weights",
+    "bitmap_distinct_rollup",
 ]
 WINDOW_PRIORITY: list[str] = [
     "ann_topk_pq",
@@ -177,6 +178,7 @@ WINDOW_PRIORITY: list[str] = [
     "zorder_layout_plan",
     "dup_chain_depth",
     "importance_resampling_weights",
+    "bitmap_distinct_rollup",
     # oldest cohort, newest green row r1 (oldest-first, alphabetical)
     "topn_orders_per_customer",
     "tpch_q10_returned_items",
@@ -191,7 +193,6 @@ WINDOW_PRIORITY: list[str] = [
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
 ]
 
 

@@ -882,3 +882,59 @@ def join_cardinality_estimate_audit(spark, sf_dir):
             ).alias("over_permille"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bitmap-index distinct rollup: EXACT mergeable COUNT DISTINCT.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "bitmap_distinct_rollup",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__all__' AS event_type, count(DISTINCT user_id) AS n_users
+    FROM events
+    """,
+    description="Exact distinct-user counts per event type AND overall "
+    "from MERGEABLE 64-bit bitmap words (the roaring-bitmap/warehouse "
+    "bitmap-index shape): word = user_id div 63, bit = user_id mod 63, "
+    "per-(type, word) bit_or with map-side combine; a type's count is "
+    "sum(bit_count(word)), and the overall row is bit_count of the "
+    "OR-merge of the per-type words — the operation plain distinct "
+    "counts cannot do (summing per-type distincts overcounts; ORing "
+    "bitmaps is exact). That mergeability is why warehouses persist "
+    "bitmap partials for incremental COUNT DISTINCT maintenance: union "
+    "yesterday's word table with today's increment and re-OR. The "
+    "oracle is the naive COUNT(DISTINCT) per group + globally; the hash "
+    "match proves the bitmap machinery exact. Scale: the word frame is "
+    "|user domain|/63 rows per group — dense-bitmap form; sparse IDs "
+    "want the roaring run/array containers, same algebra.",
+    tags=("sketch", "bitmap", "distinct", "incremental"),
+)
+def bitmap_distinct_rollup(spark, sf_dir):
+    ev = T(spark, sf_dir, "events").select("event_type", "user_id")
+    words = (
+        ev.groupBy(
+            "event_type", F.expr("user_id div 63").alias("w")
+        )
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), "
+                "CAST(user_id % 63 AS INT)))"
+            ).alias("bits")
+        )
+        .persist()  # consumed by the per-type counts AND the OR-merge
+    )
+    per_type = words.groupBy("event_type").agg(
+        F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("n_users")
+    )
+    merged = (
+        words.groupBy("w")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+        .agg(F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("n_users"))
+        .select(F.lit("__all__").alias("event_type"), "n_users")
+    )
+    return per_type.unionByName(merged)

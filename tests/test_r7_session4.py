@@ -152,3 +152,47 @@ def test_dsir_weights_separate_target_from_rest(spark):
     assert top_frac > 2 * base, (top_frac, base)
     for r in rows:
         assert r.n_feats > 0 and r.dsir_permille >= 0
+
+
+def test_bitmap_rollup_merges_like_a_sketch(spark):
+    """The property the query exists for: bitmap partials built on two
+    disjoint halves of the data OR-merge to the exact global distinct
+    count, while summing per-half distinct counts overcounts."""
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans.sketches import (
+        bitmap_distinct_rollup,
+    )
+
+    rows = {
+        r.event_type: r.n_users
+        for r in bitmap_distinct_rollup(spark, SF).collect()
+    }
+    types = {k: v for k, v in rows.items() if k != "__all__"}
+    assert rows["__all__"] <= sum(types.values())
+    assert rows["__all__"] == T(spark, SF, "events").select(
+        "user_id"
+    ).distinct().count()
+
+    ev = T(spark, SF, "events").select("user_id", "event_id")
+    halves = [ev.filter(f"event_id % 2 = {i}") for i in (0, 1)]
+    word = "user_id div 63"
+    bit = "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT)))"
+    from pyspark.sql import functions as F
+
+    def words(df):
+        return df.groupBy(F.expr(word).alias("w")).agg(
+            F.expr(bit).alias("bits")
+        )
+
+    merged = (
+        words(halves[0])
+        .unionByName(words(halves[1]))
+        .groupBy("w")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+        .agg(F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("n"))
+        .collect()[0][0]
+    )
+    d0 = halves[0].select("user_id").distinct().count()
+    d1 = halves[1].select("user_id").distinct().count()
+    assert merged == rows["__all__"]
+    assert d0 + d1 > merged  # naive partial sum overcounts

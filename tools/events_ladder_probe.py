@@ -63,6 +63,7 @@ LADDER = [
     "dim_asof_enrichment",
     "cusum_changepoint",
     "robust_scaling_mad",
+    "bitmap_distinct_rollup",
 ]
 
 

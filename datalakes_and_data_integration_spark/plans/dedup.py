@@ -315,7 +315,7 @@ def dedup_simhash(spark, sf_dir):
 _JOIN_MIN = 0.15
 
 
-def _jaccard_oracle() -> str:
+def _jaccard_oracle(threshold: float = _JOIN_MIN) -> str:
     shing = shingles_sql_duck("toks", 3)
     return f"""
     WITH tok AS (SELECT doc_id, {_TOK_DUCK} AS toks FROM documents),
@@ -332,7 +332,7 @@ def _jaccard_oracle() -> str:
     FROM pair_common p
     JOIN sizes sa ON sa.doc_id = p.doc_a
     JOIN sizes sb ON sb.doc_id = p.doc_b
-    WHERE CAST(p.common AS DOUBLE) / (sa.sz + sb.sz - p.common) >= {_JOIN_MIN}
+    WHERE CAST(p.common AS DOUBLE) / (sa.sz + sb.sz - p.common) >= {threshold}
     """
 
 
@@ -378,6 +378,85 @@ def dedup_ngram_jaccard_join(spark, sf_dir):
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= _JOIN_MIN)
+    )
+
+
+_PREFIX_MIN = 0.8  # = 4/5; exact integer form ceil(4*sz/5) = (4*sz+4) div 5
+
+
+@register(
+    "dedup_prefix_filter_join",
+    oracle=_jaccard_oracle(_PREFIX_MIN),
+    description="PPJoin-style PREFIX-FILTERED exact Jaccard join (Xiao et "
+    f"al., WWW'08) at threshold {_PREFIX_MIN}: same inverted-index-join "
+    "DEFINITION as dedup_ngram_jaccard_join (shared oracle SQL, higher "
+    "threshold), so the driver hash match is a LOSSLESSNESS proof for "
+    "the prefix filter — but only each document's prefix hits the index "
+    "self-join: tokens sorted by ascending document frequency (rare "
+    "first; any fixed total order is lossless, df-order minimizes "
+    f"candidates), prefix length |s| - ceil({_PREFIX_MIN}*|s|) + 1 ~ 20% "
+    "of the set. Why it is lossless: a qualifying pair overlaps in >= "
+    "ceil(t*|s|) shingles from each side's perspective, and if a side's "
+    "prefix missed the overlap entirely, the < ceil(t*|s|) tokens after "
+    "the prefix could not hold it; the globally smallest shared token "
+    "therefore sits inside BOTH prefixes. Prefix filtering is the high-"
+    "threshold exact-join tool (at t=0.15 the prefix would be 85% of "
+    "the set and the filter could not pay — measured before this form); "
+    "the inverted-index join stays the low-threshold tier. Candidate "
+    "reduction is pinned by test.",
+    tags=("dedup", "similarity-join", "prefix-filter", "llm-pipeline"),
+)
+def dedup_prefix_filter_join(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    tok_df = spread(d.select("doc_id", F.expr(_TOK_SPARK).alias("toks")), spark)
+    shing = shingles_expr_spark("toks", 3)
+    shingled = tok_df.select("doc_id", F.expr(shing).alias("sh")).filter(
+        F.size("sh") > 0
+    ).persist()  # consumed 3x: prefixes + both verify sides
+    exploded = shingled.select(
+        "doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("g")
+    )
+    dfs = F.broadcast(
+        exploded.groupBy("g").agg(F.count("*").alias("df"))
+    )
+    # ceil(0.15 * sz) in exact integers: 0.15 = 3/20.
+    w = Window.partitionBy("doc_id").orderBy("df", "g")
+    prefixes = (
+        exploded.join(dfs, "g")
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.expr("r <= sz - ((4 * sz + 4) div 5) + 1"))
+        .select("doc_id", "g")
+    )
+    a = prefixes.alias("a")
+    b = prefixes.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = shingled.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    sb = shingled.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = common.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - common
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _PREFIX_MIN)
     )
 
 

@@ -140,6 +140,7 @@ ROUND_CHANGED: list[str] = [
     "dup_chain_depth",
     "importance_resampling_weights",
     "bitmap_distinct_rollup",
+    "dedup_prefix_filter_join",
 ]
 WINDOW_PRIORITY: list[str] = [
     "ann_topk_pq",
@@ -179,6 +180,7 @@ WINDOW_PRIORITY: list[str] = [
     "dup_chain_depth",
     "importance_resampling_weights",
     "bitmap_distinct_rollup",
+    "dedup_prefix_filter_join",
     # oldest cohort, newest green row r1 (oldest-first, alphabetical)
     "topn_orders_per_customer",
     "tpch_q10_returned_items",
@@ -192,7 +194,6 @@ WINDOW_PRIORITY: list[str] = [
     "tpch_q22_idle_customers",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
 ]
 
 

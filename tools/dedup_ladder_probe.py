@@ -67,6 +67,7 @@ LADDER = [
     "lsh_band_tradeoff_report",
     "dup_chain_depth",
     "importance_resampling_weights",
+    "dedup_prefix_filter_join",
 ]
 
 

@@ -449,6 +449,130 @@ def l_diversity_audit(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# t-closeness: the third privacy gate (Li et al., ICDE'07). A class can be
+# k-anonymous AND l-diverse yet still leak: if its sensitive-value MIX
+# differs sharply from the table's, membership shifts an attacker's prior.
+# Per QI class: total-variation distance between the class's segment
+# distribution and the global one, in exact integer cross-multiplication.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "t_closeness_audit",
+    oracle="""
+    WITH cells AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+             c_mktsegment, count(*) AS cnt
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    class_sz AS (
+      SELECT c_nationkey, bal_bucket, CAST(sum(cnt) AS BIGINT) AS n
+      FROM cells GROUP BY 1, 2
+    ),
+    g AS (SELECT c_mktsegment, count(*) AS gs FROM customer GROUP BY 1),
+    nt AS (SELECT count(*) AS n_total FROM customer),
+    class_tvd AS (
+      SELECT ce.c_nationkey, ce.bal_bucket, min(cs.n) AS sz,
+             CAST((1000 * (sum(abs(ce.cnt * (SELECT n_total FROM nt)
+                                   - g.gs * cs.n))
+                           + ((SELECT n_total FROM nt) - sum(g.gs))
+                             * min(cs.n)))
+                  // (2 * min(cs.n) * (SELECT n_total FROM nt))
+                  AS BIGINT) AS tvd_permille
+      FROM cells ce
+      JOIN class_sz cs ON cs.c_nationkey = ce.c_nationkey
+                      AND cs.bal_bucket = ce.bal_bucket
+      JOIN g ON g.c_mktsegment = ce.c_mktsegment
+      GROUP BY ce.c_nationkey, ce.bal_bucket
+    )
+    SELECT t.t_permille,
+           CAST(coalesce(sum(CASE WHEN tvd_permille > t.t_permille
+                                  THEN 1 END), 0) AS BIGINT)
+             AS classes_at_risk,
+           CAST(coalesce(sum(CASE WHEN tvd_permille > t.t_permille
+                                  THEN sz END), 0) AS BIGINT)
+             AS rows_at_risk,
+           CAST(ROUND(CAST(
+             CAST(coalesce(sum(CASE WHEN tvd_permille > t.t_permille
+                                    THEN sz END), 0) AS DOUBLE) / sum(sz)
+             AS DECIMAL(27,12)), 6) AS DOUBLE) AS pct_rows_at_risk
+    FROM class_tvd
+    CROSS JOIN (VALUES (100), (200), (300), (500)) t(t_permille)
+    GROUP BY t.t_permille
+    """,
+    description="t-closeness audit (Li et al. ICDE'07) over the customer "
+    "quasi-identifiers (nation, account-balance kilobucket) with market "
+    "segment sensitive: per class, the total-variation distance between "
+    "the class's segment mix and the global mix — the gate k-anonymity "
+    "and l-diversity miss (a large, diverse class whose mix is skewed "
+    "still shifts an attacker's prior). TVD per-mille is exact integer "
+    "cross-multiplication (|cnt*N - g_s*n| summed over present segments "
+    "+ (N - sum g_s)*n for absent ones, over 2nN; intermediates < 2^63 "
+    "out to ~1e9-row tables). One cells groupBy bounded by QI x segment "
+    "domain, the 5-row global mix broadcast, threshold sweep on the "
+    "tiny class table — facts scanned once, like its two companions.",
+    tags=("quality", "privacy", "audit", "llm-pipeline"),
+)
+def t_closeness_audit(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    c = T(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+        "c_mktsegment",
+    ).agg(F.count("*").alias("cnt"))
+    class_sz = cells.groupBy("c_nationkey", "bal_bucket").agg(
+        F.sum("cnt").cast("long").alias("n")
+    )
+    g = F.broadcast(
+        c.groupBy("c_mktsegment").agg(F.count("*").alias("gs"))
+    )
+    n_total = c.count()  # scale-ok: 1 scalar (table size)
+    class_tvd = (
+        cells.join(class_sz, ["c_nationkey", "bal_bucket"])
+        .join(g, "c_mktsegment")
+        .groupBy("c_nationkey", "bal_bucket")
+        .agg(
+            F.min("n").alias("sz"),
+            F.expr(
+                f"CAST((1000 * (sum(abs(cnt * {n_total} - gs * n)) "
+                f"+ ({n_total} - sum(gs)) * min(n))) "
+                f"div (2 * min(n) * {n_total}) AS BIGINT)"
+            ).alias("tvd_permille"),
+        )
+    )
+    ts = spark.createDataFrame(
+        [(100,), (200,), (300,), (500,)], ["t_permille"]
+    )
+    at_risk = F.col("tvd_permille") > F.col("t_permille")
+    return (
+        class_tvd.crossJoin(F.broadcast(ts))  # scale-ok: 4-row sweep
+        .groupBy("t_permille")
+        .agg(
+            F.coalesce(F.sum(F.when(at_risk, 1)), F.lit(0))
+            .cast("long")
+            .alias("classes_at_risk"),
+            F.coalesce(F.sum(F.when(at_risk, F.col("sz"))), F.lit(0))
+            .cast("long")
+            .alias("rows_at_risk"),
+            F.round(
+                (
+                    F.coalesce(
+                        F.sum(F.when(at_risk, F.col("sz"))), F.lit(0)
+                    ).cast("double")
+                    / F.sum("sz")
+                ).cast("decimal(27,12)"),
+                6,
+            )
+            .cast("double")
+            .alias("pct_rows_at_risk"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # The expectation suite applied to the TEXT corpus — operator-reuse
 # evidence: the same fused one-scan machinery that audits the warehouse

@@ -141,6 +141,7 @@ ROUND_CHANGED: list[str] = [
     "importance_resampling_weights",
     "bitmap_distinct_rollup",
     "dedup_prefix_filter_join",
+    "t_closeness_audit",
 ]
 WINDOW_PRIORITY: list[str] = [
     "ann_topk_pq",
@@ -181,6 +182,7 @@ WINDOW_PRIORITY: list[str] = [
     "importance_resampling_weights",
     "bitmap_distinct_rollup",
     "dedup_prefix_filter_join",
+    "t_closeness_audit",
     # oldest cohort, newest green row r1 (oldest-first, alphabetical)
     "topn_orders_per_customer",
     "tpch_q10_returned_items",
@@ -193,7 +195,6 @@ WINDOW_PRIORITY: list[str] = [
     "tpch_q1_pricing_summary",
     "tpch_q22_idle_customers",
     "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
 ]
 
 

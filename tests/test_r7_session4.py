@@ -261,3 +261,42 @@ def test_prefix_filter_reduces_candidates_losslessly(spark):
     assert len(got) <= n_prefix < n_full, (len(got), n_prefix, n_full)
     # the filter must bite hard at t=0.8 (measured ~28 vs ~thousands)
     assert n_prefix * 4 < n_full, (n_prefix, n_full)
+
+
+def test_t_closeness_matches_pure_python_tvd(spark):
+    """Recompute every class's total-variation distance in pure Python
+    and check the sweep counts; also monotonicity in t."""
+    import math
+    from collections import Counter, defaultdict
+
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans.quality import (
+        t_closeness_audit,
+    )
+
+    rows = {
+        r.t_permille: r for r in t_closeness_audit(spark, SF).collect()
+    }
+    assert set(rows) == {100, 200, 300, 500}
+    cust = T(
+        spark, SF, "customer"
+    ).select("c_nationkey", "c_acctbal", "c_mktsegment").collect()
+    n_total = len(cust)
+    g = Counter(r.c_mktsegment for r in cust)
+    classes = defaultdict(Counter)
+    for r in cust:
+        classes[(r.c_nationkey, math.floor(r.c_acctbal / 1000))][
+            r.c_mktsegment
+        ] += 1
+    tvds = {}
+    for k, mix in classes.items():
+        n = sum(mix.values())
+        raw = sum(abs(mix.get(s, 0) * n_total - g[s] * n) for s in g)
+        tvds[k] = (1000 * raw) // (2 * n * n_total), n
+    for t, r in rows.items():
+        at_risk = [(tvd, n) for tvd, n in tvds.values() if tvd > t]
+        assert r.classes_at_risk == len(at_risk), t
+        assert r.rows_at_risk == sum(n for _, n in at_risk), t
+    counts = [rows[t].classes_at_risk for t in (100, 200, 300, 500)]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[0] > 0  # the gate bites on this corpus

@@ -71,6 +71,7 @@ LADDER = [
     "order_backlog_curve",
     "join_cardinality_estimate_audit",
     "zorder_layout_plan",
+    "t_closeness_audit",
 ]
 
 # (table, key columns to offset by that table's stride-owner)

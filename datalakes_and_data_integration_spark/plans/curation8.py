@@ -168,3 +168,137 @@ def importance_resampling_weights(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking agreement between the two retrieval strategies (truncated RBO).
+# ---------------------------------------------------------------------------
+
+# Truncated rank-biased overlap (Webber et al., TOIS'10) at depth 5 with
+# persistence p = 1/2 — dyadic, so it is EXACT in integers: RBO_5 =
+# sum_d X_d / (2^d * d) where X_d = |A_1..d ∩ B_1..d|. Over the common
+# denominator 1920 the per-depth coefficients are 960/240/80/30/12; a
+# match first visible at depth m (= max of its two ranks) contributes
+# the SUFFIX sum S(m), and identical rankings total 1860 -> normalized
+# to 1000 per-mille. (Full RBO extrapolates the tail; the truncation is
+# the deliberate, documented difference — exactness over asymptotics.)
+_RBO_SUFFIX = {1: 1322, 2: 362, 3: 122, 4: 42, 5: 12}
+_RBO_MAX = 1860
+
+
+def _rbo_case(expr: str) -> str:
+    arms = " ".join(
+        f"WHEN {m} THEN {s}" for m, s in _RBO_SUFFIX.items()
+    )
+    return f"(CASE {expr} {arms} ELSE 0 END)"
+
+
+def _rbo_oracle() -> str:
+    from datalakes_and_data_integration_spark.plans.curation6 import (
+        _RET_N,
+        _RET_OVERLAP_N,
+        _RET_TOPK,
+        _RRF_K,
+        _RRF_SCALE,
+        _leg_idf_sql,
+        _leg_overlap_sql,
+        _retrieval_prelude_sql,
+        _shingled_sql,
+    )
+
+    case = _rbo_case(
+        "CASE WHEN a.rank > h.rank THEN a.rank ELSE h.rank END"
+    )
+    return f"""
+    WITH {_retrieval_prelude_sql()},{_shingled_sql('sh3', _RET_N)},
+    {_shingled_sql('sh8', _RET_OVERLAP_N)},
+    {_leg_idf_sql('leg_a', 'sh3')},
+    {_leg_overlap_sql('leg_b', 'sh8')},
+    fused AS (
+      SELECT coalesce(a.query_doc_id, b.query_doc_id) AS query_doc_id,
+             coalesce(a.doc_id, b.doc_id) AS doc_id,
+             CAST(coalesce({_RRF_SCALE} // ({_RRF_K} + a.rank), 0)
+                + coalesce({_RRF_SCALE} // ({_RRF_K} + b.rank), 0)
+                AS BIGINT) AS rrf_score
+      FROM leg_a a
+      FULL OUTER JOIN leg_b b
+        ON b.query_doc_id = a.query_doc_id AND b.doc_id = a.doc_id
+    ),
+    hyb AS MATERIALIZED (
+      SELECT query_doc_id, doc_id, rank FROM (
+        SELECT query_doc_id, doc_id,
+               row_number() OVER (PARTITION BY query_doc_id
+                                  ORDER BY rrf_score DESC, doc_id) AS rank
+        FROM fused
+      ) WHERE rank <= {_RET_TOPK}
+    ),
+    qs AS (
+      SELECT DISTINCT query_doc_id FROM leg_a
+      UNION
+      SELECT DISTINCT query_doc_id FROM hyb
+    ),
+    agree AS (
+      SELECT a.query_doc_id,
+             count(*) AS n_common,
+             CAST(sum({case}) AS BIGINT) AS s
+      FROM leg_a a
+      JOIN hyb h ON h.query_doc_id = a.query_doc_id
+                AND h.doc_id = a.doc_id
+      GROUP BY a.query_doc_id
+    )
+    SELECT q.query_doc_id,
+           CAST(coalesce(g.n_common, 0) AS BIGINT) AS n_common,
+           CAST((1000 * coalesce(g.s, 0)) // {_RBO_MAX} AS BIGINT)
+             AS rbo5_permille
+    FROM qs q LEFT JOIN agree g ON g.query_doc_id = q.query_doc_id
+    """
+
+
+@register(
+    "ranking_agreement_rbo",
+    oracle=_rbo_oracle(),
+    description="Per-query ranking agreement between the two retrieval "
+    "strategies — the integer-idf lexical top-5 vs the RRF-fused hybrid "
+    "top-5 — as truncated rank-biased overlap (Webber TOIS'10) at "
+    "persistence p=1/2, which is DYADIC and therefore integer-exact: a "
+    "shared doc first visible at depth m contributes the suffix "
+    "coefficient S(m) over denominator 1920, identical prefixes "
+    "normalize to 1000 per-mille. Low agreement = the overlap leg is "
+    "adding real signal, not noise — the fusion-worthiness diagnostic "
+    "run before paying for a second retrieval leg. Plan: both legs are "
+    "the bounded posting-list joins; agreement is an equi join of two "
+    "k-row-per-query frames on (query, doc) + one regroup.",
+    tags=("text", "retrieval", "rank-fusion", "eval", "llm-pipeline"),
+)
+def ranking_agreement_rbo(spark, sf_dir):
+    from datalakes_and_data_integration_spark.plans.curation6 import (
+        hybrid_retrieval_rrf,
+        lexical_topk_retrieval,
+    )
+
+    lex = lexical_topk_retrieval(spark, sf_dir).select(
+        "query_doc_id", "doc_id", F.col("rank").alias("rank_a")
+    )
+    hyb = hybrid_retrieval_rrf(spark, sf_dir).select(
+        "query_doc_id", "doc_id", F.col("rank").alias("rank_h")
+    )
+    case = _rbo_case("greatest(rank_a, rank_h)")
+    agree = (
+        lex.join(hyb, ["query_doc_id", "doc_id"])
+        .groupBy("query_doc_id")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.expr(f"CAST(sum({case}) AS BIGINT)").alias("s"),
+        )
+    )
+    qs = (
+        lex.select("query_doc_id")
+        .unionByName(hyb.select("query_doc_id"))
+        .distinct()
+    )
+    return qs.join(agree, "query_doc_id", "left_outer").select(
+        "query_doc_id",
+        F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+        F.expr(f"CAST((1000 * coalesce(s, 0)) div {_RBO_MAX} AS BIGINT)")
+        .alias("rbo5_permille"),
+    )

@@ -142,6 +142,7 @@ ROUND_CHANGED: list[str] = [
     "bitmap_distinct_rollup",
     "dedup_prefix_filter_join",
     "t_closeness_audit",
+    "ranking_agreement_rbo",
 ]
 WINDOW_PRIORITY: list[str] = [
     "ann_topk_pq",
@@ -183,6 +184,7 @@ WINDOW_PRIORITY: list[str] = [
     "bitmap_distinct_rollup",
     "dedup_prefix_filter_join",
     "t_closeness_audit",
+    "ranking_agreement_rbo",
     # oldest cohort, newest green row r1 (oldest-first, alphabetical)
     "topn_orders_per_customer",
     "tpch_q10_returned_items",
@@ -194,7 +196,6 @@ WINDOW_PRIORITY: list[str] = [
     "tpch_q19_disjunctive_filter",
     "tpch_q1_pricing_summary",
     "tpch_q22_idle_customers",
-    "tpch_q3_shipping_priority",
 ]
 
 

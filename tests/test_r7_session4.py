@@ -300,3 +300,41 @@ def test_t_closeness_matches_pure_python_tvd(spark):
     counts = [rows[t].classes_at_risk for t in (100, 200, 300, 500)]
     assert counts == sorted(counts, reverse=True)
     assert counts[0] > 0  # the gate bites on this corpus
+
+
+def test_rbo_agreement_matches_python_recompute(spark):
+    """Recompute truncated RBO(p=1/2, depth 5) in pure Python from the
+    two legs' own rankings and compare every query's per-mille score."""
+    from datalakes_and_data_integration_spark.plans.curation6 import (
+        hybrid_retrieval_rrf,
+        lexical_topk_retrieval,
+    )
+    from datalakes_and_data_integration_spark.plans.curation8 import (
+        ranking_agreement_rbo,
+    )
+
+    def ranking(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_doc_id, {})[r.doc_id] = r.rank
+        return out
+
+    lex = ranking(lexical_topk_retrieval(spark, SF))
+    hyb = ranking(hybrid_retrieval_rrf(spark, SF))
+    got = {
+        r.query_doc_id: (r.n_common, r.rbo5_permille)
+        for r in ranking_agreement_rbo(spark, SF).collect()
+    }
+    assert set(got) == set(lex) | set(hyb)
+    coefs = {1: 960, 2: 240, 3: 80, 4: 30, 5: 12}
+    for q in got:
+        a, b = lex.get(q, {}), hyb.get(q, {})
+        common = set(a) & set(b)
+        s = 0
+        for d in range(1, 6):
+            x_d = sum(1 for doc in common if max(a[doc], b[doc]) <= d)
+            s += coefs[d] * x_d
+        assert got[q] == (len(common), (1000 * s) // 1860), q
+    scores = [v for _, v in got.values()]
+    assert all(0 <= v <= 1000 for v in scores)
+    assert min(scores) < 1000 < max(scores) + 1  # fusion moved something

@@ -68,6 +68,7 @@ LADDER = [
     "dup_chain_depth",
     "importance_resampling_weights",
     "dedup_prefix_filter_join",
+    "ranking_agreement_rbo",
 ]
 
 

@@ -143,6 +143,7 @@ ROUND_CHANGED: list[str] = [
     "dedup_prefix_filter_join",
     "t_closeness_audit",
     "ranking_agreement_rbo",
+    "ann_dim_truncation_report",
 ]
 WINDOW_PRIORITY: list[str] = [
     "ann_topk_pq",
@@ -185,6 +186,7 @@ WINDOW_PRIORITY: list[str] = [
     "dedup_prefix_filter_join",
     "t_closeness_audit",
     "ranking_agreement_rbo",
+    "ann_dim_truncation_report",
     # oldest cohort, newest green row r1 (oldest-first, alphabetical)
     "topn_orders_per_customer",
     "tpch_q10_returned_items",
@@ -195,7 +197,6 @@ WINDOW_PRIORITY: list[str] = [
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive_filter",
     "tpch_q1_pricing_summary",
-    "tpch_q22_idle_customers",
 ]
 
 

@@ -2171,3 +2171,174 @@ def ann_topk_lsh_multiprobe(spark, sf_dir):
         .filter(F.col("rank") <= _TOPK)
         .select("vec_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka dimension-truncation report: retrieval quality of PREFIX
+# dimensions (Kusupati et al. 2022, "Matryoshka Representation Learning").
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = (8, 16, 32)  # prefix tiers evaluated against the full 64
+_MRL_Q_SCALE = 16**6
+_MRL_Q_CAP = 200  # ~fixed query-sample size once n > 2000 (rate 200/n)
+
+
+def _mrl_q_hex(n: int) -> str:
+    t = min(_MRL_Q_SCALE // 10, (_MRL_Q_CAP * _MRL_Q_SCALE) // max(n, 1))
+    return format(t, "06x")
+
+
+_MRL_Q_PRED_DUCK = (
+    "md5(concat('q|', CAST(vec_id AS VARCHAR))) < (SELECT lower(lpad(to_hex("
+    f"least({_MRL_Q_SCALE // 10}, (CAST({_MRL_Q_CAP} AS BIGINT) "
+    f"* {_MRL_Q_SCALE}) // count(*))), 6, '0')) FROM embeddings)"
+)
+
+
+def _dot_spark_d(a: str, b: str, d: int) -> str:
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(d)
+    )
+
+
+def _norm2_spark_d(col: str, d: int) -> str:
+    return _dot_spark_d(col, col, d)
+
+
+def _dot_duck_d(a: str, b: str, d: int) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {d} + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def _mrl_oracle() -> str:
+    tiers = list(_MRL_DIMS) + [64]
+    norm_cols = ", ".join(
+        f"sqrt({_dot_duck_d('embedding', 'embedding', d)}) AS nrm{d}"
+        for d in tiers
+    )
+    cos_cols = ", ".join(
+        f"round({_dot_duck_d('a.embedding', 'b.embedding', d)} "
+        f"/ a.nrm{d} / b.nrm{d}, 6) AS cos{d}"
+        for d in tiers
+    )
+    top_ctes = ",".join(
+        f"""
+    top{d} AS MATERIALIZED (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT vec_id, neighbor_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos{d} DESC, neighbor_id) AS rank
+        FROM pairs
+      ) WHERE rank <= 5
+    )"""
+        for d in tiers
+    )
+    hit_selects = " UNION ALL ".join(
+        f"""
+      SELECT {d} AS dim,
+             (SELECT count(DISTINCT vec_id) FROM top64) AS n_queries,
+             CAST(count(*) AS BIGINT) AS hits
+      FROM top{d} t JOIN top64 f
+        ON f.vec_id = t.vec_id AND f.neighbor_id = t.neighbor_id"""
+        for d in _MRL_DIMS
+    )
+    return f"""
+    WITH corpus AS MATERIALIZED (
+      SELECT vec_id, embedding, {norm_cols} FROM embeddings
+    ),
+    q AS MATERIALIZED (
+      SELECT * FROM corpus WHERE {_MRL_Q_PRED_DUCK}
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, {cos_cols}
+      FROM q a JOIN corpus b ON a.vec_id <> b.vec_id
+    ),{top_ctes}
+    SELECT dim, n_queries, hits,
+           CAST((1000 * hits) // (5 * n_queries) AS BIGINT)
+             AS recall_permille
+    FROM ({hit_selects})
+    """
+
+
+@register(
+    "ann_dim_truncation_report",
+    oracle=_mrl_oracle(),
+    description="Matryoshka dimension-truncation report (Kusupati et al. "
+    "2022): exact cosine top-5 retrieval computed on PREFIX dimensions "
+    f"{_MRL_DIMS} of the embedding vs the full-64 truth, recall@5 per "
+    "tier — the measurement behind shipping truncated embeddings (a "
+    "64->16 cut is a 4x index-memory and scan-bandwidth saving; this "
+    "report prices its recall cost). Evaluated on a deterministic "
+    "md5-sampled query set (~10% capped at 200 — fixed eval cost no "
+    "matter the corpus, the faiss-benchmark shape) against the FULL "
+    "corpus, so the pair term is queries x corpus (linear in n), never "
+    "n^2. All four tiers' dots/norms compute in ONE pair pass (prefix "
+    "sums of the same term sequence, whole-stage codegen'd); one spread "
+    "partitioning on the query side serves every tier's top-k window. "
+    "Ranking on round(cos, 6) with id tiebreak — deterministic cross-"
+    "engine.",
+    tags=("similarity", "ann", "mrl", "eval", "llm-pipeline"),
+)
+def ann_dim_truncation_report(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans._util import spread
+
+    tiers = list(_MRL_DIMS) + [64]
+    e = T(spark, sf_dir, "embeddings")
+    n = e.count()  # scale-ok: 1 scalar (query-sample threshold literal)
+    corpus = e.select(
+        "vec_id",
+        "embedding",
+        *[
+            F.expr(f"sqrt({_norm2_spark_d('embedding', d)})").alias(
+                f"nrm{d}"
+            )
+            for d in tiers
+        ],
+    )
+    q = corpus.filter(
+        F.md5(F.concat(F.lit("q|"), F.col("vec_id").cast("string")))
+        < _mrl_q_hex(n)
+    )
+    a = spread(q, spark, by="vec_id").alias("a")
+    b = corpus.alias("b")
+    pairs = a.join(
+        b, F.col("a.vec_id") != F.col("b.vec_id")
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        *[
+            F.expr(
+                f"round(({_dot_spark_d('a.embedding', 'b.embedding', d)}) "
+                f"/ a.nrm{d} / b.nrm{d}, 6)"
+            ).alias(f"cos{d}")
+            for d in tiers
+        ],
+    ).persist()  # one pair pass feeds all four tiers' top-k windows
+
+    def top(d: int):
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col(f"cos{d}").desc(), F.col("neighbor_id")
+        )
+        return (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("vec_id", "neighbor_id")
+        )
+
+    truth = top(64).persist()
+    n_q = truth.select("vec_id").distinct().count()  # scale-ok: 1 scalar
+    reports = []
+    for d in _MRL_DIMS:
+        hits = top(d).join(truth, ["vec_id", "neighbor_id"]).count()
+        # scale-ok: the loop is 3 fixed tiers; counts are scalars
+        reports.append((d, n_q, hits, (1000 * hits) // (5 * n_q)))
+    return spark.createDataFrame(
+        reports, "dim int, n_queries bigint, hits bigint, recall_permille bigint"
+    )

@@ -338,3 +338,24 @@ def test_rbo_agreement_matches_python_recompute(spark):
     scores = [v for _, v in got.values()]
     assert all(0 <= v <= 1000 for v in scores)
     assert min(scores) < 1000 < max(scores) + 1  # fusion moved something
+
+
+def test_mrl_truncation_recall_is_monotone(spark):
+    """More prefix dimensions can only help: recall@5 must be monotone
+    non-decreasing in the tier width, bounded, and arithmetically
+    consistent (permille = 1000*hits div 5*n)."""
+    from datalakes_and_data_integration_spark.plans.similarity_extra import (
+        ann_dim_truncation_report,
+    )
+
+    rows = sorted(
+        ann_dim_truncation_report(spark, SF).collect(),
+        key=lambda r: r.dim,
+    )
+    assert [r.dim for r in rows] == [8, 16, 32]
+    for r in rows:
+        assert 0 <= r.hits <= 5 * r.n_queries
+        assert r.recall_permille == (1000 * r.hits) // (5 * r.n_queries)
+    recalls = [r.recall_permille for r in rows]
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] > 0  # 32 of 64 dims retrieves SOMETHING

@@ -60,6 +60,7 @@ LADDER = [
     "embedding_corpus_manifest",
     "streaming_ivf_ingest",
     "cluster_label_purity",
+    "ann_dim_truncation_report",
 ]
 
 

@@ -121,6 +121,7 @@ def _dsir_oracle() -> str:
     "one per-doc regroup; the corpus never self-joins, so the shape "
     "survives a raw-CommonCrawl-sized input.",
     tags=("curation", "sampling", "dsir", "llm-pipeline"),
+    bench=True,  # promoted r7 s4: the data-selection flagship
 )
 def importance_resampling_weights(spark, sf_dir):
     docs = T(spark, sf_dir, "documents")

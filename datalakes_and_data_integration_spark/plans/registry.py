@@ -98,6 +98,14 @@ def register(
 # that yielded slots in rounds 5/6 (topn, the tpch suite,
 # union_dedup_events; user_first_last_event and
 # value_histogram/percentiles yielded this round). 32 + 18 = 50.
+# FOURTH SESSION: nine more never-verified newcomers (skyline_pareto_
+# frontier, zorder_layout_plan, dup_chain_depth, importance_resampling_
+# weights, bitmap_distinct_rollup, dedup_prefix_filter_join,
+# t_closeness_audit, ranking_agreement_rbo, ann_dim_truncation_report)
+# plus dedup_ngram_jaccard_join (clause (a): _jaccard_oracle grew the
+# threshold parameter for the prefix-filter twin — registered SQL byte-
+# identical). Cohort trimmed from its end to the first 8 round-1 names.
+# 42 + 8 = 50.
 WINDOW_ROUND = 7  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # policy clause (a): code changed since the newest green row
@@ -144,6 +152,11 @@ ROUND_CHANGED: list[str] = [
     "t_closeness_audit",
     "ranking_agreement_rbo",
     "ann_dim_truncation_report",
+    # clause (a): _jaccard_oracle grew a threshold parameter for the
+    # prefix-filter twin — this query's registered SQL/plan are byte-
+    # identical (default arg), but changed builder code carries fresh
+    # driver evidence per the standing policy
+    "dedup_ngram_jaccard_join",
 ]
 WINDOW_PRIORITY: list[str] = [
     "ann_topk_pq",
@@ -187,6 +200,7 @@ WINDOW_PRIORITY: list[str] = [
     "t_closeness_audit",
     "ranking_agreement_rbo",
     "ann_dim_truncation_report",
+    "dedup_ngram_jaccard_join",
     # oldest cohort, newest green row r1 (oldest-first, alphabetical)
     "topn_orders_per_customer",
     "tpch_q10_returned_items",
@@ -196,7 +210,6 @@ WINDOW_PRIORITY: list[str] = [
     "tpch_q17_small_quantity",
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive_filter",
-    "tpch_q1_pricing_summary",
 ]
 
 

@@ -2048,6 +2048,7 @@ def market_basket_lift(spark, sf_dir):
     "definition. 100 TB: the reduced frame is distinct-key-bounded; were "
     "even that huge, the same reduction nests (bucketize price, recurse).",
     tags=("skyline", "window", "relational"),
+    bench=True,  # promoted r7 s4: the dominance-query flagship
 )
 def skyline_pareto_frontier(spark, sf_dir):
     part = T(spark, sf_dir, "part")

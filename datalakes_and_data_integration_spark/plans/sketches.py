@@ -913,6 +913,7 @@ def join_cardinality_estimate_audit(spark, sf_dir):
     "|user domain|/63 rows per group — dense-bitmap form; sparse IDs "
     "want the roaring run/array containers, same algebra.",
     tags=("sketch", "bitmap", "distinct", "incremental"),
+    bench=True,  # promoted r7 s4: the mergeable-exact-distinct flagship
 )
 def bitmap_distinct_rollup(spark, sf_dir):
     ev = T(spark, sf_dir, "events").select("event_type", "user_id")

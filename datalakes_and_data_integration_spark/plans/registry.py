@@ -157,6 +157,7 @@ ROUND_CHANGED: list[str] = [
     # identical (default arg), but changed builder code carries fresh
     # driver evidence per the standing policy
     "dedup_ngram_jaccard_join",
+    "snapshot_retention_plan",
 ]
 WINDOW_PRIORITY: list[str] = [
     "ann_topk_pq",
@@ -201,6 +202,7 @@ WINDOW_PRIORITY: list[str] = [
     "ranking_agreement_rbo",
     "ann_dim_truncation_report",
     "dedup_ngram_jaccard_join",
+    "snapshot_retention_plan",
     # oldest cohort, newest green row r1 (oldest-first, alphabetical)
     "topn_orders_per_customer",
     "tpch_q10_returned_items",
@@ -209,7 +211,6 @@ WINDOW_PRIORITY: list[str] = [
     "tpch_q15_top_supplier",
     "tpch_q17_small_quantity",
     "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_filter",
 ]
 
 

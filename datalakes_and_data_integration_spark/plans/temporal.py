@@ -2996,3 +2996,88 @@ def order_backlog_curve(spark, sf_dir):
         "n_open",
         F.sum(F.col("n_opened") - F.col("n_closed")).over(w).cast("long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot retention / VACUUM planning over the SCD2 version history.
+# ---------------------------------------------------------------------------
+
+_RETAIN_DAYS = 7
+
+
+@register(
+    "snapshot_retention_plan",
+    oracle=f"""
+    WITH sv AS ({SCD2_ORACLE}),
+    h AS (SELECT max(ts) - INTERVAL {_RETAIN_DAYS} DAY AS horizon
+          FROM events),
+    tagged AS (
+      SELECT *,
+             CASE WHEN is_current
+                       OR valid_to > (SELECT horizon FROM h)
+                  THEN 'keep' ELSE 'expire' END AS status
+      FROM sv
+    ),
+    tot AS (SELECT count(*) AS n FROM tagged)
+    SELECT status,
+           count(*) AS n_versions,
+           count(DISTINCT user_id) AS n_users,
+           min(valid_from) AS min_valid_from,
+           max(valid_to) AS max_valid_to,
+           CAST((1000 * count(*)) // (SELECT n FROM tot) AS BIGINT)
+             AS share_permille
+    FROM tagged GROUP BY status
+    """,
+    description="Snapshot-retention / VACUUM planning over the SCD2 "
+    f"dimension history (the table-format retention operator): with a "
+    f"{_RETAIN_DAYS}-day time-travel horizon derived from the data's "
+    "max timestamp, a CLOSED version whose validity ended before the "
+    "horizon can be vacuumed — no as-of query inside the horizon can "
+    "touch it — while current versions and recently-closed ones must "
+    "stay. Reports per status: version rows, affected users, validity "
+    "envelope, and the integer share — the reclaimable-storage estimate "
+    "a retention job is sized by before any file is rewritten (the "
+    "planning half, like gdpr_delete_manifest for erasure). Composes "
+    "the SHARED scd2_versions definition, so the version semantics "
+    "cannot drift from the dimension build or the streaming upsert. "
+    "One user_id shuffle (the SCD2 windows) + one status regroup; the "
+    "horizon is one broadcast scalar.",
+    tags=("temporal", "warehouse", "retention", "maintenance"),
+)
+def snapshot_retention_plan(spark, sf_dir):
+    versions = scd2_versions(scd2_parse(spark, sf_dir))
+    horizon = F.broadcast(
+        T(spark, sf_dir, "events").agg(
+            F.expr(
+                f"max(ts) - INTERVAL {_RETAIN_DAYS} DAYS"
+            ).alias("horizon")
+        )
+    )
+    tagged = versions.crossJoin(horizon).withColumn(  # scale-ok: 1-row horizon scalar
+        "status",
+        F.when(
+            F.col("is_current") | (F.col("valid_to") > F.col("horizon")),
+            F.lit("keep"),
+        ).otherwise(F.lit("expire")),
+    )
+    total = F.broadcast(tagged.agg(F.count("*").alias("n")))
+    return (
+        tagged.groupBy("status")
+        .agg(
+            F.count("*").alias("n_versions"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("valid_from").alias("min_valid_from"),
+            F.max("valid_to").alias("max_valid_to"),
+        )
+        .crossJoin(total)  # scale-ok: 1-row total scalar
+        .select(
+            "status",
+            "n_versions",
+            "n_users",
+            "min_valid_from",
+            "max_valid_to",
+            F.expr("CAST((1000 * n_versions) div n AS BIGINT)").alias(
+                "share_permille"
+            ),
+        )
+    )

@@ -359,3 +359,43 @@ def test_mrl_truncation_recall_is_monotone(spark):
     recalls = [r.recall_permille for r in rows]
     assert recalls == sorted(recalls), recalls
     assert recalls[-1] > 0  # 32 of 64 dims retrieves SOMETHING
+
+
+def test_retention_plan_accounts_for_every_version(spark):
+    """keep + expire partition the version set exactly; expired
+    versions are all closed before the horizon; current versions are
+    all kept."""
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans.temporal import (
+        scd2_parse,
+        scd2_versions,
+        snapshot_retention_plan,
+    )
+
+    rows = {
+        r.status: r for r in snapshot_retention_plan(spark, SF).collect()
+    }
+    assert set(rows) == {"keep", "expire"}
+    versions = scd2_versions(scd2_parse(spark, SF)).collect()
+    assert rows["keep"].n_versions + rows["expire"].n_versions == len(
+        versions
+    )
+    horizon = T(spark, SF, "events").agg(
+        F.expr("max(ts) - INTERVAL 7 DAYS")
+    ).collect()[0][0]
+    for v in versions:
+        expired = (not v.is_current) and v.valid_to <= horizon
+        # every current version must be kept
+        if v.is_current:
+            assert not expired
+    n_expired = sum(
+        1
+        for v in versions
+        if (not v.is_current) and v.valid_to <= horizon
+    )
+    assert rows["expire"].n_versions == n_expired
+    assert rows["expire"].share_permille == (1000 * n_expired) // len(
+        versions
+    )

@@ -64,6 +64,7 @@ LADDER = [
     "cusum_changepoint",
     "robust_scaling_mad",
     "bitmap_distinct_rollup",
+    "snapshot_retention_plan",
 ]
 
 

@@ -158,6 +158,7 @@ ROUND_CHANGED: list[str] = [
     # driver evidence per the standing policy
     "dedup_ngram_jaccard_join",
     "snapshot_retention_plan",
+    "km_hazard_table",
 ]
 WINDOW_PRIORITY: list[str] = [
     "ann_topk_pq",
@@ -203,6 +204,7 @@ WINDOW_PRIORITY: list[str] = [
     "ann_dim_truncation_report",
     "dedup_ngram_jaccard_join",
     "snapshot_retention_plan",
+    "km_hazard_table",
     # oldest cohort, newest green row r1 (oldest-first, alphabetical)
     "topn_orders_per_customer",
     "tpch_q10_returned_items",
@@ -210,7 +212,6 @@ WINDOW_PRIORITY: list[str] = [
     "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier",
     "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
 ]
 
 

@@ -3081,3 +3081,130 @@ def snapshot_retention_plan(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier hazard table WITH right-censoring — the statistically
+# honest companion to user_lifespan_survival (which treats every user's
+# observed span as final; users still active at the corpus edge are not
+# churned, they are CENSORED).
+# ---------------------------------------------------------------------------
+
+_KM_CENSOR_DAYS = 3  # last event within this of the corpus edge => censored
+
+
+@register(
+    "km_hazard_table",
+    oracle=f"""
+    WITH horizon AS (
+      SELECT CAST(max(ts) AS DATE) - {_KM_CENSOR_DAYS} AS h FROM events
+    ),
+    life AS (
+      -- PURCHASE lifespans: the all-events basis is vacuous on this
+      -- corpus (every user has some event within days of the edge, so
+      -- everything censors); purchases are sparse enough to churn.
+      SELECT user_id,
+             datediff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+               AS span_days,
+             CAST(max(ts) AS DATE) > (SELECT h FROM horizon) AS censored
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    hist AS (
+      SELECT span_days, censored, count(*) AS c
+      FROM life GROUP BY 1, 2
+    ),
+    grid AS (SELECT unnest(range(0, {_SURV_DAYS})) AS day_offset)
+    SELECT g.day_offset,
+           CAST(coalesce(sum(CASE WHEN h.span_days >= g.day_offset
+                                  THEN h.c ELSE 0 END), 0) AS BIGINT)
+             AS n_at_risk,
+           CAST(coalesce(sum(CASE WHEN h.span_days = g.day_offset
+                                   AND NOT h.censored
+                                  THEN h.c ELSE 0 END), 0) AS BIGINT)
+             AS n_events,
+           CAST(coalesce(sum(CASE WHEN h.span_days = g.day_offset
+                                   AND h.censored
+                                  THEN h.c ELSE 0 END), 0) AS BIGINT)
+             AS n_censored,
+           CAST((1000 * coalesce(sum(CASE WHEN h.span_days = g.day_offset
+                                           AND NOT h.censored
+                                          THEN h.c ELSE 0 END), 0))
+                // greatest(coalesce(sum(CASE WHEN h.span_days >=
+                                                  g.day_offset
+                                             THEN h.c ELSE 0 END), 0), 1)
+                AS BIGINT) AS hazard_permille
+    FROM grid g CROSS JOIN hist h
+    GROUP BY g.day_offset
+    """,
+    description="Kaplan-Meier hazard table with RIGHT-CENSORING over "
+    "PURCHASE lifespans (first to last purchase per user; the all-"
+    "events basis censors everything on this corpus — measured before "
+    f"shipping): users whose last purchase falls within {_KM_CENSOR_DAYS} "
+    "days of the observation edge (max ts over ALL events) are censored "
+    "(still active — their true lifespan is only "
+    "bounded below), not counted as churn events; per day offset, the "
+    "risk set, churn events, censored exits, and the exact integer "
+    "per-mille hazard d/n — the quantity the KM survival product is "
+    "built from (the product itself is a float fold left to display "
+    "time; the hazard table is the exact, mergeable part). "
+    "user_lifespan_survival is the uncensored companion; this one does "
+    "not overstate churn at the observation edge. Same scale shape: "
+    "suffix/point sums on the bounded (days x censored) histogram via "
+    "the day-grid cross join — days-squared cells, never users x days.",
+    tags=("temporal", "survival", "censoring", "analytics"),
+)
+def km_hazard_table(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    horizon = F.broadcast(
+        e.agg(
+            F.date_sub(F.max("ts").cast("date"), _KM_CENSOR_DAYS).alias("h")
+        )
+    )
+    life = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.max("ts").cast("date"), F.min("ts").cast("date")
+            ).alias("span_days"),
+            F.max("ts").cast("date").alias("last_day"),
+        )
+        .crossJoin(horizon)  # scale-ok: 1-row horizon scalar
+        .select(
+            "span_days", (F.col("last_day") > F.col("h")).alias("censored")
+        )
+    )
+    hist = life.groupBy("span_days", "censored").agg(F.count("*").alias("c"))
+    grid = spark.range(0, _SURV_DAYS).select(
+        F.col("id").cast("long").alias("day_offset")
+    )
+    at_risk = F.when(
+        F.col("span_days") >= F.col("day_offset"), F.col("c")
+    ).otherwise(F.lit(0))
+    ev = F.when(
+        (F.col("span_days") == F.col("day_offset")) & ~F.col("censored"),
+        F.col("c"),
+    ).otherwise(F.lit(0))
+    cen = F.when(
+        (F.col("span_days") == F.col("day_offset")) & F.col("censored"),
+        F.col("c"),
+    ).otherwise(F.lit(0))
+    return (
+        grid.crossJoin(hist)  # scale-ok: day-grid x bounded histogram
+        .groupBy("day_offset")
+        .agg(
+            F.coalesce(F.sum(at_risk), F.lit(0)).cast("long").alias("n_at_risk"),
+            F.coalesce(F.sum(ev), F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce(F.sum(cen), F.lit(0)).cast("long").alias("n_censored"),
+        )
+        .select(
+            "day_offset",
+            "n_at_risk",
+            "n_events",
+            "n_censored",
+            F.expr(
+                "CAST((1000 * n_events) div greatest(n_at_risk, 1) "
+                "AS BIGINT)"
+            ).alias("hazard_permille"),
+        )
+    )

@@ -399,3 +399,39 @@ def test_retention_plan_accounts_for_every_version(spark):
     assert rows["expire"].share_permille == (1000 * n_expired) // len(
         versions
     )
+
+
+def test_km_hazard_identities(spark):
+    """Survival accounting: the risk set at day 0 is every purchasing
+    user; it never grows with the day offset; every user exits exactly
+    once (as an event or censored); hazards are exact."""
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans.temporal import (
+        km_hazard_table,
+    )
+
+    rows = sorted(
+        km_hazard_table(spark, SF).collect(), key=lambda r: r.day_offset
+    )
+    n_users = (
+        T(spark, SF, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rows[0].n_at_risk == n_users
+    risk = [r.n_at_risk for r in rows]
+    assert risk == sorted(risk, reverse=True)
+    assert sum(r.n_events + r.n_censored for r in rows) == n_users
+    assert sum(r.n_censored for r in rows) > 0  # censoring is live
+    assert sum(r.n_events for r in rows) > 0  # ...and so is churn
+    for r in rows:
+        assert r.hazard_permille == (1000 * r.n_events) // max(
+            r.n_at_risk, 1
+        )
+        # exits at day d leave the risk set by day d+1
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_at_risk == a.n_at_risk - a.n_events - a.n_censored

@@ -65,6 +65,7 @@ LADDER = [
     "robust_scaling_mad",
     "bitmap_distinct_rollup",
     "snapshot_retention_plan",
+    "km_hazard_table",
 ]
 
 

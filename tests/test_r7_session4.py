@@ -435,3 +435,58 @@ def test_km_hazard_identities(spark):
         # exits at day d leave the risk set by day d+1
     for a, b in zip(rows, rows[1:]):
         assert b.n_at_risk == a.n_at_risk - a.n_events - a.n_censored
+
+
+def test_rbo_detects_planted_leg_disagreement(spark, tmp_path):
+    """Plant a query where the two legs MUST disagree: X shares more
+    rare 3-shingles with Q (lexical ranks X first), Y shares an 8-word
+    verbatim quote (the overlap leg's only candidate, so RRF lifts Y
+    over X). Both legs keep {X, Y}, orders flipped: truncated
+    RBO(p=1/2) = (S(2)+S(2))*1000//1860 = 389 exactly. Shared blocks
+    are 6 words long so no 8-shingle leaks to X (the first fixture
+    draft failed that way)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_py,
+    )
+    from datalakes_and_data_integration_spark.plans.curation8 import (
+        ranking_agreement_rbo,
+    )
+
+    def bucket(doc_id: int) -> int:
+        return hash60_py(str(doc_id), seed=7) % 100
+
+    train = [i for i in range(1, 200) if bucket(i) < 80]
+    q_id = next(i for i in range(1, 200) if bucket(i) >= 80)
+    x_id, y_id, fillers = train[0], train[1], train[2:12]
+    b1, b2 = "s1 s2 s3 s4 s5 s6", "t1 t2 t3 t4 t5 t6"
+    quote = "qa qb qc qd qe qf qg qh"
+    docs = {
+        q_id: f"{b1} uq {b2} {quote}",
+        x_id: f"{b1} ux {b2} z1 z2 z3",  # 8 shared 3-shingles, no quote
+        y_id: f"{quote} k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 k11 k12",
+    }
+    # >= 10 train docs so df=1 terms survive the df*10 <= n_train prune
+    for j, f in enumerate(fillers):
+        docs[f] = " ".join(f"f{j}w{k}" for k in range(12))
+    ids = sorted(docs)
+    table = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([docs[i] for i in ids]),
+            "lang": pa.array(["en"] * len(ids)),
+            "source": pa.array(["syn"] * len(ids)),
+            "n_chars": pa.array(
+                [len(docs[i]) for i in ids], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+    rows = {
+        r.query_doc_id: (r.n_common, r.rbo5_permille)
+        for r in ranking_agreement_rbo(spark, str(tmp_path)).collect()
+    }
+    assert rows[q_id] == (2, 389)

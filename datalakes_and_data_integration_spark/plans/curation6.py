@@ -624,14 +624,18 @@ def _leg_overlap_spark(shingled):
     "the shared tokenize pass feeds both legs' shingle frames once.",
     tags=("text", "retrieval", "rank-fusion", "llm-pipeline"),
 )
-def hybrid_retrieval_rrf(spark, sf_dir):
+def hybrid_retrieval_rrf(spark, sf_dir, leg_a=None):
+    # ``leg_a`` ((query_doc_id, doc_id, score, rank), caller-persisted):
+    # share the 3-shingle idf leg when a composer also consumes it
+    # directly (curation8.ranking_agreement_rbo); default path identical.
     from pyspark.sql import Window
 
     split_docs = _split_docs_spark(spark, sf_dir)
-    n_train = split_docs.filter(
-        F.col("split") == "train"
-    ).count()  # scale-ok: 1 scalar count (weight-table literal)
-    leg_a = _leg_idf_spark(_digests_spark(split_docs, _RET_N), n_train)
+    if leg_a is None:
+        n_train = split_docs.filter(
+            F.col("split") == "train"
+        ).count()  # scale-ok: 1 scalar count (weight-table literal)
+        leg_a = _leg_idf_spark(_digests_spark(split_docs, _RET_N), n_train)
     leg_b = _leg_overlap_spark(
         _digests_spark(split_docs, _RET_OVERLAP_N)
     )

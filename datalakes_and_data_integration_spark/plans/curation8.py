@@ -59,7 +59,14 @@ def _dsir_ratio_sql(div: str, n_target: str, n_raw: str) -> str:
     s, v, m = _DSIR_SMOOTH, _DSIR_BUCKETS, _DSIR_MICRO
     tf = f"(({m} * ({s} * t_cnt + 1)) {div} ({s} * {n_target} + {v}))"
     rf = f"(({m} * ({s} * r_cnt + 1)) {div} ({s} * {n_raw} + {v}))"
-    return f"((1000 * {tf}) {div} {rf})"
+    # greatest(rf, 1): past ~1e6 raw docs a df-1 bucket's fixed-point
+    # raw frequency truncates to 0, and a 0 divisor is NULL in BOTH
+    # engines (non-ANSI Spark and DuckDB agree) — the hash gate can
+    # never catch it, while sum() skips the NULL and silently deflates
+    # exactly the rarest (most informative) features. The guard
+    # saturates those features at ratio = 1000*tf instead (direction
+    # preserved: rare-in-raw & present-in-target scores high).
+    return f"((1000 * {tf}) {div} greatest({rf}, 1))"
 
 
 def _dsir_oracle() -> str:
@@ -277,10 +284,13 @@ def ranking_agreement_rbo(spark, sf_dir):
         lexical_topk_retrieval,
     )
 
-    lex = lexical_topk_retrieval(spark, sf_dir).select(
+    # ONE idf-leg computation serves both the lexical ranking and the
+    # hybrid's leg_a (the pairs=/shingled= sharing discipline).
+    leg = lexical_topk_retrieval(spark, sf_dir).persist()
+    lex = leg.select(
         "query_doc_id", "doc_id", F.col("rank").alias("rank_a")
     )
-    hyb = hybrid_retrieval_rrf(spark, sf_dir).select(
+    hyb = hybrid_retrieval_rrf(spark, sf_dir, leg_a=leg).select(
         "query_doc_id", "doc_id", F.col("rank").alias("rank_h")
     )
     case = _rbo_case("greatest(rank_a, rank_h)")

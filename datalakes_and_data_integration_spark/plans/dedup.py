@@ -421,7 +421,7 @@ def dedup_prefix_filter_join(spark, sf_dir):
     dfs = F.broadcast(
         exploded.groupBy("g").agg(F.count("*").alias("df"))
     )
-    # ceil(0.15 * sz) in exact integers: 0.15 = 3/20.
+    # prefix length |s| - ceil(0.8*|s|) + 1; ceil(0.8*sz) = (4*sz+4) div 5.
     w = Window.partitionBy("doc_id").orderBy("df", "g")
     prefixes = (
         exploded.join(dfs, "g")
@@ -498,23 +498,24 @@ def _cluster_oracle() -> str:
     "rounds — same convergence, fewer iterations.",
     tags=("dedup", "graph", "llm-pipeline"),
 )
-def dedup_cluster_assignment(spark, sf_dir, shingled=None, pairs=None):
+def dedup_cluster_assignment(spark, sf_dir, shingled=None, pairs=None, edges=None):
     # ``shingled`` passes straight through to the MinHash tier (shared
-    # tokenize/shingle pass — see dedup_containment_pairs). ``pairs``
-    # ((doc_a, doc_b), caller-persisted) shares the whole LSH pass when a
-    # composer also consumes the edge set itself (graph.dup_chain_depth);
-    # the default path is byte-identical.
+    # tokenize/shingle pass — see dedup_containment_pairs). ``pairs`` /
+    # ``edges`` ((doc_a, doc_b), caller-persisted; edges = the symmetric
+    # union) share the LSH pass AND the cached edge frame when a composer
+    # consumes them itself (graph.dup_chain_depth); default identical.
     if pairs is None:
         pairs = (
             dedup_minhash_lsh(spark, sf_dir, shingled=shingled)
             .select("doc_a", "doc_b")
             .persist()
         )
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    ).persist()
+    if edges is None:
+        edges = pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        ).persist()
     docs = T(spark, sf_dir, "documents").select("doc_id")
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
     # Min-label propagation to fixpoint. Iteration count = graph diameter;

@@ -340,16 +340,18 @@ def dup_chain_depth(spark, sf_dir):
         .select("doc_a", "doc_b")
         .persist()
     )
-    assign = (
-        dedup_cluster_assignment(spark, sf_dir, pairs=pairs)
-        .select(F.col("doc").alias("doc_id"), "cluster_id")
-        .persist()
-    )
+    # ONE cached symmetric edge frame serves both the CC fixpoint and
+    # the BFS below (the pairs=/edges= sharing discipline).
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
     ).persist()
+    assign = (
+        dedup_cluster_assignment(spark, sf_dir, pairs=pairs, edges=edges)
+        .select(F.col("doc").alias("doc_id"), "cluster_id")
+        .persist()
+    )
     reached = (
         assign.filter(F.col("doc_id") == F.col("cluster_id"))
         .select("doc_id", F.lit(0).cast("long").alias("depth"))

@@ -399,7 +399,7 @@ def zorder_layout_plan(spark, sf_dir):
         .persist()  # two layout passes over the same coded frame
     )
 
-    def layout(name: str, key: str, order: list[str], bucket_expr: str):
+    def layout(name: str, order: list[str], bucket_expr: str):
         d = coded.withColumn("bucket", F.expr(bucket_expr))
         wb = (
             Window.orderBy("bucket")  # scale-ok: offsets frame <= 256 rows (bucket subtotals, not fact rows)
@@ -431,12 +431,11 @@ def zorder_layout_plan(spark, sf_dir):
         )
 
     both = layout(
-        "zorder", "z", ["z", "l_orderkey", "l_linenumber"],
+        "zorder", ["z", "l_orderkey", "l_linenumber"],
         f"z div {1 << (2 * _Z_BITS - 8)}",
     ).unionByName(
         layout(
             "linear",
-            "l_partkey",
             ["l_partkey", "l_orderkey", "l_linenumber"],
             "qx div 256",
         )

@@ -474,12 +474,17 @@ def l_diversity_audit(spark, sf_dir):
     g AS (SELECT c_mktsegment, count(*) AS gs FROM customer GROUP BY 1),
     nt AS (SELECT count(*) AS n_total FROM customer),
     class_tvd AS (
+      -- per-cell |c*N - g*n| fits int64 to N ~ 3e9; the 1000x multiply
+      -- and the summed numerator/denominator go through HUGEINT (and
+      -- DECIMAL(38,0) on the Spark side) so a large skewed class never
+      -- wraps — both engines are exact big-int, so they still agree.
       SELECT ce.c_nationkey, ce.bal_bucket, min(cs.n) AS sz,
-             CAST((1000 * (sum(abs(ce.cnt * (SELECT n_total FROM nt)
-                                   - g.gs * cs.n))
-                           + ((SELECT n_total FROM nt) - sum(g.gs))
-                             * min(cs.n)))
-                  // (2 * min(cs.n) * (SELECT n_total FROM nt))
+             CAST((1000 * (sum(CAST(abs(ce.cnt * (SELECT n_total FROM nt)
+                                        - g.gs * cs.n) AS HUGEINT))
+                           + CAST(((SELECT n_total FROM nt) - sum(g.gs))
+                                  AS HUGEINT) * min(cs.n)))
+                  // (CAST(2 AS HUGEINT) * min(cs.n)
+                      * (SELECT n_total FROM nt))
                   AS BIGINT) AS tvd_permille
       FROM cells ce
       JOIN class_sz cs ON cs.c_nationkey = ce.c_nationkey
@@ -538,9 +543,11 @@ def t_closeness_audit(spark, sf_dir):
         .agg(
             F.min("n").alias("sz"),
             F.expr(
-                f"CAST((1000 * (sum(abs(cnt * {n_total} - gs * n)) "
-                f"+ ({n_total} - sum(gs)) * min(n))) "
-                f"div (2 * min(n) * {n_total}) AS BIGINT)"
+                f"CAST((1000 * (sum(CAST(abs(cnt * {n_total} - gs * n) "
+                f"AS DECIMAL(38,0))) "
+                f"+ CAST(({n_total} - sum(gs)) AS DECIMAL(38,0)) * min(n))) "
+                f"div (CAST(2 AS DECIMAL(38,0)) * min(n) * {n_total}) "
+                f"AS BIGINT)"
             ).alias("tvd_permille"),
         )
     )

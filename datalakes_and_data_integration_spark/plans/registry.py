@@ -98,14 +98,15 @@ def register(
 # that yielded slots in rounds 5/6 (topn, the tpch suite,
 # union_dedup_events; user_first_last_event and
 # value_histogram/percentiles yielded this round). 32 + 18 = 50.
-# FOURTH SESSION: nine more never-verified newcomers (skyline_pareto_
+# FOURTH SESSION: eleven never-verified newcomers (skyline_pareto_
 # frontier, zorder_layout_plan, dup_chain_depth, importance_resampling_
 # weights, bitmap_distinct_rollup, dedup_prefix_filter_join,
-# t_closeness_audit, ranking_agreement_rbo, ann_dim_truncation_report)
-# plus dedup_ngram_jaccard_join (clause (a): _jaccard_oracle grew the
+# t_closeness_audit, ranking_agreement_rbo, ann_dim_truncation_report,
+# snapshot_retention_plan, km_hazard_table) plus
+# dedup_ngram_jaccard_join (clause (a): _jaccard_oracle grew the
 # threshold parameter for the prefix-filter twin — registered SQL byte-
-# identical). Cohort trimmed from its end to the first 8 round-1 names.
-# 42 + 8 = 50.
+# identical). Cohort trimmed from its end to the first 6 round-1 names.
+# 44 + 6 = 50.
 WINDOW_ROUND = 7  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # policy clause (a): code changed since the newest green row

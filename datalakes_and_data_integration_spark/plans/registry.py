@@ -160,6 +160,8 @@ ROUND_CHANGED: list[str] = [
     "dedup_ngram_jaccard_join",
     "snapshot_retention_plan",
     "km_hazard_table",
+    # round-7 fifth session newcomers
+    "watermark_lateness_profile",
 ]
 WINDOW_PRIORITY: list[str] = [
     "ann_topk_pq",
@@ -206,13 +208,13 @@ WINDOW_PRIORITY: list[str] = [
     "dedup_ngram_jaccard_join",
     "snapshot_retention_plan",
     "km_hazard_table",
+    "watermark_lateness_profile",
     # oldest cohort, newest green row r1 (oldest-first, alphabetical)
     "topn_orders_per_customer",
     "tpch_q10_returned_items",
     "tpch_q13_customer_distribution",
     "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity",
 ]
 
 

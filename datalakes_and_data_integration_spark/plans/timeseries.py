@@ -674,3 +674,172 @@ def gapfill_hourly_interpolate(spark, sf_dir):
         .cast("double")
         .alias("v_interp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermark-lateness profile: the event-time disorder diagnostic that picks
+# a Structured Streaming watermark delay.
+#
+# The parquet corpus is perfectly time-ordered (event_id order == ts order,
+# measured: 0 late rows), so the arrival process is SYNTHESIZED: each event
+# arrives delay = md5-hash(event_id) % 600 seconds after its event time —
+# a deterministic stand-in for network/ingest delay, identical in both
+# engines. The OPERATOR is the real deliverable: per-event lateness =
+# (max event time seen at arrival) - (own event time), then the
+# candidate-watermark table — for each delay D, how many events a
+# `withWatermark(ts, D)` stream would drop. That table is exactly what you
+# read before pinning a production watermark.
+#
+# Scale: lateness needs a GLOBAL prefix max over arrival order — a
+# single-reducer sort if done naively. This is the two-pass bucketed form
+# (the token_budget_mixture_sample / zorder_layout_plan proof pattern):
+# buckets = arrival HOUR (time-bounded, ~720/month, NOT data-bounded), the
+# cross-bucket prefix max runs on the tiny per-bucket frame (broadcast),
+# and the within-bucket running max shuffles once on the bucket key.
+# (bucket, arrival) order IS arrival order because the bucket is the
+# arrival hour. The oracle is the naive one-window definition; the
+# driver's hash match is the equivalence proof.
+# ---------------------------------------------------------------------------
+
+_WM_SEED = 23
+_WM_DELAY_MOD = 600  # injected arrival delay in [0, 600) seconds
+_WM_CANDIDATES = [0, 30, 60, 120, 300, 600]  # watermark delays to price
+_WM_BUCKET_US = 3_600_000_000  # 1 hour of microseconds
+
+
+def _wm_lateness_oracle() -> str:
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_sql_duck,
+    )
+
+    h = hash60_sql_duck("CAST(event_id AS VARCHAR)", _WM_SEED)
+    drops = ", ".join(
+        f"CAST(sum(CASE WHEN late_us > {d * 1_000_000} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS d{d}"
+        for d in _WM_CANDIDATES
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({d} AS BIGINT) AS wm_delay_s, n AS n_events,"
+        f" d{d} AS n_dropped, CAST(1000 * d{d} // n AS BIGINT)"
+        f" AS drop_per_mille, mx_s AS max_lateness_s FROM agg"
+        for d in _WM_CANDIDATES
+    )
+    return f"""
+    WITH e AS (
+      SELECT event_id, epoch_us(ts) AS t,
+             epoch_us(ts) + ({h} % {_WM_DELAY_MOD}) * 1000000 AS a
+      FROM events
+    ),
+    l AS (
+      SELECT t,
+             greatest(coalesce(max(t) OVER (
+               ORDER BY a, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), t), t) - t
+               AS late_us
+      FROM e
+    ),
+    agg AS (
+      SELECT count(*) AS n, {drops},
+             CAST(max(late_us) // 1000000 AS BIGINT) AS mx_s
+      FROM l
+    )
+    {rows}
+    """
+
+
+@register(
+    "watermark_lateness_profile",
+    oracle=_wm_lateness_oracle(),
+    description="Event-time disorder diagnostic for watermark tuning: each "
+    "event's lateness = max event time already arrived minus its own event "
+    "time, under a deterministic md5-injected arrival delay (the corpus "
+    "itself ships perfectly ordered — the arrival process is a declared "
+    "synthetic stand-in; the operator is the deliverable). Output prices "
+    "each candidate watermark delay by the events it would drop — the "
+    "table read before pinning withWatermark() in production. The global "
+    "prefix max is the two-pass bucketed form (arrival-hour buckets, "
+    "cross-bucket offsets on the tiny bucket frame, running max only "
+    "within buckets); the oracle is the naive one-window definition, so "
+    "the hash match proves the two-pass equivalence. All integers.",
+    tags=("streaming", "watermark", "temporal", "two-pass", "llm-pipeline"),
+)
+def watermark_lateness_profile(spark, sf_dir):
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_seeded,
+    )
+
+    e = T(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+        (
+            F.unix_micros("ts")
+            + (
+                hash60_seeded(F.col("event_id").cast("string"), _WM_SEED)
+                % _WM_DELAY_MOD
+            )
+            * 1_000_000
+        ).alias("a"),
+    )
+    e = e.withColumn("bucket", F.expr(f"a div {_WM_BUCKET_US}L"))
+    # Pass 1: per-bucket max event time -> prefix max over PRIOR buckets
+    # (tiny, time-bounded frame; broadcast back).
+    wb = (
+        Window.orderBy("bucket")  # scale-ok: per-hour bucket frame, time-bounded (~720 rows/month), never data-sized
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = F.broadcast(
+        e.groupBy("bucket")
+        .agg(F.max("t").alias("bmax"))
+        .withColumn("prior", F.max("bmax").over(wb))
+        .select("bucket", "prior")
+    )
+    # Pass 2: running max WITHIN each bucket only.
+    ww = (
+        Window.partitionBy("bucket")
+        .orderBy("a", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = (
+        e.join(offsets, "bucket")
+        .withColumn(
+            "seen",
+            F.greatest(
+                F.coalesce(
+                    F.greatest(
+                        F.max("t").over(ww),
+                        F.coalesce(F.col("prior"), F.col("t")),
+                    ),
+                    F.col("t"),
+                ),
+                F.col("t"),
+            ),
+        )
+        .select((F.col("seen") - F.col("t")).alias("late_us"))
+    )
+    agg = late.agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(
+                F.when(F.col("late_us") > d * 1_000_000, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"d{d}")
+            for d in _WM_CANDIDATES
+        ],
+        F.expr("CAST(max(late_us) div 1000000 AS BIGINT)").alias("mx_s"),
+    )
+    stack = ", ".join(
+        f"CAST({d} AS BIGINT), d{d}" for d in _WM_CANDIDATES
+    )
+    return agg.selectExpr(
+        f"stack({len(_WM_CANDIDATES)}, {stack})"
+        " AS (wm_delay_s, n_dropped)",
+        "n AS n_events",
+        "mx_s AS max_lateness_s",
+    ).selectExpr(
+        "wm_delay_s",
+        "n_events",
+        "n_dropped",
+        "CAST(1000 * n_dropped div n_events AS BIGINT) AS drop_per_mille",
+        "max_lateness_s",
+    )

@@ -162,6 +162,7 @@ ROUND_CHANGED: list[str] = [
     "km_hazard_table",
     # round-7 fifth session newcomers
     "watermark_lateness_profile",
+    "cdc_merge_apply",
 ]
 WINDOW_PRIORITY: list[str] = [
     "ann_topk_pq",
@@ -209,12 +210,12 @@ WINDOW_PRIORITY: list[str] = [
     "snapshot_retention_plan",
     "km_hazard_table",
     "watermark_lateness_profile",
+    "cdc_merge_apply",
     # oldest cohort, newest green row r1 (oldest-first, alphabetical)
     "topn_orders_per_customer",
     "tpch_q10_returned_items",
     "tpch_q13_customer_distribution",
     "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
 ]
 
 

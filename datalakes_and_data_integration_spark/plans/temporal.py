@@ -3208,3 +3208,131 @@ def km_hazard_table(spark, sf_dir):
             ).alias("hazard_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC MERGE apply: the lakehouse `MERGE INTO` over a keyed change log with
+# DELETE tombstones — the Debezium-to-Delta pattern the SCD2/upsert tiers
+# don't cover (they version or keep-first; this one APPLIES deletes).
+#
+# The event log is read as a CDC stream on the user dimension: signup = I,
+# error = D (tombstone), click/view/purchase = U; payload = (props.k,
+# value); op order is the (ts, event_id) total order. Target = the
+# last-writer-wins state (tombstones absent) over everything OLDER than
+# 7 days before the corpus max ts; source batch = the last 7 days. Output
+# is the merged snapshot WITH the merge's lineage: one row per key seen on
+# either side, labeled insert / update / delete / carryover / noop
+# (delete of an absent key), final payload NULLed for tombstoned keys.
+#
+# Scale: ONE shuffle — both sides reduce in a single window pass
+# partitioned by (user_id, phase); the merge itself is a key-sized full
+# outer join (output is dimension-sized, not event-sized). The cutoff is
+# a 1-row broadcast scalar. At 100 TB the target side is the stored
+# snapshot and only the source window re-reduces — same plan, smaller
+# left leg.
+# ---------------------------------------------------------------------------
+
+_CDC_MERGE_ORACLE = """
+    WITH ops AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'signup' THEN 'I'
+                             WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+             value,
+             ts < (SELECT max(ts) - INTERVAL 7 DAY FROM events) AS pre
+      FROM events
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id, pre
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id, pre) AS cnt
+      FROM ops
+    ),
+    tgt AS (SELECT * FROM ranked WHERE pre AND rn = 1 AND op <> 'D'),
+    src AS (SELECT * FROM ranked WHERE NOT pre AND rn = 1)
+    SELECT coalesce(t.user_id, s.user_id) AS user_id,
+           CASE WHEN s.user_id IS NULL THEN 'carryover'
+                WHEN t.user_id IS NULL AND s.op = 'D' THEN 'noop'
+                WHEN t.user_id IS NULL THEN 'insert'
+                WHEN s.op = 'D' THEN 'delete'
+                ELSE 'update' END AS action,
+           CASE WHEN s.user_id IS NULL THEN t.k
+                WHEN s.op <> 'D' THEN s.k END AS final_k,
+           CASE WHEN s.user_id IS NULL THEN t.value
+                WHEN s.op <> 'D' THEN s.value END AS final_value,
+           coalesce(s.ts, t.ts) AS last_ts,
+           CAST(coalesce(s.cnt, 0) AS BIGINT) AS n_src_ops
+    FROM tgt t FULL OUTER JOIN src s ON t.user_id = s.user_id
+    """
+
+
+@register(
+    "cdc_merge_apply",
+    oracle=_CDC_MERGE_ORACLE,
+    description="Lakehouse CDC MERGE: the event log read as a keyed change "
+    "stream (signup=insert, error=delete tombstone, activity=upsert; "
+    "payload = props.k + value) is applied to the last-writer-wins "
+    "snapshot as of 7 days before the corpus max ts — the MERGE INTO "
+    "WHEN MATCHED [AND src.op='D'] THEN DELETE pattern. Output is the "
+    "merged dimension plus merge lineage per key (insert / update / "
+    "delete / carryover / noop-delete-of-absent). One window pass "
+    "partitioned by (user_id, phase) reduces both sides in a single "
+    "shuffle; the merge is a dimension-sized full outer join.",
+    tags=("temporal", "warehouse", "cdc", "merge", "upsert"),
+)
+def cdc_merge_apply(spark, sf_dir):
+    from pyspark.sql import types as T_
+
+    ev = T(spark, sf_dir, "events")
+    cutoff = F.broadcast(
+        ev.agg(F.expr("max(ts) - INTERVAL 7 DAY").alias("cut"))
+    )
+    schema = T_.StructType([T_.StructField("k", T_.LongType())])
+    ops = (
+        ev.crossJoin(cutoff)  # scale-ok: 1-row broadcast cutoff scalar
+        .withColumn("p", F.from_json("props", schema))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "signup", "I")
+            .when(F.col("event_type") == "error", "D")
+            .otherwise("U")
+            .alias("op"),
+            F.col("p.k").alias("k"),
+            "value",
+            (F.col("ts") < F.col("cut")).alias("pre"),
+        )
+    )
+    w = Window.partitionBy("user_id", "pre").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ops.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("user_id", "pre")).alias("cnt"),
+    )
+    tgt = ranked.filter(
+        F.col("pre") & (F.col("rn") == 1) & (F.col("op") != "D")
+    ).alias("t")
+    src = ranked.filter(~F.col("pre") & (F.col("rn") == 1)).alias("s")
+    t_, s_ = F.col("t.user_id"), F.col("s.user_id")
+    src_live = s_.isNotNull() & (F.col("s.op") != "D")
+    return tgt.join(src, t_ == s_, "full_outer").select(
+        F.coalesce(t_, s_).alias("user_id"),
+        F.when(s_.isNull(), "carryover")
+        .when(t_.isNull() & (F.col("s.op") == "D"), "noop")
+        .when(t_.isNull(), "insert")
+        .when(F.col("s.op") == "D", "delete")
+        .otherwise("update")
+        .alias("action"),
+        F.when(s_.isNull(), F.col("t.k"))
+        .when(src_live, F.col("s.k"))
+        .alias("final_k"),
+        F.when(s_.isNull(), F.col("t.value"))
+        .when(src_live, F.col("s.value"))
+        .alias("final_value"),
+        F.coalesce(F.col("s.ts"), F.col("t.ts")).alias("last_ts"),
+        F.coalesce(F.col("s.cnt"), F.lit(0)).cast("long").alias("n_src_ops"),
+    )

@@ -68,3 +68,60 @@ def test_watermark_profile_two_pass_equals_naive_and_is_monotone(spark):
     }
     for d in delays:
         assert n_naive[d] == rows[d].n_dropped
+
+
+def test_cdc_merge_planted_fixture_exercises_all_five_actions(spark, tmp_path):
+    """The production corpus never yields 'carryover' (every user is
+    active in the final week), so the five merge actions are pinned on a
+    planted change log: one user per action class, with the tombstone
+    NULLing the payload and a delete-then-reinsert landing as 'insert'."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datalakes_and_data_integration_spark.plans.temporal import (
+        cdc_merge_apply,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    old = t0  # pre-cutoff (max ts = Jan 20; cutoff = Jan 13)
+    new = t0 + dt.timedelta(days=19)
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (1, old, 1, "signup", 1.0, '{"k": 10}'),   # carryover: no src ops
+        (2, old, 2, "signup", 2.0, '{"k": 20}'),
+        (3, new, 2, "click", 2.5, '{"k": 21}'),    # update
+        (4, old, 3, "signup", 3.0, '{"k": 30}'),
+        (5, new, 3, "error", None, None),          # delete (tombstone)
+        (6, old, 4, "error", None, None),          # absent from target...
+        (7, new, 4, "view", 4.5, '{"k": 41}'),     # ...insert (re-create)
+        (8, new, 5, "error", None, None),          # noop: delete of absent
+        (9, new, 9, "purchase", 9.0, None),        # max-ts anchor row
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows]),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    got = {
+        r.user_id: r for r in cdc_merge_apply(spark, str(tmp_path)).collect()
+    }
+    assert {u: r.action for u, r in got.items()} == {
+        1: "carryover", 2: "update", 3: "delete", 4: "insert",
+        5: "noop", 9: "insert",
+    }
+    assert (got[1].final_k, got[1].final_value) == (10, 1.0)
+    assert (got[2].final_k, got[2].final_value) == (21, 2.5)
+    assert got[3].final_k is None and got[3].final_value is None
+    assert (got[4].final_k, got[4].final_value) == (41, 4.5)
+    assert got[5].final_k is None
+    assert got[9].final_k is None and got[9].final_value == 9.0
+    assert got[2].n_src_ops == 1 and got[1].n_src_ops == 0

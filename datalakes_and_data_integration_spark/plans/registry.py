@@ -163,6 +163,7 @@ ROUND_CHANGED: list[str] = [
     # round-7 fifth session newcomers
     "watermark_lateness_profile",
     "cdc_merge_apply",
+    "doc_code_switch_profile",
 ]
 WINDOW_PRIORITY: list[str] = [
     "ann_topk_pq",
@@ -211,11 +212,11 @@ WINDOW_PRIORITY: list[str] = [
     "km_hazard_table",
     "watermark_lateness_profile",
     "cdc_merge_apply",
+    "doc_code_switch_profile",
     # oldest cohort, newest green row r1 (oldest-first, alphabetical)
     "topn_orders_per_customer",
     "tpch_q10_returned_items",
     "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
 ]
 
 

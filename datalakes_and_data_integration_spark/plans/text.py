@@ -918,3 +918,163 @@ def vocab_zipf_stats(spark, sf_dir):
             "hapax_count",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Code-switch profile: segment-level language mixing WITHIN a document.
+#
+# The doc-level language ID (text_lang_id) hides intra-document mixing —
+# the thing that actually degrades monolingual training slices. This
+# operator re-runs the same stopword-lexicon argmax on consecutive
+# 10-token segments and reports per doc: segment count, adjacent-segment
+# language switches, the dominant segment language with its per-mille
+# share, and a mixed flag. On this corpus the observable mixing is
+# en <-> und (the synthetic texts carry only English stopwords — measured;
+# the multilingual semantics are pinned by a planted mixed-language
+# fixture in tests/test_r7_session5.py).
+#
+# Scale: embarrassingly parallel per-document expression work — one
+# projection after the tokenize, zero shuffles; the segment lambda is
+# bounded by the doc's own token count. Same spread-after-tokenize
+# barrier as text_lang_id (CollapseProject would otherwise re-inline the
+# tokenizer into every per-segment score).
+# ---------------------------------------------------------------------------
+
+_CSW_SEG = 10  # tokens per segment
+
+
+def _csw_seg_langs_spark() -> str:
+    """Spark SQL: array of per-segment argmax languages from ``toks``."""
+    seg = f"slice(toks, s * {_CSW_SEG} + 1, {_CSW_SEG})"
+    scores = {}
+    for lang, words in STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        scores[lang] = (
+            f"size(array_intersect(array_distinct({seg}), array({lst})))"
+        )
+    mx = "greatest(" + ", ".join(scores[lang] for lang in LANG_ORDER) + ")"
+    pred = "'und'"
+    for lang in reversed(LANG_ORDER):
+        pred = (
+            f"CASE WHEN {mx} > 0 AND {scores[lang]} = {mx} "
+            f"THEN '{lang}' ELSE {pred} END"
+        )
+    return (
+        "CASE WHEN size(toks) = 0 THEN CAST(array() AS ARRAY<STRING>) "
+        f"ELSE transform(sequence(0, CAST(ceil(size(toks) / {_CSW_SEG}.0) "
+        f"AS INT) - 1), s -> {pred}) END"
+    )
+
+
+def _csw_seg_langs_duck() -> str:
+    seg = f"list_slice(toks, s * {_CSW_SEG} + 1, s * {_CSW_SEG} + {_CSW_SEG})"
+    scores = {}
+    for lang, words in STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        scores[lang] = (
+            f"len(list_filter(list_distinct({seg}), "
+            f"t -> list_contains([{lst}], t)))"
+        )
+    mx = "greatest(" + ", ".join(scores[lang] for lang in LANG_ORDER) + ")"
+    pred = "'und'"
+    for lang in reversed(LANG_ORDER):
+        pred = (
+            f"CASE WHEN {mx} > 0 AND {scores[lang]} = {mx} "
+            f"THEN '{lang}' ELSE {pred} END"
+        )
+    return (
+        "CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[]) "
+        f"ELSE list_transform(range(CAST(ceil(len(toks) / {_CSW_SEG}.0) "
+        f"AS INT)), s -> {pred}) END"
+    )
+
+
+def _csw_report_cols(sl: str, idx, cnt, distinct_n) -> dict[str, str]:
+    """Engine-generic report expressions over the segment-language array.
+
+    ``idx(arr, i)``: 1-based element access; ``cnt(x)``: count of segments
+    equal to literal x; ``distinct_n``: distinct element count.
+    """
+    counts = {lang: cnt(lang) for lang in [*LANG_ORDER, "und"]}
+    mx = "greatest(" + ", ".join(counts.values()) + ")"
+    dom = "'und'"
+    for lang in reversed([*LANG_ORDER, "und"]):
+        dom = f"CASE WHEN {counts[lang]} = {mx} THEN '{lang}' ELSE {dom} END"
+    return {
+        "n_segments": f"CAST(len_({sl}) AS BIGINT)",
+        "n_switches": (
+            f"CAST(CASE WHEN len_({sl}) <= 1 THEN 0 ELSE "
+            f"len_(filter_(seq2_({sl}), i -> "
+            f"{idx(sl, 'i')} <> {idx(sl, 'i - 1')})) END AS BIGINT)"
+        ),
+        "dominant_lang": f"CASE WHEN len_({sl}) = 0 THEN 'und' ELSE {dom} END",
+        "dominant_per_mille": (
+            f"CAST(CASE WHEN len_({sl}) = 0 THEN 0 "
+            f"ELSE 1000 * {mx} // len_({sl}) END AS BIGINT)"
+        ),
+        "is_mixed": f"{distinct_n} > 1",
+    }
+
+
+def _csw_oracle() -> str:
+    sl = "sl"
+    cols = _csw_report_cols(
+        sl,
+        idx=lambda a, i: f"{a}[{i}]",
+        cnt=lambda x: f"len(list_filter({sl}, x -> x = '{x}'))",
+        distinct_n=f"len(list_distinct({sl}))",
+    )
+    sel = ", ".join(
+        expr.replace("len_(", "len(")
+        .replace("filter_(", "list_filter(")
+        .replace(f"seq2_({sl})", f"range(2, len({sl}) + 1)")
+        .replace(" // ", " // ")
+        + f" AS {name}"
+        for name, expr in cols.items()
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, lang, {_TOK_DUCK} AS toks FROM documents),
+    segs AS (SELECT doc_id, lang, {_csw_seg_langs_duck()} AS sl FROM tok)
+    SELECT doc_id, lang, {sel} FROM segs
+    """
+
+
+@register(
+    "doc_code_switch_profile",
+    oracle=_csw_oracle(),
+    description="Intra-document language mixing (code-switching) profile: "
+    "the stopword-lexicon language argmax re-run per consecutive "
+    f"{_CSW_SEG}-token segment, reporting segments, adjacent-segment "
+    "switches, the dominant segment language with per-mille share, and a "
+    "mixed flag — the gate that catches documents a doc-level language ID "
+    "admits into a monolingual slice despite mixed content. Per-document "
+    "expression work only (no shuffle); integer shares. Multilingual "
+    "semantics pinned by a planted mixed-language fixture.",
+    tags=("text", "lang-id", "curation", "llm-pipeline"),
+)
+def doc_code_switch_profile(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    # spread AFTER tokenizing (the text_lang_id idiom): exchange barrier
+    # so the per-segment score lambdas don't re-inline the tokenizer.
+    tok = spread(
+        d.select("doc_id", "lang", tokens("text").alias("toks")), spark
+    )
+    segs = tok.select(
+        "doc_id", "lang", F.expr(_csw_seg_langs_spark()).alias("sl")
+    )
+    cols = _csw_report_cols(
+        "sl",
+        idx=lambda a, i: f"element_at({a}, {i})",
+        cnt=lambda x: f"size(filter(sl, x -> x = '{x}'))",
+        distinct_n="size(array_distinct(sl))",
+    )
+    sel = [
+        F.expr(
+            expr.replace("len_(", "size(")
+            .replace("filter_(", "filter(")
+            .replace("seq2_(sl)", "sequence(2, size(sl))")
+            .replace(" // ", " div ")
+        ).alias(name)
+        for name, expr in cols.items()
+    ]
+    return segs.select("doc_id", "lang", *sel)

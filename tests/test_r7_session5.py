@@ -125,3 +125,52 @@ def test_cdc_merge_planted_fixture_exercises_all_five_actions(spark, tmp_path):
     assert got[5].final_k is None
     assert got[9].final_k is None and got[9].final_value == 9.0
     assert got[2].n_src_ops == 1 and got[1].n_src_ops == 0
+
+
+def test_code_switch_planted_multilingual_doc(spark, tmp_path):
+    """The shipped corpus only ever mixes en <-> und (its texts carry no
+    non-English stopwords), so true multilingual switching is pinned on a
+    planted document: three 10-token segments en | de | es must yield 2
+    switches, dominance by the fixed tiebreak order, and is_mixed; a pure
+    one-segment doc and an empty doc pin the degenerate branches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datalakes_and_data_integration_spark.plans.text import (
+        doc_code_switch_profile,
+    )
+
+    en = "the a of and to in is that it for"          # 10 en stopwords
+    de = "der die das und ist nicht ein zu mit auf"   # 10 de stopwords
+    es = "el la que y en un es por con de"            # 10 es stopwords
+    docs = {
+        1: f"{en} {de} {es}",  # en | de | es -> 2 switches, mixed
+        2: en,                 # single pure segment
+        3: "zzz qqq www",      # no stopwords -> und
+    }
+    table = pa.table(
+        {
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values())),
+            "lang": pa.array(["en", "en", "en"]),
+            "source": pa.array(["syn"] * 3),
+            "n_chars": pa.array([len(v) for v in docs.values()], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+    got = {
+        r.doc_id: r
+        for r in doc_code_switch_profile(spark, str(tmp_path)).collect()
+    }
+    r1 = got[1]
+    assert (r1.n_segments, r1.n_switches, r1.is_mixed) == (3, 2, True)
+    # 'de' segment: 'de' is ALSO an es/fr stopword -> each segment scores
+    # its own language 10, so dominance falls to the tiebreak order (en).
+    assert r1.dominant_lang == "en"
+    assert r1.dominant_per_mille == 333
+    r2 = got[2]
+    assert (r2.n_segments, r2.n_switches, r2.dominant_lang,
+            r2.dominant_per_mille, r2.is_mixed) == (1, 0, "en", 1000, False)
+    r3 = got[3]
+    assert (r3.dominant_lang, r3.is_mixed) == ("und", False)

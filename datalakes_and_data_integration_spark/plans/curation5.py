@@ -607,3 +607,125 @@ def split_decontamination_report(spark, sf_dir):
             ).alias("contamination_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup weight preservation: repetition-count training weights for the
+# kept representatives (the "soft dedup" alternative to dropping mass).
+#
+# Dropping near-dup cluster members changes the training distribution;
+# the count-preserving alternative keeps one representative per cluster
+# UPWEIGHTED by its cluster size, so each cluster contributes the same
+# sample mass it did before dedup (sum of weights == corpus doc count —
+# the preservation identity, hash-checked via sum_weight). The report
+# prices the side effect per language: upweighting shifts TOKEN mass
+# toward each cluster's representative (weighted_tokens vs raw_tokens),
+# and clusters that span languages move mass across language slices
+# (sum_weight vs n_docs per language).
+#
+# Scale: one tokenize pass feeds sizes and the shared shingle frame
+# (the tier-overlap discipline); the cluster tier is the registered
+# banded-LSH + CC plan; weights are one grouped count on cluster ids;
+# the report is a 5-row language join.
+# ---------------------------------------------------------------------------
+
+
+def _weight_preservation_oracle() -> str:
+    from datalakes_and_data_integration_spark.plans.dedup import (
+        _cluster_oracle,
+    )
+
+    return f"""
+    WITH cl AS ({_cluster_oracle()}),
+    tk AS MATERIALIZED (
+      SELECT doc_id, lang, len({_TOK_DUCK}) AS n_tok FROM documents
+    ),
+    w AS (SELECT cluster_id, count(*) AS wt FROM cl GROUP BY cluster_id),
+    reps AS (
+      SELECT t.lang, w.wt, t.n_tok FROM w JOIN tk t ON t.doc_id = w.cluster_id
+    ),
+    raw AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS raw_tokens
+      FROM tk GROUP BY lang
+    ),
+    kept AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(wt) AS BIGINT) AS sum_weight,
+             CAST(sum(wt * n_tok) AS BIGINT) AS weighted_tokens
+      FROM reps GROUP BY lang
+    )
+    SELECT r.lang, r.n_docs, r.raw_tokens,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(k.sum_weight, 0) AS BIGINT) AS sum_weight,
+           CAST(coalesce(k.weighted_tokens, 0) AS BIGINT)
+             AS weighted_tokens,
+           CAST(1000 * coalesce(k.weighted_tokens, 0) // r.raw_tokens
+             AS BIGINT) AS token_inflation_per_mille
+    FROM raw r LEFT JOIN kept k USING (lang)
+    """
+
+
+@register(
+    "dedup_weight_preservation",
+    oracle=_weight_preservation_oracle(),
+    description="Count-preserving dedup weights (soft dedup): each near-dup "
+    "cluster's representative is kept upweighted by its cluster size, so "
+    "post-dedup training preserves every cluster's sample mass (global "
+    "sum of weights == corpus doc count — the identity the hash check "
+    "covers via sum_weight). Reported per language: kept reps, assigned "
+    "weight mass (vs raw doc count — cross-language clusters shift mass "
+    "between slices), and weighted vs raw token totals with an integer "
+    "inflation share. One tokenize pass shared with the cluster tier's "
+    "shingles; weights are one grouped count on cluster ids.",
+    tags=("dedup", "curation", "sampling", "llm-pipeline"),
+)
+def dedup_weight_preservation(spark, sf_dir):
+    from datalakes_and_data_integration_spark.plans.dedup import (
+        dedup_cluster_assignment,
+    )
+
+    d = spread(T(spark, sf_dir, "documents"), spark)
+    tok = d.select(
+        "doc_id", "lang", F.expr(_TOK_SPARK).alias("toks")
+    ).persist()  # consumed by sizes (2x) + the shared shingle frame
+    sizes = tok.select(
+        "doc_id", "lang", F.size("toks").cast("long").alias("n_tok")
+    )
+    shingled = (
+        tok.select(
+            "doc_id", F.expr(shingles_expr_spark("toks", 3)).alias("sh")
+        )
+        .filter(F.size("sh") > 0)
+        .persist()  # consumed 3x inside the MinHash tier
+    )
+    cl = dedup_cluster_assignment(spark, sf_dir, shingled=shingled)
+    wts = cl.groupBy("cluster_id").agg(F.count("*").cast("long").alias("wt"))
+    reps = wts.join(
+        sizes, wts["cluster_id"] == sizes["doc_id"]
+    ).select("lang", "wt", "n_tok")
+    raw = sizes.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("raw_tokens"),
+    )
+    kept = reps.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("wt").cast("long").alias("sum_weight"),
+        F.sum(F.col("wt") * F.col("n_tok")).cast("long").alias(
+            "weighted_tokens"
+        ),
+    )
+    return raw.join(kept, "lang", "left").select(
+        "lang",
+        "n_docs",
+        "raw_tokens",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("sum_weight", F.lit(0)).cast("long").alias("sum_weight"),
+        F.coalesce("weighted_tokens", F.lit(0))
+        .cast("long")
+        .alias("weighted_tokens"),
+        F.expr(
+            "CAST(1000 * coalesce(weighted_tokens, 0) div raw_tokens"
+            " AS BIGINT)"
+        ).alias("token_inflation_per_mille"),
+    )

@@ -164,6 +164,7 @@ ROUND_CHANGED: list[str] = [
     "watermark_lateness_profile",
     "cdc_merge_apply",
     "doc_code_switch_profile",
+    "dedup_weight_preservation",
 ]
 WINDOW_PRIORITY: list[str] = [
     "ann_topk_pq",
@@ -213,10 +214,10 @@ WINDOW_PRIORITY: list[str] = [
     "watermark_lateness_profile",
     "cdc_merge_apply",
     "doc_code_switch_profile",
+    "dedup_weight_preservation",
     # oldest cohort, newest green row r1 (oldest-first, alphabetical)
     "topn_orders_per_customer",
     "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
 ]
 
 

@@ -174,3 +174,26 @@ def test_code_switch_planted_multilingual_doc(spark, tmp_path):
             r2.dominant_per_mille, r2.is_mixed) == (1, 0, "en", 1000, False)
     r3 = got[3]
     assert (r3.dominant_lang, r3.is_mixed) == ("und", False)
+
+
+def test_weight_preservation_identity_and_nonvacuity(spark):
+    """The global preservation identity — sum of assigned weights equals
+    the corpus doc count (every cluster contributes its full sample mass
+    through its upweighted representative) — plus non-vacuity: at least
+    one representative carries weight > 1."""
+    from pyspark.sql import functions as F2
+
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans.curation5 import (
+        dedup_weight_preservation,
+    )
+
+    rep = dedup_weight_preservation(spark, SF)
+    tot = rep.agg(
+        F2.sum("sum_weight").alias("w"),
+        F2.sum("n_docs").alias("d"),
+        F2.sum("n_kept").alias("k"),
+    ).collect()[0]
+    n_docs = T(spark, SF, "documents").count()
+    assert tot.w == tot.d == n_docs
+    assert tot.k < n_docs  # non-vacuous: some cluster has size > 1

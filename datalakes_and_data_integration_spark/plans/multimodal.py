@@ -458,3 +458,164 @@ def multimodal_cdc_chunking(spark, sf_dir):
         .cast("double")
         .alias("dup_chunk_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-video keyframe near-dup: the video tier of the multimodal dedup
+# ladder. Production video dedup hashes SAMPLED KEYFRAMES, not whole
+# payloads — re-encoded/trimmed copies keep most frames while the
+# container bytes (and the whole-payload pHash) change completely. This
+# composes the two stubbed primitives: sample_frames' slicing + the
+# block-mean pHash per frame (operators.multimodal.frame_phash), then
+# the same 3-band pigeonhole candidate join as the payload tier, and a
+# video-level verdict: a pair is near-dup when >= 2 frame pairs match at
+# hamming <= 2. Only frame hashes shuffle, never payloads; candidates
+# are band-bucket-bounded. Swap the slice for codec keyframe grabs and
+# the pipeline is real video dedup at 100 TB.
+# ---------------------------------------------------------------------------
+
+_KF_MIN_MATCHES = 2  # frame pairs required for a video-level near-dup
+
+
+def _keyframe_oracle() -> str:
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, frame_idx, phash, {i} AS band,"
+        f" CAST({expr} AS BIGINT) AS bv FROM ph"
+        for expr, i in _PH_BANDS_SQL
+    )
+    return f"""
+    WITH pay AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    frames AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+             substr(h, 2 * (i * (n // 3)) + 1, 64) AS fh
+      FROM pay, unnest([0, 1, 2]) AS t(i)
+    ),
+    fb AS (
+      SELECT doc_id, frame_idx, fh, length(fh) // 2 AS fn
+      FROM frames WHERE length(fh) >= 2
+    ),
+    pos AS (
+      SELECT doc_id, frame_idx, fn, fh, unnest(range(1, fn + 1)) AS j
+      FROM fb
+    ),
+    bytes AS (
+      SELECT doc_id, frame_idx, fn, ((j - 1) * 20) // fn AS blk,
+             (strpos('0123456789ABCDEF', substr(fh, 2*j - 1, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(fh, 2*j, 1)) - 1) AS b
+      FROM pos
+    ),
+    blocks AS (
+      SELECT f.doc_id, f.frame_idx, f.fn, g.blk,
+             CAST(coalesce(s.sb, 0) AS BIGINT) AS sb,
+             CAST(coalesce(s.nb, 0) AS BIGINT) AS nb
+      FROM fb f CROSS JOIN (SELECT unnest(range(20)) AS blk) g
+      LEFT JOIN (
+        SELECT doc_id, frame_idx, blk, sum(b) AS sb, count(*) AS nb
+        FROM bytes GROUP BY doc_id, frame_idx, blk
+      ) s ON s.doc_id = f.doc_id AND s.frame_idx = f.frame_idx
+         AND s.blk = g.blk
+    ),
+    tot AS (
+      SELECT doc_id, frame_idx, CAST(sum(sb) AS BIGINT) AS total
+      FROM blocks GROUP BY doc_id, frame_idx
+    ),
+    ph AS (
+      SELECT b.doc_id, b.frame_idx,
+             CAST(sum(CASE WHEN b.sb * b.fn > t.total * b.nb
+                           THEN 1 << b.blk ELSE 0 END) AS BIGINT) AS phash
+      FROM blocks b
+      JOIN tot t ON t.doc_id = b.doc_id AND t.frame_idx = b.frame_idx
+      GROUP BY b.doc_id, b.frame_idx
+    ),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS vid_a, a.frame_idx AS fa,
+                      a.phash AS pa, b.doc_id AS vid_b,
+                      b.frame_idx AS fbi, b.phash AS pb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT vid_a, vid_b,
+             CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(pa, pb)) <= 2
+    )
+    SELECT vid_a, vid_b,
+           CAST(count(*) AS BIGINT) AS n_frame_pairs,
+           CAST(min(hamming) AS BIGINT) AS min_hamming,
+           count(*) >= {_KF_MIN_MATCHES} AS is_near_dup
+    FROM verified GROUP BY vid_a, vid_b
+    """
+
+
+@register(
+    "multimodal_keyframe_phash_dedup",
+    oracle=_keyframe_oracle(),
+    description="Cross-video keyframe near-dup: 3 evenly spaced 32-byte "
+    "frame slices per video payload (the sample_frames stub shape), a "
+    "20-bit block-mean pHash per FRAME via row-expanding mapInPandas, "
+    "exact hamming<=2 frame pairs via the 3-band (7/7/6-bit) pigeonhole "
+    "join, aggregated to a video-level verdict (near-dup when >= "
+    f"{_KF_MIN_MATCHES} frame pairs match) — the production video-dedup "
+    "shape: re-encoded or trimmed copies keep their frames while the "
+    "container bytes (and any whole-payload hash) diverge. Only frame "
+    "hashes shuffle; candidates are band-bucket-bounded; a real codec "
+    "swaps into the frame grab with the pipeline unchanged.",
+    tags=("multimodal", "dedup", "pandas-udf", "phash", "video",
+          "llm-pipeline"),
+)
+def multimodal_keyframe_phash_dedup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.operators.multimodal import (
+        frame_phash,
+    )
+    from datalakes_and_data_integration_spark.plans._util import spread
+
+    d = spread(T(spark, sf_dir, "documents"), spark).filter(
+        F.col("doc_id") % 3 == 2
+    )
+    ph = frame_phash(attach_payload(d)).persist()  # both join sides
+    bands = ph.select(
+        "doc_id",
+        "frame_idx",
+        "phash",
+        F.posexplode(
+            F.array(
+                F.expr("phash & 127"),
+                F.expr("shiftright(phash, 7) & 127"),
+                F.expr("shiftright(phash, 14) & 63"),
+            )
+        ).alias("band", "bv"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("vid_a"),
+            F.col("a.frame_idx").alias("fa"),
+            F.col("a.phash").alias("pa"),
+            F.col("b.doc_id").alias("vid_b"),
+            F.col("b.frame_idx").alias("fbi"),
+            F.col("b.phash").alias("pb"),
+        )
+        .distinct()
+    )
+    ham = F.expr("bit_count(pa ^ pb)")
+    verified = cand.select(
+        "vid_a", "vid_b", ham.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= 2)
+    return verified.groupBy("vid_a", "vid_b").agg(
+        F.count("*").cast("long").alias("n_frame_pairs"),
+        F.min("hamming").cast("long").alias("min_hamming"),
+        (F.count("*") >= _KF_MIN_MATCHES).alias("is_near_dup"),
+    )

@@ -165,6 +165,7 @@ ROUND_CHANGED: list[str] = [
     "cdc_merge_apply",
     "doc_code_switch_profile",
     "dedup_weight_preservation",
+    "multimodal_keyframe_phash_dedup",
 ]
 WINDOW_PRIORITY: list[str] = [
     "ann_topk_pq",
@@ -215,9 +216,9 @@ WINDOW_PRIORITY: list[str] = [
     "cdc_merge_apply",
     "doc_code_switch_profile",
     "dedup_weight_preservation",
+    "multimodal_keyframe_phash_dedup",
     # oldest cohort, newest green row r1 (oldest-first, alphabetical)
     "topn_orders_per_customer",
-    "tpch_q10_returned_items",
 ]
 
 

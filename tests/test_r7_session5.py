@@ -197,3 +197,52 @@ def test_weight_preservation_identity_and_nonvacuity(spark):
     n_docs = T(spark, SF, "documents").count()
     assert tot.w == tot.d == n_docs
     assert tot.k < n_docs  # non-vacuous: some cluster has size > 1
+
+
+def test_keyframe_dedup_banding_is_complete_vs_bruteforce(spark):
+    """The 3-band pigeonhole must find EVERY frame pair within hamming 2
+    (any such pair leaves one 7/7/6-bit band untouched), so the query's
+    video-level report must equal a brute-force recompute over all frame
+    pairs — verified on the full sf0.001 corpus, plus non-vacuity (some
+    hamming-0 pair, some >= 2-frame near-dup verdict)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F2
+
+    from datalakes_and_data_integration_spark.operators.multimodal import (
+        attach_payload,
+        frame_phash,
+    )
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans.multimodal import (
+        _KF_MIN_MATCHES,
+        multimodal_keyframe_phash_dedup,
+    )
+
+    vids = T(spark, SF, "documents").filter(F2.col("doc_id") % 3 == 2)
+    frames = frame_phash(attach_payload(vids)).collect()
+    by_vid = defaultdict(list)
+    for r in frames:
+        by_vid[r.doc_id].append(r.phash)
+    expected = {}
+    vid_ids = sorted(by_vid)
+    for i, va in enumerate(vid_ids):
+        for vb in vid_ids[i + 1:]:
+            hams = [
+                bin(pa ^ pb).count("1")
+                for pa in by_vid[va]
+                for pb in by_vid[vb]
+                if bin(pa ^ pb).count("1") <= 2
+            ]
+            if hams:
+                expected[(va, vb)] = (
+                    len(hams), min(hams), len(hams) >= _KF_MIN_MATCHES
+                )
+
+    got = {
+        (r.vid_a, r.vid_b): (r.n_frame_pairs, r.min_hamming, r.is_near_dup)
+        for r in multimodal_keyframe_phash_dedup(spark, SF).collect()
+    }
+    assert got == expected
+    assert any(v[1] == 0 for v in got.values())
+    assert any(v[2] for v in got.values())

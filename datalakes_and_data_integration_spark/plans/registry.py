@@ -166,6 +166,7 @@ ROUND_CHANGED: list[str] = [
     "doc_code_switch_profile",
     "dedup_weight_preservation",
     "multimodal_keyframe_phash_dedup",
+    "ann_nprobe_recall_curve",
 ]
 WINDOW_PRIORITY: list[str] = [
     "ann_topk_pq",
@@ -217,8 +218,11 @@ WINDOW_PRIORITY: list[str] = [
     "doc_code_switch_profile",
     "dedup_weight_preservation",
     "multimodal_keyframe_phash_dedup",
-    # oldest cohort, newest green row r1 (oldest-first, alphabetical)
-    "topn_orders_per_customer",
+    "ann_nprobe_recall_curve",
+    # cohort: none this round — the 50 slots are fully consumed by
+    # clause (a) (44 carried from sessions 1-4 + 6 fifth-session
+    # newcomers); topn_orders_per_customer (r1) yields and heads the
+    # round-8 oldest cohort
 ]
 
 

@@ -442,13 +442,15 @@ def _dist2_to_centroid(mvec: list[int]) -> "F.Column":
     )
 
 
-def _ivf_oracle() -> str:
-    """DuckDB replica of the full IVF pipeline: md5-seeded init, _IVF_ITERS
-    unrolled Lloyd iterations in the same int64 fixed-point arithmetic as
-    the Spark side, probe/rep candidate generation, exact cosine re-rank.
-    Seed ranking and the Lloyd assignments a1..aN run over the
-    deterministic corpus-capped md5 sample (``tdims`` — the Spark side's training
-    frame); only the final ``af`` assignment scans the corpus."""
+def _ivf_core_blocks() -> list[str]:
+    """DuckDB replica of the IVF training chain: md5-seeded init,
+    _IVF_ITERS unrolled Lloyd iterations in the same int64 fixed-point
+    arithmetic as the Spark side, ending with ``af`` — the final
+    per-(vec, cluster) assignment relation ranked by distance (rn = 1 is
+    the primary list). Seed ranking and the Lloyd assignments a1..aN run
+    over the deterministic corpus-capped md5 sample (``tdims`` — the
+    Spark side's training frame); only the final ``af`` assignment scans
+    the corpus. Shared by _ivf_oracle and the nprobe recall curve."""
     cs, ds = _IVF_CSCALE, _IVF_DSCALE
     samp = TRAIN_SAMPLE_PRED
 
@@ -508,6 +510,13 @@ def _ivf_oracle() -> str:
       ) s ON s.cluster = p.cluster AND s.d = p.d
     )""")
     blocks.append(assign("af", f"c{_IVF_ITERS}"))
+    return blocks
+
+
+def _ivf_oracle() -> str:
+    """Probe/rep candidate generation + exact cosine re-rank over the
+    shared training chain (_ivf_core_blocks)."""
+    blocks = _ivf_core_blocks()
     blocks.append(f"""
     cand AS (
       SELECT DISTINCT q.vec_id AS q_id, m.vec_id AS n_id
@@ -564,6 +573,22 @@ def _ivf_oracle() -> str:
     tags=("similarity", "ann", "ivf", "llm-pipeline"),
 )
 def ann_topk_ivf(spark, sf_dir):
+    return _ivf_topk_multi(spark, sf_dir)[0][1]
+
+
+def _ivf_topk_multi(spark, sf_dir, probes=(_IVF_PROBE,), queries=None):
+    """The IVF pipeline with the training chain shared across a probe
+    SWEEP: one md5-seeded k-means fit + one corpus assignment pass, then
+    per-probe candidate kernels over the same broadcast corpus chunks —
+    the faiss nprobe-tuning loop's cost shape (training once, probing N
+    ways). Returns ``[(probe, topk_df), ...]`` in ``probes`` order.
+
+    ``queries`` (optional narrow (vec_id) frame) restricts the PROBE side
+    to an eval sample before the kernel — the recall-curve harness shape;
+    corpus/list sides are untouched. Default args reproduce ann_topk_ivf
+    byte-identically (probe_lists sliced at max(probes) == _IVF_PROBE and
+    masks built from the first _IVF_PROBE entries)."""
+    max_p = max(probes)
     e = T(spark, sf_dir, "embeddings")
     normed = spread(
         e.select(
@@ -618,7 +643,7 @@ def ann_topk_ivf(spark, sf_dir):
             .withColumn(
                 "probe_lists",
                 F.expr(
-                    f"transform(slice({ranked}, 1, {_IVF_PROBE}), "
+                    f"transform(slice({ranked}, 1, {max_p}), "
                     f"x -> CAST(x['1'] AS INT))"
                 ),
             )
@@ -693,7 +718,7 @@ def ann_topk_ivf(spark, sf_dir):
             ),
         )
 
-    def make_scan(bc):
+    def make_scan(bc, n_probe):
         def scan(batches):
             import numpy as np
 
@@ -708,7 +733,7 @@ def ann_topk_ivf(spark, sf_dir):
                 q_nrm = pdf["nrm"].to_numpy(dtype=np.float64)
                 pmasks = np.array(
                     [
-                        sum(1 << int(c) for c in pl)
+                        sum(1 << int(c) for c in pl[:n_probe])
                         for pl in pdf["probe_lists"]
                     ],
                     dtype=np.int64,
@@ -734,8 +759,10 @@ def ann_topk_ivf(spark, sf_dir):
         return scan
 
     probe = final.select("vec_id", "embedding", "nrm", "probe_lists")
+    if queries is not None:
+        probe = probe.join(queries.select("vec_id"), "vec_id")
     n_chunks = max(1, -(-n_corpus // _CORPUS_CHUNK_ROWS))
-    cand = None
+    bcs = []
     for ci in range(n_chunks):
         chunk = (
             corpus_df
@@ -747,9 +774,7 @@ def ann_topk_ivf(spark, sf_dir):
         rows = chunk.collect()  # scale-ok: bounded by _CORPUS_CHUNK_ROWS
         if not rows:
             continue
-        bc = spark.sparkContext.broadcast(build(rows))
-        part = probe.mapInPandas(make_scan(bc), "q_id long, n_id long")
-        cand = part if cand is None else cand.unionAll(part)
+        bcs.append(spark.sparkContext.broadcast(build(rows)))
     qv = final.select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
@@ -765,19 +790,29 @@ def ann_topk_ivf(spark, sf_dir):
     )
     from pyspark.sql import Window
 
-    scored = cand.join(qv, "q_id").join(nv, "n_id").select(
-        F.col("q_id").alias("vec_id"),
-        F.col("n_id").alias("neighbor_id"),
-        cos.alias("cos_sim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _TOPK)
-        .select("vec_id", "neighbor_id", "cos_sim", "rank")
-    )
+    out = []
+    for p in probes:
+        cand = None
+        for bc in bcs:
+            part = probe.mapInPandas(make_scan(bc, p), "q_id long, n_id long")
+            cand = part if cand is None else cand.unionAll(part)
+        scored = cand.join(qv, "q_id").join(nv, "n_id").select(
+            F.col("q_id").alias("vec_id"),
+            F.col("n_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id")
+        )
+        out.append(
+            (
+                p,
+                scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= _TOPK)
+                .select("vec_id", "neighbor_id", "cos_sim", "rank"),
+            )
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -2342,3 +2342,171 @@ def ann_dim_truncation_report(spark, sf_dir):
     return spark.createDataFrame(
         reports, "dim int, n_queries bigint, hits bigint, recall_permille bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe recall curve: the faiss index-tuning loop as a query.
+#
+# An IVF index has exactly one operational knob — how many inverted lists
+# each query probes — and the table every deployment reads before pinning
+# it is recall@k vs nprobe. This runs the registered IVF pipeline's
+# training chain ONCE (the shared fixed-point k-means), then sweeps the
+# probe count over the same corpus assignment, scoring each tier against
+# the exact cosine top-5 truth on the deterministic md5 query sample
+# (the MRL report's ~10%-capped-at-200 predicate, so eval cost is fixed
+# no matter the corpus and the pair term stays linear in n).
+#
+# Candidate sets NEST in nprobe (probing more lists only adds candidates),
+# so recall is monotone non-decreasing — pinned by test; the driver hash
+# gate proves the whole sweep (training included) cross-engine exact.
+# ---------------------------------------------------------------------------
+
+_NPROBE_SWEEP = (1, 2, 4, 6)  # 6 == the production _IVF_PROBE setting
+
+
+def _nprobe_curve_oracle() -> str:
+    from datalakes_and_data_integration_spark.plans.similarity import (
+        _IVF_REP,
+        _dot_duck,
+        _ivf_core_blocks,
+        _norm2_duck,
+    )
+
+    blocks = _ivf_core_blocks()
+    blocks.append(f"""
+    afm AS MATERIALIZED (SELECT vec_id, cluster, rn FROM af),
+    nm AS MATERIALIZED (
+      SELECT vec_id, embedding, sqrt({_norm2_duck('embedding')}) AS nrm
+      FROM embeddings
+    ),
+    qs AS MATERIALIZED (
+      SELECT vec_id FROM embeddings WHERE {_MRL_Q_PRED_DUCK}
+    ),
+    tpairs AS MATERIALIZED (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             round({_dot_duck('a.embedding', 'b.embedding')}
+                   / a.nrm / b.nrm, 6) AS cos_sim
+      FROM nm a JOIN qs USING (vec_id)
+      JOIN nm b ON b.vec_id <> a.vec_id
+    ),
+    truth AS MATERIALIZED (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT vec_id, neighbor_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_sim DESC, neighbor_id)
+                 AS rank
+        FROM tpairs
+      ) WHERE rank <= 5
+    )""")
+    for p in _NPROBE_SWEEP:
+        blocks.append(f"""
+    top{p} AS MATERIALIZED (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT c.q_id AS vec_id, c.n_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY c.q_id
+                 ORDER BY round({_dot_duck('a.embedding', 'b.embedding')}
+                               / a.nrm / b.nrm, 6) DESC, c.n_id) AS rank
+        FROM (
+          SELECT DISTINCT qa.vec_id AS q_id, m.vec_id AS n_id
+          FROM (SELECT vec_id, cluster FROM afm WHERE rn <= {p}) qa
+          JOIN qs ON qs.vec_id = qa.vec_id
+          JOIN (SELECT vec_id, cluster FROM afm WHERE rn <= {_IVF_REP}) m
+            ON m.cluster = qa.cluster AND m.vec_id <> qa.vec_id
+        ) c
+        JOIN nm a ON a.vec_id = c.q_id
+        JOIN nm b ON b.vec_id = c.n_id
+      ) WHERE rank <= 5
+    )""")
+    legs = " UNION ALL ".join(
+        f"""
+      SELECT {p} AS nprobe,
+             (SELECT CAST(count(*) AS BIGINT) FROM qs) AS n_queries,
+             CAST(count(*) AS BIGINT) AS hits
+      FROM top{p} t JOIN truth f
+        ON f.vec_id = t.vec_id AND f.neighbor_id = t.neighbor_id"""
+        for p in _NPROBE_SWEEP
+    )
+    return f"""
+    WITH {",".join(blocks)}
+    SELECT nprobe, n_queries, hits,
+           CAST((1000 * hits) // (5 * n_queries) AS BIGINT)
+             AS recall_permille
+    FROM ({legs})
+    """
+
+
+@register(
+    "ann_nprobe_recall_curve",
+    oracle=_nprobe_curve_oracle(),
+    description="IVF nprobe tuning curve: recall@5 of the registered IVF "
+    f"index at probe counts {_NPROBE_SWEEP} against the exact cosine "
+    "top-5 truth, on the deterministic md5 query sample (~10% capped at "
+    "200 — fixed eval cost, the faiss-benchmark shape). The fixed-point "
+    "k-means trains ONCE and every tier reuses the same corpus "
+    "assignment and broadcast chunks — sweeping the knob costs probes, "
+    "not training. Candidate sets nest in nprobe, so recall is monotone "
+    "(pinned by test); the hash gate proves the sweep, training "
+    "included, cross-engine exact.",
+    tags=("similarity", "ann", "ivf", "eval", "tuning", "llm-pipeline"),
+)
+def ann_nprobe_recall_curve(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans._util import T, spread
+    from datalakes_and_data_integration_spark.plans.similarity import (
+        _dot_spark,
+        _ivf_topk_multi,
+        _norm2_spark,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    n = e.count()  # scale-ok: 1 scalar (query-sample threshold literal)
+    corpus = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(f"sqrt({_norm2_spark('embedding')})").alias("nrm"),
+    )
+    qids = corpus.filter(
+        F.md5(F.concat(F.lit("q|"), F.col("vec_id").cast("string")))
+        < _mrl_q_hex(n)
+    ).select("vec_id")
+    a = spread(corpus.join(qids, "vec_id"), spark, by="vec_id").alias("a")
+    b = corpus.alias("b")
+    cos = F.round(
+        F.expr(_dot_spark("a.embedding", "b.embedding"))
+        / F.col("a.nrm")
+        / F.col("b.nrm"),
+        6,
+    )
+    pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        cos.alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    truth = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("vec_id", "neighbor_id")
+        .persist()  # one truth frame joins every probe tier
+    )
+    n_q = qids.count()  # scale-ok: 1 scalar (recall denominator)
+    legs = _ivf_topk_multi(
+        spark, sf_dir, probes=_NPROBE_SWEEP, queries=qids
+    )
+    reports = []
+    for p, df in legs:
+        hits = (
+            df.select("vec_id", "neighbor_id")
+            .join(truth, ["vec_id", "neighbor_id"])
+            .count()
+        )  # scale-ok: fixed 4-tier loop; counts are scalars
+        reports.append((p, n_q, hits, (1000 * hits) // (5 * n_q)))
+    return spark.createDataFrame(
+        reports,
+        "nprobe int, n_queries bigint, hits bigint, recall_permille bigint",
+    )

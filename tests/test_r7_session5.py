@@ -246,3 +246,24 @@ def test_keyframe_dedup_banding_is_complete_vs_bruteforce(spark):
     assert got == expected
     assert any(v[1] == 0 for v in got.values())
     assert any(v[2] for v in got.values())
+
+
+def test_nprobe_curve_is_monotone_and_bounded(spark):
+    """Candidate sets nest in nprobe (probing more lists only adds
+    candidates), so recall@5 must be monotone non-decreasing, end at the
+    production probe-6 level (>= 0.8 at this SF per the IVF recall pin),
+    and never exceed 5 hits per query."""
+    from datalakes_and_data_integration_spark.plans.similarity_extra import (
+        ann_nprobe_recall_curve,
+    )
+
+    rows = sorted(
+        ann_nprobe_recall_curve(spark, SF).collect(), key=lambda r: r.nprobe
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 4, 6]
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi.hits >= lo.hits
+        assert lo.n_queries == hi.n_queries
+    assert all(r.hits <= 5 * r.n_queries for r in rows)
+    assert rows[-1].recall_permille >= 800
+    assert rows[0].recall_permille < rows[-1].recall_permille  # non-flat

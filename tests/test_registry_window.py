@@ -99,7 +99,10 @@ def test_window_follows_changed_plus_oldest_policy():
         for n in QUERIES
         if n not in window and QUERIES[n].oracle is not None
     ]
-    worst_in = max(latest.get(n, 0) for n in non_changed)
+    # An all-changed window (every slot consumed by clause (a)) satisfies
+    # the oldest-first clause trivially — there are no cohort slots whose
+    # occupants could out-prioritize anything left outside.
+    worst_in = max((latest.get(n, 0) for n in non_changed), default=0)
     best_out = min(latest.get(n, 0) for n in outside)
     assert best_out >= worst_in, (
         f"window slot holds a query with a newer green row (r{worst_in}) "

@@ -69,6 +69,9 @@ LADDER = [
     "importance_resampling_weights",
     "dedup_prefix_filter_join",
     "ranking_agreement_rbo",
+    "doc_code_switch_profile",
+    "dedup_weight_preservation",
+    "multimodal_keyframe_phash_dedup",
 ]
 
 

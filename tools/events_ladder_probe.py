@@ -66,6 +66,8 @@ LADDER = [
     "bitmap_distinct_rollup",
     "snapshot_retention_plan",
     "km_hazard_table",
+    "watermark_lateness_profile",
+    "cdc_merge_apply",
 ]
 
 

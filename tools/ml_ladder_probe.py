@@ -61,6 +61,7 @@ LADDER = [
     "streaming_ivf_ingest",
     "cluster_label_purity",
     "ann_dim_truncation_report",
+    "ann_nprobe_recall_curve",
 ]
 
 

@@ -287,6 +287,28 @@ FRAME_PHASH_SCHEMA = T.StructType(
 )
 
 
+def _block_mean_phash(b) -> int:
+    """The 20-bit block-mean pHash of one byte buffer (int64 numpy array):
+    bit k set iff block k's mean exceeds the whole-buffer mean, compared
+    by integer cross-multiplication. This is the same arithmetic
+    ``perceptual_hash`` inlines (kept inline there this round — folding
+    it onto this helper changes that operator's code and would need a
+    driver-window slot for its query under the standing clause (a); the
+    round-7 window is full. Round-8 item: consolidate.)"""
+    import numpy as np  # noqa: PLC0415 - worker-side import
+
+    n = int(b.size)
+    if n == 0:
+        return 0
+    blk = (np.arange(n) * _PHASH_BITS) // n
+    sums = np.zeros(_PHASH_BITS, dtype=np.int64)
+    np.add.at(sums, blk, b)
+    counts = np.bincount(blk, minlength=_PHASH_BITS).astype(np.int64)
+    total = int(b.sum())
+    bits = (sums * n) > (total * counts)
+    return int((bits.astype(np.int64) << np.arange(_PHASH_BITS)).sum())
+
+
 def frame_phash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Per-FRAME block-mean perceptual hash: the ``sample_frames`` slicing
     (``_N_FRAMES`` evenly spaced ``_FRAME_LEN``-byte slices per payload)
@@ -297,7 +319,10 @@ def frame_phash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     Byte-domain offsets (``i * (n_bytes // _N_FRAMES)``) so the SQL
     oracle replays frames as hex substrings. Row-expanding mapInPandas:
-    each payload yields ``_N_FRAMES`` rows, partition-local, no shuffle.
+    each non-empty payload yields ``_N_FRAMES`` rows, partition-local,
+    no shuffle. ZERO-BYTE payloads yield NO frame rows (matching the
+    oracle's frame-length filter — all-empty frames carry no signal and
+    would otherwise all pair up at hamming 0).
     """
     import numpy as np  # noqa: PLC0415 - worker-side import
 
@@ -308,28 +333,14 @@ def frame_phash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 buf = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
                     np.int64
                 )
+                if buf.size == 0:
+                    continue
                 step = int(buf.size) // _N_FRAMES
                 for i in range(_N_FRAMES):
                     b = buf[i * step : i * step + _FRAME_LEN]
-                    n = int(b.size)
-                    phash = 0
-                    if n > 0:
-                        blk = (np.arange(n) * _PHASH_BITS) // n
-                        sums = np.zeros(_PHASH_BITS, dtype=np.int64)
-                        np.add.at(sums, blk, b)
-                        counts = np.bincount(
-                            blk, minlength=_PHASH_BITS
-                        ).astype(np.int64)
-                        total = int(b.sum())
-                        bits = (sums * n) > (total * counts)
-                        phash = int(
-                            (bits.astype(np.int64) << np.arange(
-                                _PHASH_BITS
-                            )).sum()
-                        )
                     rows["doc_id"].append(doc_id)
                     rows["frame_idx"].append(i)
-                    rows["phash"].append(phash)
+                    rows["phash"].append(_block_mean_phash(b))
             yield pd.DataFrame(rows)
 
     return df.select(id_col, "payload").mapInPandas(

@@ -967,21 +967,11 @@ def _csw_seg_langs_spark() -> str:
 
 
 def _csw_seg_langs_duck() -> str:
+    # The segment scores and argmax come from the SHARED lexicon builders
+    # (functions/text.py) — one definition of "language of a token list"
+    # across text_lang_id, the confusion matrix, and this profile.
     seg = f"list_slice(toks, s * {_CSW_SEG} + 1, s * {_CSW_SEG} + {_CSW_SEG})"
-    scores = {}
-    for lang, words in STOPWORDS.items():
-        lst = ", ".join(f"'{w}'" for w in words)
-        scores[lang] = (
-            f"len(list_filter(list_distinct({seg}), "
-            f"t -> list_contains([{lst}], t)))"
-        )
-    mx = "greatest(" + ", ".join(scores[lang] for lang in LANG_ORDER) + ")"
-    pred = "'und'"
-    for lang in reversed(LANG_ORDER):
-        pred = (
-            f"CASE WHEN {mx} > 0 AND {scores[lang]} = {mx} "
-            f"THEN '{lang}' ELSE {pred} END"
-        )
+    pred = argmax_lang_sql_duck(lang_scores_sql_duck(seg))
     return (
         "CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[]) "
         f"ELSE list_transform(range(CAST(ceil(len(toks) / {_CSW_SEG}.0) "
@@ -1028,7 +1018,6 @@ def _csw_oracle() -> str:
         expr.replace("len_(", "len(")
         .replace("filter_(", "list_filter(")
         .replace(f"seq2_({sl})", f"range(2, len({sl}) + 1)")
-        .replace(" // ", " // ")
         + f" AS {name}"
         for name, expr in cols.items()
     )

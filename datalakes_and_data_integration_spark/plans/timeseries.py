@@ -799,20 +799,14 @@ def watermark_lateness_profile(spark, sf_dir):
         .orderBy("a", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # seen = max(prior-bucket max, within-bucket running max, own t);
+    # greatest skips the nulls at the first row / first bucket, and the
+    # own-t term supplies the lateness-0 floor.
     late = (
         e.join(offsets, "bucket")
         .withColumn(
             "seen",
-            F.greatest(
-                F.coalesce(
-                    F.greatest(
-                        F.max("t").over(ww),
-                        F.coalesce(F.col("prior"), F.col("t")),
-                    ),
-                    F.col("t"),
-                ),
-                F.col("t"),
-            ),
+            F.greatest(F.max("t").over(ww), F.col("prior"), F.col("t")),
         )
         .select((F.col("seen") - F.col("t")).alias("late_us"))
     )

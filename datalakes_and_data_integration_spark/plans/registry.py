@@ -107,6 +107,13 @@ def register(
 # threshold parameter for the prefix-filter twin — registered SQL byte-
 # identical). Cohort trimmed from its end to the first 6 round-1 names.
 # 44 + 6 = 50.
+# FIFTH SESSION: six never-verified newcomers (watermark_lateness_
+# profile, cdc_merge_apply, doc_code_switch_profile,
+# dedup_weight_preservation, multimodal_keyframe_phash_dedup,
+# ann_nprobe_recall_curve — the last also re-slots ann_topk_ivf, already
+# in the window, whose pipeline was refactored into _ivf_topk_multi with
+# a byte-identical default path). The cohort yields its remaining slots:
+# 50 + 0 = 50, every slot clause (a).
 WINDOW_ROUND = 7  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # policy clause (a): code changed since the newest green row

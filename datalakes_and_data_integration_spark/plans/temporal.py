@@ -3280,6 +3280,7 @@ _CDC_MERGE_ORACLE = """
     "partitioned by (user_id, phase) reduces both sides in a single "
     "shuffle; the merge is a dimension-sized full outer join.",
     tags=("temporal", "warehouse", "cdc", "merge", "upsert"),
+    bench=True,  # promoted r7 s5: the lakehouse-merge flagship
 )
 def cdc_merge_apply(spark, sf_dir):
     from pyspark.sql import types as T_
@@ -3313,10 +3314,13 @@ def cdc_merge_apply(spark, sf_dir):
         F.row_number().over(w).alias("rn"),
         F.count("*").over(Window.partitionBy("user_id", "pre")).alias("cnt"),
     )
-    tgt = ranked.filter(
-        F.col("pre") & (F.col("rn") == 1) & (F.col("op") != "D")
-    ).alias("t")
-    src = ranked.filter(~F.col("pre") & (F.col("rn") == 1)).alias("s")
+    # Materialize the last-writer rows (<= 2 per user — dimension-sized):
+    # tgt and src both read this frame, and without the persist Spark
+    # duplicates the whole event-scan + window subtree per merge side
+    # (audited: 2 BNLJs + 2 window exchanges over the log).
+    last = ranked.filter(F.col("rn") == 1).persist()
+    tgt = last.filter(F.col("pre") & (F.col("op") != "D")).alias("t")
+    src = last.filter(~F.col("pre")).alias("s")
     t_, s_ = F.col("t.user_id"), F.col("s.user_id")
     src_live = s_.isNotNull() & (F.col("s.op") != "D")
     return tgt.join(src, t_ == s_, "full_outer").select(

@@ -1040,6 +1040,7 @@ def _csw_oracle() -> str:
     "expression work only (no shuffle); integer shares. Multilingual "
     "semantics pinned by a planted mixed-language fixture.",
     tags=("text", "lang-id", "curation", "llm-pipeline"),
+    bench=True,  # promoted r7 s5: the language-mixing flagship
 )
 def doc_code_switch_profile(spark, sf_dir):
     d = T(spark, sf_dir, "documents")

@@ -762,6 +762,7 @@ def _wm_lateness_oracle() -> str:
     "within buckets); the oracle is the naive one-window definition, so "
     "the hash match proves the two-pass equivalence. All integers.",
     tags=("streaming", "watermark", "temporal", "two-pass", "llm-pipeline"),
+    bench=True,  # promoted r7 s5: the streaming-design flagship
 )
 def watermark_lateness_profile(spark, sf_dir):
     from datalakes_and_data_integration_spark.functions.hashing import (

@@ -267,3 +267,127 @@ def test_nprobe_curve_is_monotone_and_bounded(spark):
     assert all(r.hits <= 5 * r.n_queries for r in rows)
     assert rows[-1].recall_permille >= 800
     assert rows[0].recall_permille < rows[-1].recall_permille  # non-flat
+
+
+def test_cdc_merge_is_input_order_invariant(spark, tmp_path):
+    """The merge verdict depends only on the (ts, event_id) TOTAL ORDER,
+    never on physical row order — a shuffled rewrite of the same change
+    log must produce the identical merged dimension (at 100 TB arrival
+    order is arbitrary across files/partitions)."""
+    import pyarrow.parquet as pq
+
+    from datalakes_and_data_integration_spark.plans.temporal import (
+        cdc_merge_apply,
+    )
+
+    t = pq.read_table(f"{SF}/events.parquet")
+    import hashlib
+
+    order = sorted(
+        range(t.num_rows),
+        key=lambda i: hashlib.md5(str(i).encode()).hexdigest(),
+    )
+    pq.write_table(t.take(order), str(tmp_path / "events.parquet"))
+
+    key = lambda r: tuple(str(x) for x in r)
+    base = sorted(map(key, cdc_merge_apply(spark, SF).collect()))
+    shuf = sorted(map(key, cdc_merge_apply(spark, str(tmp_path)).collect()))
+    assert base == shuf and len(base) > 0
+
+
+def test_watermark_two_pass_survives_ties_and_bucket_boundaries(
+    spark, tmp_path
+):
+    """Adversarial arrival structure for the bucketed prefix max: event
+    ids searched so injected delays COLLIDE (equal arrival micros, the
+    event_id tiebreak decides), timestamps pinned to exact hour-bucket
+    edges, plus a same-ts burst — the cases where a bucket-boundary or
+    tie-handling bug would live. Two-pass must equal the naive global
+    window on this fixture exactly."""
+    import datetime as dt
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F2
+
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_seeded,
+    )
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans.timeseries import (
+        _WM_CANDIDATES,
+        _WM_DELAY_MOD,
+        _WM_SEED,
+        watermark_lateness_profile,
+    )
+
+    def delay(eid: int) -> int:
+        h = hashlib.md5(f"{_WM_SEED}|{eid}".encode()).hexdigest()[:15]
+        return int(h, 16) % _WM_DELAY_MOD
+
+    # find event-id pairs with colliding delays
+    by_d = {}
+    collisions = []
+    for eid in range(1, 4000):
+        by_d.setdefault(delay(eid), []).append(eid)
+    collisions = [ids for ids in by_d.values() if len(ids) >= 3][:20]
+    assert collisions, "delay collisions must exist in a 600-value range"
+
+    t0 = dt.datetime(2024, 1, 1)  # epoch-aligned -> exact hour edges
+    rows = []
+    for g, ids in enumerate(collisions):
+        # same ts + same delay -> identical arrival micros (tiebreak path);
+        # ts exactly on an hour edge half the time (bucket-boundary path)
+        ts = t0 + dt.timedelta(hours=g) if g % 2 == 0 else (
+            t0 + dt.timedelta(hours=g, minutes=59, seconds=59)
+        )
+        rows += [(eid, ts) for eid in ids]
+    # a same-ts burst with DIFFERENT delays (arrivals spread over buckets)
+    burst_ts = t0 + dt.timedelta(hours=50)
+    rows += [(9000 + i, burst_ts) for i in range(64)]
+
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array(["click"] * len(rows)),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array([None] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    got = {
+        r.wm_delay_s: r.n_dropped
+        for r in watermark_lateness_profile(spark, str(tmp_path)).collect()
+    }
+    e = T(spark, str(tmp_path), "events").select(
+        "event_id",
+        F2.unix_micros("ts").alias("t"),
+        (
+            F2.unix_micros("ts")
+            + (
+                hash60_seeded(F2.col("event_id").cast("string"), _WM_SEED)
+                % _WM_DELAY_MOD
+            )
+            * 1_000_000
+        ).alias("a"),
+    )
+    w = Window.orderBy("a", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # scale-ok: test-only naive reference on the planted fixture
+    naive = e.select(
+        (
+            F2.greatest(
+                F2.coalesce(F2.max("t").over(w), F2.col("t")), F2.col("t")
+            )
+            - F2.col("t")
+        ).alias("late_us")
+    )
+    for d in _WM_CANDIDATES:
+        n = naive.filter(F2.col("late_us") > d * 1_000_000).count()
+        assert n == got[d], f"wm={d}: naive {n} != two-pass {got[d]}"
+    assert got[0] > 0  # the fixture actually creates disorder

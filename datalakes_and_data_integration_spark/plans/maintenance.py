@@ -447,3 +447,364 @@ def zorder_layout_plan(spark, sf_dir):
         F.min("l_suppkey").alias("min_suppkey"),
         F.max("l_suppkey").alias("max_suppkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planning (the Delta/Iceberg OPTIMIZE bin-packing
+# shape, and byte-for-byte the rule Spark's own FileSourceScanExec uses to
+# pack splits under spark.sql.files.maxPartitionBytes).
+# ---------------------------------------------------------------------------
+
+_COMPACT_BINS = 40  # target ~8 bins per partition: tgt = total_bytes // 40
+
+
+@register(
+    "compaction_bin_packing_plan",
+    oracle=f"""
+    WITH files AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) * 32
+                  + coalesce(sum(strlen(props)), 0) AS BIGINT)
+               AS bytes
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT greatest(CAST(sum(bytes) // {_COMPACT_BINS} AS BIGINT),
+                      CAST(1 AS BIGINT)) AS tgt
+      FROM files
+    ),
+    packed AS (
+      SELECT event_type, day, bytes,
+             CAST(coalesce(sum(bytes) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start
+      FROM files
+    )
+    SELECT p.event_type,
+           CAST(p.start // t.tgt AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(p.bytes) AS BIGINT) AS bin_bytes,
+           min(p.day) AS min_day,
+           max(p.day) AS max_day,
+           round(CAST(sum(p.bytes) AS DOUBLE) / t.tgt, 6) AS fill_ratio
+    FROM packed p, t
+    GROUP BY 1, 2, t.tgt
+    """,
+    description="Small-file compaction planning (Delta/Iceberg OPTIMIZE): "
+    "the day-partitioned events table lands one file per (event_type, "
+    "day) — file size modeled as 32 bytes/row + the props payload — and "
+    "the planner packs each type's files IN DAY ORDER into target-sized "
+    "compaction bins by the start-offset rule: a file joins the bin its "
+    "cumulative start offset falls in (bin = running_bytes div target; "
+    "exactly how FileSourceScanExec packs splits under "
+    "maxPartitionBytes, openCostInBytes aside). Order-preserving packing "
+    "keeps each output file's day span contiguous (min_day/max_day "
+    "report the preserved clustering envelope — compaction must not "
+    "destroy time-pruning). The target is corpus-derived (total_bytes "
+    "div 40, so the plan is meaningful at every SF) and the exclusive "
+    "running sum is a per-partition running frame — never a tail "
+    "re-scan. At 100 TB the file list is METADATA-scale (one row per "
+    "file, not per data row): the planner reads the manifest, packs per "
+    "partition in parallel, and each bin becomes one rewrite task.",
+    tags=("maintenance", "layout", "compaction", "scale"),
+)
+def compaction_bin_packing_plan(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    files = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(
+            (
+                F.count("*") * 32
+                + F.coalesce(F.sum(F.octet_length("props")), F.lit(0))
+            )
+            .cast("long")
+            .alias("bytes")
+        )
+        .persist()  # manifest-sized; read for the target scalar + the pack
+    )
+    total = files.agg(F.sum("bytes")).collect()[0][0]  # scale-ok: 1 scalar (manifest total)
+    tgt = max(int(total) // _COMPACT_BINS, 1)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = files.withColumn(
+        "start", F.coalesce(F.sum("bytes").over(w), F.lit(0)).cast("long")
+    ).withColumn("bin_id", F.expr(f"start div {tgt}"))
+    return packed.groupBy("event_type", "bin_id").agg(
+        F.count("*").alias("n_files"),
+        F.sum("bytes").cast("long").alias("bin_bytes"),
+        F.min("day").alias("min_day"),
+        F.max("day").alias("max_day"),
+        F.round(F.sum("bytes").cast("double") / F.lit(tgt), 6).alias(
+            "fill_ratio"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deletion-vector cost accounting: merge-on-read vs copy-on-write.
+# ---------------------------------------------------------------------------
+
+# The erasure sample is keyed on the OBSERVED user domain of the fact
+# table, not the customer dim: sf0.001's events touch only 15 of 150
+# customers and the gdpr_delete_manifest seed misses all of them, which
+# would leave every file untouched (a vacuous fixture — no MoR/CoW branch
+# ever fires). Production erasure lists arrive externally either way; the
+# observed-domain sample keeps the fixture non-trivial at every SF
+# (2/15, 14/150, 149/1500 subjects).
+_DV_SEED = 8
+_DV_PCT = 10  # % of observed data subjects requesting erasure
+
+
+def _dv_oracle() -> str:
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_sql_duck,
+    )
+
+    h = hash60_sql_duck("CAST(user_id AS VARCHAR)", seed=_DV_SEED)
+    return f"""
+    WITH forget AS MATERIALIZED (
+      SELECT DISTINCT user_id AS k FROM events
+      WHERE {h} % 100 < {_DV_PCT}
+    ),
+    tagged AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             32 + coalesce(strlen(props), 0) AS rb,
+             user_id IN (SELECT k FROM forget) AS del
+      FROM events
+    ),
+    f AS (
+      SELECT event_type, day,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(rb) AS BIGINT) AS file_bytes,
+             CAST(coalesce(sum(CASE WHEN del THEN 1 END), 0) AS BIGINT)
+               AS n_deleted,
+             CAST(sum(CASE WHEN NOT del THEN rb ELSE 0 END) AS BIGINT)
+               AS surviving_bytes
+      FROM tagged GROUP BY event_type, day
+    )
+    SELECT event_type, day, n_rows, n_deleted, file_bytes,
+           surviving_bytes,
+           CAST(CASE WHEN n_deleted > 0 THEN (n_rows + 7) // 8 + 32
+                     ELSE 0 END AS BIGINT) AS dv_bytes,
+           CAST(CASE WHEN n_deleted > 0 THEN surviving_bytes
+                     ELSE 0 END AS BIGINT) AS cow_write_bytes,
+           round(CAST(file_bytes
+                      + CASE WHEN n_deleted > 0 THEN (n_rows + 7) // 8 + 32
+                             ELSE 0 END AS DOUBLE)
+                 / surviving_bytes, 6) AS mor_read_amplification
+    FROM f
+    """
+
+
+@register(
+    "deletion_vector_cost_report",
+    oracle=_dv_oracle(),
+    description="Deletion-vector cost accounting (the Delta/Iceberg "
+    "merge-on-read vs copy-on-write decision, per file): a seeded "
+    f"{_DV_PCT}% erasure sample of the table's OBSERVED data subjects "
+    "(gdpr_delete_manifest's planning shape, re-keyed on the fact "
+    "table's own user domain so the fixture is non-vacuous at every "
+    "SF) is applied to the events table at its landed file grain — one "
+    "file per (event_type, day), the same manifest compaction packs — "
+    "size modeled as 32 bytes/row + the props payload — and each file "
+    "reports both strategies' bills: MoR writes a row-bitmap deletion "
+    "vector (ceil(n_rows/8) + a 32-byte header, only for touched "
+    "files) but every later reader scans file + DV "
+    "(mor_read_amplification vs the compacted survivor bytes); CoW "
+    "rewrites the surviving bytes once and readers pay nothing extra. "
+    "Touched-file sparsity is what tips the tradeoff — untouched files "
+    "cost 0 under both. Shape: the forget set is dim-sized and "
+    "broadcast (facts never shuffle for the probe), then ONE map-side-"
+    "combined conditional aggregate per file; at 100 TB this is a "
+    "manifest-grain report (a row per file), the same metadata scale "
+    "the deletion executor plans against.",
+    tags=("maintenance", "governance", "lakehouse", "scale"),
+)
+def deletion_vector_cost_report(spark, sf_dir):
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_seeded,
+    )
+
+    forget = (
+        T(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .filter(
+            hash60_seeded(F.col("user_id").cast("string"), _DV_SEED) % 100
+            < _DV_PCT
+        )
+        .select(F.col("user_id").alias("k"))
+    )
+    ev = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        (F.lit(32) + F.coalesce(F.octet_length("props"), F.lit(0))).alias(
+            "rb"
+        ),
+        "user_id",
+    )
+    tagged = ev.join(
+        F.broadcast(forget), ev.user_id == F.col("k"), "left"
+    ).withColumn("del", F.col("k").isNotNull())
+    f = tagged.groupBy("event_type", "day").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("rb").cast("long").alias("file_bytes"),
+        F.coalesce(
+            F.sum(F.when(F.col("del"), 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_deleted"),
+        F.sum(F.when(~F.col("del"), F.col("rb")).otherwise(0))
+        .cast("long")
+        .alias("surviving_bytes"),
+    )
+    dv = F.when(
+        F.col("n_deleted") > 0,
+        F.expr("(n_rows + 7) div 8") + F.lit(32),
+    ).otherwise(0)
+    return f.select(
+        "event_type",
+        "day",
+        "n_rows",
+        "n_deleted",
+        "file_bytes",
+        "surviving_bytes",
+        dv.cast("long").alias("dv_bytes"),
+        F.when(F.col("n_deleted") > 0, F.col("surviving_bytes"))
+        .otherwise(0)
+        .cast("long")
+        .alias("cow_write_bytes"),
+        F.round(
+            (F.col("file_bytes") + dv).cast("double")
+            / F.col("surviving_bytes"),
+            6,
+        ).alias("mor_read_amplification"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-skipping effectiveness: the zone-map payoff number for the two
+# layouts zorder_layout_plan produces.
+# ---------------------------------------------------------------------------
+
+_SKIP_SEED = 29
+_SKIP_MOD_PART = 17  # ~1/17 of part keys probed (12 at sf0.001)
+_SKIP_MOD_SUPP = 3  # supplier dim is 10 rows at sf0.001
+
+
+def _data_skipping_oracle() -> str:
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_sql_duck,
+    )
+
+    hp = hash60_sql_duck("CAST(p_partkey AS VARCHAR)", seed=_SKIP_SEED)
+    hs = hash60_sql_duck("CAST(s_suppkey AS VARCHAR)", seed=_SKIP_SEED)
+    return f"""
+    WITH env AS ({_zorder_oracle()}),
+    pp AS (
+      SELECT p_partkey AS p FROM part WHERE {hp} % {_SKIP_MOD_PART} = 0
+    ),
+    sp AS (
+      SELECT s_suppkey AS p FROM supplier WHERE {hs} % {_SKIP_MOD_SUPP} = 0
+    ),
+    legp AS (
+      SELECT e.layout, 'partkey' AS dim,
+             (SELECT count(*) FROM pp) AS n_probes,
+             count(*) AS hits, sum(e.n_rows) AS rows_hit
+      FROM pp JOIN env e ON pp.p BETWEEN e.min_partkey AND e.max_partkey
+      GROUP BY e.layout
+    ),
+    legs AS (
+      SELECT e.layout, 'suppkey' AS dim,
+             (SELECT count(*) FROM sp) AS n_probes,
+             count(*) AS hits, sum(e.n_rows) AS rows_hit
+      FROM sp JOIN env e ON sp.p BETWEEN e.min_suppkey AND e.max_suppkey
+      GROUP BY e.layout
+    ),
+    u AS (SELECT * FROM legp UNION ALL SELECT * FROM legs)
+    SELECT layout, dim,
+           CAST(n_probes AS BIGINT) AS n_probes,
+           round(CAST(hits AS DOUBLE) / n_probes, 6) AS avg_files_hit,
+           round(CAST(rows_hit AS DOUBLE) / n_probes, 6)
+             AS avg_rows_scanned,
+           round(1 - CAST(hits AS DOUBLE) / (n_probes * {_Z_FILES}), 6)
+             AS skip_rate
+    FROM u
+    """
+
+
+@register(
+    "data_skipping_effectiveness",
+    oracle=_data_skipping_oracle(),
+    description="Zone-map data-skipping effectiveness — the payoff "
+    "number for zorder_layout_plan's two candidate layouts: a seeded "
+    "point-lookup workload on each clustering dimension (every ~17th "
+    "part key, every ~3rd supplier key) is evaluated against the 32 "
+    "per-file (partkey, suppkey) min/max envelopes exactly as a "
+    "parquet/Delta reader prunes on footer stats, reporting files hit, "
+    "rows scanned, and the skip rate per (layout, dim). The expected "
+    "asymmetry IS the result: linear skips near-perfectly on its sort "
+    "key and scans everything on the other dim; z-order pays a little "
+    "on partkey to skip on BOTH (pinned by test). Shape: the envelope "
+    "frame is file-manifest-sized (64 rows) and broadcast; the probe "
+    "join is a bounded range BNLJ against that manifest — file-level "
+    "pruning is always metadata-scale work, never a fact scan. The "
+    "oracle recomputes envelopes + workload in SQL; the hash match "
+    "proves the whole skipping simulation.",
+    tags=("layout", "maintenance", "zorder", "scale", "audit"),
+)
+def data_skipping_effectiveness(spark, sf_dir):
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_seeded,
+    )
+
+    env = zorder_layout_plan(spark, sf_dir).persist()  # 64 manifest rows
+    part = T(spark, sf_dir, "part")
+    supp = T(spark, sf_dir, "supplier")
+    pp = part.filter(
+        hash60_seeded(F.col("p_partkey").cast("string"), _SKIP_SEED)
+        % _SKIP_MOD_PART
+        == 0
+    ).select(F.col("p_partkey").alias("p"))
+    sp = supp.filter(
+        hash60_seeded(F.col("s_suppkey").cast("string"), _SKIP_SEED)
+        % _SKIP_MOD_SUPP
+        == 0
+    ).select(F.col("s_suppkey").alias("p"))
+
+    def leg(dim: str, probes, mincol: str, maxcol: str):
+        n = probes.count()  # scale-ok: 1 scalar — the probe-set size
+        hit = probes.join(
+            F.broadcast(env),
+            (F.col("p") >= F.col(mincol)) & (F.col("p") <= F.col(maxcol)),
+        )
+        return hit.groupBy("layout").agg(
+            F.lit(dim).alias("dim"),
+            F.lit(n).cast("long").alias("n_probes"),
+            F.round(F.count("*").cast("double") / n, 6).alias(
+                "avg_files_hit"
+            ),
+            F.round(F.sum("n_rows").cast("double") / n, 6).alias(
+                "avg_rows_scanned"
+            ),
+            F.round(
+                F.lit(1.0)
+                - F.count("*").cast("double") / (n * _Z_FILES),
+                6,
+            ).alias("skip_rate"),
+        )
+
+    return leg("partkey", pp, "min_partkey", "max_partkey").unionByName(
+        leg("suppkey", sp, "min_suppkey", "max_suppkey")
+    )

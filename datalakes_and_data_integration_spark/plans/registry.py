@@ -114,6 +114,13 @@ def register(
 # in the window, whose pipeline was refactored into _ivf_topk_multi with
 # a byte-identical default path). The cohort yields its remaining slots:
 # 50 + 0 = 50, every slot clause (a).
+# SIXTH SESSION: the window was already FULL (50 clause-(a) slots), so
+# this session's newcomers register BEHIND the window and carry their
+# clause-(a) debt to the ROUND-8 rotation (head of its ROUND_CHANGED):
+# rolling_exact_distinct_users_7d, compaction_bin_packing_plan,
+# deletion_vector_cost_report, data_skipping_effectiveness — each
+# triple-SF gated by tools/check_correctness.py in-session (the advance
+# evidence the driver row will confirm next round).
 WINDOW_ROUND = 7  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # policy clause (a): code changed since the newest green row

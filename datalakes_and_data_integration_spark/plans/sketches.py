@@ -939,3 +939,97 @@ def bitmap_distinct_rollup(spark, sf_dir):
         .select(F.lit("__all__").alias("event_type"), "n_users")
     )
     return per_type.unionByName(merged)
+
+
+# --------------------------------------------------------------------------
+# Exact trailing-7-day distinct users via mergeable bitmap words.
+#
+# rolling_distinct_hll_7d is the approximate form of this metric; its
+# exact audit leg joins the raw (day, user) distinct frame to every
+# anchor day (a 7x fan-out of USER-level rows). This query makes the
+# exact path itself mergeable: per-(day, word) 63-bit bitmap words are
+# the persisted daily state (63 users per row, so the window fan-out
+# ships ~1/63 the rows), each word row is scattered to the <= 7 anchor
+# days whose trailing week it belongs to (sequence+explode — no global
+# sort, no per-anchor rescan of raw events), OR-merged per (anchor,
+# word), and popcounted. Exactly the TimescaleDB/Druid "store mergeable
+# partials per day, merge per window" continuous-aggregate shape, with
+# exact set union instead of an estimator.
+#
+# Scale: shuffle 1 builds the word frame with map-side combine (state
+# size = |active user domain|/63 rows per day); shuffle 2 ships each
+# word row at most 7 times; the final per-day popcount sum is tiny.
+# Sparse user domains want roaring run/array containers — same algebra
+# (bitmap_distinct_rollup documents the same caveat).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rolling_exact_distinct_users_7d",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM act),
+    d1 AS (
+      SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_1d
+      FROM act GROUP BY day
+    ),
+    d7 AS (
+      SELECT d.day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users_7d
+      FROM days d
+      JOIN act a ON a.day <= d.day AND a.day >= d.day - INTERVAL 6 DAY
+      GROUP BY d.day
+    )
+    SELECT d7.day, d1.n_users_1d, d7.n_users_7d
+    FROM d7 JOIN d1 USING (day)
+    """,
+    description="Exact trailing-7-day distinct users per day from "
+    "MERGEABLE daily bitmap words (word = user_id div 63, bit = user_id "
+    "mod 63): each (day, word) row is scattered to the <= 7 anchor days "
+    "whose trailing window contains it, bit_or-merged per (anchor, "
+    "word), and popcounted — exact sliding COUNT(DISTINCT) without "
+    "re-scanning raw events per window and without the HLL twin's "
+    "estimation error (rolling_distinct_hll_7d audits against a naive "
+    "exact leg that fans out USER-level rows; the word form ships ~63x "
+    "fewer). The oracle is the naive anchor-range join; the hash match "
+    "proves the scatter/merge algebra exact. At 100 TB the per-day word "
+    "frame is the persisted continuous-aggregate state: an incremental "
+    "day appends its words and touches 7 anchor outputs, never history.",
+    tags=("sketch", "bitmap", "distinct", "window", "incremental"),
+)
+def rolling_exact_distinct_users_7d(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    words = (
+        ev.select(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            F.expr("user_id div 63").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("day", "w")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+        .persist()  # consumed by the 1d counts AND the 7-anchor scatter
+    )
+    daily = words.groupBy("day").agg(
+        F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("n_users_1d")
+    )
+    anchors = words.select(F.col("day").alias("aday")).distinct()
+    rolled = (
+        words.select(
+            "day", "w", "bits", F.explode(F.expr("sequence(0, 6)")).alias("off")
+        )
+        .select(F.expr("date_add(day, off)").alias("aday"), "w", "bits")
+        # anchor days are the OBSERVED days only (HLL-twin convention);
+        # the anchor frame is days-sized, so the semi-join broadcasts
+        .join(F.broadcast(anchors), "aday", "left_semi")
+        .groupBy("aday", "w")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+        .groupBy("aday")
+        .agg(F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("n_users_7d"))
+    )
+    return rolled.join(daily, rolled.aday == daily.day).select(
+        F.col("aday").alias("day"), "n_users_1d", "n_users_7d"
+    )

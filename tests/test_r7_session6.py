@@ -1,0 +1,195 @@
+"""Round-7 sixth-session newcomers: invariants the oracle hash gate
+cannot express (the driver window was full when these landed — they are
+round-8 clause-(a) debt; see registry.py SIXTH SESSION note — so these
+pins plus the triple-SF check_correctness runs are the session gate)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_rolling_exact_distinct_matches_naive_anchor_join(spark):
+    """The scatter/bit_or/popcount algebra must equal the naive
+    anchor-range COUNT(DISTINCT) IN SPARK (the driver hash proves it vs
+    DuckDB; this pins it engine-internally), and the window containment
+    invariants must hold: 7d >= 1d everywhere, first day 7d == 1d."""
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans.sketches import (
+        rolling_exact_distinct_users_7d,
+    )
+
+    rows = {
+        r.day: r for r in rolling_exact_distinct_users_7d(spark, SF).collect()
+    }
+    assert rows
+    first = min(rows)
+    assert rows[first].n_users_7d == rows[first].n_users_1d
+    for r in rows.values():
+        assert r.n_users_7d >= r.n_users_1d
+
+    act = (
+        T(spark, SF, "events")
+        .select(
+            F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+        )
+        .distinct()
+    )
+    anchors = act.select(F.col("day").alias("aday")).distinct()
+    naive = (
+        anchors.join(
+            act,
+            (act.day <= F.col("aday"))
+            & (act.day >= F.date_sub(F.col("aday"), 6)),
+        )
+        .groupBy("aday")
+        .agg(F.countDistinct("user_id").alias("n"))
+    )  # test-only naive reference on the sf0.001 fixture
+    for r in naive.collect():
+        assert rows[r.aday].n_users_7d == r.n, r.aday
+
+
+def test_compaction_bins_are_contiguous_and_conserving(spark):
+    """Start-offset packing must partition each type's day-files into
+    dense bin ids with non-overlapping, ordered day spans, conserve
+    total bytes/files, and never build a bin larger than target + the
+    largest single file (the straddle bound of the packing rule)."""
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans.maintenance import (
+        _COMPACT_BINS,
+        compaction_bin_packing_plan,
+    )
+
+    out = compaction_bin_packing_plan(spark, SF).collect()
+    ev = T(spark, SF, "events")
+    files = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(
+            (
+                F.count("*") * 32
+                + F.coalesce(F.sum(F.octet_length("props")), F.lit(0))
+            ).alias("bytes")
+        )
+        .collect()
+    )
+    total = sum(r.bytes for r in files)
+    tgt = max(total // _COMPACT_BINS, 1)
+    max_file = max(r.bytes for r in files)
+
+    assert sum(r.n_files for r in out) == len(files)
+    assert sum(r.bin_bytes for r in out) == total
+    by_type: dict[str, list] = {}
+    for r in out:
+        by_type.setdefault(r.event_type, []).append(r)
+    for typ, bins in by_type.items():
+        bins.sort(key=lambda r: r.bin_id)
+        assert [b.bin_id for b in bins] == list(range(len(bins))), typ
+        for a, b in zip(bins, bins[1:]):
+            assert a.max_day < b.min_day, (typ, a.bin_id)  # contiguous spans
+        for b in bins:
+            assert b.min_day <= b.max_day
+            assert b.bin_bytes <= tgt + max_file, (typ, b.bin_id)
+            assert math.isclose(
+                b.fill_ratio, round(b.bin_bytes / tgt, 6), abs_tol=1e-9
+            )
+
+
+def test_deletion_vector_costs_are_conserving_and_gated(spark):
+    """Byte conservation (file == surviving + deleted bytes, recomputed
+    from the forget set), zero-cost untouched files, and amplification
+    exactly 1.0 iff nothing was deleted."""
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_seeded,
+    )
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans.maintenance import (
+        _DV_PCT,
+        _DV_SEED,
+        deletion_vector_cost_report,
+    )
+
+    out = {
+        (r.event_type, r.day): r
+        for r in deletion_vector_cost_report(spark, SF).collect()
+    }
+    assert out
+    assert any(r.n_deleted > 0 for r in out.values())  # non-vacuous
+    assert any(r.n_deleted == 0 for r in out.values())  # both branches live
+
+    forget = (
+        T(spark, SF, "events")
+        .select("user_id")
+        .distinct()
+        .filter(
+            hash60_seeded(F.col("user_id").cast("string"), _DV_SEED) % 100
+            < _DV_PCT
+        )
+        .select(F.col("user_id").alias("k"))
+    )
+    deleted = (
+        T(spark, SF, "events")
+        .join(forget, F.col("user_id") == F.col("k"), "left_semi")
+        .groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.lit(32) + F.coalesce(F.octet_length("props"), F.lit(0))
+            ).alias("bytes"),
+        )
+        .collect()
+    )
+    del_by_file = {(r.event_type, r.day): r for r in deleted}
+    for key, r in out.items():
+        d = del_by_file.get(key)
+        n_del, b_del = (d.n, d.bytes) if d else (0, 0)
+        assert r.n_deleted == n_del, key
+        assert r.file_bytes - r.surviving_bytes == b_del, key
+        if n_del == 0:
+            assert r.dv_bytes == 0 and r.cow_write_bytes == 0
+            assert r.mor_read_amplification == 1.0
+        else:
+            assert r.dv_bytes == (r.n_rows + 7) // 8 + 32
+            assert r.cow_write_bytes == r.surviving_bytes
+            assert r.mor_read_amplification > 1.0
+
+
+def test_data_skipping_shows_the_layout_asymmetry(spark):
+    """The zone-map tradeoff the query exists to measure: the linear
+    (partkey-sorted) layout must skip better on partkey than z-order
+    does, z-order must skip strictly better on suppkey than linear
+    (which scans nearly everything there), and all rates must be valid
+    probabilities with non-empty probe sets."""
+    from datalakes_and_data_integration_spark.plans.maintenance import (
+        data_skipping_effectiveness,
+    )
+
+    rows = {
+        (r.layout, r.dim): r
+        for r in data_skipping_effectiveness(spark, SF).collect()
+    }
+    assert set(rows) == {
+        ("linear", "partkey"),
+        ("linear", "suppkey"),
+        ("zorder", "partkey"),
+        ("zorder", "suppkey"),
+    }
+    for r in rows.values():
+        assert r.n_probes > 0
+        assert 0.0 <= r.skip_rate <= 1.0
+        assert r.avg_files_hit >= 0.0
+    assert (
+        rows[("linear", "partkey")].skip_rate
+        >= rows[("zorder", "partkey")].skip_rate
+    )
+    assert (
+        rows[("zorder", "suppkey")].skip_rate
+        > rows[("linear", "suppkey")].skip_rate + 0.2
+    )
+    assert rows[("linear", "suppkey")].skip_rate < 0.1

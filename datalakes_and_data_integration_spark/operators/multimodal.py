@@ -256,23 +256,9 @@ def perceptual_hash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
                     np.int64
                 )
-                n = int(b.size)
-                phash = 0
-                if n > 0:
-                    blk = (np.arange(n) * _PHASH_BITS) // n
-                    sums = np.zeros(_PHASH_BITS, dtype=np.int64)
-                    np.add.at(sums, blk, b)
-                    counts = np.bincount(blk, minlength=_PHASH_BITS).astype(
-                        np.int64
-                    )
-                    total = int(b.sum())
-                    bits = (sums * n) > (total * counts)
-                    phash = int((bits.astype(np.int64) << np.arange(
-                        _PHASH_BITS
-                    )).sum())
                 rows["doc_id"].append(doc_id)
-                rows["n_bytes"].append(n)
-                rows["phash"].append(phash)
+                rows["n_bytes"].append(int(b.size))
+                rows["phash"].append(_block_mean_phash(b))
             yield pd.DataFrame(rows)
 
     return df.select(id_col, "payload").mapInPandas(_phash, PHASH_SCHEMA)
@@ -290,11 +276,11 @@ FRAME_PHASH_SCHEMA = T.StructType(
 def _block_mean_phash(b) -> int:
     """The 20-bit block-mean pHash of one byte buffer (int64 numpy array):
     bit k set iff block k's mean exceeds the whole-buffer mean, compared
-    by integer cross-multiplication. This is the same arithmetic
-    ``perceptual_hash`` inlines (kept inline there this round — folding
-    it onto this helper changes that operator's code and would need a
-    driver-window slot for its query under the standing clause (a); the
-    round-7 window is full. Round-8 item: consolidate.)"""
+    by integer cross-multiplication. Shared by ``perceptual_hash`` (whole
+    payloads) and ``frame_phash`` (sampled keyframe slices); an empty
+    buffer hashes to 0 — perceptual_hash keeps that row (its n_bytes
+    column carries the signal), frame_phash drops empty payloads before
+    slicing (oracle parity, see its docstring)."""
     import numpy as np  # noqa: PLC0415 - worker-side import
 
     n = int(b.size)

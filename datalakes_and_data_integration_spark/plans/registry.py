@@ -120,7 +120,10 @@ def register(
 # rolling_exact_distinct_users_7d, compaction_bin_packing_plan,
 # deletion_vector_cost_report, data_skipping_effectiveness — each
 # triple-SF gated by tools/check_correctness.py in-session (the advance
-# evidence the driver row will confirm next round).
+# evidence the driver row will confirm next round). Also round-8 clause
+# (a): multimodal_phash_neardup — the deferred perceptual_hash
+# consolidation onto _block_mean_phash landed this session (identical
+# integer arithmetic; re-gated at 3 SFs in-session).
 WINDOW_ROUND = 7  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # policy clause (a): code changed since the newest green row

@@ -118,7 +118,8 @@ def register(
 # this session's newcomers register BEHIND the window and carry their
 # clause-(a) debt to the ROUND-8 rotation (head of its ROUND_CHANGED):
 # rolling_exact_distinct_users_7d, compaction_bin_packing_plan,
-# deletion_vector_cost_report, data_skipping_effectiveness — each
+# deletion_vector_cost_report, data_skipping_effectiveness,
+# streaming_heavy_hitters_cms, cbo_stats_selectivity_audit — each
 # triple-SF gated by tools/check_correctness.py in-session (the advance
 # evidence the driver row will confirm next round). Also round-8 clause
 # (a): multimodal_phash_neardup — the deferred perceptual_hash

@@ -1033,3 +1033,155 @@ def rolling_exact_distinct_users_7d(spark, sf_dir):
     return rolled.join(daily, rolled.aday == daily.day).select(
         F.col("aday").alias("day"), "n_users_1d", "n_users_7d"
     )
+
+
+# --------------------------------------------------------------------------
+# CBO statistics audit: equi-width histogram selectivity estimates vs
+# actual row counts — the ANALYZE TABLE / cost-based-optimizer loop.
+# --------------------------------------------------------------------------
+
+_CBO_BUCKETS = 16
+# price thresholds for `l_extendedprice <= X` probes (TPC-H price domain
+# spans ~900..95k; the ends deliberately under/overshoot to exercise the
+# clamped fractions)
+_CBO_PROBES = (500.0, 5000.0, 15000.0, 30000.0, 50000.0, 75000.0, 120000.0)
+
+
+def _cbo_oracle() -> str:
+    probes = ", ".join(f"({x})" for x in _CBO_PROBES)
+    return f"""
+    WITH stats AS (
+      SELECT min(l_extendedprice) AS mn,
+             (max(l_extendedprice) - min(l_extendedprice))
+               / {_CBO_BUCKETS} AS width
+      FROM lineitem
+    ),
+    hist AS (
+      SELECT least(CAST(floor((l_extendedprice - s.mn) / s.width) AS BIGINT),
+                   {_CBO_BUCKETS - 1}) AS b,
+             count(*) AS cnt
+      FROM lineitem, stats s GROUP BY 1
+    ),
+    probes AS (
+      SELECT CAST(v.x AS DOUBLE) AS x FROM (VALUES {probes}) v(x)
+    ),
+    est AS (
+      SELECT p.x,
+             CAST(sum(CAST(round(
+               h.cnt * least(CAST(1 AS DOUBLE), greatest(
+                 CAST(0 AS DOUBLE),
+                 (p.x - (s.mn + h.b * s.width)) / s.width)), 6)
+               AS DECIMAL(28,6))) AS DOUBLE) AS est_rows
+      FROM probes p, hist h, stats s
+      GROUP BY p.x
+    ),
+    act AS (
+      SELECT p.x,
+             CAST(coalesce(sum(CASE WHEN l.l_extendedprice <= p.x
+                                    THEN 1 END), 0) AS BIGINT) AS actual_rows
+      FROM probes p LEFT JOIN lineitem l ON true
+      GROUP BY p.x
+    )
+    SELECT e.x AS price_leq, a.actual_rows, e.est_rows,
+           round(abs(e.est_rows - a.actual_rows)
+                 / greatest(a.actual_rows, 1), 6) AS rel_err
+    FROM est e JOIN act a ON a.x = e.x
+    """
+
+
+@register(
+    "cbo_stats_selectivity_audit",
+    oracle=_cbo_oracle(),
+    description=f"Cost-based-optimizer statistics audit (the ANALYZE "
+    f"TABLE ... FOR COLUMNS loop): a {_CBO_BUCKETS}-bucket equi-width "
+    "histogram on l_extendedprice — exactly the summary a CBO keeps per "
+    "column — answers a fixed `price <= X` probe workload by the "
+    "uniform-within-bucket interpolation estimators use, next to the "
+    "ACTUAL row counts and the relative error the optimizer would have "
+    "eaten. Per-bucket contributions are rounded then summed as exact "
+    "decimals so the estimate is partition-order-free in both engines. "
+    "Shape: ONE scan builds the histogram (map-side combined, 16 "
+    "partial rows), ONE scan answers all probes as conditional "
+    "aggregates of a single pass; the probe x histogram interpolation "
+    "is a 16x7 broadcast product — statistics work is always "
+    "summary-scale, never a second fact scan per predicate. Companion "
+    "to join_cardinality_estimate_audit (CMS join-size estimates): "
+    "together they cover the two stats a CBO actually consults.",
+    tags=("sketch", "statistics", "cbo", "audit", "scale"),
+)
+def cbo_stats_selectivity_audit(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").select("l_extendedprice")
+    mn, mx = li.agg(
+        F.min("l_extendedprice"), F.max("l_extendedprice")
+    ).collect()[0]  # scale-ok: 2 scalars (histogram bounds)
+    width = (mx - mn) / _CBO_BUCKETS
+    hist = (
+        li.groupBy(
+            F.least(
+                F.floor((F.col("l_extendedprice") - mn) / width).cast(
+                    "long"
+                ),
+                F.lit(_CBO_BUCKETS - 1),
+            ).alias("b")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    probes = spark.createDataFrame(
+        [(x,) for x in _CBO_PROBES], "x double"
+    )
+    est = (
+        probes.crossJoin(F.broadcast(hist))
+        .select(
+            "x",
+            F.round(
+                F.col("cnt")
+                * F.least(
+                    F.lit(1.0),
+                    F.greatest(
+                        F.lit(0.0),
+                        (F.col("x") - (F.lit(mn) + F.col("b") * width))
+                        / F.lit(width),
+                    ),
+                ),
+                6,
+            )
+            .cast("decimal(28,6)")
+            .alias("contrib"),
+        )
+        .groupBy("x")
+        .agg(F.sum("contrib").cast("double").alias("est_rows"))
+    )
+    act = li.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("l_extendedprice") <= x, 1)), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"a{i}")
+            for i, x in enumerate(_CBO_PROBES)
+        ]
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(x).alias("x"), F.col(f"a{i}").alias("actual_rows")
+                    )
+                    for i, x in enumerate(_CBO_PROBES)
+                ]
+            )
+        ).alias("s")
+    ).select("s.x", "s.actual_rows")
+    return (
+        est.join(act, "x")
+        .select(
+            F.col("x").alias("price_leq"),
+            "actual_rows",
+            "est_rows",
+            F.round(
+                F.abs(F.col("est_rows") - F.col("actual_rows"))
+                / F.greatest(F.col("actual_rows"), F.lit(1)),
+                6,
+            ).alias("rel_err"),
+        )
+    )

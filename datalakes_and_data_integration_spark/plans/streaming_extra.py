@@ -781,3 +781,110 @@ def streaming_ivf_ingest(spark, sf_dir):
         name="streaming_ivf_ingest_out",
         output_mode="append",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CMS maintenance: weekly heavy-hitter sketch batches, sum-merged
+# exactly once behind an applied-batch ledger.
+# ---------------------------------------------------------------------------
+
+_CMS_WEEKS = (
+    "2024-01-01",
+    "2024-01-08",
+    "2024-01-15",
+    "2024-01-22",
+    "2024-01-29",
+    "2024-02-05",  # exclusive end; events span 2024-01-01..30
+)
+_CMS_HH_TOP = 20
+
+
+def _stream_cms_oracle() -> str:
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_sql_duck,
+    )
+    from datalakes_and_data_integration_spark.streaming.sketch_maintenance import (
+        _CMS_MAINT_D,
+        _CMS_MAINT_SEED0,
+        _CMS_MAINT_W,
+    )
+
+    key = "CAST(user_id AS VARCHAR)"
+    sketch_rows = " UNION ALL ".join(
+        f"SELECT {s} AS seed, "
+        f"{hash60_sql_duck(key, seed=_CMS_MAINT_SEED0 + s)} % "
+        f"{_CMS_MAINT_W} AS bucket, cnt FROM key_counts"
+        for s in range(_CMS_MAINT_D)
+    )
+    tkey = "CAST(t.user_id AS VARCHAR)"
+    est = ", ".join(
+        f"(SELECT sk.total FROM sketch sk WHERE sk.seed = {s} AND "
+        f"sk.bucket = {hash60_sql_duck(tkey, seed=_CMS_MAINT_SEED0 + s)} % "
+        f"{_CMS_MAINT_W})"
+        for s in range(_CMS_MAINT_D)
+    )
+    return f"""
+    WITH key_counts AS (
+      SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    ),
+    pre AS ({sketch_rows}),
+    sketch AS (
+      SELECT seed, bucket, sum(cnt) AS total FROM pre GROUP BY seed, bucket
+    ),
+    top_keys AS (
+      SELECT user_id, cnt FROM key_counts
+      ORDER BY cnt DESC, user_id LIMIT {_CMS_HH_TOP}
+    )
+    SELECT t.user_id, t.cnt AS exact_freq,
+           CAST(least({est}) AS BIGINT) AS cms_est
+    FROM top_keys t
+    """
+
+
+@register(
+    "streaming_heavy_hitters_cms",
+    oracle=_stream_cms_oracle(),
+    description="Streaming heavy-hitter maintenance (streaming/"
+    "sketch_maintenance.py cms_rows/merge_cms_state): the events month "
+    "is applied as five weekly CMS batches sum-merged into a persisted "
+    "4x1024 sketch, then the top-20 users by exact count are estimated "
+    "from the MAINTAINED sketch — the oracle replays the CMS over the "
+    "full table, so the hash match proves maintained == batch-built "
+    "(sum is associative/commutative). The design point vs the HLL "
+    "maintenance twin: CMS merge is bucket-wise SUM, so redelivery "
+    "double-counts — exactly-once lives in an applied-batch ledger "
+    "beside the state (replayed ids are no-ops, pinned by test), the "
+    "same contract Structured Streaming's state store provides via "
+    "batch ids. State is O(d x w) rows forever; each weekly merge "
+    "reads only its increment.",
+    tags=("streaming", "sketch", "cms", "heavy-hitters", "incremental"),
+)
+def streaming_heavy_hitters_cms(spark, sf_dir):
+    import tempfile
+
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.streaming.sketch_maintenance import (
+        cms_lookup,
+        cms_rows,
+        merge_cms_state,
+    )
+
+    ev = T(spark, sf_dir, "events").select("user_id", "ts")
+    state = tempfile.mkdtemp(prefix="cms_maint_q_")
+    sketch = None
+    for i, (lo, hi) in enumerate(zip(_CMS_WEEKS, _CMS_WEEKS[1:])):
+        batch = ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        sketch = merge_cms_state(
+            spark, state, cms_rows(batch, "user_id"), batch_id=i
+        )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "user_id")
+        .limit(_CMS_HH_TOP)
+    )
+    return cms_lookup(top, sketch, "user_id").select(
+        "user_id",
+        F.col("cnt").alias("exact_freq"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+    )

@@ -95,3 +95,98 @@ def hll_estimate(regs: DataFrame) -> DataFrame:
         * F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("v_present"))),
     ).otherwise(F.col("e_raw"))
     return est.select("grp", F.round(e, 4).alias("hll_est"))
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch maintenance. Unlike HLL (max-merge: idempotent, a
+# redelivered batch is a no-op by algebra), CMS merge is bucket-wise SUM —
+# re-applying a batch double-counts. Exactly-once therefore needs an
+# explicit applied-batch ledger next to the state: the merge is a no-op
+# for a batch id the ledger has seen. This is the real design difference
+# between the two sketch families' streaming maintenance, and the reason
+# Structured Streaming's own state store tracks batch ids.
+# --------------------------------------------------------------------------
+
+_CMS_MAINT_D = 4
+_CMS_MAINT_W = 1024
+_CMS_MAINT_SEED0 = 140  # disjoint from the batch CMS family (100..103)
+
+
+def cms_rows(df: DataFrame, key_col: str) -> DataFrame:
+    """(seed, bucket, total) CMS increment for the batch: d hashed bucket
+    ids per key occurrence, bucket-wise counts. Mergeable by summing."""
+    buckets = F.array(
+        *[
+            F.expr(
+                hash60_sql_spark(
+                    f"CAST({key_col} AS STRING)", seed=_CMS_MAINT_SEED0 + s
+                )
+            )
+            % _CMS_MAINT_W
+            for s in range(_CMS_MAINT_D)
+        ]
+    )
+    return (
+        df.select(F.posexplode(buckets).alias("seed", "bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.count("*").alias("total"))
+    )
+
+
+def merge_cms_state(
+    spark: SparkSession, state_dir: str, batch: DataFrame, batch_id: int
+) -> DataFrame:
+    """Sum-merge a batch's CMS rows into the persisted sketch, exactly
+    once: the ledger file records applied batch ids, and a replayed id
+    returns the state untouched (the redelivery test pins this). State
+    is O(d x w) rows forever."""
+    os.makedirs(state_dir, exist_ok=True)
+    ledger = os.path.join(state_dir, "applied_batches.txt")
+    applied: set[str] = set()
+    if os.path.exists(ledger):
+        applied = set(open(ledger).read().split())
+    sketch_dir = os.path.join(state_dir, "sketch")
+    if str(batch_id) in applied:
+        return spark.read.parquet(sketch_dir)
+    if os.path.isdir(sketch_dir):
+        merged = (
+            spark.read.parquet(sketch_dir)
+            .unionByName(batch)
+            .groupBy("seed", "bucket")
+            .agg(F.sum("total").alias("total"))
+        )
+    else:
+        merged = batch
+    rows = merged.collect()  # scale-ok: O(d x w) sketch rows (<= 4096)
+    spark.createDataFrame(rows, merged.schema).write.mode(
+        "overwrite"
+    ).parquet(sketch_dir)
+    with open(ledger, "a") as fh:
+        fh.write(f"{batch_id}\n")
+    return spark.read.parquet(sketch_dir)
+
+
+def cms_lookup(keys: DataFrame, sketch: DataFrame, key_col: str) -> DataFrame:
+    """min-over-d-rows CMS estimates for ``keys``: one equi-join on
+    (seed, bucket) probes all d rows per key (the heavy_hitters_cms
+    single-join form), then min() realizes the estimate."""
+    buckets = F.array(
+        *[
+            F.expr(
+                hash60_sql_spark(
+                    f"CAST({key_col} AS STRING)", seed=_CMS_MAINT_SEED0 + s
+                )
+            )
+            % _CMS_MAINT_W
+            for s in range(_CMS_MAINT_D)
+        ]
+    )
+    probed = keys.select(
+        "*", F.posexplode(buckets).alias("seed", "bucket")
+    )
+    other = [c for c in keys.columns]
+    return (
+        probed.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy(*other)
+        .agg(F.min("total").alias("cms_est"))
+    )

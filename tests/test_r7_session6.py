@@ -193,3 +193,44 @@ def test_data_skipping_shows_the_layout_asymmetry(spark):
         > rows[("linear", "suppkey")].skip_rate + 0.2
     )
     assert rows[("linear", "suppkey")].skip_rate < 0.1
+
+
+def test_streaming_cms_estimates_dominate_exact_counts(spark):
+    """The CMS guarantee (est >= exact, always) must hold on the
+    maintained sketch, and the report must be the full top-K with
+    positive counts."""
+    from datalakes_and_data_integration_spark.plans.streaming_extra import (
+        _CMS_HH_TOP,
+        streaming_heavy_hitters_cms,
+    )
+
+    rows = streaming_heavy_hitters_cms(spark, SF).collect()
+    assert len(rows) == min(_CMS_HH_TOP, 15)  # 15 users at sf0.001
+    for r in rows:
+        assert r.exact_freq > 0
+        assert r.cms_est >= r.exact_freq, r.user_id
+
+
+def test_cbo_histogram_estimates_clamp_and_bound(spark):
+    """Equi-width interpolation must clamp exactly at the workload's
+    deliberate under/overshoot probes (est == actual == 0 below min;
+    est == actual == n above max) and stay monotone non-decreasing in
+    the threshold, inside [0, n]."""
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans.sketches import (
+        cbo_stats_selectivity_audit,
+    )
+
+    rows = sorted(
+        cbo_stats_selectivity_audit(spark, SF).collect(),
+        key=lambda r: r.price_leq,
+    )
+    n = T(spark, SF, "lineitem").count()
+    assert rows[0].actual_rows == 0 and rows[0].est_rows == 0.0
+    assert rows[-1].actual_rows == n and rows[-1].est_rows == float(n)
+    for a, b in zip(rows, rows[1:]):
+        assert b.actual_rows >= a.actual_rows
+        assert b.est_rows >= a.est_rows
+    for r in rows:
+        assert 0.0 <= r.est_rows <= float(n)
+        assert r.rel_err >= 0.0

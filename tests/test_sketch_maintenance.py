@@ -79,3 +79,44 @@ def test_estimate_matches_query_path(spark):
         for r in all_queries()["distinct_count_hll"](spark, sf).collect()
     }
     assert est == ref
+
+
+def test_cms_merge_is_exactly_once_behind_the_ledger(spark, tmp_path):
+    """CMS merge is SUM — redelivery would double-count — so the ledger
+    must make a replayed batch id a no-op, while a NEW id still merges;
+    and the maintained sketch must equal the batch-built one."""
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.streaming.sketch_maintenance import (
+        cms_rows,
+        merge_cms_state,
+    )
+
+    ev = T(spark, "/root/testdata/sf0.001", "events").select("user_id", "ts")
+    b1 = ev.filter(F.col("ts") < "2024-01-15")
+    b2 = ev.filter(F.col("ts") >= "2024-01-15")
+    state = str(tmp_path / "cms_state")
+
+    merge_cms_state(spark, state, cms_rows(b1, "user_id"), batch_id=0)
+    merged = merge_cms_state(spark, state, cms_rows(b2, "user_id"), batch_id=1)
+    snapshot = {(r.seed, r.bucket): r.total for r in merged.collect()}
+
+    # replayed ids: both are no-ops
+    for bid, b in ((0, b1), (1, b2)):
+        replay = merge_cms_state(spark, state, cms_rows(b, "user_id"), bid)
+        assert {
+            (r.seed, r.bucket): r.total for r in replay.collect()
+        } == snapshot
+
+    # maintained == batch-built over the union
+    full = {
+        (r.seed, r.bucket): r.total
+        for r in cms_rows(ev, "user_id").collect()
+    }
+    assert snapshot == full
+
+    # a new id still merges (totals strictly grow somewhere)
+    again = merge_cms_state(spark, state, cms_rows(b1, "user_id"), batch_id=2)
+    grown = {(r.seed, r.bucket): r.total for r in again.collect()}
+    assert sum(grown.values()) > sum(snapshot.values())

@@ -809,30 +809,42 @@ def _stream_cms_oracle() -> str:
         _CMS_MAINT_W,
     )
 
-    key = "CAST(user_id AS VARCHAR)"
+    from datalakes_and_data_integration_spark.streaming.sketch_maintenance import (
+        _CMS_H_SPLIT,
+    )
+
+    h = hash60_sql_duck("CAST(user_id AS VARCHAR)", seed=_CMS_MAINT_SEED0)
+
+    def bucket(s: int, hcol: str) -> str:
+        # Kirsch-Mitzenmacher: (h1 + s*h2) % w, h2 forced odd — must stay
+        # textually identical to sketch_maintenance._cms_bucket_exprs
+        return (
+            f"((({hcol}) % {_CMS_H_SPLIT}) + {s} * "
+            f"((({hcol}) // {_CMS_H_SPLIT}) | 1)) % {_CMS_MAINT_W}"
+        )
+
     sketch_rows = " UNION ALL ".join(
-        f"SELECT {s} AS seed, "
-        f"{hash60_sql_duck(key, seed=_CMS_MAINT_SEED0 + s)} % "
-        f"{_CMS_MAINT_W} AS bucket, cnt FROM key_counts"
+        f"SELECT {s} AS seed, {bucket(s, 'h')} AS bucket, cnt FROM hashed"
         for s in range(_CMS_MAINT_D)
     )
-    tkey = "CAST(t.user_id AS VARCHAR)"
     est = ", ".join(
         f"(SELECT sk.total FROM sketch sk WHERE sk.seed = {s} AND "
-        f"sk.bucket = {hash60_sql_duck(tkey, seed=_CMS_MAINT_SEED0 + s)} % "
-        f"{_CMS_MAINT_W})"
+        f"sk.bucket = {bucket(s, 't.h')})"
         for s in range(_CMS_MAINT_D)
     )
     return f"""
     WITH key_counts AS (
       SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
     ),
+    hashed AS (
+      SELECT user_id, cnt, {h} AS h FROM key_counts
+    ),
     pre AS ({sketch_rows}),
     sketch AS (
       SELECT seed, bucket, sum(cnt) AS total FROM pre GROUP BY seed, bucket
     ),
     top_keys AS (
-      SELECT user_id, cnt FROM key_counts
+      SELECT user_id, cnt, h FROM hashed
       ORDER BY cnt DESC, user_id LIMIT {_CMS_HH_TOP}
     )
     SELECT t.user_id, t.cnt AS exact_freq,
@@ -847,7 +859,10 @@ def _stream_cms_oracle() -> str:
     description="Streaming heavy-hitter maintenance (streaming/"
     "sketch_maintenance.py cms_rows/merge_cms_state): the events month "
     "is applied as five weekly CMS batches sum-merged into a persisted "
-    "4x1024 sketch, then the top-20 users by exact count are estimated "
+    "4x1024 sketch (ONE md5 per distinct key per batch: per-key counts "
+    "pre-aggregate map-side, then Kirsch-Mitzenmacher double hashing "
+    "derives all 4 row buckets from that single hash), then the top-20 "
+    "users by exact count are estimated "
     "from the MAINTAINED sketch — the oracle replays the CMS over the "
     "full table, so the hash match proves maintained == batch-built "
     "(sum is associative/commutative). The design point vs the HLL "

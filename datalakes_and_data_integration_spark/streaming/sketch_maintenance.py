@@ -112,24 +112,45 @@ _CMS_MAINT_W = 1024
 _CMS_MAINT_SEED0 = 140  # disjoint from the batch CMS family (100..103)
 
 
+# Kirsch-Mitzenmacher double hashing: ONE md5 per key yields all d row
+# buckets as (h1 + s*h2) % w (h2 forced odd so a power-of-two w is fully
+# covered) — the same trick the MinHash band family uses. Combined with
+# per-key pre-aggregation below, the hash work per batch is O(distinct
+# keys), not O(rows x d): the first ladder cut of this query measured
+# 4 md5s per RAW event (6.7 s / 25.7 s at 100k / 1m events).
+_CMS_H_SPLIT = 1 << 30
+
+
+def _cms_bucket_exprs(h_col: str) -> list:
+    return [
+        F.expr(
+            f"(({h_col} % {_CMS_H_SPLIT}) + {s} * "
+            f"(({h_col} div {_CMS_H_SPLIT}) | 1)) % {_CMS_MAINT_W}"
+        )
+        for s in range(_CMS_MAINT_D)
+    ]
+
+
 def cms_rows(df: DataFrame, key_col: str) -> DataFrame:
-    """(seed, bucket, total) CMS increment for the batch: d hashed bucket
-    ids per key occurrence, bucket-wise counts. Mergeable by summing."""
-    buckets = F.array(
-        *[
-            F.expr(
-                hash60_sql_spark(
-                    f"CAST({key_col} AS STRING)", seed=_CMS_MAINT_SEED0 + s
-                )
-            )
-            % _CMS_MAINT_W
-            for s in range(_CMS_MAINT_D)
-        ]
+    """(seed, bucket, total) CMS increment for the batch: per-key counts
+    first (map-side combined — rows never carry hashes), then one md5
+    per distinct key fanned into the d double-hashed buckets, summed.
+    Mergeable by summing."""
+    keyed = (
+        df.groupBy(F.col(key_col).cast("string").alias("k"))
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "h", F.expr(hash60_sql_spark("k", seed=_CMS_MAINT_SEED0))
+        )
     )
     return (
-        df.select(F.posexplode(buckets).alias("seed", "bucket"))
+        keyed.select(
+            "cnt", F.posexplode(F.array(*_cms_bucket_exprs("h"))).alias(
+                "seed", "bucket"
+            )
+        )
         .groupBy("seed", "bucket")
-        .agg(F.count("*").alias("total"))
+        .agg(F.sum("cnt").alias("total"))
     )
 
 
@@ -170,23 +191,21 @@ def cms_lookup(keys: DataFrame, sketch: DataFrame, key_col: str) -> DataFrame:
     """min-over-d-rows CMS estimates for ``keys``: one equi-join on
     (seed, bucket) probes all d rows per key (the heavy_hitters_cms
     single-join form), then min() realizes the estimate."""
-    buckets = F.array(
-        *[
-            F.expr(
-                hash60_sql_spark(
-                    f"CAST({key_col} AS STRING)", seed=_CMS_MAINT_SEED0 + s
-                )
+    probed = keys.withColumn(
+        "h",
+        F.expr(
+            hash60_sql_spark(
+                f"CAST({key_col} AS STRING)", seed=_CMS_MAINT_SEED0
             )
-            % _CMS_MAINT_W
-            for s in range(_CMS_MAINT_D)
-        ]
+        ),
+    ).select(
+        *keys.columns,
+        F.posexplode(F.array(*_cms_bucket_exprs("h"))).alias(
+            "seed", "bucket"
+        ),
     )
-    probed = keys.select(
-        "*", F.posexplode(buckets).alias("seed", "bucket")
-    )
-    other = [c for c in keys.columns]
     return (
         probed.join(F.broadcast(sketch), ["seed", "bucket"])
-        .groupBy(*other)
+        .groupBy(*keys.columns)
         .agg(F.min("total").alias("cms_est"))
     )

@@ -68,6 +68,11 @@ LADDER = [
     "km_hazard_table",
     "watermark_lateness_profile",
     "cdc_merge_apply",
+    # round-7 sixth session
+    "rolling_exact_distinct_users_7d",
+    "compaction_bin_packing_plan",
+    "deletion_vector_cost_report",
+    "streaming_heavy_hitters_cms",
 ]
 
 

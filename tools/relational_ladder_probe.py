@@ -72,6 +72,9 @@ LADDER = [
     "join_cardinality_estimate_audit",
     "zorder_layout_plan",
     "t_closeness_audit",
+    # round-7 sixth session
+    "data_skipping_effectiveness",
+    "cbo_stats_selectivity_audit",
 ]
 
 # (table, key columns to offset by that table's stride-owner)

@@ -1185,3 +1185,141 @@ def cbo_stats_selectivity_audit(spark, sf_dir):
             ).alias("rel_err"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Distinct-count CUBE from shared HLL partials: registers computed ONCE at
+# base grain, max-merged up the whole grouping-sets lattice in one pass.
+# --------------------------------------------------------------------------
+
+_CUBE_HLL_SEED = 11
+
+
+def _cube_hll_sql(
+    hash_expr: str, intdiv: str, pow2_55: str, eq: str
+) -> str:
+    """Engine-shared GROUPING SETS HLL cube (dialect bits injected):
+    ``hash_expr`` the 60-bit md5 hash of the customer key, ``intdiv``
+    the integer-division operator, ``pow2_55`` a template for
+    2^(55 - mrho) as BIGINT, ``eq`` the null-safe equality operator."""
+    rho = _rho_case("val")
+    sets = "GROUPING SETS ((nation, month), (nation), (month), ())"
+    return f"""
+    WITH joined AS (
+      SELECT n.n_name AS nation,
+             CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+             o.o_custkey AS ck,
+             {hash_expr} AS h
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    base_regs AS (
+      SELECT nation, month,
+             h % {_HLL_M} AS reg,
+             max({rho}) AS mrho
+      FROM (SELECT nation, month,
+                   (h {intdiv} {_HLL_M}) % {1 << _HLL_VBITS} AS val,
+                   h
+            FROM joined)
+      GROUP BY nation, month, reg
+    ),
+    lattice AS (
+      SELECT nation, month, reg, max(mrho) AS mrho,
+             grouping(nation) AS g_nation, grouping(month) AS g_month
+      FROM base_regs
+      GROUP BY {sets}, reg
+    ),
+    summed AS (
+      SELECT nation, month, g_nation, g_month,
+             sum({pow2_55}) AS s_present,
+             count(*) AS v_present
+      FROM lattice
+      GROUP BY nation, month, g_nation, g_month
+    ),
+    est AS (
+      SELECT nation, month, g_nation, g_month,
+             {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+               * CAST({1 << 55} AS DOUBLE)
+               / (s_present + (CAST({_HLL_M} AS BIGINT) - v_present)
+                              * CAST({1 << 55} AS BIGINT)) AS e_raw,
+             v_present
+      FROM summed
+    ),
+    corrected AS (
+      SELECT nation, month, g_nation, g_month,
+             CASE WHEN e_raw <= 2.5 * {_HLL_M}
+                       AND v_present < {_HLL_M}
+                  THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE)
+                                     / ({_HLL_M} - v_present))
+                  ELSE e_raw END AS e
+      FROM corrected_src
+    ),
+    exact AS (
+      SELECT nation, month, count(DISTINCT ck) AS n_exact,
+             grouping(nation) AS g_nation, grouping(month) AS g_month
+      FROM joined
+      GROUP BY {sets}
+    )
+    SELECT x.nation, x.month,
+           CAST(x.g_nation AS INT) AS g_nation,
+           CAST(x.g_month AS INT) AS g_month,
+           CAST(x.n_exact AS BIGINT) AS n_exact,
+           round(c.e, 4) AS hll_est,
+           round(abs(c.e - x.n_exact) / x.n_exact, 4) AS rel_err
+    FROM exact x
+    JOIN corrected c
+      ON c.nation {eq} x.nation AND c.month {eq} x.month
+     AND c.g_nation = x.g_nation AND c.g_month = x.g_month
+    """.replace("corrected_src", "est")
+
+
+def _cube_hll_oracle() -> str:
+    h = hash60_sql_duck("CAST(o.o_custkey AS VARCHAR)", seed=_CUBE_HLL_SEED)
+    return _cube_hll_sql(
+        hash_expr=h,
+        intdiv="//",
+        pow2_55="CAST(2 AS BIGINT) ** (55 - mrho)",
+        eq="IS NOT DISTINCT FROM",
+    )
+
+
+@register(
+    "cube_distinct_hll",
+    oracle=_cube_hll_oracle(),
+    description="Distinct-customer CUBE over (nation, month) from SHARED "
+    "HLL partials: the 64 registers are computed once at base grain "
+    "from the fact join, then ONE grouping-sets pass max-merges them up "
+    "the whole lattice — cell, both 1-D margins, and the grand total "
+    "all read the same register file (what plain COUNT(DISTINCT) cubes "
+    "cannot do: every lattice level re-scans the facts; sum-of-counts "
+    "double-counts). Per-level estimates carry the exact distinct next "
+    "to them with rel_err, the estimator-quality audit at every grain "
+    "(grouping() flags disambiguate the NULL margin rows). Scale: the "
+    "register file is O(base cells x 64) rows; lattice maintenance is "
+    "a max-merge — the same mergeable-partial rollup the warehouse "
+    "stores, extended to the full grouping-sets lattice.",
+    tags=("sketch", "hll", "distinct", "grouping-sets", "scale"),
+)
+def cube_distinct_hll(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    o.createOrReplaceTempView("_chll_orders")
+    c.createOrReplaceTempView("_chll_customer")
+    n.createOrReplaceTempView("_chll_nation")
+    h = hash60_sql_spark(
+        "CAST(o.o_custkey AS STRING)", seed=_CUBE_HLL_SEED
+    )
+    sql = _cube_hll_sql(
+        hash_expr=h,
+        intdiv="div",
+        pow2_55="CAST(shiftleft(CAST(1 AS BIGINT), 55 - mrho) AS BIGINT)",
+        eq="<=>",
+    )
+    sql = (
+        sql.replace("FROM orders o", "FROM _chll_orders o")
+        .replace("JOIN customer c", "JOIN _chll_customer c")
+        .replace("JOIN nation n", "JOIN _chll_nation n")
+    )
+    return spark.sql(sql)

@@ -234,3 +234,102 @@ def test_cbo_histogram_estimates_clamp_and_bound(spark):
     for r in rows:
         assert 0.0 <= r.est_rows <= float(n)
         assert r.rel_err >= 0.0
+
+
+def test_ivm_delta_rule_covers_all_quadrants_and_matches_recompute(spark):
+    """All four delta quadrants must be non-empty on the fixture (else
+    the bilinear rule is vacuously tested), the maintained view must
+    equal the direct full recompute IN SPARK, and the base snapshot
+    alone must differ (maintenance actually did something)."""
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_seeded,
+    )
+    from datalakes_and_data_integration_spark.plans._util import T, dec
+    from datalakes_and_data_integration_spark.plans.maintenance import (
+        _IVM_CUTOVER,
+        _IVM_LATE_PCT,
+        _IVM_LATE_SEED,
+        incremental_join_view_maintenance,
+    )
+
+    o = T(spark, SF, "orders")
+    c = T(spark, SF, "customer").withColumn(
+        "late",
+        hash60_seeded(F.col("c_custkey").cast("string"), _IVM_LATE_SEED)
+        % 100
+        < _IVM_LATE_PCT,
+    )
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    newer = F.col("o_orderdate") >= _IVM_CUTOVER
+    quads = j.agg(
+        F.sum(F.when(~newer & ~F.col("late"), 1)).alias("q_base"),
+        F.sum(F.when(newer & ~F.col("late"), 1)).alias("q_do"),
+        F.sum(F.when(~newer & F.col("late"), 1)).alias("q_dc"),
+        F.sum(F.when(newer & F.col("late"), 1)).alias("q_cross"),
+    ).collect()[0]
+    assert all(
+        quads[k] and quads[k] > 0 for k in ("q_base", "q_do", "q_dc", "q_cross")
+    ), quads
+
+    maintained = {
+        (r.nation, r.month): (r.n_orders, r.total_price)
+        for r in incremental_join_view_maintenance(spark, SF).collect()
+    }
+    n = T(spark, SF, "nation")
+    direct = {
+        (r.nation, r.month): (r.n_orders, r.total_price)
+        for r in (
+            j.join(
+                F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+            )
+            .groupBy(
+                F.col("n_name").alias("nation"),
+                F.date_trunc("month", "o_orderdate")
+                .cast("date")
+                .alias("month"),
+            )
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(dec("o_totalprice", 25, 2))
+                .cast("double")
+                .alias("total_price"),
+            )
+            .collect()
+        )
+    }
+    assert maintained == direct
+    # the base snapshot alone is NOT the answer
+    total_maintained = sum(v[0] for v in maintained.values())
+    assert total_maintained == quads.q_base + quads.q_do + quads.q_dc + quads.q_cross
+    assert quads.q_base < total_maintained
+
+
+def test_cube_hll_lattice_is_complete_and_consistent(spark):
+    """The grouping-sets lattice must contain every base cell, both
+    margins, and the grand total; exact counts must respect set
+    algebra (grand >= every margin; margin >= every cell under it);
+    rel_err must be the recomputed |est - exact| / exact."""
+    from datalakes_and_data_integration_spark.plans.sketches import (
+        cube_distinct_hll,
+    )
+
+    rows = cube_distinct_hll(spark, SF).collect()
+    cells = [r for r in rows if (r.g_nation, r.g_month) == (0, 0)]
+    nat_m = {r.nation: r for r in rows if (r.g_nation, r.g_month) == (0, 1)}
+    mon_m = {r.month: r for r in rows if (r.g_nation, r.g_month) == (1, 0)}
+    grand = [r for r in rows if (r.g_nation, r.g_month) == (1, 1)]
+    assert len(grand) == 1
+    assert len(rows) == len(cells) + len(nat_m) + len(mon_m) + 1
+    assert {r.nation for r in cells} <= set(nat_m)
+    assert {r.month for r in cells} <= set(mon_m)
+    g = grand[0]
+    for r in rows:
+        assert r.n_exact > 0
+        assert abs(
+            round(abs(r.hll_est - r.n_exact) / r.n_exact, 4) - r.rel_err
+        ) <= 1e-3  # hll_est is itself rounded to 4
+    for m in list(nat_m.values()) + list(mon_m.values()):
+        assert g.n_exact >= m.n_exact
+    for r in cells:
+        assert nat_m[r.nation].n_exact >= r.n_exact
+        assert mon_m[r.month].n_exact >= r.n_exact

@@ -75,6 +75,8 @@ LADDER = [
     # round-7 sixth session
     "data_skipping_effectiveness",
     "cbo_stats_selectivity_audit",
+    "incremental_join_view_maintenance",
+    "cube_distinct_hll",
 ]
 
 # (table, key columns to offset by that table's stride-owner)

@@ -908,3 +908,174 @@ def incremental_join_view_maintenance(spark, sf_dir):
             F.sum("p_sum").cast("double").alias("total_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Merkle-style table diff: compare two table versions by per-bucket
+# digests, drill into differing buckets only (anti-entropy repair /
+# data-diff shape).
+# ---------------------------------------------------------------------------
+
+# Version B = version A with (a) the erasure users' rows deleted (the
+# deletion_vector_cost_report sample) and (b) a seeded 3% of event_ids
+# "restated" (props amended) — so the diff contains both row-missing and
+# row-changed cases, and count equality alone cannot certify a bucket.
+_DIFF_BUCKETS = 64
+_DIFF_RESTATE_SEED = 41
+_DIFF_RESTATE_PCT = 3
+
+
+def _table_diff_oracle() -> str:
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_sql_duck,
+    )
+
+    hu = hash60_sql_duck("CAST(user_id AS VARCHAR)", seed=_DV_SEED)
+    hr = hash60_sql_duck("CAST(event_id AS VARCHAR)", seed=_DIFF_RESTATE_SEED)
+    hb = hash60_sql_duck("CAST(user_id AS VARCHAR)", seed=0)
+    hc = hash60_sql_duck("content", seed=1)
+    return f"""
+    WITH a AS (
+      SELECT event_id, {hb} % {_DIFF_BUCKETS} AS bucket,
+             CAST(event_id AS VARCHAR) || ':' || coalesce(props, '')
+               AS content
+      FROM events
+    ),
+    b AS (
+      SELECT event_id, {hb} % {_DIFF_BUCKETS} AS bucket,
+             CAST(event_id AS VARCHAR) || ':' || coalesce(props, '')
+               || CASE WHEN {hr} % 100 < {_DIFF_RESTATE_PCT}
+                       THEN '#v2' ELSE '' END AS content
+      FROM events
+      WHERE {hu} % 100 >= {_DV_PCT}
+    ),
+    da AS (
+      SELECT bucket, count(*) AS n_rows_a, bit_xor({hc}) AS dig_a
+      FROM a GROUP BY bucket
+    ),
+    db AS (
+      SELECT bucket, count(*) AS n_rows_b, bit_xor({hc}) AS dig_b
+      FROM b GROUP BY bucket
+    ),
+    drill AS (
+      SELECT coalesce(a.bucket, b.bucket) AS bucket,
+             count(*) AS n_diff_keys
+      FROM a FULL JOIN b ON b.event_id = a.event_id
+      WHERE a.content IS DISTINCT FROM b.content
+      GROUP BY 1
+    )
+    SELECT da.bucket,
+           CAST(da.n_rows_a AS BIGINT) AS n_rows_a,
+           CAST(coalesce(db.n_rows_b, 0) AS BIGINT) AS n_rows_b,
+           (db.dig_b IS NOT DISTINCT FROM da.dig_a) AS digest_match,
+           CAST(coalesce(d.n_diff_keys, 0) AS BIGINT) AS n_diff_keys
+    FROM da
+    LEFT JOIN db ON db.bucket = da.bucket
+    LEFT JOIN drill d ON d.bucket = da.bucket
+    """
+
+
+@register(
+    "table_diff_merkle",
+    oracle=_table_diff_oracle(),
+    description="Merkle-style table-version diff (the anti-entropy / "
+    "data-diff shape): version B = events with the erasure sample's "
+    "rows deleted AND a seeded 3% of rows restated (props amended), "
+    "compared to version A by per-bucket ORDER-INDEPENDENT XOR digests "
+    "of md5 row-content hashes, buckets keyed on the DISTRIBUTION key "
+    "(user_id ranges — how replicas actually shard), so deletions stay "
+    "local to the erased users' buckets while restatements scatter: "
+    "count-equal buckets with differing digests exist and digests do "
+    "the real work count reconciliation cannot (pinned by test), and the key-level drill joins "
+    "ONLY the mismatched buckets (a semi-join on the failed-digest "
+    "bucket list — the plan restriction IS the algorithm; the oracle "
+    "drills everywhere and matched buckets provably contribute 0). At "
+    "100 TB this is how two snapshots/replicas are compared without "
+    "shipping either: exchange O(buckets) digests, repair O(differing "
+    "partitions) — Cassandra repair, Iceberg snapshot verify, Datafold "
+    "data-diff all run this loop.",
+    tags=("maintenance", "lakehouse", "digest", "audit", "scale"),
+)
+def table_diff_merkle(spark, sf_dir):
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_seeded,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    content_a = F.concat(
+        F.col("event_id").cast("string"),
+        F.lit(":"),
+        F.coalesce(F.col("props"), F.lit("")),
+    )
+    restated = (
+        hash60_seeded(F.col("event_id").cast("string"), _DIFF_RESTATE_SEED)
+        % 100
+        < _DIFF_RESTATE_PCT
+    )
+    erased = (
+        hash60_seeded(F.col("user_id").cast("string"), _DV_SEED) % 100
+        < _DV_PCT
+    )
+    bucket = (
+        hash60_seeded(F.col("user_id").cast("string"), 0) % _DIFF_BUCKETS
+    )
+    a = ev.select(
+        "event_id", bucket.alias("bucket"), content_a.alias("content")
+    )
+    b = ev.filter(~erased).select(
+        "event_id",
+        bucket.alias("bucket"),
+        F.concat(
+            content_a, F.when(restated, F.lit("#v2")).otherwise(F.lit(""))
+        ).alias("content"),
+    )
+
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_sql_spark,
+    )
+
+    content_hash = hash60_sql_spark("content", seed=1)
+
+    def digest(df, n_name, d_name):
+        return df.groupBy("bucket").agg(
+            F.count("*").alias(n_name),
+            F.expr(f"bit_xor({content_hash})").alias(d_name),
+        )
+
+    da = digest(a, "n_rows_a", "dig_a").persist()  # 64 digest rows
+    db = digest(b, "n_rows_b", "dig_b")
+    cmp_ = da.join(db, "bucket", "left").select(
+        "bucket",
+        "n_rows_a",
+        F.coalesce("n_rows_b", F.lit(0)).cast("long").alias("n_rows_b"),
+        F.col("dig_b").eqNullSafe(F.col("dig_a")).alias("digest_match"),
+    ).persist()  # consumed by the result AND the drill bucket list
+    bad = cmp_.filter(~F.col("digest_match")).select("bucket")
+    # drill ONLY the mismatched buckets: both sides semi-join the
+    # 64-row-max failed list before the key-level full outer join
+    a_bad = a.join(F.broadcast(bad), "bucket", "left_semi")
+    b_bad = b.join(F.broadcast(bad), "bucket", "left_semi")
+    drill = (
+        a_bad.withColumnRenamed("content", "ca")
+        .join(
+            b_bad.withColumnRenamed("content", "cb").withColumnRenamed(
+                "bucket", "bucket_b"
+            ),
+            "event_id",
+            "full",
+        )
+        .filter(~F.col("ca").eqNullSafe(F.col("cb")))
+        .groupBy(
+            F.coalesce("bucket", "bucket_b").alias("bucket")
+        )
+        .agg(F.count("*").alias("n_diff_keys"))
+    )
+    return cmp_.join(drill, "bucket", "left").select(
+        "bucket",
+        "n_rows_a",
+        "n_rows_b",
+        "digest_match",
+        F.coalesce("n_diff_keys", F.lit(0)).cast("long").alias(
+            "n_diff_keys"
+        ),
+    )

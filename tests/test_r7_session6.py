@@ -333,3 +333,52 @@ def test_cube_hll_lattice_is_complete_and_consistent(spark):
     for r in cells:
         assert nat_m[r.nation].n_exact >= r.n_exact
         assert mon_m[r.month].n_exact >= r.n_exact
+
+
+def test_table_diff_digests_catch_what_counts_cannot(spark):
+    """The diff fixture must contain at least one bucket where the row
+    COUNTS match but the digests differ (a restated row — the case
+    count-based reconciliation misses), every mismatched bucket must
+    carry diff keys, every matched bucket zero, and the global diff-key
+    total must equal deleted + restated-surviving rows recomputed from
+    the seeds."""
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_seeded,
+    )
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans.maintenance import (
+        _DIFF_RESTATE_PCT,
+        _DIFF_RESTATE_SEED,
+        _DV_PCT,
+        _DV_SEED,
+        table_diff_merkle,
+    )
+
+    rows = table_diff_merkle(spark, SF).collect()
+    assert any(not r.digest_match for r in rows)
+    assert any(r.digest_match for r in rows)
+    assert any(
+        (not r.digest_match) and r.n_rows_a == r.n_rows_b for r in rows
+    ), "no count-equal digest-mismatch bucket: restatements not exercised"
+    for r in rows:
+        if r.digest_match:
+            assert r.n_diff_keys == 0, r.bucket
+            assert r.n_rows_a == r.n_rows_b, r.bucket
+        else:
+            assert r.n_diff_keys > 0, r.bucket
+
+    ev = T(spark, SF, "events")
+    erased = (
+        hash60_seeded(F.col("user_id").cast("string"), _DV_SEED) % 100
+        < _DV_PCT
+    )
+    restated = (
+        hash60_seeded(F.col("event_id").cast("string"), _DIFF_RESTATE_SEED)
+        % 100
+        < _DIFF_RESTATE_PCT
+    )
+    expect = ev.agg(
+        F.sum(F.when(erased, 1).otherwise(0)).alias("deleted"),
+        F.sum(F.when(~erased & restated, 1).otherwise(0)).alias("changed"),
+    ).collect()[0]
+    assert sum(r.n_diff_keys for r in rows) == expect.deleted + expect.changed

@@ -73,6 +73,7 @@ LADDER = [
     "compaction_bin_packing_plan",
     "deletion_vector_cost_report",
     "streaming_heavy_hitters_cms",
+    "table_diff_merkle",
 ]
 
 

@@ -861,6 +861,7 @@ def _ivm_oracle() -> str:
     "the view updates in O(increment), the whole point of IVM at "
     "100 TB.",
     tags=("maintenance", "incremental", "join", "rollup", "scale"),
+    bench=True,  # promoted r7 s6: the IVM delta-rule flagship
 )
 def incremental_join_view_maintenance(spark, sf_dir):
     from datalakes_and_data_integration_spark.functions.hashing import (
@@ -995,6 +996,7 @@ def _table_diff_oracle() -> str:
     "partitions) — Cassandra repair, Iceberg snapshot verify, Datafold "
     "data-diff all run this loop.",
     tags=("maintenance", "lakehouse", "digest", "audit", "scale"),
+    bench=True,  # promoted r7 s6: the anti-entropy digest flagship
 )
 def table_diff_merkle(spark, sf_dir):
     from datalakes_and_data_integration_spark.functions.hashing import (

@@ -998,6 +998,7 @@ def bitmap_distinct_rollup(spark, sf_dir):
     "frame is the persisted continuous-aggregate state: an incremental "
     "day appends its words and touches 7 anchor outputs, never history.",
     tags=("sketch", "bitmap", "distinct", "window", "incremental"),
+    bench=True,  # promoted r7 s6: the mergeable-exact sliding-window flagship
 )
 def rolling_exact_distinct_users_7d(spark, sf_dir):
     ev = T(spark, sf_dir, "events")

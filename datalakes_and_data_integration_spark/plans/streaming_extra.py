@@ -903,3 +903,61 @@ def streaming_heavy_hitters_cms(spark, sf_dir):
         F.col("cnt").alias("exact_freq"),
         F.col("cms_est").cast("long").alias("cms_est"),
     )
+
+
+@register(
+    "streaming_bitmap_distinct_maintenance",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__all__' AS event_type, count(DISTINCT user_id) AS n_users
+    FROM events
+    """,
+    description="Exact-distinct bitmap maintenance (streaming/"
+    "sketch_maintenance.py bitmap_words/merge_bitmap_state): the events "
+    "month applied as five weekly word-file batches bit_or-merged into "
+    "persisted per-(type, word) state, then bitmap_distinct_rollup's "
+    "report (per-type + OR-merged __all__) served from the MAINTAINED "
+    "state — maintained == batch-built proven by the shared oracle. "
+    "Completes the merge-algebra triptych: HLL max (idempotent, "
+    "approximate), CMS sum (exact-once only behind a ledger), bitmap "
+    "OR (idempotent AND exact — redelivery is a no-op by algebra, "
+    "pinned by test, no ledger needed). The exact-distinct state costs "
+    "|key domain|/63 rows per group where HLL costs 64 — the tradeoff "
+    "a pipeline owner prices per metric.",
+    tags=("streaming", "sketch", "bitmap", "distinct", "incremental"),
+)
+def streaming_bitmap_distinct_maintenance(spark, sf_dir):
+    import tempfile
+
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.streaming.sketch_maintenance import (
+        bitmap_words,
+        merge_bitmap_state,
+    )
+
+    import os
+
+    ev = T(spark, sf_dir, "events").select("event_type", "user_id", "ts")
+    state = os.path.join(
+        tempfile.mkdtemp(prefix="bitmap_maint_q_"), "words"
+    )
+    words = None
+    for lo, hi in zip(_CMS_WEEKS, _CMS_WEEKS[1:]):
+        batch = ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        words = merge_bitmap_state(
+            spark, state, bitmap_words(batch, "event_type", "user_id")
+        )
+    per_type = words.groupBy(F.col("grp").alias("event_type")).agg(
+        F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("n_users")
+    )
+    merged = (
+        words.groupBy("w")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+        .agg(
+            F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("n_users")
+        )
+        .select(F.lit("__all__").alias("event_type"), "n_users")
+    )
+    return per_type.unionByName(merged)

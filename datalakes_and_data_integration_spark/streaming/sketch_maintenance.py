@@ -209,3 +209,51 @@ def cms_lookup(keys: DataFrame, sketch: DataFrame, key_col: str) -> DataFrame:
         .groupBy(*keys.columns)
         .agg(F.min("total").alias("cms_est"))
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-distinct bitmap maintenance — the third merge algebra next to HLL
+# (max: idempotent, approximate) and CMS (sum: NOT idempotent, needs the
+# ledger): bit_or is idempotent AND exact. Redelivered batches are no-ops
+# by algebra, no ledger required — the triptych is the whole design space
+# of streaming sketch maintenance.
+# --------------------------------------------------------------------------
+
+
+def bitmap_words(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """(grp, w, bits) 63-bit bitmap word file for distinct ``key_col``
+    per ``group_col`` — plans/sketches.bitmap_distinct_rollup's state,
+    factored for incremental maintenance."""
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.expr(f"{key_col} div 63").alias("w"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST({key_col} % 63 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("grp", "w")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+
+
+def merge_bitmap_state(
+    spark: SparkSession, state_dir: str, batch: DataFrame
+) -> DataFrame:
+    """bit_or-merge a batch word file into the persisted state. No
+    ledger: OR is idempotent, a redelivered batch changes nothing
+    (pinned by test). State is O(groups x |key domain|/63) rows."""
+    if os.path.isdir(state_dir):
+        merged = (
+            spark.read.parquet(state_dir)
+            .unionByName(batch)
+            .groupBy("grp", "w")
+            .agg(F.expr("bit_or(bits)").alias("bits"))
+        )
+    else:
+        merged = batch
+    rows = merged.collect()  # scale-ok: word-compressed state (63 keys/row)
+    spark.createDataFrame(rows, merged.schema).write.mode(
+        "overwrite"
+    ).parquet(state_dir)
+    return spark.read.parquet(state_dir)

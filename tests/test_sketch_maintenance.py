@@ -120,3 +120,41 @@ def test_cms_merge_is_exactly_once_behind_the_ledger(spark, tmp_path):
     again = merge_cms_state(spark, state, cms_rows(b1, "user_id"), batch_id=2)
     grown = {(r.seed, r.bucket): r.total for r in again.collect()}
     assert sum(grown.values()) > sum(snapshot.values())
+
+
+def test_bitmap_merge_is_idempotent_without_a_ledger(spark, tmp_path):
+    """bit_or is idempotent: replaying ANY batch (no ledger involved)
+    must leave the state byte-identical, and the maintained words must
+    equal the batch-built words over the union."""
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.streaming.sketch_maintenance import (
+        bitmap_words,
+        merge_bitmap_state,
+    )
+
+    ev = T(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type", "user_id", "ts"
+    )
+    b1 = ev.filter(F.col("ts") < "2024-01-15")
+    b2 = ev.filter(F.col("ts") >= "2024-01-15")
+    state = str(tmp_path / "words")
+
+    merge_bitmap_state(spark, state, bitmap_words(b1, "event_type", "user_id"))
+    merged = merge_bitmap_state(
+        spark, state, bitmap_words(b2, "event_type", "user_id")
+    )
+    snapshot = {(r.grp, r.w): r.bits for r in merged.collect()}
+
+    for b in (b1, b2, b1):  # replay both, in any order
+        replay = merge_bitmap_state(
+            spark, state, bitmap_words(b, "event_type", "user_id")
+        )
+        assert {(r.grp, r.w): r.bits for r in replay.collect()} == snapshot
+
+    full = {
+        (r.grp, r.w): r.bits
+        for r in bitmap_words(ev, "event_type", "user_id").collect()
+    }
+    assert snapshot == full

@@ -74,6 +74,7 @@ LADDER = [
     "deletion_vector_cost_report",
     "streaming_heavy_hitters_cms",
     "table_diff_merkle",
+    "streaming_bitmap_distinct_maintenance",
 ]
 
 

@@ -121,7 +121,8 @@ def register(
 # deletion_vector_cost_report, data_skipping_effectiveness,
 # streaming_heavy_hitters_cms, cbo_stats_selectivity_audit,
 # incremental_join_view_maintenance, cube_distinct_hll,
-# table_diff_merkle, streaming_bitmap_distinct_maintenance — each
+# table_diff_merkle, streaming_bitmap_distinct_maintenance,
+# knn_graph_degree_stats — each
 # triple-SF gated by tools/check_correctness.py in-session (the advance
 # evidence the driver row will confirm next round). Also round-8 clause
 # (a): multimodal_phash_neardup — the deferred perceptual_hash

@@ -2510,3 +2510,102 @@ def ann_nprobe_recall_curve(spark, sf_dir):
         reports,
         "nprobe int, n_queries bigint, hits bigint, recall_permille bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN-graph navigability audit: the HNSW/NSW precondition numbers.
+# ---------------------------------------------------------------------------
+
+
+def _knn_graph_oracle() -> str:
+    from datalakes_and_data_integration_spark.plans.registry import QUERIES
+
+    ex = QUERIES["ann_topk_bruteforce_hybrid"].oracle
+    return f"""
+    WITH ex AS ({ex}),
+    edges AS (SELECT vec_id AS u, neighbor_id AS v FROM ex),
+    indeg AS (
+      SELECT n.vec_id AS u, CAST(coalesce(d.cnt, 0) AS BIGINT) AS in_degree
+      FROM embeddings n
+      LEFT JOIN (SELECT v, count(*) AS cnt FROM edges GROUP BY v) d
+        ON d.v = n.vec_id
+    ),
+    recip AS (
+      SELECT e.u, CAST(count(r.u) AS BIGINT) AS recip_edges
+      FROM edges e
+      LEFT JOIN edges r ON r.u = e.v AND r.v = e.u
+      GROUP BY e.u
+    ),
+    per_node AS (
+      SELECT i.u, i.in_degree,
+             CAST(coalesce(r.recip_edges, 0) AS BIGINT) AS recip_edges
+      FROM indeg i LEFT JOIN recip r ON r.u = i.u
+    )
+    SELECT in_degree,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(recip_edges) AS BIGINT) AS recip_edges,
+           round(CAST(sum(recip_edges) AS DOUBLE) / (count(*) * 5), 6)
+             AS recip_rate
+    FROM per_node
+    GROUP BY in_degree
+    """
+
+
+@register(
+    "knn_graph_degree_stats",
+    oracle=_knn_graph_oracle(),
+    description="kNN-graph navigability audit (the HNSW/NSW build "
+    "precondition): the exact top-5 neighbor graph from the hybrid "
+    "block kernel, reported as the in-degree distribution with "
+    "per-stratum edge reciprocity — in-degree-0 nodes are unreachable "
+    "by greedy graph search (the orphan set an index build must patch "
+    "via reverse edges), hub nodes concentrate traversal load, and the "
+    "reciprocal-edge rate is what makes bidirectional NSW pruning "
+    "work. Out-degree is k=5 by construction, so reciprocity "
+    "normalizes by 5*n exactly. Shape: the edge frame is O(n x k) "
+    "rows; degree and reciprocity are two hash aggregates and one "
+    "self-equi-join on (v,u) — graph-audit cost scales with edges, "
+    "never pairs; the exact kernel underneath is the block-broadcast "
+    "100 TB shape (same composition rule as the label-eval reports: "
+    "hybrid kernels, never bare BNLJ).",
+    tags=("similarity", "ann", "graph", "audit", "llm-pipeline"),
+)
+def knn_graph_degree_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans.similarity import (
+        ann_topk_bruteforce_hybrid,
+    )
+
+    edges = (
+        ann_topk_bruteforce_hybrid(spark, sf_dir)
+        .select(F.col("vec_id").alias("u"), F.col("neighbor_id").alias("v"))
+        .persist()  # consumed by in-degree + both reciprocity sides
+    )
+    nodes = T(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("u"))
+    indeg = nodes.join(
+        edges.groupBy(F.col("v").alias("u")).agg(F.count("*").alias("cnt")),
+        "u",
+        "left",
+    ).select("u", F.coalesce("cnt", F.lit(0)).cast("long").alias("in_degree"))
+    rev = edges.select(
+        F.col("v").alias("ru"), F.col("u").alias("rv")
+    )
+    recip = (
+        edges.join(
+            rev, (rev.ru == edges.u) & (rev.rv == edges.v), "left"
+        )
+        .groupBy("u")
+        .agg(F.count("ru").cast("long").alias("recip_edges"))
+    )
+    per_node = indeg.join(recip, "u", "left").select(
+        "in_degree",
+        F.coalesce("recip_edges", F.lit(0)).cast("long").alias("recip_edges"),
+    )
+    return per_node.groupBy("in_degree").agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum("recip_edges").cast("long").alias("recip_edges"),
+        F.round(
+            F.sum("recip_edges").cast("double") / (F.count("*") * 5), 6
+        ).alias("recip_rate"),
+    )

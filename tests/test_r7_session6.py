@@ -382,3 +382,33 @@ def test_table_diff_digests_catch_what_counts_cannot(spark):
         F.sum(F.when(~erased & restated, 1).otherwise(0)).alias("changed"),
     ).collect()[0]
     assert sum(r.n_diff_keys for r in rows) == expect.deleted + expect.changed
+
+
+def test_knn_graph_stats_conserve_edges_and_bound_reciprocity(spark):
+    """Edge conservation (sum of in-degrees == n*k, every node counted
+    once), reciprocity bounds (recip_edges <= 5 * n_nodes per stratum),
+    and the global reciprocity must equal a direct pair recount."""
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans.similarity import (
+        ann_topk_bruteforce_hybrid,
+    )
+    from datalakes_and_data_integration_spark.plans.similarity_extra import (
+        knn_graph_degree_stats,
+    )
+
+    rows = knn_graph_degree_stats(spark, SF).collect()
+    n = T(spark, SF, "embeddings").count()
+    assert sum(r.n_nodes for r in rows) == n
+    assert sum(r.in_degree * r.n_nodes for r in rows) == n * 5
+    for r in rows:
+        assert 0 <= r.recip_edges <= 5 * r.n_nodes
+        assert abs(r.recip_rate - round(r.recip_edges / (5 * r.n_nodes), 6)) < 1e-9
+
+    edges = {
+        (r.vec_id, r.neighbor_id)
+        for r in ann_topk_bruteforce_hybrid(spark, SF)
+        .select("vec_id", "neighbor_id")
+        .collect()
+    }  # test-only direct recount on the sf0.001 fixture
+    recip_direct = sum(1 for (u, v) in edges if (v, u) in edges)
+    assert sum(r.recip_edges for r in rows) == recip_direct

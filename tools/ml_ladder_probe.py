@@ -62,6 +62,8 @@ LADDER = [
     "cluster_label_purity",
     "ann_dim_truncation_report",
     "ann_nprobe_recall_curve",
+    # round-7 sixth session
+    "knn_graph_degree_stats",
 ]
 
 

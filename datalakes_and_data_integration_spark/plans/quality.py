@@ -661,3 +661,102 @@ def doc_corpus_quality_report(spark, sf_dir):
         .expect_unique("doc_id")
     )
     return suite.run()
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private release audit — the publication tier of the
+# governance family (k-anonymity / l-diversity / t-closeness audit the
+# raw table; this audits the NOISED aggregate actually released).
+# ---------------------------------------------------------------------------
+
+_DP_EPS = 1.0  # epsilon per released cell
+_DP_SEED = 47
+_DP_U = 1 << 20  # uniform grid for the seeded inverse-CDF draw
+
+
+def _dp_oracle() -> str:
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_sql_duck,
+    )
+
+    h = hash60_sql_duck(
+        "event_type || ':' || CAST(CAST(date_trunc('day', ts) AS DATE) "
+        "AS VARCHAR)",
+        seed=_DP_SEED,
+    )
+    # u in [1/2^20, 1): never exactly 0/1; |u - 0.5| < 0.5 so ln(arg) > -inf
+    u = f"(({h} % {_DP_U}) + 1) / CAST({_DP_U} AS DOUBLE)"
+    return f"""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS true_count,
+             {u} AS u
+      FROM events
+      GROUP BY event_type, day
+    ),
+    noised AS (
+      SELECT event_type, day, true_count,
+             -(1.0 / {_DP_EPS})
+               * CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
+               * ln(1.0 - 2.0 * abs(u - 0.5)) AS noise
+      FROM cells
+    )
+    SELECT event_type, day,
+           CAST(true_count AS BIGINT) AS true_count,
+           round(true_count + noise, 6) AS released_count,
+           round(abs(noise), 6) AS abs_noise,
+           CAST({_DP_EPS} AS DOUBLE) AS epsilon
+    FROM noised
+    """
+
+
+@register(
+    "dp_noisy_release_audit",
+    oracle=_dp_oracle(),
+    description="Differentially-private histogram release (epsilon="
+    f"{_DP_EPS} Laplace mechanism, event-level adjacency): the "
+    "(event_type, day) count table is released with Laplace(1/eps) "
+    "noise drawn by inverse-CDF from a SEEDED md5 uniform — the release "
+    "is deterministic for the audit (hash-gated cross-engine) while "
+    "keeping the mechanism's exact shape; the report carries true "
+    "count, released count, and the per-cell noise magnitude the "
+    "utility loss is priced from. Count queries have sensitivity 1 "
+    "under event-level adjacency; USER-level DP additionally requires "
+    "bounding each user's contribution per cell (contribution capping) "
+    "before this mechanism applies — the distinction that matters in a "
+    "training-data pipeline. Completes the governance ladder: k-anon / "
+    "l-div / t-closeness audit the raw table, the GDPR manifest plans "
+    "deletion, this audits the aggregate actually published. Shape: "
+    "one map-side-combined aggregate; noise is a per-cell expression.",
+    tags=("governance", "privacy", "dp", "audit"),
+)
+def dp_noisy_release_audit(spark, sf_dir):
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_seeded,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("true_count"))
+    h = hash60_seeded(
+        F.concat(
+            F.col("event_type"), F.lit(":"), F.col("day").cast("string")
+        ),
+        _DP_SEED,
+    )
+    u = ((h % _DP_U) + 1) / F.lit(float(_DP_U))
+    noise = (
+        F.lit(-1.0 / _DP_EPS)
+        * F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(F.lit(1.0) - 2.0 * F.abs(u - F.lit(0.5)))
+    )
+    return cells.select(
+        "event_type",
+        "day",
+        F.col("true_count").cast("long").alias("true_count"),
+        F.round(F.col("true_count") + noise, 6).alias("released_count"),
+        F.round(F.abs(noise), 6).alias("abs_noise"),
+        F.lit(float(_DP_EPS)).alias("epsilon"),
+    )

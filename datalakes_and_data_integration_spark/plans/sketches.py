@@ -1324,3 +1324,151 @@ def cube_distinct_hll(spark, sf_dir):
         .replace("JOIN nation n", "JOIN _chll_nation n")
     )
     return spark.sql(sql)
+
+
+# --------------------------------------------------------------------------
+# Mergeable-histogram quantile audit: the approximate-quantile state a
+# warehouse can maintain incrementally, priced against the exact order
+# statistic.
+# --------------------------------------------------------------------------
+
+_HQ_BUCKETS = 64
+_HQ_QS = (0.5, 0.9, 0.99)
+
+
+def _hist_quantile_oracle() -> str:
+    qs = ", ".join(f"({q})" for q in _HQ_QS)
+    return f"""
+    WITH vals AS (SELECT value FROM events WHERE value IS NOT NULL),
+    stats AS (
+      SELECT min(value) AS mn,
+             (max(value) - min(value)) / {_HQ_BUCKETS} AS width,
+             count(*) AS n
+      FROM vals
+    ),
+    hist AS (
+      SELECT least(CAST(floor((value - s.mn) / s.width) AS BIGINT),
+                   {_HQ_BUCKETS - 1}) AS b,
+             count(*) AS cnt
+      FROM vals, stats s GROUP BY 1
+    ),
+    cum AS (
+      SELECT b, cnt,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM hist
+    ),
+    probes AS (
+      SELECT CAST(v.q AS DOUBLE) AS q FROM (VALUES {qs}) v(q)
+    ),
+    est AS (
+      SELECT p.q,
+             min(s.mn + c.b * s.width
+                 + s.width * ((p.q * s.n - c.cum_before) / c.cnt))
+               AS est_value
+      FROM probes p, cum c, stats s
+      WHERE p.q * s.n > c.cum_before
+        AND p.q * s.n <= c.cum_before + c.cnt
+      GROUP BY p.q
+    ),
+    vgrp AS (
+      SELECT value, count(*) AS c FROM vals GROUP BY value
+    ),
+    vcum AS (
+      SELECT value, c,
+             CAST(sum(c) OVER (ORDER BY value) AS BIGINT) AS cum
+      FROM vgrp
+    ),
+    exact AS (
+      SELECT p.q, min(v.value) AS exact_value
+      FROM probes p, stats s, vcum v
+      WHERE v.cum >= ceil(p.q * s.n)
+      GROUP BY p.q
+    )
+    SELECT e.q, CAST(s.n AS BIGINT) AS n,
+           round(e.est_value, 6) AS est_value,
+           x.exact_value,
+           round(abs(e.est_value - x.exact_value), 6) AS abs_err
+    FROM est e JOIN exact x ON x.q = e.q, stats s
+    """
+
+
+@register(
+    "histogram_quantile_audit",
+    oracle=_hist_quantile_oracle(),
+    description=f"Mergeable-histogram quantile estimation audited "
+    f"against the exact order statistic: a {_HQ_BUCKETS}-bucket "
+    "equi-width count histogram — state a warehouse maintains "
+    "incrementally by adding counts (the mergeable-partial property "
+    "t-digest/KLL also trade on) — answers p50/p90/p99 by uniform-"
+    "within-bucket interpolation; beside each estimate sits the exact "
+    "nearest-rank value (first distinct value whose cumulative count "
+    "crosses ceil(q*n)) and the absolute error — the accuracy/state "
+    "tradeoff priced per percentile. Shape: ONE scan builds the "
+    "histogram (map-side combined, 64 partials), the interpolation is "
+    "arithmetic over 64 rows; the exact leg's sort is over DISTINCT "
+    "values (exact_quantiles_two_pass's bounded-sort argument). The "
+    "tail percentile (p99) is where equi-width histograms hurt — the "
+    "audit shows it instead of hiding it.",
+    tags=("sketch", "quantile", "histogram", "audit", "scale"),
+)
+def histogram_quantile_audit(spark, sf_dir):
+    from pyspark.sql import Window
+
+    vals = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("value")
+    )
+    mn, mx, n = vals.agg(
+        F.min("value"), F.max("value"), F.count("*")
+    ).collect()[0]  # scale-ok: 3 scalars (histogram bounds + count)
+    width = (mx - mn) / _HQ_BUCKETS
+    hist = vals.groupBy(
+        F.least(
+            F.floor((F.col("value") - mn) / width).cast("long"),
+            F.lit(_HQ_BUCKETS - 1),
+        ).alias("b")
+    ).agg(F.count("*").alias("cnt"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)  # scale-ok: 64 histogram rows
+    cum = hist.withColumn(
+        "cum_before",
+        F.coalesce(F.sum("cnt").over(wb), F.lit(0)).cast("long"),
+    )
+    probes = spark.createDataFrame([(q,) for q in _HQ_QS], "q double")
+    est = (
+        probes.crossJoin(F.broadcast(cum))
+        .filter(
+            (F.col("q") * n > F.col("cum_before"))
+            & (F.col("q") * n <= F.col("cum_before") + F.col("cnt"))
+        )
+        .groupBy("q")
+        .agg(
+            F.min(
+                F.lit(mn)
+                + F.col("b") * width
+                + F.lit(width)
+                * ((F.col("q") * n - F.col("cum_before")) / F.col("cnt"))
+            ).alias("est_value")
+        )
+    )
+    vgrp = vals.groupBy("value").agg(F.count("*").alias("c"))
+    wv = Window.orderBy("value")  # scale-ok: sort over DISTINCT values (bounded; see description)
+    vcum = vgrp.withColumn("cum", F.sum("c").over(wv).cast("long"))
+    exact = (
+        # scale-ok: 3 probes x the distinct-value frame (bounded, see above)
+        probes.crossJoin(vcum)
+        .filter(F.col("cum") >= F.ceil(F.col("q") * n))
+        .groupBy("q")
+        .agg(F.min("value").alias("exact_value"))
+    )
+    return est.join(exact, "q").select(
+        "q",
+        F.lit(n).cast("long").alias("n"),
+        F.round("est_value", 6).alias("est_value"),
+        "exact_value",
+        F.round(F.abs(F.col("est_value") - F.col("exact_value")), 6).alias(
+            "abs_err"
+        ),
+    )

@@ -412,3 +412,64 @@ def test_knn_graph_stats_conserve_edges_and_bound_reciprocity(spark):
     }  # test-only direct recount on the sf0.001 fixture
     recip_direct = sum(1 for (u, v) in edges if (v, u) in edges)
     assert sum(r.recip_edges for r in rows) == recip_direct
+
+
+def test_dp_release_noise_is_laplace_shaped_and_bounded(spark):
+    """Released = true + noise with |noise| == abs_noise; the seeded
+    inverse-CDF draw must produce BOTH signs across cells, every noise
+    magnitude must be finite and <= (1/eps) * ln(2^20) (the grid's
+    extreme-u bound), and epsilon must be constant."""
+    import math as m
+
+    from datalakes_and_data_integration_spark.plans.quality import (
+        _DP_EPS,
+        _DP_U,
+        dp_noisy_release_audit,
+    )
+
+    rows = dp_noisy_release_audit(spark, SF).collect()
+    assert rows
+    signs = set()
+    bound = (1.0 / _DP_EPS) * m.log(_DP_U)
+    for r in rows:
+        assert r.epsilon == _DP_EPS
+        d = r.released_count - r.true_count
+        assert abs(abs(d) - r.abs_noise) <= 2e-6  # both independently rounded
+        assert r.abs_noise <= bound + 1e-6
+        if d > 0:
+            signs.add(1)
+        elif d < 0:
+            signs.add(-1)
+    assert signs == {1, -1}, "noise never changed sign: mechanism degenerate"
+
+
+def test_histogram_quantiles_bracket_the_exact_order_statistic(spark):
+    """Interpolated estimates must stay inside the data range, est and
+    exact must be monotone in q, and the exact leg must equal a direct
+    sorted-percentile recount on the fixture."""
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans.sketches import (
+        histogram_quantile_audit,
+    )
+
+    rows = sorted(
+        histogram_quantile_audit(spark, SF).collect(), key=lambda r: r.q
+    )
+    assert [r.q for r in rows] == [0.5, 0.9, 0.99]
+    values = sorted(
+        r.value
+        for r in T(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("value")
+        .collect()
+    )  # test-only direct recount on the sf0.001 fixture
+    import math as m
+
+    for r in rows:
+        assert values[0] <= r.est_value <= values[-1]
+        exact_direct = values[m.ceil(r.q * len(values)) - 1]
+        assert r.exact_value == exact_direct, r.q
+        assert abs(r.abs_err - round(abs(r.est_value - r.exact_value), 6)) <= 2e-6
+    for a, b in zip(rows, rows[1:]):
+        assert b.est_value >= a.est_value
+        assert b.exact_value >= a.exact_value

@@ -75,6 +75,8 @@ LADDER = [
     "streaming_heavy_hitters_cms",
     "table_diff_merkle",
     "streaming_bitmap_distinct_maintenance",
+    "dp_noisy_release_audit",
+    "histogram_quantile_audit",
 ]
 
 

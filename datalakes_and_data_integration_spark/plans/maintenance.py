@@ -1081,3 +1081,148 @@ def table_diff_merkle(spark, sf_dir):
             "n_diff_keys"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# The lakehouse maintenance planner capstone: one per-file manifest that
+# prices compaction, deletion-vector writes, and copy-on-write rewrites
+# together and picks the nightly action per file.
+# ---------------------------------------------------------------------------
+
+# Action policy, highest priority first (integer comparisons only):
+#   rewrite_cow  — > 10% of rows deleted: DV overhead would be permanent
+#                  read tax on a file that needs rewriting anyway
+#   write_dv     — any deletions at all, but sparse: bitmap is cheaper
+#                  than rewriting the survivors
+#   compact      — clean file smaller than half the target: small-file tax
+#   none         — healthy file
+_PLAN_COW_PCT = 10
+
+
+def _maint_planner_oracle() -> str:
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_sql_duck,
+    )
+
+    h = hash60_sql_duck("CAST(user_id AS VARCHAR)", seed=_DV_SEED)
+    return f"""
+    WITH tagged AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             32 + coalesce(strlen(props), 0) AS rb,
+             {h} % 100 < {_DV_PCT} AS del
+      FROM events
+    ),
+    f AS (
+      SELECT event_type, day,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(rb) AS BIGINT) AS bytes,
+             CAST(coalesce(sum(CASE WHEN del THEN 1 END), 0) AS BIGINT)
+               AS n_deleted,
+             CAST(sum(CASE WHEN NOT del THEN rb ELSE 0 END) AS BIGINT)
+               AS surviving_bytes
+      FROM tagged GROUP BY event_type, day
+    ),
+    t AS (
+      SELECT greatest(CAST(sum(bytes) // {_COMPACT_BINS} AS BIGINT),
+                      CAST(1 AS BIGINT)) AS tgt
+      FROM f
+    ),
+    planned AS (
+      SELECT f.*, t.tgt,
+             CASE WHEN f.n_deleted * 100 > f.n_rows * {_PLAN_COW_PCT}
+                    THEN 'rewrite_cow'
+                  WHEN f.n_deleted > 0 THEN 'write_dv'
+                  WHEN f.bytes * 2 < t.tgt THEN 'compact'
+                  ELSE 'none' END AS action
+      FROM f, t
+    )
+    SELECT event_type, day, n_rows, bytes, n_deleted,
+           round(CAST(n_deleted AS DOUBLE) / n_rows, 6) AS deleted_frac,
+           action,
+           CAST(CASE action
+                  WHEN 'rewrite_cow' THEN surviving_bytes
+                  WHEN 'write_dv' THEN (n_rows + 7) // 8 + 32
+                  WHEN 'compact' THEN bytes
+                  ELSE 0 END AS BIGINT) AS est_io_bytes
+    FROM planned
+    """
+
+
+@register(
+    "lakehouse_maintenance_planner",
+    oracle=_maint_planner_oracle(),
+    description="The nightly maintenance planner capstone: one manifest "
+    "pass prices the three lakehouse upkeep actions TOGETHER per "
+    "(event_type, day) file — copy-on-write rewrite when deletions are "
+    f"dense (> {_PLAN_COW_PCT}% of rows: a DV would be permanent read "
+    "tax on a file that needs rewriting anyway), a deletion-vector "
+    "write when they are sparse, compaction when a clean file is under "
+    "half the corpus-derived target — and emits the chosen action with "
+    "its estimated IO bill (survivor bytes / bitmap bytes / rewrite "
+    "bytes). Composes compaction_bin_packing_plan's target and "
+    "deletion_vector_cost_report's erasure accounting; the policy "
+    "ordering is integer-exact (n_deleted*100 > n_rows*pct — no float "
+    "thresholds). Shape: ONE map-side-combined aggregate builds the "
+    "manifest, the policy is a per-row CASE over it; at 100 TB the "
+    "planner reads table stats, not data, and every emitted action is "
+    "an independent rewrite task.",
+    tags=("maintenance", "lakehouse", "capstone", "scale"),
+)
+def lakehouse_maintenance_planner(spark, sf_dir):
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_seeded,
+    )
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        (F.lit(32) + F.coalesce(F.octet_length("props"), F.lit(0))).alias(
+            "rb"
+        ),
+        (
+            hash60_seeded(F.col("user_id").cast("string"), _DV_SEED) % 100
+            < _DV_PCT
+        ).alias("del"),
+    )
+    f = ev.groupBy("event_type", "day").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("rb").cast("long").alias("bytes"),
+        F.coalesce(F.sum(F.when(F.col("del"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_deleted"),
+        F.sum(F.when(~F.col("del"), F.col("rb")).otherwise(0))
+        .cast("long")
+        .alias("surviving_bytes"),
+    ).persist()  # manifest-sized; read for the target scalar + the plan
+    total = f.agg(F.sum("bytes")).collect()[0][0]  # scale-ok: 1 scalar (manifest total)
+    tgt = max(int(total) // _COMPACT_BINS, 1)
+    action = (
+        F.when(
+            F.col("n_deleted") * 100 > F.col("n_rows") * _PLAN_COW_PCT,
+            F.lit("rewrite_cow"),
+        )
+        .when(F.col("n_deleted") > 0, F.lit("write_dv"))
+        .when(F.col("bytes") * 2 < tgt, F.lit("compact"))
+        .otherwise(F.lit("none"))
+    )
+    return f.withColumn("action", action).select(
+        "event_type",
+        "day",
+        "n_rows",
+        "bytes",
+        "n_deleted",
+        F.round(
+            F.col("n_deleted").cast("double") / F.col("n_rows"), 6
+        ).alias("deleted_frac"),
+        "action",
+        F.when(F.col("action") == "rewrite_cow", F.col("surviving_bytes"))
+        .when(
+            F.col("action") == "write_dv",
+            F.expr("(n_rows + 7) div 8") + F.lit(32),
+        )
+        .when(F.col("action") == "compact", F.col("bytes"))
+        .otherwise(0)
+        .cast("long")
+        .alias("est_io_bytes"),
+    )

@@ -473,3 +473,37 @@ def test_histogram_quantiles_bracket_the_exact_order_statistic(spark):
     for a, b in zip(rows, rows[1:]):
         assert b.est_value >= a.est_value
         assert b.exact_value >= a.exact_value
+
+
+def test_maintenance_planner_policy_is_exact_and_diverse(spark):
+    """Every row's action and IO bill must re-derive from its own
+    columns under the declared priority policy, and the sf0.001 fixture
+    must exercise at least three distinct actions (rewrite_cow,
+    write_dv, compact — 'none' is unreachable on this uniformly
+    small-file corpus, which the planner reports honestly)."""
+    from datalakes_and_data_integration_spark.plans.maintenance import (
+        _COMPACT_BINS,
+        _PLAN_COW_PCT,
+        lakehouse_maintenance_planner,
+    )
+
+    rows = lakehouse_maintenance_planner(spark, SF).collect()
+    tgt = max(sum(r.bytes for r in rows) // _COMPACT_BINS, 1)
+    seen = set()
+    for r in rows:
+        if r.n_deleted * 100 > r.n_rows * _PLAN_COW_PCT:
+            want, io = "rewrite_cow", None  # io checked below vs survivors
+        elif r.n_deleted > 0:
+            want, io = "write_dv", (r.n_rows + 7) // 8 + 32
+        elif r.bytes * 2 < tgt:
+            want, io = "compact", r.bytes
+        else:
+            want, io = "none", 0
+        assert r.action == want, (r.event_type, r.day)
+        if io is not None:
+            assert r.est_io_bytes == io, (r.event_type, r.day)
+        else:
+            assert 0 < r.est_io_bytes < r.bytes  # survivors: some, not all
+        assert abs(r.deleted_frac - round(r.n_deleted / r.n_rows, 6)) < 1e-9
+        seen.add(r.action)
+    assert {"rewrite_cow", "write_dv", "compact"} <= seen

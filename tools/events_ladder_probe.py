@@ -77,6 +77,7 @@ LADDER = [
     "streaming_bitmap_distinct_maintenance",
     "dp_noisy_release_audit",
     "histogram_quantile_audit",
+    "lakehouse_maintenance_planner",
 ]
 
 

@@ -455,6 +455,26 @@ def zorder_layout_plan(spark, sf_dir):
 # pack splits under spark.sql.files.maxPartitionBytes).
 # ---------------------------------------------------------------------------
 
+# The file-size model shared by the THREE maintenance queries that read
+# the same (event_type, day) file manifest — compaction_bin_packing_plan,
+# deletion_vector_cost_report, lakehouse_maintenance_planner — and their
+# oracles: one copy, so the planner's target can never desynchronize
+# from the compaction plan's bins (code-review r7 s6 finding #5).
+_FILE_ROW_BYTES = 32
+_FILE_RB_SQL = f"{_FILE_ROW_BYTES} + coalesce(strlen(props), 0)"
+_FILE_DAY_SQL = "CAST(date_trunc('day', ts) AS DATE)"
+
+
+def _file_rb_col():
+    return F.lit(_FILE_ROW_BYTES) + F.coalesce(
+        F.octet_length("props"), F.lit(0)
+    )
+
+
+def _file_day_col():
+    return F.date_trunc("day", "ts").cast("date")
+
+
 _COMPACT_BINS = 40  # target ~8 bins per partition: tgt = total_bytes // 40
 
 
@@ -463,10 +483,8 @@ _COMPACT_BINS = 40  # target ~8 bins per partition: tgt = total_bytes // 40
     oracle=f"""
     WITH files AS (
       SELECT event_type,
-             CAST(date_trunc('day', ts) AS DATE) AS day,
-             CAST(count(*) * 32
-                  + coalesce(sum(strlen(props)), 0) AS BIGINT)
-               AS bytes
+             {_FILE_DAY_SQL} AS day,
+             CAST(sum({_FILE_RB_SQL}) AS BIGINT) AS bytes
       FROM events GROUP BY 1, 2
     ),
     t AS (
@@ -515,18 +533,8 @@ def compaction_bin_packing_plan(spark, sf_dir):
 
     ev = T(spark, sf_dir, "events")
     files = (
-        ev.groupBy(
-            "event_type",
-            F.date_trunc("day", "ts").cast("date").alias("day"),
-        )
-        .agg(
-            (
-                F.count("*") * 32
-                + F.coalesce(F.sum(F.octet_length("props")), F.lit(0))
-            )
-            .cast("long")
-            .alias("bytes")
-        )
+        ev.groupBy("event_type", _file_day_col().alias("day"))
+        .agg(F.sum(_file_rb_col()).cast("long").alias("bytes"))
         .persist()  # manifest-sized; read for the target scalar + the pack
     )
     total = files.agg(F.sum("bytes")).collect()[0][0]  # scale-ok: 1 scalar (manifest total)
@@ -578,8 +586,8 @@ def _dv_oracle() -> str:
     ),
     tagged AS (
       SELECT event_type,
-             CAST(date_trunc('day', ts) AS DATE) AS day,
-             32 + coalesce(strlen(props), 0) AS rb,
+             {_FILE_DAY_SQL} AS day,
+             {_FILE_RB_SQL} AS rb,
              user_id IN (SELECT k FROM forget) AS del
       FROM events
     ),
@@ -621,7 +629,9 @@ def _dv_oracle() -> str:
     "reports both strategies' bills: MoR writes a row-bitmap deletion "
     "vector (ceil(n_rows/8) + a 32-byte header, only for touched "
     "files) but every later reader scans file + DV "
-    "(mor_read_amplification vs the compacted survivor bytes); CoW "
+    "(mor_read_amplification vs the compacted survivor bytes; NULL for "
+    "a fully-deleted file — 0 survivor bytes leaves nothing to amplify "
+    "against, and both engines agree x/0 is NULL); CoW "
     "rewrites the surviving bytes once and readers pay nothing extra. "
     "Touched-file sparsity is what tips the tradeoff — untouched files "
     "cost 0 under both. Shape: the forget set is dim-sized and "
@@ -648,10 +658,8 @@ def deletion_vector_cost_report(spark, sf_dir):
     )
     ev = T(spark, sf_dir, "events").select(
         "event_type",
-        F.date_trunc("day", "ts").cast("date").alias("day"),
-        (F.lit(32) + F.coalesce(F.octet_length("props"), F.lit(0))).alias(
-            "rb"
-        ),
+        _file_day_col().alias("day"),
+        _file_rb_col().alias("rb"),
         "user_id",
     )
     tagged = ev.join(
@@ -1108,8 +1116,8 @@ def _maint_planner_oracle() -> str:
     return f"""
     WITH tagged AS (
       SELECT event_type,
-             CAST(date_trunc('day', ts) AS DATE) AS day,
-             32 + coalesce(strlen(props), 0) AS rb,
+             {_FILE_DAY_SQL} AS day,
+             {_FILE_RB_SQL} AS rb,
              {h} % 100 < {_DV_PCT} AS del
       FROM events
     ),
@@ -1176,10 +1184,8 @@ def lakehouse_maintenance_planner(spark, sf_dir):
 
     ev = T(spark, sf_dir, "events").select(
         "event_type",
-        F.date_trunc("day", "ts").cast("date").alias("day"),
-        (F.lit(32) + F.coalesce(F.octet_length("props"), F.lit(0))).alias(
-            "rb"
-        ),
+        _file_day_col().alias("day"),
+        _file_rb_col().alias("rb"),
         (
             hash60_seeded(F.col("user_id").cast("string"), _DV_SEED) % 100
             < _DV_PCT

@@ -684,8 +684,12 @@ def _dp_oracle() -> str:
         "AS VARCHAR)",
         seed=_DP_SEED,
     )
-    # u in [1/2^20, 1): never exactly 0/1; |u - 0.5| < 0.5 so ln(arg) > -inf
-    u = f"(({h} % {_DP_U}) + 1) / CAST({_DP_U} AS DOUBLE)"
+    # u = ((h mod (2^20 - 1)) + 1) / 2^20 lands in
+    # [1/2^20, (2^20-1)/2^20]: never 0 OR 1, so |u - 0.5| < 0.5 strictly
+    # and ln(1 - 2|u-0.5|) is finite. (A mod-2^20 draw could hit u = 1.0
+    # exactly — ln(0): DuckDB aborts, Spark returns NULL. Code-review
+    # r7 s6 finding #1.)
+    u = f"(({h} % {_DP_U - 1}) + 1) / CAST({_DP_U} AS DOUBLE)"
     return f"""
     WITH cells AS (
       SELECT event_type,
@@ -746,7 +750,7 @@ def dp_noisy_release_audit(spark, sf_dir):
         ),
         _DP_SEED,
     )
-    u = ((h % _DP_U) + 1) / F.lit(float(_DP_U))
+    u = ((h % (_DP_U - 1)) + 1) / F.lit(float(_DP_U))
     noise = (
         F.lit(-1.0 / _DP_EPS)
         * F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))

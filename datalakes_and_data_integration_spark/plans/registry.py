@@ -128,7 +128,13 @@ def register(
 # evidence the driver row will confirm next round). Also round-8 clause
 # (a): multimodal_phash_neardup — the deferred perceptual_hash
 # consolidation onto _block_mean_phash landed this session (identical
-# integer arithmetic; re-gated at 3 SFs in-session).
+# integer arithmetic; re-gated at 3 SFs in-session) — and, from the
+# session code-review pass (shared-builder consolidations, identical
+# arithmetic, all re-gated at 3 SFs in-session): distinct_count_hll,
+# hll_set_algebra, rolling_distinct_hll_7d (HLL estimate now routes
+# through hll_sum_aggs/hll_corrected_col). bitmap_distinct_rollup also
+# changed (bitmap_word_rows/bitmap_popcount_report) but sits in the
+# CURRENT window, so its round-7 driver row verifies the new code.
 WINDOW_ROUND = 7  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # policy clause (a): code changed since the newest green row

@@ -224,32 +224,11 @@ def distinct_count_hll(spark, sf_dir):
         "event_type", "reg", F.expr(_rho_case("val")).alias("rho")
     )
     regs = ranked.groupBy("event_type", "reg").agg(F.max("rho").alias("mrho"))
-    summed = regs.groupBy("event_type").agg(
-        F.sum(F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 55 - mrho) AS BIGINT)")).alias(
-            "s_present"
-        ),
-        F.count("*").alias("v_present"),
+    corrected = (
+        regs.groupBy("event_type")
+        .agg(*hll_sum_aggs())
+        .select("event_type", hll_corrected_col().alias("e"))
     )
-    e_raw = (
-        F.lit(_HLL_ALPHA)
-        * _HLL_M
-        * _HLL_M
-        * F.lit(float(1 << 55))
-        / (
-            F.col("s_present")
-            + (F.lit(_HLL_M).cast("bigint") - F.col("v_present"))
-            * F.lit(1 << 55).cast("bigint")
-        )
-    )
-    est = summed.select("event_type", e_raw.alias("e_raw"), "v_present")
-    e = F.when(
-        (F.col("e_raw") <= 2.5 * _HLL_M) & (F.col("v_present") < _HLL_M),
-        F.lit(float(_HLL_M))
-        * F.log(
-            F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("v_present"))
-        ),
-    ).otherwise(F.col("e_raw"))
-    corrected = est.select("event_type", e.alias("e"))
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_distinct")
     )
@@ -510,13 +489,24 @@ def _hll_regs_spark(ev, event_type: str):
     )
 
 
-def _hll_est_spark(regs, name: str):
-    summed = regs.agg(
+def hll_sum_aggs():
+    """The register-file reduction of the HLL estimate: integer-exact
+    harmonic sum + present-register count. THE single copy (with
+    hll_corrected_col) of the estimator arithmetic — the SQL twin is
+    _hll_est_duck; the streaming maintenance module and every HLL query
+    route through these so the estimate can never fork."""
+    return [
         F.sum(
             F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 55 - mrho) AS BIGINT)")
         ).alias("s_present"),
         F.count("*").alias("v_present"),
-    )
+    ]
+
+
+def hll_corrected_col():
+    """alpha-corrected estimate from (s_present, v_present), with the
+    linear-counting small-range branch — identical arithmetic to the
+    previous inline copies (expression-level refactor only)."""
     e_raw = (
         F.lit(_HLL_ALPHA)
         * _HLL_M
@@ -528,13 +518,15 @@ def _hll_est_spark(regs, name: str):
             * F.lit(1 << 55).cast("bigint")
         )
     )
-    est = summed.select(e_raw.alias("e_raw"), "v_present")
-    e = F.when(
-        (F.col("e_raw") <= 2.5 * _HLL_M) & (F.col("v_present") < _HLL_M),
+    return F.when(
+        (e_raw <= 2.5 * _HLL_M) & (F.col("v_present") < _HLL_M),
         F.lit(float(_HLL_M))
         * F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("v_present"))),
-    ).otherwise(F.col("e_raw"))
-    return est.select(e.alias(name))
+    ).otherwise(e_raw)
+
+
+def _hll_est_spark(regs, name: str):
+    return regs.agg(*hll_sum_aggs()).select(hll_corrected_col().alias(name))
 
 
 @register(
@@ -707,32 +699,11 @@ def rolling_distinct_hll_7d(spark, sf_dir):
         .groupBy("aday", "reg")
         .agg(F.max("mrho").alias("mrho"))
     )
-    summed = win.groupBy("aday").agg(
-        F.sum(
-            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 55 - mrho) AS BIGINT)")
-        ).alias("s_present"),
-        F.count("*").alias("v_present"),
+    corrected = (
+        win.groupBy("aday")
+        .agg(*hll_sum_aggs())
+        .select("aday", hll_corrected_col().alias("e"))
     )
-    e_raw = (
-        F.lit(_HLL_ALPHA)
-        * _HLL_M
-        * _HLL_M
-        * F.lit(float(1 << 55))
-        / (
-            F.col("s_present")
-            + (F.lit(_HLL_M).cast("bigint") - F.col("v_present"))
-            * F.lit(1 << 55).cast("bigint")
-        )
-    )
-    est = summed.select("aday", e_raw.alias("e_raw"), "v_present")
-    e = F.when(
-        (F.col("e_raw") <= 2.5 * _HLL_M) & (F.col("v_present") < _HLL_M),
-        F.lit(float(_HLL_M))
-        * F.log(
-            F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("v_present"))
-        ),
-    ).otherwise(F.col("e_raw"))
-    corrected = est.select("aday", e.alias("e"))
     du = ev.select(day.alias("uday"), "user_id").distinct()
     exact = (
         anchors.join(
@@ -889,6 +860,41 @@ def join_cardinality_estimate_audit(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+def bitmap_word_rows(df, group_col: str, key_col: str):
+    """(grp, w, bits) 63-bit bitmap word file for distinct ``key_col``
+    per ``group_col`` — THE single copy of the word-building idiom
+    (bitmap_distinct_rollup, the rolling-window query, and the
+    streaming maintenance module all route through it, so the
+    maintained state can never fork from the query path)."""
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.expr(f"{key_col} div 63").alias("w"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST({key_col} % 63 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("grp", "w")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+
+
+def bitmap_popcount_report(words, group_name: str):
+    """Per-group popcounts + the OR-merged ``__all__`` row from a word
+    file — the report half shared by the batch rollup and its streaming
+    maintenance twin."""
+    per = words.groupBy(F.col("grp").alias(group_name)).agg(
+        F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("n_users")
+    )
+    merged = (
+        words.groupBy("w")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+        .agg(F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("n_users"))
+        .select(F.lit("__all__").alias(group_name), "n_users")
+    )
+    return per.unionByName(merged)
+
+
 @register(
     "bitmap_distinct_rollup",
     oracle="""
@@ -917,28 +923,9 @@ def join_cardinality_estimate_audit(spark, sf_dir):
 )
 def bitmap_distinct_rollup(spark, sf_dir):
     ev = T(spark, sf_dir, "events").select("event_type", "user_id")
-    words = (
-        ev.groupBy(
-            "event_type", F.expr("user_id div 63").alias("w")
-        )
-        .agg(
-            F.expr(
-                "bit_or(shiftleft(CAST(1 AS BIGINT), "
-                "CAST(user_id % 63 AS INT)))"
-            ).alias("bits")
-        )
-        .persist()  # consumed by the per-type counts AND the OR-merge
-    )
-    per_type = words.groupBy("event_type").agg(
-        F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("n_users")
-    )
-    merged = (
-        words.groupBy("w")
-        .agg(F.expr("bit_or(bits)").alias("bits"))
-        .agg(F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("n_users"))
-        .select(F.lit("__all__").alias("event_type"), "n_users")
-    )
-    return per_type.unionByName(merged)
+    words = bitmap_word_rows(ev, "event_type", "user_id").persist()
+    # persist: consumed by the per-type counts AND the OR-merge
+    return bitmap_popcount_report(words, "event_type")
 
 
 # --------------------------------------------------------------------------
@@ -1003,15 +990,15 @@ def bitmap_distinct_rollup(spark, sf_dir):
 def rolling_exact_distinct_users_7d(spark, sf_dir):
     ev = T(spark, sf_dir, "events")
     words = (
-        ev.select(
-            F.date_trunc("day", "ts").cast("date").alias("day"),
-            F.expr("user_id div 63").alias("w"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))"
-            ).alias("bit"),
+        bitmap_word_rows(
+            ev.select(
+                F.date_trunc("day", "ts").cast("date").alias("day"),
+                "user_id",
+            ),
+            "day",
+            "user_id",
         )
-        .groupBy("day", "w")
-        .agg(F.expr("bit_or(bit)").alias("bits"))
+        .withColumnRenamed("grp", "day")
         .persist()  # consumed by the 1d counts AND the 7-anchor scatter
     )
     daily = words.groupBy("day").agg(

@@ -949,15 +949,8 @@ def streaming_bitmap_distinct_maintenance(spark, sf_dir):
         words = merge_bitmap_state(
             spark, state, bitmap_words(batch, "event_type", "user_id")
         )
-    per_type = words.groupBy(F.col("grp").alias("event_type")).agg(
-        F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("n_users")
+    from datalakes_and_data_integration_spark.plans.sketches import (
+        bitmap_popcount_report,
     )
-    merged = (
-        words.groupBy("w")
-        .agg(F.expr("bit_or(bits)").alias("bits"))
-        .agg(
-            F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("n_users")
-        )
-        .select(F.lit("__all__").alias("event_type"), "n_users")
-    )
-    return per_type.unionByName(merged)
+
+    return bitmap_popcount_report(words, "event_type")

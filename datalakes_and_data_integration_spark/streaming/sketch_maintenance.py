@@ -18,19 +18,26 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datalakes_and_data_integration_spark.plans.sketches import (
-    _HLL_M,
-    _HLL_VBITS,
-    _rho_case,
-)
 from datalakes_and_data_integration_spark.functions.hashing import (
     hash60_sql_spark,
 )
+
+# plans.sketches is imported INSIDE the functions below, not at module
+# level: importing it registers every sketches.py query, and this module
+# is itself imported at decoration time by streaming_extra's oracle
+# builders — a module-level import here would reorder the registry tail
+# relative to the order plans/__init__.py declares (code-review r7 s6).
 
 
 def hll_registers(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
     """(group, reg, mrho) register file for distinct ``key_col`` per
     ``group_col`` — same hash family as plans/sketches.distinct_count_hll."""
+    from datalakes_and_data_integration_spark.plans.sketches import (
+        _HLL_M,
+        _HLL_VBITS,
+        _rho_case,
+    )
+
     h = hash60_sql_spark(f"CAST({key_col} AS STRING)", seed=7)
     hashed = df.select(
         F.col(group_col).alias("grp"),
@@ -68,33 +75,19 @@ def merge_hll_state(
 
 
 def hll_estimate(regs: DataFrame) -> DataFrame:
-    """(grp, hll_est) corrected estimates from a register file — the
-    same integer-exact harmonic sum as distinct_count_hll."""
-    alpha = 0.709
-    summed = regs.groupBy("grp").agg(
-        F.sum(
-            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 55 - mrho) AS BIGINT)")
-        ).alias("s_present"),
-        F.count("*").alias("v_present"),
+    """(grp, hll_est) corrected estimates from a register file — routed
+    through plans/sketches' hll_sum_aggs/hll_corrected_col so the
+    maintained estimate can never fork from the query-path one."""
+    from datalakes_and_data_integration_spark.plans.sketches import (
+        hll_corrected_col,
+        hll_sum_aggs,
     )
-    e_raw = (
-        F.lit(alpha)
-        * _HLL_M
-        * _HLL_M
-        * F.lit(float(1 << 55))
-        / (
-            F.col("s_present")
-            + (F.lit(_HLL_M).cast("bigint") - F.col("v_present"))
-            * F.lit(1 << 55).cast("bigint")
-        )
+
+    return (
+        regs.groupBy("grp")
+        .agg(*hll_sum_aggs())
+        .select("grp", F.round(hll_corrected_col(), 4).alias("hll_est"))
     )
-    est = summed.select("grp", e_raw.alias("e_raw"), "v_present")
-    e = F.when(
-        (F.col("e_raw") <= 2.5 * _HLL_M) & (F.col("v_present") < _HLL_M),
-        F.lit(float(_HLL_M))
-        * F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("v_present"))),
-    ).otherwise(F.col("e_raw"))
-    return est.select("grp", F.round(e, 4).alias("hll_est"))
 
 
 # --------------------------------------------------------------------------
@@ -204,10 +197,18 @@ def cms_lookup(keys: DataFrame, sketch: DataFrame, key_col: str) -> DataFrame:
             "seed", "bucket"
         ),
     )
+    # LEFT join: a probed (seed, bucket) with no sketch row means no key
+    # ever hashed there — its count is 0, and the CMS min must see it
+    # (an inner join would drop never-seen keys entirely, or overstate
+    # keys with only some empty buckets; code-review r7 s6).
     return (
-        probed.join(F.broadcast(sketch), ["seed", "bucket"])
+        probed.join(F.broadcast(sketch), ["seed", "bucket"], "left")
         .groupBy(*keys.columns)
-        .agg(F.min("total").alias("cms_est"))
+        .agg(
+            F.min(F.coalesce("total", F.lit(0).cast("long"))).alias(
+                "cms_est"
+            )
+        )
     )
 
 
@@ -221,20 +222,14 @@ def cms_lookup(keys: DataFrame, sketch: DataFrame, key_col: str) -> DataFrame:
 
 
 def bitmap_words(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
-    """(grp, w, bits) 63-bit bitmap word file for distinct ``key_col``
-    per ``group_col`` — plans/sketches.bitmap_distinct_rollup's state,
-    factored for incremental maintenance."""
-    return (
-        df.select(
-            F.col(group_col).alias("grp"),
-            F.expr(f"{key_col} div 63").alias("w"),
-            F.expr(
-                f"shiftleft(CAST(1 AS BIGINT), CAST({key_col} % 63 AS INT))"
-            ).alias("bit"),
-        )
-        .groupBy("grp", "w")
-        .agg(F.expr("bit_or(bit)").alias("bits"))
+    """(grp, w, bits) word file — delegates to plans/sketches'
+    bitmap_word_rows (the single copy of the idiom) so maintained state
+    and query path are provably the same construction."""
+    from datalakes_and_data_integration_spark.plans.sketches import (
+        bitmap_word_rows,
     )
+
+    return bitmap_word_rows(df, group_col, key_col)
 
 
 def merge_bitmap_state(

@@ -157,7 +157,14 @@ def test_deletion_vector_costs_are_conserving_and_gated(spark):
         else:
             assert r.dv_bytes == (r.n_rows + 7) // 8 + 32
             assert r.cow_write_bytes == r.surviving_bytes
-            assert r.mor_read_amplification > 1.0
+            if r.surviving_bytes == 0:
+                # fully-deleted file: nothing to amplify against — the
+                # metric is NULL by declared semantics (x/0 in both
+                # engines); not reachable on the current fixtures but
+                # guarded so a corpus change can't crash this test
+                assert r.mor_read_amplification is None
+            else:
+                assert r.mor_read_amplification > 1.0
 
 
 def test_data_skipping_shows_the_layout_asymmetry(spark):
@@ -417,8 +424,9 @@ def test_knn_graph_stats_conserve_edges_and_bound_reciprocity(spark):
 def test_dp_release_noise_is_laplace_shaped_and_bounded(spark):
     """Released = true + noise with |noise| == abs_noise; the seeded
     inverse-CDF draw must produce BOTH signs across cells, every noise
-    magnitude must be finite and <= (1/eps) * ln(2^20) (the grid's
-    extreme-u bound), and epsilon must be constant."""
+    magnitude must be finite and <= (1/eps) * ln(2^19) (the extreme-u
+    bound of the 0/1-excluding grid — the code-review #1 fix), and
+    epsilon must be constant."""
     import math as m
 
     from datalakes_and_data_integration_spark.plans.quality import (
@@ -430,7 +438,7 @@ def test_dp_release_noise_is_laplace_shaped_and_bounded(spark):
     rows = dp_noisy_release_audit(spark, SF).collect()
     assert rows
     signs = set()
-    bound = (1.0 / _DP_EPS) * m.log(_DP_U)
+    bound = (1.0 / _DP_EPS) * m.log(_DP_U / 2.0)
     for r in rows:
         assert r.epsilon == _DP_EPS
         d = r.released_count - r.true_count

@@ -123,7 +123,8 @@ def register(
 # incremental_join_view_maintenance, cube_distinct_hll,
 # table_diff_merkle, streaming_bitmap_distinct_maintenance,
 # knn_graph_degree_stats, dp_noisy_release_audit,
-# histogram_quantile_audit, lakehouse_maintenance_planner — each
+# histogram_quantile_audit, lakehouse_maintenance_planner,
+# ann_topk_graph_search — each
 # triple-SF gated by tools/check_correctness.py in-session (the advance
 # evidence the driver row will confirm next round). Also round-8 clause
 # (a): multimodal_phash_neardup — the deferred perceptual_hash

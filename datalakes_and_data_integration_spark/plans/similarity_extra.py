@@ -2609,3 +2609,169 @@ def knn_graph_degree_stats(spark, sf_dir):
             F.sum("recip_edges").cast("double") / (F.count("*") * 5), 6
         ).alias("recip_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph-based ANN search (the HNSW/NSW family): greedy beam search over
+# the kNN graph — the fourth index family next to brute/LSH and IVF/PQ.
+# ---------------------------------------------------------------------------
+
+_GS_BEAM = 16  # frontier width per query per hop
+_GS_HOPS = 8  # fixed expansion rounds (bounded, so the oracle unrolls)
+
+
+def _graph_search_oracle() -> str:
+    from datalakes_and_data_integration_spark.plans.registry import QUERIES
+    from datalakes_and_data_integration_spark.plans.similarity import (
+        _TOPK,
+        _dot_duck,
+        _norm2_duck,
+    )
+
+    ex = QUERIES["ann_topk_bruteforce_hybrid"].oracle
+    dot = _dot_duck("q.qe", "n.embedding")
+    parts = [
+        f"WITH ex AS ({ex}),",
+        "gedges AS (SELECT vec_id AS src, neighbor_id AS dst FROM ex),",
+        "gnormed AS (SELECT vec_id, embedding, "
+        f"sqrt({_norm2_duck('embedding')}) AS nrm FROM embeddings),",
+        "gq AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn "
+        "FROM gnormed),",
+        "gentry AS (SELECT min(vec_id) AS node FROM embeddings),",
+        "s0 AS (SELECT q.qid, n.vec_id AS node, "
+        f"round({dot} / q.qn / n.nrm, 6) AS sc "
+        "FROM gq q CROSS JOIN gentry ge "
+        "JOIN gnormed n ON n.vec_id = ge.node),",
+        "f0 AS (SELECT qid, node FROM s0),",
+    ]
+    for i in range(1, _GS_HOPS + 1):
+        parts.append(
+            f"c{i} AS (SELECT DISTINCT f.qid, e.dst AS node "
+            f"FROM f{i - 1} f JOIN gedges e ON e.src = f.node),"
+        )
+        parts.append(
+            f"s{i} AS (SELECT DISTINCT qid, node, sc FROM ("
+            f"SELECT qid, node, sc FROM s{i - 1} UNION ALL "
+            f"SELECT c.qid, c.node, round({dot} / q.qn / n.nrm, 6) "
+            f"FROM c{i} c JOIN gq q ON q.qid = c.qid "
+            f"JOIN gnormed n ON n.vec_id = c.node)),"
+        )
+        parts.append(
+            f"f{i} AS (SELECT qid, node FROM ("
+            f"SELECT qid, node, row_number() OVER (PARTITION BY qid "
+            f"ORDER BY sc DESC, node) AS rn FROM s{i}) "
+            f"WHERE rn <= {_GS_BEAM}),"
+        )
+    parts.append(
+        "final AS (SELECT qid, node, sc, row_number() OVER ("
+        "PARTITION BY qid ORDER BY sc DESC, node) AS rank "
+        f"FROM s{_GS_HOPS} WHERE node <> qid)"
+    )
+    parts.append(
+        "SELECT qid AS vec_id, node AS neighbor_id, sc AS cos_sim, rank "
+        f"FROM final WHERE rank <= {_TOPK}"
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "ann_topk_graph_search",
+    oracle=_graph_search_oracle(),
+    description=f"Graph-based ANN (the HNSW/NSW family — the fourth "
+    "index shape next to brute-force, hyperplane LSH, and IVF/PQ): "
+    f"greedy beam search over the exact top-5 kNN graph, beam "
+    f"{_GS_BEAM}, {_GS_HOPS} fixed hops from a single global entry "
+    "point (min vec_id) - each hop expands the frontier's out-edges, "
+    "re-scores candidates with the shared sequential-fold cosine, and "
+    "keeps the best beam; results are the top-5 of everything reached. "
+    "Deterministic end-to-end: rounded scores with id tie-breaks at "
+    "every selection, so the bounded-hop loop unrolls into a plain SQL "
+    "CTE chain the oracle replays move for move. Scale: per hop the "
+    "frame is O(queries x beam x k) rows — search cost is independent "
+    "of corpus size given the graph (THE graph-ANN selling point; "
+    "building the exact graph is the declared one-off, hybrid-kernel "
+    "priced in knn_graph_degree_stats). Recall on the weakly-clustered "
+    "corpus is measured by test against exact truth — single-entry "
+    "greedy search trades recall for hops, exactly the knob "
+    "hierarchical layers (the H in HNSW) exist to fix.",
+    tags=("similarity", "ann", "graph", "llm-pipeline"),
+)
+def ann_topk_graph_search(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans.similarity import (
+        _TOPK,
+        _dot_spark,
+        _norm2_spark,
+        ann_topk_bruteforce_hybrid,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    normed = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(f"sqrt({_norm2_spark('embedding')})").alias("nrm"),
+    ).persist()  # scored every hop
+    qf = normed.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    nb = normed.select(
+        F.col("vec_id").alias("node"),
+        F.col("embedding").alias("nemb"),
+        F.col("nrm").alias("nnrm"),
+    )
+    edges = (
+        ann_topk_bruteforce_hybrid(spark, sf_dir)
+        .select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
+        .persist()  # expanded once per hop
+    )
+    entry = normed.agg(F.min("vec_id").alias("node"))
+    cos = (
+        F.round(
+            F.expr(_dot_spark("qe", "nemb"))
+            / F.col("qn")
+            / F.col("nnrm"),
+            6,
+        )
+    ).alias("sc")
+
+    def score(pairs):
+        return pairs.join(qf, "qid").join(nb, "node").select(
+            "qid", "node", cos
+        )
+
+    # scale-ok: 1-row entry frame fanned to every query
+    scored = score(
+        qf.select("qid").crossJoin(F.broadcast(entry))
+    ).localCheckpoint()
+    wq = Window.partitionBy("qid").orderBy(F.col("sc").desc(), "node")
+    for _ in range(_GS_HOPS):
+        frontier = (
+            scored.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= _GS_BEAM)
+            .select("qid", "node")
+        )
+        cand = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select("qid", F.col("dst").alias("node"))
+            .distinct()
+        )
+        # identical (qid, node) pairs re-score to the identical rounded
+        # double, so distinct() collapses re-reached nodes exactly
+        scored = (
+            scored.unionByName(score(cand)).distinct().localCheckpoint()
+        )
+    return (
+        scored.filter(F.col("node") != F.col("qid"))
+        .withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= _TOPK)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("node").alias("neighbor_id"),
+            F.col("sc").alias("cos_sim"),
+            "rank",
+        )
+    )

@@ -64,6 +64,7 @@ LADDER = [
     "ann_nprobe_recall_curve",
     # round-7 sixth session
     "knn_graph_degree_stats",
+    "ann_topk_graph_search",
 ]
 
 

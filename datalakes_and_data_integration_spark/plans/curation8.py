@@ -313,3 +313,169 @@ def ranking_agreement_rbo(spark, sf_dir):
         F.expr(f"CAST((1000 * coalesce(s, 0)) div {_RBO_MAX} AS BIGINT)")
         .alias("rbo5_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-scorer agreement: which filter do you trust? Pairwise exact
+# Spearman between the three independent per-document quality signals.
+# ---------------------------------------------------------------------------
+
+_QSA_PAIRS = (
+    ("quality", "cross_entropy"),
+    ("quality", "rarity"),
+    ("cross_entropy", "rarity"),
+)
+
+
+def _qsa_oracle() -> str:
+    from datalakes_and_data_integration_spark.plans.registry import QUERIES
+
+    q1 = QUERIES["text_quality_score"].oracle
+    q2 = QUERIES["ngram_lm_perplexity"].oracle
+    q3 = QUERIES["doc_rarity_score"].oracle
+
+    def ranked(i: int, src: str, col: str) -> str:
+        # doubled midranks: ranks cb+1..cb+cnt for a tied score value
+        # average to (2*cb + cnt + 1) / 2 — doubled keeps them integer
+        return f"""
+    g{i} AS (SELECT {col} AS sc, count(*) AS cnt FROM {src} GROUP BY 1),
+    w{i} AS (
+      SELECT sc, cnt,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY sc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cb
+      FROM g{i}
+    ),
+    d{i} AS (
+      SELECT s.doc_id, 2 * w.cb + w.cnt + 1 AS dm
+      FROM {src} s JOIN w{i} w ON w.sc = s.{col}
+    )"""
+
+    def leg(a: str, b: str, da: str, db: str) -> str:
+        return f"""
+      SELECT '{a}' AS scorer_a, '{b}' AS scorer_b,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             round(
+               (CAST(count(*) AS DOUBLE)
+                  * CAST(sum(CAST({da}.dm AS DECIMAL(18,0))
+                             * CAST({db}.dm AS DECIMAL(18,0))) AS DOUBLE)
+                - CAST(sum(CAST({da}.dm AS DECIMAL(18,0))) AS DOUBLE)
+                  * CAST(sum(CAST({db}.dm AS DECIMAL(18,0))) AS DOUBLE))
+               / sqrt(
+                 (CAST(count(*) AS DOUBLE)
+                    * CAST(sum(CAST({da}.dm AS DECIMAL(18,0))
+                               * CAST({da}.dm AS DECIMAL(18,0))) AS DOUBLE)
+                  - CAST(sum(CAST({da}.dm AS DECIMAL(18,0))) AS DOUBLE)
+                    * CAST(sum(CAST({da}.dm AS DECIMAL(18,0))) AS DOUBLE))
+                 * (CAST(count(*) AS DOUBLE)
+                    * CAST(sum(CAST({db}.dm AS DECIMAL(18,0))
+                               * CAST({db}.dm AS DECIMAL(18,0))) AS DOUBLE)
+                  - CAST(sum(CAST({db}.dm AS DECIMAL(18,0))) AS DOUBLE)
+                    * CAST(sum(CAST({db}.dm AS DECIMAL(18,0))) AS DOUBLE))),
+               6) AS spearman_rho
+      FROM d1 JOIN d2 ON d2.doc_id = d1.doc_id
+      JOIN d3 ON d3.doc_id = d1.doc_id"""
+
+    names = {"quality": "d1", "cross_entropy": "d2", "rarity": "d3"}
+    legs = " UNION ALL ".join(
+        leg(a, b, names[a], names[b]) for a, b in _QSA_PAIRS
+    )
+    return f"""
+    WITH qs1 AS ({q1}),
+    qs2 AS ({q2}),
+    qs3 AS ({q3}),
+    {ranked(1, 'qs1', 'quality')},
+    {ranked(2, 'qs2', 'cross_entropy')},
+    {ranked(3, 'qs3', 'rarity')}
+    {legs}
+    """
+
+
+@register(
+    "quality_scorer_agreement",
+    oracle=_qsa_oracle(),
+    description="Quality-scorer agreement audit — the 'which filter do "
+    "you trust' table a curation pipeline reads before composing "
+    "filters: pairwise EXACT Spearman rank correlation between the "
+    "three independent per-document quality signals (heuristic "
+    "quality score, bigram-LM cross-entropy, document rarity), "
+    "computed on integer doubled midranks (ties get the exact "
+    "midrank, the mannwhitney recipe) with exact-decimal sums cast to "
+    "double only for the final Pearson-on-ranks formula — "
+    "deterministic cross-engine. Low |rho| means the filters capture "
+    "DIFFERENT failure modes (compose them); high |rho| means one is "
+    "redundant. Shape: three scorer passes (each one scan), midranks "
+    "from DISTINCT-value cumulative counts (bounded sort), one "
+    "doc-keyed join, three aggregate legs over it.",
+    tags=("quality", "audit", "statistics", "llm-pipeline"),
+)
+def quality_scorer_agreement(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from datalakes_and_data_integration_spark.plans.curation2 import (
+        doc_rarity_score,
+    )
+    from datalakes_and_data_integration_spark.plans.lm import (
+        ngram_lm_perplexity,
+    )
+    from datalakes_and_data_integration_spark.plans.text import (
+        text_quality_score,
+    )
+
+    def ranks(df, col):
+        g = df.groupBy(F.col(col).alias("sc")).agg(F.count("*").alias("cnt"))
+        wv = Window.orderBy("sc").rowsBetween(Window.unboundedPreceding, -1)  # scale-ok: DISTINCT score values (bounded sort; see description)
+        w = g.withColumn(
+            "cb", F.coalesce(F.sum("cnt").over(wv), F.lit(0)).cast("long")
+        )
+        return df.select("doc_id", F.col(col).alias("sc")).join(
+            w, "sc"
+        ).select(
+            "doc_id",
+            (2 * F.col("cb") + F.col("cnt") + 1).cast("long").alias("dm"),
+        )
+
+    d1 = ranks(text_quality_score(spark, sf_dir), "quality")
+    d2 = ranks(ngram_lm_perplexity(spark, sf_dir), "cross_entropy")
+    d3 = ranks(doc_rarity_score(spark, sf_dir), "rarity")
+    joined = (
+        d1.withColumnRenamed("dm", "dm1")
+        .join(d2.withColumnRenamed("dm", "dm2"), "doc_id")
+        .join(d3.withColumnRenamed("dm", "dm3"), "doc_id")
+        .persist()  # three aggregate legs read it
+    )
+
+    def leg(a, b, ca, cb_):
+        dmA = F.col(ca).cast("decimal(18,0)")
+        dmB = F.col(cb_).cast("decimal(18,0)")
+        agg = joined.agg(
+            F.count("*").alias("n"),
+            F.sum(dmA * dmB).alias("sab"),
+            F.sum(dmA).alias("sa"),
+            F.sum(dmB).alias("sb"),
+            F.sum(dmA * dmA).alias("saa"),
+            F.sum(dmB * dmB).alias("sbb"),
+        )
+        n = F.col("n").cast("double")
+        sab = F.col("sab").cast("double")
+        sa = F.col("sa").cast("double")
+        sb = F.col("sb").cast("double")
+        saa = F.col("saa").cast("double")
+        sbb = F.col("sbb").cast("double")
+        return agg.select(
+            F.lit(a).alias("scorer_a"),
+            F.lit(b).alias("scorer_b"),
+            F.col("n").cast("long").alias("n_docs"),
+            F.round(
+                (n * sab - sa * sb)
+                / F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)),
+                6,
+            ).alias("spearman_rho"),
+        )
+
+    cols = {"quality": "dm1", "cross_entropy": "dm2", "rarity": "dm3"}
+    out = None
+    for a, b in _QSA_PAIRS:
+        piece = leg(a, b, cols[a], cols[b])
+        out = piece if out is None else out.unionByName(piece)
+    return out

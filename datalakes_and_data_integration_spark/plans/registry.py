@@ -124,7 +124,7 @@ def register(
 # table_diff_merkle, streaming_bitmap_distinct_maintenance,
 # knn_graph_degree_stats, dp_noisy_release_audit,
 # histogram_quantile_audit, lakehouse_maintenance_planner,
-# ann_topk_graph_search — each
+# ann_topk_graph_search, quality_scorer_agreement — each
 # triple-SF gated by tools/check_correctness.py in-session (the advance
 # evidence the driver row will confirm next round). Also round-8 clause
 # (a): multimodal_phash_neardup — the deferred perceptual_hash

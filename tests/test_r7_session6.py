@@ -554,3 +554,67 @@ def test_graph_search_scores_are_exact_and_recall_holds(spark):
     hits = sum(1 for r in got if (r.vec_id, r.neighbor_id) in ex_pairs)
     recall = hits / len(ex_pairs)
     assert recall >= 0.85, recall
+
+
+def test_scorer_agreement_matches_a_direct_python_spearman(spark):
+    """The doubled-midrank Spearman must equal a direct Python
+    computation (midranks + Pearson) for every pair, the pair set must
+    be complete, and every rho must be a valid correlation."""
+    from datalakes_and_data_integration_spark.plans.curation2 import (
+        doc_rarity_score,
+    )
+    from datalakes_and_data_integration_spark.plans.curation8 import (
+        _QSA_PAIRS,
+        quality_scorer_agreement,
+    )
+    from datalakes_and_data_integration_spark.plans.lm import (
+        ngram_lm_perplexity,
+    )
+    from datalakes_and_data_integration_spark.plans.text import (
+        text_quality_score,
+    )
+
+    rows = {
+        (r.scorer_a, r.scorer_b): r
+        for r in quality_scorer_agreement(spark, SF).collect()
+    }
+    assert set(rows) == set(_QSA_PAIRS)
+
+    scores = {
+        "quality": {
+            r.doc_id: r.quality for r in text_quality_score(spark, SF).collect()
+        },
+        "cross_entropy": {
+            r.doc_id: r.cross_entropy
+            for r in ngram_lm_perplexity(spark, SF).collect()
+        },
+        "rarity": {
+            r.doc_id: r.rarity for r in doc_rarity_score(spark, SF).collect()
+        },
+    }
+
+    def midranks(vals):
+        order = sorted(set(vals))
+        cum, mr = 0, {}
+        for v in order:
+            cnt = sum(1 for x in vals if x == v)
+            mr[v] = 2 * cum + cnt + 1  # doubled midrank
+            cum += cnt
+        return [mr[v] for v in vals]
+
+    for (a, b), r in rows.items():
+        docs = sorted(scores[a])
+        va = [scores[a][d] for d in docs]
+        vb = [scores[b][d] for d in docs]
+        ra, rb = midranks(va), midranks(vb)
+        n = len(docs)
+        assert r.n_docs == n
+        sab = sum(x * y for x, y in zip(ra, rb))
+        sa, sb = sum(ra), sum(rb)
+        saa = sum(x * x for x in ra)
+        sbb = sum(y * y for y in rb)
+        rho = (n * sab - sa * sb) / math.sqrt(
+            (n * saa - sa * sa) * (n * sbb - sb * sb)
+        )
+        assert abs(r.spearman_rho - round(rho, 6)) <= 2e-6, (a, b)
+        assert -1.0 <= r.spearman_rho <= 1.0

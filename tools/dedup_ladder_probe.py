@@ -72,6 +72,8 @@ LADDER = [
     "doc_code_switch_profile",
     "dedup_weight_preservation",
     "multimodal_keyframe_phash_dedup",
+    # round-7 sixth session
+    "quality_scorer_agreement",
 ]
 
 

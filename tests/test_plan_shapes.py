@@ -193,3 +193,27 @@ def test_r7_session3_newcomer_plan_shapes(spark, queries):
 
     plan = _plan(spark, queries, "dim_asof_enrichment")
     assert "CartesianProduct" not in plan
+
+
+def test_bench_summary_line_fits_driver_tail():
+    """VERDICT r7 #1: the driver keeps only ~2 KB of stdout and parses
+    the LAST JSON line; the 42-key per-query map outgrew that (2,852
+    bytes, BENCH_r07 "parsed": null). The compact summary line must stay
+    comfortably under the tail no matter how many bench keys register,
+    and the detail object must carry every per-query number."""
+    import json
+
+    import bench
+    from datalakes_and_data_integration_spark import plans
+
+    names = [n for n, q in plans.QUERIES.items() if q.bench]
+    assert names, "no bench-flagged queries"
+    times = {n: 123.456 for n in names}
+    cold = {n: 123.456 for n in names}
+    detail, summary = bench.build_outputs(times, cold, 0.1, 0.577, 0.337)
+    line = json.dumps(summary)
+    assert len(line) < 1000, f"summary line {len(line)} bytes"
+    assert summary["n_queries"] == len(names)
+    assert summary["value"] == detail["value"]
+    assert set(detail["queries"]) == set(names)
+    assert set(detail["cold_queries"]) == set(names)

@@ -136,122 +136,87 @@ def register(
 # through hll_sum_aggs/hll_corrected_col). bitmap_distinct_rollup also
 # changed (bitmap_word_rows/bitmap_popcount_report) but sits in the
 # CURRENT window, so its round-7 driver row verifies the new code.
-WINDOW_ROUND = 7  # the driver round this window was built for
+# ROUND-8 WINDOW. Clause (a) — changed/never-verified code carries fresh
+# driver evidence: the 16 session-6 newcomers that registered BEHIND the
+# full round-7 window (each triple-SF gated in-session at registration;
+# see CORRECTNESS_r07_s6.json for the committed advance evidence), plus
+# multimodal_phash_neardup (the r7 _block_mean_phash consolidation) and
+# distinct_count_hll / hll_set_algebra / rolling_distinct_hll_7d (the r7
+# hll_sum_aggs/hll_corrected_col consolidation) whose newest green rows
+# predate that changed code, plus ann_topk_ivfadc_residual (round-8
+# _mk_res_scan batching: the per-probed-list query-ADC tables collapse
+# into one array-slot lookup — VERDICT r7 #5). ann_topk_graph_search /
+# knn_graph_degree_stats also change this round (LSH-seeded NN-descent
+# graph build — VERDICT r7 #2) but are already in the newcomer 16.
+# Clause (b) — the 28 remaining slots take the oldest-green cohort:
+# the full 21-query round-1 cohort (topn_orders_per_customer + the tpch
+# suite + union_dedup_events + user_first_last_event +
+# value_histogram/percentiles — none re-verified since r1) and the first
+# 7 of the 31-query round-2 cohort alphabetically. 22 + 28 = 50.
+WINDOW_ROUND = 8  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
-    # policy clause (a): code changed since the newest green row
-    "ann_topk_pq",
-    "ann_topk_ivfadc",
+    # session-6 newcomers: no driver row exists yet (clause (a) by
+    # definition; independently verified green at 3 SFs in-session and
+    # by the round-7 judge)
+    "rolling_exact_distinct_users_7d",
+    "compaction_bin_packing_plan",
+    "deletion_vector_cost_report",
+    "data_skipping_effectiveness",
+    "streaming_heavy_hitters_cms",
+    "cbo_stats_selectivity_audit",
+    "incremental_join_view_maintenance",
+    "cube_distinct_hll",
+    "table_diff_merkle",
+    "streaming_bitmap_distinct_maintenance",
+    "knn_graph_degree_stats",
+    "dp_noisy_release_audit",
+    "histogram_quantile_audit",
+    "lakehouse_maintenance_planner",
+    "ann_topk_graph_search",
+    "quality_scorer_agreement",
+    # r7 consolidations whose green rows predate the changed code
+    "multimodal_phash_neardup",
+    "distinct_count_hll",
+    "hll_set_algebra",
+    "rolling_distinct_hll_7d",
+    # round-8 change: residual ADC batching (VERDICT r7 #5)
     "ann_topk_ivfadc_residual",
-    "ann_topk_ivf",
-    "ann_retrieval_quality_report",
-    "dedup_tier_overlap_report",
-    "dedup_containment_pairs",
-    "dedup_minhash_lsh",
-    "dedup_cluster_assignment",
-    # round-7 newcomers: no green row exists yet
-    "ann_index_health_report",
-    "streaming_decontamination_gate",
-    "semantic_dedup_assignment",
-    "prototypicality_pruning",
-    "lexical_topk_retrieval",
-    "hybrid_retrieval_rrf",
-    "scd2_dimension_build",
-    "embedding_corpus_manifest",
-    "dedup_span_rewrite",
-    "doc_novelty_score",
-    "token_budget_mixture_sample",
-    "streaming_scd2_upsert",
-    "streaming_ivf_ingest",
-    "cluster_label_purity",
-    "gdpr_delete_manifest",
-    "minhash_estimate_audit",
-    "attribution_multi_touch",
-    "dim_snapshot_diff",
-    "lsh_band_tradeoff_report",
-    "user_lifespan_survival",
-    "dim_asof_enrichment",
-    "order_backlog_curve",
-    "join_cardinality_estimate_audit",
-    # round-7 fourth session newcomers
-    "skyline_pareto_frontier",
-    "zorder_layout_plan",
-    "dup_chain_depth",
-    "importance_resampling_weights",
-    "bitmap_distinct_rollup",
-    "dedup_prefix_filter_join",
-    "t_closeness_audit",
-    "ranking_agreement_rbo",
-    "ann_dim_truncation_report",
-    # clause (a): _jaccard_oracle grew a threshold parameter for the
-    # prefix-filter twin — this query's registered SQL/plan are byte-
-    # identical (default arg), but changed builder code carries fresh
-    # driver evidence per the standing policy
-    "dedup_ngram_jaccard_join",
-    "snapshot_retention_plan",
-    "km_hazard_table",
-    # round-7 fifth session newcomers
-    "watermark_lateness_profile",
-    "cdc_merge_apply",
-    "doc_code_switch_profile",
-    "dedup_weight_preservation",
-    "multimodal_keyframe_phash_dedup",
-    "ann_nprobe_recall_curve",
+    # round-8 newcomer: edge recall of the sub-quadratic graph build
+    # vs the exact graph (VERDICT r7 #2's measurement companion)
+    "knn_graph_build_quality",
 ]
 WINDOW_PRIORITY: list[str] = [
-    "ann_topk_pq",
-    "ann_topk_ivfadc",
-    "ann_topk_ivfadc_residual",
-    "ann_topk_ivf",
-    "ann_retrieval_quality_report",
-    "dedup_tier_overlap_report",
-    "dedup_containment_pairs",
-    "dedup_minhash_lsh",
-    "dedup_cluster_assignment",
-    "ann_index_health_report",
-    "streaming_decontamination_gate",
-    "semantic_dedup_assignment",
-    "prototypicality_pruning",
-    "lexical_topk_retrieval",
-    "hybrid_retrieval_rrf",
-    "scd2_dimension_build",
-    "embedding_corpus_manifest",
-    "dedup_span_rewrite",
-    "doc_novelty_score",
-    "token_budget_mixture_sample",
-    "streaming_scd2_upsert",
-    "streaming_ivf_ingest",
-    "cluster_label_purity",
-    "gdpr_delete_manifest",
-    "minhash_estimate_audit",
-    "attribution_multi_touch",
-    "dim_snapshot_diff",
-    "lsh_band_tradeoff_report",
-    "user_lifespan_survival",
-    "dim_asof_enrichment",
-    "order_backlog_curve",
-    "join_cardinality_estimate_audit",
-    "skyline_pareto_frontier",
-    "zorder_layout_plan",
-    "dup_chain_depth",
-    "importance_resampling_weights",
-    "bitmap_distinct_rollup",
-    "dedup_prefix_filter_join",
-    "t_closeness_audit",
-    "ranking_agreement_rbo",
-    "ann_dim_truncation_report",
-    "dedup_ngram_jaccard_join",
-    "snapshot_retention_plan",
-    "km_hazard_table",
-    "watermark_lateness_profile",
-    "cdc_merge_apply",
-    "doc_code_switch_profile",
-    "dedup_weight_preservation",
-    "multimodal_keyframe_phash_dedup",
-    "ann_nprobe_recall_curve",
-    # cohort: none this round — the 50 slots are fully consumed by
-    # clause (a) (44 carried from sessions 1-4 + 6 fifth-session
-    # newcomers); topn_orders_per_customer (r1) yields and heads the
-    # round-8 oldest cohort
+    *ROUND_CHANGED,
+    # clause (b): round-1 cohort (newest green row = r1), alphabetical
+    "topn_orders_per_customer",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_filter",
+    "tpch_q1_pricing_summary",
+    "tpch_q22_idle_customers",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "union_dedup_events",
+    "user_first_last_event",
+    "value_histogram_by_type",
+    "value_percentiles_by_type",
+    # clause (b): first 7 of the round-2 cohort, alphabetical
+    "ann_topk_bruteforce",
+    "cross_source_duplication",
+    "curation_funnel",
+    "customer_spend_quartiles",
+    "dataset_split_assignment",
+    "dedup_kept_corpus",
+    "dedup_simhash",
 ]
 
 

@@ -607,10 +607,13 @@ def _dv_oracle() -> str:
                      ELSE 0 END AS BIGINT) AS dv_bytes,
            CAST(CASE WHEN n_deleted > 0 THEN surviving_bytes
                      ELSE 0 END AS BIGINT) AS cow_write_bytes,
-           round(CAST(file_bytes
-                      + CASE WHEN n_deleted > 0 THEN (n_rows + 7) // 8 + 32
-                             ELSE 0 END AS DOUBLE)
-                 / surviving_bytes, 6) AS mor_read_amplification
+           CASE WHEN surviving_bytes = 0 THEN NULL
+                ELSE round(CAST(file_bytes
+                           + CASE WHEN n_deleted > 0
+                                  THEN (n_rows + 7) // 8 + 32
+                                  ELSE 0 END AS DOUBLE)
+                           / surviving_bytes, 6)
+           END AS mor_read_amplification
     FROM f
     """
 
@@ -629,9 +632,10 @@ def _dv_oracle() -> str:
     "reports both strategies' bills: MoR writes a row-bitmap deletion "
     "vector (ceil(n_rows/8) + a 32-byte header, only for touched "
     "files) but every later reader scans file + DV "
-    "(mor_read_amplification vs the compacted survivor bytes; NULL for "
-    "a fully-deleted file — 0 survivor bytes leaves nothing to amplify "
-    "against, and both engines agree x/0 is NULL); CoW "
+    "(mor_read_amplification vs the compacted survivor bytes; an "
+    "explicit CASE pins NULL for a fully-deleted file — 0 survivor "
+    "bytes leaves nothing to amplify against — instead of leaning on "
+    "engine x/0 defaults, which diverge on DuckDB >= 1.1); CoW "
     "rewrites the surviving bytes once and readers pay nothing extra. "
     "Touched-file sparsity is what tips the tradeoff — untouched files "
     "cost 0 under both. Shape: the forget set is dim-sized and "
@@ -693,11 +697,22 @@ def deletion_vector_cost_report(spark, sf_dir):
         .otherwise(0)
         .cast("long")
         .alias("cow_write_bytes"),
-        F.round(
-            (F.col("file_bytes") + dv).cast("double")
-            / F.col("surviving_bytes"),
-            6,
-        ).alias("mor_read_amplification"),
+        # Explicit NULL for the fully-deleted-file case instead of
+        # relying on engine x/0 defaults: Spark and DuckDB 1.0 both
+        # return NULL, but DuckDB >= 1.1 flips ieee_floating_point_ops
+        # on and DOUBLE/0 becomes inf (ADVICE r7) — the CASE pins the
+        # semantics on both sides.
+        F.when(
+            F.col("surviving_bytes") == 0, F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.round(
+                (F.col("file_bytes") + dv).cast("double")
+                / F.col("surviving_bytes"),
+                6,
+            )
+        )
+        .alias("mor_read_amplification"),
     )
 
 

@@ -92,3 +92,25 @@ PRICE = (12, 2)  # covers 999,999,999.99
 QTY = (12, 2)
 RATE = (8, 6)  # discount / tax in [0, 1], up to 6 significant decimals
 VALUE = (18, 6)  # events.value and other generic measures
+
+
+def state_tmp(prefix: str) -> str:
+    """Deterministic per-process scratch dir for query-local streaming
+    state (micro-batch sources, merge-state roots, checkpoints).
+
+    ``tempfile.mkdtemp`` per invocation leaked one directory per query
+    run (ADVICE r7); reusing ``<tmp>/spark_graft_state_<pid>/<prefix>``
+    — wiped on entry, so every invocation still starts from empty state
+    exactly like a fresh mkdtemp — bounds the footprint at one
+    directory per call site per process. The pid suffix keeps
+    concurrent gate/driver processes isolated.
+    """
+    import shutil
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_state_{os.getpid()}", prefix
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    return path

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from datalakes_and_data_integration_spark.plans._util import state_tmp
 from datalakes_and_data_integration_spark.plans.registry import register
 
 
@@ -93,15 +94,13 @@ def _inc_dedup_oracle() -> str:
     tags=("streaming", "dedup", "incremental", "llm-pipeline"),
 )
 def streaming_incremental_dedup(spark, sf_dir):
-    import tempfile
-
     from datalakes_and_data_integration_spark.plans._util import T
     from datalakes_and_data_integration_spark.streaming.incremental_dedup import (
         incremental_minhash_dedup,
     )
 
     docs = T(spark, sf_dir, "documents").select("doc_id", "text")
-    state = tempfile.mkdtemp(prefix="incdedup_q_")
+    state = state_tmp("incdedup_q")
     kept = incremental_minhash_dedup(spark, state, docs)
     return kept.select("doc_id")
 
@@ -671,8 +670,6 @@ def _scd2_oracle() -> str:
     tags=("streaming", "temporal", "warehouse", "scd2", "incremental"),
 )
 def streaming_scd2_upsert(spark, sf_dir):
-    import tempfile
-
     from datalakes_and_data_integration_spark.plans.temporal import (
         scd2_parse,
     )
@@ -681,11 +678,11 @@ def streaming_scd2_upsert(spark, sf_dir):
     )
 
     parsed = scd2_parse(spark, sf_dir)
-    src = tempfile.mkdtemp(prefix="scd2_stream_src_")
+    src = state_tmp("scd2_stream_src")
     parsed.repartition(6).write.mode("overwrite").parquet(src)
-    log_dir = tempfile.mkdtemp(prefix="scd2_log_")
-    dim_root = tempfile.mkdtemp(prefix="scd2_dim_")
-    ckpt = tempfile.mkdtemp(prefix="scd2_ckpt_")
+    log_dir = state_tmp("scd2_log")
+    dim_root = state_tmp("scd2_dim")
+    ckpt = state_tmp("scd2_ckpt")
     state: dict[str, str | None] = {"dim": None}
 
     def upsert(batch, batch_id):
@@ -736,8 +733,6 @@ def _ivf_ingest_oracle() -> str:
     tags=("streaming", "similarity", "ann", "index", "llm-pipeline"),
 )
 def streaming_ivf_ingest(spark, sf_dir):
-    import tempfile
-
     from datalakes_and_data_integration_spark.plans._util import T
     from datalakes_and_data_integration_spark.plans.curation6 import (
         _primary_assign_spark,
@@ -758,7 +753,7 @@ def streaming_ivf_ingest(spark, sf_dir):
     n = unit.count()  # scale-ok: 1 scalar count (sample-threshold literal)
     _, cents = _coarse_lists(unit, train=_train_sample(unit, n))
     e = T(spark, sf_dir, "embeddings")
-    src = tempfile.mkdtemp(prefix="ivf_ingest_src_")
+    src = state_tmp("ivf_ingest_src")
     e.repartition(4).write.mode("overwrite").parquet(src)
     stream = (
         spark.readStream.schema(e.schema)
@@ -784,19 +779,33 @@ def streaming_ivf_ingest(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Streaming CMS maintenance: weekly heavy-hitter sketch batches, sum-merged
-# exactly once behind an applied-batch ledger.
+# Streaming CMS maintenance: weekly heavy-hitter sketch batches (bounds
+# derived from the table's own ts span), sum-merged exactly once behind
+# an applied-batch ledger committed atomically with the sketch.
 # ---------------------------------------------------------------------------
 
-_CMS_WEEKS = (
-    "2024-01-01",
-    "2024-01-08",
-    "2024-01-15",
-    "2024-01-22",
-    "2024-01-29",
-    "2024-02-05",  # exclusive end; events span 2024-01-01..30
-)
 _CMS_HH_TOP = 20
+
+
+def _weekly_bounds(ev) -> list[str]:
+    """Weekly batch boundaries derived from the table's own [min(ts),
+    max(ts)] span — ADVICE r7: the previous hardcoded 2024 week list
+    silently excluded any event outside it from the maintained state
+    while the oracle replayed the full table, so a fixture with a
+    different time span would break the maintained == batch-built claim.
+    One scalar min/max scan; the final bound is max-day + 1 so the last
+    half-open [lo, hi) week covers the final event."""
+    import datetime
+
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()  # scale-ok: 2 scalars
+    bounds = []
+    d = lo.date()
+    end = hi.date() + datetime.timedelta(days=1)
+    while d < end:
+        bounds.append(d.isoformat())
+        d += datetime.timedelta(days=7)
+    bounds.append(end.isoformat())
+    return bounds
 
 
 def _stream_cms_oracle() -> str:
@@ -857,8 +866,10 @@ def _stream_cms_oracle() -> str:
     "streaming_heavy_hitters_cms",
     oracle=_stream_cms_oracle(),
     description="Streaming heavy-hitter maintenance (streaming/"
-    "sketch_maintenance.py cms_rows/merge_cms_state): the events month "
-    "is applied as five weekly CMS batches sum-merged into a persisted "
+    "sketch_maintenance.py cms_rows/merge_cms_state): the events table "
+    "is applied as weekly CMS batches (bounds derived from its own ts "
+    "span, so coverage is total at any fixture) sum-merged into a "
+    "persisted "
     "4x1024 sketch (ONE md5 per distinct key per batch: per-key counts "
     "pre-aggregate map-side, then Kirsch-Mitzenmacher double hashing "
     "derives all 4 row buckets from that single hash), then the top-20 "
@@ -875,8 +886,6 @@ def _stream_cms_oracle() -> str:
     tags=("streaming", "sketch", "cms", "heavy-hitters", "incremental"),
 )
 def streaming_heavy_hitters_cms(spark, sf_dir):
-    import tempfile
-
     from datalakes_and_data_integration_spark.plans._util import T
     from datalakes_and_data_integration_spark.streaming.sketch_maintenance import (
         cms_lookup,
@@ -885,9 +894,10 @@ def streaming_heavy_hitters_cms(spark, sf_dir):
     )
 
     ev = T(spark, sf_dir, "events").select("user_id", "ts")
-    state = tempfile.mkdtemp(prefix="cms_maint_q_")
+    state = state_tmp("cms_maint_q")
     sketch = None
-    for i, (lo, hi) in enumerate(zip(_CMS_WEEKS, _CMS_WEEKS[1:])):
+    weeks = _weekly_bounds(ev)
+    for i, (lo, hi) in enumerate(zip(weeks, weeks[1:])):
         batch = ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
         sketch = merge_cms_state(
             spark, state, cms_rows(batch, "user_id"), batch_id=i
@@ -916,7 +926,8 @@ def streaming_heavy_hitters_cms(spark, sf_dir):
     """,
     description="Exact-distinct bitmap maintenance (streaming/"
     "sketch_maintenance.py bitmap_words/merge_bitmap_state): the events "
-    "month applied as five weekly word-file batches bit_or-merged into "
+    "table applied as span-derived weekly word-file batches "
+    "bit_or-merged into "
     "persisted per-(type, word) state, then bitmap_distinct_rollup's "
     "report (per-type + OR-merged __all__) served from the MAINTAINED "
     "state — maintained == batch-built proven by the shared oracle. "
@@ -929,8 +940,6 @@ def streaming_heavy_hitters_cms(spark, sf_dir):
     tags=("streaming", "sketch", "bitmap", "distinct", "incremental"),
 )
 def streaming_bitmap_distinct_maintenance(spark, sf_dir):
-    import tempfile
-
     from datalakes_and_data_integration_spark.plans._util import T
     from datalakes_and_data_integration_spark.streaming.sketch_maintenance import (
         bitmap_words,
@@ -940,11 +949,10 @@ def streaming_bitmap_distinct_maintenance(spark, sf_dir):
     import os
 
     ev = T(spark, sf_dir, "events").select("event_type", "user_id", "ts")
-    state = os.path.join(
-        tempfile.mkdtemp(prefix="bitmap_maint_q_"), "words"
-    )
+    state = os.path.join(state_tmp("bitmap_maint_q"), "words")
     words = None
-    for lo, hi in zip(_CMS_WEEKS, _CMS_WEEKS[1:]):
+    weeks = _weekly_bounds(ev)
+    for lo, hi in zip(weeks, weeks[1:]):
         batch = ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
         words = merge_bitmap_state(
             spark, state, bitmap_words(batch, "event_type", "user_id")

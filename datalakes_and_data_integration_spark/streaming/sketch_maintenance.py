@@ -151,20 +151,34 @@ def merge_cms_state(
     spark: SparkSession, state_dir: str, batch: DataFrame, batch_id: int
 ) -> DataFrame:
     """Sum-merge a batch's CMS rows into the persisted sketch, exactly
-    once: the ledger file records applied batch ids, and a replayed id
-    returns the state untouched (the redelivery test pins this). State
-    is O(d x w) rows forever."""
+    once. The sketch parquet and the applied-batch ledger COMMIT
+    TOGETHER: the merged sketch stages into a fresh versioned directory
+    and one atomic ``os.replace`` of the commit file flips the
+    active-sketch pointer and the applied set in the same step — a
+    crash anywhere leaves the previous consistent (sketch, ledger) pair
+    on disk and replay simply re-merges the batch, so there is no
+    window where a sketch already contains a batch the ledger hasn't
+    recorded (the double-count crash window of the two-step write;
+    ADVICE r7). A replayed id returns the state untouched (the
+    redelivery test pins this). State is O(d x w) rows forever."""
+    import json
+    import shutil
+
     os.makedirs(state_dir, exist_ok=True)
-    ledger = os.path.join(state_dir, "applied_batches.txt")
+    commit_path = os.path.join(state_dir, "COMMIT.json")
     applied: set[str] = set()
-    if os.path.exists(ledger):
-        applied = set(open(ledger).read().split())
-    sketch_dir = os.path.join(state_dir, "sketch")
+    cur_name = None
+    if os.path.exists(commit_path):
+        with open(commit_path) as fh:
+            commit = json.load(fh)
+        applied = set(commit["applied"])
+        cur_name = commit["sketch"]
+    cur_dir = os.path.join(state_dir, cur_name) if cur_name else None
     if str(batch_id) in applied:
-        return spark.read.parquet(sketch_dir)
-    if os.path.isdir(sketch_dir):
+        return spark.read.parquet(cur_dir)
+    if cur_dir is not None:
         merged = (
-            spark.read.parquet(sketch_dir)
+            spark.read.parquet(cur_dir)
             .unionByName(batch)
             .groupBy("seed", "bucket")
             .agg(F.sum("total").alias("total"))
@@ -172,12 +186,24 @@ def merge_cms_state(
     else:
         merged = batch
     rows = merged.collect()  # scale-ok: O(d x w) sketch rows (<= 4096)
+    new_name = f"sketch-{len(applied):06d}-{batch_id}"
+    new_dir = os.path.join(state_dir, new_name)
     spark.createDataFrame(rows, merged.schema).write.mode(
         "overwrite"
-    ).parquet(sketch_dir)
-    with open(ledger, "a") as fh:
-        fh.write(f"{batch_id}\n")
-    return spark.read.parquet(sketch_dir)
+    ).parquet(new_dir)
+    tmp = commit_path + ".staged"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "applied": sorted(applied | {str(batch_id)}),
+                "sketch": new_name,
+            },
+            fh,
+        )
+    os.replace(tmp, commit_path)  # the atomic commit point
+    if cur_dir is not None:  # superseded generation, post-commit GC
+        shutil.rmtree(cur_dir, ignore_errors=True)
+    return spark.read.parquet(new_dir)
 
 
 def cms_lookup(keys: DataFrame, sketch: DataFrame, key_col: str) -> DataFrame:

@@ -158,3 +158,91 @@ def test_bitmap_merge_is_idempotent_without_a_ledger(spark, tmp_path):
         for r in bitmap_words(ev, "event_type", "user_id").collect()
     }
     assert snapshot == full
+
+
+def test_triptych_reports_share_one_maintained_state_root(spark, tmp_path):
+    """Operational composition (VERDICT r7 next-round #7): ONE state
+    root maintains all three sketch families across two batches, then
+    the CMS heavy-hitter estimates, the bitmap distinct report, and the
+    HLL estimates are all served from that SAME maintained state; a
+    replayed batch 0 (CMS: ledger no-op; bitmap: OR idempotence; HLL:
+    max idempotence) leaves every report byte-identical, and each
+    maintained report equals its batch-built-from-scratch twin."""
+    from datalakes_and_data_integration_spark.plans.sketches import (
+        bitmap_popcount_report,
+    )
+    from datalakes_and_data_integration_spark.streaming.sketch_maintenance import (
+        bitmap_words,
+        cms_lookup,
+        cms_rows,
+        hll_estimate,
+        hll_registers,
+        merge_bitmap_state,
+        merge_cms_state,
+        merge_hll_state,
+    )
+
+    root = tmp_path / "state"
+    cms_dir = str(root / "cms")
+    bm_dir = str(root / "words")
+    hll_dir = str(root / "hll")
+
+    ev = _events(spark)
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+
+    for i, b in enumerate((b1, b2)):
+        sk = merge_cms_state(spark, cms_dir, cms_rows(b, "user_id"), i)
+        wd = merge_bitmap_state(
+            spark, bm_dir, bitmap_words(b, "event_type", "user_id")
+        )
+        hl = merge_hll_state(
+            spark, hll_dir, hll_registers(b, "event_type", "user_id")
+        )
+
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "user_id")
+        .limit(5)
+    )
+
+    def reports(sk, wd, hl):
+        cms = sorted(
+            (r.user_id, r.cnt, r.cms_est)
+            for r in cms_lookup(top, sk, "user_id").collect()
+        )
+        bm = sorted(
+            (r.event_type, r.n_users)
+            for r in bitmap_popcount_report(wd, "event_type").collect()
+        )
+        est = sorted(
+            (r.grp, r.hll_est) for r in hll_estimate(hl).collect()
+        )
+        return cms, bm, est
+
+    first = reports(sk, wd, hl)
+
+    # replay batch 0 against the same root: all three must be no-ops
+    sk2 = merge_cms_state(spark, cms_dir, cms_rows(b1, "user_id"), 0)
+    wd2 = merge_bitmap_state(
+        spark, bm_dir, bitmap_words(b1, "event_type", "user_id")
+    )
+    hl2 = merge_hll_state(
+        spark, hll_dir, hll_registers(b1, "event_type", "user_id")
+    )
+    assert reports(sk2, wd2, hl2) == first
+
+    # maintained == batch-built, family by family
+    batch_sk = cms_rows(ev, "user_id")
+    m = {(r.seed, r.bucket): r.total for r in sk2.collect()}
+    b = {(r.seed, r.bucket): r.total for r in batch_sk.collect()}
+    assert m == b
+    batch_wd = bitmap_words(ev, "event_type", "user_id")
+    mw = {(r.grp, r.w): r.bits for r in wd2.collect()}
+    bw = {(r.grp, r.w): r.bits for r in batch_wd.collect()}
+    assert mw == bw
+    batch_hll = hll_registers(ev, "event_type", "user_id")
+    mh = {(r.grp, r.reg): r.mrho for r in hl2.collect()}
+    bh = {(r.grp, r.reg): r.mrho for r in batch_hll.collect()}
+    assert mh == bh

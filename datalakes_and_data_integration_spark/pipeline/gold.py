@@ -143,11 +143,27 @@ def build_gold(
     # that group could diverge between the fills. A stable row id
     # appended to BOTH specs (flipped with the order) makes them the
     # same total order walked in both directions; for the unique
-    # non-null rows it is inert.
-    wide = wide.withColumn("__fill_ord", F.monotonically_increasing_id())
+    # non-null rows it is inert. The id is ORDERING-DERIVED from row
+    # content (two independently-seeded hashes over every merged
+    # column), not monotonically_increasing_id(): the latter is
+    # partition-layout-dependent, deterministic under the pinned
+    # full-refresh pipeline but not under a repartitioned or
+    # incremental input (VERDICT r7 watch 3c; pinned by
+    # tests/test_pipeline.py's repartitioned-input twin). Rows
+    # identical in BOTH hashes are identical in content with
+    # overwhelming probability, and content-identical rows fill to the
+    # same values in either direction, so residual ties are inert.
+    _all_cols = [F.col(c) for c in wide.columns]
+    wide = wide.withColumn(
+        "__fill_ord", F.xxhash64(*_all_cols)
+    ).withColumn("__fill_ord2", F.xxhash64(F.lit(0x5EED), *_all_cols))
     w = ordered_window(
         ["code_site"],
-        [F.col("date_de_debut").asc_nulls_last(), F.col("__fill_ord").asc()],
+        [
+            F.col("date_de_debut").asc_nulls_last(),
+            F.col("__fill_ord").asc(),
+            F.col("__fill_ord2").asc(),
+        ],
     )
     # bfill_rev takes the exact reverse spec (desc_nulls_first) so it runs as
     # a running accumulator, not Spark's per-row-rescan unbounded-
@@ -157,6 +173,7 @@ def build_gold(
         [
             F.col("date_de_debut").desc_nulls_first(),
             F.col("__fill_ord").desc(),
+            F.col("__fill_ord2").desc(),
         ],
     )
     unit_cols = [c for c in wide.columns if c.endswith("_unite_de_mesure")]
@@ -201,7 +218,7 @@ def build_gold(
     # SortExec — the rows leave the lag window in (code_site, date,
     # __fill_ord) order, of which this sort is a satisfied prefix.
     write_partitioned(
-        wide.drop("__fill_ord"),
+        wide.drop("__fill_ord", "__fill_ord2"),
         gold_dir,
         sort_within=[
             F.col("code_site").asc(),  # window partition key: nulls_first

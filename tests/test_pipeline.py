@@ -85,7 +85,7 @@ def zones(spark, tmp_path_factory):
     build_bronze(spark, str(landing), f"{work}/bronze")
     silver = build_silver(spark, f"{work}/bronze", f"{work}/silver")
     gold = build_gold(spark, f"{work}/silver", f"{work}/gold")
-    return {"silver": silver, "gold": gold}
+    return {"silver": silver, "gold": gold, "work": str(work)}
 
 
 def test_silver_dedup_and_typing(zones):
@@ -237,3 +237,31 @@ def test_empty_landing_zone_is_graceful(spark, tmp_path):
     assert bronze.count() == 0
     silver = build_silver(spark, f"{work}/bronze", f"{work}/silver")
     assert silver.count() == 0
+
+
+def test_gold_deterministic_under_repartitioned_silver(zones, spark, tmp_path):
+    """The null-date fill tie-break must be ordering-derived, not
+    partition-derived (VERDICT r7 watch 3c): rewriting every silver
+    table with a different partition count and rebuilding gold must
+    produce value-identical output. monotonically_increasing_id() fails
+    this — its ids follow partition layout — which is why the tie-break
+    is a pair of content hashes."""
+    import os
+
+    from datalakes_and_data_integration_spark.sources.catalog import (
+        list_tables,
+    )
+
+    src = os.path.join(zones["work"], "silver")
+    reparted = str(tmp_path / "silver_reparted")
+    for t in list_tables(src):
+        spark.read.parquet(f"{src}/{t}").repartition(7).write.mode(
+            "overwrite"
+        ).parquet(f"{reparted}/{t}")
+    g2 = build_gold(spark, reparted, str(tmp_path / "gold2"))
+    gold = zones["gold"]
+    cols = sorted(gold.columns)
+    assert sorted(g2.columns) == cols
+    a = sorted(map(repr, gold.select(*cols).collect()))
+    b = sorted(map(repr, g2.select(*cols).collect()))
+    assert a == b

@@ -828,6 +828,10 @@ def _pq_train(vecframe, arr_col: str = "arr", train=None):
                 F.expr("CAST(array_position(d, array_min(d)) - 1 AS INT)"),
             )
 
+        # expose the trained codebooks: the residual kernel recomputes
+        # the per-(query, probed-list) ADC tables in numpy from these
+        # exact int64 literals (round 8)
+        assign.centroids = cents
         return assign
 
     for _ in range(_PQ_ITERS):
@@ -1143,13 +1147,28 @@ def _mk_adc_scan(bc, shortlist_n: int, single_chunk: bool, masked: bool):
     return scan
 
 
-def _mk_res_scan(bc, shortlist_n: int, single_chunk: bool):
+def _mk_res_scan(
+    bc, shortlist_n: int, single_chunk: bool, ccents=None, cb=None
+):
     """mapInPandas kernel for the residual-PQ scan. Input rows: (q_id,
-    probes = list of (cluster, tab[128]), arr[64]); broadcast adds the
-    per-vector PRIMARY list. Each probed list l contributes exactly the
-    corpus vectors stored in l, scored against the query's l-specific
-    ADC table — primaries are unique, so the union over probed lists is
-    duplicate-free by construction."""
+    probe_lists, arr[64]); broadcast adds the per-vector PRIMARY list;
+    ``ccents`` (K x 64 int64 coarse centroids) and ``cb`` (M x K x
+    subdim int64 codebooks) arrive as driver literals in the closure.
+    Each probed list l contributes exactly the corpus vectors stored in
+    l, scored against the query's l-specific ADC table — primaries are
+    unique, so the union over probed lists is duplicate-free by
+    construction.
+
+    Round 8 (VERDICT r7 #5): the per-(query, probed-list) ADC tables
+    are computed IN-KERNEL instead of by a 10x Spark table stage
+    (residual -> posexplode -> assign -> 128-slot pivot -> Arrow
+    transfer), which alone measured 10.7 s of the 20k cell. Exactness:
+    every fixed-point term floor((x - ms/1e9)^2 * 1e12) is a chain of
+    scalar IEEE ops reproduced elementwise in numpy (residual = arr -
+    c/1e9, same division-then-subtraction order), and the subdim sum
+    happens on int64 AFTER the floor — associative — so the tables are
+    bit-identical to the assign() expression form and the shared
+    DuckDB oracle is untouched."""
     import pandas as pd
 
     def scan(batches):
@@ -1165,19 +1184,35 @@ def _mk_res_scan(bc, shortlist_n: int, single_chunk: bool):
         by_list = {
             int(c): np.nonzero(prim == c)[0] for c in np.unique(prim)
         }
+        Cd = np.array(ccents, dtype=np.int64).astype(np.float64) / 1e9
+        CBd = np.array(cb, dtype=np.int64).astype(np.float64) / 1e9
+        # (M, K, SUB) -> broadcastable against (P, M, 1, SUB) residuals
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             q_ids = pdf["q_id"].to_numpy(dtype=np.int64)
             qarrs = np.array(pdf["arr"].tolist(), dtype=np.float64)
+            plists = pdf["probe_lists"]
             out = ([], [], [])
             for qi in range(len(q_ids)):
+                pls = [int(c) for c in plists.iloc[qi]]
+                if not pls:
+                    continue
+                res = qarrs[qi][None, :] - Cd[pls]  # (P, 64)
+                res = res.reshape(len(pls), _PQ_M, 1, _PQ_SUBDIM)
+                diff = res - CBd[None, :, :, :]  # (P, M, K, SUB)
+                tabs = (
+                    np.floor(diff * diff * 1e12)
+                    .astype(np.int64)
+                    .sum(axis=3)
+                    .reshape(len(pls), _PQ_M * _PQ_K)
+                )
                 idx_parts, val_parts = [], []
-                for p in pdf["probes"].iloc[qi]:
-                    sel = by_list.get(int(p["cluster"]))
+                for pi, lst in enumerate(pls):
+                    sel = by_list.get(lst)
                     if sel is None:
                         continue
-                    tab = np.asarray(p["tab"], dtype=np.int64)
+                    tab = tabs[pi]
                     v = np.zeros(sel.size, dtype=np.int64)
                     for m in range(_PQ_M):
                         v += tab[m * _PQ_K + NC[sel, m]]
@@ -1782,54 +1817,16 @@ def ann_topk_ivfadc_residual(spark, sf_dir):
             lists.select(F.col("vec_id").alias("n_id"), "cluster"), "n_id"
         )
     )
-    # Query side: one residual (and one ADC table) per probed list.
-    qprobe = lists.select(
-        F.col("vec_id").alias("q_id"),
-        "arr",
-        F.explode("probe_lists").alias("cluster"),
-    )
-    qres = qprobe.select(
-        "q_id", "cluster", residual(qprobe, "cluster").alias("res")
-    )
-    qsub = qres.select(
-        "q_id",
-        "cluster",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {_PQ_M - 1}), "
-                f"m -> slice(res, m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}))"
-            )
-        ).alias("m", "sub"),
-    )
-    qtab = (
-        assign(qsub)
-        .select("q_id", "cluster", "m", F.posexplode("d"))
-        .select(
-            "q_id",
-            "cluster",
-            "m",
-            F.col("pos").cast("int").alias("code"),
-            F.col("col").alias("d2"),
-        )
-    )
-    # ADC scoring in the vectorized kernel (round-7 port of the flat-PQ
-    # restructure — the round-5 array pivot killed the M-fold pair
-    # shuffle, this kills the interpreted per-pair lookup expression):
-    # the per-(q, probed-list) ADC table stays pivoted to ONE 128-slot
-    # int64 array and each corpus vector's codes to an M-slot array, but
-    # the per-pair O(M) gather-sum now runs vectorized over the
-    # broadcast corpus chunk, restricted per probed list to exactly the
-    # vectors stored in that list (primaries are unique, so the union
-    # over probed lists is duplicate-free). Same int64 terms, same exact
-    # totals; see the section comment above _np_chunk_count.
+    # Query side (round 8, VERDICT r7 #5): NO Spark qtab stage. The
+    # per-(query, probed-list) ADC tables — previously a 10x
+    # residual -> posexplode -> assign -> 128-slot-pivot chain plus an
+    # Arrow transfer of every table (10.7 s of the 20k cell on its
+    # own) — are recomputed inside the scan kernel from the trained
+    # codebook and coarse-centroid int64 literals, bit-identically
+    # (int64 fixed-point terms, associative integer sums). The query
+    # input shrinks to (q_id, probe_lists, arr).
     import numpy as np
 
-    qtab_piv = qtab.groupBy("q_id", "cluster").agg(
-        F.expr(
-            f"transform(array_sort(collect_list("
-            f"struct(m * {_PQ_K} + code AS idx, d2))), s -> s.d2)"
-        ).alias("tab")
-    )
     codes_piv = codes.groupBy("n_id", "cluster").agg(
         F.expr(
             "transform(array_sort(collect_list(struct(m, code))), "
@@ -1850,11 +1847,20 @@ def ann_topk_ivfadc_residual(spark, sf_dir):
             "prim": np.array([r.prim for r in rows], dtype=np.int64),
         }
 
-    qin = qtab_piv.groupBy("q_id").agg(
-        F.collect_list(F.struct("cluster", "tab")).alias("probes")
-    ).join(unit.withColumnRenamed("vec_id", "q_id"), "q_id")
+    qin = lists.select(
+        F.col("vec_id").alias("q_id"), "probe_lists", "arr"
+    )
+    cb = assign.centroids
     return _adc_scan_pipeline(
-        spark, unit, qin, corpus_df, build, _mk_res_scan, n_corpus
+        spark,
+        unit,
+        qin,
+        corpus_df,
+        build,
+        lambda b, s, single: _mk_res_scan(
+            b, s, single, ccents=ccents, cb=cb
+        ),
+        n_corpus,
     )
 
 
@@ -2513,17 +2519,313 @@ def ann_nprobe_recall_curve(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Shared approximate kNN-graph builder (round 8, VERDICT r7 #2): the
+# graph-ANN family's BUILD stage, made sub-quadratic. The round-7 form
+# built the top-5 graph with the exact O(n^2) block kernel — honest as a
+# declared cost tier, but ~100x more work one decade up, the one
+# quadratic component left on the family's 100x path. This builder is
+# the scale form: PROJECTION-WINDOW seeding — every vector is ranked
+# along _GS_PROJ_R deterministic md5-derived +/-1 hyperplane
+# projections and its candidates are the +/-_GS_PROJ_W rank neighbors
+# in each order (the sliding-window-over-projection idiom; an
+# order-preserving cousin of the hyperplane buckets the LSH tiers use).
+# That is O(n x R x W) candidate pairs TOTAL — linear in n with a fixed
+# (R, W) budget, where bucket/list probing keeps a Theta(n^2 / #cells)
+# term — and it is pure sort + offset-equi-join, no training. Seeding
+# is followed by ONE NN-descent-style refine round (Dong et al.,
+# WWW'11: a node's neighbors' neighbors are its best next candidates —
+# forward-forward 2-hop pairs plus same-source sibling pairs,
+# O(n x k^2) pairs, k = 5), then top-5 per node over everything scored.
+# Every score is the shared rounded-6 sequential-fold cosine with id
+# tie-breaks and the rank orders tie-break on vec_id, so the whole
+# construction is deterministic and both consumers' DuckDB oracles
+# replay it move for move (_nn_graph_sql below). Measured at the
+# sf0.001 fixture (500 isotropic vectors — the hardest regime, see
+# BASELINE.md ANN note 1): edge recall 0.91, beam-search recall 0.88
+# vs exact truth; both are pinned — edge recall by the oracle-checked
+# knn_graph_build_quality query, search recall by test.
+# ---------------------------------------------------------------------------
+
+_GS_K = 5  # graph out-degree (top-k edges kept per node)
+_GS_PROJ_R = 48  # projections (recall knob: more orders, more diversity)
+_GS_PROJ_W = 8  # rank-window half-width per projection
+
+
+def _gproj_signs() -> list:
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_py,
+    )
+    from datalakes_and_data_integration_spark.plans.similarity import _DIM
+
+    return [
+        [
+            1 if hash60_py(f"gproj:{r}:{d}") & 1 else -1
+            for d in range(_DIM)
+        ]
+        for r in range(_GS_PROJ_R)
+    ]
+
+
+_GPROJ_SIGNS = _gproj_signs()
+
+
+def _proj_spark(col: str, r: int) -> str:
+    # Runtime fold, NOT the unrolled 64-term sum the bucket exprs use:
+    # 48 unrolled projections in one Generate operator put ~3072 terms
+    # into a single codegen method — Janino's 64 KB method limit trips
+    # and the whole stage runs interpreted (measured: 40 s cold at
+    # n=500). aggregate(zip_with(...)) keeps the expression tree tiny
+    # and loops at runtime; x * (+/-1.0) is exact and the left-to-right
+    # fold matches DuckDB's list_reduce element order, so the rounded
+    # projection is bit-identical cross-engine.
+    arr = f"array({', '.join(f'{s}D' for s in _GPROJ_SIGNS[r])})"
+    return (
+        f"round(aggregate(zip_with({col}, {arr}, "
+        f"(x, s) -> CAST(x AS DOUBLE) * s), CAST(0 AS DOUBLE), "
+        f"(acc, v) -> acc + v), 6)"
+    )
+
+
+def _proj_duck(col: str, r: int) -> str:
+    # Unrolled addition chain, NOT list_reduce over a literal sign
+    # array: DuckDB re-materializes the 64-element literal on every
+    # (arr)[i] access inside the lambda — 98M list constructions for 48
+    # projections at n=500, measured 12.4 s for the gproj CTE alone.
+    # The explicit chain is vectorized expression nodes and runs in
+    # milliseconds; left-to-right grouping matches Spark's fold.
+    from datalakes_and_data_integration_spark.plans.similarity import _DIM
+
+    dot = " + ".join(
+        f"CAST({col}[{d + 1}] AS DOUBLE) * ({_GPROJ_SIGNS[r][d]})"
+        for d in range(_DIM)
+    )
+    return f"round({dot}, 6)"
+
+
+def _nn_descent_graph(spark, sf_dir):
+    """(src, dst, sc) edge frame of the projection-window-seeded
+    NN-descent top-5 graph; out-degree <= _GS_K. The per-projection
+    rank is a row_number partitioned BY PROJECTION (one shuffle on r,
+    R independent sorts); on a cluster the same rank is the standard
+    two-pass range-partitioned sort — either way the build never
+    materializes more than O(n x R x W) candidate pairs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans._util import spread
+    from datalakes_and_data_integration_spark.plans.similarity import (
+        _dot_spark,
+        _norm2_spark,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    normed = spread(
+        e.select(
+            "vec_id",
+            "embedding",
+            F.expr(f"sqrt({_norm2_spark('embedding')})").alias("nrm"),
+        ),
+        spark,
+        by="vec_id",
+    ).persist()  # projection source + all pair-scoring sides
+
+    def score(pairs):
+        a = normed.select(
+            F.col("vec_id").alias("src"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"),
+        )
+        bb = normed.select(
+            F.col("vec_id").alias("dst"),
+            F.col("embedding").alias("ne"),
+            F.col("nrm").alias("nn"),
+        )
+        return (
+            pairs.join(a, "src")
+            .join(bb, "dst")
+            .select(
+                "src",
+                "dst",
+                F.round(
+                    F.expr(_dot_spark("qe", "ne"))
+                    / F.col("qn")
+                    / F.col("nn"),
+                    6,
+                ).alias("sc"),
+            )
+        )
+
+    # Seed: projection-window candidate pairs. Rank every vector along
+    # each of the R projections (rounded-6 value, vec_id tie-break),
+    # then pair ranks (p, p + off) for off in 1..W via a pure
+    # equi-join on (r, rank) — both directions emitted, distinct'd
+    # (a pair can recur across projections), scored once.
+    proj_arr = F.array(
+        *[F.expr(_proj_spark("embedding", r)) for r in range(_GS_PROJ_R)]
+    )
+    projs = normed.select(
+        "vec_id", F.posexplode(proj_arr).alias("r", "proj")
+    )
+    wr = Window.partitionBy("r").orderBy("proj", "vec_id")
+    ranked = projs.select(
+        "vec_id", "r", F.row_number().over(wr).alias("rnk")
+    ).persist()  # both sides of the offset join
+    lo = ranked.withColumn(
+        "off", F.explode(F.sequence(F.lit(1), F.lit(_GS_PROJ_W)))
+    ).select(
+        F.col("vec_id").alias("ua"),
+        "r",
+        (F.col("rnk") + F.col("off")).alias("rnk2"),
+    )
+    hi = ranked.select(
+        F.col("vec_id").alias("ub"), "r", F.col("rnk").alias("rnk2")
+    )
+    half = lo.join(hi, ["r", "rnk2"]).select("ua", "ub")
+    cand0 = (
+        half.select(F.col("ua").alias("src"), F.col("ub").alias("dst"))
+        .unionByName(
+            half.select(F.col("ub").alias("src"), F.col("ua").alias("dst"))
+        )
+        .distinct()
+    )
+    seed = score(cand0)
+    w = Window.partitionBy("src").orderBy(F.col("sc").desc(), "dst")
+    g0 = (
+        seed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _GS_K)
+        .select("src", "dst", "sc")
+        .persist()  # refine reads it 4x (2 join sides x 2 shapes)
+    )
+    # One NN-descent round: forward-forward 2-hop pairs (a neighbor's
+    # neighbor) plus same-source sibling pairs (co-members of one
+    # neighbor list — the reverse-edge half of Dong et al.'s candidate
+    # set). O(n x k^2) candidate pairs, scored once each.
+    e1 = g0.select("src", "dst").alias("e1")
+    e2 = g0.select(
+        F.col("src").alias("src2"), F.col("dst").alias("dst2")
+    ).alias("e2")
+    ff = (
+        e1.join(e2, F.col("e1.dst") == F.col("src2"))
+        .filter(F.col("dst2") != F.col("e1.src"))
+        .select(F.col("e1.src").alias("src"), F.col("dst2").alias("dst"))
+    )
+    sib = (
+        e1.join(e2, F.col("e1.src") == F.col("src2"))
+        .filter(F.col("dst2") != F.col("e1.dst"))
+        .select(F.col("e1.dst").alias("src"), F.col("dst2").alias("dst"))
+    )
+    refine = score(ff.unionByName(sib).distinct())
+    # Identical (src, dst) pairs score to the identical rounded double,
+    # so distinct() collapses seed/refine overlap exactly.
+    return (
+        g0.unionByName(refine)
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _GS_K)
+        .select("src", "dst", "sc")
+    )
+
+
+def _nn_graph_sql() -> str:
+    """DuckDB CTE block replaying _nn_descent_graph move for move;
+    terminal relation ``gfin(src, dst, sc)``. Callers embed it inside
+    their own WITH (it neither opens nor closes one). The parallel
+    unnests in gproj zip the projection list with its index (DuckDB
+    zips same-SELECT unnests), mirroring Spark's posexplode."""
+    from datalakes_and_data_integration_spark.plans.similarity import (
+        _dot_duck,
+        _norm2_duck,
+    )
+
+    dot_ab = _dot_duck("a.embedding", "b.embedding")
+    proj_list = ", ".join(
+        _proj_duck("embedding", r) for r in range(_GS_PROJ_R)
+    )
+    return f"""
+    gn AS MATERIALIZED (
+      SELECT vec_id, embedding, sqrt({_norm2_duck('embedding')}) AS nrm
+      FROM embeddings
+    ),
+    gproj AS MATERIALIZED (
+      SELECT vec_id,
+             unnest(range(0, {_GS_PROJ_R})) AS r,
+             unnest([{proj_list}]) AS proj
+      FROM gn
+    ),
+    granked AS MATERIALIZED (
+      SELECT vec_id, r,
+             row_number() OVER (PARTITION BY r
+                                ORDER BY proj, vec_id) AS rnk
+      FROM gproj
+    ),
+    ghalf AS MATERIALIZED (
+      SELECT a.vec_id AS ua, b.vec_id AS ub
+      FROM granked a
+      CROSS JOIN (SELECT unnest(range(1, {_GS_PROJ_W} + 1)) AS off) o
+      JOIN granked b ON b.r = a.r AND b.rnk = a.rnk + o.off
+    ),
+    gpairs AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT ua AS src, ub AS dst FROM ghalf
+        UNION ALL
+        SELECT ub AS src, ua AS dst FROM ghalf
+      )
+    ),
+    gseed AS MATERIALIZED (
+      SELECT c.src, c.dst, round({dot_ab} / a.nrm / b.nrm, 6) AS sc
+      FROM gpairs c
+      JOIN gn a ON a.vec_id = c.src
+      JOIN gn b ON b.vec_id = c.dst
+    ),
+    g0 AS MATERIALIZED (
+      SELECT src, dst, sc FROM (
+        SELECT src, dst, sc, row_number() OVER (PARTITION BY src
+                 ORDER BY sc DESC, dst) AS rn
+        FROM gseed
+      ) WHERE rn <= {_GS_K}
+    ),
+    gcand AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT e1.src AS src, e2.dst AS dst
+        FROM g0 e1 JOIN g0 e2 ON e2.src = e1.dst
+        WHERE e2.dst <> e1.src
+        UNION ALL
+        SELECT e1.dst AS src, e2.dst AS dst
+        FROM g0 e1 JOIN g0 e2 ON e2.src = e1.src
+        WHERE e2.dst <> e1.dst
+      )
+    ),
+    gref AS (
+      SELECT c.src, c.dst, round({dot_ab} / a.nrm / b.nrm, 6) AS sc
+      FROM gcand c
+      JOIN gn a ON a.vec_id = c.src
+      JOIN gn b ON b.vec_id = c.dst
+    ),
+    gall AS (
+      SELECT DISTINCT src, dst, sc FROM (
+        SELECT src, dst, sc FROM g0
+        UNION ALL
+        SELECT src, dst, sc FROM gref
+      )
+    ),
+    gfin AS MATERIALIZED (
+      SELECT src, dst, sc FROM (
+        SELECT src, dst, sc, row_number() OVER (PARTITION BY src
+                 ORDER BY sc DESC, dst) AS rn
+        FROM gall
+      ) WHERE rn <= {_GS_K}
+    )"""
+
+
+# ---------------------------------------------------------------------------
 # kNN-graph navigability audit: the HNSW/NSW precondition numbers.
 # ---------------------------------------------------------------------------
 
 
 def _knn_graph_oracle() -> str:
-    from datalakes_and_data_integration_spark.plans.registry import QUERIES
-
-    ex = QUERIES["ann_topk_bruteforce_hybrid"].oracle
     return f"""
-    WITH ex AS ({ex}),
-    edges AS (SELECT vec_id AS u, neighbor_id AS v FROM ex),
+    WITH {_nn_graph_sql()},
+    edges AS (SELECT src AS u, dst AS v FROM gfin),
     indeg AS (
       SELECT n.vec_id AS u, CAST(coalesce(d.cnt, 0) AS BIGINT) AS in_degree
       FROM embeddings n
@@ -2555,31 +2857,31 @@ def _knn_graph_oracle() -> str:
     "knn_graph_degree_stats",
     oracle=_knn_graph_oracle(),
     description="kNN-graph navigability audit (the HNSW/NSW build "
-    "precondition): the exact top-5 neighbor graph from the hybrid "
-    "block kernel, reported as the in-degree distribution with "
+    "precondition): the top-5 neighbor graph from the shared "
+    "sub-quadratic builder (projection-window seed + one NN-descent "
+    "refine round, round 8 — the same graph ann_topk_graph_search "
+    "walks), reported as the in-degree distribution with "
     "per-stratum edge reciprocity — in-degree-0 nodes are unreachable "
     "by greedy graph search (the orphan set an index build must patch "
     "via reverse edges), hub nodes concentrate traversal load, and the "
     "reciprocal-edge rate is what makes bidirectional NSW pruning "
-    "work. Out-degree is k=5 by construction, so reciprocity "
-    "normalizes by 5*n exactly. Shape: the edge frame is O(n x k) "
-    "rows; degree and reciprocity are two hash aggregates and one "
-    "self-equi-join on (v,u) — graph-audit cost scales with edges, "
-    "never pairs; the exact kernel underneath is the block-broadcast "
-    "100 TB shape (same composition rule as the label-eval reports: "
-    "hybrid kernels, never bare BNLJ).",
+    "work. Reciprocity normalizes by the nominal 5*n edge budget "
+    "(out-degree <= 5; under-seeded nodes keep fewer). Shape: the edge "
+    "frame is O(n x k) rows; degree and reciprocity are two hash "
+    "aggregates and one self-equi-join on (v,u) — graph-audit cost "
+    "scales with edges, never pairs, and since round 8 the build "
+    "underneath is O(n R W) projection-window + O(n k^2) refine pairs, "
+    "never the O(n^2) block kernel (edge recall vs the exact graph is "
+    "its own "
+    "oracle-checked query, knn_graph_build_quality).",
     tags=("similarity", "ann", "graph", "audit", "llm-pipeline"),
 )
 def knn_graph_degree_stats(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    from datalakes_and_data_integration_spark.plans.similarity import (
-        ann_topk_bruteforce_hybrid,
-    )
-
     edges = (
-        ann_topk_bruteforce_hybrid(spark, sf_dir)
-        .select(F.col("vec_id").alias("u"), F.col("neighbor_id").alias("v"))
+        _nn_descent_graph(spark, sf_dir)
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .persist()  # consumed by in-degree + both reciprocity sides
     )
     nodes = T(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("u"))
@@ -2621,43 +2923,56 @@ _GS_HOPS = 8  # fixed expansion rounds (bounded, so the oracle unrolls)
 
 
 def _graph_search_oracle() -> str:
-    from datalakes_and_data_integration_spark.plans.registry import QUERIES
     from datalakes_and_data_integration_spark.plans.similarity import (
         _TOPK,
         _dot_duck,
         _norm2_duck,
     )
 
-    ex = QUERIES["ann_topk_bruteforce_hybrid"].oracle
     dot = _dot_duck("q.qe", "n.embedding")
+    # Every per-hop CTE is MATERIALIZED (VERDICT r7 #4): DuckDB
+    # otherwise re-inlines the growing chain into each consumer and the
+    # 64-term fold re-evaluates explosively — that, plus the O(n^2)
+    # exact-graph CTE the round-7 oracle embedded, was the 66 s sf0.01
+    # gate row. The sub-quadratic graph CTEs + materialized hops bring
+    # the whole replay to ~seconds.
     parts = [
-        f"WITH ex AS ({ex}),",
-        "gedges AS (SELECT vec_id AS src, neighbor_id AS dst FROM ex),",
-        "gnormed AS (SELECT vec_id, embedding, "
-        f"sqrt({_norm2_duck('embedding')}) AS nrm FROM embeddings),",
+        f"WITH {_nn_graph_sql()},",
+        "gedges AS (SELECT src, dst FROM gfin),",
+        "gnormed AS (SELECT vec_id, embedding, nrm FROM gn),",
         "gq AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn "
         "FROM gnormed),",
         "gentry AS (SELECT min(vec_id) AS node FROM embeddings),",
-        "s0 AS (SELECT q.qid, n.vec_id AS node, "
+        # beam seed = the query's OWN graph adjacency (the same coarse
+        # router the build uses — one projection-rank lookup for an
+        # out-of-corpus query) plus the global entry: single-global-
+        # entry greedy search cannot leave the entry's component on
+        # clustered corpora (measured 0.0005 recall at the tiled 20k
+        # decade, where the top-5 graph is ~2000 near-disconnected
+        # copy-cliques)
+        "gseeds AS (SELECT DISTINCT qid, node FROM ("
+        "SELECT q.qid, ge.node FROM gq q CROSS JOIN gentry ge "
+        "UNION ALL SELECT src AS qid, dst AS node FROM gedges)),",
+        "s0 AS MATERIALIZED (SELECT c.qid, c.node, "
         f"round({dot} / q.qn / n.nrm, 6) AS sc "
-        "FROM gq q CROSS JOIN gentry ge "
-        "JOIN gnormed n ON n.vec_id = ge.node),",
+        "FROM gseeds c JOIN gq q ON q.qid = c.qid "
+        "JOIN gnormed n ON n.vec_id = c.node),",
         "f0 AS (SELECT qid, node FROM s0),",
     ]
     for i in range(1, _GS_HOPS + 1):
         parts.append(
-            f"c{i} AS (SELECT DISTINCT f.qid, e.dst AS node "
+            f"c{i} AS MATERIALIZED (SELECT DISTINCT f.qid, e.dst AS node "
             f"FROM f{i - 1} f JOIN gedges e ON e.src = f.node),"
         )
         parts.append(
-            f"s{i} AS (SELECT DISTINCT qid, node, sc FROM ("
+            f"s{i} AS MATERIALIZED (SELECT DISTINCT qid, node, sc FROM ("
             f"SELECT qid, node, sc FROM s{i - 1} UNION ALL "
             f"SELECT c.qid, c.node, round({dot} / q.qn / n.nrm, 6) "
             f"FROM c{i} c JOIN gq q ON q.qid = c.qid "
             f"JOIN gnormed n ON n.vec_id = c.node)),"
         )
         parts.append(
-            f"f{i} AS (SELECT qid, node FROM ("
+            f"f{i} AS MATERIALIZED (SELECT qid, node FROM ("
             f"SELECT qid, node, row_number() OVER (PARTITION BY qid "
             f"ORDER BY sc DESC, node) AS rn FROM s{i}) "
             f"WHERE rn <= {_GS_BEAM}),"
@@ -2679,21 +2994,31 @@ def _graph_search_oracle() -> str:
     oracle=_graph_search_oracle(),
     description=f"Graph-based ANN (the HNSW/NSW family — the fourth "
     "index shape next to brute-force, hyperplane LSH, and IVF/PQ): "
-    f"greedy beam search over the exact top-5 kNN graph, beam "
-    f"{_GS_BEAM}, {_GS_HOPS} fixed hops from a single global entry "
-    "point (min vec_id) - each hop expands the frontier's out-edges, "
-    "re-scores candidates with the shared sequential-fold cosine, and "
-    "keeps the best beam; results are the top-5 of everything reached. "
-    "Deterministic end-to-end: rounded scores with id tie-breaks at "
-    "every selection, so the bounded-hop loop unrolls into a plain SQL "
-    "CTE chain the oracle replays move for move. Scale: per hop the "
-    "frame is O(queries x beam x k) rows — search cost is independent "
-    "of corpus size given the graph (THE graph-ANN selling point; "
-    "building the exact graph is the declared one-off, hybrid-kernel "
-    "priced in knn_graph_degree_stats). Recall on the weakly-clustered "
-    "corpus is measured by test against exact truth — single-entry "
-    "greedy search trades recall for hops, exactly the knob "
-    "hierarchical layers (the H in HNSW) exist to fix.",
+    f"greedy beam search over the shared sub-quadratic kNN graph "
+    "(projection-window seed + one NN-descent refine, round 8 — the "
+    "round-7 exact O(n^2) build was the family's last quadratic "
+    f"component), beam {_GS_BEAM}, {_GS_HOPS} fixed hops seeded from "
+    "the query's OWN graph adjacency plus the global min-id entry "
+    "(single-global-entry greedy search cannot leave the entry's "
+    "component on clustered corpora — 0.0005 recall measured at the "
+    "tiled 20k decade, whose top-5 graph is ~2000 copy-cliques; the "
+    "self-seed is the same coarse router the build uses, one "
+    "projection-rank lookup for an out-of-corpus query) - each hop "
+    "expands the frontier's "
+    "out-edges, re-scores candidates with the shared sequential-fold "
+    "cosine, and keeps the best beam; results are the top-5 of "
+    "everything reached. Deterministic end-to-end: rounded scores with "
+    "id tie-breaks at every selection, so build AND the bounded-hop "
+    "loop unroll into a SQL CTE chain the oracle replays move for move "
+    "(hops MATERIALIZED — the r7 oracle's 66 s sf0.01 cost is gone "
+    "with the O(n^2) exact-graph CTE). Scale: build is O(n R W) "
+    "projection-window + O(n k^2) refine pairs; per hop the frame is "
+    "O(queries x beam x k) "
+    "rows — search cost is independent of corpus size given the graph "
+    "(THE graph-ANN selling point). Recall vs exact truth: 0.94 at the "
+    "isotropic fixture (pinned >= 0.85 by test), 0.999 at the tiled "
+    "20k decade — the beam hops measurably improve on the raw 0.91 "
+    "edge recall of the seed adjacency.",
     tags=("similarity", "ann", "graph", "llm-pipeline"),
 )
 def ann_topk_graph_search(spark, sf_dir):
@@ -2704,7 +3029,6 @@ def ann_topk_graph_search(spark, sf_dir):
         _TOPK,
         _dot_spark,
         _norm2_spark,
-        ann_topk_bruteforce_hybrid,
     )
 
     e = T(spark, sf_dir, "embeddings")
@@ -2724,8 +3048,8 @@ def ann_topk_graph_search(spark, sf_dir):
         F.col("nrm").alias("nnrm"),
     )
     edges = (
-        ann_topk_bruteforce_hybrid(spark, sf_dir)
-        .select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
+        _nn_descent_graph(spark, sf_dir)
+        .select("src", "dst")
         .persist()  # expanded once per hop
     )
     entry = normed.agg(F.min("vec_id").alias("node"))
@@ -2743,10 +3067,22 @@ def ann_topk_graph_search(spark, sf_dir):
             "qid", "node", cos
         )
 
+    # Beam seed = query's own graph adjacency + the global entry (the
+    # component-escape fix — see the oracle comment in
+    # _graph_search_oracle; measured 0.94 search recall at the sf0.001
+    # fixture and 0.999 at the tiled 20k decade vs 0.0005 for the
+    # single-global-entry walk there).
+    own = edges.select(
+        F.col("src").alias("qid"), F.col("dst").alias("node")
+    )
     # scale-ok: 1-row entry frame fanned to every query
-    scored = score(
-        qf.select("qid").crossJoin(F.broadcast(entry))
-    ).localCheckpoint()
+    seeds = (
+        qf.select("qid")
+        .crossJoin(F.broadcast(entry))
+        .unionByName(own)
+        .distinct()
+    )
+    scored = score(seeds).localCheckpoint()
     wq = Window.partitionBy("qid").orderBy(F.col("sc").desc(), "node")
     for _ in range(_GS_HOPS):
         frontier = (
@@ -2773,5 +3109,86 @@ def ann_topk_graph_search(spark, sf_dir):
             F.col("node").alias("neighbor_id"),
             F.col("sc").alias("cos_sim"),
             "rank",
+        )
+    )
+
+
+def _graph_quality_oracle() -> str:
+    from datalakes_and_data_integration_spark.plans.registry import QUERIES
+
+    ex = QUERIES["ann_topk_bruteforce_hybrid"].oracle
+    return f"""
+    WITH {_nn_graph_sql()},
+    ex AS MATERIALIZED ({ex}),
+    counts AS (
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_nodes,
+        (SELECT CAST(count(*) AS BIGINT) FROM gfin) AS approx_edges,
+        (SELECT CAST(count(*) AS BIGINT) FROM ex) AS exact_edges,
+        (SELECT CAST(count(*) AS BIGINT)
+         FROM gfin g JOIN ex e
+           ON e.vec_id = g.src AND e.neighbor_id = g.dst) AS hits
+    )
+    SELECT n_nodes, approx_edges, exact_edges, hits,
+           CAST((1000 * hits) // exact_edges AS BIGINT)
+             AS edge_recall_permille
+    FROM counts
+    """
+
+
+@register(
+    "knn_graph_build_quality",
+    oracle=_graph_quality_oracle(),
+    description="Build-quality audit for the sub-quadratic kNN graph "
+    "(round 8): edge recall of the projection-window NN-descent graph "
+    "(_nn_descent_graph — the graph ann_topk_graph_search walks and "
+    "knn_graph_degree_stats audits) against the EXACT top-5 graph from "
+    "the hybrid block kernel, as integer permille so the comparison is "
+    "hash-exact cross-engine. This is the ann_topk_bruteforce "
+    "precedent applied to graph builds: the exact form stays "
+    "registered as the definition/truth anchor, the approximate form "
+    "is the operational tier, and the gap between them is itself a "
+    "measured, oracle-checked number (pinned >= 850 permille by test) "
+    "instead of an assertion. Scale: the approximate side is "
+    "O(n R W) + O(n k^2) pairs; the exact side is the block-broadcast "
+    "kernel — the audit runs at fixture scale to certify the builder, "
+    "the builder alone runs at corpus scale.",
+    tags=("similarity", "ann", "graph", "audit", "eval", "llm-pipeline"),
+)
+def knn_graph_build_quality(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans.similarity import (
+        ann_topk_bruteforce_hybrid,
+    )
+
+    approx = _nn_descent_graph(spark, sf_dir).select("src", "dst").persist()
+    exact = (
+        ann_topk_bruteforce_hybrid(spark, sf_dir)
+        .select(
+            F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+        )
+        .persist()
+    )
+    nn = T(spark, sf_dir, "embeddings").agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )
+    a = approx.agg(F.count("*").cast("long").alias("approx_edges"))
+    x = exact.agg(F.count("*").cast("long").alias("exact_edges"))
+    h = approx.join(exact, ["src", "dst"]).agg(
+        F.count("*").cast("long").alias("hits")
+    )
+    return (
+        nn.crossJoin(a)  # scale-ok: 1-row x 1-row aggregate fan-in
+        .crossJoin(x)  # scale-ok: 1-row x 1-row aggregate fan-in
+        .crossJoin(h)  # scale-ok: 1-row x 1-row aggregate fan-in
+        .select(
+            "n_nodes",
+            "approx_edges",
+            "exact_edges",
+            "hits",
+            F.expr("CAST((1000 * hits) div exact_edges AS BIGINT)").alias(
+                "edge_recall_permille"
+            ),
         )
     )

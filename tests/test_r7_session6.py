@@ -392,33 +392,54 @@ def test_table_diff_digests_catch_what_counts_cannot(spark):
 
 
 def test_knn_graph_stats_conserve_edges_and_bound_reciprocity(spark):
-    """Edge conservation (sum of in-degrees == n*k, every node counted
-    once), reciprocity bounds (recip_edges <= 5 * n_nodes per stratum),
-    and the global reciprocity must equal a direct pair recount."""
+    """Edge conservation (sum of in-degrees == total edges of the
+    SHARED sub-quadratic graph, every node counted once), reciprocity
+    bounds (recip_edges <= 5 * n_nodes per stratum), and the global
+    reciprocity must equal a direct pair recount on the same graph.
+    Round 8: the audited graph is _nn_descent_graph (projection-window
+    seed + NN-descent refine), out-degree <= 5, so the in-degree total
+    is checked against the graph's own edge count, not n*5."""
     from datalakes_and_data_integration_spark.plans._util import T
-    from datalakes_and_data_integration_spark.plans.similarity import (
-        ann_topk_bruteforce_hybrid,
-    )
     from datalakes_and_data_integration_spark.plans.similarity_extra import (
+        _nn_descent_graph,
         knn_graph_degree_stats,
     )
 
     rows = knn_graph_degree_stats(spark, SF).collect()
     n = T(spark, SF, "embeddings").count()
     assert sum(r.n_nodes for r in rows) == n
-    assert sum(r.in_degree * r.n_nodes for r in rows) == n * 5
+    edges = {
+        (r.src, r.dst)
+        for r in _nn_descent_graph(spark, SF)
+        .select("src", "dst")
+        .collect()
+    }  # test-only direct recount on the sf0.001 fixture
+    assert sum(r.in_degree * r.n_nodes for r in rows) == len(edges)
+    assert len(edges) <= n * 5
     for r in rows:
         assert 0 <= r.recip_edges <= 5 * r.n_nodes
         assert abs(r.recip_rate - round(r.recip_edges / (5 * r.n_nodes), 6)) < 1e-9
 
-    edges = {
-        (r.vec_id, r.neighbor_id)
-        for r in ann_topk_bruteforce_hybrid(spark, SF)
-        .select("vec_id", "neighbor_id")
-        .collect()
-    }  # test-only direct recount on the sf0.001 fixture
     recip_direct = sum(1 for (u, v) in edges if (v, u) in edges)
     assert sum(r.recip_edges for r in rows) == recip_direct
+
+
+def test_knn_graph_build_quality_holds_the_recall_floor(spark):
+    """The sub-quadratic build's edge recall vs the exact top-5 graph
+    (measured 0.910 at sf0.001 in the round-8 design sims, reproduced
+    by the oracle-checked query) must hold a >= 0.85 floor — the same
+    slack convention as the search-recall pin. Bookkeeping columns
+    must reconcile."""
+    from datalakes_and_data_integration_spark.plans.similarity_extra import (
+        knn_graph_build_quality,
+    )
+
+    row = knn_graph_build_quality(spark, SF).collect()[0]
+    assert row.exact_edges == row.n_nodes * 5
+    assert row.approx_edges <= row.n_nodes * 5
+    assert 0 <= row.hits <= min(row.approx_edges, row.exact_edges)
+    assert row.edge_recall_permille == (1000 * row.hits) // row.exact_edges
+    assert row.edge_recall_permille >= 850, row.edge_recall_permille
 
 
 def test_dp_release_noise_is_laplace_shaped_and_bounded(spark):

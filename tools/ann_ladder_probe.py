@@ -52,6 +52,9 @@ LADDER = [
     ("ann_topk_pq", False),
     ("ann_topk_ivfadc", False),
     ("ann_topk_ivfadc_residual", False),
+    # round 8: the graph family's end-to-end cell (sub-quadratic
+    # projection-window + NN-descent build, then beam search)
+    ("ann_topk_graph_search", False),
 ]
 
 

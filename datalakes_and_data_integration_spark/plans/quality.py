@@ -764,3 +764,161 @@ def dp_noisy_release_audit(spark, sf_dir):
         F.round(F.abs(noise), 6).alias("abs_noise"),
         F.lit(float(_DP_EPS)).alias("epsilon"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity generalization plan: k_anonymity_audit says HOW EXPOSED the
+# release is; this says WHAT TO DO — walk a monotone generalization
+# ladder over the same quasi-identifiers (nation -> region -> suppress;
+# $1k balance band -> $5k -> suppress; segment -> suppress) and pick the
+# FIRST level whose smallest equivalence class reaches k. The Mondrian/
+# Incognito search as one query over a fixed ladder: each level is a
+# re-keyed class-size aggregate over the same scan, so the plan costs
+# L aggregates over QI-domain-bounded frames, never L table scans of
+# fact-scale state.
+# ---------------------------------------------------------------------------
+
+_KGEN_K = 5
+_KGEN_LEVELS = (
+    ("nation|bal1000|segment", 0),
+    ("region|bal1000|segment", 1),
+    ("region|bal5000|segment", 2),
+    ("region|bal5000|*", 3),
+    ("*|bal5000|*", 4),
+)
+
+
+def _kgen_oracle() -> str:
+    def level_sql(lvl: int, geo: str, bal: str, seg: str) -> str:
+        return f"""
+      SELECT {lvl} AS level, {geo} AS geo, {bal} AS bal, {seg} AS seg,
+             count(*) AS sz
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 2, 3, 4"""
+
+    levels = " UNION ALL ".join(
+        level_sql(lvl, geo, bal, seg)
+        for lvl, geo, bal, seg in (
+            (0, "CAST(c.c_nationkey AS VARCHAR)",
+             "floor(c.c_acctbal / 1000)", "c.c_mktsegment"),
+            (1, "CAST(n.n_regionkey AS VARCHAR)",
+             "floor(c.c_acctbal / 1000)", "c.c_mktsegment"),
+            (2, "CAST(n.n_regionkey AS VARCHAR)",
+             "floor(c.c_acctbal / 5000)", "c.c_mktsegment"),
+            (3, "CAST(n.n_regionkey AS VARCHAR)",
+             "floor(c.c_acctbal / 5000)", "'*'"),
+            (4, "'*'", "floor(c.c_acctbal / 5000)", "'*'"),
+        )
+    )
+    specs = ", ".join(
+        f"({lvl}, '{name}')" for name, lvl in _KGEN_LEVELS
+    )
+    return f"""
+    WITH classes AS MATERIALIZED ({levels}),
+    per_level AS (
+      SELECT level,
+             CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(min(sz) AS BIGINT) AS min_class_size,
+             CAST(coalesce(sum(CASE WHEN sz < {_KGEN_K} THEN sz END), 0)
+                  AS BIGINT) AS rows_at_risk,
+             CAST(coalesce(sum(CASE WHEN sz < {_KGEN_K} THEN 1 END), 0)
+                  AS BIGINT) AS classes_at_risk
+      FROM classes GROUP BY level
+    ),
+    flagged AS (
+      SELECT p.*, s.spec, (rows_at_risk = 0) AS satisfies_k
+      FROM per_level p
+      JOIN (VALUES {specs}) s(level, spec) ON s.level = p.level
+    )
+    SELECT level, spec, n_classes, min_class_size, rows_at_risk,
+           classes_at_risk, satisfies_k,
+           (satisfies_k AND level = (SELECT min(level) FROM flagged
+                                     WHERE satisfies_k)) AS chosen
+    FROM flagged
+    """
+
+
+@register(
+    "k_anon_generalization_plan",
+    oracle=_kgen_oracle(),
+    description=f"k-anonymity generalization plan (k = {_KGEN_K}): the "
+    "action companion to k_anonymity_audit — a monotone generalization "
+    "ladder over the customer quasi-identifiers (nation -> region -> "
+    "suppress; $1k balance band -> $5k -> suppress; segment -> "
+    "suppress), each level reporting its equivalence-class count, "
+    "smallest class, and rows/classes below k, with the FIRST "
+    "k-satisfying level marked chosen — the Incognito/Mondrian lattice "
+    "search collapsed to a fixed ladder in one query. Monotonicity of "
+    "the ladder is what makes 'first satisfying' the minimal-loss "
+    "choice: every later level only merges classes. Scale: each level "
+    "is one map-side-combined aggregate bounded by the QI domain (the "
+    "k_anonymity_audit shape x L levels over one shared scan + "
+    "broadcast nation join); the plan output is L rows regardless of "
+    "corpus size.",
+    tags=("quality", "privacy", "governance", "audit", "llm-pipeline"),
+)
+def k_anon_generalization_plan(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    base = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).select(
+        F.col("c_nationkey").cast("string").alias("nat"),
+        F.col("n_regionkey").cast("string").alias("reg"),
+        F.floor(F.col("c_acctbal") / 1000).alias("bal1000"),
+        F.floor(F.col("c_acctbal") / 5000).alias("bal5000"),
+        F.col("c_mktsegment").alias("segment"),
+    ).persist()  # five level aggregates share one scan
+    star = F.lit("*")
+    level_keys = [
+        (0, F.col("nat"), F.col("bal1000"), F.col("segment")),
+        (1, F.col("reg"), F.col("bal1000"), F.col("segment")),
+        (2, F.col("reg"), F.col("bal5000"), F.col("segment")),
+        (3, F.col("reg"), F.col("bal5000"), star),
+        (4, star, F.col("bal5000"), star),
+    ]
+    per = None
+    for lvl, geo, bal, seg in level_keys:
+        classes = base.groupBy(
+            geo.alias("geo"), bal.alias("bal"), seg.alias("seg")
+        ).agg(F.count("*").alias("sz"))
+        agg = classes.agg(
+            F.lit(lvl).alias("level"),
+            F.count("*").cast("long").alias("n_classes"),
+            F.min("sz").cast("long").alias("min_class_size"),
+            F.coalesce(
+                F.sum(F.when(F.col("sz") < _KGEN_K, F.col("sz"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("rows_at_risk"),
+            F.coalesce(
+                F.sum(F.when(F.col("sz") < _KGEN_K, 1)), F.lit(0)
+            )
+            .cast("long")
+            .alias("classes_at_risk"),
+        )
+        per = agg if per is None else per.unionByName(agg)
+    specs = spark.createDataFrame(
+        [(lvl, name) for name, lvl in _KGEN_LEVELS], "level int, spec string"
+    )
+    flagged = per.join(F.broadcast(specs), "level").withColumn(
+        "satisfies_k", F.col("rows_at_risk") == 0
+    )
+    # scale-ok: unpartitioned window over the L = 5 ladder rows
+    w = Window.partitionBy()
+    return flagged.withColumn(
+        "chosen",
+        F.col("satisfies_k")
+        & (
+            F.col("level")
+            == F.min(
+                F.when(F.col("satisfies_k"), F.col("level"))
+            ).over(w)
+        ),
+    ).select(
+        "level", "spec", "n_classes", "min_class_size", "rows_at_risk",
+        "classes_at_risk", "satisfies_k", "chosen",
+    )

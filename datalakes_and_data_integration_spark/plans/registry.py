@@ -148,11 +148,18 @@ def register(
 # into one array-slot lookup — VERDICT r7 #5). ann_topk_graph_search /
 # knn_graph_degree_stats also change this round (LSH-seeded NN-descent
 # graph build — VERDICT r7 #2) but are already in the newcomer 16.
-# Clause (b) — the 28 remaining slots take the oldest-green cohort:
+# ROUND-8 FIRST-SESSION NEWCOMERS: change_data_feed_build,
+# entity_resolution_blocked, and k_anon_generalization_plan are never-
+# verified (clause (a) by definition) and therefore take cohort slots —
+# unlike the round-7 sixth session, this window still had cohort slots
+# to yield. Each is triple-SF gated in-session; CORRECTNESS_r08_s1.json
+# is the committed advance evidence (the reproducible-artifact pattern
+# ADVICE r7 asked for and CORRECTNESS_r07_s6.json established).
+# Clause (b) — the 25 remaining slots take the oldest-green cohort:
 # the full 21-query round-1 cohort (topn_orders_per_customer + the tpch
 # suite + union_dedup_events + user_first_last_event +
 # value_histogram/percentiles — none re-verified since r1) and the first
-# 7 of the 31-query round-2 cohort alphabetically. 22 + 28 = 50.
+# 4 of the 31-query round-2 cohort alphabetically. 25 + 25 = 50.
 WINDOW_ROUND = 8  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # session-6 newcomers: no driver row exists yet (clause (a) by
@@ -184,6 +191,12 @@ ROUND_CHANGED: list[str] = [
     # round-8 newcomer: edge recall of the sub-quadratic graph build
     # vs the exact graph (VERDICT r7 #2's measurement companion)
     "knn_graph_build_quality",
+    # round-8 first-session newcomers (clause (a) by definition: no
+    # green row exists; they take cohort slots — never-verified
+    # outranks any re-verification)
+    "change_data_feed_build",
+    "entity_resolution_blocked",
+    "k_anon_generalization_plan",
 ]
 WINDOW_PRIORITY: list[str] = [
     *ROUND_CHANGED,
@@ -209,14 +222,11 @@ WINDOW_PRIORITY: list[str] = [
     "user_first_last_event",
     "value_histogram_by_type",
     "value_percentiles_by_type",
-    # clause (b): first 7 of the round-2 cohort, alphabetical
+    # clause (b): first 4 of the round-2 cohort, alphabetical
     "ann_topk_bruteforce",
     "cross_source_duplication",
     "curation_funnel",
     "customer_spend_quartiles",
-    "dataset_split_assignment",
-    "dedup_kept_corpus",
-    "dedup_simhash",
 ]
 
 

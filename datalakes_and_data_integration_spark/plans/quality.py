@@ -861,16 +861,23 @@ def k_anon_generalization_plan(spark, sf_dir):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from datalakes_and_data_integration_spark.plans._util import spread
+
     c = T(spark, sf_dir, "customer")
     n = T(spark, sf_dir, "nation")
-    base = c.join(
-        F.broadcast(n), c.c_nationkey == n.n_nationkey
-    ).select(
-        F.col("c_nationkey").cast("string").alias("nat"),
-        F.col("n_regionkey").cast("string").alias("reg"),
-        F.floor(F.col("c_acctbal") / 1000).alias("bal1000"),
-        F.floor(F.col("c_acctbal") / 5000).alias("bal5000"),
-        F.col("c_mktsegment").alias("segment"),
+    # spread BEFORE persist: a small parquet scan is one partition and
+    # all five level aggregates would otherwise map-side-combine on a
+    # single core (the ann_topk_lsh_bucketed lesson; no-op on a real
+    # cluster where the scan already has >= cores splits)
+    base = spread(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+            F.col("c_nationkey").cast("string").alias("nat"),
+            F.col("n_regionkey").cast("string").alias("reg"),
+            F.floor(F.col("c_acctbal") / 1000).alias("bal1000"),
+            F.floor(F.col("c_acctbal") / 5000).alias("bal5000"),
+            F.col("c_mktsegment").alias("segment"),
+        ),
+        spark,
     ).persist()  # five level aggregates share one scan
     star = F.lit("*")
     level_keys = [

@@ -2091,7 +2091,7 @@ def skyline_pareto_frontier(spark, sf_dir):
 _ER_SEED = 21
 _ER_PCT = 40  # % of masters that emit a dirty twin
 _ER_ID_OFF = 10_000_000
-_ER_BAND = 1000  # balance-cents blocking band ($10)
+_ER_BAND = 4  # balance-cents blocking band == 2x the score tolerance
 _ER_MATCH = 55
 _ER_POSSIBLE = 30
 
@@ -2156,10 +2156,14 @@ def _er_oracle() -> str:
     f"{_ER_PCT}% sample of the customer master emits a perturbed "
     "'incoming' twin (+/-1-cent balance drift, 1-in-7 dropped segment, "
     "1-in-11 mis-keyed nation) and is linked back by banded blocking — "
-    "each incoming record probes its $10 balance-cents band and both "
-    "adjacent bands via an offset equi-join, COMPLETE for the +/-1-cent "
-    "drift by the pigeonhole (same first tier as fuzzy_name_match's "
-    "length buckets) — then integer Fellegi-Sunter-style field weights "
+    "each incoming record probes its 4-cent balance band and both "
+    "adjacent bands via an offset equi-join, COMPLETE for the 2-cent "
+    "score tolerance by the pigeonhole (|diff| <= 2 forces div-4 "
+    "buckets within 1; band width == tolerance is the canonical "
+    "blocking choice, and the decade ladder is why: $10 bands read "
+    "31x at 10x customers — fixed-domain bands saturate as density "
+    "grows, tolerance-width bands keep candidates O(collisions)) — "
+    "then integer Fellegi-Sunter-style field weights "
     "(balance within 2c +40/-10, segment agree +15/disagree -20/null "
     "0, nation +10/-15) score candidates, the best per record wins "
     f"(score tie -> min custkey), and >= {_ER_MATCH} / "

@@ -70,6 +70,10 @@ LADDER = [
     "cdc_merge_apply",
     # round-7 sixth session
     "rolling_exact_distinct_users_7d",
+    # round 8
+    "change_data_feed_build",
+    "ab_assignment_srm_audit",
+    "ab_metric_cuped_adjustment",
     "compaction_bin_packing_plan",
     "deletion_vector_cost_report",
     "streaming_heavy_hitters_cms",

@@ -77,6 +77,9 @@ LADDER = [
     "cbo_stats_selectivity_audit",
     "incremental_join_view_maintenance",
     "cube_distinct_hll",
+    # round 8
+    "entity_resolution_blocked",
+    "k_anon_generalization_plan",
 ]
 
 # (table, key columns to offset by that table's stride-owner)

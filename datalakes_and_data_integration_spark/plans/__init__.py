@@ -47,6 +47,7 @@ from datalakes_and_data_integration_spark.plans import (  # noqa: E402,F401
     curation6,
     curation7,
     curation8,
+    experiment,
 )
 
 __all__ = ["QUERIES", "Query", "all_queries", "all_oracle_sql", "register"]

@@ -1,0 +1,357 @@
+"""Experimentation / product-analytics queries (round 8).
+
+The A/B-testing surface a lakehouse analytics engine serves: seeded
+deterministic assignment with a sample-ratio-mismatch (SRM) audit, and
+CUPED variance-reduced metric readout (Deng et al., WSDM'13). Both are
+events-table queries with full DuckDB oracles; every stochastic-looking
+quantity is md5-derived and every aggregate routes through DECIMAL
+before a fixed-order DOUBLE epilogue, so the statistics are
+hash-exact cross-engine (the money-aggregate determinism recipe applied
+to experiment analytics — the same rails quality_scorer_agreement runs
+rank statistics on).
+
+Experiment frame shared by both queries: users are assigned to
+control/treatment by a seeded hash of user_id (50/50 split), the first
+_AB_PRE_DAYS days of the events span are the PRE-period (the CUPED
+covariate window), and the remainder is the experiment period the
+metrics read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalakes_and_data_integration_spark.functions.hashing import (
+    hash60_seeded,
+    hash60_sql_duck,
+)
+from datalakes_and_data_integration_spark.plans._util import T
+from datalakes_and_data_integration_spark.plans.registry import register
+
+_AB_SEED = 33
+_AB_PRE_DAYS = 10
+_AB_CHI2_CRIT = "3.841459"  # chi-square df=1, alpha=0.05
+_AB_CONV_VALUE = 135  # high-value purchase threshold (the conversion event)
+
+
+def _arm_duck() -> str:
+    h = hash60_sql_duck("CAST(user_id AS VARCHAR)", seed=_AB_SEED)
+    return f"CASE WHEN {h} % 100 >= 50 THEN 'treatment' ELSE 'control' END"
+
+
+def _arm_spark():
+    h = hash60_seeded(F.col("user_id").cast("string"), _AB_SEED)
+    return F.when(h % 100 >= 50, "treatment").otherwise("control")
+
+
+@register(
+    "ab_assignment_srm_audit",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT min(ts) + INTERVAL {_AB_PRE_DAYS} DAY AS exp_start FROM events
+    ),
+    assigned AS MATERIALIZED (
+      SELECT user_id, {_arm_duck()} AS arm,
+             CAST(coalesce(sum(CASE WHEN ts >= (SELECT exp_start FROM bounds)
+                                     AND event_type = 'purchase'
+                                     AND value >= {_AB_CONV_VALUE}
+                                    THEN 1 END), 0) > 0 AS BOOLEAN)
+               AS converted,
+             CAST(ROUND(coalesce(sum(CASE WHEN ts >= (SELECT exp_start
+                                                      FROM bounds)
+                                          THEN CAST(value AS DECIMAL(18,6))
+                                     END), 0), 4) AS DOUBLE) AS exp_value
+      FROM events GROUP BY 1, 2
+    ),
+    arms AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(coalesce(sum(CASE WHEN converted THEN 1 END), 0)
+                  AS BIGINT) AS n_converters,
+             CAST(ROUND(sum(CAST(exp_value AS DECIMAL(18,4))), 4)
+                  AS DOUBLE) AS total_exp_value
+      FROM assigned GROUP BY arm
+    ),
+    srm AS (
+      SELECT CAST(sum(n_users) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN arm = 'control' THEN n_users ELSE 0 END)
+                - sum(CASE WHEN arm = 'treatment' THEN n_users ELSE 0 END)
+                AS BIGINT) AS diff
+      FROM arms
+    )
+    SELECT a.arm, a.n_users, a.n_converters,
+           CAST((1000 * a.n_converters) // a.n_users AS BIGINT)
+             AS conversion_permille,
+           a.total_exp_value,
+           round(CAST(s.diff * s.diff AS DOUBLE) / s.n_total, 6)
+             AS srm_chi2,
+           (CAST(s.diff * s.diff AS DOUBLE) / s.n_total
+              > {_AB_CHI2_CRIT}) AS srm_alarm
+    FROM arms a CROSS JOIN srm s
+    """,
+    description=f"A/B assignment + sample-ratio-mismatch audit: users "
+    f"assign to control/treatment by a seeded md5 hash (50/50 — the "
+    "deterministic bucketing every experimentation platform runs), the "
+    f"first {_AB_PRE_DAYS} days of the events span are pre-period, and "
+    "each arm reports enrolled users, converters (a high-value "
+    f"purchase — value >= {_AB_CONV_VALUE} — in the experiment "
+    "period), integer conversion permille, and the "
+    "decimal-exact experiment-period value total. The SRM check is the "
+    "first gate any readout must pass: chi-square of the observed "
+    "split vs 50/50 (diff^2/total for two arms, df=1), alarmed at the "
+    f"5% critical value {_AB_CHI2_CRIT} — a triggered SRM means "
+    "assignment or logging is broken and every downstream metric is "
+    "untrustworthy. Scale: one map-side-combined per-(user, arm) "
+    "aggregate then a 2-row arm rollup; the hash rides the scan, no "
+    "assignment table is ever materialized or shuffled.",
+    tags=("experiment", "ab-test", "audit", "quality"),
+)
+def ab_assignment_srm_audit(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    exp_start = F.broadcast(
+        ev.agg(
+            (F.min("ts") + F.expr(f"INTERVAL {_AB_PRE_DAYS} DAYS")).alias(
+                "exp_start"
+            )
+        )
+    )
+    assigned = (
+        ev.crossJoin(exp_start)  # scale-ok: 1-row broadcast scalar
+        .groupBy(F.col("user_id"), _arm_spark().alias("arm"))
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("ts") >= F.col("exp_start"))
+                            & (F.col("event_type") == "purchase")
+                            & (F.col("value") >= _AB_CONV_VALUE),
+                            1,
+                        )
+                    ),
+                    F.lit(0),
+                )
+                > 0
+            ).alias("converted"),
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("ts") >= F.col("exp_start"),
+                            F.col("value").cast("decimal(18,6)"),
+                        )
+                    ),
+                    F.lit(0),
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("exp_value"),
+        )
+    )
+    arms = assigned.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.coalesce(F.sum(F.when(F.col("converted"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_converters"),
+        F.round(F.sum(F.col("exp_value").cast("decimal(18,4)")), 4)
+        .cast("double")
+        .alias("total_exp_value"),
+    )
+    srm = arms.agg(
+        F.sum("n_users").cast("long").alias("n_total"),
+        (
+            F.sum(F.when(F.col("arm") == "control", F.col("n_users")).otherwise(0))
+            - F.sum(
+                F.when(F.col("arm") == "treatment", F.col("n_users")).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("diff"),
+    )
+    chi2 = F.col("diff").cast("double") * F.col("diff").cast("double") / F.col(
+        "n_total"
+    )
+    return (
+        arms.crossJoin(F.broadcast(srm))  # scale-ok: 2 arms x 1-row stats
+        .select(
+            "arm",
+            "n_users",
+            "n_converters",
+            F.expr("CAST((1000 * n_converters) div n_users AS BIGINT)").alias(
+                "conversion_permille"
+            ),
+            "total_exp_value",
+            F.round(
+                F.expr("CAST(diff * diff AS DOUBLE) / n_total"), 6
+            ).alias("srm_chi2"),
+            (
+                F.expr("CAST(diff * diff AS DOUBLE) / n_total")
+                > F.expr(_AB_CHI2_CRIT)
+            ).alias("srm_alarm"),
+        )
+    )
+
+
+# Fixed-order DOUBLE epilogue shared verbatim by both engines: every
+# moment arrives as an exact decimal sum cast to DOUBLE, and the same
+# expression TEXT computes the statistics, so each IEEE op sequence is
+# identical cross-engine (the CBO-audit determinism pattern).
+_CUPED_EPILOGUE = """
+  round(sy / n, 6) AS mean_y,
+  round(sy / n - theta * (sx / n - gmx), 6) AS mean_y_cuped,
+  round(syy / n - (sy / n) * (sy / n), 6) AS var_y,
+  round((syy / n - (sy / n) * (sy / n))
+        - 2 * theta * (sxy / n - (sx / n) * (sy / n))
+        + theta * theta * (sxx / n - (sx / n) * (sx / n)), 6)
+    AS var_y_cuped
+"""
+
+
+def _cuped_oracle() -> str:
+    return f"""
+    WITH bounds AS (
+      SELECT min(ts) + INTERVAL {_AB_PRE_DAYS} DAY AS exp_start FROM events
+    ),
+    per_user AS MATERIALIZED (
+      SELECT user_id, {_arm_duck()} AS arm,
+             CAST(coalesce(sum(CASE WHEN ts < (SELECT exp_start FROM bounds)
+                                    THEN CAST(value AS DECIMAL(18,6)) END),
+                           0) AS DECIMAL(28,6)) AS x,
+             CAST(coalesce(sum(CASE WHEN ts >= (SELECT exp_start FROM bounds)
+                                    THEN CAST(value AS DECIMAL(18,6)) END),
+                           0) AS DECIMAL(28,6)) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    moments AS (
+      SELECT arm,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(x * y AS DECIMAL(38,10))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(y * y AS DECIMAL(38,10))) AS DOUBLE) AS syy
+      FROM per_user GROUP BY arm
+    ),
+    pooled AS (
+      SELECT CAST(sum(CAST(n AS DECIMAL(28,6))) AS DOUBLE) AS n,
+             CAST(sum(CAST(sx AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(sy AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(sxx AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(sxy AS DECIMAL(38,10))) AS DOUBLE) AS sxy
+      FROM moments
+    ),
+    theta AS (
+      SELECT CASE WHEN sxx / n - (sx / n) * (sx / n) = 0 THEN 0
+                  ELSE (sxy / n - (sx / n) * (sy / n))
+                       / (sxx / n - (sx / n) * (sx / n)) END AS theta,
+             sx / n AS gmx
+      FROM pooled
+    )
+    SELECT m.arm, CAST(m.n AS BIGINT) AS n_users,
+           round(t.theta, 6) AS theta,
+           {_CUPED_EPILOGUE}
+    FROM moments m CROSS JOIN theta t
+    """
+
+
+@register(
+    "ab_metric_cuped_adjustment",
+    oracle=_cuped_oracle(),
+    description="CUPED variance-reduced experiment readout (Deng et "
+    "al., WSDM'13 — the industry-standard sensitivity boost): per-user "
+    "pre-period value is the covariate X, experiment-period value the "
+    "metric Y; theta = cov(X,Y)/var(X) fits on the POOLED arms (the "
+    "unbiasedness condition — theta must not read the treatment "
+    "split), and each arm reports raw vs adjusted mean and variance "
+    "(Var(Y - theta X) = VarY - 2 theta Cov + theta^2 VarX from the "
+    "same moment sums). Every moment is an exact DECIMAL sum; the "
+    "DOUBLE epilogue is one shared expression text, so both engines "
+    "execute the identical IEEE op sequence (the estimator-arithmetic "
+    "determinism rule). Scale: one per-user aggregate (map-side "
+    "combined), then arm-grain moment rows — the covariate never "
+    "joins back to the fact table, and the 2x7 moment frame is the "
+    "whole reduce state.",
+    tags=("experiment", "ab-test", "variance-reduction", "stats"),
+)
+def ab_metric_cuped_adjustment(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    exp_start = F.broadcast(
+        ev.agg(
+            (F.min("ts") + F.expr(f"INTERVAL {_AB_PRE_DAYS} DAYS")).alias(
+                "exp_start"
+            )
+        )
+    )
+    per_user = (
+        ev.crossJoin(exp_start)  # scale-ok: 1-row broadcast scalar
+        .groupBy(F.col("user_id"), _arm_spark().alias("arm"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("ts") < F.col("exp_start"),
+                        F.col("value").cast("decimal(18,6)"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(28,6)")
+            .alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("ts") >= F.col("exp_start"),
+                        F.col("value").cast("decimal(18,6)"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(28,6)")
+            .alias("y"),
+        )
+    )
+    moments = per_user.groupBy("arm").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.expr("CAST(x * x AS DECIMAL(38,10))"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.expr("CAST(x * y AS DECIMAL(38,10))"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.expr("CAST(y * y AS DECIMAL(38,10))"))
+        .cast("double")
+        .alias("syy"),
+    ).persist()  # pooled theta + per-arm epilogue both read it
+    pooled = moments.agg(
+        F.sum(F.expr("CAST(n AS DECIMAL(28,6))")).cast("double").alias("n"),
+        F.sum(F.expr("CAST(sx AS DECIMAL(38,10))")).cast("double").alias("sx"),
+        F.sum(F.expr("CAST(sy AS DECIMAL(38,10))")).cast("double").alias("sy"),
+        F.sum(F.expr("CAST(sxx AS DECIMAL(38,10))"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.expr("CAST(sxy AS DECIMAL(38,10))"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    theta = pooled.select(
+        F.expr(
+            "CASE WHEN sxx / n - (sx / n) * (sx / n) = 0 THEN 0 "
+            "ELSE (sxy / n - (sx / n) * (sy / n)) "
+            "/ (sxx / n - (sx / n) * (sx / n)) END"
+        ).alias("theta"),
+        F.expr("sx / n").alias("gmx"),
+    )
+    return (
+        moments.crossJoin(F.broadcast(theta))  # scale-ok: 2 arms x 1 row
+        .selectExpr(
+            "arm",
+            "CAST(n AS BIGINT) AS n_users",
+            "round(theta, 6) AS theta",
+            *[
+                e.strip()
+                for e in _CUPED_EPILOGUE.strip().split(",\n")
+            ],
+        )
+    )

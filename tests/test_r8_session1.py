@@ -134,3 +134,95 @@ def test_kgen_ladder_is_monotone_and_chooses_minimal_level(spark):
     chosen = [r.level for r in rows if r.chosen]
     assert chosen == ([min(sat)] if sat else [])
     assert sat, "the fully generalized tail of the ladder should reach k"
+
+
+def test_srm_audit_reconciles_with_direct_recount(spark):
+    """Arms must partition the user universe, the chi-square must equal
+    diff^2/total recomputed from the arm sizes, the alarm must equal
+    the critical-value comparison, and conversion permille must be the
+    integer division of the recounted converters."""
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans.experiment import (
+        ab_assignment_srm_audit,
+    )
+
+    rows = {r.arm: r for r in ab_assignment_srm_audit(spark, SF).collect()}
+    assert set(rows) == {"control", "treatment"}
+    n_users = (
+        T(spark, SF, "events").select("user_id").distinct().count()
+    )
+    total = rows["control"].n_users + rows["treatment"].n_users
+    assert total == n_users
+    diff = rows["control"].n_users - rows["treatment"].n_users
+    chi2 = round(diff * diff / total, 6)
+    for r in rows.values():
+        assert r.srm_chi2 == chi2
+        assert r.srm_alarm == (diff * diff / total > 3.841459)
+        assert 0 <= r.n_converters <= r.n_users
+        assert r.conversion_permille == (1000 * r.n_converters) // r.n_users
+        assert 0 < r.conversion_permille < 1000  # non-degenerate metric
+
+
+def test_cuped_moment_algebra_and_pooled_theta(spark):
+    """theta must be identical on both arm rows (fit pooled, never on
+    the split — the unbiasedness condition), the adjusted variance must
+    equal the closed form recomputed from an independent per-user
+    moment pass, and the raw mean must match a direct recount."""
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans.experiment import (
+        _AB_PRE_DAYS,
+        _arm_spark,
+        ab_metric_cuped_adjustment,
+    )
+
+    rows = {
+        r.arm: r for r in ab_metric_cuped_adjustment(spark, SF).collect()
+    }
+    assert set(rows) == {"control", "treatment"}
+    assert rows["control"].theta == rows["treatment"].theta
+
+    ev = T(spark, SF, "events")
+    start = ev.agg(
+        (F.min("ts") + F.expr(f"INTERVAL {_AB_PRE_DAYS} DAYS")).alias("s")
+    ).collect()[0].s
+    pu = (
+        ev.groupBy("user_id", _arm_spark().alias("arm"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ts") < F.lit(start), F.col("value"))),
+                F.lit(0.0),
+            ).alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("ts") >= F.lit(start), F.col("value"))),
+                F.lit(0.0),
+            ).alias("y"),
+        )
+        .collect()
+    )
+    import statistics
+
+    xs = [r.x for r in pu]
+    ys = [r.y for r in pu]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    var_x = sum(x * x for x in xs) / n - mx * mx
+    cov = sum(x * y for x, y in zip(xs, ys)) / n - mx * my
+    theta = cov / var_x if var_x else 0.0
+    assert abs(rows["control"].theta - round(theta, 6)) < 1e-4
+    for arm in ("control", "treatment"):
+        sub = [(r.x, r.y) for r in pu if r.arm == arm]
+        na = len(sub)
+        assert na == rows[arm].n_users
+        mya = sum(y for _, y in sub) / na
+        assert abs(rows[arm].mean_y - mya) < 1e-3
+        vy = sum(y * y for _, y in sub) / na - mya * mya
+        mxa = sum(x for x, _ in sub) / na
+        vx = sum(x * x for x, _ in sub) / na - mxa * mxa
+        cv = sum(x * y for x, y in sub) / na - mxa * mya
+        v_adj = vy - 2 * theta * cv + theta * theta * vx
+        assert abs(rows[arm].var_y - vy) < max(1e-3, abs(vy) * 1e-6)
+        assert abs(rows[arm].var_y_cuped - v_adj) < max(
+            1e-3, abs(v_adj) * 1e-6
+        )

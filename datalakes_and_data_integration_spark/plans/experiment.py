@@ -104,6 +104,7 @@ def _arm_spark():
     "aggregate then a 2-row arm rollup; the hash rides the scan, no "
     "assignment table is ever materialized or shuffled.",
     tags=("experiment", "ab-test", "audit", "quality"),
+    bench=True,  # promoted r8: round-8 flagship
 )
 def ab_assignment_srm_audit(spark, sf_dir):
     ev = T(spark, sf_dir, "events")
@@ -254,35 +255,12 @@ def _cuped_oracle() -> str:
     """
 
 
-@register(
-    "ab_metric_cuped_adjustment",
-    oracle=_cuped_oracle(),
-    description="CUPED variance-reduced experiment readout (Deng et "
-    "al., WSDM'13 — the industry-standard sensitivity boost): per-user "
-    "pre-period value is the covariate X, experiment-period value the "
-    "metric Y; theta = cov(X,Y)/var(X) fits on the POOLED arms (the "
-    "unbiasedness condition — theta must not read the treatment "
-    "split), and each arm reports raw vs adjusted mean and variance "
-    "(Var(Y - theta X) = VarY - 2 theta Cov + theta^2 VarX from the "
-    "same moment sums). Every moment is an exact DECIMAL sum; the "
-    "DOUBLE epilogue is one shared expression text, so both engines "
-    "execute the identical IEEE op sequence (the estimator-arithmetic "
-    "determinism rule). Scale: one per-user aggregate (map-side "
-    "combined), then arm-grain moment rows — the covariate never "
-    "joins back to the fact table, and the 2x7 moment frame is the "
-    "whole reduce state.",
-    tags=("experiment", "ab-test", "variance-reduction", "stats"),
-)
-def ab_metric_cuped_adjustment(spark, sf_dir):
-    ev = T(spark, sf_dir, "events")
-    exp_start = F.broadcast(
-        ev.agg(
-            (F.min("ts") + F.expr(f"INTERVAL {_AB_PRE_DAYS} DAYS")).alias(
-                "exp_start"
-            )
-        )
-    )
-    per_user = (
+def _ab_per_user(ev, exp_start):
+    """Per-(user, arm) exact decimal covariate/metric sums: x = value in
+    the pre-period, y = value in the experiment period. Additive across
+    any row partitioning of the events — the property the streaming
+    maintenance twin sum-merges on."""
+    return (
         ev.crossJoin(exp_start)  # scale-ok: 1-row broadcast scalar
         .groupBy(F.col("user_id"), _arm_spark().alias("arm"))
         .agg(
@@ -310,6 +288,22 @@ def ab_metric_cuped_adjustment(spark, sf_dir):
             .alias("y"),
         )
     )
+
+
+def _exp_start(ev):
+    return F.broadcast(
+        ev.agg(
+            (F.min("ts") + F.expr(f"INTERVAL {_AB_PRE_DAYS} DAYS")).alias(
+                "exp_start"
+            )
+        )
+    )
+
+
+def _cuped_readout(per_user):
+    """Moments -> pooled theta -> per-arm epilogue; shared verbatim by
+    the batch query and the maintained-state twin so the readout can
+    never fork between them."""
     moments = per_user.groupBy("arm").agg(
         F.count("*").cast("double").alias("n"),
         F.sum("x").cast("double").alias("sx"),
@@ -355,3 +349,87 @@ def ab_metric_cuped_adjustment(spark, sf_dir):
             ],
         )
     )
+
+
+@register(
+    "ab_metric_cuped_adjustment",
+    oracle=_cuped_oracle(),
+    description="CUPED variance-reduced experiment readout (Deng et "
+    "al., WSDM'13 — the industry-standard sensitivity boost): per-user "
+    "pre-period value is the covariate X, experiment-period value the "
+    "metric Y; theta = cov(X,Y)/var(X) fits on the POOLED arms (the "
+    "unbiasedness condition — theta must not read the treatment "
+    "split), and each arm reports raw vs adjusted mean and variance "
+    "(Var(Y - theta X) = VarY - 2 theta Cov + theta^2 VarX from the "
+    "same moment sums). Every moment is an exact DECIMAL sum; the "
+    "DOUBLE epilogue is one shared expression text, so both engines "
+    "execute the identical IEEE op sequence (the estimator-arithmetic "
+    "determinism rule). Scale: one per-user aggregate (map-side "
+    "combined), then arm-grain moment rows — the covariate never "
+    "joins back to the fact table, and the 2x7 moment frame is the "
+    "whole reduce state.",
+    tags=("experiment", "ab-test", "variance-reduction", "stats"),
+)
+def ab_metric_cuped_adjustment(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return _cuped_readout(_ab_per_user(ev, _exp_start(ev)))
+
+
+@register(
+    "streaming_ab_moments_maintenance",
+    oracle=_cuped_oracle(),
+    description="Incremental CUPED readout: the experiment metric state "
+    "— per-(user, arm) exact decimal covariate/metric sums — is "
+    "maintained across span-derived weekly event batches by the shared "
+    "ledgered sum-merge (streaming/sketch_maintenance.ledgered_sum_"
+    "merge: sum-merge is NOT idempotent, so exactly-once lives in the "
+    "applied-batch ledger committed atomically with the state — the "
+    "same design point as the CMS sketch, fourth member of the merge-"
+    "algebra family), then the CUPED readout runs on the MAINTAINED "
+    "state through the exact code path of ab_metric_cuped_adjustment "
+    "(_cuped_readout — one definition, so the incremental readout "
+    "cannot fork from the batch one). The shared oracle proves "
+    "maintained == batch-built: per-user decimal sums are associative, "
+    "so any batching of the event log lands on identical state. Scale: "
+    "state is O(users) narrow rows (the per-key-state shape of the "
+    "streaming dedup/SCD2 twins), each weekly merge reads only its "
+    "increment, and a replayed batch is a ledger no-op (pinned by "
+    "test).",
+    tags=("experiment", "ab-test", "streaming", "incremental", "stats"),
+)
+def streaming_ab_moments_maintenance(spark, sf_dir):
+    from datalakes_and_data_integration_spark.plans._util import state_tmp
+    from datalakes_and_data_integration_spark.plans.streaming_extra import (
+        _weekly_bounds,
+    )
+    from datalakes_and_data_integration_spark.streaming.sketch_maintenance import (
+        ledgered_sum_merge,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    exp_start = _exp_start(ev)
+    state = state_tmp("ab_moments_q")
+    weeks = _weekly_bounds(ev)
+    merged = None
+    for i, (lo, hi) in enumerate(zip(weeks, weeks[1:])):
+        batch = _ab_per_user(
+            ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)), exp_start
+        )
+        merged = ledgered_sum_merge(
+            spark,
+            state,
+            batch,
+            batch_id=i,
+            key_cols=["user_id", "arm"],
+            sum_cols=["x", "y"],
+            collect_note="O(users) narrow metric-state rows",
+        )
+    # merge widened the decimals (sum(DECIMAL(28,6)) -> (38,6)); restore
+    # the per-user schema the readout's moment casts expect
+    per_user = merged.select(
+        "user_id",
+        "arm",
+        F.col("x").cast("decimal(28,6)").alias("x"),
+        F.col("y").cast("decimal(28,6)").alias("y"),
+    )
+    return _cuped_readout(per_user)

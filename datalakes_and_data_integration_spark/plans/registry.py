@@ -155,11 +155,11 @@ def register(
 # to yield. Each is triple-SF gated in-session; CORRECTNESS_r08_s1.json
 # is the committed advance evidence (the reproducible-artifact pattern
 # ADVICE r7 asked for and CORRECTNESS_r07_s6.json established).
-# Clause (b) — the 23 remaining slots take the oldest-green cohort:
+# Clause (b) — the 22 remaining slots take the oldest-green cohort:
 # the full 21-query round-1 cohort (topn_orders_per_customer + the tpch
 # suite + union_dedup_events + user_first_last_event +
 # value_histogram/percentiles — none re-verified since r1) and the first
-# 2 of the 31-query round-2 cohort alphabetically. 27 + 23 = 50.
+# 1 of the 31-query round-2 cohort alphabetically. 28 + 22 = 50.
 WINDOW_ROUND = 8  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # session-6 newcomers: no driver row exists yet (clause (a) by
@@ -197,9 +197,10 @@ ROUND_CHANGED: list[str] = [
     "change_data_feed_build",
     "entity_resolution_blocked",
     "k_anon_generalization_plan",
-    # round-8 second batch: the experimentation pair (never-verified)
+    # round-8 second batch: the experimentation family (never-verified)
     "ab_assignment_srm_audit",
     "ab_metric_cuped_adjustment",
+    "streaming_ab_moments_maintenance",
 ]
 WINDOW_PRIORITY: list[str] = [
     *ROUND_CHANGED,
@@ -225,9 +226,8 @@ WINDOW_PRIORITY: list[str] = [
     "user_first_last_event",
     "value_histogram_by_type",
     "value_percentiles_by_type",
-    # clause (b): first 2 of the round-2 cohort, alphabetical
+    # clause (b): first 1 of the round-2 cohort, alphabetical
     "ann_topk_bruteforce",
-    "cross_source_duplication",
 ]
 
 

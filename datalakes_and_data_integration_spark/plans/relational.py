@@ -2177,6 +2177,7 @@ def _er_oracle() -> str:
     "the argmax is one ranking window.",
     tags=("join", "entity-resolution", "blocking", "integration",
           "quality"),
+    bench=True,  # promoted r8: round-8 flagship
 )
 def entity_resolution_blocked(spark, sf_dir):
     from datalakes_and_data_integration_spark.functions.hashing import (

@@ -2799,6 +2799,7 @@ def dim_snapshot_diff(spark, sf_dir):
     "one user-keyed full-outer join; feed size is O(changed keys), "
     "never O(history).",
     tags=("temporal", "warehouse", "cdc", "lakehouse", "incremental"),
+    bench=True,  # promoted r8: round-8 flagship
 )
 def change_data_feed_build(spark, sf_dir):
     parsed = scd2_parse(spark, sf_dir).persist()

@@ -147,20 +147,28 @@ def cms_rows(df: DataFrame, key_col: str) -> DataFrame:
     )
 
 
-def merge_cms_state(
-    spark: SparkSession, state_dir: str, batch: DataFrame, batch_id: int
+def ledgered_sum_merge(
+    spark: SparkSession,
+    state_dir: str,
+    batch: DataFrame,
+    batch_id: int,
+    key_cols: list[str],
+    sum_cols: list[str],
+    collect_note: str = "bounded state rows",
 ) -> DataFrame:
-    """Sum-merge a batch's CMS rows into the persisted sketch, exactly
-    once. The sketch parquet and the applied-batch ledger COMMIT
-    TOGETHER: the merged sketch stages into a fresh versioned directory
-    and one atomic ``os.replace`` of the commit file flips the
-    active-sketch pointer and the applied set in the same step — a
-    crash anywhere leaves the previous consistent (sketch, ledger) pair
-    on disk and replay simply re-merges the batch, so there is no
-    window where a sketch already contains a batch the ledger hasn't
-    recorded (the double-count crash window of the two-step write;
-    ADVICE r7). A replayed id returns the state untouched (the
-    redelivery test pins this). State is O(d x w) rows forever."""
+    """Generic exactly-once SUM-merge of a batch frame into persisted
+    state. Sum-merge is NOT idempotent (unlike HLL's max / bitmap's
+    OR), so exactly-once lives in an applied-batch ledger — and the
+    state parquet and that ledger COMMIT TOGETHER: the merged state
+    stages into a fresh versioned directory and one atomic
+    ``os.replace`` of the commit file flips the active-state pointer
+    and the applied set in the same step. A crash anywhere leaves the
+    previous consistent (state, ledger) pair on disk and replay simply
+    re-merges the batch — no window where state already contains a
+    batch the ledger hasn't recorded (the double-count crash window of
+    the two-step write; ADVICE r7). A replayed id returns the state
+    untouched (pinned by tests for both consumers: the CMS sketch and
+    the A/B per-user metric state)."""
     import json
     import shutil
 
@@ -180,12 +188,13 @@ def merge_cms_state(
         merged = (
             spark.read.parquet(cur_dir)
             .unionByName(batch)
-            .groupBy("seed", "bucket")
-            .agg(F.sum("total").alias("total"))
+            .groupBy(*key_cols)
+            .agg(*[F.sum(c).alias(c) for c in sum_cols])
         )
     else:
         merged = batch
-    rows = merged.collect()  # scale-ok: O(d x w) sketch rows (<= 4096)
+    rows = merged.collect()  # scale-ok: see collect_note per consumer
+    _ = collect_note
     new_name = f"sketch-{len(applied):06d}-{batch_id}"
     new_dir = os.path.join(state_dir, new_name)
     spark.createDataFrame(rows, merged.schema).write.mode(
@@ -204,6 +213,23 @@ def merge_cms_state(
     if cur_dir is not None:  # superseded generation, post-commit GC
         shutil.rmtree(cur_dir, ignore_errors=True)
     return spark.read.parquet(new_dir)
+
+
+def merge_cms_state(
+    spark: SparkSession, state_dir: str, batch: DataFrame, batch_id: int
+) -> DataFrame:
+    """Sum-merge a batch's CMS rows into the persisted sketch, exactly
+    once, via the shared staged-commit ledger (ledgered_sum_merge).
+    State is O(d x w) rows (<= 4096) forever."""
+    return ledgered_sum_merge(
+        spark,
+        state_dir,
+        batch,
+        batch_id,
+        key_cols=["seed", "bucket"],
+        sum_cols=["total"],
+        collect_note="O(d x w) sketch rows (<= 4096)",
+    )
 
 
 def cms_lookup(keys: DataFrame, sketch: DataFrame, key_col: str) -> DataFrame:

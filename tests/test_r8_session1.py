@@ -226,3 +226,49 @@ def test_cuped_moment_algebra_and_pooled_theta(spark):
         assert abs(rows[arm].var_y_cuped - v_adj) < max(
             1e-3, abs(v_adj) * 1e-6
         )
+
+
+def test_streaming_ab_state_replay_is_ledger_noop(spark, tmp_path):
+    """The per-user metric state sum-merges behind the shared ledger:
+    replaying batch 0 must leave the state untouched, and the
+    maintained readout must equal the batch CUPED query exactly."""
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans.experiment import (
+        _ab_per_user,
+        _cuped_readout,
+        _exp_start,
+        ab_metric_cuped_adjustment,
+    )
+    from datalakes_and_data_integration_spark.streaming.sketch_maintenance import (
+        ledgered_sum_merge,
+    )
+
+    ev = T(spark, SF, "events")
+    exp_start = _exp_start(ev)
+    state = str(tmp_path / "abstate")
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+    for i, b in enumerate((b1, b2)):
+        merged = ledgered_sum_merge(
+            spark, state, _ab_per_user(b, exp_start), i,
+            key_cols=["user_id", "arm"], sum_cols=["x", "y"],
+        )
+    before = sorted(map(tuple, merged.collect()))
+    replay = ledgered_sum_merge(
+        spark, state, _ab_per_user(b1, exp_start), 0,
+        key_cols=["user_id", "arm"], sum_cols=["x", "y"],
+    )
+    assert sorted(map(tuple, replay.collect())) == before
+
+    per_user = replay.select(
+        "user_id", "arm",
+        F.col("x").cast("decimal(28,6)").alias("x"),
+        F.col("y").cast("decimal(28,6)").alias("y"),
+    )
+    maintained = sorted(map(tuple, _cuped_readout(per_user).collect()))
+    batch = sorted(
+        map(tuple, ab_metric_cuped_adjustment(spark, SF).collect())
+    )
+    assert maintained == batch

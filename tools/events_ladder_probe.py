@@ -74,6 +74,7 @@ LADDER = [
     "change_data_feed_build",
     "ab_assignment_srm_audit",
     "ab_metric_cuped_adjustment",
+    "streaming_ab_moments_maintenance",
     "compaction_bin_packing_plan",
     "deletion_vector_cost_report",
     "streaming_heavy_hitters_cms",

@@ -93,31 +93,33 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    # Three runs per query: run 0 pays one-time costs (Janino codegen compile
-    # of the large generated expressions, parquet footer reads — measured
-    # 7.4s of dedup_minhash_lsh's 8.4s cold time) and is reported as "cold";
-    # the headline steady-state number is the best of runs 1-2. min-of-2
-    # because this host's throughput swings 20%+ WITHIN a bench run (see
-    # NOTES.md "Host-speed variance" and the two calibration anchors): a
-    # single warm sample conflates engine time with whichever throttling
-    # window it landed in, while the min converges on the engine's actual
-    # steady-state throughput.
+    # Three passes per query: pass 0 pays one-time costs (Janino codegen
+    # compile of the large generated expressions, parquet footer reads —
+    # measured 7.4s of dedup_minhash_lsh's 8.4s cold time) and is reported
+    # as "cold"; the headline steady-state number is the per-query MIN of
+    # passes 1-2 (min-of-passes is the standard noise-floor estimator on a
+    # host whose throughput swings 20%+ within a run — see NOTES.md
+    # "Host-speed variance"). The passes are INTERLEAVED round-robin
+    # (cold round over all keys, then warm round 1 over all keys, then
+    # warm round 2) rather than back-to-back per query: this box's
+    # throttling arrives in multi-second WINDOWS, and back-to-back samples
+    # share a window — the round-8 driver capture overstated warm 1.8x
+    # because both samples of each slow key landed in the same throttled
+    # stretch (VERDICT r8 finding #1). Round-separated samples are minutes
+    # apart, so the min sees at least one clean window per key.
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name, q in plans.QUERIES.items():
-        if not q.bench:
-            continue
-        warm: list[float] = []
-        for run in range(3):
+    bench_qs = [(n, q) for n, q in plans.QUERIES.items() if q.bench]
+    for rnd in range(3):
+        for name, q in bench_qs:
             t0 = time.time()
             df = q.spark(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             elapsed = round(time.time() - t0, 3)
-            if run == 0:
+            if rnd == 0:
                 cold[name] = elapsed
             else:
-                warm.append(elapsed)
-        times[name] = min(warm)
+                times[name] = min(times.get(name, elapsed), elapsed)
 
     detail, summary = build_outputs(
         times, cold, sf, _cpu_calibration(), _cpu_calibration_parallel()
@@ -139,6 +141,12 @@ def main() -> None:
     sys.stdout.flush()
 
 
+# Healthy-host parallel-anchor reference (measured on an uncontended
+# window; VERDICT r8 asked the summary to carry the ratio so a throttled
+# driver window is self-describing instead of reading as a regression).
+_CALIB_PAR_REF = 0.337
+
+
 def build_outputs(
     times: dict[str, float],
     cold: dict[str, float],
@@ -152,6 +160,11 @@ def build_outputs(
     bounded (~250 bytes) no matter how large the headline set grows —
     tests/test_plan_shapes.py pins it under 1 KB.
     """
+    # Window self-description (VERDICT r8 #1): the parallel anchor's
+    # ratio to the healthy-host reference. ~1.0 = full multi-core
+    # throughput; >1.5 = the capture window was core-throttled and every
+    # Spark number in this JSON under-measures the engine.
+    par_ratio = round(calib_par / _CALIB_PAR_REF, 2) if calib_par > 0 else -1.0
     detail = {
         "metric": "headline_queries_wall_clock",
         "value": round(sum(times.values()), 3),
@@ -162,6 +175,8 @@ def build_outputs(
         "sf": sf,
         "cpu_calib_sec": calib,
         "cpu_calib_par_sec": calib_par,
+        "calib_par_ratio": par_ratio,
+        "throttled_window": bool(par_ratio > 1.5),
     }
     summary = {
         "metric": "headline_queries_wall_clock",
@@ -172,6 +187,8 @@ def build_outputs(
         "sf": sf,
         "cpu_calib_sec": calib,
         "cpu_calib_par_sec": calib_par,
+        "calib_par_ratio": par_ratio,
+        "throttled_window": detail["throttled_window"],
         "detail": "BENCH_DETAIL.json",
     }
     return detail, summary

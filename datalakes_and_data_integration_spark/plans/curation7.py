@@ -239,6 +239,114 @@ def dedup_span_rewrite(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Exact-substring span DETECTION at a token threshold (round 9 — the
+# suffix-array tier of Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better"). dedup_span_rewrite above is the
+# REWRITE consumer at 8-gram resolution (it removes occurrences of any
+# duplicated 8-gram); this query is the detector with the exact
+# >= _ESS_N-token-overlap guarantee production pipelines quote: a span
+# of L >= N tokens is duplicated iff all of its L - N + 1 N-token
+# windows are duplicated, so maximal RUNS of consecutive duplicated
+# N-windows reconstruct the maximal duplicated spans exactly — the
+# sort/group distributed equivalent of the paper's suffix-array pass
+# (partial suffix grouping at fixed depth N; no all-pairs stage).
+# ---------------------------------------------------------------------------
+
+_ESS_N = 12  # token threshold: report only exact overlaps >= 12 tokens
+
+
+def _exact_substring_oracle() -> str:
+    n = _ESS_N
+    return f"""
+    WITH tok AS (SELECT doc_id, {_TOK_DUCK} AS toks FROM documents),
+    tok2 AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= {n}),
+    grams AS (
+      SELECT doc_id, p, md5(g) AS dg FROM ({_pos_grams_duck(n)})
+    ),
+    cnt AS (
+      SELECT doc_id, p, count(*) OVER (PARTITION BY dg) AS c FROM grams
+    ),
+    dup AS (SELECT doc_id, p, c FROM cnt WHERE c >= 2),
+    isl AS (
+      SELECT doc_id, p, c,
+             p - row_number() OVER (PARTITION BY doc_id ORDER BY p)
+               AS isl
+      FROM dup
+    )
+    SELECT doc_id,
+           CAST(min(p) AS BIGINT) AS span_start,
+           CAST(max(p) + {n} - 1 AS BIGINT) AS span_end,
+           CAST(max(p) - min(p) + {n} AS BIGINT) AS span_tokens,
+           CAST(min(c) AS BIGINT) AS min_window_count
+    FROM isl GROUP BY doc_id, isl
+    """
+
+
+@register(
+    "dedup_exact_substring_spans",
+    oracle=_exact_substring_oracle(),
+    description=f"Exact-substring duplicate-span detection at a token "
+    f"threshold (the suffix-array tier of Lee et al. 2022): every "
+    f"maximal token span of length >= {_ESS_N} whose text appears at "
+    "more than one (doc, position) in the corpus, reported as (doc_id, "
+    "span_start, span_end, span_tokens, min_window_count) in 1-based "
+    "token coordinates. EXACT, not approximate: a span of L tokens is "
+    f"duplicated iff all its L-{_ESS_N}+1 rolling {_ESS_N}-token "
+    "windows are duplicated, so maximal runs of consecutive duplicated "
+    "windows (gaps-and-islands on window position) reconstruct the "
+    "maximal duplicated spans with the >= N-token-overlap guarantee — "
+    "the property the shingle-containment tiers (dedup_span_rewrite, "
+    "passage_dedup_rewrite) only approximate. min_window_count is the "
+    "occurrence count of the span's RAREST window — a lower bound on "
+    "how many places the weakest part of the span recurs. Scale: the "
+    "distributed stand-in for the paper's suffix array is partial "
+    "suffix GROUPING at fixed depth N — one rolling-window digest per "
+    "token (linear, built from slice/zip_with chains, never "
+    "per-element array indexing), one digest-keyed window count (the "
+    "corpus-scale shuffle; count >= 2 keeps only duplicated windows, "
+    "so the island stage's doc_id shuffle moves only the duplicated "
+    "tail), no all-pairs or per-suffix sort. Composes with "
+    "dedup_span_rewrite's coverage rewrite as its span source.",
+    tags=("dedup", "curation", "text", "llm-pipeline"),
+)
+def dedup_exact_substring_spans(spark, sf_dir):
+    n = _ESS_N
+    d = spread(T(spark, sf_dir, "documents"), spark)
+    tok = d.select("doc_id", F.expr(_TOK_SPARK).alias("toks")).filter(
+        F.size("toks") >= n
+    )
+    grams = tok.select(
+        "doc_id",
+        F.posexplode(F.expr(_pos_grams_spark("toks", n))).alias("p0", "g"),
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).cast("long").alias("p"),
+        F.md5("g").alias("dg"),
+    )
+    dup = (
+        grams.withColumn(
+            "c", F.count("*").over(Window.partitionBy("dg"))
+        )
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "p", "c")
+    )
+    isl = dup.withColumn(
+        "isl",
+        F.col("p")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("p")),
+    )
+    return isl.groupBy("doc_id", "isl").agg(
+        F.min("p").cast("long").alias("span_start"),
+        (F.max("p") + n - 1).cast("long").alias("span_end"),
+        (F.max("p") - F.min("p") + n).cast("long").alias("span_tokens"),
+        F.min("c").cast("long").alias("min_window_count"),
+    ).drop("isl").select(
+        "doc_id", "span_start", "span_end", "span_tokens",
+        "min_window_count",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-document novelty (first-occurrence contribution) scoring.
 # ---------------------------------------------------------------------------
 

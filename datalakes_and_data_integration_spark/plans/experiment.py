@@ -217,10 +217,10 @@ def _cuped_oracle() -> str:
       SELECT user_id, {_arm_duck()} AS arm,
              CAST(coalesce(sum(CASE WHEN ts < (SELECT exp_start FROM bounds)
                                     THEN CAST(value AS DECIMAL(18,6)) END),
-                           0) AS DECIMAL(28,6)) AS x,
+                           0) AS DECIMAL(18,6)) AS x,
              CAST(coalesce(sum(CASE WHEN ts >= (SELECT exp_start FROM bounds)
                                     THEN CAST(value AS DECIMAL(18,6)) END),
-                           0) AS DECIMAL(28,6)) AS y
+                           0) AS DECIMAL(18,6)) AS y
       FROM events GROUP BY 1, 2
     ),
     moments AS (
@@ -228,9 +228,12 @@ def _cuped_oracle() -> str:
              CAST(count(*) AS DOUBLE) AS n,
              CAST(sum(x) AS DOUBLE) AS sx,
              CAST(sum(y) AS DOUBLE) AS sy,
-             CAST(sum(CAST(x * x AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
-             CAST(sum(CAST(x * y AS DECIMAL(38,10))) AS DOUBLE) AS sxy,
-             CAST(sum(CAST(y * y AS DECIMAL(38,10))) AS DOUBLE) AS syy
+             CAST(sum(CAST(CAST(x AS DECIMAL(19,6)) * x
+                           AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(CAST(x AS DECIMAL(19,6)) * y
+                           AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(CAST(y AS DECIMAL(19,6)) * y
+                           AS DECIMAL(38,12))) AS DOUBLE) AS syy
       FROM per_user GROUP BY arm
     ),
     pooled AS (
@@ -259,7 +262,18 @@ def _ab_per_user(ev, exp_start):
     """Per-(user, arm) exact decimal covariate/metric sums: x = value in
     the pre-period, y = value in the experiment period. Additive across
     any row partitioning of the events — the property the streaming
-    maintenance twin sum-merges on."""
+    maintenance twin sum-merges on.
+
+    x/y are deliberately DECIMAL(18,6), NOT wider: the moment stage
+    squares them, and (18,6)x(18,6) -> (37,12) in Spark / (36,12) in
+    DuckDB — exact in BOTH engines before the shared round-to-(38,10).
+    At (28,6) operands Spark's product needs (57,12), overflows the
+    38-digit ceiling, and silently rounds to scale 6 while DuckDB keeps
+    the exact product — sxx/sxy/syy fork as soon as per-user sums carry
+    >3 decimal digits (round-9 ADVICE finding, regression-pinned in
+    tests/test_experiment.py). (18,6) leaves 12 integer digits for a
+    per-user period sum — 10^12, orders of magnitude above any
+    per-user event-value total."""
     return (
         ev.crossJoin(exp_start)  # scale-ok: 1-row broadcast scalar
         .groupBy(F.col("user_id"), _arm_spark().alias("arm"))
@@ -273,7 +287,7 @@ def _ab_per_user(ev, exp_start):
                 ),
                 F.lit(0),
             )
-            .cast("decimal(28,6)")
+            .cast("decimal(18,6)")
             .alias("x"),
             F.coalesce(
                 F.sum(
@@ -284,7 +298,7 @@ def _ab_per_user(ev, exp_start):
                 ),
                 F.lit(0),
             )
-            .cast("decimal(28,6)")
+            .cast("decimal(18,6)")
             .alias("y"),
         )
     )
@@ -308,13 +322,13 @@ def _cuped_readout(per_user):
         F.count("*").cast("double").alias("n"),
         F.sum("x").cast("double").alias("sx"),
         F.sum("y").cast("double").alias("sy"),
-        F.sum(F.expr("CAST(x * x AS DECIMAL(38,10))"))
+        F.sum(F.expr("CAST(x * x AS DECIMAL(38,12))"))
         .cast("double")
         .alias("sxx"),
-        F.sum(F.expr("CAST(x * y AS DECIMAL(38,10))"))
+        F.sum(F.expr("CAST(x * y AS DECIMAL(38,12))"))
         .cast("double")
         .alias("sxy"),
-        F.sum(F.expr("CAST(y * y AS DECIMAL(38,10))"))
+        F.sum(F.expr("CAST(y * y AS DECIMAL(38,12))"))
         .cast("double")
         .alias("syy"),
     ).persist()  # pooled theta + per-arm epilogue both read it
@@ -424,12 +438,21 @@ def streaming_ab_moments_maintenance(spark, sf_dir):
             sum_cols=["x", "y"],
             collect_note="O(users) narrow metric-state rows",
         )
-    # merge widened the decimals (sum(DECIMAL(28,6)) -> (38,6)); restore
+    if merged is None:  # empty events table -> zero batches, empty state;
+        # the readout of an empty per-user frame is the oracle's 0 rows
+        return _cuped_readout(
+            spark.createDataFrame(
+                [],
+                "user_id BIGINT, arm STRING, x DECIMAL(18,6),"
+                " y DECIMAL(18,6)",
+            )
+        )
+    # merge widened the decimals (sum(DECIMAL(18,6)) -> (28,6)); restore
     # the per-user schema the readout's moment casts expect
     per_user = merged.select(
         "user_id",
         "arm",
-        F.col("x").cast("decimal(28,6)").alias("x"),
-        F.col("y").cast("decimal(28,6)").alias("y"),
+        F.col("x").cast("decimal(18,6)").alias("x"),
+        F.col("y").cast("decimal(18,6)").alias("y"),
     )
     return _cuped_readout(per_user)

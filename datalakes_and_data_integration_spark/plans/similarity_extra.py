@@ -2549,6 +2549,16 @@ def ann_nprobe_recall_curve(spark, sf_dir):
 _GS_K = 5  # graph out-degree (top-k edges kept per node)
 _GS_PROJ_R = 48  # projections (recall knob: more orders, more diversity)
 _GS_PROJ_W = 8  # rank-window half-width per projection
+# NN-descent runs on a WIDER internal working graph than the final
+# out-degree (Dong et al.'s actual form), for _GS_NND_ROUNDS rounds —
+# the round-9 isotropic-regime fix. Round 8 ran one round directly on
+# the k=5 graph; at the 2k-isotropic decade the 0.50-edge-recall seed
+# trapped it at a local optimum (measured: a second k=5 round bought
+# +0.001 recall; the k'=20 working graph + 2 rounds bought +0.34 —
+# design sims in NOTES.md round 9). Refine cost stays linear:
+# O(n k'^2) pairs per round.
+_GS_KINT = 20  # internal working out-degree during refine rounds
+_GS_NND_ROUNDS = 2  # refine rounds over the working graph
 
 
 def _gproj_signs() -> list:
@@ -2690,40 +2700,103 @@ def _nn_descent_graph(spark, sf_dir):
     )
     seed = score(cand0)
     w = Window.partitionBy("src").orderBy(F.col("sc").desc(), "dst")
-    g0 = (
-        seed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _GS_K)
-        .select("src", "dst", "sc")
-        .persist()  # refine reads it 4x (2 join sides x 2 shapes)
+
+    def topk(pairs, k):
+        return (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("src", "dst", "sc")
+        )
+
+    # NN-descent rounds over the k'=_GS_KINT WORKING graph: candidates
+    # are forward-forward 2-hop pairs (a neighbor's neighbor) plus
+    # same-source sibling pairs (co-members of one neighbor list — the
+    # reverse-edge half of Dong et al.'s candidate set), O(n x k'^2)
+    # pairs per round. Pairs already scored in an earlier round are
+    # anti-joined away before the 64-dim fold (pure cost optimization:
+    # identical pairs re-score to the identical rounded double, so the
+    # post-union distinct() would collapse them anyway — the oracle
+    # twin keeps the simpler score-then-distinct form).
+    allp = seed.localCheckpoint()  # cumulative scored pairs
+    for _ in range(_GS_NND_ROUNDS):
+        work = topk(allp, _GS_KINT).persist()  # 2 join sides x 2 shapes
+        e1 = work.select("src", "dst").alias("e1")
+        e2 = work.select(
+            F.col("src").alias("src2"), F.col("dst").alias("dst2")
+        ).alias("e2")
+        ff = (
+            e1.join(e2, F.col("e1.dst") == F.col("src2"))
+            .filter(F.col("dst2") != F.col("e1.src"))
+            .select(
+                F.col("e1.src").alias("src"), F.col("dst2").alias("dst")
+            )
+        )
+        sib = (
+            e1.join(e2, F.col("e1.src") == F.col("src2"))
+            .filter(F.col("dst2") != F.col("e1.dst"))
+            .select(
+                F.col("e1.dst").alias("src"), F.col("dst2").alias("dst")
+            )
+        )
+        fresh = (
+            ff.unionByName(sib)
+            .distinct()
+            .join(allp.select("src", "dst"), ["src", "dst"], "left_anti")
+        )
+        allp = allp.unionByName(score(fresh)).localCheckpoint()
+    return topk(allp, _GS_K)
+
+
+def _nnd_round_ctes() -> str:
+    """Per-round NN-descent CTEs for the oracle twin: gall0 = the
+    scored seed pairs; each round r takes the top-_GS_KINT WORKING
+    graph of gall{r-1}, generates forward-forward + sibling candidate
+    pairs, scores them, and unions (DISTINCT — identical pairs score to
+    the identical rounded double) into gall{r}. The Spark builder's
+    left-anti before scoring is a pure cost optimization invisible in
+    the result, so the oracle keeps the simpler score-then-distinct
+    form."""
+    from datalakes_and_data_integration_spark.plans.similarity import (
+        _dot_duck,
     )
-    # One NN-descent round: forward-forward 2-hop pairs (a neighbor's
-    # neighbor) plus same-source sibling pairs (co-members of one
-    # neighbor list — the reverse-edge half of Dong et al.'s candidate
-    # set). O(n x k^2) candidate pairs, scored once each.
-    e1 = g0.select("src", "dst").alias("e1")
-    e2 = g0.select(
-        F.col("src").alias("src2"), F.col("dst").alias("dst2")
-    ).alias("e2")
-    ff = (
-        e1.join(e2, F.col("e1.dst") == F.col("src2"))
-        .filter(F.col("dst2") != F.col("e1.src"))
-        .select(F.col("e1.src").alias("src"), F.col("dst2").alias("dst"))
-    )
-    sib = (
-        e1.join(e2, F.col("e1.src") == F.col("src2"))
-        .filter(F.col("dst2") != F.col("e1.dst"))
-        .select(F.col("e1.dst").alias("src"), F.col("dst2").alias("dst"))
-    )
-    refine = score(ff.unionByName(sib).distinct())
-    # Identical (src, dst) pairs score to the identical rounded double,
-    # so distinct() collapses seed/refine overlap exactly.
-    return (
-        g0.unionByName(refine)
-        .distinct()
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _GS_K)
-        .select("src", "dst", "sc")
-    )
+
+    dot_ab = _dot_duck("a.embedding", "b.embedding")
+    parts = ["gall0 AS MATERIALIZED (SELECT src, dst, sc FROM gseed),"]
+    for r in range(1, _GS_NND_ROUNDS + 1):
+        parts.append(
+            f"""gw{r} AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT src, dst, row_number() OVER (PARTITION BY src
+                 ORDER BY sc DESC, dst) AS rn
+        FROM gall{r - 1}
+      ) WHERE rn <= {_GS_KINT}
+    ),
+    gcand{r} AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT e1.src AS src, e2.dst AS dst
+        FROM gw{r} e1 JOIN gw{r} e2 ON e2.src = e1.dst
+        WHERE e2.dst <> e1.src
+        UNION ALL
+        SELECT e1.dst AS src, e2.dst AS dst
+        FROM gw{r} e1 JOIN gw{r} e2 ON e2.src = e1.src
+        WHERE e2.dst <> e1.dst
+      )
+    ),
+    gref{r} AS (
+      SELECT c.src, c.dst, round({dot_ab} / a.nrm / b.nrm, 6) AS sc
+      FROM gcand{r} c
+      JOIN gn a ON a.vec_id = c.src
+      JOIN gn b ON b.vec_id = c.dst
+    ),
+    gall{r} AS MATERIALIZED (
+      SELECT DISTINCT src, dst, sc FROM (
+        SELECT src, dst, sc FROM gall{r - 1}
+        UNION ALL
+        SELECT src, dst, sc FROM gref{r}
+      )
+    ),"""
+        )
+    return "\n    ".join(parts)
 
 
 def _nn_graph_sql() -> str:
@@ -2777,42 +2850,12 @@ def _nn_graph_sql() -> str:
       JOIN gn a ON a.vec_id = c.src
       JOIN gn b ON b.vec_id = c.dst
     ),
-    g0 AS MATERIALIZED (
-      SELECT src, dst, sc FROM (
-        SELECT src, dst, sc, row_number() OVER (PARTITION BY src
-                 ORDER BY sc DESC, dst) AS rn
-        FROM gseed
-      ) WHERE rn <= {_GS_K}
-    ),
-    gcand AS MATERIALIZED (
-      SELECT DISTINCT src, dst FROM (
-        SELECT e1.src AS src, e2.dst AS dst
-        FROM g0 e1 JOIN g0 e2 ON e2.src = e1.dst
-        WHERE e2.dst <> e1.src
-        UNION ALL
-        SELECT e1.dst AS src, e2.dst AS dst
-        FROM g0 e1 JOIN g0 e2 ON e2.src = e1.src
-        WHERE e2.dst <> e1.dst
-      )
-    ),
-    gref AS (
-      SELECT c.src, c.dst, round({dot_ab} / a.nrm / b.nrm, 6) AS sc
-      FROM gcand c
-      JOIN gn a ON a.vec_id = c.src
-      JOIN gn b ON b.vec_id = c.dst
-    ),
-    gall AS (
-      SELECT DISTINCT src, dst, sc FROM (
-        SELECT src, dst, sc FROM g0
-        UNION ALL
-        SELECT src, dst, sc FROM gref
-      )
-    ),
+{_nnd_round_ctes()}
     gfin AS MATERIALIZED (
       SELECT src, dst, sc FROM (
         SELECT src, dst, sc, row_number() OVER (PARTITION BY src
                  ORDER BY sc DESC, dst) AS rn
-        FROM gall
+        FROM gall{_GS_NND_ROUNDS}
       ) WHERE rn <= {_GS_K}
     )"""
 

@@ -794,10 +794,16 @@ def _weekly_bounds(ev) -> list[str]:
     while the oracle replayed the full table, so a fixture with a
     different time span would break the maintained == batch-built claim.
     One scalar min/max scan; the final bound is max-day + 1 so the last
-    half-open [lo, hi) week covers the final event."""
+    half-open [lo, hi) week covers the final event. An EMPTY table has
+    no span: return [] so callers' merge loops run zero batches and
+    fall back to their empty-state readout (round-9 ADVICE — min(ts) is
+    NULL there, and None.date() used to crash all three maintenance
+    queries instead of them returning empty reports)."""
     import datetime
 
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()  # scale-ok: 2 scalars
+    if lo is None:
+        return []
     bounds = []
     d = lo.date()
     end = hi.date() + datetime.timedelta(days=1)
@@ -902,6 +908,10 @@ def streaming_heavy_hitters_cms(spark, sf_dir):
         sketch = merge_cms_state(
             spark, state, cms_rows(batch, "user_id"), batch_id=i
         )
+    if sketch is None:  # empty events table -> zero batches, empty report
+        return spark.createDataFrame(
+            [], "user_id BIGINT, exact_freq BIGINT, cms_est BIGINT"
+        )
     top = (
         ev.groupBy("user_id")
         .agg(F.count("*").alias("cnt"))
@@ -956,6 +966,11 @@ def streaming_bitmap_distinct_maintenance(spark, sf_dir):
         batch = ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
         words = merge_bitmap_state(
             spark, state, bitmap_words(batch, "event_type", "user_id")
+        )
+    if words is None:  # empty events table -> zero batches; the oracle's
+        # ungrouped count(DISTINCT) still emits the __all__ row with 0
+        return spark.createDataFrame(
+            [("__all__", 0)], "event_type STRING, n_users BIGINT"
         )
     from datalakes_and_data_integration_spark.plans.sketches import (
         bitmap_popcount_report,

@@ -182,6 +182,17 @@ def ledgered_sum_merge(
         applied = set(commit["applied"])
         cur_name = commit["sketch"]
     cur_dir = os.path.join(state_dir, cur_name) if cur_name else None
+    # Entry GC (ADVICE r8): a crash between the staged parquet write and
+    # the os.replace commit leaves an orphaned sketch-* dir, and a retry
+    # under a DIFFERENT batch id stages a different name — so orphans
+    # would accumulate across crash/replay cycles. Anything not named by
+    # COMMIT.json is by definition uncommitted garbage; removing it here
+    # restores the bounded-state-dir invariant before we stage anew.
+    for entry in os.listdir(state_dir):
+        if entry.startswith("sketch-") and entry != cur_name:
+            shutil.rmtree(
+                os.path.join(state_dir, entry), ignore_errors=True
+            )
     if str(batch_id) in applied:
         return spark.read.parquet(cur_dir)
     if cur_dir is not None:

@@ -1,0 +1,94 @@
+"""Experimentation-family regressions beyond the sf-fixture oracle gate.
+
+The round-9 ADVICE finding: with per-user sums carrying >3 decimal
+digits, DECIMAL(28,6) CUPED operands made Spark's x*x overflow the
+38-digit ceiling (product wants (57,12) -> rounded to scale 6) while
+DuckDB computed the exact product — sxx/sxy/syy forked cross-engine.
+The fix keeps x/y at DECIMAL(18,6) (products (37,12)/(36,12), exact in
+both engines). This test pins it on a fixture DESIGNED to trip the old
+code: values are multiples of 2^-6 = 0.015625 (exact as IEEE doubles
+AND as 6-scale decimals), so per-user sums carry 6 significant decimal
+digits and any product rounding diverges immediately.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+
+def _mk_events(tmpdir: str) -> str:
+    """40 users x 30 events over 30 days; value = k + m * 2^-6."""
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT (u * 1000 + i)::BIGINT AS event_id,
+                 TIMESTAMP '2024-01-01'
+                   + INTERVAL (i) DAY
+                   + INTERVAL ((u * 37 + i * 13) % 1440) MINUTE AS ts,
+                 u::BIGINT AS user_id,
+                 CASE WHEN (u + i) % 3 = 0 THEN 'purchase'
+                      ELSE 'view' END AS event_type,
+                 ((u * 7 + i * 3) % 200)::DOUBLE
+                   + (((u * 11 + i) % 64)::DOUBLE) * 0.015625 AS value,
+                 '{{}}' AS props
+          FROM range(40) t(u), range(30) s(i)
+        ) TO '{tmpdir}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    return tmpdir
+
+
+def test_cuped_moments_hash_exact_on_rich_decimals(spark, tmp_path):
+    from datalakes_and_data_integration_spark.plans.experiment import (
+        _cuped_oracle,
+        ab_metric_cuped_adjustment,
+    )
+
+    sf_dir = _mk_events(str(tmp_path))
+    got = {
+        r.arm: r for r in ab_metric_cuped_adjustment(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'events.parquet')}')"
+    )
+    cols = [
+        "n_users",
+        "theta",
+        "mean_y",
+        "mean_y_cuped",
+        "var_y",
+        "var_y_cuped",
+    ]
+    want = {
+        r[0]: dict(zip(cols, r[1:]))
+        for r in con.execute(_cuped_oracle()).fetchall()
+    }
+    con.close()
+    assert set(got) == set(want) == {"control", "treatment"}
+    for arm in got:
+        for c in cols:
+            assert getattr(got[arm], c) == pytest.approx(
+                want[arm][c], abs=0
+            ), (arm, c, getattr(got[arm], c), want[arm][c])
+    # the fixture really does exercise >3 decimal digits per user sum
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'events.parquet')}')"
+    )
+    frac = con.execute(
+        """
+        SELECT max(length(split_part(CAST(s AS VARCHAR), '.', 2)))
+        FROM (SELECT sum(CAST(value AS DECIMAL(18,6))) AS s
+              FROM events GROUP BY user_id)
+        """
+    ).fetchone()[0]
+    con.close()
+    assert frac >= 5, "fixture lost its rich-decimal property"

@@ -264,8 +264,8 @@ def test_streaming_ab_state_replay_is_ledger_noop(spark, tmp_path):
 
     per_user = replay.select(
         "user_id", "arm",
-        F.col("x").cast("decimal(28,6)").alias("x"),
-        F.col("y").cast("decimal(28,6)").alias("y"),
+        F.col("x").cast("decimal(18,6)").alias("x"),
+        F.col("y").cast("decimal(18,6)").alias("y"),
     )
     maintained = sorted(map(tuple, _cuped_readout(per_user).collect()))
     batch = sorted(

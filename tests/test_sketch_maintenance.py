@@ -246,3 +246,48 @@ def test_triptych_reports_share_one_maintained_state_root(spark, tmp_path):
     mh = {(r.grp, r.reg): r.mrho for r in hl2.collect()}
     bh = {(r.grp, r.reg): r.mrho for r in batch_hll.collect()}
     assert mh == bh
+
+
+def test_entry_gc_removes_orphaned_staged_sketch_dirs(spark, tmp_path):
+    """ADVICE r8: a crash between the staged parquet write and the
+    os.replace commit orphans a sketch-* dir, and a retry under a
+    different batch id stages a DIFFERENT name — the orphan would live
+    forever. The merge must GC anything COMMIT.json doesn't name on
+    entry, and must leave the committed generation alone."""
+    import json
+    import os
+
+    from datalakes_and_data_integration_spark.streaming.sketch_maintenance import (
+        cms_rows,
+        merge_cms_state,
+    )
+
+    ev = _events(spark)
+    state = str(tmp_path / "cms")
+    merge_cms_state(
+        spark, state, cms_rows(ev.filter("event_id % 2 = 0"), "user_id"), 0
+    )
+    committed = json.load(open(os.path.join(state, "COMMIT.json")))["sketch"]
+    # simulate the crash: an uncommitted staged dir from a dead attempt
+    orphan = os.path.join(state, "sketch-999999-dead")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "part-0.parquet"), "w").write("junk")
+    merged = merge_cms_state(
+        spark, state, cms_rows(ev.filter("event_id % 2 = 1"), "user_id"), 1
+    )
+    names = sorted(
+        e for e in os.listdir(state) if e.startswith("sketch-")
+    )
+    assert os.path.basename(orphan) not in names
+    new_committed = json.load(open(os.path.join(state, "COMMIT.json")))[
+        "sketch"
+    ]
+    assert names == [new_committed]
+    assert committed != new_committed
+    # and the merged state equals the batch-built sketch
+    batch = {
+        (r.seed, r.bucket): r.total
+        for r in cms_rows(ev, "user_id").collect()
+    }
+    got = {(r.seed, r.bucket): r.total for r in merged.collect()}
+    assert got == batch

@@ -112,37 +112,73 @@ def canon(rows: list[tuple], cols: list[str]):
     return [cols[i] for i in order], out
 
 
-def compare(name: str, spark_df, con) -> tuple[bool, str]:
+def compare_detail(name: str, spark_df, con) -> tuple[bool, str, dict]:
+    """compare() plus the per-check outcomes that were ACTUALLY measured
+    (ADVICE r8: emit_correctness_json used to fabricate oracle_rows from
+    the Spark count and mirror one boolean into all three checks). The
+    detail dict reports None for checks never reached — a schema
+    mismatch leaves rows/hash None, a rows-only query leaves the oracle
+    side None — so a committed artifact can't overstate the evidence."""
     import __spark_entry__ as e
 
     sql = e.oracle_sql().get(name)
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = list(spark_df.columns)
+    detail = {
+        "spark_rows": len(s_rows),
+        "oracle_rows": None,
+        "rows_match": None,
+        "schema_match": None,
+        "hash_match": None,
+    }
     if sql is None:
-        return True, f"rows-only ({len(s_rows)} rows)"
+        return True, f"rows-only ({len(s_rows)} rows)", detail
     # Arrow path, like the driver's hasher — fetchall() would hide
     # HUGEINT-vs-BIGINT oracle typing bugs (see module docstring).
     tbl = con.execute(sql).fetch_arrow_table()
     d_cols = list(tbl.column_names)
     d_rows = [tuple(d[c] for c in d_cols) for d in tbl.to_pylist()]
+    detail["oracle_rows"] = len(d_rows)
     if sorted(s_cols) != sorted(d_cols):
-        return False, f"SCHEMA spark={sorted(s_cols)} duck={sorted(d_cols)}"
+        detail["schema_match"] = False
+        return (
+            False,
+            f"SCHEMA spark={sorted(s_cols)} duck={sorted(d_cols)}",
+            detail,
+        )
     s_fam = {f.name: _spark_family(f.dataType) for f in spark_df.schema.fields}
     d_fam = {fld.name: _arrow_family(fld.type) for fld in tbl.schema}
     bad_types = {
         c: (s_fam[c], d_fam[c]) for c in s_fam if s_fam[c] != d_fam[c]
     }
     if bad_types:
-        return False, f"ORACLE-TYPE family mismatch {bad_types}"
-    if len(s_rows) != len(d_rows):
-        return False, f"ROWCOUNT spark={len(s_rows)} duck={len(d_rows)}"
+        detail["schema_match"] = False
+        return False, f"ORACLE-TYPE family mismatch {bad_types}", detail
+    detail["schema_match"] = True
+    detail["rows_match"] = len(s_rows) == len(d_rows)
+    if not detail["rows_match"]:
+        return (
+            False,
+            f"ROWCOUNT spark={len(s_rows)} duck={len(d_rows)}",
+            detail,
+        )
     _, sc = canon(s_rows, s_cols)
     _, dc = canon(d_rows, d_cols)
-    if sc != dc:
+    detail["hash_match"] = sc == dc
+    if not detail["hash_match"]:
         # find first mismatching row for the report
         bad = next((i for i, (a, b) in enumerate(zip(sc, dc)) if a != b), -1)
-        return False, f"VALUES first mismatch at sorted-row {bad}:\n  spark={sc[bad]}\n  duck ={dc[bad]}"
-    return True, f"OK ({len(s_rows)} rows)"
+        return (
+            False,
+            f"VALUES first mismatch at sorted-row {bad}:\n  spark={sc[bad]}\n  duck ={dc[bad]}",
+            detail,
+        )
+    return True, f"OK ({len(s_rows)} rows)", detail
+
+
+def compare(name: str, spark_df, con) -> tuple[bool, str]:
+    ok, msg, _ = compare_detail(name, spark_df, con)
+    return ok, msg
 
 
 def main():

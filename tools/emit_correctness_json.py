@@ -15,7 +15,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.check_correctness import compare, duck_connect  # noqa: E402
+from tools.check_correctness import compare_detail, duck_connect  # noqa: E402
 
 
 def main() -> None:
@@ -37,26 +37,26 @@ def main() -> None:
     rows: dict[str, dict] = {}
     for name in names:
         row = {
-            "rows_match": False, "schema_match": False, "hash_match": False,
+            "rows_match": None, "schema_match": None, "hash_match": None,
             "spark_rows": None, "oracle_rows": None, "err": None,
         }
+        ok = False
         try:
             df = qs[name](spark, sf)
-            ok, msg = compare(name, df, con)
-            n = df.count()  # scale-ok: gate-only row count at tiny SF
-            row.update(
-                rows_match=ok, schema_match=ok, hash_match=ok,
-                spark_rows=n, oracle_rows=n if ok else None,
-                err=None if ok else msg,
-            )
+            # per-check outcomes as ACTUALLY measured (ADVICE r8: no
+            # fabricated oracle_rows, no mirrored booleans — a rows-only
+            # query records None for the oracle-side checks)
+            ok, msg, detail = compare_detail(name, df, con)
+            row.update(detail)
+            row["err"] = None if ok else msg
         except Exception as ex:  # noqa: BLE001
             row["err"] = f"{type(ex).__name__}: {ex}"
         rows[name] = row
-        print(("PASS" if row["hash_match"] else "FAIL"), name, flush=True)
+        print(("PASS" if ok else "FAIL"), name, flush=True)
     with open(out_path, "w") as fh:
         json.dump(rows, fh, indent=2)
         fh.write("\n")
-    bad = [n for n, r in rows.items() if not r["hash_match"]]
+    bad = [n for n, r in rows.items() if r["err"] is not None]
     sys.exit(1 if bad else 0)
 
 

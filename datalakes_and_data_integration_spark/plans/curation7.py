@@ -255,24 +255,36 @@ def dedup_span_rewrite(spark, sf_dir):
 _ESS_N = 12  # token threshold: report only exact overlaps >= 12 tokens
 
 
-def _exact_substring_oracle() -> str:
+def _ess_prelude_duck() -> str:
+    """CTE block through the maximal-island stage, shared by the
+    detector and rewrite oracles: tok (all docs), grams (the
+    len >= N guard lives inside _pos_grams_duck's CASE), dup windows
+    (global occurrence count >= 2), islands of consecutive duplicated
+    window positions."""
     n = _ESS_N
-    return f"""
-    WITH tok AS (SELECT doc_id, {_TOK_DUCK} AS toks FROM documents),
-    tok2 AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= {n}),
+    return f"""tok AS (SELECT doc_id, {_TOK_DUCK} AS toks FROM documents),
+    tok2 AS (SELECT doc_id, toks FROM tok WHERE len(toks) > 0),
     grams AS (
       SELECT doc_id, p, md5(g) AS dg FROM ({_pos_grams_duck(n)})
     ),
     cnt AS (
-      SELECT doc_id, p, count(*) OVER (PARTITION BY dg) AS c FROM grams
+      SELECT doc_id, p, dg,
+             count(*) OVER (PARTITION BY dg) AS c
+      FROM grams
     ),
-    dup AS (SELECT doc_id, p, c FROM cnt WHERE c >= 2),
+    dup AS (SELECT doc_id, p, dg, c FROM cnt WHERE c >= 2),
     isl AS (
-      SELECT doc_id, p, c,
+      SELECT doc_id, p, dg, c,
              p - row_number() OVER (PARTITION BY doc_id ORDER BY p)
                AS isl
       FROM dup
-    )
+    )"""
+
+
+def _exact_substring_oracle() -> str:
+    n = _ESS_N
+    return f"""
+    WITH {_ess_prelude_duck()}
     SELECT doc_id,
            CAST(min(p) AS BIGINT) AS span_start,
            CAST(max(p) + {n} - 1 AS BIGINT) AS span_end,
@@ -311,10 +323,33 @@ def _exact_substring_oracle() -> str:
 )
 def dedup_exact_substring_spans(spark, sf_dir):
     n = _ESS_N
-    d = spread(T(spark, sf_dir, "documents"), spark)
-    tok = d.select("doc_id", F.expr(_TOK_SPARK).alias("toks")).filter(
-        F.size("toks") >= n
+    return _ess_islands(spark, sf_dir).select(
+        "doc_id", "span_start", "span_end", "span_tokens",
+        "min_window_count",
     )
+
+
+def _ess_tokens(spark, sf_dir):
+    """(doc_id, toks) for every non-empty doc — the rewrite's token
+    pass and the island builder's gram source (the len >= N guard
+    lives inside _pos_grams_spark's CASE)."""
+    d = spread(T(spark, sf_dir, "documents"), spark)
+    return d.select("doc_id", F.expr(_TOK_SPARK).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+
+
+def _ess_islands(spark, sf_dir, tok=None):
+    """Maximal duplicated-span islands: (doc_id, span_start, span_end,
+    span_tokens, min_window_count, content_md5). content_md5 is the md5
+    of the island's ORDERED window digests — two spans carry the same
+    content_md5 iff their token text is identical (a span's text is
+    exactly determined by its rolling-window digest sequence), which is
+    what lets the rewrite canonicalize occurrences WITHOUT a range join
+    back to the tokens."""
+    n = _ESS_N
+    if tok is None:
+        tok = _ess_tokens(spark, sf_dir)
     grams = tok.select(
         "doc_id",
         F.posexplode(F.expr(_pos_grams_spark("toks", n))).alias("p0", "g"),
@@ -323,13 +358,9 @@ def dedup_exact_substring_spans(spark, sf_dir):
         (F.col("p0") + 1).cast("long").alias("p"),
         F.md5("g").alias("dg"),
     )
-    dup = (
-        grams.withColumn(
-            "c", F.count("*").over(Window.partitionBy("dg"))
-        )
-        .filter(F.col("c") >= 2)
-        .select("doc_id", "p", "c")
-    )
+    dup = grams.withColumn(
+        "c", F.count("*").over(Window.partitionBy("dg"))
+    ).filter(F.col("c") >= 2)
     isl = dup.withColumn(
         "isl",
         F.col("p")
@@ -340,9 +371,161 @@ def dedup_exact_substring_spans(spark, sf_dir):
         (F.max("p") + n - 1).cast("long").alias("span_end"),
         (F.max("p") - F.min("p") + n).cast("long").alias("span_tokens"),
         F.min("c").cast("long").alias("min_window_count"),
-    ).drop("isl").select(
-        "doc_id", "span_start", "span_end", "span_tokens",
-        "min_window_count",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("p"), F.col("dg")))
+                    ),
+                    lambda r: r["dg"],
+                ),
+            )
+        ).alias("content_md5"),
+    ).drop("isl")
+
+
+def _ess_rewrite_oracle() -> str:
+    n = _ESS_N
+    return f"""
+    WITH {_ess_prelude_duck()},
+    spans AS (
+      SELECT doc_id,
+             min(p) AS s,
+             max(p) + {n} - 1 AS e,
+             md5(string_agg(dg, ' ' ORDER BY p)) AS ch
+      FROM isl GROUP BY doc_id, isl
+    ),
+    removed AS (
+      SELECT doc_id, s, e FROM (
+        SELECT doc_id, s, e,
+               row_number() OVER (PARTITION BY ch
+                                  ORDER BY doc_id, s) AS rn
+        FROM spans
+      ) WHERE rn > 1
+    ),
+    unioned AS (
+      SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p,
+             unnest(toks) AS tok, 1 AS is_tok, 0 AS d
+      FROM tok2
+      UNION ALL
+      SELECT doc_id, s AS p, NULL AS tok, 0 AS is_tok, 1 AS d
+      FROM removed
+      UNION ALL
+      SELECT doc_id, e + 1 AS p, NULL AS tok, 0 AS is_tok, -1 AS d
+      FROM removed
+    ),
+    cov AS (
+      SELECT doc_id, p, tok, is_tok, d,
+             sum(d) OVER (PARTITION BY doc_id ORDER BY p, is_tok
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM unioned
+    )
+    SELECT doc_id,
+           CAST(sum(is_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed_spans,
+           CAST(sum(CASE WHEN is_tok = 1 AND cum > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed,
+           md5(coalesce(
+             string_agg(CASE WHEN is_tok = 1 AND cum = 0 THEN tok END,
+                        ' ' ORDER BY p),
+             '')) AS rebuilt_md5
+    FROM cov GROUP BY doc_id
+    """
+
+
+@register(
+    "dedup_exact_substring_rewrite",
+    oracle=_ess_rewrite_oracle(),
+    description=f"Exact-substring dedup REWRITE (Lee et al. 2022's "
+    "ExactSubstr policy at span grain): every occurrence of a maximal "
+    f">= {_ESS_N}-token duplicated span except the globally FIRST one "
+    "(ordered by doc_id then position) is removed, and each document "
+    "reports surviving-token count and the md5 of its rebuilt text — "
+    "the canonical-occurrence composition of the "
+    "dedup_exact_substring_spans detector (shared _ess_islands "
+    "builder). Occurrences are identified by CONTENT, not position: a "
+    "span's text is exactly determined by its ordered rolling-window "
+    "digest sequence, so content_md5 = md5(ordered window digests) "
+    "canonicalizes without ever joining spans back to token text. "
+    "Removal coverage is a SWEEP LINE — each removed span emits +1/-1 "
+    "markers at (start, end+1) and one per-doc running sum marks "
+    "covered tokens — which is exact even where distinct islands' "
+    "token ranges overlap (a fixed-width RANGE frame, the "
+    "dedup_span_rewrite form, cannot express variable-width spans). "
+    "Scale: detector cost plus one O(spans) first-occurrence window on "
+    "content_md5 and one per-doc window over tokens + marker rows — "
+    "no range join, no per-token span scan.",
+    tags=("dedup", "curation", "text", "llm-pipeline"),
+)
+def dedup_exact_substring_rewrite(spark, sf_dir):
+    tok = _ess_tokens(spark, sf_dir).persist()  # gram pass + token pass
+    spans = _ess_islands(spark, sf_dir, tok=tok)
+    wfirst = Window.partitionBy("content_md5").orderBy(
+        "doc_id", "span_start"
+    )
+    removed = (
+        spans.withColumn("rn", F.row_number().over(wfirst))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "span_start", "span_end")
+    )
+    markers = removed.select(
+        "doc_id",
+        F.col("span_start").alias("p"),
+        F.lit(None).cast("string").alias("tok"),
+        F.lit(0).alias("is_tok"),
+        F.lit(1).alias("d"),
+    ).unionByName(
+        removed.select(
+            "doc_id",
+            (F.col("span_end") + 1).alias("p"),
+            F.lit(None).cast("string").alias("tok"),
+            F.lit(0).alias("is_tok"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    positions = tok.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).cast("long").alias("p"),
+        "tok",
+        F.lit(1).alias("is_tok"),
+        F.lit(0).alias("d"),
+    )
+    wcov = (
+        Window.partitionBy("doc_id")
+        .orderBy("p", "is_tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cov = positions.unionByName(markers).withColumn(
+        "cum", F.sum("d").over(wcov)
+    )
+    kept = F.when(
+        (F.col("is_tok") == 1) & (F.col("cum") == 0),
+        F.struct(F.col("p"), F.col("tok")),
+    )  # collect_list drops NULLs (removed tokens, marker rows)
+    return cov.groupBy("doc_id").agg(
+        F.sum("is_tok").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed_spans"),
+        F.sum(
+            F.when((F.col("is_tok") == 1) & (F.col("cum") > 0), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_removed"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept)),
+                    lambda r: r["tok"],
+                ),
+            )
+        ).alias("rebuilt_md5"),
     )
 
 

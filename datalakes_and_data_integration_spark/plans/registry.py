@@ -160,74 +160,77 @@ def register(
 # suite + union_dedup_events + user_first_last_event +
 # value_histogram/percentiles — none re-verified since r1) and the first
 # 1 of the 31-query round-2 cohort alphabetically. 28 + 22 = 50.
-WINDOW_ROUND = 8  # the driver round this window was built for
+# ROUND-9 WINDOW. Clause (a) — changed code carries fresh driver
+# evidence: the CUPED pair (DECIMAL(18,6) operand fix, ADVICE r8 —
+# oracle AND spark moments changed), the two span-derived weekly
+# maintenance queries that gained the empty-events fallback, the three
+# graph-family queries whose shared build moved to the k'=20
+# working-graph NN-descent (VERDICT r8 #2 — 2k-isotropic recall 0.570
+# -> 0.914), robust_scaling_mad (VERDICT r8 #8 — rank-selection sides
+# broadcast, 26 shuffles/9 SMJ -> 5/0, plan changed), and the round-9
+# newcomer pair dedup_exact_substring_spans/_rewrite (clause (a) by
+# definition; triple-SF gated in-session). Clause (b) — the 40
+# remaining slots take the oldest-green cohort: the full 30-name
+# round-2 cohort (newest green row = r2) and the first 10 of the
+# round-3 cohort alphabetically. 10 + 40 = 50.
+WINDOW_ROUND = 9  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
-    # session-6 newcomers: no driver row exists yet (clause (a) by
-    # definition; independently verified green at 3 SFs in-session and
-    # by the round-7 judge)
-    "rolling_exact_distinct_users_7d",
-    "compaction_bin_packing_plan",
-    "deletion_vector_cost_report",
-    "data_skipping_effectiveness",
-    "streaming_heavy_hitters_cms",
-    "cbo_stats_selectivity_audit",
-    "incremental_join_view_maintenance",
-    "cube_distinct_hll",
-    "table_diff_merkle",
-    "streaming_bitmap_distinct_maintenance",
-    "knn_graph_degree_stats",
-    "dp_noisy_release_audit",
-    "histogram_quantile_audit",
-    "lakehouse_maintenance_planner",
-    "ann_topk_graph_search",
-    "quality_scorer_agreement",
-    # r7 consolidations whose green rows predate the changed code
-    "multimodal_phash_neardup",
-    "distinct_count_hll",
-    "hll_set_algebra",
-    "rolling_distinct_hll_7d",
-    # round-8 change: residual ADC batching (VERDICT r7 #5)
-    "ann_topk_ivfadc_residual",
-    # round-8 newcomer: edge recall of the sub-quadratic graph build
-    # vs the exact graph (VERDICT r7 #2's measurement companion)
-    "knn_graph_build_quality",
-    # round-8 first-session newcomers (clause (a) by definition: no
-    # green row exists; they take cohort slots — never-verified
-    # outranks any re-verification)
-    "change_data_feed_build",
-    "entity_resolution_blocked",
-    "k_anon_generalization_plan",
-    # round-8 second batch: the experimentation family (never-verified)
-    "ab_assignment_srm_audit",
+    # round-9 changed/new (see the ROUND-9 WINDOW note above)
     "ab_metric_cuped_adjustment",
     "streaming_ab_moments_maintenance",
+    "streaming_heavy_hitters_cms",
+    "streaming_bitmap_distinct_maintenance",
+    "ann_topk_graph_search",
+    "knn_graph_degree_stats",
+    "knn_graph_build_quality",
+    "dedup_exact_substring_spans",
+    "dedup_exact_substring_rewrite",
+    "robust_scaling_mad",
 ]
 WINDOW_PRIORITY: list[str] = [
     *ROUND_CHANGED,
-    # clause (b): round-1 cohort (newest green row = r1), alphabetical
-    "topn_orders_per_customer",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_filter",
-    "tpch_q1_pricing_summary",
-    "tpch_q22_idle_customers",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "union_dedup_events",
-    "user_first_last_event",
-    "value_histogram_by_type",
-    "value_percentiles_by_type",
-    # clause (b): first 1 of the round-2 cohort, alphabetical
-    "ann_topk_bruteforce",
+    # clause (b): the full 30-name round-2 cohort (newest green row
+    # = r2), then the first 11 of the round-3 cohort, alphabetical
+    "cross_source_duplication",
+    "curation_funnel",
+    "customer_spend_quartiles",
+    "dataset_split_assignment",
+    "dedup_kept_corpus",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "doc_chunking",
+    "doc_top_terms",
+    "embedding_near_dup",
+    "embedding_near_dup_hybrid",
+    "gapfill_hourly_locf",
+    "intradoc_repetition",
+    "lag6_diff",
+    "lag6_pct_change",
+    "mean_impute",
+    "minhash_jaccard_calibration",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "multimodal_metadata_stats",
+    "rolling_1h_value_sum",
+    "stratified_sample_per_lang",
+    "streaming_dedup_first_event",
+    "streaming_hourly_agg",
+    "streaming_sliding_agg",
+    "streaming_stateful_sessions",
+    "streaming_stream_stream_join",
+    "tfidf_top_terms",
+    "tumbling_hourly_agg",
+    "unit_convert_horizontal_total",
+    "ann_lsh_recall_audit",
+    "benchmark_ngram_contamination",
+    "bloom_prefilter_audit",
+    "boxplot_stats_by_type",
+    "chi2_lang_source",
+    "cross_source_neardup_rate",
+    "data_quality_report",
+    "dedup_cluster_largestar",
+    "doc_stats_cube",
+    "dup_cluster_size_distribution",
 ]
 
 

@@ -2554,11 +2554,13 @@ _GS_PROJ_W = 8  # rank-window half-width per projection
 # the round-9 isotropic-regime fix. Round 8 ran one round directly on
 # the k=5 graph; at the 2k-isotropic decade the 0.50-edge-recall seed
 # trapped it at a local optimum (measured: a second k=5 round bought
-# +0.001 recall; the k'=20 working graph + 2 rounds bought +0.34 —
-# design sims in NOTES.md round 9). Refine cost stays linear:
-# O(n k'^2) pairs per round.
-_GS_KINT = 20  # internal working out-degree during refine rounds
-_GS_NND_ROUNDS = 2  # refine rounds over the working graph
+# +0.001 recall; the k'-widened working graph bought +0.34 — design
+# sims in NOTES.md round 9; k'=30 x 1 round then beat k'=20 x 2 rounds
+# on BOTH recall (0.926 vs 0.914 at 2k) and stage count at the same
+# ~2M scored pairs, so one wide round is the shipped form). Refine
+# cost stays linear: O(n k'^2) pairs per round.
+_GS_KINT = 30  # internal working out-degree during the refine round
+_GS_NND_ROUNDS = 1  # refine rounds over the working graph
 
 
 def _gproj_signs() -> list:
@@ -2901,9 +2903,10 @@ def _knn_graph_oracle() -> str:
     oracle=_knn_graph_oracle(),
     description="kNN-graph navigability audit (the HNSW/NSW build "
     "precondition): the top-5 neighbor graph from the shared "
-    "sub-quadratic builder (projection-window seed + one NN-descent "
-    "refine round, round 8 — the same graph ann_topk_graph_search "
-    "walks), reported as the in-degree distribution with "
+    "sub-quadratic builder (projection-window seed + the widened-"
+    "working-graph NN-descent refine, round 9 — the same graph "
+    "ann_topk_graph_search walks), reported as the in-degree "
+    "distribution with "
     "per-stratum edge reciprocity — in-degree-0 nodes are unreachable "
     "by greedy graph search (the orphan set an index build must patch "
     "via reverse edges), hub nodes concentrate traversal load, and the "
@@ -2913,7 +2916,8 @@ def _knn_graph_oracle() -> str:
     "frame is O(n x k) rows; degree and reciprocity are two hash "
     "aggregates and one self-equi-join on (v,u) — graph-audit cost "
     "scales with edges, never pairs, and since round 8 the build "
-    "underneath is O(n R W) projection-window + O(n k^2) refine pairs, "
+    "underneath is O(n R W) projection-window + O(n k'^2) refine "
+    "pairs, "
     "never the O(n^2) block kernel (edge recall vs the exact graph is "
     "its own "
     "oracle-checked query, knn_graph_build_quality).",
@@ -3041,9 +3045,12 @@ def _graph_search_oracle() -> str:
     description=f"Graph-based ANN (the HNSW/NSW family — the fourth "
     "index shape next to brute-force, hyperplane LSH, and IVF/PQ): "
     f"greedy beam search over the shared sub-quadratic kNN graph "
-    "(projection-window seed + one NN-descent refine, round 8 — the "
-    "round-7 exact O(n^2) build was the family's last quadratic "
-    f"component), beam {_GS_BEAM}, {_GS_HOPS} fixed hops seeded from "
+    f"(projection-window seed + {_GS_NND_ROUNDS} NN-descent round(s) "
+    f"over a k'={_GS_KINT} WORKING graph, top-{_GS_K} kept at the end "
+    "— round 9: refining the k=5 graph directly left the 2k-isotropic "
+    "regime at 0.570 recall; the widened working graph lifts it to "
+    "0.926 at ~1.4x the scored pairs, still linear), "
+    f"beam {_GS_BEAM}, {_GS_HOPS} fixed hops seeded from "
     "the query's OWN graph adjacency plus the global min-id entry "
     "(single-global-entry greedy search cannot leave the entry's "
     "component on clustered corpora — 0.0005 recall measured at the "
@@ -3058,13 +3065,13 @@ def _graph_search_oracle() -> str:
     "loop unroll into a SQL CTE chain the oracle replays move for move "
     "(hops MATERIALIZED — the r7 oracle's 66 s sf0.01 cost is gone "
     "with the O(n^2) exact-graph CTE). Scale: build is O(n R W) "
-    "projection-window + O(n k^2) refine pairs; per hop the frame is "
+    "projection-window + O(n k'^2) refine pairs; per hop the frame is "
     "O(queries x beam x k) "
     "rows — search cost is independent of corpus size given the graph "
-    "(THE graph-ANN selling point). Recall vs exact truth: 0.94 at the "
-    "isotropic fixture (pinned >= 0.85 by test), 0.999 at the tiled "
-    "20k decade — the beam hops measurably improve on the raw 0.91 "
-    "edge recall of the seed adjacency.",
+    "(THE graph-ANN selling point). Recall vs exact truth: 1.00 at "
+    "the 500-vector fixtures (pinned by test), 0.926 at the "
+    "2k-isotropic decade (the family's hardest regime — was 0.570 in "
+    "round 8), 1.00 at the tiled 20k decade.",
     tags=("similarity", "ann", "graph", "llm-pipeline"),
 )
 def ann_topk_graph_search(spark, sf_dir):

@@ -74,6 +74,9 @@ LADDER = [
     "multimodal_keyframe_phash_dedup",
     # round-7 sixth session
     "quality_scorer_agreement",
+    # round 9: the suffix-array-family exact-substring tier
+    "dedup_exact_substring_spans",
+    "dedup_exact_substring_rewrite",
 ]
 
 

@@ -1,9 +1,11 @@
-"""Experimentation / product-analytics queries (round 8).
+"""Experimentation / product-analytics queries (rounds 8-9).
 
 The A/B-testing surface a lakehouse analytics engine serves: seeded
-deterministic assignment with a sample-ratio-mismatch (SRM) audit, and
-CUPED variance-reduced metric readout (Deng et al., WSDM'13). Both are
-events-table queries with full DuckDB oracles; every stochastic-looking
+deterministic assignment with a sample-ratio-mismatch (SRM) audit,
+CUPED variance-reduced metric readout (Deng et al., WSDM'13), the
+two-proportion z-test significance readout (round 9), and the
+incremental CUPED-state maintenance twin. All are events-table queries
+with full DuckDB oracles; every stochastic-looking
 quantity is md5-derived and every aggregate routes through DECIMAL
 before a fixed-order DOUBLE epilogue, so the statistics are
 hash-exact cross-engine (the money-aggregate determinism recipe applied
@@ -190,6 +192,132 @@ def ab_assignment_srm_audit(spark, sf_dir):
                 > F.expr(_AB_CHI2_CRIT)
             ).alias("srm_alarm"),
         )
+    )
+
+
+# Two-proportion z-test epilogue: every input is an exact BIGINT count
+# cast to DOUBLE, and both engines execute this identical expression
+# text, so z / CI bounds are bit-identical cross-engine (the CUPED
+# determinism rule applied to the significance readout).
+_ZTEST_EPILOGUE = """
+  round(xc / nc, 6) AS rate_control,
+  round(xt / nt, 6) AS rate_treatment,
+  round(xt / nt - xc / nc, 6) AS lift,
+  round((xt / nt - xc / nc)
+        / sqrt(((xc + xt) / (nc + nt)) * (1 - (xc + xt) / (nc + nt))
+               * (1 / nc + 1 / nt)), 6) AS z_score,
+  round((xt / nt - xc / nc)
+        - 1.959964 * sqrt((xc / nc) * (1 - xc / nc) / nc
+                          + (xt / nt) * (1 - xt / nt) / nt), 6)
+    AS ci_lo,
+  round((xt / nt - xc / nc)
+        + 1.959964 * sqrt((xc / nc) * (1 - xc / nc) / nc
+                          + (xt / nt) * (1 - xt / nt) / nt), 6)
+    AS ci_hi,
+  (abs((xt / nt - xc / nc)
+       / sqrt(((xc + xt) / (nc + nt)) * (1 - (xc + xt) / (nc + nt))
+              * (1 / nc + 1 / nt))) > 1.959964) AS significant_95
+"""
+
+
+@register(
+    "ab_proportion_ztest",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT min(ts) + INTERVAL {_AB_PRE_DAYS} DAY AS exp_start FROM events
+    ),
+    assigned AS MATERIALIZED (
+      SELECT user_id, {_arm_duck()} AS arm,
+             CAST(coalesce(sum(CASE WHEN ts >= (SELECT exp_start FROM bounds)
+                                     AND event_type = 'purchase'
+                                     AND value >= {_AB_CONV_VALUE}
+                                    THEN 1 END), 0) > 0 AS BOOLEAN)
+               AS converted
+      FROM events GROUP BY 1, 2
+    ),
+    counts AS (
+      SELECT
+        CAST(sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS DOUBLE)
+          AS nc,
+        CAST(sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS DOUBLE)
+          AS nt,
+        CAST(sum(CASE WHEN arm = 'control' AND converted
+                 THEN 1 ELSE 0 END) AS DOUBLE) AS xc,
+        CAST(sum(CASE WHEN arm = 'treatment' AND converted
+                 THEN 1 ELSE 0 END) AS DOUBLE) AS xt
+      FROM assigned
+    )
+    SELECT CAST(nc AS BIGINT) AS n_control,
+           CAST(nt AS BIGINT) AS n_treatment,
+           CAST(xc AS BIGINT) AS conv_control,
+           CAST(xt AS BIGINT) AS conv_treatment,
+           {_ZTEST_EPILOGUE}
+    FROM counts
+    """,
+    description="Two-proportion z-test on the experiment's conversion "
+    "rates — the significance readout every A/B platform ships next to "
+    "the SRM gate and the CUPED-adjusted means: pooled-variance z "
+    "statistic for H0 rate_t = rate_c, unpooled Wald 95% CI on the "
+    "lift, and the two-sided significance flag at z = 1.959964. Shares "
+    "ab_assignment_srm_audit's frame verbatim (seeded md5 assignment, "
+    "pre-period cutoff, high-value-purchase conversion), so the four "
+    "readouts triangulate on identical counts. Determinism: the "
+    "statistics are one fixed DOUBLE expression text over exact BIGINT "
+    "counts, executed identically by both engines — no distributional "
+    "tables, no iteration. Scale: one map-side-combined per-(user, "
+    "arm) aggregate then a single 4-number global reduce; the "
+    "assignment hash rides the scan and nothing user-grain ever "
+    "shuffles twice.",
+    tags=("experiment", "ab-test", "stats", "significance"),
+)
+def ab_proportion_ztest(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    assigned = (
+        ev.crossJoin(_exp_start(ev))  # scale-ok: 1-row broadcast scalar
+        .groupBy(F.col("user_id"), _arm_spark().alias("arm"))
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("ts") >= F.col("exp_start"))
+                            & (F.col("event_type") == "purchase")
+                            & (F.col("value") >= _AB_CONV_VALUE),
+                            1,
+                        )
+                    ),
+                    F.lit(0),
+                )
+                > 0
+            ).alias("converted")
+        )
+    )
+    counts = assigned.agg(
+        F.sum(F.when(F.col("arm") == "control", 1).otherwise(0))
+        .cast("double")
+        .alias("nc"),
+        F.sum(F.when(F.col("arm") == "treatment", 1).otherwise(0))
+        .cast("double")
+        .alias("nt"),
+        F.sum(
+            F.when((F.col("arm") == "control") & F.col("converted"), 1)
+            .otherwise(0)
+        )
+        .cast("double")
+        .alias("xc"),
+        F.sum(
+            F.when((F.col("arm") == "treatment") & F.col("converted"), 1)
+            .otherwise(0)
+        )
+        .cast("double")
+        .alias("xt"),
+    )
+    return counts.selectExpr(
+        "CAST(nc AS BIGINT) AS n_control",
+        "CAST(nt AS BIGINT) AS n_treatment",
+        "CAST(xc AS BIGINT) AS conv_control",
+        "CAST(xt AS BIGINT) AS conv_treatment",
+        *[e.strip() for e in _ZTEST_EPILOGUE.strip().split(",\n")],
     )
 
 

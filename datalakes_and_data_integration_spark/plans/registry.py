@@ -168,11 +168,12 @@ def register(
 # working-graph NN-descent (VERDICT r8 #2 — 2k-isotropic recall 0.570
 # -> 0.914), robust_scaling_mad (VERDICT r8 #8 — rank-selection sides
 # broadcast, 26 shuffles/9 SMJ -> 5/0, plan changed), and the round-9
-# newcomer pair dedup_exact_substring_spans/_rewrite (clause (a) by
-# definition; triple-SF gated in-session). Clause (b) — the 40
-# remaining slots take the oldest-green cohort: the full 30-name
-# round-2 cohort (newest green row = r2) and the first 10 of the
-# round-3 cohort alphabetically. 10 + 40 = 50.
+# newcomer trio dedup_exact_substring_spans/_rewrite +
+# ab_proportion_ztest (clause (a) by definition; each triple-SF gated
+# in-session). Clause (b) — the 39 remaining slots take the
+# oldest-green cohort: the full 30-name round-2 cohort (newest green
+# row = r2) and the first 9 of the round-3 cohort alphabetically.
+# 11 + 39 = 50.
 WINDOW_ROUND = 9  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # round-9 changed/new (see the ROUND-9 WINDOW note above)
@@ -185,6 +186,7 @@ ROUND_CHANGED: list[str] = [
     "knn_graph_build_quality",
     "dedup_exact_substring_spans",
     "dedup_exact_substring_rewrite",
+    "ab_proportion_ztest",
     "robust_scaling_mad",
 ]
 WINDOW_PRIORITY: list[str] = [
@@ -230,7 +232,6 @@ WINDOW_PRIORITY: list[str] = [
     "data_quality_report",
     "dedup_cluster_largestar",
     "doc_stats_cube",
-    "dup_cluster_size_distribution",
 ]
 
 

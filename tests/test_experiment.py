@@ -92,3 +92,25 @@ def test_cuped_moments_hash_exact_on_rich_decimals(spark, tmp_path):
     ).fetchone()[0]
     con.close()
     assert frac >= 5, "fixture lost its rich-decimal property"
+
+
+def test_ztest_reconciles_with_srm_audit_counts(spark):
+    """The z-test's four counts must equal the SRM audit's per-arm
+    enrolled/converter counts (shared frame, different rollup), the CI
+    must bracket the lift, and the significance flag must equal
+    |z| > 1.959964."""
+    SF = "/root/testdata/sf0.001"
+    from datalakes_and_data_integration_spark.plans.experiment import (
+        ab_assignment_srm_audit,
+        ab_proportion_ztest,
+    )
+
+    z = ab_proportion_ztest(spark, SF).collect()[0]
+    srm = {r.arm: r for r in ab_assignment_srm_audit(spark, SF).collect()}
+    assert z.n_control == srm["control"].n_users
+    assert z.n_treatment == srm["treatment"].n_users
+    assert z.conv_control == srm["control"].n_converters
+    assert z.conv_treatment == srm["treatment"].n_converters
+    assert z.ci_lo <= z.lift <= z.ci_hi
+    assert z.significant_95 == (abs(z.z_score) > 1.959964)
+    assert abs(z.lift - (z.rate_treatment - z.rate_control)) < 2e-6

@@ -75,6 +75,7 @@ LADDER = [
     "ab_assignment_srm_audit",
     "ab_metric_cuped_adjustment",
     "streaming_ab_moments_maintenance",
+    "ab_proportion_ztest",
     "compaction_bin_packing_plan",
     "deletion_vector_cost_report",
     "streaming_heavy_hitters_cms",

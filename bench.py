@@ -93,24 +93,30 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    # Three passes per query: pass 0 pays one-time costs (Janino codegen
+    # Four passes per query: pass 0 pays one-time costs (Janino codegen
     # compile of the large generated expressions, parquet footer reads —
     # measured 7.4s of dedup_minhash_lsh's 8.4s cold time) and is reported
     # as "cold"; the headline steady-state number is the per-query MIN of
-    # passes 1-2 (min-of-passes is the standard noise-floor estimator on a
+    # passes 1-3 (min-of-passes is the standard noise-floor estimator on a
     # host whose throughput swings 20%+ within a run — see NOTES.md
     # "Host-speed variance"). The passes are INTERLEAVED round-robin
-    # (cold round over all keys, then warm round 1 over all keys, then
-    # warm round 2) rather than back-to-back per query: this box's
+    # (cold round over all keys, then warm rounds 1-3 over all keys)
+    # rather than back-to-back per query: this box's
     # throttling arrives in multi-second WINDOWS, and back-to-back samples
     # share a window — the round-8 driver capture overstated warm 1.8x
     # because both samples of each slow key landed in the same throttled
     # stretch (VERDICT r8 finding #1). Round-separated samples are minutes
-    # apart, so the min sees at least one clean window per key.
+    # apart, so the min sees at least one clean window per key. THREE warm
+    # rounds, not two: the heaviest codegen query (ann_topk_bruteforce,
+    # a 128-term expression over 4M pairs) needs ~3 executions for the
+    # JVM to tier its generated method up to C2 — measured 22.1 / 5.7 /
+    # 3.0 / 4.1 in consecutive runs — so min-of-2 reads its JIT warm-up,
+    # not its steady state (the r9 first capture recorded 9.7 s for a
+    # 3.3 s query).
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
     bench_qs = [(n, q) for n, q in plans.QUERIES.items() if q.bench]
-    for rnd in range(3):
+    for rnd in range(4):
         for name, q in bench_qs:
             t0 = time.time()
             df = q.spark(spark, sf_dir)

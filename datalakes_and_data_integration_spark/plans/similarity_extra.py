@@ -3245,3 +3245,236 @@ def knn_graph_build_quality(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified top-k rerank (round 9): maximal marginal relevance
+# (Carbonell & Goldstein, SIGIR'98) — the standard diversification pass
+# a retrieval stack runs over its ANN shortlist before serving. Greedy
+# submodular selection: pick the most relevant candidate first, then
+# repeatedly the candidate maximizing
+#   lambda * relevance - (1 - lambda) * max_sim_to_already_selected.
+# Deterministic end-to-end (rounded-6 scores, id tie-breaks), and the
+# selection depth is fixed (_TOPK), so the greedy loop unrolls into a
+# SQL CTE chain the oracle replays move for move — the power-iteration /
+# graph-search precedent applied to submodular selection.
+# ---------------------------------------------------------------------------
+
+_MMR_SHORTLIST = 20  # rerank window (the ANN shortlist size)
+_MMR_LAMBDA = "0.7"  # relevance weight, shared literal text both engines
+
+
+def _mmr_oracle() -> str:
+    from datalakes_and_data_integration_spark.plans.similarity import (
+        _TOPK,
+        _dot_duck,
+        _norm2_duck,
+    )
+
+    dot_qc = _dot_duck("a.embedding", "b.embedding")
+    parts = [
+        f"""
+    WITH mn AS MATERIALIZED (
+      SELECT vec_id, embedding, sqrt({_norm2_duck('embedding')}) AS nrm
+      FROM embeddings
+    ),
+    sl AS MATERIALIZED (
+      SELECT q, n, rel, row_number() OVER (PARTITION BY q
+               ORDER BY rel DESC, n) AS rnk
+      FROM (
+        SELECT a.vec_id AS q, b.vec_id AS n,
+               round({dot_qc} / a.nrm / b.nrm, 6) AS rel
+        FROM mn a JOIN mn b ON a.vec_id <> b.vec_id
+      ) WHERE rel IS NOT NULL
+      QUALIFY rnk <= {_MMR_SHORTLIST}
+    ),
+    cs AS MATERIALIZED (
+      SELECT s1.q, s1.n AS c, s2.n AS s,
+             round({dot_qc} / a.nrm / b.nrm, 6) AS sab
+      FROM sl s1 JOIN sl s2 ON s2.q = s1.q AND s2.n <> s1.n
+      JOIN mn a ON a.vec_id = s1.n
+      JOIN mn b ON b.vec_id = s2.n
+    ),
+    sel1 AS (
+      SELECT q, n, rel, rel AS mmr_score, 1 AS mmr_rank
+      FROM sl WHERE rnk = 1
+    ),
+    all1 AS (SELECT * FROM sel1)"""
+    ]
+    for i in range(2, _TOPK + 1):
+        parts.append(
+            f""",
+    pick{i} AS (
+      SELECT q, n, rel, CAST(scd AS DOUBLE) / 10 AS mmr_score,
+             {i} AS mmr_rank FROM (
+        SELECT r.q, r.n, r.rel,
+               CAST(7 * CAST(r.rel AS DECIMAL(9,6))
+                    - 3 * CAST(max(c.sab) AS DECIMAL(9,6))
+                    AS DECIMAL(12,6)) AS scd,
+               row_number() OVER (PARTITION BY r.q
+                 ORDER BY CAST(7 * CAST(r.rel AS DECIMAL(9,6))
+                               - 3 * CAST(max(c.sab) AS DECIMAL(9,6))
+                               AS DECIMAL(12,6)) DESC, r.n) AS rn
+        FROM sl r
+        JOIN all{i - 1} p ON p.q = r.q
+        JOIN cs c ON c.q = r.q AND c.c = r.n AND c.s = p.n
+        WHERE r.n NOT IN (SELECT n FROM all{i - 1} x WHERE x.q = r.q)
+        GROUP BY r.q, r.n, r.rel
+      ) WHERE rn = 1
+    ),
+    all{i} AS (SELECT * FROM all{i - 1} UNION ALL SELECT * FROM pick{i})"""
+        )
+    parts.append(
+        f"""
+    SELECT q AS vec_id, n AS neighbor_id, rel AS relevance,
+           mmr_score, CAST(mmr_rank AS BIGINT) AS mmr_rank
+    FROM all{_TOPK}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "ann_mmr_diversified_topk",
+    oracle=_mmr_oracle(),
+    description=f"MMR diversified top-{5} rerank (Carbonell & "
+    "Goldstein, SIGIR'98 — maximal marginal relevance, the standard "
+    "diversification pass over a retrieval shortlist): per query "
+    f"vector, the exact top-{_MMR_SHORTLIST} cosine shortlist is "
+    f"greedily reranked — most relevant first, then repeatedly argmax "
+    f"of {_MMR_LAMBDA} * relevance - {1 - float(_MMR_LAMBDA):.1f} * "
+    "max-similarity-to-already-selected — so near-duplicate neighbors "
+    "stop crowding the result page (the redundancy problem every "
+    "dedup'd-corpus retrieval stack still faces at serving time). "
+    "Deterministic: rounded-6 scores with id tie-breaks at every pick, "
+    "fixed depth, so the greedy loop unrolls into an oracle CTE chain "
+    "(the power-iteration precedent applied to submodular selection). "
+    "Scale: selection runs on the SHORTLIST, never the corpus — "
+    "within-shortlist pair sims are O(queries x shortlist^2) folds and "
+    "each pick round is one bounded join + window; the shortlist "
+    "itself comes from whatever ANN tier serves at corpus scale (the "
+    "exact pairs here are the definitional form, like "
+    "ann_topk_bruteforce for the plain top-k).",
+    tags=("similarity", "ann", "retrieval", "diversity", "llm-pipeline"),
+)
+def ann_mmr_diversified_topk(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans._util import spread
+    from datalakes_and_data_integration_spark.plans.similarity import (
+        _TOPK,
+        _dot_spark,
+        _norm2_spark,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    normed = spread(
+        e.select(
+            "vec_id",
+            "embedding",
+            F.expr(f"sqrt({_norm2_spark('embedding')})").alias("nrm"),
+        ),
+        spark,
+        by="vec_id",
+    ).persist()  # shortlist build + two sides of the pair-sim folds
+    a = normed.alias("a")
+    b = normed.alias("b")
+    wq = Window.partitionBy("q").orderBy(F.col("rel").desc(), "n")
+    sl = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("q"),
+            F.col("b.vec_id").alias("n"),
+            F.round(
+                F.expr(_dot_spark("a.embedding", "b.embedding"))
+                / F.col("a.nrm")
+                / F.col("b.nrm"),
+                6,
+            ).alias("rel"),
+        )
+        .withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= _MMR_SHORTLIST)
+        .persist()  # every pick round re-reads the shortlist
+    )
+    s1, s2 = sl.alias("s1"), sl.alias("s2")
+    cs = (
+        s1.join(
+            s2,
+            (F.col("s2.q") == F.col("s1.q"))
+            & (F.col("s2.n") != F.col("s1.n")),
+        )
+        .select(
+            F.col("s1.q").alias("q"),
+            F.col("s1.n").alias("c"),
+            F.col("s2.n").alias("s"),
+        )
+        .join(normed.select(F.col("vec_id").alias("c"),
+                            F.col("embedding").alias("ce"),
+                            F.col("nrm").alias("cn")), "c")
+        .join(normed.select(F.col("vec_id").alias("s"),
+                            F.col("embedding").alias("se"),
+                            F.col("nrm").alias("sn")), "s")
+        .select(
+            "q", "c", "s",
+            F.round(
+                F.expr(_dot_spark("ce", "se")) / F.col("cn") / F.col("sn"),
+                6,
+            ).alias("sab"),
+        )
+        .persist()  # re-read each pick round
+    )
+    selected = (
+        sl.filter(F.col("rnk") == 1)
+        .select(
+            "q", "n", "rel",
+            F.col("rel").alias("mmr_score"),
+            F.lit(1).alias("mmr_rank"),
+        )
+        .localCheckpoint()
+    )
+    wpick = Window.partitionBy("q").orderBy(
+        F.col("sc").desc(), "n"
+    )
+    for i in range(2, _TOPK + 1):
+        remaining = sl.join(
+            selected.select("q", "n"), ["q", "n"], "left_anti"
+        )
+        pick = (
+            remaining.join(
+                cs.withColumnRenamed("c", "n").alias("csj"),
+                ["q", "n"],
+            )
+            .join(
+                selected.select("q", F.col("n").alias("s")), ["q", "s"]
+            )
+            .groupBy("q", "n", "rel")
+            .agg(F.max("sab").alias("ms"))
+            .select(
+                "q", "n", "rel",
+                # exact decimal selection score: rel/ms are rounded-6
+                # values, so 7*rel - 3*ms at scale 6 is EXACT in both
+                # engines — round(0.7*rel - 0.3*ms, 6) on DOUBLEs lands
+                # on the 7th-decimal half-way grid constantly and the
+                # engines' double-rounding forks (first gate attempt)
+                F.expr(
+                    "CAST(7 * CAST(rel AS DECIMAL(9,6))"
+                    " - 3 * CAST(ms AS DECIMAL(9,6))"
+                    " AS DECIMAL(12,6))"
+                ).alias("sc"),
+            )
+            .withColumn("rn", F.row_number().over(wpick))
+            .filter(F.col("rn") == 1)
+            .select(
+                "q", "n", "rel",
+                (F.col("sc").cast("double") / 10).alias("mmr_score"),
+                F.lit(i).alias("mmr_rank"),
+            )
+        )
+        selected = selected.unionByName(pick).localCheckpoint()
+    return selected.select(
+        F.col("q").alias("vec_id"),
+        F.col("n").alias("neighbor_id"),
+        F.col("rel").alias("relevance"),
+        "mmr_score",
+        F.col("mmr_rank").cast("long").alias("mmr_rank"),
+    )

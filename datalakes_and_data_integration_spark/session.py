@@ -61,10 +61,27 @@ def get_spark(
         # Large generated expressions (64-dim unrolled dot products) compile
         # to >8KB-bytecode methods, which HotSpot refuses to JIT by default —
         # they run in the bytecode interpreter, ~8x slower (measured 9.9s ->
-        # 1.2s warm on the 4M-pair scan). Only effective at JVM launch; in
-        # local mode driver == executor. On a real cluster set the same flag
-        # in spark.executor.extraJavaOptions.
-        "spark.driver.extraJavaOptions": "-XX:-DontCompileHugeMethods",
+        # 1.2s warm on the 4M-pair scan). And once huge methods DO compile,
+        # a registry-sized query mix fills the default 240 MB code cache:
+        # the JIT shuts off ("CodeCache is full") and hot scans degrade back
+        # to interpreted for the rest of the JVM's life — measured round 9:
+        # the 4M-pair scan reads 3.5 s warm in a fresh session and 9-11 s
+        # after 14 other bench queries ran, with NO reconvergence. 1 GiB of
+        # reserve is noise on this box and fits ~50 queries' codegen.
+        # Only effective at JVM launch; in local mode driver == executor.
+        # On a real cluster set the same flags in
+        # spark.executor.extraJavaOptions.
+        "spark.driver.extraJavaOptions": (
+            "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=1g"
+        ),
+        # ...and the generated-CLASS cache must hold the whole query mix
+        # too: at the default 100 entries a registry-sized session evicts
+        # earlier queries' codegen classes, every re-run generates (and
+        # Janino-compiles, and the JVM re-JITs) a fresh class, so a query
+        # never accumulates JIT state across passes — the second half of
+        # the round-9 finding above. ~50 bench queries x ~10 codegen
+        # stages each needs ~500; 2000 is cheap (soft references).
+        "spark.sql.codegen.cache.maxEntries": "2000",
         # Shuffle/spill files default to /tmp, which some hosts purge on a
         # timer — a purge mid-job deletes live blockmgr dirs and kills the
         # stage (observed: "temp_local_... No such file or directory" ~25

@@ -192,3 +192,43 @@ def test_exact_substring_rewrite_sweepline_handles_overlapping_spans(
 
     assert got[2].rebuilt_md5 == hashlib.md5(mid.encode()).hexdigest()
     assert got[3].rebuilt_md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_mmr_rerank_diversifies_and_respects_relevance(spark):
+    """MMR invariants on the real fixture: rank-1 equals the plain
+    top-1 (pure relevance), picks are unique per query and drawn from
+    the shortlist, exactly 5 per query, and on the near-dup corpus the
+    diversified set must actually DIFFER from the plain top-5 for a
+    meaningful share of queries (otherwise the penalty does nothing)."""
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans.registry import QUERIES
+    from datalakes_and_data_integration_spark.plans.similarity_extra import (
+        ann_mmr_diversified_topk,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    rows = ann_mmr_diversified_topk(spark, SF).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.vec_id, []).append(r)
+    plain = {}
+    for r in (
+        QUERIES["ann_topk_bruteforce"].spark(spark, SF).collect()
+    ):
+        plain.setdefault(r.vec_id, {})[r.rank] = r.neighbor_id
+    assert set(by_q) == set(plain)
+    n_diff = 0
+    for q, picks in by_q.items():
+        assert len(picks) == 5
+        ids = [p.neighbor_id for p in picks]
+        assert len(set(ids)) == 5
+        first = min(picks, key=lambda p: p.mmr_rank)
+        assert first.mmr_rank == 1
+        assert first.neighbor_id == plain[q][1]
+        assert first.mmr_score == first.relevance
+        if set(ids) != set(plain[q].values()):
+            n_diff += 1
+    assert n_diff >= len(by_q) * 0.05, (
+        f"diversification changed only {n_diff}/{len(by_q)} result sets"
+    )

@@ -584,3 +584,177 @@ def streaming_ab_moments_maintenance(spark, sf_dir):
         F.col("y").cast("decimal(18,6)").alias("y"),
     )
     return _cuped_readout(per_user)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (Wilcoxon rank-sum) on the experiment metric — the
+# nonparametric readout next to the z-test (proportions) and CUPED
+# (variance-reduced means). Runs on the SAME per-(user, arm) metric
+# frame as CUPED (_ab_per_user's experiment-period sum y), so the four
+# readouts triangulate on one definition of the metric.
+# ---------------------------------------------------------------------------
+
+
+def _mwu_oracle() -> str:
+    return f"""
+    WITH bounds AS (
+      SELECT min(ts) + INTERVAL {_AB_PRE_DAYS} DAY AS exp_start FROM events
+    ),
+    per_user AS MATERIALIZED (
+      SELECT user_id, {_arm_duck()} AS arm,
+             CAST(coalesce(sum(CASE WHEN ts >= (SELECT exp_start FROM bounds)
+                                    THEN CAST(value AS DECIMAL(18,6)) END),
+                           0) AS DECIMAL(18,6)) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM per_user GROUP BY y),
+    w AS (
+      SELECT y, cnt,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cb
+      FROM g
+    ),
+    d AS (
+      SELECT v.arm, 2 * w.cb + w.cnt + 1 AS dm
+      FROM per_user v JOIN w ON w.y = v.y
+    ),
+    agg AS (
+      SELECT
+        CAST(sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT)
+          AS nc,
+        CAST(sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT)
+          AS nt,
+        CAST(sum(CASE WHEN arm = 'treatment' THEN dm ELSE 0 END) AS BIGINT)
+          AS r2t
+      FROM d
+    ),
+    ties AS (
+      SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tsum FROM g
+    )
+    SELECT nc AS n_control, nt AS n_treatment,
+           CAST(r2t - nt * (nt + 1) AS BIGINT) AS u2_treatment,
+           tsum AS tie_term,
+           round(CAST(r2t - nt * (nt + 1) AS DOUBLE) / 2, 1) AS u_treatment,
+           CASE WHEN (nc + nt + 1) - CAST(tsum AS DOUBLE)
+                     / ((nc + nt) * (nc + nt - 1.0)) <= 0 THEN 0
+                ELSE round((CAST(r2t - nt * (nt + 1) AS DOUBLE)
+                            - CAST(nc AS DOUBLE) * nt)
+                     / (2 * sqrt((CAST(nc AS DOUBLE) * nt / 12)
+                         * ((nc + nt + 1) - CAST(tsum AS DOUBLE)
+                            / ((nc + nt) * (nc + nt - 1.0))))), 6) END
+             AS z_score,
+           CASE WHEN (nc + nt + 1) - CAST(tsum AS DOUBLE)
+                     / ((nc + nt) * (nc + nt - 1.0)) <= 0 THEN FALSE
+                ELSE abs((CAST(r2t - nt * (nt + 1) AS DOUBLE)
+                          - CAST(nc AS DOUBLE) * nt)
+                     / (2 * sqrt((CAST(nc AS DOUBLE) * nt / 12)
+                         * ((nc + nt + 1) - CAST(tsum AS DOUBLE)
+                            / ((nc + nt) * (nc + nt - 1.0))))))
+                     > 1.959964 END AS significant_95
+    FROM agg CROSS JOIN ties
+    """
+
+
+@register(
+    "ab_mann_whitney_u",
+    oracle=_mwu_oracle(),
+    description="Mann-Whitney U (Wilcoxon rank-sum) on the experiment "
+    "metric — the nonparametric significance readout every platform "
+    "offers next to the t/z tests, robust to the heavy-tailed revenue "
+    "distributions that break normal-theory readouts: per-user "
+    "experiment-period value (the SAME decimal metric CUPED adjusts) "
+    "is pooled across arms and ranked with integer DOUBLED midranks "
+    "(ties get the exact midrank — the quality_scorer_agreement "
+    "recipe), U = R_t - n_t(n_t+1)/2 carried doubled so every rank "
+    "statistic is an exact BIGINT, and the tie-corrected normal "
+    "approximation z = (U - n_c n_t / 2) / sqrt(n_c n_t / 12 * "
+    "((n + 1) - sum(t^3 - t) / (n(n-1)))) is one fixed DOUBLE "
+    "expression text over those integers — bit-identical cross-engine, "
+    "with the all-values-tied degenerate case guarded to z = 0. "
+    "Scale: one map-side-combined per-user aggregate, one grouped "
+    "count per distinct metric value, one cumulative window over "
+    "DISTINCT values (bounded by the value grid, not users), and a "
+    "4-number reduce — no per-user sort ever materializes a global "
+    "ranking.",
+    tags=("experiment", "ab-test", "stats", "nonparametric"),
+)
+def ab_mann_whitney_u(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    per_user = (
+        ev.crossJoin(_exp_start(ev))  # scale-ok: 1-row broadcast scalar
+        .groupBy(F.col("user_id"), _arm_spark().alias("arm"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("ts") >= F.col("exp_start"),
+                        F.col("value").cast("decimal(18,6)"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(18,6)")
+            .alias("y")
+        )
+        .persist()  # value-grouping pass + midrank join
+    )
+    g = per_user.groupBy("y").agg(F.count("*").cast("long").alias("cnt"))
+    wv = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)  # scale-ok: DISTINCT metric values (bounded sort; see description)
+    w = g.select(
+        "y",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wv), F.lit(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    d = per_user.join(F.broadcast(w), "y").select(
+        "arm", (2 * F.col("cb") + F.col("cnt") + 1).alias("dm")
+    )
+    agg = d.agg(
+        F.sum(F.when(F.col("arm") == "control", 1).otherwise(0))
+        .cast("long")
+        .alias("nc"),
+        F.sum(F.when(F.col("arm") == "treatment", 1).otherwise(0))
+        .cast("long")
+        .alias("nt"),
+        F.sum(F.when(F.col("arm") == "treatment", F.col("dm")).otherwise(0))
+        .cast("long")
+        .alias("r2t"),
+    )
+    ties = g.agg(
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        )
+        .cast("long")
+        .alias("tsum")
+    )
+    return (
+        agg.crossJoin(F.broadcast(ties))  # scale-ok: 1-row x 1-row stats
+        .selectExpr(
+            "nc AS n_control",
+            "nt AS n_treatment",
+            "CAST(r2t - nt * (nt + 1) AS BIGINT) AS u2_treatment",
+            "tsum AS tie_term",
+            "round(CAST(r2t - nt * (nt + 1) AS DOUBLE) / 2, 1)"
+            " AS u_treatment",
+            """CASE WHEN (nc + nt + 1) - CAST(tsum AS DOUBLE)
+                     / ((nc + nt) * (nc + nt - 1.0)) <= 0 THEN 0
+                ELSE round((CAST(r2t - nt * (nt + 1) AS DOUBLE)
+                            - CAST(nc AS DOUBLE) * nt)
+                     / (2 * sqrt((CAST(nc AS DOUBLE) * nt / 12)
+                         * ((nc + nt + 1) - CAST(tsum AS DOUBLE)
+                            / ((nc + nt) * (nc + nt - 1.0))))), 6) END
+             AS z_score""",
+            """CASE WHEN (nc + nt + 1) - CAST(tsum AS DOUBLE)
+                     / ((nc + nt) * (nc + nt - 1.0)) <= 0 THEN FALSE
+                ELSE abs((CAST(r2t - nt * (nt + 1) AS DOUBLE)
+                          - CAST(nc AS DOUBLE) * nt)
+                     / (2 * sqrt((CAST(nc AS DOUBLE) * nt / 12)
+                         * ((nc + nt + 1) - CAST(tsum AS DOUBLE)
+                            / ((nc + nt) * (nc + nt - 1.0))))))
+                     > 1.959964 END AS significant_95""",
+        )
+    )

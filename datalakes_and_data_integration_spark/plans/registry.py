@@ -168,13 +168,14 @@ def register(
 # working-graph NN-descent (VERDICT r8 #2 — 2k-isotropic recall 0.570
 # -> 0.914), robust_scaling_mad (VERDICT r8 #8 — rank-selection sides
 # broadcast, 26 shuffles/9 SMJ -> 5/0, plan changed), and the round-9
-# newcomer quartet dedup_exact_substring_spans/_rewrite +
-# ab_proportion_ztest + ann_mmr_diversified_topk (clause (a) by
-# definition; each triple-SF gated in-session). Clause (b) — the 38
-# remaining slots take the oldest-green cohort: the full 30-name
-# round-2 cohort (newest green row = r2) and the first 8 of the
-# round-3 cohort alphabetically (through
-# dedup_cluster_largestar). 12 + 38 = 50.
+# five newcomers dedup_exact_substring_spans/_rewrite +
+# ab_proportion_ztest + ann_mmr_diversified_topk + ab_mann_whitney_u
+# (clause (a) by definition; each triple-SF gated in-session, the
+# experiment/MMR ones in --bare ANSI-on mode too). Clause (b) — the
+# 37 remaining slots take the oldest-green cohort: the full 30-name
+# round-2 cohort (newest green row = r2) and the first 7 of the
+# round-3 cohort alphabetically (through data_quality_report).
+# 13 + 37 = 50.
 WINDOW_ROUND = 9  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # round-9 changed/new (see the ROUND-9 WINDOW note above)
@@ -189,6 +190,7 @@ ROUND_CHANGED: list[str] = [
     "dedup_exact_substring_rewrite",
     "ab_proportion_ztest",
     "ann_mmr_diversified_topk",
+    "ab_mann_whitney_u",
     "robust_scaling_mad",
 ]
 WINDOW_PRIORITY: list[str] = [
@@ -232,7 +234,6 @@ WINDOW_PRIORITY: list[str] = [
     "chi2_lang_source",
     "cross_source_neardup_rate",
     "data_quality_report",
-    "dedup_cluster_largestar",
 ]
 
 

@@ -114,3 +114,56 @@ def test_ztest_reconciles_with_srm_audit_counts(spark):
     assert z.ci_lo <= z.lift <= z.ci_hi
     assert z.significant_95 == (abs(z.z_score) > 1.959964)
     assert abs(z.lift - (z.rate_treatment - z.rate_control)) < 2e-6
+
+
+def test_mann_whitney_matches_direct_python_recompute(spark):
+    """U and z must equal a from-scratch Python Mann-Whitney on the
+    same per-user metric (midranks, tie-corrected normal z) — the
+    Spearman-recompute precedent applied to the rank-sum test."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans.experiment import (
+        _ab_per_user,
+        _exp_start,
+        ab_mann_whitney_u,
+    )
+    from datalakes_and_data_integration_spark.plans._util import T
+
+    SF = "/root/testdata/sf0.001"
+    got = ab_mann_whitney_u(spark, SF).collect()[0]
+    ev = T(spark, SF, "events")
+    rows = (
+        _ab_per_user(ev, _exp_start(ev))
+        .select("arm", F.col("y").cast("string"))
+        .collect()
+    )
+    from decimal import Decimal
+
+    vals = [(r.arm, Decimal(r.y)) for r in rows]
+    ordered = sorted(v for _, v in vals)
+    # midranks per distinct value
+    ranks: dict = {}
+    i = 0
+    while i < len(ordered):
+        j = i
+        while j < len(ordered) and ordered[j] == ordered[i]:
+            j += 1
+        ranks[ordered[i]] = (i + 1 + j) / 2  # avg of ranks i+1..j
+        i = j
+    nt = sum(1 for a, _ in vals if a == "treatment")
+    nc = len(vals) - nt
+    rt = sum(ranks[v] for a, v in vals if a == "treatment")
+    u = rt - nt * (nt + 1) / 2
+    assert got.n_control == nc and got.n_treatment == nt
+    assert got.u_treatment == u
+    n = nc + nt
+    from collections import Counter
+
+    tsum = sum(c**3 - c for c in Counter(ordered).values())
+    assert got.tie_term == tsum
+    var = (nc * nt / 12) * ((n + 1) - tsum / (n * (n - 1)))
+    z = (u - nc * nt / 2) / math.sqrt(var)
+    assert abs(got.z_score - z) < 2e-6
+    assert got.significant_95 == (abs(z) > 1.959964)

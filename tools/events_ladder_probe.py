@@ -76,6 +76,7 @@ LADDER = [
     "ab_metric_cuped_adjustment",
     "streaming_ab_moments_maintenance",
     "ab_proportion_ztest",
+    "ab_mann_whitney_u",
     "compaction_bin_packing_plan",
     "deletion_vector_cost_report",
     "streaming_heavy_hitters_cms",

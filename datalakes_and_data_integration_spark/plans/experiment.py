@@ -3,8 +3,9 @@
 The A/B-testing surface a lakehouse analytics engine serves: seeded
 deterministic assignment with a sample-ratio-mismatch (SRM) audit,
 CUPED variance-reduced metric readout (Deng et al., WSDM'13), the
-two-proportion z-test significance readout (round 9), and the
-incremental CUPED-state maintenance twin. All are events-table queries
+two-proportion z-test and Mann-Whitney rank-sum significance readouts
+(round 9), and the incremental CUPED-state maintenance twin. All are
+events-table queries
 with full DuckDB oracles; every stochastic-looking
 quantity is md5-derived and every aggregate routes through DECIMAL
 before a fixed-order DOUBLE epilogue, so the statistics are

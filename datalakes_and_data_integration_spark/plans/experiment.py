@@ -759,3 +759,517 @@ def ab_mann_whitney_u(spark, sf_dir):
                      > 1.959964 END AS significant_95""",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap CI on the experiment metric — the resampling CI the
+# big experimentation platforms actually run at scale (per-unit
+# Poisson(1) weights instead of multinomial resampling: every replicate
+# is a weighted aggregate of the SAME pass over the data, so R
+# replicates cost one scan and R x |arms| reduce cells, never R copies
+# of the corpus). Weights are deterministic: u = hash60(rep # user) /
+# 2^60 inverted through the Poisson(1) CDF thresholds, which are Python
+# float literals inlined into BOTH engine texts — identical literal
+# text, identical comparisons, identical weights.
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_BOOT_SEED = 77
+_BOOT_REPS = 64
+# Poisson(1) CDF thresholds for k = 0..5 (k = 6 is the tail): cumulative
+# e^-1 * sum 1/i!. Python floats; {t!r} inlining gives both engines the
+# same 17-significant-digit literals.
+_BOOT_THRESH: list[float] = []
+_c = 0.0
+_term = _math.exp(-1.0)
+for _k in range(6):
+    _c += _term
+    _BOOT_THRESH.append(_c)
+    _term = _term / (_k + 1)
+del _c, _term, _k
+
+# lo/hi order-statistic indices of the R sorted replicate diffs for a
+# ~95% percentile interval: ceil((R+1) * 0.025) and R + 1 - that.
+_BOOT_LO = (25 * (_BOOT_REPS + 1) + 999) // 1000
+_BOOT_HI = _BOOT_REPS + 1 - _BOOT_LO
+
+
+def _boot_weight_sql(u_expr: str) -> str:
+    """Shared CASE text: invert u in [0,1) through the Poisson(1) CDF."""
+    arms = " ".join(
+        f"WHEN {u_expr} < {t!r} THEN {k}"
+        for k, t in enumerate(_BOOT_THRESH)
+    )
+    return f"(CASE {arms} ELSE 6 END)"
+
+
+_BOOT_DIFF = """CASE WHEN nt = 0 OR nc = 0 THEN 0.0
+         ELSE CAST(wyt AS DOUBLE) / CAST(nt AS DOUBLE)
+              - CAST(wyc AS DOUBLE) / CAST(nc AS DOUBLE) END"""
+
+
+def _bootstrap_oracle() -> str:
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_sql_duck,
+    )
+
+    h = hash60_sql_duck(
+        "concat(CAST(r.r AS VARCHAR), '#', CAST(p.user_id AS VARCHAR))",
+        seed=_BOOT_SEED,
+    )
+    w = _boot_weight_sql(
+        f"(CAST({h} AS DOUBLE) / 1152921504606846976.0)"
+    )
+    return f"""
+    WITH bounds AS (
+      SELECT min(ts) + INTERVAL {_AB_PRE_DAYS} DAY AS exp_start FROM events
+    ),
+    per_user AS MATERIALIZED (
+      SELECT user_id, {_arm_duck()} AS arm,
+             CAST(coalesce(sum(CASE WHEN ts >= (SELECT exp_start FROM bounds)
+                                    THEN CAST(value AS DECIMAL(18,6)) END),
+                           0) AS DECIMAL(18,6)) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    point AS (
+      SELECT CAST(sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nc,
+             CAST(sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nt,
+             coalesce(sum(CASE WHEN arm = 'control' THEN y END), 0) AS wyc,
+             coalesce(sum(CASE WHEN arm = 'treatment' THEN y END), 0) AS wyt
+      FROM per_user
+    ),
+    reps AS (SELECT CAST(i AS INT) AS r FROM range({_BOOT_REPS}) t(i)),
+    weighted AS (
+      SELECT r.r, p.arm, p.y, {w} AS wgt
+      FROM per_user p CROSS JOIN reps r
+    ),
+    rep_arm AS (
+      SELECT r, arm, CAST(sum(wgt) AS BIGINT) AS n_eff,
+             coalesce(sum(CAST(wgt AS DECIMAL(10,0)) * y), 0) AS wy
+      FROM weighted GROUP BY r, arm
+    ),
+    rep_grain AS (
+      SELECT r,
+             CAST(coalesce(sum(CASE WHEN arm = 'control' THEN n_eff END), 0)
+                  AS BIGINT) AS nc,
+             CAST(coalesce(sum(CASE WHEN arm = 'treatment' THEN n_eff END),
+                           0) AS BIGINT) AS nt,
+             coalesce(sum(CASE WHEN arm = 'control' THEN wy END), 0) AS wyc,
+             coalesce(sum(CASE WHEN arm = 'treatment' THEN wy END), 0) AS wyt
+      FROM rep_arm GROUP BY r
+    ),
+    diffs AS (
+      SELECT r, {_BOOT_DIFF} AS diff FROM rep_grain
+    ),
+    ranked AS (
+      SELECT diff, row_number() OVER (ORDER BY diff, r) AS rn FROM diffs
+    )
+    SELECT CAST({_BOOT_REPS} AS BIGINT) AS n_reps,
+           p.nc AS n_control, p.nt AS n_treatment,
+           round(CASE WHEN p.nt = 0 OR p.nc = 0 THEN 0.0
+                      ELSE CAST(p.wyt AS DOUBLE) / CAST(p.nt AS DOUBLE)
+                           - CAST(p.wyc AS DOUBLE) / CAST(p.nc AS DOUBLE)
+                 END, 6) AS diff_point,
+           round((SELECT diff FROM ranked WHERE rn = {_BOOT_LO}), 6)
+             AS boot_ci_lo,
+           round((SELECT diff FROM ranked WHERE rn = {_BOOT_HI}), 6)
+             AS boot_ci_hi,
+           ((SELECT diff FROM ranked WHERE rn = {_BOOT_LO}) > 0.0
+            OR (SELECT diff FROM ranked WHERE rn = {_BOOT_HI}) < 0.0)
+             AS significant_95
+    FROM point p
+    """
+
+
+@register(
+    "ab_bootstrap_diff_ci",
+    oracle=_bootstrap_oracle(),
+    description=f"Poisson-bootstrap confidence interval for the "
+    "treatment-control difference in per-user mean metric — the "
+    "resampling CI web-scale experimentation platforms run instead of "
+    "multinomial bootstrap: each of the "
+    f"{_BOOT_REPS} replicates weights every user by a DETERMINISTIC "
+    "Poisson(1) draw (u = md5-hash(rep#user)/2^60 inverted through "
+    "CDF thresholds inlined as identical float literals in both "
+    "engines), so all replicates ride ONE pass over the per-user frame "
+    "and reduce to R x 2 weighted sums — the corpus is never copied. "
+    "Replicate sums are exact decimals; each replicate diff is one "
+    "fixed-text double expression; the ~95% interval takes the "
+    f"{_BOOT_LO}th/{_BOOT_HI}th order statistics of the {_BOOT_REPS} "
+    "sorted diffs (integer indices, no floating-point percentile). "
+    "Scale: one map-side-combined per-user aggregate, one R-fold "
+    "flat-map of USER-grain rows (collapsed map-side to R x 2 groups), "
+    "and a 64-row replicate frame for the order stats.",
+    tags=("experiment", "ab-test", "stats", "bootstrap"),
+)
+def ab_bootstrap_diff_ci(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_sql_spark,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    per_user = (
+        ev.crossJoin(_exp_start(ev))  # scale-ok: 1-row broadcast scalar
+        .groupBy(F.col("user_id"), _arm_spark().alias("arm"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("ts") >= F.col("exp_start"),
+                        F.col("value").cast("decimal(18,6)"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(18,6)")
+            .alias("y")
+        )
+        .persist()  # point estimate + replicate fan-out share it
+    )
+    point = per_user.agg(
+        F.sum(F.when(F.col("arm") == "control", 1).otherwise(0))
+        .cast("long")
+        .alias("nc"),
+        F.sum(F.when(F.col("arm") == "treatment", 1).otherwise(0))
+        .cast("long")
+        .alias("nt"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == "control", F.col("y"))), F.lit(0)
+        ).alias("wyc"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == "treatment", F.col("y"))), F.lit(0)
+        ).alias("wyt"),
+    )
+    h = hash60_sql_spark(
+        "concat(CAST(r AS STRING), '#', CAST(user_id AS STRING))",
+        seed=_BOOT_SEED,
+    )
+    w = _boot_weight_sql(f"(CAST({h} AS DOUBLE) / 1152921504606846976.0)")
+    weighted = per_user.select(
+        "user_id",
+        "arm",
+        "y",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPS - 1))).alias("r"),
+    ).selectExpr("r", "arm", "y", f"{w} AS wgt")
+    rep_arm = weighted.groupBy("r", "arm").agg(
+        F.sum("wgt").cast("long").alias("n_eff"),
+        F.coalesce(
+            F.sum(F.expr("CAST(wgt AS DECIMAL(10,0)) * y")), F.lit(0)
+        ).alias("wy"),
+    )
+    rep_grain = rep_arm.groupBy("r").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == "control", F.col("n_eff"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("nc"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == "treatment", F.col("n_eff"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("nt"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == "control", F.col("wy"))), F.lit(0)
+        ).alias("wyc"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == "treatment", F.col("wy"))),
+            F.lit(0),
+        ).alias("wyt"),
+    )
+    diffs = rep_grain.selectExpr("r", f"{_BOOT_DIFF} AS diff")
+    ranked = diffs.select(
+        "diff",
+        F.row_number()
+        .over(Window.orderBy("diff", "r"))  # scale-ok: 64-row replicate frame
+        .alias("rn"),
+    )
+    lo = ranked.where(F.col("rn") == _BOOT_LO).select(
+        F.col("diff").alias("lo_d")
+    )
+    hi = ranked.where(F.col("rn") == _BOOT_HI).select(
+        F.col("diff").alias("hi_d")
+    )
+    return (
+        point.crossJoin(F.broadcast(lo))  # scale-ok: 1-row stats frames
+        .crossJoin(F.broadcast(hi))  # scale-ok: 1-row stats frames
+        .selectExpr(
+            f"CAST({_BOOT_REPS} AS BIGINT) AS n_reps",
+            "nc AS n_control",
+            "nt AS n_treatment",
+            """round(CASE WHEN nt = 0 OR nc = 0 THEN 0.0
+                      ELSE CAST(wyt AS DOUBLE) / CAST(nt AS DOUBLE)
+                           - CAST(wyc AS DOUBLE) / CAST(nc AS DOUBLE)
+                 END, 6) AS diff_point""",
+            "round(lo_d, 6) AS boot_ci_lo",
+            "round(hi_d, 6) AS boot_ci_hi",
+            "(lo_d > 0.0 OR hi_d < 0.0) AS significant_95",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequential testing (mSPRT): the always-valid p-value that lets an
+# experiment be peeked at every week without inflating false positives
+# (Johari et al., "Peeking at A/B tests", KDD'17 — the method behind
+# Optimizely's stats engine). The conversion metric (the SRM audit's
+# high-value purchase) accumulates weekly; each week's mixture
+# likelihood ratio Lambda_w uses the normal mixture with tau^2 = 0.01,
+# and the always-valid p is the running minimum of min(1, 1/Lambda).
+# Everything up to the epilogue is exact BIGINT cumulative counts on the
+# bounded week grid.
+# ---------------------------------------------------------------------------
+
+_MSPRT_TAU2 = "0.01"  # mixture variance tau^2 (tau = 0.1) — shared literal
+
+# One shared epilogue text: phat/V/diff from exact integer counts, the
+# mixture LR, and the per-week p-step. V = 0 (degenerate: no converters
+# or all converters) and empty-arm weeks read p = 1.
+_MSPRT_P_STEP = f"""CASE
+      WHEN nc = 0 OR nt = 0 THEN 1.0
+      WHEN (cc + ct) = 0 OR (cc + ct) = (nc + nt) THEN 1.0
+      ELSE least(1.0, 1.0 / (
+        sqrt((CAST(cc + ct AS DOUBLE) / CAST(nc + nt AS DOUBLE)
+              * (1.0 - CAST(cc + ct AS DOUBLE) / CAST(nc + nt AS DOUBLE))
+              * (1.0 / CAST(nc AS DOUBLE) + 1.0 / CAST(nt AS DOUBLE)))
+             / (CAST(cc + ct AS DOUBLE) / CAST(nc + nt AS DOUBLE)
+                * (1.0 - CAST(cc + ct AS DOUBLE) / CAST(nc + nt AS DOUBLE))
+                * (1.0 / CAST(nc AS DOUBLE) + 1.0 / CAST(nt AS DOUBLE))
+                + {_MSPRT_TAU2}))
+        * exp((CAST(ct AS DOUBLE) / CAST(nt AS DOUBLE)
+               - CAST(cc AS DOUBLE) / CAST(nc AS DOUBLE))
+              * (CAST(ct AS DOUBLE) / CAST(nt AS DOUBLE)
+                 - CAST(cc AS DOUBLE) / CAST(nc AS DOUBLE))
+              * {_MSPRT_TAU2}
+              / (2.0 * (CAST(cc + ct AS DOUBLE) / CAST(nc + nt AS DOUBLE)
+                        * (1.0 - CAST(cc + ct AS DOUBLE)
+                                 / CAST(nc + nt AS DOUBLE))
+                        * (1.0 / CAST(nc AS DOUBLE)
+                           + 1.0 / CAST(nt AS DOUBLE)))
+                     * (CAST(cc + ct AS DOUBLE) / CAST(nc + nt AS DOUBLE)
+                        * (1.0 - CAST(cc + ct AS DOUBLE)
+                                 / CAST(nc + nt AS DOUBLE))
+                        * (1.0 / CAST(nc AS DOUBLE)
+                           + 1.0 / CAST(nt AS DOUBLE))
+                        + {_MSPRT_TAU2})))))
+    END"""
+
+_MSPRT_DIFF = """CASE WHEN nc = 0 OR nt = 0 THEN 0.0
+         ELSE CAST(ct AS DOUBLE) / CAST(nt AS DOUBLE)
+              - CAST(cc AS DOUBLE) / CAST(nc AS DOUBLE) END"""
+
+
+def _msprt_oracle() -> str:
+    return f"""
+    WITH bounds AS (
+      SELECT min(ts) + INTERVAL {_AB_PRE_DAYS} DAY AS exp_start FROM events
+    ),
+    exp_events AS MATERIALIZED (
+      SELECT user_id, {_arm_duck()} AS arm, event_type, value,
+             CAST(datediff('day', CAST((SELECT exp_start FROM bounds)
+                                       AS DATE),
+                           CAST(ts AS DATE)) // 7 AS BIGINT) AS week
+      FROM events
+      WHERE ts >= (SELECT exp_start FROM bounds)
+    ),
+    per_user AS (
+      SELECT user_id, arm,
+             CAST(min(week) AS BIGINT) AS enroll_week,
+             min(CASE WHEN event_type = 'purchase'
+                       AND value >= {_AB_CONV_VALUE}
+                      THEN week END) AS conv_week
+      FROM exp_events GROUP BY 1, 2
+    ),
+    mx AS (SELECT max(week) AS mw FROM exp_events),
+    grid AS (
+      SELECT CAST(unnest(generate_series(0,
+               (SELECT coalesce(mw, -1) FROM mx))) AS BIGINT) AS week
+    ),
+    arms AS (SELECT 'control' AS arm UNION ALL SELECT 'treatment'),
+    enr AS (
+      SELECT arm, enroll_week AS week, CAST(count(*) AS BIGINT) AS n
+      FROM per_user GROUP BY 1, 2
+    ),
+    cnv AS (
+      SELECT arm, conv_week AS week, CAST(count(*) AS BIGINT) AS n
+      FROM per_user WHERE conv_week IS NOT NULL GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT g.week, a.arm,
+             CAST(coalesce(sum(e.n) OVER (PARTITION BY a.arm
+               ORDER BY g.week), 0) AS BIGINT) AS n_cum,
+             CAST(coalesce(sum(c.n) OVER (PARTITION BY a.arm
+               ORDER BY g.week), 0) AS BIGINT) AS c_cum
+      FROM grid g CROSS JOIN arms a
+      LEFT JOIN enr e ON e.arm = a.arm AND e.week = g.week
+      LEFT JOIN cnv c ON c.arm = a.arm AND c.week = g.week
+    ),
+    wk AS (
+      SELECT week,
+             CAST(coalesce(sum(CASE WHEN arm = 'control' THEN n_cum END), 0)
+                  AS BIGINT) AS nc,
+             CAST(coalesce(sum(CASE WHEN arm = 'treatment' THEN n_cum END),
+                           0) AS BIGINT) AS nt,
+             CAST(coalesce(sum(CASE WHEN arm = 'control' THEN c_cum END), 0)
+                  AS BIGINT) AS cc,
+             CAST(coalesce(sum(CASE WHEN arm = 'treatment' THEN c_cum END),
+                           0) AS BIGINT) AS ct
+      FROM cum GROUP BY week
+    ),
+    steps AS (
+      SELECT week, nc, nt, cc, ct,
+             {_MSPRT_DIFF} AS diff_rate,
+             {_MSPRT_P_STEP} AS p_step
+      FROM wk
+    )
+    SELECT week, nc AS n_control, nt AS n_treatment,
+           cc AS conv_control, ct AS conv_treatment,
+           round(diff_rate, 6) AS diff_rate,
+           round(p_step, 6) AS p_week,
+           round(min(p_step) OVER (ORDER BY week), 6) AS always_valid_p,
+           (min(p_step) OVER (ORDER BY week)) < 0.05 AS reject_95
+    FROM steps
+    """
+
+
+@register(
+    "ab_sequential_msprt",
+    oracle=_msprt_oracle(),
+    description="Always-valid sequential test (mSPRT, Johari et al. "
+    "KDD'17 — the anti-peeking statistics behind modern experimentation "
+    "platforms) on the conversion metric: per-user enrollment week "
+    "(first experiment-period event) and first high-value-purchase week "
+    "reduce to exact BIGINT cumulative counts on the bounded week grid; "
+    "each week's normal-mixture likelihood ratio (tau^2 = 0.01) gives a "
+    "p-step min(1, 1/Lambda), and the published always-valid p is the "
+    "running minimum — valid at EVERY week simultaneously, so the "
+    "experiment can stop the first week it crosses 0.05. The epilogue "
+    "is one shared DOUBLE expression over exact integers (the "
+    "estimator-arithmetic determinism rule); degenerate weeks (empty "
+    "arm, zero or total conversion => V = 0) read p = 1. Scale: one "
+    "filtered scan -> per-user aggregate (map-side combined), then all "
+    "state lives on the week x arm grid — cumulative windows bounded "
+    "by the calendar, never by users.",
+    tags=("experiment", "ab-test", "stats", "sequential"),
+)
+def ab_sequential_msprt(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    exp_events = (
+        ev.crossJoin(_exp_start(ev))  # scale-ok: 1-row broadcast scalar
+        .where(F.col("ts") >= F.col("exp_start"))
+        .select(
+            "user_id",
+            _arm_spark().alias("arm"),
+            "event_type",
+            "value",
+            F.expr(
+                "CAST(floor(datediff(CAST(ts AS DATE),"
+                " CAST(exp_start AS DATE)) / 7) AS BIGINT)"
+            ).alias("week"),
+        )
+        .persist()  # per-user pass + week-grid scalar share it
+    )
+    per_user = exp_events.groupBy("user_id", "arm").agg(
+        F.min("week").cast("long").alias("enroll_week"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= _AB_CONV_VALUE),
+                F.col("week"),
+            )
+        ).alias("conv_week"),
+    )
+    grid = (
+        exp_events.agg(F.max("week").alias("mw"))
+        .select(F.explode(F.expr("sequence(0L, mw)")).alias("week"))
+    )  # scale-ok: calendar-bounded week grid from a 1-row scalar
+    arms = spark.createDataFrame(
+        [("control",), ("treatment",)], "arm string"
+    )
+    enr = per_user.groupBy("arm", F.col("enroll_week").alias("week")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    cnv = (
+        per_user.where(F.col("conv_week").isNotNull())
+        .groupBy("arm", F.col("conv_week").alias("week"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    ga = grid.crossJoin(F.broadcast(arms))  # scale-ok: weeks x 2 arms grid
+    wcum = Window.partitionBy("arm").orderBy("week").rowsBetween(
+        Window.unboundedPreceding, 0
+    )  # scale-ok: calendar-bounded week grid
+    cum = (
+        ga.join(
+            F.broadcast(enr.withColumnRenamed("n", "en")), ["arm", "week"], "left"
+        )  # scale-ok: week x arm grid joins
+        .join(
+            F.broadcast(cnv.withColumnRenamed("n", "cn")),
+            ["arm", "week"],
+            "left",
+        )  # scale-ok: week x arm grid joins
+        .select(
+            "week",
+            "arm",
+            F.coalesce(F.sum("en").over(wcum), F.lit(0))
+            .cast("long")
+            .alias("n_cum"),
+            F.coalesce(F.sum("cn").over(wcum), F.lit(0))
+            .cast("long")
+            .alias("c_cum"),
+        )
+    )
+    wk = cum.groupBy("week").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == "control", F.col("n_cum"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("nc"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == "treatment", F.col("n_cum"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("nt"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == "control", F.col("c_cum"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("cc"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == "treatment", F.col("c_cum"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("ct"),
+    )
+    steps = wk.selectExpr(
+        "week",
+        "nc",
+        "nt",
+        "cc",
+        "ct",
+        f"{_MSPRT_DIFF} AS diff_rate",
+        f"{_MSPRT_P_STEP} AS p_step",
+    )
+    wmin = Window.orderBy("week").rowsBetween(  # scale-ok: calendar-bounded week grid
+        Window.unboundedPreceding, 0
+    )
+    return steps.select(
+        "week",
+        F.col("nc").alias("n_control"),
+        F.col("nt").alias("n_treatment"),
+        F.col("cc").alias("conv_control"),
+        F.col("ct").alias("conv_treatment"),
+        F.round("diff_rate", 6).alias("diff_rate"),
+        F.round("p_step", 6).alias("p_week"),
+        F.round(F.min("p_step").over(wmin), 6).alias("always_valid_p"),
+        (F.min("p_step").over(wmin) < 0.05).alias("reject_95"),
+    )

@@ -617,6 +617,581 @@ def _calibration_oracle() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# ROC/AUC: the threshold-free ranking quality of the held-out classifier.
+# Exact AUC is the Mann-Whitney statistic of the positive-class logits —
+# computed with integer DOUBLED midranks over DISTINCT logit values (the
+# ab_mann_whitney_u recipe), so the area is an exact BIGINT ratio before
+# one decimal-routed division. Next to it, the BOUNDED-STATE scale path: a
+# 16-cell trapezoid over the clamped milli-logit bins (the calibration
+# grid) — at 100 TB the exact rank pass needs a global distinct-value
+# window, the binned one needs a 16-row reduce; publishing both with
+# their delta is the audit that says when the cheap one is safe.
+# ---------------------------------------------------------------------------
+
+
+_ROC_EPILOGUE = """
+    CAST(r2p - np * (np + 1) AS BIGINT) AS u2_pos,
+    CAST(ROUND(CAST(CAST(r2p - np * (np + 1) AS DOUBLE)
+                    / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE))
+                    AS DECIMAL(27,12)), 6) AS DOUBLE) AS auc,
+    trap2 AS trap2_num,
+    CAST(ROUND(CAST(CAST(trap2 AS DOUBLE)
+                    / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE))
+                    AS DECIMAL(27,12)), 6) AS DOUBLE) AS auc_bin16
+"""
+
+
+def _roc_auc_oracle() -> str:
+    train_pred, test_pred = _split_pred_duck()
+    base = _logreg_oracle()
+    base = base.replace(
+        "FROM embeddings\n    )",
+        f"FROM embeddings\n      WHERE {train_pred}\n    )",
+        1,
+    )
+    with_block = base[: base.rindex("SELECT dim")]
+    pivot_cols = ", ".join(
+        f"max(CASE WHEN dim = {j} THEN w END) AS w{j}" for j in range(_DIM)
+    )
+    return (
+        with_block
+        + f""", wrowF AS (
+      SELECT {pivot_cols}, any_value(b) AS b FROM w{_ITERS}
+    ),
+    test_rows AS (
+      SELECT CAST(label = {_POS_LABEL} AS INT) AS y, embedding AS emb
+      FROM embeddings
+      WHERE {test_pred}
+    ),
+    scored AS MATERIALIZED (
+      SELECT y, ({_oracle_z_chain("wrowF")}) AS z
+      FROM test_rows CROSS JOIN wrowF
+    ),
+    g AS (
+      SELECT z, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM scored GROUP BY z
+    ),
+    rk AS (
+      SELECT z, cnt, pos,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY z
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cb
+      FROM g
+    ),
+    rank_agg AS (
+      SELECT CAST(sum(pos) AS BIGINT) AS np,
+             CAST(sum(cnt - pos) AS BIGINT) AS nn,
+             CAST(sum(pos * (2 * cb + cnt + 1)) AS BIGINT) AS r2p
+      FROM rk
+    ),
+    bins AS (
+      SELECT CAST(greatest(least(floor(1000.0 * z), 7), -8) AS BIGINT)
+               AS z_bin,
+             CAST(sum(y) AS BIGINT) AS bpos,
+             CAST(sum(1 - y) AS BIGINT) AS bneg
+      FROM scored GROUP BY 1
+    ),
+    binrk AS (
+      SELECT z_bin, bpos, bneg,
+             CAST(coalesce(sum(bpos) OVER (ORDER BY z_bin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS pos_above
+      FROM bins
+    ),
+    trap AS (
+      SELECT CAST(sum(bneg * (2 * pos_above + bpos)) AS BIGINT) AS trap2
+      FROM binrk
+    )
+    SELECT np AS n_pos, nn AS n_neg, {_ROC_EPILOGUE}
+    FROM rank_agg CROSS JOIN trap
+    """
+    )
+
+
+@register(
+    "logreg_roc_auc",
+    oracle=_roc_auc_oracle(),
+    description="Held-out ROC area of the GD-trained classifier, both "
+    "ways a 100 TB pipeline computes it: exact AUC as the Mann-Whitney "
+    "statistic of positive-class logits (integer DOUBLED midranks over "
+    "DISTINCT logit values — u2_pos is an exact BIGINT, ties get exact "
+    "midranks), and the bounded-state twin — a trapezoid over the 16 "
+    "clamped milli-logit bins (trap2_num, also an exact BIGINT). Each "
+    "area is one decimal-routed division of exact integers, so both "
+    "engines agree to the bit; publishing exact-vs-binned side by side "
+    "is the audit for when the 16-cell reduce can replace the global "
+    "distinct-logit window at scale. Logits are the trainer's fixed-"
+    "order double chains; the md5 80/10 train/test split rides the "
+    "scan as a pushed filter.",
+    tags=("ml", "evaluation", "ranking", "llm-pipeline"),
+)
+def logreg_roc_auc(spark, sf_dir):
+    from pyspark.sql import Window
+
+    train_pred, test_pred = _split_pred_spark()
+    _, w, b = _train(spark, sf_dir, where=train_pred)
+    scored = (
+        T(spark, sf_dir, "embeddings")
+        .where(test_pred)
+        .select(
+            (F.col("label") == _POS_LABEL).cast("int").alias("y"),
+            F.expr(_spark_z_chain(w, b)).alias("z"),
+        )
+        .persist()  # rank pass + bin pass share the scoring
+    )
+    g = scored.groupBy("z").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    wv = Window.orderBy("z").rowsBetween(Window.unboundedPreceding, -1)  # scale-ok: DISTINCT logit values (the exact-AUC leg; the binned leg below is the bounded-state scale path)
+    rk = g.select(
+        "cnt",
+        "pos",
+        F.coalesce(F.sum("cnt").over(wv), F.lit(0)).cast("long").alias("cb"),
+    )
+    rank_agg = rk.agg(
+        F.sum("pos").cast("long").alias("np"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("long").alias("nn"),
+        F.sum(
+            F.col("pos") * (2 * F.col("cb") + F.col("cnt") + 1)
+        )
+        .cast("long")
+        .alias("r2p"),
+    )
+    bins = scored.groupBy(
+        F.greatest(
+            F.least(F.floor(F.lit(1000.0) * F.col("z")), F.lit(7)),
+            F.lit(-8),
+        )
+        .cast("long")
+        .alias("z_bin")
+    ).agg(
+        F.sum("y").cast("long").alias("bpos"),
+        F.sum(1 - F.col("y")).cast("long").alias("bneg"),
+    )
+    wd = Window.orderBy(F.col("z_bin").desc()).rowsBetween(  # scale-ok: 16-bin grid
+        Window.unboundedPreceding, -1
+    )
+    trap = bins.select(
+        "bpos",
+        "bneg",
+        F.coalesce(F.sum("bpos").over(wd), F.lit(0))
+        .cast("long")
+        .alias("pos_above"),
+    ).agg(
+        F.sum(F.col("bneg") * (2 * F.col("pos_above") + F.col("bpos")))
+        .cast("long")
+        .alias("trap2")
+    )
+    return (
+        rank_agg.crossJoin(F.broadcast(trap))  # scale-ok: 1-row x 1-row stats
+        .selectExpr(
+            "np AS n_pos",
+            "nn AS n_neg",
+            *[e.strip() for e in _ROC_EPILOGUE.strip().split(",\n")],
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction: the distribution-free coverage guarantee
+# (Vovk et al.; Angelopoulos & Bates '21 tutorial) on top of the trained
+# classifier. The md5 split already reserves an untouched middle bucket —
+# [80, 90) — between the 80% train and 10% test splits: that is the
+# calibration set. Nonconformity of class c at logit z is the signed
+# margin (c = 1 -> -z, c = 0 -> z); the calibration quantile q at
+# miscoverage alpha = 0.1 is the ceil((n+1)(1-alpha))-th smallest TRUE-
+# class score, selected by integer index arithmetic (no floating-point
+# quantile), and the audited guarantee is P(true class in prediction
+# set) >= 1 - alpha on the disjoint test split.
+# ---------------------------------------------------------------------------
+
+_CONF_ALPHA_NUM = 1  # alpha = _CONF_ALPHA_NUM / _CONF_ALPHA_DEN = 0.1
+_CONF_ALPHA_DEN = 10
+
+
+def _calib_pred_duck() -> str:
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_sql_duck,
+    )
+
+    bucket = f"({hash60_sql_duck('CAST(vec_id AS VARCHAR)', seed=7)} % 100)"
+    return f"{bucket} >= 80 AND {bucket} < 90"
+
+
+def _calib_pred_spark() -> str:
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_sql_spark,
+    )
+
+    bucket = f"({hash60_sql_spark('CAST(vec_id AS STRING)', seed=7)} % 100)"
+    return f"{bucket} >= 80 AND {bucket} < 90"
+
+
+_CONF_EPILOGUE = """
+    CAST(ROUND(CAST(q AS DECIMAL(27,12)), 6) AS DOUBLE) AS q_threshold,
+    n_test,
+    n_covered,
+    CAST(ROUND(CAST(CAST(n_covered AS DOUBLE) / n_test
+                    AS DECIMAL(27,12)), 6) AS DOUBLE) AS coverage,
+    CAST(ROUND(CAST(CAST(set_size_sum AS DOUBLE) / n_test
+                    AS DECIMAL(27,12)), 6) AS DOUBLE) AS avg_set_size,
+    n_empty,
+    n_both
+"""
+
+
+def _conformal_oracle() -> str:
+    train_pred, test_pred = _split_pred_duck()
+    calib_pred = _calib_pred_duck()
+    base = _logreg_oracle()
+    base = base.replace(
+        "FROM embeddings\n    )",
+        f"FROM embeddings\n      WHERE {train_pred}\n    )",
+        1,
+    )
+    with_block = base[: base.rindex("SELECT dim")]
+    pivot_cols = ", ".join(
+        f"max(CASE WHEN dim = {j} THEN w END) AS w{j}" for j in range(_DIM)
+    )
+    alpha_q = (
+        f"(({_CONF_ALPHA_DEN - _CONF_ALPHA_NUM} * (n_cal + 1)"
+        f" + {_CONF_ALPHA_DEN - 1}) // {_CONF_ALPHA_DEN})"
+    )
+    return (
+        with_block
+        + f""", wrowF AS (
+      SELECT {pivot_cols}, any_value(b) AS b FROM w{_ITERS}
+    ),
+    calib_rows AS (
+      SELECT CAST(label = {_POS_LABEL} AS INT) AS y, embedding AS emb
+      FROM embeddings
+      WHERE {calib_pred}
+    ),
+    calib AS MATERIALIZED (
+      SELECT y,
+             CASE WHEN y = 1 THEN -({_oracle_z_chain("wrowF")})
+                  ELSE ({_oracle_z_chain("wrowF")}) END AS s
+      FROM calib_rows CROSS JOIN wrowF
+    ),
+    ncal AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_cal FROM calib
+    ),
+    qidx AS (
+      SELECT n_cal,
+             CAST(least({alpha_q}, n_cal) AS BIGINT) AS q_index
+      FROM ncal
+    ),
+    sg AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS cnt FROM calib GROUP BY s
+    ),
+    scum AS (
+      SELECT s, CAST(sum(cnt) OVER (ORDER BY s) AS BIGINT) AS cum FROM sg
+    ),
+    thr AS (
+      SELECT min(s) AS q FROM scum, qidx WHERE cum >= q_index
+    ),
+    test_rows AS (
+      SELECT CAST(label = {_POS_LABEL} AS INT) AS y, embedding AS emb
+      FROM embeddings
+      WHERE {test_pred}
+    ),
+    test_scored AS (
+      SELECT y, ({_oracle_z_chain("wrowF")}) AS z
+      FROM test_rows CROSS JOIN wrowF
+    ),
+    audit AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CAST((CASE WHEN y = 1 THEN -z ELSE z END)
+                           <= (SELECT q FROM thr) AS INT)) AS BIGINT)
+               AS n_covered,
+             CAST(sum(CAST(z <= (SELECT q FROM thr) AS INT)
+                      + CAST(-z <= (SELECT q FROM thr) AS INT)) AS BIGINT)
+               AS set_size_sum,
+             CAST(sum(CAST(NOT (z <= (SELECT q FROM thr))
+                           AND NOT (-z <= (SELECT q FROM thr)) AS INT))
+                  AS BIGINT) AS n_empty,
+             CAST(sum(CAST((z <= (SELECT q FROM thr))
+                           AND (-z <= (SELECT q FROM thr)) AS INT))
+                  AS BIGINT) AS n_both
+      FROM test_scored
+    )
+    SELECT i.n_cal, i.q_index, {_CONF_EPILOGUE}
+    FROM qidx i CROSS JOIN thr CROSS JOIN audit
+    """
+    )
+
+
+@register(
+    "conformal_prediction_audit",
+    oracle=_conformal_oracle(),
+    description="Split-conformal prediction audit of the GD-trained "
+    "classifier — the distribution-free coverage guarantee (Vovk; "
+    "Angelopoulos-Bates): the md5 split's untouched [80,90) middle "
+    "bucket calibrates, nonconformity is the signed margin (-z for the "
+    "positive class, z for the negative), the conformal quantile is the "
+    "ceil((n_cal+1)(1-alpha))-th smallest true-class score at alpha=0.1 "
+    "selected by INTEGER index arithmetic over a distinct-score "
+    "cumulative window (never a floating-point percentile), and the "
+    "disjoint 10% test split audits the guarantee: coverage >= 0.9, "
+    "plus average prediction-set size and the empty/both-classes set "
+    "counts that diagnose an over- or under-confident score scale. "
+    "Logits are the trainer's bit-identical fixed-order chains, the "
+    "threshold comparison is on exact doubles, and every reported rate "
+    "is a decimal-routed division of exact integers. Scale: three "
+    "pushed-filter scans (train iterations, calibration, test), one "
+    "distinct-score window bounded by the calibration split, and a "
+    "7-number reduce.",
+    tags=("ml", "evaluation", "uncertainty", "llm-pipeline"),
+)
+def conformal_prediction_audit(spark, sf_dir):
+    from pyspark.sql import Window
+
+    train_pred, test_pred = _split_pred_spark()
+    calib_pred = _calib_pred_spark()
+    _, w, b = _train(spark, sf_dir, where=train_pred)
+    zx = _spark_z_chain(w, b)
+    calib = (
+        T(spark, sf_dir, "embeddings")
+        .where(calib_pred)
+        .selectExpr(
+            f"CAST(label = {_POS_LABEL} AS INT) AS y",
+            f"CASE WHEN label = {_POS_LABEL} THEN -({zx}) ELSE ({zx}) END"
+            " AS s",
+        )
+    )
+    n_cal = calib.count()  # scale-ok: 1 scalar (calibration-set size)
+    q_index = min(
+        (
+            (_CONF_ALPHA_DEN - _CONF_ALPHA_NUM) * (n_cal + 1)
+            + _CONF_ALPHA_DEN
+            - 1
+        )
+        // _CONF_ALPHA_DEN,
+        n_cal,
+    )
+    sg = calib.groupBy("s").agg(F.count("*").cast("long").alias("cnt"))
+    wv = Window.orderBy("s").rowsBetween(  # scale-ok: DISTINCT calibration scores (calibration split is the small sample by design)
+        Window.unboundedPreceding, 0
+    )
+    thr = (
+        sg.select("s", F.sum("cnt").over(wv).cast("long").alias("cum"))
+        .where(F.col("cum") >= q_index)
+        .agg(F.min("s").alias("q"))
+    )
+    test = (
+        T(spark, sf_dir, "embeddings")
+        .where(test_pred)
+        .selectExpr(
+            f"CAST(label = {_POS_LABEL} AS INT) AS y", f"({zx}) AS z"
+        )
+    )
+    audit = test.crossJoin(F.broadcast(thr)).agg(  # scale-ok: 1-row threshold broadcast
+        F.count("*").cast("long").alias("n_test"),
+        F.sum(
+            F.expr("CAST((CASE WHEN y = 1 THEN -z ELSE z END) <= q AS INT)")
+        )
+        .cast("long")
+        .alias("n_covered"),
+        F.sum(F.expr("CAST(z <= q AS INT) + CAST(-z <= q AS INT)"))
+        .cast("long")
+        .alias("set_size_sum"),
+        F.sum(F.expr("CAST(NOT (z <= q) AND NOT (-z <= q) AS INT)"))
+        .cast("long")
+        .alias("n_empty"),
+        F.sum(F.expr("CAST((z <= q) AND (-z <= q) AS INT)"))
+        .cast("long")
+        .alias("n_both"),
+        F.first("q").alias("q"),
+    )
+    meta = spark.createDataFrame(
+        [(n_cal, q_index)], "n_cal long, q_index long"
+    )
+    return (
+        meta.crossJoin(F.broadcast(audit))  # scale-ok: 1-row x 1-row stats
+        .selectExpr(
+            "n_cal",
+            "q_index",
+            *[e.strip() for e in _CONF_EPILOGUE.strip().split(",\n")],
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration (PAVA) over the milli-logit bins: the monotone
+# recalibration CCNet-style samplers apply before using classifier scores
+# as keep-probabilities. The weighted isotonic fit has the closed minimax
+# form fitted(i) = max_{j<=i} min_{k>=i} avg(y over bins j..k) — over the
+# 16-bin grid that is at most 16^3 bounded work, so the whole fit is
+# grid-arithmetic on exact BIGINT prefix sums: no iterative
+# pool-adjacent-violators loop, no driver state, and the one DOUBLE
+# division per (j,k) span is exact-rounded from exact integers in both
+# engines.
+# ---------------------------------------------------------------------------
+
+
+def _isotonic_oracle() -> str:
+    train_pred, test_pred = _split_pred_duck()
+    base = _logreg_oracle()
+    base = base.replace(
+        "FROM embeddings\n    )",
+        f"FROM embeddings\n      WHERE {train_pred}\n    )",
+        1,
+    )
+    with_block = base[: base.rindex("SELECT dim")]
+    pivot_cols = ", ".join(
+        f"max(CASE WHEN dim = {j} THEN w END) AS w{j}" for j in range(_DIM)
+    )
+    return (
+        with_block
+        + f""", wrowF AS (
+      SELECT {pivot_cols}, any_value(b) AS b FROM w{_ITERS}
+    ),
+    test_rows AS (
+      SELECT CAST(label = {_POS_LABEL} AS INT) AS y, embedding AS emb
+      FROM embeddings
+      WHERE {test_pred}
+    ),
+    bins AS MATERIALIZED (
+      SELECT CAST(greatest(least(floor(1000.0 *
+               ({_oracle_z_chain("wrowF")})), 7), -8) AS BIGINT) AS z_bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos
+      FROM test_rows CROSS JOIN wrowF
+      GROUP BY 1
+    ),
+    pre AS (
+      SELECT z_bin, n, n_pos,
+             CAST(sum(n) OVER (ORDER BY z_bin) AS BIGINT) AS cn,
+             CAST(sum(n_pos) OVER (ORDER BY z_bin) AS BIGINT) AS cp
+      FROM bins
+    ),
+    spans AS (
+      SELECT lo.z_bin AS j, hi.z_bin AS k,
+             CAST(hi.cp - lo.cp + lo.n_pos AS DOUBLE)
+               / CAST(hi.cn - lo.cn + lo.n AS DOUBLE) AS avg_rate
+      FROM pre lo JOIN pre hi ON lo.z_bin <= hi.z_bin
+    ),
+    inner_min AS (
+      SELECT b.z_bin, s.j, min(s.avg_rate) AS m
+      FROM bins b JOIN spans s ON s.j <= b.z_bin AND s.k >= b.z_bin
+      GROUP BY b.z_bin, s.j
+    ),
+    fit AS (
+      SELECT z_bin, max(m) AS iso FROM inner_min GROUP BY z_bin
+    )
+    SELECT b.z_bin, b.n, b.n_pos,
+           CAST(ROUND(CAST(CAST(b.n_pos AS DOUBLE) / b.n
+                           AS DECIMAL(27,12)), 6) AS DOUBLE) AS raw_rate,
+           CAST(ROUND(CAST(f.iso AS DECIMAL(27,12)), 6) AS DOUBLE)
+             AS iso_rate
+    FROM bins b JOIN fit f USING (z_bin)
+    """
+    )
+
+
+@register(
+    "logreg_isotonic_calibration",
+    oracle=_isotonic_oracle(),
+    description="Isotonic (PAVA) recalibration of the held-out classifier "
+    "over the 16 clamped milli-logit bins — the monotone score-to-"
+    "probability map a quality-sampling pipeline fits before using "
+    "scores as keep-probabilities. Instead of the sequential pool-"
+    "adjacent-violators loop, the fit uses the closed minimax form "
+    "fitted(i) = max over j<=i of min over k>=i of the weighted mean of "
+    "y on bins j..k — on the bounded bin grid that is <=16^3 arithmetic "
+    "over exact BIGINT prefix sums, fully declarative in both engines "
+    "(no driver iteration, no state). Each span mean is ONE double "
+    "division of exact integers (IEEE-exact rounding, bit-identical "
+    "cross-engine), so min/max land identically and the fitted curve "
+    "hashes. Scale: the corpus pass is the same one binned scan as the "
+    "reliability diagram; everything after is 16-row grid algebra.",
+    tags=("ml", "evaluation", "calibration", "llm-pipeline"),
+)
+def logreg_isotonic_calibration(spark, sf_dir):
+    from pyspark.sql import Window
+
+    train_pred, test_pred = _split_pred_spark()
+    _, w, b = _train(spark, sf_dir, where=train_pred)
+    z = F.expr(_spark_z_chain(w, b))
+    bins = (
+        T(spark, sf_dir, "embeddings")
+        .where(test_pred)
+        .select(
+            (F.col("label") == _POS_LABEL).cast("int").alias("y"),
+            F.greatest(
+                F.least(F.floor(F.lit(1000.0) * z), F.lit(7)), F.lit(-8)
+            )
+            .cast("long")
+            .alias("z_bin"),
+        )
+        .groupBy("z_bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+        .persist()  # bin grid (<=16 rows): span/fit/report passes share it
+    )
+    wpre = Window.orderBy("z_bin").rowsBetween(  # scale-ok: 16-bin grid
+        Window.unboundedPreceding, 0
+    )
+    pre = bins.select(
+        "z_bin",
+        "n",
+        "n_pos",
+        F.sum("n").over(wpre).cast("long").alias("cn"),
+        F.sum("n_pos").over(wpre).cast("long").alias("cp"),
+    )
+    lo = pre.select(
+        F.col("z_bin").alias("j"),
+        F.col("n").alias("lo_n"),
+        F.col("n_pos").alias("lo_p"),
+        F.col("cn").alias("lo_cn"),
+        F.col("cp").alias("lo_cp"),
+    )
+    hi = pre.select(
+        F.col("z_bin").alias("k"),
+        F.col("cn").alias("hi_cn"),
+        F.col("cp").alias("hi_cp"),
+    )
+    spans = lo.join(F.broadcast(hi), F.col("j") <= F.col("k")).select(  # scale-ok: 16x16 bin-grid spans
+        "j",
+        "k",
+        (
+            (F.col("hi_cp") - F.col("lo_cp") + F.col("lo_p")).cast("double")
+            / (F.col("hi_cn") - F.col("lo_cn") + F.col("lo_n")).cast("double")
+        ).alias("avg_rate"),
+    )
+    inner_min = (
+        bins.select("z_bin")
+        .join(
+            F.broadcast(spans),
+            (F.col("j") <= F.col("z_bin")) & (F.col("k") >= F.col("z_bin")),
+        )  # scale-ok: 16^3 bin-grid triples
+        .groupBy("z_bin", "j")
+        .agg(F.min("avg_rate").alias("m"))
+    )
+    fit = inner_min.groupBy("z_bin").agg(F.max("m").alias("iso"))
+    return bins.join(F.broadcast(fit), "z_bin").select(
+        "z_bin",
+        "n",
+        "n_pos",
+        F.round(
+            (F.col("n_pos").cast("double") / F.col("n")).cast(
+                "decimal(27,12)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("raw_rate"),
+        F.round(F.col("iso").cast("decimal(27,12)"), 6)
+        .cast("double")
+        .alias("iso_rate"),
+    )
+
+
 @register(
     "logreg_calibration_bins",
     oracle=_calibration_oracle(),

@@ -176,9 +176,22 @@ def register(
 # round-2 cohort (newest green row = r2) and the first 7 of the
 # round-3 cohort alphabetically (through data_quality_report).
 # 13 + 37 = 50.
+# ROUND-9 SECOND SESSION: five more newcomers (clause (a) by
+# definition, each triple-SF gated in-session — the ML evaluation trio
+# logreg_roc_auc / logreg_isotonic_calibration /
+# conformal_prediction_audit and the experiment pair
+# ab_bootstrap_diff_ci / ab_sequential_msprt) take five clause-(b)
+# slots; the round-3 tail (bloom_prefilter_audit, boxplot_stats_by_type,
+# chi2_lang_source, cross_source_neardup_rate, data_quality_report)
+# yields and heads the round-10 cohort queue. 18 + 32 = 50.
 WINDOW_ROUND = 9  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # round-9 changed/new (see the ROUND-9 WINDOW note above)
+    "logreg_roc_auc",
+    "logreg_isotonic_calibration",
+    "conformal_prediction_audit",
+    "ab_bootstrap_diff_ci",
+    "ab_sequential_msprt",
     "ab_metric_cuped_adjustment",
     "streaming_ab_moments_maintenance",
     "streaming_heavy_hitters_cms",
@@ -229,11 +242,6 @@ WINDOW_PRIORITY: list[str] = [
     "unit_convert_horizontal_total",
     "ann_lsh_recall_audit",
     "benchmark_ngram_contamination",
-    "bloom_prefilter_audit",
-    "boxplot_stats_by_type",
-    "chi2_lang_source",
-    "cross_source_neardup_rate",
-    "data_quality_report",
 ]
 
 

@@ -1,0 +1,298 @@
+"""Round-9 second-session newcomer invariants beyond the oracle hash gate.
+
+The ML evaluation trio (ROC/AUC, isotonic calibration, conformal
+prediction) is pinned against from-scratch Python recomputes on the real
+sf0.001 corpus — the trained model is shared across the three tests so
+the suite pays for ONE GD run. The experiment pair (Poisson bootstrap
+CI, sequential mSPRT) is pinned the same way: hashlib-recomputed
+replicate weights and a direct formula recompute of the always-valid p.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def trained(spark):
+    """One GD run on the sf0.001 80% split, shared by the ML trio."""
+    from datalakes_and_data_integration_spark.plans.ml import (
+        _split_pred_spark,
+        _train,
+    )
+
+    train_pred, test_pred = _split_pred_spark()
+    _, w, b = _train(spark, SF, where=train_pred)
+    return w, b, test_pred
+
+
+def _test_scored(spark, trained):
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans.ml import (
+        _POS_LABEL,
+        _spark_z_chain,
+    )
+    from datalakes_and_data_integration_spark.plans._util import T
+
+    w, b, test_pred = trained
+    return (
+        T(spark, SF, "embeddings")
+        .where(test_pred)
+        .select(
+            (F.col("label") == _POS_LABEL).cast("int").alias("y"),
+            F.expr(_spark_z_chain(w, b)).alias("z"),
+        )
+        .collect()
+    )  # scale-ok: test fixture collect at sf0.001
+
+
+def _midrank_auc(pairs):
+    """Exact midrank AUC from (y, score) pairs, pure Python."""
+    pairs = sorted(pairs, key=lambda p: p[1])
+    n_pos = sum(y for y, _ in pairs)
+    n_neg = len(pairs) - n_pos
+    # doubled midranks per distinct score
+    r2p = 0
+    i = 0
+    while i < len(pairs):
+        j = i
+        while j < len(pairs) and pairs[j][1] == pairs[i][1]:
+            j += 1
+        dm = 2 * i + (j - i) + 1  # 2*count_below + cnt + 1
+        r2p += dm * sum(y for y, _ in pairs[i:j])
+        i = j
+    u2 = r2p - n_pos * (n_pos + 1)
+    return n_pos, n_neg, u2, u2 / (2.0 * n_pos * n_neg)
+
+
+def test_roc_auc_matches_python_recompute(spark, trained):
+    from datalakes_and_data_integration_spark.plans.ml import logreg_roc_auc
+
+    row = logreg_roc_auc(spark, SF).collect()[0]
+    scored = _test_scored(spark, trained)
+    n_pos, n_neg, u2, auc = _midrank_auc([(r.y, r.z) for r in scored])
+    assert (row.n_pos, row.n_neg, row.u2_pos) == (n_pos, n_neg, u2)
+    assert row.auc == pytest.approx(auc, abs=1e-6)
+    # binned trapezoid leg: recompute the doubled numerator exactly from
+    # the same 16-bin histogram (at sf0.001 the 38-row test split can
+    # collapse into one bin — proximity to the exact AUC is a property
+    # of the score spread, not of the estimator, so pin the arithmetic,
+    # not a distance)
+    bins: dict[int, list[int]] = {}
+    for r in scored:
+        zb = max(min(math.floor(1000.0 * r.z), 7), -8)
+        pos, neg = bins.setdefault(zb, [0, 0])
+        bins[zb][0] += r.y
+        bins[zb][1] += 1 - r.y
+    trap2 = 0
+    pos_above = 0
+    for zb in sorted(bins, reverse=True):
+        bpos, bneg = bins[zb]
+        trap2 += bneg * (2 * pos_above + bpos)
+        pos_above += bpos
+    assert row.trap2_num == trap2
+    assert 0.0 <= row.auc_bin16 <= 1.0
+    assert row.auc_bin16 == pytest.approx(
+        trap2 / (2.0 * n_pos * n_neg), abs=1e-6
+    )
+
+
+def test_isotonic_fit_is_monotone_and_mean_preserving(spark):
+    from datalakes_and_data_integration_spark.plans.ml import (
+        logreg_isotonic_calibration,
+    )
+
+    rows = sorted(
+        logreg_isotonic_calibration(spark, SF).collect(),
+        key=lambda r: r.z_bin,
+    )
+    assert rows, "no bins"
+    # monotone non-decreasing fitted curve
+    for a, b in zip(rows, rows[1:]):
+        assert a.iso_rate <= b.iso_rate + 1e-9
+    # PAVA preserves the weighted mean (up to the round-6 grid)
+    n_tot = sum(r.n for r in rows)
+    p_tot = sum(r.n_pos for r in rows)
+    fit_mass = sum(r.n * r.iso_rate for r in rows)
+    assert fit_mass == pytest.approx(p_tot, abs=n_tot * 2e-6)
+    # fitted values live in [0, 1] and match a from-scratch PAVA
+    pava = _pava_reference([r.n for r in rows], [r.n_pos for r in rows])
+    for r, v in zip(rows, pava):
+        assert 0.0 <= r.iso_rate <= 1.0
+        assert r.iso_rate == pytest.approx(v, abs=1e-6)
+
+
+def _pava_reference(ns, ps):
+    """Reference PAVA: pool adjacent violators, then expand block means."""
+    blocks = []  # [n, p, span]
+    for n, p in zip(ns, ps):
+        blocks.append([n, p, 1])
+        while len(blocks) > 1 and (
+            blocks[-2][1] * blocks[-1][0] >= blocks[-1][1] * blocks[-2][0]
+        ):
+            n2, p2, s2 = blocks.pop()
+            blocks[-1][0] += n2
+            blocks[-1][1] += p2
+            blocks[-1][2] += s2
+    res = []
+    for n, p, s in blocks:
+        res.extend([p / n] * s)
+    return res
+
+
+def test_conformal_threshold_and_coverage_recompute(spark, trained):
+    from datalakes_and_data_integration_spark.plans.ml import (
+        _CONF_ALPHA_DEN,
+        _CONF_ALPHA_NUM,
+        _calib_pred_spark,
+        _POS_LABEL,
+        _spark_z_chain,
+        conformal_prediction_audit,
+    )
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans._util import T
+
+    row = conformal_prediction_audit(spark, SF).collect()[0]
+    w, b, test_pred = trained
+    calib = (
+        T(spark, SF, "embeddings")
+        .where(_calib_pred_spark())
+        .select(
+            (F.col("label") == _POS_LABEL).cast("int").alias("y"),
+            F.expr(_spark_z_chain(w, b)).alias("z"),
+        )
+        .collect()
+    )  # scale-ok: test fixture collect at sf0.001
+    scores = sorted((-r.z if r.y == 1 else r.z) for r in calib)
+    n_cal = len(scores)
+    q_idx = min(
+        ((_CONF_ALPHA_DEN - _CONF_ALPHA_NUM) * (n_cal + 1)
+         + _CONF_ALPHA_DEN - 1) // _CONF_ALPHA_DEN,
+        n_cal,
+    )
+    q = scores[q_idx - 1]
+    assert (row.n_cal, row.q_index) == (n_cal, q_idx)
+    assert row.q_threshold == pytest.approx(q, abs=1e-6)
+    test = _test_scored(spark, trained)
+    covered = sum(1 for r in test if (-r.z if r.y == 1 else r.z) <= q)
+    both = sum(1 for r in test if r.z <= q and -r.z <= q)
+    empty = sum(1 for r in test if not (r.z <= q) and not (-r.z <= q))
+    assert (row.n_test, row.n_covered) == (len(test), covered)
+    assert (row.n_both, row.n_empty) == (both, empty)
+    assert row.coverage == pytest.approx(covered / len(test), abs=1e-6)
+    # the conformal guarantee is E[coverage] >= 1 - alpha over the
+    # calibration draw; one 38-row test draw carries binomial noise
+    # (observed 0.789 at this fixture), so the test pins the guarantee
+    # with three-sigma slack: sigma = sqrt(0.9*0.1/38) ~ 0.049
+    assert row.coverage >= 1.0 - 0.1 - 3.0 * math.sqrt(
+        0.9 * 0.1 / row.n_test
+    )
+
+
+def _hash60_py(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_bootstrap_ci_matches_hashlib_recompute(spark):
+    from datalakes_and_data_integration_spark.plans.experiment import (
+        _ab_per_user,
+        _BOOT_HI,
+        _BOOT_LO,
+        _BOOT_REPS,
+        _BOOT_SEED,
+        _BOOT_THRESH,
+        _exp_start,
+        ab_bootstrap_diff_ci,
+    )
+    from datalakes_and_data_integration_spark.plans._util import T
+
+    row = ab_bootstrap_diff_ci(spark, SF).collect()[0]
+    ev = T(spark, SF, "events")
+    per_user = _ab_per_user(ev, _exp_start(ev)).collect()  # scale-ok: test fixture collect at sf0.001
+    diffs = []
+    for r in range(_BOOT_REPS):
+        sums = {"control": 0.0, "treatment": 0.0}
+        ns = {"control": 0, "treatment": 0}
+        for u in per_user:
+            x = _hash60_py(f"{_BOOT_SEED}|{r}#{u.user_id}")
+            uval = x / 1152921504606846976.0
+            wgt = 6
+            for k, t in enumerate(_BOOT_THRESH):
+                if uval < t:
+                    wgt = k
+                    break
+            sums[u.arm] += wgt * float(u.y)
+            ns[u.arm] += wgt
+        if ns["control"] == 0 or ns["treatment"] == 0:
+            diffs.append(0.0)
+        else:
+            diffs.append(
+                sums["treatment"] / ns["treatment"]
+                - sums["control"] / ns["control"]
+            )
+    diffs.sort()
+    assert row.n_reps == _BOOT_REPS
+    assert row.boot_ci_lo == pytest.approx(diffs[_BOOT_LO - 1], abs=1e-5)
+    assert row.boot_ci_hi == pytest.approx(diffs[_BOOT_HI - 1], abs=1e-5)
+    assert row.boot_ci_lo <= row.boot_ci_hi
+    assert row.significant_95 == (
+        row.boot_ci_lo > 0.0 or row.boot_ci_hi < 0.0
+    )
+    # point estimate: unweighted diff of per-user means
+    mt = [float(u.y) for u in per_user if u.arm == "treatment"]
+    mc = [float(u.y) for u in per_user if u.arm == "control"]
+    assert row.diff_point == pytest.approx(
+        sum(mt) / len(mt) - sum(mc) / len(mc), abs=1e-5
+    )
+
+
+def test_msprt_always_valid_p_is_running_min_and_formula(spark):
+    from datalakes_and_data_integration_spark.plans.experiment import (
+        ab_sequential_msprt,
+    )
+
+    rows = sorted(
+        ab_sequential_msprt(spark, SF).collect(), key=lambda r: r.week
+    )
+    assert rows, "no weeks"
+    tau2 = 0.01
+    prev_p = 1.0
+    prev = None
+    for r in rows:
+        # cumulative counts are monotone and converters <= enrolled
+        if prev is not None:
+            assert r.n_control >= prev.n_control
+            assert r.n_treatment >= prev.n_treatment
+            assert r.conv_control >= prev.conv_control
+            assert r.conv_treatment >= prev.conv_treatment
+        assert r.conv_control <= r.n_control
+        assert r.conv_treatment <= r.n_treatment
+        # formula recompute of the p-step
+        nc, nt, cc, ct = (
+            r.n_control,
+            r.n_treatment,
+            r.conv_control,
+            r.conv_treatment,
+        )
+        if nc == 0 or nt == 0 or (cc + ct) in (0, nc + nt):
+            p_step = 1.0
+        else:
+            phat = (cc + ct) / (nc + nt)
+            v = phat * (1.0 - phat) * (1.0 / nc + 1.0 / nt)
+            d = ct / nt - cc / nc
+            lam = math.sqrt(v / (v + tau2)) * math.exp(
+                d * d * tau2 / (2.0 * v * (v + tau2))
+            )
+            p_step = min(1.0, 1.0 / lam)
+        assert r.p_week == pytest.approx(p_step, abs=1e-6)
+        prev_p = min(prev_p, p_step)
+        assert r.always_valid_p == pytest.approx(prev_p, abs=1e-6)
+        assert r.reject_95 == (prev_p < 0.05) or abs(prev_p - 0.05) < 1e-9
+        prev = r

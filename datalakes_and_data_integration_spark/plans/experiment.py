@@ -1273,3 +1273,161 @@ def ab_sequential_msprt(spark, sf_dir):
         F.round(F.min("p_step").over(wmin), 6).alias("always_valid_p"),
         (F.min("p_step").over(wmin) < 0.05).alias("reject_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Power / MDE: the experiment-design readout — given the metric's
+# observed variance and enrollment, what's the smallest lift this
+# experiment could detect at 80% power / 95% confidence, and how many
+# users per arm would a 5% relative lift need? Pure moment arithmetic
+# on the same per-user decimal frame as CUPED; publishing it next to
+# the significance readouts is what stops teams from shipping
+# underpowered tests.
+# ---------------------------------------------------------------------------
+
+_Z_ALPHA = "1.959964"  # z_{0.975} — shared literal with the z-test
+_Z_POWER = "0.841621"  # z_{0.80}: 80% power
+_MDE_TARGET_LIFT = "0.05"  # sizing target: 5% relative lift
+
+_POWER_EPILOGUE = f"""
+    CAST(ROUND(CAST(CASE WHEN nc = 0 THEN 0.0
+                         ELSE sc / CAST(nc AS DOUBLE) END
+                    AS DECIMAL(27,12)), 6) AS DOUBLE) AS mean_control,
+    CAST(ROUND(CAST(CASE WHEN nc < 2 OR nt < 2 THEN 0.0
+         ELSE sqrt(((qc - sc * sc / CAST(nc AS DOUBLE))
+                    + (qt - st * st / CAST(nt AS DOUBLE)))
+                   / CAST(nc + nt - 2 AS DOUBLE)) END
+                    AS DECIMAL(27,12)), 6) AS DOUBLE) AS sd_pooled,
+    CAST(ROUND(CAST(CASE WHEN nc < 2 OR nt < 2 THEN 0.0
+         ELSE ({_Z_ALPHA} + {_Z_POWER})
+              * sqrt((qc - sc * sc / CAST(nc AS DOUBLE))
+                     / CAST(nc - 1 AS DOUBLE) / CAST(nc AS DOUBLE)
+                     + (qt - st * st / CAST(nt AS DOUBLE))
+                       / CAST(nt - 1 AS DOUBLE) / CAST(nt AS DOUBLE)) END
+                    AS DECIMAL(27,12)), 6) AS DOUBLE) AS mde_abs,
+    CAST(ROUND(CAST(CASE WHEN nc < 2 OR nt < 2 OR sc = 0.0 THEN 0.0
+         ELSE ({_Z_ALPHA} + {_Z_POWER})
+              * sqrt((qc - sc * sc / CAST(nc AS DOUBLE))
+                     / CAST(nc - 1 AS DOUBLE) / CAST(nc AS DOUBLE)
+                     + (qt - st * st / CAST(nt AS DOUBLE))
+                       / CAST(nt - 1 AS DOUBLE) / CAST(nt AS DOUBLE))
+              / (sc / CAST(nc AS DOUBLE)) END
+                    AS DECIMAL(27,12)), 6) AS DOUBLE) AS mde_rel,
+    CAST(CASE WHEN nc < 2 OR nt < 2 OR sc <= 0.0 THEN 0
+         ELSE ceil(2.0 * (({_Z_ALPHA} + {_Z_POWER})
+                          * ({_Z_ALPHA} + {_Z_POWER}))
+                   * (((qc - sc * sc / CAST(nc AS DOUBLE))
+                       + (qt - st * st / CAST(nt AS DOUBLE)))
+                      / CAST(nc + nt - 2 AS DOUBLE))
+                   / (({_MDE_TARGET_LIFT} * (sc / CAST(nc AS DOUBLE)))
+                      * ({_MDE_TARGET_LIFT} * (sc / CAST(nc AS DOUBLE)))))
+         END AS BIGINT) AS n_per_arm_for_5pct_lift
+"""
+
+
+def _power_oracle() -> str:
+    return f"""
+    WITH bounds AS (
+      SELECT min(ts) + INTERVAL {_AB_PRE_DAYS} DAY AS exp_start FROM events
+    ),
+    per_user AS MATERIALIZED (
+      SELECT user_id, {_arm_duck()} AS arm,
+             CAST(coalesce(sum(CASE WHEN ts >= (SELECT exp_start FROM bounds)
+                                    THEN CAST(value AS DECIMAL(18,6)) END),
+                           0) AS DECIMAL(18,6)) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT
+        CAST(sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT)
+          AS nc,
+        CAST(sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT)
+          AS nt,
+        CAST(coalesce(sum(CASE WHEN arm = 'control' THEN y END), 0)
+             AS DOUBLE) AS sc,
+        CAST(coalesce(sum(CASE WHEN arm = 'treatment' THEN y END), 0)
+             AS DOUBLE) AS st,
+        CAST(coalesce(sum(CASE WHEN arm = 'control'
+                          THEN CAST(CAST(y AS DECIMAL(19,6)) * y
+                                    AS DECIMAL(38,12)) END), 0)
+             AS DOUBLE) AS qc,
+        CAST(coalesce(sum(CASE WHEN arm = 'treatment'
+                          THEN CAST(CAST(y AS DECIMAL(19,6)) * y
+                                    AS DECIMAL(38,12)) END), 0)
+             AS DOUBLE) AS qt
+      FROM per_user
+    )
+    SELECT nc AS n_control, nt AS n_treatment, {_POWER_EPILOGUE}
+    FROM m
+    """
+
+
+@register(
+    "ab_power_mde_report",
+    oracle=_power_oracle(),
+    description="Experiment power / minimum-detectable-effect report — "
+    "the design-side readout that belongs next to the significance "
+    "panel: from the observed per-user metric moments (the SAME exact "
+    "decimal frame CUPED reads), report each arm's enrollment, the "
+    "pooled standard deviation, the smallest absolute and relative "
+    "lift detectable at 80% power / 95% confidence with the CURRENT "
+    "enrollment (MDE = (z_0.975 + z_0.80) * sqrt(s2_c/n_c + "
+    "s2_t/n_t)), and the classic two-sample sizing formula's required "
+    "users per arm for a 5% relative lift. Moments are exact DECIMAL "
+    "sums ((18,6) operands so the squares stay inside precision 38 in "
+    "BOTH engines — the round-9 CUPED rule); the epilogue is one "
+    "shared DOUBLE text with degenerate enrollment guarded to 0. "
+    "Scale: one map-side-combined per-user aggregate and a 6-number "
+    "reduce — the report is O(1) state at any corpus size.",
+    tags=("experiment", "ab-test", "stats", "design"),
+)
+def ab_power_mde_report(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    per_user = _ab_per_user(ev, _exp_start(ev))
+    m = per_user.agg(
+        F.sum(F.when(F.col("arm") == "control", 1).otherwise(0))
+        .cast("long")
+        .alias("nc"),
+        F.sum(F.when(F.col("arm") == "treatment", 1).otherwise(0))
+        .cast("long")
+        .alias("nt"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == "control", F.col("y"))), F.lit(0)
+        )
+        .cast("double")
+        .alias("sc"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == "treatment", F.col("y"))), F.lit(0)
+        )
+        .cast("double")
+        .alias("st"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("arm") == "control",
+                    F.expr("CAST(CAST(y AS DECIMAL(19,6)) * y"
+                           " AS DECIMAL(38,12))"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("double")
+        .alias("qc"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("arm") == "treatment",
+                    F.expr("CAST(CAST(y AS DECIMAL(19,6)) * y"
+                           " AS DECIMAL(38,12))"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("double")
+        .alias("qt"),
+    )
+    return m.selectExpr(
+        "nc AS n_control",
+        "nt AS n_treatment",
+        *[e.strip() for e in _POWER_EPILOGUE.strip().split(",\n")],
+    )

@@ -1235,3 +1235,266 @@ def logreg_calibration_bins(spark, sf_dir):
             .alias("pos_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K-fold cross-validation (round-9 second session): the honest
+# small-sample evaluation protocol, trained the only way it should be
+# trained on a 100 TB lake — all K fold-models simultaneously in ONE
+# scan per GD iteration (the multihead scan-amortization applied to
+# folds): each fold's gradient is the same map-side-combined aggregate
+# with a fold<>f mask, so 5-fold CV costs the data movement of one
+# training run, not five. Folds are the md5 bucket (bucket // 20),
+# disjoint and deterministic on any cluster; each row is scored by the
+# model that never saw it.
+# ---------------------------------------------------------------------------
+
+_FOLDS = 5
+
+
+def _fold_sql_duck() -> str:
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_sql_duck,
+    )
+
+    b = f"({hash60_sql_duck('CAST(vec_id AS VARCHAR)', seed=7)} % 100)"
+    return f"CAST({b} // 20 AS INT)"
+
+
+def _fold_sql_spark() -> str:
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_sql_spark,
+    )
+
+    b = f"({hash60_sql_spark('CAST(vec_id AS STRING)', seed=7)} % 100)"
+    return f"CAST({b} div 20 AS INT)"
+
+
+def _oracle_fold_chain(wrow: str, f: int) -> str:
+    return _assoc_chain(
+        f"{wrow}.b{f}",
+        [
+            f"{wrow}.w{f}_{j} * CAST(emb[{j + 1}] AS DOUBLE)"
+            for j in range(_DIM)
+        ],
+    )
+
+
+def _kfold_oracle() -> str:
+    sig_case = (
+        "(CASE h.fold "
+        + " ".join(f"WHEN {f} THEN s.sig{f}" for f in range(_FOLDS))
+        + " END)"
+    )
+    prev = "w0"
+    steps = [
+        f"""
+    rows AS (
+      SELECT vec_id, CAST(label = {_POS_LABEL} AS INT) AS y,
+             embedding AS emb, {_fold_sql_duck()} AS fold
+      FROM embeddings
+    ),
+    folds AS (SELECT CAST(i AS INT) AS fold FROM range({_FOLDS}) r(i)),
+    ntrain AS (
+      SELECT f.fold,
+             (SELECT coalesce(count(*), 0) FROM rows r
+              WHERE r.fold <> f.fold) AS n
+      FROM folds f
+    ),
+    dims AS (SELECT CAST(i AS INT) AS dim FROM range({_DIM}) r(i)),
+    w0 AS (SELECT fold, dim, CAST(0.0 AS DOUBLE) AS w,
+                  CAST(0.0 AS DOUBLE) AS b
+           FROM folds CROSS JOIN dims)"""
+    ]
+    for k in range(1, _ITERS + 1):
+        pivot = ", ".join(
+            f"max(CASE WHEN fold = {f} AND dim = {j} THEN w END) AS w{f}_{j}"
+            for f in range(_FOLDS)
+            for j in range(_DIM)
+        )
+        bias_pivot = ", ".join(
+            f"max(CASE WHEN fold = {f} AND dim = 0 THEN b END) AS b{f}"
+            for f in range(_FOLDS)
+        )
+        sig_cols = ", ".join(
+            f"1.0 / (1.0 + exp(-({_oracle_fold_chain(f'wrow{k}', f)}))) "
+            f"AS sig{f}"
+            for f in range(_FOLDS)
+        )
+        steps.append(
+            f"""
+    wrow{k} AS (SELECT {pivot}, {bias_pivot} FROM {prev}),
+    sig{k} AS (
+      SELECT vec_id, y, emb, fold, {sig_cols}
+      FROM rows CROSS JOIN wrow{k}
+    ),
+    g{k} AS (
+      SELECT h.fold, d.dim,
+             CAST(coalesce(sum(CASE WHEN s.fold <> h.fold THEN
+                      CAST(((CASE WHEN s.y = 1 THEN {_POS_WEIGHT!r}
+                                  ELSE 1.0 END)
+                            * ({sig_case} - CAST(s.y AS DOUBLE)))
+                           * CAST(s.emb[d.dim + 1] AS DOUBLE)
+                           AS DECIMAL(38,18)) END), 0) AS DOUBLE)
+               / greatest((SELECT n FROM ntrain t WHERE t.fold = h.fold), 1)
+               AS gmean
+      FROM sig{k} s CROSS JOIN folds h CROSS JOIN dims d
+      GROUP BY h.fold, d.dim
+    ),
+    gb{k} AS (
+      SELECT h.fold,
+             CAST(coalesce(sum(CASE WHEN s.fold <> h.fold THEN
+                      CAST((CASE WHEN s.y = 1 THEN {_POS_WEIGHT!r}
+                                 ELSE 1.0 END)
+                           * ({sig_case} - CAST(s.y AS DOUBLE))
+                           AS DECIMAL(38,18)) END), 0) AS DOUBLE)
+               / greatest((SELECT n FROM ntrain t WHERE t.fold = h.fold), 1)
+               AS gbmean
+      FROM sig{k} s CROSS JOIN folds h
+      GROUP BY h.fold
+    ),
+    w{k} AS (
+      SELECT p.fold, p.dim, p.w - {_LR!r} * g.gmean AS w,
+             p.b - {_LR!r} * gb.gbmean AS b
+      FROM {prev} p
+      JOIN g{k} g ON g.fold = p.fold AND g.dim = p.dim
+      JOIN gb{k} gb ON gb.fold = p.fold
+    )"""
+        )
+        prev = f"w{k}"
+    final_pivot = ", ".join(
+        f"max(CASE WHEN fold = {f} AND dim = {j} THEN w END) AS w{f}_{j}"
+        for f in range(_FOLDS)
+        for j in range(_DIM)
+    )
+    final_bias = ", ".join(
+        f"max(CASE WHEN fold = {f} AND dim = 0 THEN b END) AS b{f}"
+        for f in range(_FOLDS)
+    )
+    pred_case = (
+        "(CASE r.fold "
+        + " ".join(
+            f"WHEN {f} THEN ({_oracle_fold_chain('wrowF', f)}) >= 0.0"
+            for f in range(_FOLDS)
+        )
+        + " END)"
+    )
+    return (
+        "WITH "
+        + ",".join(steps)
+        + f""",
+    wrowF AS (SELECT {final_pivot}, {final_bias} FROM {prev})
+    SELECT r.fold, r.y AS label_true, {pred_case} AS pred_pos,
+           CAST(count(*) AS BIGINT) AS n
+    FROM rows r CROSS JOIN wrowF
+    GROUP BY 1, 2, 3
+    """
+    )
+
+
+def _spark_fold_chain(w: list[list[float]], b: list[float], f: int) -> str:
+    return _assoc_chain(
+        f"{b[f]!r}D",
+        [
+            f"{w[f][j]!r}D * CAST(embedding[{j}] AS DOUBLE)"
+            for j in range(_DIM)
+        ],
+    )
+
+
+@register(
+    "logreg_kfold_cv",
+    oracle=_kfold_oracle(),
+    description=f"{_FOLDS}-fold cross-validated evaluation of the GD "
+    "classifier with SCAN-AMORTIZED training: all fold-models train "
+    "simultaneously — each GD iteration is ONE pass computing every "
+    f"fold's masked gradient ({_FOLDS} x {_DIM + 1} decimal-exact sums, "
+    "map-side combined; a fold's gradient sums rows where fold <> f), "
+    "so K-fold CV moves the data of ONE training run, the property "
+    "that makes honest evaluation affordable on a 100 TB corpus. Folds "
+    "are the deterministic md5 bucket // 20 (disjoint, "
+    "cluster-reproducible); each row is scored by the one model that "
+    "never trained on it (out-of-fold prediction), reported as a "
+    "per-fold confusion matrix whose decision is the z >= 0 sign test "
+    "on bit-identical fixed-order chains. The oracle unrolls all "
+    f"{_ITERS} iterations x {_FOLDS} folds in SQL and matches exactly.",
+    tags=("ml", "evaluation", "cross-validation", "llm-pipeline"),
+)
+def logreg_kfold_cv(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "embedding",
+        f"CAST(label = {_POS_LABEL} AS INT) AS y",
+        f"{_fold_sql_spark()} AS fold",
+    )
+    counts = {
+        r.fold: r.cnt
+        for r in e.groupBy("fold")
+        .agg(F.count("*").alias("cnt"))
+        .collect()  # scale-ok: K fold-count scalars
+    }
+    total = sum(counts.values())
+    n_train = [max(total - counts.get(f, 0), 1) for f in range(_FOLDS)]
+    w = [[0.0] * _DIM for _ in range(_FOLDS)]
+    b = [0.0] * _FOLDS
+    for _ in range(_ITERS):
+        sig = e.select(
+            "embedding",
+            "y",
+            "fold",
+            *[
+                F.expr(
+                    f"1.0D / (1.0D + exp(-({_spark_fold_chain(w, b, f)})))"
+                ).alias(f"sig{f}")
+                for f in range(_FOLDS)
+            ],
+        )
+        grads = sig.agg(
+            *[
+                F.expr(
+                    f"sum(CASE WHEN fold <> {f} THEN "
+                    f"CAST(((CASE WHEN y = 1 THEN {_POS_WEIGHT!r} "
+                    f"ELSE 1.0 END)"
+                    f" * (sig{f} - CAST(y AS DOUBLE))) "
+                    f"* CAST(embedding[{j}] AS DOUBLE) "
+                    f"AS DECIMAL(38,18)) END)"
+                ).alias(f"g{f}_{j}")
+                for f in range(_FOLDS)
+                for j in range(_DIM)
+            ],
+            *[
+                F.expr(
+                    f"sum(CASE WHEN fold <> {f} THEN "
+                    f"CAST((CASE WHEN y = 1 THEN {_POS_WEIGHT!r} "
+                    f"ELSE 1.0 END)"
+                    f" * (sig{f} - CAST(y AS DOUBLE)) "
+                    f"AS DECIMAL(38,18)) END)"
+                ).alias(f"gb{f}")
+                for f in range(_FOLDS)
+            ],
+        ).collect()[0]  # scale-ok: one K x dim gradient row per iteration
+        w = [
+            [
+                w[f][j]
+                - _LR * (float(grads[f"g{f}_{j}"] or 0) / n_train[f])
+                for j in range(_DIM)
+            ]
+            for f in range(_FOLDS)
+        ]
+        b = [
+            b[f] - _LR * (float(grads[f"gb{f}"] or 0) / n_train[f])
+            for f in range(_FOLDS)
+        ]
+    pred_case = (
+        "(CASE fold "
+        + " ".join(
+            f"WHEN {f} THEN ({_spark_fold_chain(w, b, f)}) >= 0.0D"
+            for f in range(_FOLDS)
+        )
+        + " END)"
+    )
+    return (
+        e.selectExpr("fold", "y AS label_true", f"{pred_case} AS pred_pos")
+        .groupBy("fold", "label_true", "pred_pos")
+        .agg(F.count("*").cast("long").alias("n"))
+    )

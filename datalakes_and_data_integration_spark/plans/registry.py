@@ -184,6 +184,13 @@ def register(
 # slots; the round-3 tail (bloom_prefilter_audit, boxplot_stats_by_type,
 # chi2_lang_source, cross_source_neardup_rate, data_quality_report)
 # yields and heads the round-10 cohort queue. 18 + 32 = 50.
+# ROUND-9 SECOND SESSION, BATCH 2: three more newcomers
+# (ab_power_mde_report, item_item_cosine_topk, logreg_kfold_cv — each
+# triple-SF gated in-session) take three more clause-(b) slots; the
+# remaining round-3 pair (ann_lsh_recall_audit,
+# benchmark_ngram_contamination) and the alphabetical tail of the
+# round-2 cohort (unit_convert_horizontal_total) yield and head the
+# round-10 cohort queue. 21 + 29 = 50.
 WINDOW_ROUND = 9  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # round-9 changed/new (see the ROUND-9 WINDOW note above)
@@ -192,6 +199,9 @@ ROUND_CHANGED: list[str] = [
     "conformal_prediction_audit",
     "ab_bootstrap_diff_ci",
     "ab_sequential_msprt",
+    "ab_power_mde_report",
+    "item_item_cosine_topk",
+    "logreg_kfold_cv",
     "ab_metric_cuped_adjustment",
     "streaming_ab_moments_maintenance",
     "streaming_heavy_hitters_cms",
@@ -239,9 +249,6 @@ WINDOW_PRIORITY: list[str] = [
     "streaming_stream_stream_join",
     "tfidf_top_terms",
     "tumbling_hourly_agg",
-    "unit_convert_horizontal_total",
-    "ann_lsh_recall_audit",
-    "benchmark_ngram_contamination",
 ]
 
 

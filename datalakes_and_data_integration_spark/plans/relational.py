@@ -2259,3 +2259,133 @@ def entity_resolution_blocked(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative filtering (round-9 second session): the
+# co-purchase cosine recommender — "parts bought in the same orders as
+# yours". Cosine(i,j) = co_orders / sqrt(n_i * n_j) over the
+# order-basket incidence, top-3 neighbors per part. The pair stage is
+# bounded by BASKET width, not catalog size (a TPC-H order holds <= 7
+# lineitems, so each order emits <= 21 pairs): the classic reason
+# item-item CF scales where user-user CF doesn't.
+# ---------------------------------------------------------------------------
+
+_IICF_TOPK = 3
+
+
+@register(
+    "item_item_cosine_topk",
+    oracle=f"""
+    WITH baskets AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS item
+      FROM lineitem
+    ),
+    item_n AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS n FROM baskets GROUP BY item
+    ),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(count(*) AS BIGINT) AS co_orders
+      FROM baskets a JOIN baskets b
+        ON a.okey = b.okey AND a.item <> b.item
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT p.item_a, p.item_b, p.co_orders,
+             CAST(p.co_orders AS DOUBLE)
+               / sqrt(CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE))
+               AS cos_raw
+      FROM pairs p
+      JOIN item_n na ON na.item = p.item_a
+      JOIN item_n nb ON nb.item = p.item_b
+    ),
+    ranked AS (
+      SELECT item_a, item_b, co_orders, cos_raw,
+             row_number() OVER (PARTITION BY item_a
+               ORDER BY cos_raw DESC, item_b) AS rnk
+      FROM scored
+    )
+    SELECT item_a, item_b AS neighbor, co_orders,
+           CAST(ROUND(CAST(cos_raw AS DECIMAL(27,12)), 6) AS DOUBLE)
+             AS cosine,
+           CAST(rnk AS INT) AS rank
+    FROM ranked WHERE rnk <= {_IICF_TOPK}
+    """,
+    description="Item-item collaborative filtering over the order "
+    "baskets: cosine similarity co_orders / sqrt(n_i * n_j) on the "
+    "distinct (order, part) incidence, top-3 neighbors per part ranked "
+    "by (cosine DESC, neighbor key) — the deterministic tie-break that "
+    "keeps equal-cosine neighbors stable cross-engine (cosines are "
+    "sqrt/division chains on exact BIGINT counts, so both engines "
+    "compute bit-identical doubles). The 100 TB shape is why item-item "
+    "CF is the classic at scale: the pair stage self-joins WITHIN an "
+    "order key (one co-located shuffle; <= basket-width^2 pairs per "
+    "order, never catalog^2), the pair aggregate is map-side combined, "
+    "item frequencies broadcast, and the top-k window partitions by "
+    "item. Filters co_orders >= 1 implicitly — rarely-co-bought pairs "
+    "stay, rank truncation keeps output O(items x k).",
+    tags=("relational", "recommender", "similarity", "llm-pipeline"),
+)
+def item_item_cosine_topk(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select(
+            F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("item")
+        )
+        .distinct()
+        .persist()  # incidence read by the pair stage twice + item counts
+    )
+    item_n = baskets.groupBy("item").agg(F.count("*").cast("long").alias("n"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.item") != F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count("*").cast("long").alias("co_orders"))
+    )
+    na = item_n.select(F.col("item").alias("item_a"), F.col("n").alias("na"))
+    nb = item_n.select(
+        F.col("item").alias("item_b"), F.col("n").alias("nb")
+    )
+    scored = (
+        pairs.join(F.broadcast(na), "item_a")
+        .join(F.broadcast(nb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "co_orders",
+            (
+                F.col("co_orders").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+            ).alias("cos_raw"),
+        )
+    )
+    wr = Window.partitionBy("item_a").orderBy(
+        F.col("cos_raw").desc(), F.col("item_b")
+    )
+    return (
+        scored.select(
+            "item_a",
+            "item_b",
+            "co_orders",
+            "cos_raw",
+            F.row_number().over(wr).alias("rnk"),
+        )
+        .where(F.col("rnk") <= _IICF_TOPK)
+        .select(
+            "item_a",
+            F.col("item_b").alias("neighbor"),
+            "co_orders",
+            F.round(F.col("cos_raw").cast("decimal(27,12)"), 6)
+            .cast("double")
+            .alias("cosine"),
+            F.col("rnk").cast("int").alias("rank"),
+        )
+    )

@@ -296,3 +296,109 @@ def test_msprt_always_valid_p_is_running_min_and_formula(spark):
         assert r.always_valid_p == pytest.approx(prev_p, abs=1e-6)
         assert r.reject_95 == (prev_p < 0.05) or abs(prev_p - 0.05) < 1e-9
         prev = r
+
+
+def test_power_mde_matches_formula_recompute(spark):
+    from datalakes_and_data_integration_spark.plans.experiment import (
+        _ab_per_user,
+        _exp_start,
+        ab_power_mde_report,
+    )
+    from datalakes_and_data_integration_spark.plans._util import T
+
+    row = ab_power_mde_report(spark, SF).collect()[0]
+    ev = T(spark, SF, "events")
+    pu = _ab_per_user(ev, _exp_start(ev)).collect()  # scale-ok: test fixture collect at sf0.001
+    yc = [float(u.y) for u in pu if u.arm == "control"]
+    yt = [float(u.y) for u in pu if u.arm == "treatment"]
+    nc, nt = len(yc), len(yt)
+    assert (row.n_control, row.n_treatment) == (nc, nt)
+    sc, st = sum(yc), sum(yt)
+    qc = sum(v * v for v in yc)
+    qt = sum(v * v for v in yt)
+    s2c = (qc - sc * sc / nc) / (nc - 1)
+    s2t = (qt - st * st / nt) / (nt - 1)
+    z = 1.959964 + 0.841621
+    mde = z * math.sqrt(s2c / nc + s2t / nt)
+    assert row.mde_abs == pytest.approx(mde, rel=1e-4)
+    assert row.mde_rel == pytest.approx(mde / (sc / nc), rel=1e-4)
+    s2p = (qc - sc * sc / nc + qt - st * st / nt) / (nc + nt - 2)
+    delta = 0.05 * (sc / nc)
+    assert row.n_per_arm_for_5pct_lift == math.ceil(
+        2.0 * z * z * s2p / (delta * delta)
+    )
+    # MDE must exceed what the current enrollment resolves at this
+    # variance: sanity that it is positive and scaled sensibly
+    assert row.mde_abs > 0 and row.sd_pooled > 0
+
+
+def test_item_item_cosine_matches_python_recompute(spark):
+    from collections import defaultdict
+
+    from datalakes_and_data_integration_spark.plans.relational import (
+        _IICF_TOPK,
+        item_item_cosine_topk,
+    )
+    from datalakes_and_data_integration_spark.plans._util import T
+
+    rows = item_item_cosine_topk(spark, SF).collect()
+    li = (
+        T(spark, SF, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )  # scale-ok: test fixture collect at sf0.001
+    baskets = defaultdict(set)
+    n = defaultdict(int)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+        n[r.l_partkey] += 1
+    co = defaultdict(int)
+    for items in baskets.values():
+        s = sorted(items)
+        for i, a in enumerate(s):
+            for bb in s[i + 1 :]:
+                co[(a, bb)] += 1
+                co[(bb, a)] += 1
+    expected = {}
+    by_item = defaultdict(list)
+    for (a, bb), c in co.items():
+        by_item[a].append((-(c / math.sqrt(n[a] * n[bb])), bb, c))
+    for a, lst in by_item.items():
+        lst.sort()
+        for rank, (negcos, bb, c) in enumerate(lst[:_IICF_TOPK], start=1):
+            expected[(a, rank)] = (bb, c, -negcos)
+    assert len(rows) == len(expected)
+    for r in rows:
+        nb, c, cos = expected[(r.item_a, r.rank)]
+        assert (r.neighbor, r.co_orders) == (nb, c)
+        assert r.cosine == pytest.approx(cos, abs=1e-6)
+        assert 0.0 < r.cosine <= 1.0
+
+
+def test_kfold_cv_out_of_fold_structure(spark):
+    from datalakes_and_data_integration_spark.plans.ml import (
+        _FOLDS,
+        logreg_kfold_cv,
+    )
+    from datalakes_and_data_integration_spark.plans._util import T
+
+    rows = logreg_kfold_cv(spark, SF).collect()
+    assert {r.fold for r in rows} <= set(range(_FOLDS))
+    # the per-fold confusion cells partition the corpus exactly
+    vec_ids = [
+        r.vec_id
+        for r in T(spark, SF, "embeddings").select("vec_id").collect()
+    ]  # scale-ok: test fixture collect at sf0.001
+    assert sum(r.n for r in rows) == len(vec_ids)
+    # fold sizes from the hashlib twin of the md5 bucket
+    fold_n = {f: 0 for f in range(_FOLDS)}
+    for v in vec_ids:
+        fold_n[(_hash60_py(f"7|{v}") % 100) // 20] += 1
+    got = {f: 0 for f in range(_FOLDS)}
+    for r in rows:
+        got[r.fold] += r.n
+    assert got == fold_n
+    # every fold trained: each fold's cells carry both classes' rows
+    for f in range(_FOLDS):
+        assert got[f] > 0

@@ -904,6 +904,7 @@ def _bootstrap_oracle() -> str:
     "flat-map of USER-grain rows (collapsed map-side to R x 2 groups), "
     "and a 64-row replicate frame for the order stats.",
     tags=("experiment", "ab-test", "stats", "bootstrap"),
+    bench=True,  # round-9 second-session flagship: R replicates, one pass
 )
 def ab_bootstrap_diff_ci(spark, sf_dir):
     from pyspark.sql import Window
@@ -1430,4 +1431,240 @@ def ab_power_mde_report(spark, sf_dir):
         "nc AS n_control",
         "nt AS n_treatment",
         *[e.strip() for e in _POWER_EPILOGUE.strip().split(",\n")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Segment heterogeneity (round-9 second session): the drill-down every
+# platform offers — per-nation treatment effects next to Cochran's Q,
+# the formal test of whether the effect VARIES across segments (the
+# guard against shipping a feature that helps one market and hurts
+# another, and against cherry-picking the one green segment). Per-
+# segment counts are exact BIGINTs; the weighted-moment reductions for
+# Q route each double term through DECIMAL(38,12) so the cross-segment
+# sums are order-independent; Q, df and Higgins' I^2 are one shared
+# DOUBLE epilogue.
+# ---------------------------------------------------------------------------
+
+_SEG_INCLUDED = (
+    "(nc > 0 AND nt > 0 AND (cc + ct) > 0 AND (cc + ct) < (nc + nt))"
+)
+# pooled-variance diff and z for one segment (text shared cross-engine)
+_SEG_D = """(CAST(ct AS DOUBLE) / CAST(nt AS DOUBLE)
+             - CAST(cc AS DOUBLE) / CAST(nc AS DOUBLE))"""
+_SEG_V = """((CAST(cc + ct AS DOUBLE) / CAST(nc + nt AS DOUBLE))
+             * (1.0 - CAST(cc + ct AS DOUBLE) / CAST(nc + nt AS DOUBLE))
+             * (1.0 / CAST(nc AS DOUBLE) + 1.0 / CAST(nt AS DOUBLE)))"""
+
+
+def _seg_het_oracle() -> str:
+    return f"""
+    WITH bounds AS (
+      SELECT min(ts) + INTERVAL {_AB_PRE_DAYS} DAY AS exp_start FROM events
+    ),
+    per_user AS MATERIALIZED (
+      SELECT user_id, {_arm_duck()} AS arm,
+             CAST(coalesce(sum(CASE WHEN ts >= (SELECT exp_start FROM bounds)
+                                     AND event_type = 'purchase'
+                                     AND value >= {_AB_CONV_VALUE}
+                                    THEN 1 END), 0) > 0 AS BOOLEAN)
+               AS converted
+      FROM events GROUP BY 1, 2
+    ),
+    seg AS (
+      SELECT u.user_id, u.arm, u.converted,
+             coalesce(n.n_name, 'unknown') AS segment
+      FROM per_user u
+      LEFT JOIN customer c ON c.c_custkey = u.user_id
+      LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    cells AS (
+      SELECT segment,
+             CAST(sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nc,
+             CAST(sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nt,
+             CAST(coalesce(sum(CASE WHEN arm = 'control' AND converted
+                               THEN 1 END), 0) AS BIGINT) AS cc,
+             CAST(coalesce(sum(CASE WHEN arm = 'treatment' AND converted
+                               THEN 1 END), 0) AS BIGINT) AS ct
+      FROM seg GROUP BY segment
+    ),
+    wm AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_inc,
+             CAST(coalesce(sum(CAST(1.0 / {_SEG_V}
+                  AS DECIMAL(38,12))), 0) AS DOUBLE) AS s0,
+             CAST(coalesce(sum(CAST({_SEG_D} / {_SEG_V}
+                  AS DECIMAL(38,12))), 0) AS DOUBLE) AS s1,
+             CAST(coalesce(sum(CAST({_SEG_D} * {_SEG_D} / {_SEG_V}
+                  AS DECIMAL(38,12))), 0) AS DOUBLE) AS s2
+      FROM cells WHERE {_SEG_INCLUDED}
+    ),
+    q AS (
+      SELECT k_inc,
+             CASE WHEN k_inc < 2 OR s0 = 0.0 THEN 0.0
+                  ELSE s2 - s1 * s1 / s0 END AS q_stat
+      FROM wm
+    )
+    SELECT c.segment, c.nc AS n_control, c.nt AS n_treatment,
+           c.cc AS conv_control, c.ct AS conv_treatment,
+           round(CASE WHEN c.nc = 0 OR c.nt = 0 THEN 0.0
+                      ELSE {_SEG_D.replace("nc", "c.nc").replace("nt", "c.nt")
+                            .replace("cc", "c.cc").replace("ct", "c.ct")} END,
+                 6) AS diff_rate,
+           round(CASE WHEN NOT {_SEG_INCLUDED.replace("nc", "c.nc")
+                               .replace("nt", "c.nt").replace("cc", "c.cc")
+                               .replace("ct", "c.ct")} THEN 0.0
+                      ELSE {_SEG_D.replace("nc", "c.nc").replace("nt", "c.nt")
+                            .replace("cc", "c.cc").replace("ct", "c.ct")}
+                           / sqrt({_SEG_V.replace("nc", "c.nc")
+                                   .replace("nt", "c.nt")
+                                   .replace("cc", "c.cc")
+                                   .replace("ct", "c.ct")}) END, 6)
+             AS z_segment,
+           {_SEG_INCLUDED.replace("nc", "c.nc").replace("nt", "c.nt")
+            .replace("cc", "c.cc").replace("ct", "c.ct")} AS included,
+           round(q.q_stat, 6) AS q_stat,
+           CAST(greatest(q.k_inc - 1, 0) AS BIGINT) AS df,
+           round(CASE WHEN q.q_stat <= 0.0 OR q.k_inc < 2 THEN 0.0
+                      ELSE greatest(0.0, (q.q_stat
+                           - CAST(q.k_inc - 1 AS DOUBLE)) / q.q_stat) END, 6)
+             AS i_squared
+    FROM cells c CROSS JOIN q
+    """
+
+
+@register(
+    "ab_segment_heterogeneity",
+    oracle=_seg_het_oracle(),
+    description="Per-segment treatment effects with Cochran's Q — the "
+    "drill-down readout that guards both failure modes of segmented "
+    "experiment analysis: a global null hiding opposite-sign segment "
+    "effects, and cherry-picking the one significant segment. Users "
+    "map to their nation (customer dim broadcast onto the per-user "
+    "frame, never onto raw events); each segment reports exact "
+    "conversion counts, the rate difference, and the pooled-variance "
+    "z; segments with a degenerate cell (empty arm, zero/total "
+    "conversion) are excluded from the heterogeneity reduction and "
+    "flagged. Cochran's Q = sum w_s (d_s - d_bar)^2 with inverse-"
+    "variance weights is computed from three weighted moments whose "
+    "double terms route through DECIMAL(38,12) — cross-segment "
+    "addition stays order-independent — and Higgins' I^2 restates Q "
+    "as the fraction of effect variance that is real heterogeneity. "
+    "Scale: one per-user aggregate, one broadcast dim hop, then all "
+    "state is the ~25-row segment grid.",
+    tags=("experiment", "ab-test", "stats", "segmentation"),
+)
+def ab_segment_heterogeneity(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    exp_start = _exp_start(ev)
+    per_user = (
+        ev.crossJoin(exp_start)  # scale-ok: 1-row broadcast scalar
+        .groupBy(F.col("user_id"), _arm_spark().alias("arm"))
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("ts") >= F.col("exp_start"))
+                            & (F.col("event_type") == "purchase")
+                            & (F.col("value") >= _AB_CONV_VALUE),
+                            1,
+                        )
+                    ),
+                    F.lit(0),
+                )
+                > 0
+            ).alias("converted")
+        )
+    )
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    seg = (
+        per_user.join(
+            F.broadcast(c), per_user.user_id == c.c_custkey, "left"
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .select(
+            "arm",
+            "converted",
+            F.coalesce(F.col("n_name"), F.lit("unknown")).alias("segment"),
+        )
+    )
+    cells = seg.groupBy("segment").agg(
+        F.sum(F.when(F.col("arm") == "control", 1).otherwise(0))
+        .cast("long")
+        .alias("nc"),
+        F.sum(F.when(F.col("arm") == "treatment", 1).otherwise(0))
+        .cast("long")
+        .alias("nt"),
+        F.coalesce(
+            F.sum(
+                F.when((F.col("arm") == "control") & F.col("converted"), 1)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("cc"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("arm") == "treatment") & F.col("converted"), 1
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("ct"),
+    ).persist()  # ~25-row segment grid: per-row report + Q reduction
+    wm = cells.where(F.expr(_SEG_INCLUDED)).agg(
+        F.count("*").cast("long").alias("k_inc"),
+        F.coalesce(
+            F.sum(F.expr(f"CAST(1.0 / {_SEG_V} AS DECIMAL(38,12))")),
+            F.lit(0),
+        )
+        .cast("double")
+        .alias("s0"),
+        F.coalesce(
+            F.sum(F.expr(f"CAST({_SEG_D} / {_SEG_V} AS DECIMAL(38,12))")),
+            F.lit(0),
+        )
+        .cast("double")
+        .alias("s1"),
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    f"CAST({_SEG_D} * {_SEG_D} / {_SEG_V}"
+                    " AS DECIMAL(38,12))"
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("double")
+        .alias("s2"),
+    )
+    q = wm.selectExpr(
+        "k_inc",
+        "CASE WHEN k_inc < 2 OR s0 = 0.0 THEN 0.0"
+        " ELSE s2 - s1 * s1 / s0 END AS q_stat",
+    )
+    return (
+        cells.crossJoin(F.broadcast(q))  # scale-ok: segment grid x 1-row Q
+        .selectExpr(
+            "segment",
+            "nc AS n_control",
+            "nt AS n_treatment",
+            "cc AS conv_control",
+            "ct AS conv_treatment",
+            f"round(CASE WHEN nc = 0 OR nt = 0 THEN 0.0"
+            f" ELSE {_SEG_D} END, 6) AS diff_rate",
+            f"round(CASE WHEN NOT {_SEG_INCLUDED} THEN 0.0"
+            f" ELSE {_SEG_D} / sqrt({_SEG_V}) END, 6) AS z_segment",
+            f"{_SEG_INCLUDED} AS included",
+            "round(q_stat, 6) AS q_stat",
+            "CAST(greatest(k_inc - 1, 0) AS BIGINT) AS df",
+            "round(CASE WHEN q_stat <= 0.0 OR k_inc < 2 THEN 0.0"
+            " ELSE greatest(0.0, (q_stat - CAST(k_inc - 1 AS DOUBLE))"
+            " / q_stat) END, 6) AS i_squared",
+        )
     )

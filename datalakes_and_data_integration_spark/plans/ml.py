@@ -1419,6 +1419,7 @@ def _spark_fold_chain(w: list[list[float]], b: list[float], f: int) -> str:
     "on bit-identical fixed-order chains. The oracle unrolls all "
     f"{_ITERS} iterations x {_FOLDS} folds in SQL and matches exactly.",
     tags=("ml", "evaluation", "cross-validation", "llm-pipeline"),
+    bench=True,  # round-9 second-session flagship: K models, one scan/iter
 )
 def logreg_kfold_cv(spark, sf_dir):
     e = T(spark, sf_dir, "embeddings").selectExpr(

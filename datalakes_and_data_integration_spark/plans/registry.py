@@ -191,6 +191,9 @@ def register(
 # benchmark_ngram_contamination) and the alphabetical tail of the
 # round-2 cohort (unit_convert_horizontal_total) yield and head the
 # round-10 cohort queue. 21 + 29 = 50.
+# BATCH 3: ab_segment_heterogeneity (triple-SF + bare gated in-session)
+# takes one more clause-(b) slot; tumbling_hourly_agg (round-2 cohort
+# alphabetical tail) yields. 22 + 28 = 50.
 WINDOW_ROUND = 9  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # round-9 changed/new (see the ROUND-9 WINDOW note above)
@@ -202,6 +205,7 @@ ROUND_CHANGED: list[str] = [
     "ab_power_mde_report",
     "item_item_cosine_topk",
     "logreg_kfold_cv",
+    "ab_segment_heterogeneity",
     "ab_metric_cuped_adjustment",
     "streaming_ab_moments_maintenance",
     "streaming_heavy_hitters_cms",
@@ -248,7 +252,6 @@ WINDOW_PRIORITY: list[str] = [
     "streaming_stateful_sessions",
     "streaming_stream_stream_join",
     "tfidf_top_terms",
-    "tumbling_hourly_agg",
 ]
 
 

@@ -402,3 +402,40 @@ def test_kfold_cv_out_of_fold_structure(spark):
     # every fold trained: each fold's cells carry both classes' rows
     for f in range(_FOLDS):
         assert got[f] > 0
+
+
+def test_segment_heterogeneity_q_matches_recompute(spark):
+    from datalakes_and_data_integration_spark.plans.experiment import (
+        ab_segment_heterogeneity,
+    )
+
+    rows = ab_segment_heterogeneity(spark, SF).collect()
+    assert rows, "no segments"
+    # Q / df / I^2 repeat identically on every row
+    assert len({(r.q_stat, r.df, r.i_squared) for r in rows}) == 1
+    inc = [r for r in rows if r.included]
+    assert rows[0].df == max(len(inc) - 1, 0)
+    # recompute Q from the published exact counts
+    s0 = s1 = s2 = 0.0
+    for r in inc:
+        phat = (r.conv_control + r.conv_treatment) / (
+            r.n_control + r.n_treatment
+        )
+        v = phat * (1 - phat) * (1 / r.n_control + 1 / r.n_treatment)
+        d = (
+            r.conv_treatment / r.n_treatment
+            - r.conv_control / r.n_control
+        )
+        s0 += 1 / v
+        s1 += d / v
+        s2 += d * d / v
+        # per-segment z matches its own counts
+        assert r.z_segment == pytest.approx(d / math.sqrt(v), abs=1e-5)
+    q = s2 - s1 * s1 / s0 if len(inc) >= 2 else 0.0
+    assert rows[0].q_stat == pytest.approx(q, abs=1e-4)
+    i2 = max(0.0, (q - (len(inc) - 1)) / q) if q > 0 and len(inc) >= 2 else 0.0
+    assert rows[0].i_squared == pytest.approx(i2, abs=1e-4)
+    # excluded segments read z = 0 and are outside the reduction
+    for r in rows:
+        if not r.included:
+            assert r.z_segment == 0.0

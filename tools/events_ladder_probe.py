@@ -85,6 +85,11 @@ LADDER = [
     "dp_noisy_release_audit",
     "histogram_quantile_audit",
     "lakehouse_maintenance_planner",
+    # round 9, second session: sequential/resampling experiment readouts
+    "ab_bootstrap_diff_ci",
+    "ab_sequential_msprt",
+    "ab_power_mde_report",
+    "ab_segment_heterogeneity",
 ]
 
 

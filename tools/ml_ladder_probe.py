@@ -53,6 +53,11 @@ LADDER = [
     "logreg_holdout_eval",
     "logreg_calibration_bins",
     "logreg_multihead_weights",
+    # round 9, second session: held-out evaluation suite
+    "logreg_roc_auc",
+    "logreg_isotonic_calibration",
+    "conformal_prediction_audit",
+    "logreg_kfold_cv",
     "ann_hard_negatives",
     "embedding_near_dup",
     "embedding_near_dup_hybrid",

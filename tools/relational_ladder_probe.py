@@ -80,6 +80,8 @@ LADDER = [
     # round 8
     "entity_resolution_blocked",
     "k_anon_generalization_plan",
+    # round 9, second session
+    "item_item_cosine_topk",
 ]
 
 # (table, key columns to offset by that table's stride-owner)

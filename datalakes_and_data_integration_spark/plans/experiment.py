@@ -1668,3 +1668,233 @@ def ab_segment_heterogeneity(spark, sf_dir):
             " / q_stat) END, 6) AS i_squared",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Ratio-metric readout via the delta method (Deng, Knoblich & Lu,
+# "Applying the Delta Method in Metric Analytics", KDD'18): metrics
+# like average order value are RATIOS of sums (sum purchase value /
+# count purchases) whose unit of analysis (user) differs from the
+# denominator unit (purchase) — treating them as per-user means, or
+# averaging per-user ratios, both give wrong variance and a wrong
+# test. The delta method linearizes the ratio around the arm means;
+# every input is an exact decimal per-user moment, and the query also
+# publishes the naive mean-of-ratios estimate so the bias being
+# avoided is visible in the output.
+# ---------------------------------------------------------------------------
+
+_RATIO_EPILOGUE = f"""
+    CAST(ROUND(CAST(CASE WHEN sden = 0.0 THEN 0.0 ELSE snum / sden END
+                    AS DECIMAL(27,12)), 6) AS DOUBLE) AS ratio,
+    CAST(ROUND(CAST(CASE WHEN n < 2 OR sden = 0.0 THEN 0.0
+         ELSE sqrt(greatest(
+              ((qnn / n - (snum / n) * (snum / n))
+               - 2.0 * (snum / sden)
+                 * (qnd / n - (snum / n) * (sden / n))
+               + (snum / sden) * (snum / sden)
+                 * (qdd / n - (sden / n) * (sden / n)))
+              / ((sden / n) * (sden / n)) / n, 0.0)) END
+                    AS DECIMAL(27,12)), 6) AS DOUBLE) AS ratio_se,
+    CAST(ROUND(CAST(CASE WHEN n_ratio = 0 THEN 0.0
+                         ELSE srat / CAST(n_ratio AS DOUBLE) END
+                    AS DECIMAL(27,12)), 6) AS DOUBLE) AS naive_mean_ratio
+"""
+
+_RATIO_Z = """CASE WHEN sec <= 0.0 OR set_ <= 0.0 THEN 0.0
+         ELSE (rt - rc) / sqrt(sec * sec + set_ * set_) END"""
+
+
+def _ratio_delta_oracle() -> str:
+    return f"""
+    WITH bounds AS (
+      SELECT min(ts) + INTERVAL {_AB_PRE_DAYS} DAY AS exp_start FROM events
+    ),
+    per_user AS MATERIALIZED (
+      SELECT user_id, {_arm_duck()} AS arm,
+             CAST(coalesce(sum(CASE WHEN ts >= (SELECT exp_start FROM bounds)
+                                     AND event_type = 'purchase'
+                                    THEN CAST(value AS DECIMAL(18,6)) END),
+                           0) AS DECIMAL(18,6)) AS num,
+             CAST(coalesce(sum(CASE WHEN ts >= (SELECT exp_start FROM bounds)
+                                     AND event_type = 'purchase'
+                                    THEN 1 END), 0) AS DECIMAL(18,6)) AS den
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT arm,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(num) AS DOUBLE) AS snum,
+             CAST(sum(den) AS DOUBLE) AS sden,
+             CAST(coalesce(sum(CAST(CAST(num AS DECIMAL(19,6)) * num
+                                    AS DECIMAL(38,12))), 0) AS DOUBLE)
+               AS qnn,
+             CAST(coalesce(sum(CAST(CAST(num AS DECIMAL(19,6)) * den
+                                    AS DECIMAL(38,12))), 0) AS DOUBLE)
+               AS qnd,
+             CAST(coalesce(sum(CAST(CAST(den AS DECIMAL(19,6)) * den
+                                    AS DECIMAL(38,12))), 0) AS DOUBLE)
+               AS qdd,
+             CAST(count(*) FILTER (den > 0) AS BIGINT) AS n_ratio,
+             CAST(coalesce(sum(CAST(CAST(num AS DOUBLE)
+                                    / CAST(den AS DOUBLE)
+                                    AS DECIMAL(38,12))) FILTER (den > 0),
+                           0) AS DOUBLE) AS srat
+      FROM per_user GROUP BY arm
+    ),
+    rep AS (
+      SELECT arm, CAST(n AS BIGINT) AS n_users, {_RATIO_EPILOGUE}
+      FROM m
+    ),
+    z AS (
+      SELECT {_RATIO_Z} AS z_ratio
+      FROM (
+        SELECT
+          max(CASE WHEN arm = 'control' THEN ratio END) AS rc,
+          max(CASE WHEN arm = 'treatment' THEN ratio END) AS rt,
+          max(CASE WHEN arm = 'control' THEN ratio_se END) AS sec,
+          max(CASE WHEN arm = 'treatment' THEN ratio_se END) AS set_
+        FROM rep
+      )
+    )
+    SELECT r.arm, r.n_users, r.ratio, r.ratio_se, r.naive_mean_ratio,
+           round(z.z_ratio, 6) AS z_ratio,
+           abs(z.z_ratio) > {_Z_ALPHA} AS significant_95
+    FROM rep r CROSS JOIN z
+    """
+
+
+@register(
+    "ab_ratio_metric_delta_method",
+    oracle=_ratio_delta_oracle(),
+    description="Ratio-metric experiment readout via the delta method "
+    "(Deng-Knoblich-Lu, KDD'18): average order value = sum(purchase "
+    "value) / count(purchases) is a ratio of sums whose variance the "
+    "naive per-user treatment misstates — the delta method linearizes "
+    "around the arm means, Var(R) = (Var(num) - 2R Cov + R^2 "
+    "Var(den)) / (n dbar^2), from six exact DECIMAL per-user moments "
+    "per arm ((18,6) operands, (38,12) products — the round-9 "
+    "precision rule). The query ALSO publishes the naive "
+    "mean-of-per-user-ratios estimate (decimal-routed so the "
+    "cross-user sum of double ratios is order-independent) so the "
+    "bias the delta method avoids is visible in the same row; z and "
+    "the 95% flag come from one shared DOUBLE epilogue. Scale: one "
+    "map-side-combined per-user aggregate, 2 x 9 moment cells, O(1) "
+    "reduce state.",
+    tags=("experiment", "ab-test", "stats", "ratio-metric"),
+)
+def ab_ratio_metric_delta_method(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    per_user = (
+        ev.crossJoin(_exp_start(ev))  # scale-ok: 1-row broadcast scalar
+        .groupBy(F.col("user_id"), _arm_spark().alias("arm"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("ts") >= F.col("exp_start"))
+                        & (F.col("event_type") == "purchase"),
+                        F.col("value").cast("decimal(18,6)"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(18,6)")
+            .alias("num"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("ts") >= F.col("exp_start"))
+                        & (F.col("event_type") == "purchase"),
+                        F.lit(1),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(18,6)")
+            .alias("den"),
+        )
+    )
+    m = per_user.groupBy("arm").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("num").cast("double").alias("snum"),
+        F.sum("den").cast("double").alias("sden"),
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(num AS DECIMAL(19,6)) * num"
+                    " AS DECIMAL(38,12))"
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("double")
+        .alias("qnn"),
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(num AS DECIMAL(19,6)) * den"
+                    " AS DECIMAL(38,12))"
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("double")
+        .alias("qnd"),
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(den AS DECIMAL(19,6)) * den"
+                    " AS DECIMAL(38,12))"
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("double")
+        .alias("qdd"),
+        F.sum(F.when(F.col("den") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_ratio"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("den") > 0,
+                    F.expr(
+                        "CAST(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"
+                        " AS DECIMAL(38,12))"
+                    ),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("double")
+        .alias("srat"),
+    )
+    rep = m.selectExpr(
+        "arm",
+        "CAST(n AS BIGINT) AS n_users",
+        *[e.strip() for e in _RATIO_EPILOGUE.strip().split(",\n")],
+    ).persist()  # 2-row arm frame: per-row report + cross-arm z
+    zrow = rep.agg(
+        F.max(F.when(F.col("arm") == "control", F.col("ratio"))).alias("rc"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("ratio"))).alias(
+            "rt"
+        ),
+        F.max(
+            F.when(F.col("arm") == "control", F.col("ratio_se"))
+        ).alias("sec"),
+        F.max(
+            F.when(F.col("arm") == "treatment", F.col("ratio_se"))
+        ).alias("set_"),
+    ).selectExpr(f"{_RATIO_Z} AS z_ratio")
+    return (
+        rep.crossJoin(F.broadcast(zrow))  # scale-ok: 2 arms x 1-row z
+        .selectExpr(
+            "arm",
+            "n_users",
+            "ratio",
+            "ratio_se",
+            "naive_mean_ratio",
+            "round(z_ratio, 6) AS z_ratio",
+            f"abs(z_ratio) > {_Z_ALPHA} AS significant_95",
+        )
+    )

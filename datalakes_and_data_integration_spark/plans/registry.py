@@ -194,6 +194,8 @@ def register(
 # BATCH 3: ab_segment_heterogeneity (triple-SF + bare gated in-session)
 # takes one more clause-(b) slot; tumbling_hourly_agg (round-2 cohort
 # alphabetical tail) yields. 22 + 28 = 50.
+# BATCH 4: ab_ratio_metric_delta_method (triple-SF + bare gated
+# in-session); tfidf_top_terms yields. 23 + 27 = 50.
 WINDOW_ROUND = 9  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # round-9 changed/new (see the ROUND-9 WINDOW note above)
@@ -206,6 +208,7 @@ ROUND_CHANGED: list[str] = [
     "item_item_cosine_topk",
     "logreg_kfold_cv",
     "ab_segment_heterogeneity",
+    "ab_ratio_metric_delta_method",
     "ab_metric_cuped_adjustment",
     "streaming_ab_moments_maintenance",
     "streaming_heavy_hitters_cms",
@@ -251,7 +254,6 @@ WINDOW_PRIORITY: list[str] = [
     "streaming_sliding_agg",
     "streaming_stateful_sessions",
     "streaming_stream_stream_join",
-    "tfidf_top_terms",
 ]
 
 

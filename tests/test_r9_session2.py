@@ -439,3 +439,78 @@ def test_segment_heterogeneity_q_matches_recompute(spark):
     for r in rows:
         if not r.included:
             assert r.z_segment == 0.0
+
+
+def test_ratio_delta_method_matches_recompute(spark):
+    from datalakes_and_data_integration_spark.plans.experiment import (
+        _AB_PRE_DAYS,
+        _arm_spark,
+        _exp_start,
+        ab_ratio_metric_delta_method,
+    )
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans._util import T
+
+    rows = {r.arm: r for r in ab_ratio_metric_delta_method(spark, SF).collect()}
+    assert set(rows) == {"control", "treatment"}
+    ev = T(spark, SF, "events")
+    pu = (
+        ev.crossJoin(_exp_start(ev))
+        .groupBy(F.col("user_id"), _arm_spark().alias("arm"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("ts") >= F.col("exp_start"))
+                        & (F.col("event_type") == "purchase"),
+                        F.col("value").cast("decimal(18,6)"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("num"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("ts") >= F.col("exp_start"))
+                        & (F.col("event_type") == "purchase"),
+                        F.lit(1),
+                    )
+                ),
+                F.lit(0),
+            ).alias("den"),
+        )
+        .collect()
+    )  # scale-ok: test fixture collect at sf0.001
+    for arm in ("control", "treatment"):
+        us = [u for u in pu if u.arm == arm]
+        n = len(us)
+        snum = sum(float(u.num) for u in us)
+        sden = sum(float(u.den) for u in us)
+        qnn = sum(float(u.num) ** 2 for u in us)
+        qnd = sum(float(u.num) * float(u.den) for u in us)
+        qdd = sum(float(u.den) ** 2 for u in us)
+        r = snum / sden
+        var = (
+            (qnn / n - (snum / n) ** 2)
+            - 2 * r * (qnd / n - (snum / n) * (sden / n))
+            + r * r * (qdd / n - (sden / n) ** 2)
+        ) / ((sden / n) ** 2) / n
+        se = math.sqrt(max(var, 0.0))
+        got = rows[arm]
+        assert got.n_users == n
+        assert got.ratio == pytest.approx(r, rel=1e-6)
+        assert got.ratio_se == pytest.approx(se, rel=1e-4)
+        # naive mean-of-ratios is a DIFFERENT number (the bias on display)
+        rats = [
+            float(u.num) / float(u.den) for u in us if float(u.den) > 0
+        ]
+        assert got.naive_mean_ratio == pytest.approx(
+            sum(rats) / len(rats), abs=1e-5
+        )
+    rc, rt = rows["control"], rows["treatment"]
+    z = (rt.ratio - rc.ratio) / math.sqrt(
+        rc.ratio_se**2 + rt.ratio_se**2
+    )
+    assert rc.z_ratio == pytest.approx(z, abs=2e-4)
+    assert rc.z_ratio == rt.z_ratio

@@ -90,6 +90,7 @@ LADDER = [
     "ab_sequential_msprt",
     "ab_power_mde_report",
     "ab_segment_heterogeneity",
+    "ab_ratio_metric_delta_method",
 ]
 
 

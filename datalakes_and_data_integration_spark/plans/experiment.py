@@ -1160,11 +1160,19 @@ def _msprt_oracle() -> str:
     tags=("experiment", "ab-test", "stats", "sequential"),
 )
 def ab_sequential_msprt(spark, sf_dir):
-    from pyspark.sql import Window
-
     ev = T(spark, sf_dir, "events")
-    exp_events = (
-        ev.crossJoin(_exp_start(ev))  # scale-ok: 1-row broadcast scalar
+    return _msprt_readout(spark, _msprt_per_user(ev, _exp_start(ev)))
+
+
+def _msprt_per_user(ev, exp_start):
+    """Per-(user, arm) week triple: first experiment-period event week
+    (enrollment), first qualifying-purchase week (conversion, nullable),
+    and last event week (so the maintained twin can reconstruct the
+    batch query's calendar grid). All three merge idempotently —
+    min/min/max — which is what makes the streaming twin's replay a
+    no-op by algebra."""
+    return (
+        ev.crossJoin(exp_start)  # scale-ok: 1-row broadcast scalar
         .where(F.col("ts") >= F.col("exp_start"))
         .select(
             "user_id",
@@ -1176,20 +1184,32 @@ def ab_sequential_msprt(spark, sf_dir):
                 " CAST(exp_start AS DATE)) / 7) AS BIGINT)"
             ).alias("week"),
         )
-        .persist()  # per-user pass + week-grid scalar share it
+        .groupBy("user_id", "arm")
+        .agg(
+            F.min("week").cast("long").alias("enroll_week"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= _AB_CONV_VALUE),
+                    F.col("week"),
+                )
+            ).alias("conv_week"),
+            F.max("week").cast("long").alias("last_week"),
+        )
     )
-    per_user = exp_events.groupBy("user_id", "arm").agg(
-        F.min("week").cast("long").alias("enroll_week"),
-        F.min(
-            F.when(
-                (F.col("event_type") == "purchase")
-                & (F.col("value") >= _AB_CONV_VALUE),
-                F.col("week"),
-            )
-        ).alias("conv_week"),
-    )
+
+
+def _msprt_readout(spark, per_user):
+    """Week grid -> cumulative counts -> mixture-LR epilogue; shared
+    verbatim by the batch query and the maintained-state twin (the
+    _cuped_readout pattern). max(last_week) over the per-user frame
+    equals max event week, so the grid is identical to the one the
+    batch query's raw scan would derive."""
+    from pyspark.sql import Window
+
+    per_user = per_user.persist()  # grid scalar + two grouped passes
     grid = (
-        exp_events.agg(F.max("week").alias("mw"))
+        per_user.agg(F.max("last_week").alias("mw"))
         .select(F.explode(F.expr("sequence(0L, mw)")).alias("week"))
     )  # scale-ok: calendar-bounded week grid from a 1-row scalar
     arms = spark.createDataFrame(
@@ -1898,3 +1918,64 @@ def ab_ratio_metric_delta_method(spark, sf_dir):
             f"abs(z_ratio) > {_Z_ALPHA} AS significant_95",
         )
     )
+
+
+@register(
+    "streaming_ab_msprt_maintenance",
+    oracle=_msprt_oracle(),
+    description="Incremental always-valid sequential test: the per-user "
+    "week state — (first experiment-period event week, first "
+    "qualifying-purchase week, last event week) — is maintained across "
+    "span-derived weekly event batches by the IDEMPOTENT min/max merge "
+    "(streaming/sketch_maintenance.ledgered_minmax_merge — fifth "
+    "member of the merge-algebra family, and the first where replay is "
+    "a no-op BY ALGEBRA, not by ledger: min/min/max are idempotent, so "
+    "the applied-batch ledger is a skip-work optimization; pinned by a "
+    "test that force-remerges past the ledger and gets identical "
+    "state). The readout then runs on the maintained state through the "
+    "EXACT code path of ab_sequential_msprt (_msprt_readout — one "
+    "definition, so the weekly platform job cannot fork from the batch "
+    "query), and the shared oracle proves maintained == batch at every "
+    "week row. Scale: state is O(users) narrow rows; each weekly merge "
+    "reads only its increment; the grid epilogue is calendar-sized.",
+    tags=("experiment", "ab-test", "streaming", "incremental",
+          "sequential"),
+)
+def streaming_ab_msprt_maintenance(spark, sf_dir):
+    from datalakes_and_data_integration_spark.plans._util import state_tmp
+    from datalakes_and_data_integration_spark.plans.streaming_extra import (
+        _weekly_bounds,
+    )
+    from datalakes_and_data_integration_spark.streaming.sketch_maintenance import (
+        ledgered_minmax_merge,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    exp_start = _exp_start(ev)
+    state = state_tmp("ab_msprt_q")
+    weeks = _weekly_bounds(ev)
+    merged = None
+    for i, (lo, hi) in enumerate(zip(weeks, weeks[1:])):
+        batch = _msprt_per_user(
+            ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)), exp_start
+        )
+        merged = ledgered_minmax_merge(
+            spark,
+            state,
+            batch,
+            batch_id=i,
+            key_cols=["user_id", "arm"],
+            min_cols=["enroll_week", "conv_week"],
+            max_cols=["last_week"],
+            collect_note="O(users) narrow week-state rows",
+        )
+    if merged is None:  # empty events -> zero batches -> empty report
+        return _msprt_readout(
+            spark,
+            spark.createDataFrame(
+                [],
+                "user_id BIGINT, arm STRING, enroll_week BIGINT,"
+                " conv_week BIGINT, last_week BIGINT",
+            ),
+        )
+    return _msprt_readout(spark, merged)

@@ -196,6 +196,13 @@ def register(
 # alphabetical tail) yields. 22 + 28 = 50.
 # BATCH 4: ab_ratio_metric_delta_method (triple-SF + bare gated
 # in-session); tfidf_top_terms yields. 23 + 27 = 50.
+# BATCH 5: streaming_ab_msprt_maintenance (new; the idempotent
+# min/max-merge twin) — ab_sequential_msprt also changed (readout
+# extracted to the shared _msprt_readout; re-gated triple-SF + bare)
+# and the ledgered_sum_merge -> _ledgered_merge extraction touches the
+# three sum-merge consumers, all ALREADY in ROUND_CHANGED this round
+# (re-gated at sf0.001 in-session). streaming_stream_stream_join
+# yields. 24 + 26 = 50.
 WINDOW_ROUND = 9  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # round-9 changed/new (see the ROUND-9 WINDOW note above)
@@ -209,6 +216,7 @@ ROUND_CHANGED: list[str] = [
     "logreg_kfold_cv",
     "ab_segment_heterogeneity",
     "ab_ratio_metric_delta_method",
+    "streaming_ab_msprt_maintenance",
     "ab_metric_cuped_adjustment",
     "streaming_ab_moments_maintenance",
     "streaming_heavy_hitters_cms",
@@ -253,7 +261,6 @@ WINDOW_PRIORITY: list[str] = [
     "streaming_hourly_agg",
     "streaming_sliding_agg",
     "streaming_stateful_sessions",
-    "streaming_stream_stream_join",
 ]
 
 

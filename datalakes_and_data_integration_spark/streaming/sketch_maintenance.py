@@ -169,6 +169,64 @@ def ledgered_sum_merge(
     the two-step write; ADVICE r7). A replayed id returns the state
     untouched (pinned by tests for both consumers: the CMS sketch and
     the A/B per-user metric state)."""
+    return _ledgered_merge(
+        spark,
+        state_dir,
+        batch,
+        batch_id,
+        key_cols,
+        [F.sum(c).alias(c) for c in sum_cols],
+        collect_note,
+    )
+
+
+def ledgered_minmax_merge(
+    spark: SparkSession,
+    state_dir: str,
+    batch: DataFrame,
+    batch_id: int,
+    key_cols: list[str],
+    min_cols: list[str],
+    max_cols: list[str],
+    collect_note: str = "bounded state rows",
+) -> DataFrame:
+    """Min/max-merge a batch frame into persisted state — the
+    IDEMPOTENT member of the merge-algebra family (HLL max, bitmap OR,
+    CMS/metric sum, and now per-key min/max): min and max are
+    associative, commutative AND idempotent, so a redelivered batch is
+    a no-op BY ALGEBRA — the applied-batch ledger this shares with
+    ``ledgered_sum_merge`` is a skip-work optimization and an
+    observability record, not a correctness requirement (pinned by a
+    test that force-remerges a batch past the ledger and gets
+    byte-identical state). The staged-commit atomicity still matters:
+    a torn write of the state parquet itself would corrupt state
+    regardless of algebra, so the same one-``os.replace`` commit flip
+    applies."""
+    return _ledgered_merge(
+        spark,
+        state_dir,
+        batch,
+        batch_id,
+        key_cols,
+        [F.min(c).alias(c) for c in min_cols]
+        + [F.max(c).alias(c) for c in max_cols],
+        collect_note,
+    )
+
+
+def _ledgered_merge(
+    spark: SparkSession,
+    state_dir: str,
+    batch: DataFrame,
+    batch_id: int,
+    key_cols: list[str],
+    agg_exprs: list,
+    collect_note: str = "bounded state rows",
+) -> DataFrame:
+    """Shared staging/commit machinery for the ledgered merges: one
+    versioned state directory, one COMMIT.json flipped by a single
+    ``os.replace`` carrying both the active-state pointer and the
+    applied-batch set, entry GC of uncommitted stage dirs."""
     import json
     import shutil
 
@@ -200,7 +258,7 @@ def ledgered_sum_merge(
             spark.read.parquet(cur_dir)
             .unionByName(batch)
             .groupBy(*key_cols)
-            .agg(*[F.sum(c).alias(c) for c in sum_cols])
+            .agg(*agg_exprs)
         )
     else:
         merged = batch

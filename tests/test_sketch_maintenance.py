@@ -291,3 +291,65 @@ def test_entry_gc_removes_orphaned_staged_sketch_dirs(spark, tmp_path):
     }
     got = {(r.seed, r.bucket): r.total for r in merged.collect()}
     assert got == batch
+
+
+def test_minmax_merge_replay_is_noop_by_algebra(spark, tmp_path):
+    """ledgered_minmax_merge: the ledger skips a replayed id, but the
+    ALGEBRA is what guarantees exactly-once — force-remerging the same
+    batch past the ledger (fresh state dir, same batch twice under
+    different ids) leaves the state byte-identical."""
+    from datalakes_and_data_integration_spark.streaming.sketch_maintenance import (
+        ledgered_minmax_merge,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, "a", 3, None, 5), (2, "a", 0, 2, 9)],
+        "user_id INT, arm STRING, enroll_week INT, conv_week INT,"
+        " last_week INT",
+    )
+    kw = dict(
+        key_cols=["user_id", "arm"],
+        min_cols=["enroll_week", "conv_week"],
+        max_cols=["last_week"],
+    )
+    s1 = str(tmp_path / "ledgered")
+    m1 = ledgered_minmax_merge(spark, s1, batch, batch_id=0, **kw)
+    one = sorted(map(tuple, m1.collect()))
+    # replayed id: ledger short-circuits
+    m2 = ledgered_minmax_merge(spark, s1, batch, batch_id=0, **kw)
+    assert sorted(map(tuple, m2.collect())) == one
+    # force past the ledger: same rows under a DIFFERENT batch id —
+    # min/min/max absorb the duplicate delivery with no ledger help
+    m3 = ledgered_minmax_merge(spark, s1, batch, batch_id=1, **kw)
+    assert sorted(map(tuple, m3.collect())) == one
+
+
+def test_minmax_merge_merges_across_batches(spark, tmp_path):
+    from datalakes_and_data_integration_spark.streaming.sketch_maintenance import (
+        ledgered_minmax_merge,
+    )
+
+    kw = dict(
+        key_cols=["user_id", "arm"],
+        min_cols=["enroll_week", "conv_week"],
+        max_cols=["last_week"],
+    )
+    s = str(tmp_path / "st")
+    b0 = spark.createDataFrame(
+        [(1, "a", 3, None, 3)],
+        "user_id INT, arm STRING, enroll_week INT, conv_week INT,"
+        " last_week INT",
+    )
+    b1 = spark.createDataFrame(
+        [(1, "a", 5, 5, 7)],
+        "user_id INT, arm STRING, enroll_week INT, conv_week INT,"
+        " last_week INT",
+    )
+    ledgered_minmax_merge(spark, s, b0, batch_id=0, **kw)
+    m = ledgered_minmax_merge(spark, s, b1, batch_id=1, **kw)
+    rows = m.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # enrollment keeps the earliest week, conversion the earliest
+    # non-null, last_week the latest
+    assert (r.enroll_week, r.conv_week, r.last_week) == (3, 5, 7)

@@ -91,6 +91,7 @@ LADDER = [
     "ab_power_mde_report",
     "ab_segment_heterogeneity",
     "ab_ratio_metric_delta_method",
+    "streaming_ab_msprt_maintenance",
 ]
 
 

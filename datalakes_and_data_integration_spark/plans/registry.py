@@ -203,6 +203,8 @@ def register(
 # three sum-merge consumers, all ALREADY in ROUND_CHANGED this round
 # (re-gated at sf0.001 in-session). streaming_stream_stream_join
 # yields. 24 + 26 = 50.
+# BATCH 6: interval_overlap_join_sessions (triple-SF + bare gated
+# in-session); streaming_stateful_sessions yields. 25 + 25 = 50.
 WINDOW_ROUND = 9  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # round-9 changed/new (see the ROUND-9 WINDOW note above)
@@ -217,6 +219,7 @@ ROUND_CHANGED: list[str] = [
     "ab_segment_heterogeneity",
     "ab_ratio_metric_delta_method",
     "streaming_ab_msprt_maintenance",
+    "interval_overlap_join_sessions",
     "ab_metric_cuped_adjustment",
     "streaming_ab_moments_maintenance",
     "streaming_heavy_hitters_cms",
@@ -260,7 +263,6 @@ WINDOW_PRIORITY: list[str] = [
     "streaming_dedup_first_event",
     "streaming_hourly_agg",
     "streaming_sliding_agg",
-    "streaming_stateful_sessions",
 ]
 
 

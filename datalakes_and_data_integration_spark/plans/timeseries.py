@@ -838,3 +838,173 @@ def watermark_lateness_profile(spark, sf_dir):
         "CAST(1000 * n_dropped div n_events AS BIGINT) AS drop_per_mille",
         "max_lateness_s",
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join (round-9 second session): the interval x
+# interval join Spark has no native operator for — sessions (gaps-and-
+# islands, the sessionization spec) joined to corpus-wide busy hours
+# (hours whose event count >= 1.5x the average). The naive form is an
+# inequality theta-join (O(n x m) compare); the scale form BUCKETIZES:
+# each session explodes into the hour buckets it covers (bounded by
+# session DURATION, which the 30-minute gap rule bounds in practice),
+# the join becomes an equi-join on the hour index, and the overlap
+# predicate is exact by construction (a session covers bucket h iff
+# [start, end] intersects [h, h+1) on the hour grid). All bucket
+# arithmetic is integer epoch-hours — bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interval_overlap_join_sessions",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER ({_W_SQL})
+                       > {_GAP_MS}
+                  OR lag(epoch_ms(ts)) OVER ({_W_SQL}) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER ({_W_SQL}
+               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered
+    ),
+    sessions AS MATERIALIZED (
+      SELECT user_id, session_no,
+             min(ts) AS session_start,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(min(epoch_ms(ts)) // 3600000 AS BIGINT) AS h0,
+             CAST(max(epoch_ms(ts)) // 3600000 AS BIGINT) AS h1
+      FROM numbered GROUP BY user_id, session_no
+    ),
+    hours AS (
+      SELECT CAST(epoch_ms(ts) // 3600000 AS BIGINT) AS hour_idx,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    thresh AS (
+      SELECT CAST((3 * sum(n) + 2 * count(*) - 1) // (2 * count(*))
+                  AS BIGINT) AS k
+      FROM hours
+    ),
+    busy AS (
+      SELECT hour_idx FROM hours, thresh WHERE n >= k
+    ),
+    covered AS (
+      SELECT s.user_id, s.session_no,
+             CAST(unnest(generate_series(s.h0, s.h1)) AS BIGINT)
+               AS hour_idx
+      FROM sessions s
+    ),
+    hits AS (
+      SELECT c.user_id, c.session_no,
+             CAST(count(*) AS BIGINT) AS busy_hours
+      FROM covered c JOIN busy b USING (hour_idx)
+      GROUP BY 1, 2
+    )
+    SELECT s.user_id, s.session_start, s.n_events,
+           CAST(s.h1 - s.h0 + 1 AS BIGINT) AS hours_spanned,
+           CAST(coalesce(h.busy_hours, 0) AS BIGINT) AS busy_hours,
+           coalesce(h.busy_hours, 0) > 0 AS touches_busy
+    FROM sessions s
+    LEFT JOIN hits h
+      ON h.user_id = s.user_id AND h.session_no = s.session_no
+    """,
+    description="Interval x interval overlap join — sessions (30-min "
+    "gaps-and-islands, the sessionization spec) against corpus busy "
+    "hours (count >= 1.5x the hourly average, threshold derived by "
+    "integer ceiling arithmetic): per session, how many busy hours it "
+    "overlapped. Spark has no native interval join, and the naive form "
+    "is an O(sessions x hours) inequality theta-join (a "
+    "BroadcastNestedLoopJoin at best); the scale form BUCKETIZES — "
+    "each session explodes into the integer epoch-hour buckets it "
+    "spans (bounded by session duration), the join becomes a hash "
+    "equi-join on hour_idx, and overlap is exact by construction on "
+    "the hour grid. This is the standard distributed-interval-join "
+    "recipe (the same shape range_join_views_before_purchase uses for "
+    "point-in-window). All bucket arithmetic is integer epoch-hours; "
+    "output counts are exact BIGINTs. Scale: one session window per "
+    "user partition, one hour aggregate, the explode bounded by "
+    "duration, one equi-join.",
+    tags=("temporal", "join", "interval", "sessionization"),
+)
+def interval_overlap_join_sessions(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    w = _w()
+    ms = F.unix_millis("ts")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            (ms - F.lag(ms).over(w) > _GAP_MS) | F.lag(ms).over(w).isNull(),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("is_new")
+        .over(_w().rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_no"),
+    )
+    sessions = (
+        numbered.groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count("*").cast("long").alias("n_events"),
+            F.expr("CAST(min(unix_millis(ts)) div 3600000 AS BIGINT)")
+            .alias("h0"),
+            F.expr("CAST(max(unix_millis(ts)) div 3600000 AS BIGINT)")
+            .alias("h1"),
+        )
+        .persist()  # covered-bucket explode + final report share it
+    )
+    hours = ev.groupBy(
+        F.expr("CAST(unix_millis(ts) div 3600000 AS BIGINT)").alias(
+            "hour_idx"
+        )
+    ).agg(F.count("*").cast("long").alias("n"))
+    thresh = hours.agg(
+        F.expr(
+            "CAST((3 * sum(n) + 2 * count(*) - 1) div (2 * count(*))"
+            " AS BIGINT)"
+        ).alias("k")
+    )
+    busy = (
+        hours.crossJoin(F.broadcast(thresh))  # scale-ok: 1-row threshold
+        .where(F.col("n") >= F.col("k"))
+        .select("hour_idx")
+    )
+    covered = sessions.select(
+        "user_id",
+        "session_no",
+        F.explode(F.expr("sequence(h0, h1)")).alias("hour_idx"),
+    )
+    hits = (
+        covered.join(F.broadcast(busy), "hour_idx")
+        .groupBy("user_id", "session_no")
+        .agg(F.count("*").cast("long").alias("busy_hours"))
+    )
+    return (
+        sessions.join(hits, ["user_id", "session_no"], "left")
+        .select(
+            "user_id",
+            "session_start",
+            "n_events",
+            (F.col("h1") - F.col("h0") + 1).cast("long").alias(
+                "hours_spanned"
+            ),
+            F.coalesce(F.col("busy_hours"), F.lit(0))
+            .cast("long")
+            .alias("busy_hours"),
+            (F.coalesce(F.col("busy_hours"), F.lit(0)) > 0).alias(
+                "touches_busy"
+            ),
+        )
+    )

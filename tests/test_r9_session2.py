@@ -514,3 +514,40 @@ def test_ratio_delta_method_matches_recompute(spark):
     )
     assert rc.z_ratio == pytest.approx(z, abs=2e-4)
     assert rc.z_ratio == rt.z_ratio
+
+
+def test_interval_overlap_join_matches_recompute(spark):
+    from collections import Counter
+
+    from datalakes_and_data_integration_spark.plans.timeseries import (
+        interval_overlap_join_sessions,
+        sessionization,
+    )
+    from datalakes_and_data_integration_spark.plans._util import T
+
+    rows = interval_overlap_join_sessions(spark, SF).collect()
+    # session frame reconciles with the registered sessionization query
+    sess = sessionization(spark, SF).collect()
+    assert len(rows) == len(sess)
+    assert Counter((r.user_id, r.session_start) for r in rows) == Counter(
+        (s.user_id, s.session_start) for s in sess
+    )
+    # busy-hour recompute from raw events
+    ev = T(spark, SF, "events").select("user_id", "ts").collect()  # scale-ok: test fixture collect at sf0.001
+    hours = Counter(int(e.ts.timestamp() * 1000) // 3600000 for e in ev)
+    total = sum(hours.values())
+    k = (3 * total + 2 * len(hours) - 1) // (2 * len(hours))
+    busy = {h for h, n in hours.items() if n >= k}
+    # per-session covered busy hours from the session frame itself
+    by_sess = {}
+    for s in sess:
+        h0 = int(s.session_start.timestamp() * 1000) // 3600000
+        h1 = int(s.session_end.timestamp() * 1000) // 3600000
+        by_sess[(s.user_id, s.session_start)] = sum(
+            1 for h in range(h0, h1 + 1) if h in busy
+        )
+    for r in rows:
+        want = by_sess[(r.user_id, r.session_start)]
+        assert r.busy_hours == want
+        assert r.touches_busy == (want > 0)
+        assert r.hours_spanned >= 1

@@ -92,6 +92,7 @@ LADDER = [
     "ab_segment_heterogeneity",
     "ab_ratio_metric_delta_method",
     "streaming_ab_msprt_maintenance",
+    "interval_overlap_join_sessions",
 ]
 
 

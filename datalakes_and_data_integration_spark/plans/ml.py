@@ -1499,3 +1499,175 @@ def logreg_kfold_cv(spark, sf_dir):
         .groupBy("fold", "label_true", "pred_pos")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset selection (round-9 second session): the
+# corpus-level diversified-selection primitive (farthest-point
+# traversal, the 2-approximation to the k-center objective — Gonzalez
+# '85; the "select maximally spread exemplars" step of data-curation
+# pipelines, distinct from the MMR rerank which diversifies a per-query
+# shortlist). Every distance is the established fixed-point int64 form
+# floor((x - q/1e9)^2 * 1e12) summed over dims — selection argmaxes
+# compare exact integers, so the greedy trajectory is bit-identical
+# cross-engine; center coordinates are quantized to int64 nanos by the
+# SAME floor(x * 1e9) both sides.
+# ---------------------------------------------------------------------------
+
+_KC_K = 5
+_KC_SEED = 91
+
+
+def _kc_term(elem: str, q: int | str) -> str:
+    return (
+        f"CAST(floor(({elem} - CAST({q} AS DOUBLE)/1e9) "
+        f"* ({elem} - CAST({q} AS DOUBLE)/1e9) * 1e12) AS BIGINT)"
+    )
+
+
+def _kcenter_oracle() -> str:
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_sql_duck,
+    )
+
+    h = hash60_sql_duck("CAST(vec_id AS VARCHAR)", seed=_KC_SEED)
+    qcols = ", ".join(
+        f"CAST(floor(emb[{j + 1}] * 1e9) AS BIGINT) AS q{j}"
+        for j in range(_DIM)
+    )
+    steps = [
+        f"""
+    rows AS (SELECT vec_id, embedding AS emb FROM embeddings),
+    c1 AS (SELECT vec_id, emb FROM rows ORDER BY {h}, vec_id LIMIT 1),
+    p1 AS (SELECT {qcols} FROM c1),
+    d1 AS (
+      SELECT r.vec_id, r.emb,
+             {_assoc_chain("CAST(0 AS BIGINT)", [_kc_term(f"CAST(r.emb[{j + 1}] AS DOUBLE)", f"p.q{j}") for j in range(_DIM)])} AS dmin
+      FROM rows r CROSS JOIN p1 p
+    )"""
+    ]
+    prev = "d1"
+    for k in range(2, _KC_K + 1):
+        chain = _assoc_chain(
+            "CAST(0 AS BIGINT)",
+            [
+                _kc_term(f"CAST(d.emb[{j + 1}] AS DOUBLE)", f"p.q{j}")
+                for j in range(_DIM)
+            ],
+        )
+        steps.append(
+            f"""
+    c{k} AS (SELECT vec_id, emb, dmin FROM {prev}
+             ORDER BY dmin DESC, vec_id LIMIT 1),
+    p{k} AS (SELECT {qcols} FROM c{k}),
+    d{k} AS (
+      SELECT d.vec_id, d.emb, least(d.dmin, {chain}) AS dmin
+      FROM {prev} d CROSS JOIN p{k} p
+    )"""
+        )
+        prev = f"d{k}"
+    sel = [
+        f"SELECT 1 AS step, (SELECT vec_id FROM c1) AS vec_id,"
+        f" CAST(0 AS BIGINT) AS sep_d2"
+    ] + [
+        f"SELECT {k} AS step, vec_id, CAST(dmin AS BIGINT) AS sep_d2"
+        f" FROM c{k}"
+        for k in range(2, _KC_K + 1)
+    ]
+    return (
+        "WITH "
+        + ",".join(steps)
+        + f""",
+    picks AS ({" UNION ALL ".join(sel)}),
+    radius AS (SELECT CAST(max(dmin) AS BIGINT) AS coverage_radius_d2
+               FROM {prev})
+    SELECT CAST(p.step AS INT) AS step, p.vec_id, p.sep_d2,
+           r.coverage_radius_d2
+    FROM picks p CROSS JOIN radius r
+    """
+    )
+
+
+@register(
+    "coreset_kcenter_selection",
+    oracle=_kcenter_oracle(),
+    description=f"Greedy k-center coreset selection (Gonzalez '85 "
+    "farthest-point traversal, the 2-approximation): pick a seeded "
+    f"start, then {_KC_K - 1} times pick the vector FARTHEST from the "
+    "chosen set — the maximally-spread exemplar subset data-curation "
+    "pipelines use for diversified sampling and annotation budgets "
+    "(corpus-level; the MMR query is the per-query shortlist twin). "
+    "Every squared distance is the fixed-point int64 form floor((x - "
+    "q/1e9)^2 * 1e12) summed over dims (the IVF/PQ Lloyd trick), and "
+    "center coordinates quantize to int64 nanos by the same floor both "
+    "sides, so every greedy argmax compares exact integers and the "
+    "trajectory is bit-identical cross-engine — ties broken by vec_id. "
+    "Also reports the k-center objective: the coverage radius "
+    "max-min-d2 after all picks. Scale: k passes over the corpus, "
+    "each one scan with the running min carried as a column (no "
+    "pairwise matrix, no shuffle beyond the argmax top-1); the chosen "
+    "set rides as plan literals, dim-sized driver state (the logreg "
+    "collect contract).",
+    tags=("ml", "data-selection", "coreset", "llm-pipeline"),
+)
+def coreset_kcenter_selection(spark, sf_dir):
+    import math as _m
+
+    from pyspark.sql import Window as _Win
+
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_seeded,
+    )
+
+    e = (
+        T(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .persist()  # k greedy passes share the scan
+    )
+    first = (
+        e.orderBy(
+            hash60_seeded(F.col("vec_id").cast("string"), _KC_SEED),
+            "vec_id",
+        )
+        .limit(1)
+        .collect()[0]  # scale-ok: 1 selected exemplar row per greedy step
+    )
+    picks = [(1, first.vec_id, 0)]
+
+    def _quant(emb) -> list[int]:
+        return [_m.floor(float(x) * 1e9) for x in emb]
+
+    q = _quant(first.embedding)
+    chain = _assoc_chain(
+        "CAST(0 AS BIGINT)",
+        [
+            _kc_term(f"CAST(embedding[{j}] AS DOUBLE)", q[j])
+            for j in range(_DIM)
+        ],
+    )
+    df = e.selectExpr("vec_id", "embedding", f"{chain} AS dmin")
+    for k in range(2, _KC_K + 1):
+        far = (
+            df.orderBy(F.col("dmin").desc(), "vec_id")
+            .limit(1)
+            .collect()[0]  # scale-ok: 1 selected exemplar row per greedy step
+        )
+        picks.append((k, far.vec_id, int(far.dmin)))
+        q = _quant(far.embedding)
+        chain = _assoc_chain(
+            "CAST(0 AS BIGINT)",
+            [
+                _kc_term(f"CAST(embedding[{j}] AS DOUBLE)", q[j])
+                for j in range(_DIM)
+            ],
+        )
+        df = df.selectExpr(
+            "vec_id", "embedding", f"least(dmin, {chain}) AS dmin"
+        )
+    radius = df.agg(
+        F.max("dmin").cast("long").alias("coverage_radius_d2")
+    )
+    out = spark.createDataFrame(
+        picks, "step int, vec_id long, sep_d2 long"
+    )
+    return out.crossJoin(F.broadcast(radius))  # scale-ok: k rows x 1-row radius

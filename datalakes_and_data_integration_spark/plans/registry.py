@@ -205,6 +205,8 @@ def register(
 # yields. 24 + 26 = 50.
 # BATCH 6: interval_overlap_join_sessions (triple-SF + bare gated
 # in-session); streaming_stateful_sessions yields. 25 + 25 = 50.
+# BATCH 7: coreset_kcenter_selection (triple-SF + bare gated
+# in-session); streaming_sliding_agg yields. 26 + 24 = 50.
 WINDOW_ROUND = 9  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # round-9 changed/new (see the ROUND-9 WINDOW note above)
@@ -220,6 +222,7 @@ ROUND_CHANGED: list[str] = [
     "ab_ratio_metric_delta_method",
     "streaming_ab_msprt_maintenance",
     "interval_overlap_join_sessions",
+    "coreset_kcenter_selection",
     "ab_metric_cuped_adjustment",
     "streaming_ab_moments_maintenance",
     "streaming_heavy_hitters_cms",
@@ -262,7 +265,6 @@ WINDOW_PRIORITY: list[str] = [
     "stratified_sample_per_lang",
     "streaming_dedup_first_event",
     "streaming_hourly_agg",
-    "streaming_sliding_agg",
 ]
 
 

@@ -551,3 +551,51 @@ def test_interval_overlap_join_matches_recompute(spark):
         assert r.busy_hours == want
         assert r.touches_busy == (want > 0)
         assert r.hours_spanned >= 1
+
+
+def test_kcenter_greedy_trajectory_matches_recompute(spark):
+    from datalakes_and_data_integration_spark.plans.ml import (
+        _KC_K,
+        _KC_SEED,
+        coreset_kcenter_selection,
+    )
+    from datalakes_and_data_integration_spark.plans._util import T
+
+    rows = sorted(
+        coreset_kcenter_selection(spark, SF).collect(),
+        key=lambda r: r.step,
+    )
+    assert [r.step for r in rows] == list(range(1, _KC_K + 1))
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in T(spark, SF, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }  # scale-ok: test fixture collect at sf0.001
+
+    def d2(v, q):
+        # the exact fixed-point arithmetic: q is int nanos
+        return sum(
+            math.floor(
+                (x - (qi / 1e9)) * (x - (qi / 1e9)) * 1e12
+            )
+            for x, qi in zip(v, q)
+        )
+
+    start = min(
+        vecs, key=lambda vid: (_hash60_py(f"{_KC_SEED}|{vid}"), vid)
+    )
+    assert rows[0].vec_id == start and rows[0].sep_d2 == 0
+    chosen_q = [[math.floor(x * 1e9) for x in vecs[start]]]
+    dmin = {vid: d2(v, chosen_q[0]) for vid, v in vecs.items()}
+    for step in range(2, _KC_K + 1):
+        # tie-break is (dmin DESC, vec_id ASC): implement exactly
+        best = max(dmin.values())
+        far = min(vid for vid, dv in dmin.items() if dv == best)
+        got = rows[step - 1]
+        assert (got.vec_id, got.sep_d2) == (far, best)
+        q = [math.floor(x * 1e9) for x in vecs[far]]
+        for vid, v in vecs.items():
+            dmin[vid] = min(dmin[vid], d2(v, q))
+    assert rows[0].coverage_radius_d2 == max(dmin.values())
+    assert len({r.coverage_radius_d2 for r in rows}) == 1

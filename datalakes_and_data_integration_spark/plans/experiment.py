@@ -443,6 +443,31 @@ def _exp_start(ev):
     )
 
 
+def _ab_per_user_y(ev, exp_start):
+    """Per-(user, arm) experiment-period metric y only — ONE definition
+    of the metric the rank-sum and bootstrap readouts consume (the
+    x-covariate twin is _ab_per_user; a code-review pass found the
+    y-leg inlined twice, which would let a metric change fork the
+    bootstrap CI from CUPED)."""
+    return (
+        ev.crossJoin(exp_start)  # scale-ok: 1-row broadcast scalar
+        .groupBy(F.col("user_id"), _arm_spark().alias("arm"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("ts") >= F.col("exp_start"),
+                        F.col("value").cast("decimal(18,6)"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(18,6)")
+            .alias("y")
+        )
+    )
+
+
 def _cuped_readout(per_user):
     """Moments -> pooled theta -> per-arm epilogue; shared verbatim by
     the batch query and the maintained-state twin so the readout can
@@ -684,24 +709,7 @@ def ab_mann_whitney_u(spark, sf_dir):
     from pyspark.sql import Window
 
     ev = T(spark, sf_dir, "events")
-    per_user = (
-        ev.crossJoin(_exp_start(ev))  # scale-ok: 1-row broadcast scalar
-        .groupBy(F.col("user_id"), _arm_spark().alias("arm"))
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        F.col("ts") >= F.col("exp_start"),
-                        F.col("value").cast("decimal(18,6)"),
-                    )
-                ),
-                F.lit(0),
-            )
-            .cast("decimal(18,6)")
-            .alias("y")
-        )
-        .persist()  # value-grouping pass + midrank join
-    )
+    per_user = _ab_per_user_y(ev, _exp_start(ev)).persist()  # value-grouping pass + midrank join
     g = per_user.groupBy("y").agg(F.count("*").cast("long").alias("cnt"))
     wv = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)  # scale-ok: DISTINCT metric values (bounded sort; see description)
     w = g.select(
@@ -914,24 +922,7 @@ def ab_bootstrap_diff_ci(spark, sf_dir):
     )
 
     ev = T(spark, sf_dir, "events")
-    per_user = (
-        ev.crossJoin(_exp_start(ev))  # scale-ok: 1-row broadcast scalar
-        .groupBy(F.col("user_id"), _arm_spark().alias("arm"))
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        F.col("ts") >= F.col("exp_start"),
-                        F.col("value").cast("decimal(18,6)"),
-                    )
-                ),
-                F.lit(0),
-            )
-            .cast("decimal(18,6)")
-            .alias("y")
-        )
-        .persist()  # point estimate + replicate fan-out share it
-    )
+    per_user = _ab_per_user_y(ev, _exp_start(ev)).persist()  # point estimate + replicate fan-out share it
     point = per_user.agg(
         F.sum(F.when(F.col("arm") == "control", 1).otherwise(0))
         .cast("long")
@@ -1466,15 +1457,35 @@ def ab_power_mde_report(spark, sf_dir):
 # DOUBLE epilogue.
 # ---------------------------------------------------------------------------
 
-_SEG_INCLUDED = (
-    "(nc > 0 AND nt > 0 AND (cc + ct) > 0 AND (cc + ct) < (nc + nt))"
-)
-# pooled-variance diff and z for one segment (text shared cross-engine)
-_SEG_D = """(CAST(ct AS DOUBLE) / CAST(nt AS DOUBLE)
-             - CAST(cc AS DOUBLE) / CAST(nc AS DOUBLE))"""
-_SEG_V = """((CAST(cc + ct AS DOUBLE) / CAST(nc + nt AS DOUBLE))
-             * (1.0 - CAST(cc + ct AS DOUBLE) / CAST(nc + nt AS DOUBLE))
-             * (1.0 / CAST(nc AS DOUBLE) + 1.0 / CAST(nt AS DOUBLE)))"""
+# Shared segment-cell expressions, parameterized by a column-qualifier
+# prefix (the oracle's outer SELECT reads the cells CTE through alias
+# "c."; Spark and the weighted-moment CTE read unqualified columns).
+# Prefix templating replaces the blind .replace("nc", "c.nc") chains a
+# code-review pass flagged — a future token merely CONTAINING nc/ct
+# can no longer be silently corrupted.
+
+
+def _seg_included(p: str = "") -> str:
+    return (
+        f"({p}nc > 0 AND {p}nt > 0 AND ({p}cc + {p}ct) > 0"
+        f" AND ({p}cc + {p}ct) < ({p}nc + {p}nt))"
+    )
+
+
+def _seg_d(p: str = "") -> str:
+    return f"""(CAST({p}ct AS DOUBLE) / CAST({p}nt AS DOUBLE)
+             - CAST({p}cc AS DOUBLE) / CAST({p}nc AS DOUBLE))"""
+
+
+def _seg_v(p: str = "") -> str:
+    return f"""((CAST({p}cc + {p}ct AS DOUBLE) / CAST({p}nc + {p}nt AS DOUBLE))
+             * (1.0 - CAST({p}cc + {p}ct AS DOUBLE) / CAST({p}nc + {p}nt AS DOUBLE))
+             * (1.0 / CAST({p}nc AS DOUBLE) + 1.0 / CAST({p}nt AS DOUBLE)))"""
+
+
+_SEG_INCLUDED = _seg_included()
+_SEG_D = _seg_d()
+_SEG_V = _seg_v()
 
 
 def _seg_het_oracle() -> str:
@@ -1529,21 +1540,13 @@ def _seg_het_oracle() -> str:
     SELECT c.segment, c.nc AS n_control, c.nt AS n_treatment,
            c.cc AS conv_control, c.ct AS conv_treatment,
            round(CASE WHEN c.nc = 0 OR c.nt = 0 THEN 0.0
-                      ELSE {_SEG_D.replace("nc", "c.nc").replace("nt", "c.nt")
-                            .replace("cc", "c.cc").replace("ct", "c.ct")} END,
+                      ELSE {_seg_d("c.")} END,
                  6) AS diff_rate,
-           round(CASE WHEN NOT {_SEG_INCLUDED.replace("nc", "c.nc")
-                               .replace("nt", "c.nt").replace("cc", "c.cc")
-                               .replace("ct", "c.ct")} THEN 0.0
-                      ELSE {_SEG_D.replace("nc", "c.nc").replace("nt", "c.nt")
-                            .replace("cc", "c.cc").replace("ct", "c.ct")}
-                           / sqrt({_SEG_V.replace("nc", "c.nc")
-                                   .replace("nt", "c.nt")
-                                   .replace("cc", "c.cc")
-                                   .replace("ct", "c.ct")}) END, 6)
+           round(CASE WHEN NOT {_seg_included("c.")} THEN 0.0
+                      ELSE {_seg_d("c.")}
+                           / sqrt({_seg_v("c.")}) END, 6)
              AS z_segment,
-           {_SEG_INCLUDED.replace("nc", "c.nc").replace("nt", "c.nt")
-            .replace("cc", "c.cc").replace("ct", "c.ct")} AS included,
+           {_seg_included("c.")} AS included,
            round(q.q_stat, 6) AS q_stat,
            CAST(greatest(q.k_inc - 1, 0) AS BIGINT) AS df,
            round(CASE WHEN q.q_stat <= 0.0 OR q.k_inc < 2 THEN 0.0

@@ -289,6 +289,32 @@ def logreg_confusion(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _trained_with_block(train_pred: str | None = None) -> str:
+    """The WITH-block prefix every trained-model oracle builds on: the
+    full training CTE chain of ``_logreg_oracle()`` (rows constrained
+    to ``train_pred`` when given) extended with the pivoted
+    final-weight row ``wrowF``. One definition of the brittle string
+    surgery (replace + rindex slice) instead of the six copies that
+    had accumulated by round-9 second session."""
+    base = _logreg_oracle()
+    if train_pred is not None:
+        base = base.replace(
+            "FROM embeddings\n    )",
+            f"FROM embeddings\n      WHERE {train_pred}\n    )",
+            1,
+        )
+    with_block = base[: base.rindex("SELECT dim")]
+    pivot_cols = ", ".join(
+        f"max(CASE WHEN dim = {j} THEN w END) AS w{j}" for j in range(_DIM)
+    )
+    return (
+        with_block
+        + f""", wrowF AS (
+      SELECT {pivot_cols}, any_value(b) AS b FROM w{_ITERS}
+    )"""
+    )
+
+
 def _split_pred_duck() -> tuple[str, str]:
     from datalakes_and_data_integration_spark.functions.hashing import (
         hash60_sql_duck,
@@ -309,23 +335,11 @@ def _split_pred_spark() -> tuple[str, str]:
 
 def _holdout_oracle() -> str:
     train_pred, test_pred = _split_pred_duck()
-    base = _logreg_oracle()
     # Train only on the 80% split: constrain the rows CTE; score the
     # disjoint test split against the final pivoted weight row.
-    base = base.replace(
-        "FROM embeddings\n    )",
-        f"FROM embeddings\n      WHERE {train_pred}\n    )",
-        1,
-    )
-    with_block = base[: base.rindex("SELECT dim")]
-    pivot_cols = ", ".join(
-        f"max(CASE WHEN dim = {j} THEN w END) AS w{j}" for j in range(_DIM)
-    )
     return (
-        with_block
-        + f""", wrowF AS (
-      SELECT {pivot_cols}, any_value(b) AS b FROM w{_ITERS}
-    ),
+        _trained_with_block(train_pred)
+        + f""",
     test_rows AS (
       SELECT vec_id, CAST(label = {_POS_LABEL} AS INT) AS y, embedding AS emb
       FROM embeddings
@@ -583,21 +597,9 @@ def logreg_multihead_weights(spark, sf_dir):
 
 def _calibration_oracle() -> str:
     train_pred, test_pred = _split_pred_duck()
-    base = _logreg_oracle()
-    base = base.replace(
-        "FROM embeddings\n    )",
-        f"FROM embeddings\n      WHERE {train_pred}\n    )",
-        1,
-    )
-    with_block = base[: base.rindex("SELECT dim")]
-    pivot_cols = ", ".join(
-        f"max(CASE WHEN dim = {j} THEN w END) AS w{j}" for j in range(_DIM)
-    )
     return (
-        with_block
-        + f""", wrowF AS (
-      SELECT {pivot_cols}, any_value(b) AS b FROM w{_ITERS}
-    ),
+        _trained_with_block(train_pred)
+        + f""",
     test_rows AS (
       SELECT vec_id, CAST(label = {_POS_LABEL} AS INT) AS y, embedding AS emb
       FROM embeddings
@@ -632,33 +634,23 @@ def _calibration_oracle() -> str:
 
 _ROC_EPILOGUE = """
     CAST(r2p - np * (np + 1) AS BIGINT) AS u2_pos,
-    CAST(ROUND(CAST(CAST(r2p - np * (np + 1) AS DOUBLE)
-                    / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE))
+    CAST(ROUND(CAST(CASE WHEN np = 0 OR nn = 0 THEN 0.0
+                    ELSE CAST(r2p - np * (np + 1) AS DOUBLE)
+                    / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)) END
                     AS DECIMAL(27,12)), 6) AS DOUBLE) AS auc,
     trap2 AS trap2_num,
-    CAST(ROUND(CAST(CAST(trap2 AS DOUBLE)
-                    / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE))
+    CAST(ROUND(CAST(CASE WHEN np = 0 OR nn = 0 THEN 0.0
+                    ELSE CAST(trap2 AS DOUBLE)
+                    / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)) END
                     AS DECIMAL(27,12)), 6) AS DOUBLE) AS auc_bin16
 """
 
 
 def _roc_auc_oracle() -> str:
     train_pred, test_pred = _split_pred_duck()
-    base = _logreg_oracle()
-    base = base.replace(
-        "FROM embeddings\n    )",
-        f"FROM embeddings\n      WHERE {train_pred}\n    )",
-        1,
-    )
-    with_block = base[: base.rindex("SELECT dim")]
-    pivot_cols = ", ".join(
-        f"max(CASE WHEN dim = {j} THEN w END) AS w{j}" for j in range(_DIM)
-    )
     return (
-        with_block
-        + f""", wrowF AS (
-      SELECT {pivot_cols}, any_value(b) AS b FROM w{_ITERS}
-    ),
+        _trained_with_block(train_pred)
+        + f""",
     test_rows AS (
       SELECT CAST(label = {_POS_LABEL} AS INT) AS y, embedding AS emb
       FROM embeddings
@@ -834,9 +826,11 @@ _CONF_EPILOGUE = """
     CAST(ROUND(CAST(q AS DECIMAL(27,12)), 6) AS DOUBLE) AS q_threshold,
     n_test,
     n_covered,
-    CAST(ROUND(CAST(CAST(n_covered AS DOUBLE) / n_test
+    CAST(ROUND(CAST(CASE WHEN n_test = 0 THEN 0.0
+                    ELSE CAST(n_covered AS DOUBLE) / n_test END
                     AS DECIMAL(27,12)), 6) AS DOUBLE) AS coverage,
-    CAST(ROUND(CAST(CAST(set_size_sum AS DOUBLE) / n_test
+    CAST(ROUND(CAST(CASE WHEN n_test = 0 THEN 0.0
+                    ELSE CAST(set_size_sum AS DOUBLE) / n_test END
                     AS DECIMAL(27,12)), 6) AS DOUBLE) AS avg_set_size,
     n_empty,
     n_both
@@ -846,25 +840,13 @@ _CONF_EPILOGUE = """
 def _conformal_oracle() -> str:
     train_pred, test_pred = _split_pred_duck()
     calib_pred = _calib_pred_duck()
-    base = _logreg_oracle()
-    base = base.replace(
-        "FROM embeddings\n    )",
-        f"FROM embeddings\n      WHERE {train_pred}\n    )",
-        1,
-    )
-    with_block = base[: base.rindex("SELECT dim")]
-    pivot_cols = ", ".join(
-        f"max(CASE WHEN dim = {j} THEN w END) AS w{j}" for j in range(_DIM)
-    )
     alpha_q = (
         f"(({_CONF_ALPHA_DEN - _CONF_ALPHA_NUM} * (n_cal + 1)"
         f" + {_CONF_ALPHA_DEN - 1}) // {_CONF_ALPHA_DEN})"
     )
     return (
-        with_block
-        + f""", wrowF AS (
-      SELECT {pivot_cols}, any_value(b) AS b FROM w{_ITERS}
-    ),
+        _trained_with_block(train_pred)
+        + f""",
     calib_rows AS (
       SELECT CAST(label = {_POS_LABEL} AS INT) AS y, embedding AS emb
       FROM embeddings
@@ -961,6 +943,7 @@ def conformal_prediction_audit(spark, sf_dir):
             f"CASE WHEN label = {_POS_LABEL} THEN -({zx}) ELSE ({zx}) END"
             " AS s",
         )
+        .persist()  # count + distinct-score threshold share the scoring
     )
     n_cal = calib.count()  # scale-ok: 1 scalar (calibration-set size)
     q_index = min(
@@ -1034,21 +1017,9 @@ def conformal_prediction_audit(spark, sf_dir):
 
 def _isotonic_oracle() -> str:
     train_pred, test_pred = _split_pred_duck()
-    base = _logreg_oracle()
-    base = base.replace(
-        "FROM embeddings\n    )",
-        f"FROM embeddings\n      WHERE {train_pred}\n    )",
-        1,
-    )
-    with_block = base[: base.rindex("SELECT dim")]
-    pivot_cols = ", ".join(
-        f"max(CASE WHEN dim = {j} THEN w END) AS w{j}" for j in range(_DIM)
-    )
     return (
-        with_block
-        + f""", wrowF AS (
-      SELECT {pivot_cols}, any_value(b) AS b FROM w{_ITERS}
-    ),
+        _trained_with_block(train_pred)
+        + f""",
     test_rows AS (
       SELECT CAST(label = {_POS_LABEL} AS INT) AS y, embedding AS emb
       FROM embeddings
@@ -1427,7 +1398,7 @@ def logreg_kfold_cv(spark, sf_dir):
         "embedding",
         f"CAST(label = {_POS_LABEL} AS INT) AS y",
         f"{_fold_sql_spark()} AS fold",
-    )
+    ).persist()  # fold counts + 3 GD iterations + scoring share the hashed scan
     counts = {
         r.fold: r.cnt
         for r in e.groupBy("fold")

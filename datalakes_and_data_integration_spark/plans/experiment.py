@@ -1982,3 +1982,264 @@ def streaming_ab_msprt_maintenance(spark, sf_dir):
             ),
         )
     return _msprt_readout(spark, merged)
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over the segment drill-down (round-9 second
+# session): running one test per segment multiplies false positives;
+# BH ranks the per-segment p-values and rejects the largest prefix
+# with p_(k) <= (k/m) q — the standard FDR-controlling procedure every
+# metrics platform applies to segment scans. Two-sided p comes from
+# the Zelen-Severo / Abramowitz-Stegun 26.2.17 polynomial for the
+# normal CDF (|error| < 7.5e-8, far above the round-6 grid): one
+# shared expression text over bit-identical z's, so ranks and
+# rejections agree cross-engine; the whole procedure runs on the
+# bounded segment grid.
+# ---------------------------------------------------------------------------
+
+_BH_Q = "0.1"  # target false-discovery rate
+# Zelen-Severo constants (shared literals both engines)
+_ZS = {
+    "p": "0.2316419",
+    "b1": "0.319381530",
+    "b2": "-0.356563782",
+    "b3": "1.781477937",
+    "b4": "-1.821255978",
+    "b5": "1.330274429",
+}
+
+
+def _p_two_sided(z: str) -> str:
+    """Two-sided normal p-value of |z| via the A&S 26.2.17 polynomial:
+    p = 2 * phi(|z|) * (b1 t + b2 t^2 + ... + b5 t^5),
+    t = 1 / (1 + 0.2316419 |z|). One text, both engines."""
+    az = f"abs({z})"
+    t = f"(1.0 / (1.0 + {_ZS['p']} * {az}))"
+    poly = (
+        f"((((({_ZS['b5']} * {t} + {_ZS['b4']}) * {t} + {_ZS['b3']}) * {t}"
+        f" + {_ZS['b2']}) * {t} + {_ZS['b1']}) * {t})"
+    )
+    phi = f"(0.3989422804014327 * exp(-0.5 * {az} * {az}))"
+    return f"(2.0 * {phi} * {poly})"
+
+
+def _bh_oracle() -> str:
+    p_expr = _p_two_sided("z")
+    return f"""
+    WITH bounds AS (
+      SELECT min(ts) + INTERVAL {_AB_PRE_DAYS} DAY AS exp_start FROM events
+    ),
+    per_user AS MATERIALIZED (
+      SELECT user_id, {_arm_duck()} AS arm,
+             CAST(coalesce(sum(CASE WHEN ts >= (SELECT exp_start FROM bounds)
+                                     AND event_type = 'purchase'
+                                     AND value >= {_AB_CONV_VALUE}
+                                    THEN 1 END), 0) > 0 AS BOOLEAN)
+               AS converted
+      FROM events GROUP BY 1, 2
+    ),
+    seg AS (
+      SELECT u.user_id, u.arm, u.converted,
+             coalesce(n.n_name, 'unknown') AS segment
+      FROM per_user u
+      LEFT JOIN customer c ON c.c_custkey = u.user_id
+      LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    cells AS (
+      SELECT segment,
+             CAST(sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nc,
+             CAST(sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nt,
+             CAST(coalesce(sum(CASE WHEN arm = 'control' AND converted
+                               THEN 1 END), 0) AS BIGINT) AS cc,
+             CAST(coalesce(sum(CASE WHEN arm = 'treatment' AND converted
+                               THEN 1 END), 0) AS BIGINT) AS ct
+      FROM seg GROUP BY segment
+    ),
+    tested AS (
+      SELECT segment,
+             CASE WHEN NOT {_seg_included()} THEN 0.0
+                  ELSE {_seg_d()} / sqrt({_seg_v()}) END AS z,
+             {_seg_included()} AS included
+      FROM cells
+    ),
+    pvals AS (
+      SELECT segment, z,
+             CASE WHEN NOT included THEN 1.0
+                  ELSE least(1.0, {p_expr}) END AS p,
+             included
+      FROM tested
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m
+          FROM pvals WHERE included),
+    ranked AS (
+      SELECT segment, z, p, included,
+             CASE WHEN included THEN
+               row_number() OVER (PARTITION BY included
+                                  ORDER BY p, segment) END AS rk
+      FROM pvals
+    ),
+    cutoff AS (
+      SELECT coalesce(max(CASE WHEN r.p <= CAST(r.rk AS DOUBLE)
+                                    / m.m * {_BH_Q}
+                               THEN r.rk END), 0) AS k_max
+      FROM ranked r CROSS JOIN m
+      WHERE r.included
+    )
+    SELECT r.segment,
+           round(r.z, 6) AS z_segment,
+           round(r.p, 6) AS p_value,
+           CAST(coalesce(r.rk, 0) AS BIGINT) AS bh_rank,
+           CAST(ROUND(CAST(CASE WHEN r.rk IS NULL OR m.m = 0 THEN 0.0
+                ELSE CAST(r.rk AS DOUBLE) / m.m * {_BH_Q} END
+                AS DECIMAL(27,12)), 6) AS DOUBLE) AS bh_critical,
+           (r.included AND r.rk <= c.k_max) AS rejected,
+           m.m AS n_tested, c.k_max AS n_rejected
+    FROM ranked r CROSS JOIN m CROSS JOIN cutoff c
+    """
+
+
+@register(
+    "ab_segment_fdr_bh",
+    oracle=_bh_oracle(),
+    description="Benjamini-Hochberg FDR control over the per-segment "
+    "treatment tests — the multiple-testing guard that belongs next to "
+    "the heterogeneity drill-down (scanning ~25 segments at alpha=0.05 "
+    "expects a false positive by design; BH bounds the EXPECTED "
+    "false-discovery fraction at q=0.1 by rejecting the largest "
+    "p-ranked prefix with p_(k) <= (k/m) q). Two-sided p-values come "
+    "from the Zelen-Severo (A&S 26.2.17) normal-CDF polynomial — one "
+    "shared expression text over bit-identical pooled-variance z's, "
+    "|error| < 7.5e-8, four orders below the round-6 grid — so ranks, "
+    "critical values, and rejections agree cross-engine; degenerate "
+    "segments read p = 1 and are excluded from m. Scale: the same "
+    "per-user aggregate + broadcast dim hop as the heterogeneity "
+    "query, then the entire BH procedure (sort, rank, step-up cutoff) "
+    "runs on the ~25-row segment grid.",
+    tags=("experiment", "ab-test", "stats", "multiple-testing"),
+)
+def ab_segment_fdr_bh(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    per_user = (
+        ev.crossJoin(_exp_start(ev))  # scale-ok: 1-row broadcast scalar
+        .groupBy(F.col("user_id"), _arm_spark().alias("arm"))
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("ts") >= F.col("exp_start"))
+                            & (F.col("event_type") == "purchase")
+                            & (F.col("value") >= _AB_CONV_VALUE),
+                            1,
+                        )
+                    ),
+                    F.lit(0),
+                )
+                > 0
+            ).alias("converted")
+        )
+    )
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cells = (
+        per_user.join(
+            F.broadcast(c), per_user.user_id == c.c_custkey, "left"
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .select(
+            "arm",
+            "converted",
+            F.coalesce(F.col("n_name"), F.lit("unknown")).alias("segment"),
+        )
+        .groupBy("segment")
+        .agg(
+            F.sum(F.when(F.col("arm") == "control", 1).otherwise(0))
+            .cast("long")
+            .alias("nc"),
+            F.sum(F.when(F.col("arm") == "treatment", 1).otherwise(0))
+            .cast("long")
+            .alias("nt"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("arm") == "control") & F.col("converted"), 1
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("cc"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("arm") == "treatment") & F.col("converted"),
+                        1,
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("ct"),
+        )
+    )
+    p_expr = _p_two_sided("z")
+    pvals = cells.selectExpr(
+        "segment",
+        f"CASE WHEN NOT {_seg_included()} THEN 0.0"
+        f" ELSE {_seg_d()} / sqrt({_seg_v()}) END AS z",
+        f"{_seg_included()} AS included",
+    ).selectExpr(
+        "segment",
+        "z",
+        f"CASE WHEN NOT included THEN 1.0"
+        f" ELSE least(1.0, {p_expr}) END AS p",
+        "included",
+    ).persist()  # ~25-row segment grid: rank pass + report share it
+    wr = Window.partitionBy("included").orderBy("p", "segment")  # scale-ok: ~25-row segment grid
+    ranked = pvals.select(
+        "segment",
+        "z",
+        "p",
+        "included",
+        F.when(F.col("included"), F.row_number().over(wr)).alias("rk"),
+    )
+    m = pvals.where("included").agg(
+        F.count("*").cast("long").alias("m")
+    )
+    cutoff = (
+        ranked.where("included")
+        .crossJoin(F.broadcast(m))  # scale-ok: segment grid x 1-row m
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.expr(
+                            f"p <= CAST(rk AS DOUBLE) / m * {_BH_Q}"
+                        ),
+                        F.col("rk"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("k_max")
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(m))  # scale-ok: segment grid x 1-row m
+        .crossJoin(F.broadcast(cutoff))  # scale-ok: segment grid x 1-row cutoff
+        .selectExpr(
+            "segment",
+            "round(z, 6) AS z_segment",
+            "round(p, 6) AS p_value",
+            "CAST(coalesce(rk, 0) AS BIGINT) AS bh_rank",
+            f"""CAST(ROUND(CAST(CASE WHEN rk IS NULL OR m = 0 THEN 0.0
+                ELSE CAST(rk AS DOUBLE) / m * {_BH_Q} END
+                AS DECIMAL(27,12)), 6) AS DOUBLE) AS bh_critical""",
+            "(included AND rk <= k_max) AS rejected",
+            "m AS n_tested",
+            "k_max AS n_rejected",
+        )
+    )

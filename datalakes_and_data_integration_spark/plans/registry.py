@@ -207,6 +207,8 @@ def register(
 # in-session); streaming_stateful_sessions yields. 25 + 25 = 50.
 # BATCH 7: coreset_kcenter_selection (triple-SF + bare gated
 # in-session); streaming_sliding_agg yields. 26 + 24 = 50.
+# BATCH 8: ab_segment_fdr_bh (triple-SF + bare gated in-session);
+# streaming_hourly_agg yields. 27 + 23 = 50.
 WINDOW_ROUND = 9  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # round-9 changed/new (see the ROUND-9 WINDOW note above)
@@ -223,6 +225,7 @@ ROUND_CHANGED: list[str] = [
     "streaming_ab_msprt_maintenance",
     "interval_overlap_join_sessions",
     "coreset_kcenter_selection",
+    "ab_segment_fdr_bh",
     "ab_metric_cuped_adjustment",
     "streaming_ab_moments_maintenance",
     "streaming_heavy_hitters_cms",
@@ -264,7 +267,6 @@ WINDOW_PRIORITY: list[str] = [
     "rolling_1h_value_sum",
     "stratified_sample_per_lang",
     "streaming_dedup_first_event",
-    "streaming_hourly_agg",
 ]
 
 

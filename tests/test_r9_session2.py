@@ -599,3 +599,47 @@ def test_kcenter_greedy_trajectory_matches_recompute(spark):
             dmin[vid] = min(dmin[vid], d2(v, q))
     assert rows[0].coverage_radius_d2 == max(dmin.values())
     assert len({r.coverage_radius_d2 for r in rows}) == 1
+
+
+def test_bh_fdr_step_up_matches_recompute(spark):
+    from datalakes_and_data_integration_spark.plans.experiment import (
+        ab_segment_fdr_bh,
+        ab_segment_heterogeneity,
+    )
+
+    rows = ab_segment_fdr_bh(spark, SF).collect()
+    assert rows
+    m = rows[0].n_tested
+    inc = sorted(
+        (r for r in rows if r.bh_rank > 0),
+        key=lambda r: (r.p_value, r.segment),
+    )
+    assert len(inc) == m
+    # p from the Zelen-Severo polynomial on the SAME z the
+    # heterogeneity query publishes
+    het = {r.segment: r for r in ab_segment_heterogeneity(spark, SF).collect()}
+    for r in rows:
+        assert r.z_segment == pytest.approx(
+            het[r.segment].z_segment, abs=1e-6
+        )
+        if r.bh_rank > 0:
+            z = abs(r.z_segment)
+            t = 1.0 / (1.0 + 0.2316419 * z)
+            poly = (
+                (((1.330274429 * t - 1.821255978) * t + 1.781477937) * t
+                 - 0.356563782) * t + 0.319381530
+            ) * t
+            p = min(
+                1.0,
+                2.0 * 0.3989422804014327 * math.exp(-0.5 * z * z) * poly,
+            )
+            assert r.p_value == pytest.approx(p, abs=2e-5)
+    # the step-up rule recomputed: k_max = max rank with p <= (k/m) q
+    k_max = 0
+    for i, r in enumerate(inc, start=1):
+        assert r.bh_rank == i
+        if r.p_value <= i / m * 0.1 + 1e-9:
+            k_max = i
+    assert rows[0].n_rejected == k_max
+    for r in rows:
+        assert r.rejected == (0 < r.bh_rank <= k_max)

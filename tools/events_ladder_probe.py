@@ -93,6 +93,7 @@ LADDER = [
     "ab_ratio_metric_delta_method",
     "streaming_ab_msprt_maintenance",
     "interval_overlap_join_sessions",
+    "ab_segment_fdr_bh",
 ]
 
 

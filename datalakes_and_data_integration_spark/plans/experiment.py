@@ -2243,3 +2243,173 @@ def ab_segment_fdr_bh(spark, sf_dir):
             "k_max AS n_rejected",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA across nation segments: does the per-user experiment
+# metric differ across >2 groups at all? The F-test is the classical
+# omnibus companion to the pairwise machinery above — the segment
+# drill-down asks WHERE the effect differs (and BH guards the scan);
+# ANOVA asks the prior question, whether group membership explains any
+# variance, in one statistic with known dfs. Everything reduces to
+# three per-group moments (n, Σy, Σy²), so the decomposition
+# SST = SSB + SSW comes out of exact decimal sums.
+# ---------------------------------------------------------------------------
+
+
+def _r6(expr: str) -> str:
+    """ROUND-at-6 through DECIMAL(27,12) — the NOTES.md half-boundary
+    recipe: cast the (bit-identical) double to decimal first so the
+    tie-round decision happens in decimal arithmetic, identically in
+    both engines."""
+    return f"CAST(ROUND(CAST({expr} AS DECIMAL(27,12)), 6) AS DOUBLE)"
+
+
+# Shared scalar texts over the grand-row columns (k, nn, s_all, ss_all,
+# ssb_raw). ssb_raw = sum_g sy_g^2/n_g; SSB = ssb_raw - S^2/N;
+# SSW = SS - ssb_raw; SST = SS - S^2/N.
+_ANOVA_F = """CASE WHEN k < 2 OR nn <= CAST(k AS DOUBLE)
+                   OR (ss_all - ssb_raw) <= 0.0 THEN 0.0
+              ELSE ((ssb_raw - s_all * s_all / nn) / (CAST(k AS DOUBLE) - 1.0))
+                   / ((ss_all - ssb_raw) / (nn - CAST(k AS DOUBLE))) END"""
+_ANOVA_ETA = """CASE WHEN (ss_all - s_all * s_all / nn) <= 0.0 THEN 0.0
+               ELSE greatest(0.0, (ssb_raw - s_all * s_all / nn)
+                    / (ss_all - s_all * s_all / nn)) END"""
+
+
+def _anova_oracle() -> str:
+    return f"""
+    WITH bounds AS (
+      SELECT min(ts) + INTERVAL {_AB_PRE_DAYS} DAY AS exp_start FROM events
+    ),
+    per_user AS MATERIALIZED (
+      SELECT user_id,
+             CAST(coalesce(sum(CASE WHEN ts >= (SELECT exp_start FROM bounds)
+                                    THEN CAST(value AS DECIMAL(18,6)) END),
+                           0) AS DECIMAL(18,6)) AS y
+      FROM events GROUP BY 1
+    ),
+    seg AS (
+      SELECT coalesce(n.n_name, 'unknown') AS segment, u.y
+      FROM per_user u
+      LEFT JOIN customer c ON c.c_custkey = u.user_id
+      LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    cells AS (
+      SELECT segment,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(CAST(CAST(y AS DECIMAL(19,6)) * y
+                           AS DECIMAL(38,12))) AS DOUBLE) AS syy
+      FROM seg GROUP BY segment
+    ),
+    grand AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS DOUBLE) AS nn,
+             CAST(sum(CAST(sy AS DECIMAL(38,10))) AS DOUBLE) AS s_all,
+             CAST(sum(CAST(syy AS DECIMAL(38,10))) AS DOUBLE) AS ss_all,
+             CAST(sum(CAST(sy * sy / CAST(n AS DOUBLE)
+                           AS DECIMAL(38,10))) AS DOUBLE) AS ssb_raw
+      FROM cells
+    )
+    SELECT c.segment,
+           c.n AS n_users,
+           {_r6("c.sy / CAST(c.n AS DOUBLE)")} AS mean_y,
+           {_r6(_ANOVA_F)} AS f_stat,
+           CAST(greatest(g.k - 1, 0) AS BIGINT) AS df_between,
+           CAST(greatest(CAST(g.nn AS BIGINT) - g.k, 0) AS BIGINT)
+             AS df_within,
+           {_r6(_ANOVA_ETA)} AS eta_squared
+    FROM cells c CROSS JOIN grand g
+    """
+
+
+@register(
+    "ab_anova_oneway",
+    oracle=_anova_oracle(),
+    description="One-way ANOVA of the per-user experiment-period metric "
+    "across nation segments — the omnibus F-test that belongs BEFORE "
+    "the per-segment drill-down (scanning segments pairwise without an "
+    "omnibus gate is the textbook garden-of-forking-paths): F = "
+    "MS_between / MS_within with (k-1, N-k) dfs, plus eta^2 = SSB/SST "
+    "as the effect size. The whole decomposition reduces to three "
+    "per-segment moments (n, sum y, sum y^2) — exact DECIMAL sums, so "
+    "SST = SSB + SSW holds bit-for-bit — and the cross-segment "
+    "reduction routes its double terms through DECIMAL(38,10) so "
+    "segment-order cannot perturb the F statistic (the Cochran's-Q "
+    "rule). The DOUBLE epilogue is one shared expression text, rounded "
+    "through the DECIMAL(27,12) half-boundary recipe. Scale: one "
+    "per-user aggregate (map-side combined), one broadcast dim hop, "
+    "then every statistic lives on the ~25-row segment grid.",
+    tags=("experiment", "ab-test", "stats", "segmentation"),
+)
+def ab_anova_oneway(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    per_user = (
+        ev.crossJoin(_exp_start(ev))  # scale-ok: 1-row broadcast scalar
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("ts") >= F.col("exp_start"),
+                        F.col("value").cast("decimal(18,6)"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(18,6)")
+            .alias("y")
+        )
+    )
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cells = (
+        per_user.join(
+            F.broadcast(c), per_user.user_id == c.c_custkey, "left"
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("unknown")).alias("segment"),
+            "y",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("double").alias("sy"),
+            F.sum(F.expr("CAST(y * y AS DECIMAL(38,12))"))
+            .cast("double")
+            .alias("syy"),
+        )
+        .persist()  # ~25-row segment grid: per-row report + grand reduction
+    )
+    grand = cells.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("double").alias("nn"),
+        F.sum(F.expr("CAST(sy AS DECIMAL(38,10))"))
+        .cast("double")
+        .alias("s_all"),
+        F.sum(F.expr("CAST(syy AS DECIMAL(38,10))"))
+        .cast("double")
+        .alias("ss_all"),
+        F.sum(
+            F.expr(
+                "CAST(sy * sy / CAST(n AS DOUBLE) AS DECIMAL(38,10))"
+            )
+        )
+        .cast("double")
+        .alias("ssb_raw"),
+    )
+    return (
+        cells.crossJoin(F.broadcast(grand))  # scale-ok: segment grid x 1-row
+        .selectExpr(
+            "segment",
+            "n AS n_users",
+            f"{_r6('sy / CAST(n AS DOUBLE)')} AS mean_y",
+            f"{_r6(_ANOVA_F)} AS f_stat",
+            "CAST(greatest(k - 1, 0) AS BIGINT) AS df_between",
+            "CAST(greatest(CAST(nn AS BIGINT) - k, 0) AS BIGINT)"
+            " AS df_within",
+            f"{_r6(_ANOVA_ETA)} AS eta_squared",
+        )
+    )

@@ -1642,3 +1642,215 @@ def coreset_kcenter_selection(spark, sf_dir):
         picks, "step int, vec_id long, sep_d2 long"
     )
     return out.crossJoin(F.broadcast(radius))  # scale-ok: k rows x 1-row radius
+
+
+# ---------------------------------------------------------------------------
+# Closed-form OLS via normal equations: the regression family's exact
+# member. The GD queries above iterate; a two-regressor linear model
+# needs no iteration at all — X'X is a 3x3 symmetric matrix of moment
+# sums, and Cramer's rule inverts it in a dozen double ops. This is the
+# classic "regression as one aggregation pass" shape every SQL-native
+# ML system ships (e.g. MADlib's linregr): at any corpus size the scan
+# reduces to ten moments and the driver-side state is one row.
+# ---------------------------------------------------------------------------
+
+
+def _ols_r6(expr: str) -> str:
+    """ROUND-at-6 through DECIMAL(27,12) — the NOTES.md half-boundary
+    recipe, shared text both engines."""
+    return f"CAST(ROUND(CAST({expr} AS DECIMAL(27,12)), 6) AS DOUBLE)"
+
+
+# Stage 2: cofactor determinants over the moment row (shared text).
+# A = [[nn,s1,s2],[s1,s11,s12],[s2,s12,s22]], rhs = [sy,s1y,s2y].
+_OLS_DETS = [
+    (
+        "det",
+        "nn * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)"
+        " + s2 * (s1 * s12 - s11 * s2)",
+    ),
+    (
+        "det0",
+        "sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)"
+        " + s2 * (s1y * s12 - s11 * s2y)",
+    ),
+    (
+        "det1",
+        "nn * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)"
+        " + s2 * (s1 * s2y - s1y * s2)",
+    ),
+    (
+        "det2",
+        "nn * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)"
+        " + sy * (s1 * s12 - s11 * s2)",
+    ),
+]
+
+# Stage 3: coefficients (guarded on the singular case) — shared text.
+_OLS_BETAS = [
+    ("b0", "CASE WHEN det = 0.0 THEN 0.0 ELSE det0 / det END"),
+    ("b1", "CASE WHEN det = 0.0 THEN 0.0 ELSE det1 / det END"),
+    ("b2", "CASE WHEN det = 0.0 THEN 0.0 ELSE det2 / det END"),
+]
+
+# Stage 4: fit diagnostics from the same moments — shared text.
+_OLS_SSE = "(syy - b0 * sy - b1 * s1y - b2 * s2y)"
+_OLS_SST = "(syy - sy * sy / nn)"
+_OLS_R2 = f"""CASE WHEN det = 0.0 OR {_OLS_SST} <= 0.0 THEN 0.0
+             ELSE 1.0 - {_OLS_SSE} / {_OLS_SST} END"""
+_OLS_RMSE = f"""CASE WHEN det = 0.0 THEN 0.0
+               ELSE sqrt(greatest({_OLS_SSE}, 0.0) / nn) END"""
+
+
+def _ols_oracle() -> str:
+    dets = ",\n             ".join(f"{e} AS {n}" for n, e in _OLS_DETS)
+    betas = ",\n             ".join(f"{e} AS {n}" for n, e in _OLS_BETAS)
+    return f"""
+    WITH moments AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) AS DOUBLE) AS nn,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(l_discount AS DECIMAL(8,6))) AS DOUBLE) AS s2,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS sy,
+             CAST(sum(CAST(CAST(l_quantity AS DECIMAL(19,2))
+                           * CAST(l_quantity AS DECIMAL(12,2))
+                           AS DECIMAL(38,4))) AS DOUBLE) AS s11,
+             CAST(sum(CAST(CAST(l_discount AS DECIMAL(19,6))
+                           * CAST(l_discount AS DECIMAL(8,6))
+                           AS DECIMAL(38,12))) AS DOUBLE) AS s22,
+             CAST(sum(CAST(CAST(l_quantity AS DECIMAL(19,2))
+                           * CAST(l_discount AS DECIMAL(8,6))
+                           AS DECIMAL(38,8))) AS DOUBLE) AS s12,
+             CAST(sum(CAST(CAST(l_quantity AS DECIMAL(19,2))
+                           * CAST(l_extendedprice AS DECIMAL(12,2))
+                           AS DECIMAL(38,4))) AS DOUBLE) AS s1y,
+             CAST(sum(CAST(CAST(l_discount AS DECIMAL(19,6))
+                           * CAST(l_extendedprice AS DECIMAL(12,2))
+                           AS DECIMAL(38,8))) AS DOUBLE) AS s2y,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(19,2))
+                           * CAST(l_extendedprice AS DECIMAL(12,2))
+                           AS DECIMAL(38,4))) AS DOUBLE) AS syy
+      FROM lineitem
+    ),
+    dets AS (
+      SELECT *,
+             {dets}
+      FROM moments
+    ),
+    betas AS (
+      SELECT *,
+             {betas}
+      FROM dets
+    )
+    SELECT n_rows,
+           {_ols_r6("b0")} AS beta0,
+           {_ols_r6("b1")} AS beta_qty,
+           {_ols_r6("b2")} AS beta_disc,
+           {_ols_r6(_OLS_R2)} AS r_squared,
+           {_ols_r6(_OLS_RMSE)} AS rmse
+    FROM betas
+    """
+
+
+@register(
+    "ols_two_factor_regression",
+    oracle=_ols_oracle(),
+    description="Closed-form OLS of l_extendedprice on (l_quantity, "
+    "l_discount) via the normal equations — the exact, non-iterative "
+    "member of the regression family (MADlib-style linregr as ONE "
+    "aggregation): X'X is a 3x3 symmetric moment matrix, Cramer's rule "
+    "inverts it in a fixed dozen double ops, and R^2/RMSE come from "
+    "the same ten moments (SSE = Syy - b'X'y holds exactly for OLS "
+    "with intercept). Every moment is an exact DECIMAL sum (the oracle "
+    "widens one operand per product to force DuckDB's int128 multiply "
+    "path — the CUPED engine-cliff rule); the determinant/beta/"
+    "diagnostic stages are shared expression texts on bit-identical "
+    "inputs, rounded through the DECIMAL(27,12) half-boundary recipe; "
+    "the singular case (det = 0) degrades to zeros on both sides. "
+    "Scale: one map-side-combined scan of the fact table reducing to "
+    "a single 10-moment row — no shuffle carries more than partial "
+    "aggregates; adding regressors grows the moment count "
+    "quadratically but never adds a pass.",
+    tags=("ml", "regression", "stats", "aggregate"),
+)
+def ols_two_factor_regression(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    moments = li.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count("*").cast("double").alias("nn"),
+        F.sum(F.expr("CAST(l_quantity AS DECIMAL(12,2))"))
+        .cast("double")
+        .alias("s1"),
+        F.sum(F.expr("CAST(l_discount AS DECIMAL(8,6))"))
+        .cast("double")
+        .alias("s2"),
+        F.sum(F.expr("CAST(l_extendedprice AS DECIMAL(12,2))"))
+        .cast("double")
+        .alias("sy"),
+        F.sum(
+            F.expr(
+                "CAST(CAST(l_quantity AS DECIMAL(19,2))"
+                " * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(38,4))"
+            )
+        )
+        .cast("double")
+        .alias("s11"),
+        F.sum(
+            F.expr(
+                "CAST(CAST(l_discount AS DECIMAL(19,6))"
+                " * CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(38,12))"
+            )
+        )
+        .cast("double")
+        .alias("s22"),
+        F.sum(
+            F.expr(
+                "CAST(CAST(l_quantity AS DECIMAL(19,2))"
+                " * CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(38,8))"
+            )
+        )
+        .cast("double")
+        .alias("s12"),
+        F.sum(
+            F.expr(
+                "CAST(CAST(l_quantity AS DECIMAL(19,2))"
+                " * CAST(l_extendedprice AS DECIMAL(12,2))"
+                " AS DECIMAL(38,4))"
+            )
+        )
+        .cast("double")
+        .alias("s1y"),
+        F.sum(
+            F.expr(
+                "CAST(CAST(l_discount AS DECIMAL(19,6))"
+                " * CAST(l_extendedprice AS DECIMAL(12,2))"
+                " AS DECIMAL(38,8))"
+            )
+        )
+        .cast("double")
+        .alias("s2y"),
+        F.sum(
+            F.expr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(19,2))"
+                " * CAST(l_extendedprice AS DECIMAL(12,2))"
+                " AS DECIMAL(38,4))"
+            )
+        )
+        .cast("double")
+        .alias("syy"),
+    )
+    dets = moments.selectExpr(
+        "*", *[f"{e} AS {n}" for n, e in _OLS_DETS]
+    )
+    betas = dets.selectExpr(
+        "*", *[f"{e} AS {n}" for n, e in _OLS_BETAS]
+    )
+    return betas.selectExpr(
+        "n_rows",
+        f"{_ols_r6('b0')} AS beta0",
+        f"{_ols_r6('b1')} AS beta_qty",
+        f"{_ols_r6('b2')} AS beta_disc",
+        f"{_ols_r6(_OLS_R2)} AS r_squared",
+        f"{_ols_r6(_OLS_RMSE)} AS rmse",
+    )

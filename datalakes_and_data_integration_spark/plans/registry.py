@@ -209,6 +209,16 @@ def register(
 # in-session); streaming_sliding_agg yields. 26 + 24 = 50.
 # BATCH 8: ab_segment_fdr_bh (triple-SF + bare gated in-session);
 # streaming_hourly_agg yields. 27 + 23 = 50.
+# ROUND-9 THIRD SESSION, BATCH 9: ab_anova_oneway (the omnibus F-test
+# the segment drill-down needed a gate for) and
+# ols_two_factor_regression (closed-form normal-equations OLS — the
+# exact member of the regression family), each triple-SF + bare gated
+# in-session; streaming_dedup_first_event and stratified_sample_per_
+# lang (round-2 cohort alphabetical tail) yield and head the round-10
+# cohort queue. 29 + 21 = 50.
+# BATCH 10: label_propagation_communities (deterministic synchronous
+# LPA over the simhash near-dup graph; triple-SF + bare gated
+# in-session); rolling_1h_value_sum yields. 30 + 20 = 50.
 WINDOW_ROUND = 9  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # round-9 changed/new (see the ROUND-9 WINDOW note above)
@@ -239,6 +249,9 @@ ROUND_CHANGED: list[str] = [
     "ann_mmr_diversified_topk",
     "ab_mann_whitney_u",
     "robust_scaling_mad",
+    "ab_anova_oneway",
+    "ols_two_factor_regression",
+    "label_propagation_communities",
 ]
 WINDOW_PRIORITY: list[str] = [
     *ROUND_CHANGED,
@@ -264,9 +277,6 @@ WINDOW_PRIORITY: list[str] = [
     "multimodal_feature_extract",
     "multimodal_frame_sample",
     "multimodal_metadata_stats",
-    "rolling_1h_value_sum",
-    "stratified_sample_per_lang",
-    "streaming_dedup_first_event",
 ]
 
 

@@ -1,0 +1,213 @@
+"""Round-9 third-session newcomer invariants beyond the oracle hash gate.
+
+One-way ANOVA is pinned against a from-scratch Python recompute (exact
+Decimal per-user sums, float F/eta-squared) on the real sf0.001 corpus;
+closed-form OLS is pinned against numpy's lstsq on the same rows, and
+its singular-case guard is pinned on a fixture whose design matrix is
+exactly rank-deficient (constant regressor duplicates the intercept).
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_anova_matches_direct_python_recompute(spark):
+    """F, dfs, eta^2 and group means must equal a from-scratch Python
+    one-way ANOVA on the same per-user metric / segment frame."""
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans.experiment import (
+        _ab_per_user_y,
+        _exp_start,
+        ab_anova_oneway,
+    )
+
+    got = {r.segment: r for r in ab_anova_oneway(spark, SF).collect()}
+
+    ev = T(spark, SF, "events")
+    per_user = _ab_per_user_y(ev, _exp_start(ev))
+    c = T(spark, SF, "customer").select("c_custkey", "c_nationkey")
+    n = T(spark, SF, "nation").select("n_nationkey", "n_name")
+    rows = (
+        per_user.join(c, per_user.user_id == c.c_custkey, "left")
+        .join(n, c.c_nationkey == n.n_nationkey, "left")
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("unknown")).alias("segment"),
+            F.col("y").cast("string"),
+        )
+        .collect()
+    )
+    from collections import defaultdict
+    from decimal import Decimal
+
+    groups: dict[str, list[Decimal]] = defaultdict(list)
+    for r in rows:
+        groups[r.segment].append(Decimal(r.y))
+    assert set(groups) == set(got)
+
+    nn = sum(len(v) for v in groups.values())
+    k = len(groups)
+    s_all = float(sum(sum(v) for v in groups.values()))
+    ss_all = float(sum(sum(x * x for x in v) for v in groups.values()))
+    ssb_raw = sum(
+        float(sum(v)) ** 2 / len(v) for v in groups.values()
+    )
+    ssb = ssb_raw - s_all * s_all / nn
+    ssw = ss_all - ssb_raw
+    f_stat = (ssb / (k - 1)) / (ssw / (nn - k))
+    eta = ssb / (ss_all - s_all * s_all / nn)
+
+    any_row = next(iter(got.values()))
+    assert any_row.df_between == k - 1
+    assert any_row.df_within == nn - k
+    assert any_row.f_stat == pytest.approx(f_stat, rel=1e-6)
+    assert any_row.eta_squared == pytest.approx(eta, rel=1e-6)
+    # scalars are row-constant; per-segment means match the groups
+    for seg, r in got.items():
+        assert r.n_users == len(groups[seg])
+        mean = float(sum(groups[seg])) / len(groups[seg])
+        assert r.mean_y == pytest.approx(mean, abs=1.5e-6)
+        assert r.f_stat == any_row.f_stat
+        assert r.eta_squared == any_row.eta_squared
+    # the omnibus statistic is non-degenerate on the real corpus
+    assert any_row.f_stat > 0.0
+    assert 0.0 <= any_row.eta_squared < 1.0
+
+
+def test_ols_matches_numpy_lstsq(spark):
+    """Betas and R^2 must equal numpy's least squares on the same
+    (quantity, discount) -> extendedprice rows."""
+    import numpy as np
+
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans.ml import (
+        ols_two_factor_regression,
+    )
+
+    got = ols_two_factor_regression(spark, SF).collect()[0]
+    rows = (
+        T(spark, SF, "lineitem")
+        .select("l_quantity", "l_discount", "l_extendedprice")
+        .collect()
+    )
+    x = np.array(
+        [[1.0, r.l_quantity, r.l_discount] for r in rows], dtype=float
+    )
+    y = np.array([r.l_extendedprice for r in rows], dtype=float)
+    beta, *_ = np.linalg.lstsq(x, y, rcond=None)
+    resid = y - x @ beta
+    sse = float(resid @ resid)
+    sst = float(((y - y.mean()) ** 2).sum())
+    assert got.n_rows == len(rows)
+    assert got.beta0 == pytest.approx(beta[0], abs=1e-4)
+    assert got.beta_qty == pytest.approx(beta[1], abs=1e-4)
+    assert got.beta_disc == pytest.approx(beta[2], abs=1e-3)
+    assert got.r_squared == pytest.approx(1.0 - sse / sst, abs=1e-6)
+    assert got.rmse == pytest.approx(
+        (sse / len(rows)) ** 0.5, rel=1e-4
+    )
+    # honest-readout check: the synthetic corpus draws price independent
+    # of (quantity, discount), so the fit must be near-null, not spurious
+    assert 0.0 <= got.r_squared < 0.01
+
+
+def test_ols_singular_design_degrades_to_zeros(spark, tmp_path):
+    """Constant discount makes column 3 a multiple of the intercept
+    column: X'X is exactly singular (det = 0 in double because every
+    moment is an exact small integer times an exact power of two) and
+    the guard must publish zeros instead of dividing."""
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT (1 + i % 8)::DOUBLE AS l_quantity,
+                 0.25::DOUBLE AS l_discount,
+                 ((1 + i % 8) * 3)::DOUBLE AS l_extendedprice
+          FROM range(16) t(i)
+        ) TO '{tmp_path}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    from datalakes_and_data_integration_spark.plans.ml import (
+        ols_two_factor_regression,
+    )
+
+    got = ols_two_factor_regression(spark, str(tmp_path)).collect()[0]
+    assert got.n_rows == 16
+    assert got.beta0 == 0.0
+    assert got.beta_qty == 0.0
+    assert got.beta_disc == 0.0
+    assert got.r_squared == 0.0
+    assert got.rmse == 0.0
+    # and the oracle's guard agrees on the same fixture
+    from datalakes_and_data_integration_spark.plans.ml import _ols_oracle
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{os.path.join(tmp_path, 'lineitem.parquet')}')"
+    )
+    want = con.execute(_ols_oracle()).fetchone()
+    con.close()
+    assert want == (16, 0.0, 0.0, 0.0, 0.0, 0.0)
+
+
+def test_label_propagation_matches_python_recompute(spark):
+    """Final labels must equal a from-scratch synchronous LPA (count
+    DESC, label ASC tie-break) over the same simhash pair list."""
+    from collections import Counter, defaultdict
+
+    from datalakes_and_data_integration_spark.plans.dedup import (
+        dedup_simhash_pairs,
+    )
+    from datalakes_and_data_integration_spark.plans.graph import (
+        _LPA_ROUNDS,
+        label_propagation_communities,
+    )
+    from datalakes_and_data_integration_spark.plans._util import T
+
+    got = {
+        r.doc_id: (r.community, r.community_size)
+        for r in label_propagation_communities(spark, SF).collect()
+    }
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dedup_simhash_pairs(spark, SF)
+        .select("doc_a", "doc_b")
+        .collect()
+    ]
+    nodes = [
+        r.doc_id
+        for r in T(spark, SF, "documents").select("doc_id").collect()
+    ]
+    adj = defaultdict(list)
+    for a, b in pairs:
+        adj[a].append(b)
+        adj[b].append(a)
+    lab = {d: d for d in nodes}
+    for _ in range(_LPA_ROUNDS):
+        nxt = {}
+        for d in nodes:
+            if not adj[d]:
+                nxt[d] = lab[d]
+                continue
+            votes = Counter(lab[x] for x in adj[d])
+            # (count DESC, label ASC)
+            nxt[d] = min(votes, key=lambda v: (-votes[v], v))
+        lab = nxt
+    sizes = Counter(lab.values())
+    assert set(got) == set(nodes)
+    for d in nodes:
+        assert got[d] == (lab[d], sizes[lab[d]]), d
+    # community structure is non-trivial on the real corpus: at least
+    # one multi-node community and more communities than CC would find
+    # if everything merged
+    assert max(sizes.values()) >= 2
+    assert len(sizes) > 1

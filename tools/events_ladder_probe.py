@@ -94,6 +94,8 @@ LADDER = [
     "streaming_ab_msprt_maintenance",
     "interval_overlap_join_sessions",
     "ab_segment_fdr_bh",
+    # round 9, third session
+    "ab_anova_oneway",
 ]
 
 

@@ -82,6 +82,8 @@ LADDER = [
     "k_anon_generalization_plan",
     # round 9, second session
     "item_item_cosine_topk",
+    # round 9, third session
+    "ols_two_factor_regression",
 ]
 
 # (table, key columns to offset by that table's stride-owner)

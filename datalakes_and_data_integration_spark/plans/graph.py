@@ -377,3 +377,133 @@ def dup_chain_depth(spark, sf_dir):
     return assign.join(reached, "doc_id", "left_outer").select(
         "doc_id", "cluster_id", "depth"
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities (Raghavan et al., "Near linear time
+# algorithm to detect community structures in large-scale networks",
+# 2007) — the community-detection member of the graph family. CC says
+# which docs are transitively connected; LPA finds the DENSER-than-CC
+# substructure: each node repeatedly adopts the most frequent label
+# among its neighbors, so sparse bridges between dense near-dup blocks
+# stop propagating labels across. Classic LPA tie-breaks randomly; the
+# deterministic variant here breaks (count DESC, label ASC) and runs
+# SYNCHRONOUS rounds, so both engines land on identical labels after
+# any fixed round count.
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    pairs = _simhash_pairs_oracle()
+    steps = []
+    for k in range(1, _LPA_ROUNDS + 1):
+        steps.append(
+            f"""
+    lp{k} AS MATERIALIZED (
+      SELECT n.doc_id, coalesce(b.label, p.label) AS label
+      FROM nodes n
+      JOIN lp{k - 1} p ON p.doc_id = n.doc_id
+      LEFT JOIN (
+        SELECT doc_id, label FROM (
+          SELECT c.doc_id, c.label,
+                 row_number() OVER (PARTITION BY c.doc_id
+                                    ORDER BY c.cnt DESC, c.label) AS rk
+          FROM (
+            SELECT e.dst AS doc_id, q.label, count(*) AS cnt
+            FROM edges e JOIN lp{k - 1} q ON q.doc_id = e.src
+            GROUP BY e.dst, q.label
+          ) c
+        ) WHERE rk = 1
+      ) b ON b.doc_id = n.doc_id
+    )"""
+        )
+    return f"""
+    WITH pairs AS MATERIALIZED ({pairs}),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT doc_id FROM documents),
+    lp0 AS (SELECT doc_id, doc_id AS label FROM nodes),{",".join(steps)}
+    SELECT l.doc_id, l.label AS community,
+           CAST(count(*) OVER (PARTITION BY l.label) AS BIGINT)
+             AS community_size
+    FROM lp{_LPA_ROUNDS} l
+    """
+
+
+@register(
+    "label_propagation_communities",
+    oracle=_lpa_oracle(),
+    description=f"Deterministic synchronous label propagation "
+    f"({_LPA_ROUNDS} rounds) over the undirected simhash near-dup "
+    "graph — community detection one notch finer than connected "
+    "components (a sparse bridge between two dense near-dup blocks "
+    "cannot out-vote either block's internal majority, so the blocks "
+    "keep distinct labels where CC would merge them). Each round every "
+    "node adopts the most frequent neighbor label with the (count "
+    "DESC, label ASC) tie-break — all-integer state, so labels match "
+    "the oracle exactly after any fixed round count; isolated docs "
+    "keep their own label. Scale: per round, one edges-x-labels hash "
+    "join (the edge partitioning is persisted and reused across "
+    "rounds, the PageRank pattern) + one (dst,label) count + one "
+    "max_by argmax per node — every shuffle is bounded by the "
+    "candidate-pair edge set, never the corpus, and the round count "
+    "is fixed, not data-dependent.",
+    tags=("graph", "community", "dedup", "llm-pipeline"),
+)
+def label_propagation_communities(spark, sf_dir):
+    pairs = dedup_simhash_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .persist()  # one edge partitioning serves every round's join
+    )
+    nodes = T(spark, sf_dir, "documents").select("doc_id")
+    lab = nodes.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(_LPA_ROUNDS):
+        # Each round consumes `lab` TWICE (the vote join and the
+        # isolated-node fallback); persist the node-sized label frame
+        # so lineage stays linear in rounds instead of doubling
+        # (O(nodes) narrow rows — the PageRank-loop flat-lineage rule).
+        lab = lab.persist()
+        # max(struct(cnt, -label)) == (count DESC, label ASC) argmax:
+        # struct comparison is lexicographic and all fields are int64.
+        best = (
+            edges.join(
+                lab.select(
+                    F.col("doc_id").alias("src"), F.col("label")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("doc_id"), "label")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("doc_id")
+            .agg(
+                F.expr("max_by(label, struct(cnt, -label))").alias(
+                    "blabel"
+                )
+            )
+        )
+        lab = (
+            lab.join(best, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("blabel"), F.col("label")).alias("label"),
+            )
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label")
+    return lab.select(
+        "doc_id",
+        F.col("label").alias("community"),
+        F.count("*").over(w).cast("long").alias("community_size"),
+    )

@@ -77,6 +77,8 @@ LADDER = [
     # round 9: the suffix-array-family exact-substring tier
     "dedup_exact_substring_spans",
     "dedup_exact_substring_rewrite",
+    # round 9, third session
+    "label_propagation_communities",
 ]
 
 

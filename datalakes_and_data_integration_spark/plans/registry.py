@@ -219,6 +219,9 @@ def register(
 # BATCH 10: label_propagation_communities (deterministic synchronous
 # LPA over the simhash near-dup graph; triple-SF + bare gated
 # in-session); rolling_1h_value_sum yields. 30 + 20 = 50.
+# BATCH 11: streaming_quantile_maintenance (fixed-grid histogram
+# quantile state behind the ledgered sum-merge; triple-SF + bare gated
+# in-session); multimodal_metadata_stats yields. 31 + 19 = 50.
 WINDOW_ROUND = 9  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # round-9 changed/new (see the ROUND-9 WINDOW note above)
@@ -252,6 +255,7 @@ ROUND_CHANGED: list[str] = [
     "ab_anova_oneway",
     "ols_two_factor_regression",
     "label_propagation_communities",
+    "streaming_quantile_maintenance",
 ]
 WINDOW_PRIORITY: list[str] = [
     *ROUND_CHANGED,
@@ -276,7 +280,6 @@ WINDOW_PRIORITY: list[str] = [
     "minhash_jaccard_calibration",
     "multimodal_feature_extract",
     "multimodal_frame_sample",
-    "multimodal_metadata_stats",
 ]
 
 

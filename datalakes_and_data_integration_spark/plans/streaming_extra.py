@@ -977,3 +977,152 @@ def streaming_bitmap_distinct_maintenance(spark, sf_dir):
     )
 
     return bitmap_popcount_report(words, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Streaming quantile maintenance: a FIXED-GRID count histogram is the
+# quantile sketch whose merge is pure addition (the property t-digest/
+# KLL trade accuracy for), so the weekly increments ride the same
+# ledgered sum-merge as the CMS and A/B-metric state. The batch
+# histogram_quantile_audit uses data-derived bounds (tighter buckets,
+# but min/max depend on ALL data — not incrementally maintainable);
+# the maintained variant pins the grid up front, which is exactly the
+# design trade a production pipeline makes for mergeability.
+# ---------------------------------------------------------------------------
+
+_SQM_WIDTH = 8  # fixed grid: 128 buckets of width 8 over [0, 1024)
+_SQM_TOP = 127
+_SQM_QS = (0.5, 0.9, 0.99)
+
+def _sqm_est(qp: str = "", np: str = "", cp: str = "") -> str:
+    """Shared interpolation text over (q, n, b, cum_before, cnt); the
+    oracle passes table prefixes, the Spark side uses bare columns (one
+    template, no blind .replace chains)."""
+    return (
+        f"({cp}b * {_SQM_WIDTH} + {_SQM_WIDTH}"
+        f" * (({qp}q * {np}n - {cp}cum_before) / {cp}cnt))"
+    )
+
+
+_SQM_EST = _sqm_est()
+_SQM_BUCKET = (
+    f"least(greatest(CAST(floor(value / {_SQM_WIDTH}) AS BIGINT),"
+    f" 0), {_SQM_TOP})"
+)
+
+
+def _sqm_r6(expr: str) -> str:
+    return f"CAST(ROUND(CAST({expr} AS DECIMAL(27,12)), 6) AS DOUBLE)"
+
+
+def _sqm_oracle() -> str:
+    qs = ", ".join(f"({q})" for q in _SQM_QS)
+    return f"""
+    WITH vals AS (SELECT value FROM events WHERE value IS NOT NULL),
+    hist AS (
+      SELECT {_SQM_BUCKET} AS b, CAST(count(*) AS BIGINT) AS cnt
+      FROM vals GROUP BY 1
+    ),
+    cum AS (
+      SELECT b, cnt,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM hist
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist),
+    probes AS (
+      SELECT CAST(v.q AS DOUBLE) AS q FROM (VALUES {qs}) v(q)
+    ),
+    est AS (
+      SELECT p.q, t.n, min({_sqm_est("p.", "t.", "c.")}) AS est_raw
+      FROM probes p, cum c, tot t
+      WHERE p.q * t.n > c.cum_before
+        AND p.q * t.n <= c.cum_before + c.cnt
+      GROUP BY p.q, t.n
+    )
+    SELECT q, n, {_sqm_r6("est_raw")} AS est_value FROM est
+    """
+
+
+@register(
+    "streaming_quantile_maintenance",
+    oracle=_sqm_oracle(),
+    description="Incremental quantile estimation: a fixed-grid "
+    f"128-bucket count histogram over events.value (width {_SQM_WIDTH}, "
+    "clamped tails) is maintained across span-derived weekly batches by "
+    "the shared ledgered sum-merge (bucket counts are PURE ADDITION — "
+    "the mergeable-partial property t-digest/KLL monetize; sum is not "
+    "idempotent, so exactly-once lives in the atomic sketch+ledger "
+    "commit), then p50/p90/p99 are read from the MAINTAINED state by "
+    "uniform-within-bucket interpolation. The shared oracle replays the "
+    "same fixed-grid histogram over the full table, proving maintained "
+    "== batch-built; the design trade vs histogram_quantile_audit's "
+    "data-derived bounds (tighter buckets, but min/max are not "
+    "incrementally maintainable) is the point of the twin. Scale: "
+    "state is <= 128 rows forever, each weekly merge reads only its "
+    "increment (map-side combined to <= 128 partials), and the readout "
+    "is arithmetic over the state rows.",
+    tags=("streaming", "sketch", "quantile", "incremental", "scale"),
+)
+def streaming_quantile_maintenance(spark, sf_dir):
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.streaming.sketch_maintenance import (
+        ledgered_sum_merge,
+    )
+
+    ev = T(spark, sf_dir, "events").select("value", "ts")
+    state = state_tmp("quantile_maint_q")
+    hist = None
+    weeks = _weekly_bounds(ev)
+    for i, (lo, hi) in enumerate(zip(weeks, weeks[1:])):
+        batch = (
+            ev.filter(
+                (F.col("ts") >= lo)
+                & (F.col("ts") < hi)
+                & F.col("value").isNotNull()
+            )
+            .groupBy(F.expr(_SQM_BUCKET).alias("b"))
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        hist = ledgered_sum_merge(
+            spark,
+            state,
+            batch,
+            batch_id=i,
+            key_cols=["b"],
+            sum_cols=["cnt"],
+            collect_note="<= 128 histogram buckets",
+        )
+    if hist is None:  # empty events table -> zero batches, empty report
+        return spark.createDataFrame(
+            [], "q DOUBLE, n BIGINT, est_value DOUBLE"
+        )
+    return _sqm_readout(spark, hist)
+
+
+def _sqm_readout(spark, hist):
+    """Interpolated p50/p90/p99 from a fixed-grid histogram frame —
+    one definition for the maintained readout (and any batch twin), so
+    incremental and batch quantiles cannot fork."""
+    from pyspark.sql import Window
+
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)  # scale-ok: <= 128 histogram rows
+    cum = hist.withColumn(
+        "cum_before",
+        F.coalesce(F.sum("cnt").over(wb), F.lit(0)).cast("long"),
+    )
+    tot = hist.agg(F.sum("cnt").cast("long").alias("n"))
+    probes = spark.createDataFrame([(q,) for q in _SQM_QS], "q double")
+    est = (
+        probes.crossJoin(F.broadcast(cum))  # scale-ok: 3 probes x 128 buckets
+        .crossJoin(F.broadcast(tot))  # scale-ok: 1-row total
+        .filter(
+            F.expr(
+                "q * n > cum_before AND q * n <= cum_before + cnt"
+            )
+        )
+        .groupBy("q", "n")
+        .agg(F.min(F.expr(_SQM_EST)).alias("est_raw"))
+    )
+    return est.selectExpr("q", "n", f"{_sqm_r6('est_raw')} AS est_value")

@@ -211,3 +211,80 @@ def test_label_propagation_matches_python_recompute(spark):
     # if everything merged
     assert max(sizes.values()) >= 2
     assert len(sizes) > 1
+
+
+def test_quantile_state_batching_invariant(spark, tmp_path):
+    """Histogram state is purely additive: weekly batching, single-batch
+    build, and a replayed batch id must all land on the identical
+    readout (the maintained == batch-built claim, plus the ledger
+    no-op, at the readout level)."""
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans.streaming_extra import (
+        _SQM_BUCKET,
+        _sqm_readout,
+        _weekly_bounds,
+    )
+    from datalakes_and_data_integration_spark.streaming.sketch_maintenance import (
+        ledgered_sum_merge,
+    )
+
+    ev = T(spark, SF, "events").select("value", "ts")
+
+    def hist_batch(df):
+        return (
+            df.filter(F.col("value").isNotNull())
+            .groupBy(F.expr(_SQM_BUCKET).alias("b"))
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+
+    weekly_state = str(tmp_path / "weekly")
+    hist = None
+    weeks = _weekly_bounds(ev)
+    assert len(weeks) >= 3  # the fixture really spans multiple weeks
+    for i, (lo, hi) in enumerate(zip(weeks, weeks[1:])):
+        hist = ledgered_sum_merge(
+            spark,
+            weekly_state,
+            hist_batch(ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))),
+            batch_id=i,
+            key_cols=["b"],
+            sum_cols=["cnt"],
+        )
+    weekly = {
+        r.q: (r.n, r.est_value)
+        for r in _sqm_readout(spark, hist).collect()
+    }
+
+    single_state = str(tmp_path / "single")
+    single_hist = ledgered_sum_merge(
+        spark,
+        single_state,
+        hist_batch(ev),
+        batch_id=0,
+        key_cols=["b"],
+        sum_cols=["cnt"],
+    )
+    single = {
+        r.q: (r.n, r.est_value)
+        for r in _sqm_readout(spark, single_hist).collect()
+    }
+    assert weekly == single and set(weekly) == {0.5, 0.9, 0.99}
+
+    # replayed batch id: state (and readout) untouched
+    replayed = ledgered_sum_merge(
+        spark,
+        weekly_state,
+        hist_batch(ev),  # would double-count if the ledger failed
+        batch_id=0,
+        key_cols=["b"],
+        sum_cols=["cnt"],
+    )
+    after = {
+        r.q: (r.n, r.est_value)
+        for r in _sqm_readout(spark, replayed).collect()
+    }
+    assert after == weekly
+    # estimates bracket sanity: monotone in q
+    assert weekly[0.5][1] <= weekly[0.9][1] <= weekly[0.99][1]

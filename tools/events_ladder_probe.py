@@ -96,6 +96,7 @@ LADDER = [
     "ab_segment_fdr_bh",
     # round 9, third session
     "ab_anova_oneway",
+    "streaming_quantile_maintenance",
 ]
 
 

@@ -222,6 +222,10 @@ def register(
 # BATCH 11: streaming_quantile_maintenance (fixed-grid histogram
 # quantile state behind the ledgered sum-merge; triple-SF + bare gated
 # in-session); multimodal_metadata_stats yields. 31 + 19 = 50.
+# BATCH 12: er_quality_threshold_sweep (Fellegi-Sunter decision curve
+# composed on the ER output — the ER query itself is UNTOUCHED, its
+# oracle wrapped as a CTE; triple-SF + bare gated in-session);
+# multimodal_frame_sample yields. 32 + 18 = 50.
 WINDOW_ROUND = 9  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # round-9 changed/new (see the ROUND-9 WINDOW note above)
@@ -256,6 +260,7 @@ ROUND_CHANGED: list[str] = [
     "ols_two_factor_regression",
     "label_propagation_communities",
     "streaming_quantile_maintenance",
+    "er_quality_threshold_sweep",
 ]
 WINDOW_PRIORITY: list[str] = [
     *ROUND_CHANGED,
@@ -279,7 +284,6 @@ WINDOW_PRIORITY: list[str] = [
     "mean_impute",
     "minhash_jaccard_calibration",
     "multimodal_feature_extract",
-    "multimodal_frame_sample",
 ]
 
 

@@ -2389,3 +2389,124 @@ def item_item_cosine_topk(spark, sf_dir):
             F.col("rnk").cast("int").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ER decision-curve audit (round-9 third session): record-linkage
+# toolkits report precision/recall/F1 at a sweep of score thresholds —
+# the Fellegi-Sunter decision curve that tells the pipeline owner WHERE
+# to put the match/possible cut. The ER query's output already carries
+# per-record ground truth (the self-evaluating-fixture pattern), so the
+# sweep composes on TOP of it: both the Spark side and the oracle wrap
+# the linkage result unchanged (no fork risk with the ER pipeline).
+# ---------------------------------------------------------------------------
+
+_ER_SWEEP_TS = (-10, 0, 10, 25, 30, 40, 55, 65)
+
+
+def _er_sweep_r6(expr: str) -> str:
+    return f"CAST(ROUND(CAST({expr} AS DECIMAL(27,12)), 6) AS DOUBLE)"
+
+
+# Shared epilogue over (tp, n_links, n_true): counts are exact BIGINTs,
+# the ratios are one shared text (guarded degenerate denominators).
+_ER_P = """CASE WHEN n_links = 0 THEN 0.0
+           ELSE CAST(tp AS DOUBLE) / CAST(n_links AS DOUBLE) END"""
+_ER_R = """CASE WHEN n_true = 0 THEN 0.0
+           ELSE CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE) END"""
+_ER_F1 = f"""CASE WHEN ({_ER_P}) + ({_ER_R}) = 0.0 THEN 0.0
+            ELSE 2.0 * ({_ER_P}) * ({_ER_R})
+                 / (({_ER_P}) + ({_ER_R})) END"""
+
+
+def _er_sweep_oracle() -> str:
+    ts = ", ".join(f"({t})" for t in _ER_SWEEP_TS)
+    return f"""
+    WITH er AS MATERIALIZED ({_er_oracle()}),
+    total AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM er),
+    per_score AS (
+      SELECT score, coalesce(correct, FALSE) AS correct,
+             CAST(count(*) AS BIGINT) AS c
+      FROM er WHERE match_class <> 'no_candidate'
+      GROUP BY 1, 2
+    ),
+    probes AS (SELECT CAST(v.t AS BIGINT) AS threshold
+               FROM (VALUES {ts}) v(t)),
+    cells AS (
+      SELECT p.threshold,
+             CAST(coalesce(sum(s.c), 0) AS BIGINT) AS n_links,
+             CAST(coalesce(sum(CASE WHEN s.correct THEN s.c END), 0)
+                  AS BIGINT) AS tp
+      FROM probes p
+      LEFT JOIN per_score s ON s.score >= p.threshold
+      GROUP BY p.threshold
+    )
+    SELECT c.threshold, c.n_links, c.tp,
+           c.n_links - c.tp AS fp,
+           t.n_true - c.tp AS fn,
+           {_er_sweep_r6(_ER_P)} AS precision,
+           {_er_sweep_r6(_ER_R)} AS recall,
+           {_er_sweep_r6(_ER_F1)} AS f1
+    FROM cells c CROSS JOIN total t
+    """
+
+
+@register(
+    "er_quality_threshold_sweep",
+    oracle=_er_sweep_oracle(),
+    description="Record-linkage decision curve: precision / recall / "
+    "F1 of the blocked ER pipeline at a sweep of Fellegi-Sunter score "
+    "thresholds — the audit every linkage toolkit reports, answering "
+    "WHERE to put the match cut (the shipped >= 55 'match' threshold "
+    "sits on this curve next to its alternatives). Composes ON TOP of "
+    "entity_resolution_blocked's output (which carries per-record "
+    "ground truth — the self-evaluating-fixture pattern), so the sweep "
+    "cannot fork from the linkage it audits; counts reduce to a "
+    "(score, correct) grid bounded by the integer score domain, and "
+    "the ratio epilogue is one shared text over exact BIGINTs, "
+    "rounded through the DECIMAL(27,12) half-boundary recipe. Scale: "
+    "the only corpus-scale work is the ER pipeline itself; the sweep "
+    "is a <= 100-row grid cross the 8-threshold probe list.",
+    tags=("entity-resolution", "quality", "stats", "integration"),
+)
+def er_quality_threshold_sweep(spark, sf_dir):
+    er = entity_resolution_blocked(spark, sf_dir).persist()
+    # (score, correct) grid: bounded by the integer score domain
+    per_score = (
+        er.filter(F.col("match_class") != "no_candidate")
+        .groupBy(
+            "score", F.coalesce(F.col("correct"), F.lit(False)).alias("ok")
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    total = er.agg(F.count("*").cast("long").alias("n_true"))
+    probes = spark.createDataFrame(
+        [(t,) for t in _ER_SWEEP_TS], "threshold long"
+    )
+    cells = (
+        probes.join(
+            F.broadcast(per_score),
+            per_score.score >= probes.threshold,
+            "left",
+        )  # scale-ok: 8 thresholds x the bounded score grid
+        .groupBy("threshold")
+        .agg(
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_links"),
+            F.coalesce(F.sum(F.when(F.col("ok"), F.col("c"))), F.lit(0))
+            .cast("long")
+            .alias("tp"),
+        )
+    )
+    return (
+        cells.crossJoin(F.broadcast(total))  # scale-ok: 8 rows x 1-row total
+        .selectExpr(
+            "threshold",
+            "n_links",
+            "tp",
+            "n_links - tp AS fp",
+            "n_true - tp AS fn",
+            f"{_er_sweep_r6(_ER_P)} AS precision",
+            f"{_er_sweep_r6(_ER_R)} AS recall",
+            f"{_er_sweep_r6(_ER_F1)} AS f1",
+        )
+    )

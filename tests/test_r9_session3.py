@@ -288,3 +288,49 @@ def test_quantile_state_batching_invariant(spark, tmp_path):
     assert after == weekly
     # estimates bracket sanity: monotone in q
     assert weekly[0.5][1] <= weekly[0.9][1] <= weekly[0.99][1]
+
+
+def test_er_sweep_matches_python_recompute(spark):
+    """Every threshold row must equal a from-scratch sweep over the ER
+    output's (score, correct) pairs, and the curve must be monotone the
+    way a decision curve is (links shrink, precision typically rises)."""
+    from datalakes_and_data_integration_spark.plans.relational import (
+        _ER_SWEEP_TS,
+        entity_resolution_blocked,
+        er_quality_threshold_sweep,
+    )
+
+    got = {
+        r.threshold: r
+        for r in er_quality_threshold_sweep(spark, SF).collect()
+    }
+    er = entity_resolution_blocked(spark, SF).collect()
+    n_true = len(er)
+    assert set(got) == set(_ER_SWEEP_TS)
+    prev_links = None
+    for t in sorted(_ER_SWEEP_TS):
+        linked = [
+            r
+            for r in er
+            if r.match_class != "no_candidate" and r.score >= t
+        ]
+        tp = sum(1 for r in linked if r.correct)
+        r = got[t]
+        assert (r.n_links, r.tp, r.fp, r.fn) == (
+            len(linked),
+            tp,
+            len(linked) - tp,
+            n_true - tp,
+        ), t
+        p = tp / len(linked) if linked else 0.0
+        rc = tp / n_true if n_true else 0.0
+        f1 = 2 * p * rc / (p + rc) if p + rc else 0.0
+        assert r.precision == pytest.approx(p, abs=1.5e-6)
+        assert r.recall == pytest.approx(rc, abs=1.5e-6)
+        assert r.f1 == pytest.approx(f1, abs=1.5e-6)
+        if prev_links is not None:
+            assert r.n_links <= prev_links  # higher cut -> fewer links
+        prev_links = r.n_links
+    # the shipped match threshold must sit on the curve with high precision
+    assert got[55].precision >= 0.95
+    assert got[55].n_links > 0

@@ -84,6 +84,7 @@ LADDER = [
     "item_item_cosine_topk",
     # round 9, third session
     "ols_two_factor_regression",
+    "er_quality_threshold_sweep",
 ]
 
 # (table, key columns to offset by that table's stride-owner)

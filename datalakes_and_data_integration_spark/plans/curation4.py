@@ -1115,3 +1115,212 @@ def spearman_quality_length(spark, sf_dir):
         .cast("double")
         .alias("spearman_rho"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multinomial naive Bayes language classifier (round-9 third session):
+# the GENERATIVE member of the classifier-eval family — centroid and
+# kNN judge embeddings, logreg trains a discriminative head; NB is the
+# fastText-style baseline a curation pipeline trains ON its own corpus
+# to audit the heuristic lang-id column. argmax_lang [ ln prior +
+# sum_tok cnt * ln((c+1)/(T_lang+V)) ] with Laplace smoothing;
+# algebraically score = sum cnt*ln(c+1) - N_doc*ln(T_lang+V) + ln prior,
+# so unseen tokens cost exactly their share of the smoothing mass and
+# the per-(lang,token) join only touches tokens the lang has seen.
+# Determinism: ln on bit-identical integer-valued doubles (the
+# source_lang_entropy contract); the per-token double terms are cast to
+# DECIMAL(38,18) and SUMMED exactly (the logreg gradient rule), so the
+# score's double epilogue reads identical inputs on both engines.
+# ---------------------------------------------------------------------------
+
+_NB_SEED = 23
+
+
+def _nb_split(hash_fn, cast: str) -> tuple[str, str]:
+    bucket = f"({hash_fn(f'CAST(doc_id AS {cast})', seed=_NB_SEED)} % 100)"
+    return f"{bucket} < 80", f"{bucket} >= 90"
+
+
+# Shared DOUBLE epilogue over (s1, n_doc, t_lang, v, n_lang, n_train):
+# s1 is the exact decimal sum cast to double; everything else integer.
+_NB_SCORE = """(CAST(s1 AS DOUBLE)
+  - CAST(n_doc AS DOUBLE) * ln(CAST(t_lang + v AS DOUBLE))
+  + ln(CAST(n_lang AS DOUBLE)) - ln(CAST(n_train AS DOUBLE)))"""
+_NB_TERM = "CAST(CAST(cnt AS DOUBLE) * ln(CAST(c + 1 AS DOUBLE)) AS DECIMAL(38,18))"
+
+
+def _nb_oracle() -> str:
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_sql_duck,
+    )
+
+    train_pred, test_pred = _nb_split(hash60_sql_duck, "VARCHAR")
+    return f"""
+    WITH tok AS MATERIALIZED (
+      SELECT d.doc_id, d.lang, t.tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM documents d, unnest({tokens_sql_duck("d.text")}) AS t(tok)
+      GROUP BY 1, 2, 3
+    ),
+    counts AS MATERIALIZED (
+      SELECT lang AS lang_pred, tok, CAST(sum(cnt) AS BIGINT) AS c
+      FROM tok WHERE {train_pred} GROUP BY 1, 2
+    ),
+    lang_stats AS MATERIALIZED (
+      SELECT lang_pred, CAST(sum(c) AS BIGINT) AS t_lang FROM counts
+      GROUP BY 1
+    ),
+    vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM counts),
+    priors AS MATERIALIZED (
+      SELECT lang AS lang_pred, CAST(count(*) AS BIGINT) AS n_lang
+      FROM documents WHERE {train_pred} GROUP BY 1
+    ),
+    n_train AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_train FROM documents
+      WHERE {train_pred}
+    ),
+    test_docs AS MATERIALIZED (
+      SELECT doc_id, lang AS lang_true,
+             CAST(coalesce((SELECT sum(t.cnt) FROM tok t
+                            WHERE t.doc_id = documents.doc_id), 0)
+                  AS BIGINT) AS n_doc
+      FROM documents WHERE {test_pred}
+    ),
+    s1 AS (
+      SELECT t.doc_id, c.lang_pred,
+             sum({_NB_TERM}) AS s1
+      FROM tok t JOIN counts c ON c.tok = t.tok
+      WHERE {test_pred.replace("doc_id", "t.doc_id")}
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.doc_id, d.lang_true, p.lang_pred,
+             row_number() OVER (
+               PARTITION BY d.doc_id
+               ORDER BY (SELECT {_NB_SCORE} FROM (
+                 SELECT coalesce(s.s1, 0) AS s1, d.n_doc AS n_doc,
+                        ls.t_lang AS t_lang, vv.v AS v,
+                        p.n_lang AS n_lang, nt.n_train AS n_train
+               )) DESC, p.lang_pred) AS rn
+      FROM test_docs d
+      CROSS JOIN priors p
+      JOIN lang_stats ls ON ls.lang_pred = p.lang_pred
+      CROSS JOIN vocab vv CROSS JOIN n_train nt
+      LEFT JOIN s1 s ON s.doc_id = d.doc_id
+                    AND s.lang_pred = p.lang_pred
+    )
+    SELECT lang_true, lang_pred, count(*) AS n
+    FROM scored WHERE rn = 1
+    GROUP BY lang_true, lang_pred
+    """
+
+
+@register(
+    "naive_bayes_classifier_eval",
+    oracle=_nb_oracle(),
+    description="Multinomial naive Bayes language classifier trained "
+    "on the deterministic md5 80% split of the documents corpus and "
+    "evaluated on the held-out >=90 bucket as a confusion matrix — "
+    "the generative member of the classifier-eval family (centroid/"
+    "kNN judge embeddings, logreg trains a head; NB is the fastText-"
+    "style corpus-trained audit of the heuristic lang-id). Laplace-"
+    "smoothed ln((c+1)/(T_lang+V)) scores decompose so the test join "
+    "only touches (lang, token) pairs the language has SEEN — unseen "
+    "tokens ride the closed-form N_doc*ln(T_lang+V) correction. ln "
+    "runs on bit-identical integer-valued doubles (the entropy "
+    "contract); per-token terms are summed as exact DECIMAL(38,18) "
+    "(the logreg gradient rule); the argmax tie-breaks on lang. "
+    "Scale: training is one map-side-combined (lang, token) count; "
+    "the eval join fans out by languages-that-saw-the-token, never "
+    "|vocab| x |langs|; the score grid is test-docs x languages. "
+    "HONEST READOUT: this synthetic corpus draws tokens independently "
+    "of lang, so accuracy sits at the majority-prior baseline — the "
+    "exact-rational recompute test pins that the argmax is right and "
+    "the no-signal result is real, not a plumbing bug.",
+    tags=("ml", "classifier", "text", "evaluation", "llm-pipeline"),
+)
+def naive_bayes_classifier_eval(spark, sf_dir):
+    from datalakes_and_data_integration_spark.functions.hashing import (
+        hash60_sql_spark,
+    )
+    from datalakes_and_data_integration_spark.functions.text import tokens
+
+    train_pred, test_pred = _nb_split(hash60_sql_spark, "STRING")
+    d = T(spark, sf_dir, "documents")
+    tok = spread(
+        d.select("doc_id", "lang", F.explode(tokens("text")).alias("tok")),
+        spark,
+    ).groupBy("doc_id", "lang", "tok").agg(
+        F.count("*").cast("long").alias("cnt")
+    ).persist()  # train counts + test scoring both read it
+    counts = (
+        tok.where(train_pred)
+        .groupBy(F.col("lang").alias("lang_pred"), "tok")
+        .agg(F.sum("cnt").cast("long").alias("c"))
+        .persist()  # lang totals + vocab + the test join read it
+    )
+    lang_stats = counts.groupBy("lang_pred").agg(
+        F.sum("c").cast("long").alias("t_lang")
+    )
+    vocab = counts.agg(
+        F.countDistinct("tok").cast("long").alias("v")
+    )
+    priors = (
+        d.where(train_pred)
+        .groupBy(F.col("lang").alias("lang_pred"))
+        .agg(F.count("*").cast("long").alias("n_lang"))
+    )
+    n_train = d.where(train_pred).agg(
+        F.count("*").cast("long").alias("n_train")
+    )
+    doc_tok = tok.where(test_pred)
+    test_docs = (
+        d.where(test_pred)
+        .select("doc_id", F.col("lang").alias("lang_true"))
+        .join(
+            doc_tok.groupBy("doc_id").agg(
+                F.sum("cnt").cast("long").alias("n_doc")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "lang_true",
+            F.coalesce("n_doc", F.lit(0)).alias("n_doc"),
+        )
+    )
+    s1 = (
+        doc_tok.join(counts, "tok")
+        .groupBy("doc_id", "lang_pred")
+        .agg(F.sum(F.expr(_NB_TERM)).alias("s1"))
+    )
+    lang_dim = priors.join(lang_stats, "lang_pred")
+    scored = (
+        test_docs.crossJoin(F.broadcast(lang_dim))  # scale-ok: docs x ~5 langs
+        .crossJoin(F.broadcast(vocab))  # scale-ok: 1-row vocab size
+        .crossJoin(F.broadcast(n_train))  # scale-ok: 1-row train count
+        .join(s1, ["doc_id", "lang_pred"], "left")
+        .select(
+            "doc_id",
+            "lang_true",
+            "lang_pred",
+            F.coalesce(F.col("s1"), F.lit(0)).alias("s1"),
+            "n_doc",
+            "t_lang",
+            "v",
+            "n_lang",
+            "n_train",
+        )
+        .selectExpr(
+            "doc_id", "lang_true", "lang_pred", f"{_NB_SCORE} AS score"
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), "lang_pred"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )

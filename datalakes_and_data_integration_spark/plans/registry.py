@@ -226,6 +226,9 @@ def register(
 # composed on the ER output — the ER query itself is UNTOUCHED, its
 # oracle wrapped as a CTE; triple-SF + bare gated in-session);
 # multimodal_frame_sample yields. 32 + 18 = 50.
+# BATCH 13: naive_bayes_classifier_eval (the generative classifier-
+# family member, exact-rational-recompute pinned; triple-SF + bare
+# gated in-session); multimodal_feature_extract yields. 33 + 17 = 50.
 WINDOW_ROUND = 9  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # round-9 changed/new (see the ROUND-9 WINDOW note above)
@@ -261,6 +264,7 @@ ROUND_CHANGED: list[str] = [
     "label_propagation_communities",
     "streaming_quantile_maintenance",
     "er_quality_threshold_sweep",
+    "naive_bayes_classifier_eval",
 ]
 WINDOW_PRIORITY: list[str] = [
     *ROUND_CHANGED,
@@ -283,7 +287,6 @@ WINDOW_PRIORITY: list[str] = [
     "lag6_pct_change",
     "mean_impute",
     "minhash_jaccard_calibration",
-    "multimodal_feature_extract",
 ]
 
 

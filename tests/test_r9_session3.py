@@ -334,3 +334,71 @@ def test_er_sweep_matches_python_recompute(spark):
     # the shipped match threshold must sit on the curve with high precision
     assert got[55].precision >= 0.95
     assert got[55].n_links > 0
+
+
+def test_naive_bayes_matches_python_recompute(spark):
+    """The confusion matrix must equal a from-scratch Python multinomial
+    NB (Laplace smoothing, same md5 split, same tokenizer, lang-asc
+    tie-break) computed with exact Fractions for the log-score ordering
+    stand-in (compare products, not float logs)."""
+    import hashlib
+    from collections import Counter, defaultdict
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans.curation4 import (
+        _NB_SEED,
+        naive_bayes_classifier_eval,
+    )
+    from datalakes_and_data_integration_spark.functions.text import tokens
+
+    got = {
+        (r.lang_true, r.lang_pred): r.n
+        for r in naive_bayes_classifier_eval(spark, SF).collect()
+    }
+    rows = (
+        T(spark, SF, "documents")
+        .select("doc_id", "lang", tokens("text").alias("toks"))
+        .collect()
+    )
+
+    def bucket(doc_id: int) -> int:
+        h = hashlib.md5(f"{_NB_SEED}|{doc_id}".encode()).hexdigest()
+        return int(h[:15], 16) % 100
+
+    train = [r for r in rows if bucket(r.doc_id) < 80]
+    test = [r for r in rows if bucket(r.doc_id) >= 90]
+    counts: dict[str, Counter] = defaultdict(Counter)
+    priors: Counter = Counter()
+    for r in train:
+        priors[r.lang] += 1
+        counts[r.lang].update(r.toks)
+    vocab = {t for c in counts.values() for t in c}
+    v = len(vocab)
+    n_train = sum(priors.values())
+    t_lang = {g: sum(c.values()) for g, c in counts.items()}
+    want: Counter = Counter()
+    for r in test:
+        # score as an exact rational product: prior * prod (c+1)/(T+V)
+        best = None
+        for g in sorted(priors):
+            s = Fraction(priors[g], n_train)
+            denom = Fraction(1, t_lang[g] + v)
+            for tok in r.toks:
+                s *= Fraction(counts[g][tok] + 1) * denom
+            if best is None or s > best[0]:
+                best = (s, g)
+        want[(r.lang, best[1])] += 1
+    assert got == dict(want)
+    # HONEST READOUT: this synthetic corpus draws tokens independently
+    # of lang (inspected: every lang shares one vocabulary), so there
+    # is no lexical signal and accuracy MUST sit near the majority-
+    # prior baseline — a high accuracy here would mean the split leaks.
+    # The correctness claim is the exact-matrix equality above; this
+    # pin just keeps the no-signal property visible.
+    correct = sum(n for (t, p), n in got.items() if t == p)
+    majority = max(priors.values()) / n_train
+    assert correct / sum(got.values()) <= majority + 0.25
+    assert len({t for (t, _p) in got}) >= 3  # matrix is non-degenerate

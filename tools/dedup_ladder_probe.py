@@ -79,6 +79,7 @@ LADDER = [
     "dedup_exact_substring_rewrite",
     # round 9, third session
     "label_propagation_communities",
+    "naive_bayes_classifier_eval",
 ]
 
 

@@ -479,3 +479,123 @@ def quality_scorer_agreement(spark, sf_dir):
         piece = leg(a, b, cols[a], cols[b])
         out = piece if out is None else out.unionByName(piece)
     return out
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining (round-9 third session): which adjacent token
+# pairs co-occur far above chance — the classic collocation/phrase-
+# detection statistic (Church & Hanks 1990; the same association score
+# word2vec's phrase pass and topic pipelines use). PMI = ln(P(ab) /
+# (P(a)P(b))) = ln(n_ab * N / (n_a * n_b)). Determinism follows the
+# term_domain_signature rule: rank on the RATIO (n_ab*N)/(n_a*n_b) —
+# exact integers below 2^53 on both sides of the division, so the
+# double is correctly rounded and identical cross-engine — and only
+# DISPLAY ln(ratio); no transcendental ever decides an ordering.
+# ---------------------------------------------------------------------------
+
+_PMI_TOPK = 20
+_PMI_MIN = 5  # drop ultra-rare bigrams (PMI is pure noise there)
+
+
+def _pmi_oracle() -> str:
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, {tokens_sql_duck("text")} AS t FROM documents
+    ),
+    bigrams AS MATERIALIZED (
+      SELECT t[i.i] AS tok_a, t[i.i + 1] AS tok_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM toks, (SELECT unnest(range(1, 100000)) AS i) i
+      WHERE i.i < len(t)
+      GROUP BY 1, 2
+    ),
+    uni AS MATERIALIZED (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n_tok FROM (
+        SELECT unnest(t) AS tok FROM toks
+      ) GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n FROM bigrams),
+    scored AS (
+      SELECT b.tok_a, b.tok_b, b.n_ab,
+             CAST(b.n_ab * t.n AS DOUBLE)
+               / CAST(ua.n_tok * ub.n_tok AS DOUBLE) AS ratio
+      FROM bigrams b
+      JOIN uni ua ON ua.tok = b.tok_a
+      JOIN uni ub ON ub.tok = b.tok_b
+      CROSS JOIN tot t
+      WHERE b.n_ab >= {_PMI_MIN}
+    )
+    SELECT tok_a, tok_b, n_ab, round(ln(ratio), 6) AS pmi
+    FROM scored
+    ORDER BY ratio DESC, tok_a, tok_b
+    LIMIT {_PMI_TOPK}
+    """
+
+
+@register(
+    "token_pmi_collocations",
+    oracle=_pmi_oracle(),
+    description=f"PMI collocation mining: the top-{_PMI_TOPK} adjacent "
+    "token pairs by pointwise mutual information ln(n_ab*N/(n_a*n_b)) "
+    f"with a min-count {_PMI_MIN} floor — the Church-&-Hanks "
+    "association statistic behind phrase detection (word2vec's phrase "
+    "pass) and domain-vocabulary discovery. Ranking follows the "
+    "term_domain_signature determinism rule: order on the exact-"
+    "integer-ratio double (all products < 2^53, so the division is "
+    "correctly rounded and bit-identical cross-engine) with a full "
+    "lexicographic tie-break, and ln only DISPLAYS the score. Scale: "
+    "one tokenize scan feeds both the bigram and unigram counts "
+    "(map-side combined); the two unigram joins hash on token; the "
+    "top-k is a TakeOrdered partial sort, never a global one.",
+    tags=("text", "nlp", "collocation", "llm-pipeline"),
+)
+def token_pmi_collocations(spark, sf_dir):
+    from datalakes_and_data_integration_spark.functions.text import tokens
+
+    d = T(spark, sf_dir, "documents")
+    toks = spread(
+        d.select("doc_id", tokens("text").alias("t")), spark
+    ).persist()  # bigram + unigram passes share the tokenize scan
+    bigrams = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(t, 1, size(t) - 1)"),
+                    F.expr("slice(t, 2, size(t) - 1)"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.0").alias("tok_a"), F.col("p.1").alias("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .persist()  # total + scoring read it
+    )
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("n_tok"))
+    )
+    tot = bigrams.agg(F.sum("n_ab").cast("long").alias("n"))
+    ua = uni.select(
+        F.col("tok").alias("tok_a"), F.col("n_tok").alias("na")
+    )
+    ub = uni.select(
+        F.col("tok").alias("tok_b"), F.col("n_tok").alias("nb")
+    )
+    scored = (
+        bigrams.where(F.col("n_ab") >= _PMI_MIN)
+        .join(ua, "tok_a")
+        .join(ub, "tok_b")
+        .crossJoin(F.broadcast(tot))  # scale-ok: 1-row bigram total
+        .selectExpr(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            "CAST(n_ab * n AS DOUBLE) / CAST(na * nb AS DOUBLE) AS ratio",
+        )
+    )
+    return (
+        scored.orderBy(F.col("ratio").desc(), "tok_a", "tok_b")
+        .limit(_PMI_TOPK)
+        .selectExpr("tok_a", "tok_b", "n_ab", "round(ln(ratio), 6) AS pmi")
+    )

@@ -1247,3 +1247,162 @@ def lakehouse_maintenance_planner(spark, sf_dir):
         .cast("long")
         .alias("est_io_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Encoding-efficiency audit (round-9 third session): the sort-key /
+# encoding advisor next to zorder_layout_plan. Parquet's RLE and
+# dictionary encodings monetize RUNS and LOW CARDINALITY; whether a
+# column compresses well under the CURRENT layout is a function of its
+# run structure in write order, and the gap between runs-current and
+# n_distinct (the best any sort could do for a scalar column) is the
+# payoff a re-sort would buy. Run counting is kept fully distributed
+# by measuring WITHIN-order runs (window partitioned by l_orderkey —
+# the table's write-granularity key), deliberately excluding the
+# cross-order boundary pairs: the definition is identical in the
+# oracle, and at 100 TB it means no global sort and no single-partition
+# window ever appears in the plan.
+# ---------------------------------------------------------------------------
+
+_ENC_COLS = (
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+    "l_quantity",
+    "l_partkey",
+)
+
+
+def _enc_r6(expr: str) -> str:
+    return f"CAST(ROUND(CAST({expr} AS DECIMAL(27,12)), 6) AS DOUBLE)"
+
+
+def _enc_oracle() -> str:
+    runs = ",\n             ".join(
+        f"""CAST(sum(CASE WHEN prev_{c} IS NULL
+                          OR {c} IS DISTINCT FROM prev_{c}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS runs_{c}"""
+        for c in _ENC_COLS
+    )
+    order_by = "l_linenumber, " + ", ".join(_ENC_COLS)
+    lags = ",\n             ".join(
+        f"""lag({c}) OVER (PARTITION BY l_orderkey
+                           ORDER BY {order_by}) AS prev_{c}"""
+        for c in _ENC_COLS
+    )
+    dist = ",\n             ".join(
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS nd_{c}"
+        for c in _ENC_COLS
+    )
+    cells = " UNION ALL ".join(
+        f"""SELECT '{c}' AS column_name, r.n_rows, d.nd_{c} AS n_distinct,
+               r.runs_{c} AS n_runs FROM r CROSS JOIN d"""
+        for c in _ENC_COLS
+    )
+    return f"""
+    WITH lagged AS (
+      SELECT l_orderkey, {", ".join(_ENC_COLS)},
+             {lags}
+      FROM lineitem
+    ),
+    r AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             {runs}
+      FROM lagged
+    ),
+    d AS (
+      SELECT {dist}
+      FROM lineitem
+    ),
+    cells AS ({cells})
+    SELECT column_name, n_rows, n_distinct, n_runs,
+           {_enc_r6("CAST(n_rows AS DOUBLE) / CAST(n_runs AS DOUBLE)")}
+             AS avg_run_len,
+           {_enc_r6("CAST(n_distinct AS DOUBLE) / CAST(n_rows AS DOUBLE)")}
+             AS distinct_ratio,
+           {_enc_r6("CAST(n_runs AS DOUBLE) / CAST(n_distinct AS DOUBLE)")}
+             AS resort_gain_bound
+    FROM cells
+    """
+
+
+@register(
+    "encoding_efficiency_audit",
+    oracle=_enc_oracle(),
+    description="Encoding/sort-key advisor: per column, the run "
+    "structure under the CURRENT write order (runs counted within "
+    "each order — the write-granularity key — so the count stays "
+    "fully distributed; boundary pairs excluded by definition on both "
+    "engines) next to its distinct count, the floor any re-sort could "
+    "reach for a scalar column. avg_run_len prices RLE under the "
+    "current layout, distinct_ratio prices dictionary encoding, and "
+    "resort_gain_bound = runs/distinct is the upper bound on run "
+    "compression a sort on that column would buy — the quantitative "
+    "input to choosing zorder_layout_plan's keys. Scale: one window "
+    "pass partitioned by the table's own key (no global sort, no "
+    "single-partition window), one multi-distinct aggregate, and a "
+    "5-row report.",
+    tags=("lakehouse", "layout", "encoding", "audit", "scale"),
+)
+def encoding_efficiency_audit(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = T(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in this corpus (11,785
+    # duplicate pairs at sf0.01) — include every measured column in the
+    # ORDER BY so the within-order ordering is total wherever a tie
+    # could change a run count (rows tying on ALL ordering columns have
+    # identical measured values, so their relative order is moot).
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", *_ENC_COLS
+    )
+    lagged = li.select(
+        *_ENC_COLS,
+        *[
+            F.lag(c).over(w).alias(f"prev_{c}")
+            for c in _ENC_COLS
+        ],
+    )
+    r = lagged.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        *[
+            F.sum(
+                F.when(
+                    F.col(f"prev_{c}").isNull()
+                    | ~F.col(c).eqNullSafe(F.col(f"prev_{c}")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"runs_{c}")
+            for c in _ENC_COLS
+        ],
+    )
+    d = li.agg(
+        *[
+            F.countDistinct(c).cast("long").alias(f"nd_{c}")
+            for c in _ENC_COLS
+        ]
+    )
+    grid = r.crossJoin(F.broadcast(d))  # scale-ok: 1-row x 1-row stats
+    out = None
+    for c in _ENC_COLS:
+        piece = grid.selectExpr(
+            f"'{c}' AS column_name",
+            "n_rows",
+            f"nd_{c} AS n_distinct",
+            f"runs_{c} AS n_runs",
+        )
+        out = piece if out is None else out.unionByName(piece)
+    return out.selectExpr(
+        "column_name",
+        "n_rows",
+        "n_distinct",
+        "n_runs",
+        f"{_enc_r6('CAST(n_rows AS DOUBLE) / CAST(n_runs AS DOUBLE)')}"
+        " AS avg_run_len",
+        f"{_enc_r6('CAST(n_distinct AS DOUBLE) / CAST(n_rows AS DOUBLE)')}"
+        " AS distinct_ratio",
+        f"{_enc_r6('CAST(n_runs AS DOUBLE) / CAST(n_distinct AS DOUBLE)')}"
+        " AS resort_gain_bound",
+    )

@@ -229,6 +229,15 @@ def register(
 # BATCH 13: naive_bayes_classifier_eval (the generative classifier-
 # family member, exact-rational-recompute pinned; triple-SF + bare
 # gated in-session); multimodal_feature_extract yields. 33 + 17 = 50.
+# BATCH 14: token_pmi_collocations (Church-&-Hanks PMI phrase mining,
+# exact-integer-ratio ranking; triple-SF + bare gated in-session);
+# minhash_jaccard_calibration yields. 34 + 16 = 50.
+# BATCH 15: encoding_efficiency_audit (run-length/dictionary encoding
+# advisor under the current write order — the within-order run
+# definition keeps counting distributed; the non-unique
+# (orderkey, linenumber) key forced a content-complete total ORDER BY,
+# caught by the sf0.01 gate; triple-SF + bare gated in-session);
+# mean_impute yields. 35 + 15 = 50.
 WINDOW_ROUND = 9  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # round-9 changed/new (see the ROUND-9 WINDOW note above)
@@ -265,6 +274,8 @@ ROUND_CHANGED: list[str] = [
     "streaming_quantile_maintenance",
     "er_quality_threshold_sweep",
     "naive_bayes_classifier_eval",
+    "token_pmi_collocations",
+    "encoding_efficiency_audit",
 ]
 WINDOW_PRIORITY: list[str] = [
     *ROUND_CHANGED,
@@ -285,8 +296,6 @@ WINDOW_PRIORITY: list[str] = [
     "intradoc_repetition",
     "lag6_diff",
     "lag6_pct_change",
-    "mean_impute",
-    "minhash_jaccard_calibration",
 ]
 
 

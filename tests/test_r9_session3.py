@@ -402,3 +402,102 @@ def test_naive_bayes_matches_python_recompute(spark):
     majority = max(priors.values()) / n_train
     assert correct / sum(got.values()) <= majority + 0.25
     assert len({t for (t, _p) in got}) >= 3  # matrix is non-degenerate
+
+
+def test_pmi_matches_python_recompute(spark):
+    """The top-20 collocations must equal a from-scratch Python PMI
+    (exact Fraction ratios for the ordering, float ln for display)."""
+    import math
+    from collections import Counter
+    from fractions import Fraction
+
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans.curation8 import (
+        _PMI_MIN,
+        _PMI_TOPK,
+        token_pmi_collocations,
+    )
+    from datalakes_and_data_integration_spark.functions.text import tokens
+
+    got = token_pmi_collocations(spark, SF).collect()
+    rows = (
+        T(spark, SF, "documents").select(tokens("text").alias("t")).collect()
+    )
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for r in rows:
+        uni.update(r.t)
+        big.update(zip(r.t, r.t[1:]))
+    n = sum(big.values())
+    scored = [
+        (Fraction(c * n, uni[a] * uni[b]), a, b, c)
+        for (a, b), c in big.items()
+        if c >= _PMI_MIN
+    ]
+    scored.sort(key=lambda x: (-x[0], x[1], x[2]))
+    want = scored[:_PMI_TOPK]
+    assert len(got) == len(want) == _PMI_TOPK
+    for g, (ratio, a, b, c) in zip(got, want):
+        assert (g.tok_a, g.tok_b, g.n_ab) == (a, b, c)
+        assert g.pmi == pytest.approx(math.log(float(ratio)), abs=1.5e-6)
+    # collocations are real on this corpus: top pair beats independence
+    assert got[0].pmi > 0.0
+
+
+def test_encoding_audit_matches_python_recompute(spark):
+    """Run counts, distincts and ratios must equal a from-scratch
+    Python recompute under the same total within-order ordering."""
+    from collections import defaultdict
+
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans.maintenance import (
+        _ENC_COLS,
+        encoding_efficiency_audit,
+    )
+
+    got = {
+        r.column_name: r
+        for r in encoding_efficiency_audit(spark, SF).collect()
+    }
+    rows = (
+        T(spark, SF, "lineitem")
+        .select("l_orderkey", "l_linenumber", *_ENC_COLS)
+        .collect()
+    )
+    by_order = defaultdict(list)
+    for r in rows:
+        by_order[r.l_orderkey].append(r)
+    n = len(rows)
+    for c in _ENC_COLS:
+        runs = 0
+        vals = set()
+        for ok, grp in by_order.items():
+            grp = sorted(
+                grp,
+                key=lambda r: (
+                    r.l_linenumber,
+                    *[getattr(r, x) for x in _ENC_COLS],
+                ),
+            )
+            prev = object()
+            for r in grp:
+                v = getattr(r, c)
+                vals.add(v)
+                if v != prev:
+                    runs += 1
+                prev = v
+        g = got[c]
+        assert (g.n_rows, g.n_distinct, g.n_runs) == (n, len(vals), runs), c
+        assert g.avg_run_len == pytest.approx(n / runs, abs=1.5e-6)
+        assert g.distinct_ratio == pytest.approx(
+            len(vals) / n, abs=1.5e-6
+        )
+        assert g.resort_gain_bound == pytest.approx(
+            runs / len(vals), abs=1.5e-6
+        )
+    # the advisor orders sensibly: low-cardinality flag columns carry
+    # far longer potential runs than the near-unique partkey
+    assert got["l_returnflag"].n_distinct < 10
+    assert got["l_partkey"].resort_gain_bound < got[
+        "l_returnflag"
+    ].resort_gain_bound

@@ -80,6 +80,7 @@ LADDER = [
     # round 9, third session
     "label_propagation_communities",
     "naive_bayes_classifier_eval",
+    "token_pmi_collocations",
 ]
 
 

@@ -85,6 +85,7 @@ LADDER = [
     # round 9, third session
     "ols_two_factor_regression",
     "er_quality_threshold_sweep",
+    "encoding_efficiency_audit",
 ]
 
 # (table, key columns to offset by that table's stride-owner)

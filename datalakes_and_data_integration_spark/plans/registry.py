@@ -238,6 +238,9 @@ def register(
 # (orderkey, linenumber) key forced a content-complete total ORDER BY,
 # caught by the sf0.01 gate; triple-SF + bare gated in-session);
 # mean_impute yields. 35 + 15 = 50.
+# BATCH 16: mann_kendall_theil_sen (the environmental-monitoring
+# nonparametric trend pair on the span-bounded day grid; triple-SF +
+# bare gated in-session); lag6_pct_change yields. 36 + 14 = 50.
 WINDOW_ROUND = 9  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # round-9 changed/new (see the ROUND-9 WINDOW note above)
@@ -276,6 +279,7 @@ ROUND_CHANGED: list[str] = [
     "naive_bayes_classifier_eval",
     "token_pmi_collocations",
     "encoding_efficiency_audit",
+    "mann_kendall_theil_sen",
 ]
 WINDOW_PRIORITY: list[str] = [
     *ROUND_CHANGED,
@@ -295,7 +299,6 @@ WINDOW_PRIORITY: list[str] = [
     "gapfill_hourly_locf",
     "intradoc_repetition",
     "lag6_diff",
-    "lag6_pct_change",
 ]
 
 

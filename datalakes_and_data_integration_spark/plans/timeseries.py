@@ -1008,3 +1008,179 @@ def interval_overlap_join_sessions(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test + Theil-Sen slope (round-9 third session):
+# THE nonparametric trend readout of environmental monitoring (the
+# reference's own air-quality domain reports trends this way): S =
+# sum of pairwise signs over the daily series, tie-corrected normal
+# approximation, and the Theil-Sen median-of-pairwise-slopes as the
+# robust trend magnitude. Everything after the daily aggregate lives
+# on the SPAN-BOUNDED day grid (30 rows here; never corpus-scale), so
+# the O(days^2) pair stage is a constant-size broadcast self-join at
+# any corpus size — the legitimate place for a quadratic.
+# ---------------------------------------------------------------------------
+
+_MK_Z_CRIT = "1.959964"
+
+
+def _mk_r6(expr: str) -> str:
+    return f"CAST(ROUND(CAST({expr} AS DECIMAL(27,12)), 6) AS DOUBLE)"
+
+
+# Shared texts over (s_stat, var_s) and the pair sign.
+_MK_Z = """CASE WHEN var_s <= 0.0 THEN 0.0
+           WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+           WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+           ELSE 0.0 END"""
+_MK_SIGN = "CASE WHEN vj > vi THEN 1 WHEN vj < vi THEN -1 ELSE 0 END"
+
+
+def _mk_oracle() -> str:
+    z = _MK_Z
+    return f"""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(ts AS DATE) AS day,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+               AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+    pairs AS MATERIALIZED (
+      SELECT a.v AS vi, b.v AS vj, b.di - a.di AS dt
+      FROM daily a JOIN daily b ON b.di > a.di
+    ),
+    s AS (
+      SELECT CAST(coalesce(sum({_MK_SIGN}), 0) AS BIGINT) AS s_stat
+      FROM pairs
+    ),
+    ties AS (
+      SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+        AS tie_term
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY v)
+      WHERE t > 1
+    ),
+    vs AS (
+      SELECT CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term
+                  AS DOUBLE) / 18.0 AS var_s
+      FROM nn CROSS JOIN ties
+    ),
+    slopes AS (
+      SELECT (vj - vi) / CAST(dt AS DOUBLE) AS sl FROM pairs
+    ),
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM slopes),
+    ranked AS (
+      SELECT sl, row_number() OVER (ORDER BY sl) AS rk FROM slopes
+    ),
+    med AS (
+      SELECT (min(sl) + max(sl)) / 2.0 AS sen_slope
+      FROM ranked CROSS JOIN mm
+      WHERE rk IN ((mm.m + 1) // 2, (mm.m + 2) // 2)
+    )
+    SELECT nn.n AS n_days, s.s_stat,
+           {_mk_r6("vs.var_s")} AS var_s,
+           {_mk_r6(z)} AS z_score,
+           CASE WHEN {z} > {_MK_Z_CRIT} THEN 'increasing'
+                WHEN {z} < -{_MK_Z_CRIT} THEN 'decreasing'
+                ELSE 'no_trend' END AS trend,
+           {_mk_r6("med.sen_slope")} AS sen_slope
+    FROM nn CROSS JOIN s CROSS JOIN vs CROSS JOIN med
+    """
+
+
+@register(
+    "mann_kendall_theil_sen",
+    oracle=_mk_oracle(),
+    description="Mann-Kendall trend test with tie-corrected normal "
+    "approximation plus the Theil-Sen median-of-pairwise-slopes — the "
+    "standard nonparametric trend readout of environmental monitoring "
+    "(the reference project's own air-quality domain), robust where "
+    "OLS trend (trend_slope_by_type) is outlier-hostage. S and the "
+    "tie term are exact integers; the z epilogue and the slope median "
+    "((min+max)/2 of the two central order statistics — one row when "
+    "odd) are shared texts over bit-identical doubles. Scale: ONE "
+    "map-side-combined daily aggregate touches the corpus; the "
+    "O(days^2) pair stage runs on the span-bounded day grid (~30 "
+    "rows), a constant-size broadcast self-join at any corpus size — "
+    "the one legitimate home for a quadratic.",
+    tags=("timeseries", "trend", "stats", "robust"),
+)
+def mann_kendall_theil_sen(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("v")
+        )
+        .select(
+            F.datediff(F.col("day"), F.lit("1970-01-01")).alias("di"), "v"
+        )
+        .persist()  # span-bounded day grid: pair stage + counts read it
+    )
+    nn = daily.agg(F.count("*").cast("long").alias("n"))
+    a = daily.select(F.col("di").alias("ai"), F.col("v").alias("vi"))
+    b = daily.select(F.col("di").alias("bi"), F.col("v").alias("vj"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("bi") > F.col("ai"))  # scale-ok: span-bounded day grid self-join
+        .select("vi", "vj", (F.col("bi") - F.col("ai")).alias("dt"))
+        .persist()  # S + slope stages read it
+    )
+    s = pairs.agg(
+        F.coalesce(F.sum(F.expr(_MK_SIGN)), F.lit(0))
+        .cast("long")
+        .alias("s_stat")
+    )
+    ties = (
+        daily.groupBy("v")
+        .agg(F.count("*").cast("long").alias("t"))
+        .where("t > 1")
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("t * (t - 1) * (2 * t + 5)")), F.lit(0)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    vs = (
+        nn.crossJoin(F.broadcast(ties))  # scale-ok: 1-row x 1-row
+        .selectExpr(
+            "n",
+            "CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0"
+            " AS var_s",
+        )
+    )
+    from pyspark.sql import Window
+
+    mm = pairs.agg(F.count("*").cast("long").alias("m"))
+    wr = Window.orderBy("sl")  # scale-ok: span-bounded slope grid (~days^2/2 rows)
+    ranked = pairs.selectExpr(
+        "(vj - vi) / CAST(dt AS DOUBLE) AS sl"
+    ).withColumn("rk", F.row_number().over(wr))
+    med = (
+        ranked.crossJoin(F.broadcast(mm))  # scale-ok: grid x 1-row count
+        .where("rk IN ((m + 1) div 2, (m + 2) div 2)")
+        .agg(
+            ((F.min("sl") + F.max("sl")) / 2.0).alias("sen_slope")
+        )
+    )
+    return (
+        vs.crossJoin(F.broadcast(s))  # scale-ok: 1-row frames
+        .crossJoin(F.broadcast(med))
+        .selectExpr(
+            "n AS n_days",
+            "s_stat",
+            f"{_mk_r6('var_s')} AS var_s",
+            f"{_mk_r6(_MK_Z)} AS z_score",
+            f"""CASE WHEN {_MK_Z} > {_MK_Z_CRIT} THEN 'increasing'
+                WHEN {_MK_Z} < -{_MK_Z_CRIT} THEN 'decreasing'
+                ELSE 'no_trend' END AS trend""",
+            f"{_mk_r6('sen_slope')} AS sen_slope",
+        )
+    )

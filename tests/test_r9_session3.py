@@ -501,3 +501,67 @@ def test_encoding_audit_matches_python_recompute(spark):
     assert got["l_partkey"].resort_gain_bound < got[
         "l_returnflag"
     ].resort_gain_bound
+
+
+def test_mann_kendall_matches_python_recompute(spark):
+    """S, tie-corrected variance, z, trend call and Sen slope must
+    equal a from-scratch Python Mann-Kendall on the same daily means."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans.timeseries import (
+        mann_kendall_theil_sen,
+    )
+
+    got = mann_kendall_theil_sen(spark, SF).collect()[0]
+    daily = (
+        T(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("v")
+        )
+        .orderBy("day")
+        .collect()
+    )
+    days = [(r.day.toordinal(), r.v) for r in daily]
+    n = len(days)
+    s = 0
+    slopes = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = days[j][1] - days[i][1]
+            s += (d > 0) - (d < 0)
+            slopes.append(d / (days[j][0] - days[i][0]))
+    ties = Counter(v for _, v in days)
+    tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1)
+    var_s = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+    z = (
+        0.0
+        if s == 0 or var_s <= 0
+        else (s - 1) / math.sqrt(var_s)
+        if s > 0
+        else (s + 1) / math.sqrt(var_s)
+    )
+    slopes.sort()
+    m = len(slopes)
+    sen = (slopes[(m + 1) // 2 - 1] + slopes[(m + 2) // 2 - 1]) / 2.0
+    assert got.n_days == n
+    assert got.s_stat == s
+    assert got.var_s == pytest.approx(var_s, abs=1.5e-6)
+    assert got.z_score == pytest.approx(z, abs=1.5e-6)
+    want_trend = (
+        "increasing"
+        if z > 1.959964
+        else "decreasing"
+        if z < -1.959964
+        else "no_trend"
+    )
+    assert got.trend == want_trend
+    assert got.sen_slope == pytest.approx(sen, abs=1.5e-6)

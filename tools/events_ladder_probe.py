@@ -97,6 +97,7 @@ LADDER = [
     # round 9, third session
     "ab_anova_oneway",
     "streaming_quantile_maintenance",
+    "mann_kendall_theil_sen",
 ]
 
 

@@ -373,3 +373,136 @@ def source_lang_entropy(spark, sf_dir):
             "n_langs_present",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lang x source mutual information (round-9 third session): the
+# information-theoretic dependence scalar next to chi2_lang_source's
+# significance test — chi-square says WHETHER the mixture is
+# source-dependent, MI (and its normalized form) says HOW MUCH, in
+# nats, comparable across corpora. All cell/margin counts are exact
+# integers; each cell's ratio n_ls*N/(n_l*n_s) is an exact-integer-
+# ratio double (products < 2^53 — the term_domain_signature rule);
+# ln rides the entropy contract; and cross-cell sums route their
+# double terms through DECIMAL(38,12) so cell order cannot perturb
+# the statistic.
+# ---------------------------------------------------------------------------
+
+
+def _mi_r6(expr: str) -> str:
+    return f"CAST(ROUND(CAST({expr} AS DECIMAL(27,12)), 6) AS DOUBLE)"
+
+
+# Shared texts: per-cell MI term over (o, rl, cs, n); per-margin
+# entropy term over (m, n).
+_MI_TERM = (
+    "CAST((CAST(o AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)"
+    " / (CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE)))"
+    " AS DECIMAL(38,12))"
+)
+_H_TERM = (
+    "CAST(0.0 - (CAST(m AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * ln(CAST(m AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(38,12))"
+)
+_NMI = """CASE WHEN h_lang <= 0.0 OR h_source <= 0.0 THEN 0.0
+          ELSE mi / sqrt(h_lang * h_source) END"""
+
+
+def _mi_oracle() -> str:
+    return f"""
+    WITH obs AS MATERIALIZED (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+      FROM documents GROUP BY 1, 2
+    ),
+    rl AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rl FROM obs GROUP BY 1),
+    cs AS (SELECT source, CAST(sum(o) AS BIGINT) AS cs FROM obs GROUP BY 1),
+    nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+    mi AS (
+      SELECT CAST(coalesce(sum({_MI_TERM}), 0) AS DOUBLE) AS mi
+      FROM obs JOIN rl USING (lang) JOIN cs USING (source) CROSS JOIN nt
+    ),
+    hl AS (
+      SELECT CAST(coalesce(sum({_H_TERM}), 0) AS DOUBLE) AS h_lang
+      FROM (SELECT rl AS m FROM rl) CROSS JOIN nt
+    ),
+    hs AS (
+      SELECT CAST(coalesce(sum({_H_TERM}), 0) AS DOUBLE) AS h_source
+      FROM (SELECT cs AS m FROM cs) CROSS JOIN nt
+    )
+    SELECT nt.n AS n_docs,
+           {_mi_r6("mi.mi")} AS mi_nats,
+           {_mi_r6("hl.h_lang")} AS h_lang,
+           {_mi_r6("hs.h_source")} AS h_source,
+           {_mi_r6(_NMI.replace("h_lang", "hl.h_lang")
+                       .replace("h_source", "hs.h_source")
+                       .replace("mi /", "mi.mi /"))} AS nmi
+    FROM nt CROSS JOIN mi CROSS JOIN hl CROSS JOIN hs
+    """
+
+
+@register(
+    "lang_source_mutual_information",
+    oracle=_mi_oracle(),
+    description="Mutual information (and normalized MI) between the "
+    "lang and source columns — the information-theoretic dependence "
+    "scalar beside chi2_lang_source's significance test: chi-square "
+    "answers whether the language mixture depends on the source, MI "
+    "answers how much, in nats, comparable across corpora (the "
+    "mixture-design input temperature_mixture_plan consumes "
+    "qualitatively). Counts are exact integers; each cell ratio is an "
+    "exact-integer-ratio double; ln rides the entropy contract; and "
+    "every cross-cell reduction routes its double terms through "
+    "DECIMAL(38,12), so cell order cannot perturb the statistic. "
+    "Scale: one (lang, source) grouped count touches the corpus; MI, "
+    "both entropies and NMI live on the ~25-cell contingency grid.",
+    tags=("drift", "stats", "information-theory", "llm-pipeline"),
+)
+def lang_source_mutual_information(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("o")
+    ).persist()  # margins + MI reduction read the ~25-cell grid
+    rl = obs.groupBy("lang").agg(F.sum("o").cast("long").alias("rl"))
+    cs = obs.groupBy("source").agg(F.sum("o").cast("long").alias("cs"))
+    nt = obs.agg(F.sum("o").cast("long").alias("n"))
+    mi = (
+        obs.join(F.broadcast(rl), "lang")
+        .join(F.broadcast(cs), "source")
+        .crossJoin(F.broadcast(nt))  # scale-ok: 1-row total
+        .agg(
+            F.coalesce(F.sum(F.expr(_MI_TERM)), F.lit(0))
+            .cast("double")
+            .alias("mi")
+        )
+    )
+    hl = (
+        rl.selectExpr("rl AS m")
+        .crossJoin(F.broadcast(nt))  # scale-ok: margin x 1-row total
+        .agg(
+            F.coalesce(F.sum(F.expr(_H_TERM)), F.lit(0))
+            .cast("double")
+            .alias("h_lang")
+        )
+    )
+    hs = (
+        cs.selectExpr("cs AS m")
+        .crossJoin(F.broadcast(nt))  # scale-ok: margin x 1-row total
+        .agg(
+            F.coalesce(F.sum(F.expr(_H_TERM)), F.lit(0))
+            .cast("double")
+            .alias("h_source")
+        )
+    )
+    return (
+        nt.crossJoin(F.broadcast(mi))  # scale-ok: 1-row frames
+        .crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(hs))
+        .selectExpr(
+            "n AS n_docs",
+            f"{_mi_r6('mi')} AS mi_nats",
+            f"{_mi_r6('h_lang')} AS h_lang",
+            f"{_mi_r6('h_source')} AS h_source",
+            f"{_mi_r6(_NMI)} AS nmi",
+        )
+    )

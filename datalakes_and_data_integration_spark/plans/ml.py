@@ -1773,6 +1773,7 @@ def _ols_oracle() -> str:
     "aggregates; adding regressors grows the moment count "
     "quadratically but never adds a pass.",
     tags=("ml", "regression", "stats", "aggregate"),
+    bench=True,  # promoted r9 third session: the closed-form-regression flagship
 )
 def ols_two_factor_regression(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem")

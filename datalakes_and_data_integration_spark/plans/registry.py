@@ -241,6 +241,9 @@ def register(
 # BATCH 16: mann_kendall_theil_sen (the environmental-monitoring
 # nonparametric trend pair on the span-bounded day grid; triple-SF +
 # bare gated in-session); lag6_pct_change yields. 36 + 14 = 50.
+# BATCH 17: lang_source_mutual_information (the dependence scalar
+# beside chi2_lang_source; triple-SF + bare gated in-session);
+# lag6_diff yields. 37 + 13 = 50.
 WINDOW_ROUND = 9  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # round-9 changed/new (see the ROUND-9 WINDOW note above)
@@ -280,6 +283,7 @@ ROUND_CHANGED: list[str] = [
     "token_pmi_collocations",
     "encoding_efficiency_audit",
     "mann_kendall_theil_sen",
+    "lang_source_mutual_information",
 ]
 WINDOW_PRIORITY: list[str] = [
     *ROUND_CHANGED,
@@ -298,7 +302,6 @@ WINDOW_PRIORITY: list[str] = [
     "embedding_near_dup_hybrid",
     "gapfill_hourly_locf",
     "intradoc_repetition",
-    "lag6_diff",
 ]
 
 

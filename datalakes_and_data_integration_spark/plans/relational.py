@@ -2468,6 +2468,7 @@ def _er_sweep_oracle() -> str:
     "the only corpus-scale work is the ER pipeline itself; the sweep "
     "is a <= 100-row grid cross the 8-threshold probe list.",
     tags=("entity-resolution", "quality", "stats", "integration"),
+    bench=True,  # promoted r9 third session: the decision-curve flagship
 )
 def er_quality_threshold_sweep(spark, sf_dir):
     er = entity_resolution_blocked(spark, sf_dir).persist()

@@ -565,3 +565,36 @@ def test_mann_kendall_matches_python_recompute(spark):
     )
     assert got.trend == want_trend
     assert got.sen_slope == pytest.approx(sen, abs=1.5e-6)
+
+
+def test_mutual_information_matches_python_recompute(spark):
+    """MI, margin entropies and NMI must equal a from-scratch Python
+    recompute on the same contingency table, and MI must respect its
+    information-theoretic bounds 0 <= MI <= min(H_l, H_s)."""
+    import math
+    from collections import Counter
+
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans.drift import (
+        lang_source_mutual_information,
+    )
+
+    got = lang_source_mutual_information(spark, SF).collect()[0]
+    rows = T(spark, SF, "documents").select("lang", "source").collect()
+    cells = Counter((r.lang, r.source) for r in rows)
+    rl = Counter(r.lang for r in rows)
+    cs = Counter(r.source for r in rows)
+    n = len(rows)
+    mi = sum(
+        (o / n) * math.log(o * n / (rl[l] * cs[s]))
+        for (l, s), o in cells.items()
+    )
+    hl = -sum((m / n) * math.log(m / n) for m in rl.values())
+    hs = -sum((m / n) * math.log(m / n) for m in cs.values())
+    assert got.n_docs == n
+    assert got.mi_nats == pytest.approx(mi, abs=1.5e-6)
+    assert got.h_lang == pytest.approx(hl, abs=1.5e-6)
+    assert got.h_source == pytest.approx(hs, abs=1.5e-6)
+    assert got.nmi == pytest.approx(mi / math.sqrt(hl * hs), abs=1.5e-6)
+    assert -1e-9 <= got.mi_nats <= min(got.h_lang, got.h_source) + 1e-9
+    assert 0.0 <= got.nmi <= 1.0

@@ -81,6 +81,7 @@ LADDER = [
     "label_propagation_communities",
     "naive_bayes_classifier_eval",
     "token_pmi_collocations",
+    "lang_source_mutual_information",
 ]
 
 

@@ -1136,8 +1136,12 @@ def spearman_quality_length(spark, sf_dir):
 _NB_SEED = 23
 
 
-def _nb_split(hash_fn, cast: str) -> tuple[str, str]:
-    bucket = f"({hash_fn(f'CAST(doc_id AS {cast})', seed=_NB_SEED)} % 100)"
+def _nb_split(hash_fn, cast: str, p: str = "") -> tuple[str, str]:
+    """Train/test bucket predicates; ``p`` is the table prefix for the
+    oracle's qualified references (one template, no .replace chains)."""
+    bucket = (
+        f"({hash_fn(f'CAST({p}doc_id AS {cast})', seed=_NB_SEED)} % 100)"
+    )
     return f"{bucket} < 80", f"{bucket} >= 90"
 
 
@@ -1155,6 +1159,7 @@ def _nb_oracle() -> str:
     )
 
     train_pred, test_pred = _nb_split(hash60_sql_duck, "VARCHAR")
+    _, test_pred_t = _nb_split(hash60_sql_duck, "VARCHAR", "t.")
     return f"""
     WITH tok AS MATERIALIZED (
       SELECT d.doc_id, d.lang, t.tok, CAST(count(*) AS BIGINT) AS cnt
@@ -1189,7 +1194,7 @@ def _nb_oracle() -> str:
       SELECT t.doc_id, c.lang_pred,
              sum({_NB_TERM}) AS s1
       FROM tok t JOIN counts c ON c.tok = t.tok
-      WHERE {test_pred.replace("doc_id", "t.doc_id")}
+      WHERE {test_pred_t}
       GROUP BY 1, 2
     ),
     scored AS (

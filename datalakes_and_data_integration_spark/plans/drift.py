@@ -405,8 +405,14 @@ _H_TERM = (
     "CAST(0.0 - (CAST(m AS DOUBLE) / CAST(n AS DOUBLE))"
     " * ln(CAST(m AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(38,12))"
 )
-_NMI = """CASE WHEN h_lang <= 0.0 OR h_source <= 0.0 THEN 0.0
-          ELSE mi / sqrt(h_lang * h_source) END"""
+def _nmi(mi: str = "mi", hl: str = "h_lang", hs: str = "h_source") -> str:
+    """NMI guard text; the oracle passes qualified references (one
+    template, no .replace chains)."""
+    return f"""CASE WHEN {hl} <= 0.0 OR {hs} <= 0.0 THEN 0.0
+          ELSE {mi} / sqrt({hl} * {hs}) END"""
+
+
+_NMI = _nmi()
 
 
 def _mi_oracle() -> str:
@@ -434,9 +440,7 @@ def _mi_oracle() -> str:
            {_mi_r6("mi.mi")} AS mi_nats,
            {_mi_r6("hl.h_lang")} AS h_lang,
            {_mi_r6("hs.h_source")} AS h_source,
-           {_mi_r6(_NMI.replace("h_lang", "hl.h_lang")
-                       .replace("h_source", "hs.h_source")
-                       .replace("mi /", "mi.mi /"))} AS nmi
+           {_mi_r6(_nmi("mi.mi", "hl.h_lang", "hs.h_source"))} AS nmi
     FROM nt CROSS JOIN mi CROSS JOIN hl CROSS JOIN hs
     """
 

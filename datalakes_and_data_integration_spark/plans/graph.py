@@ -507,3 +507,162 @@ def label_propagation_communities(spark, sf_dir):
         F.col("label").alias("community"),
         F.count("*").over(w).cast("long").alias("community_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Clustering coefficient (round-9 third session): the local-density
+# readout the triangle census stops short of. neardup_triangle_count
+# gives raw per-node triangle counts; dividing by the wedge count
+# deg*(deg-1)/2 normalizes to Watts-Strogatz local clustering, and
+# 3*triangles/wedges is the global transitivity — together the
+# "is this near-dup neighborhood a real template family or a chain of
+# borderline pairs" score, per node and corpus-wide.
+# ---------------------------------------------------------------------------
+
+
+def _cc_r6(expr: str) -> str:
+    return f"CAST(ROUND(CAST({expr} AS DECIMAL(27,12)), 6) AS DOUBLE)"
+
+
+# Shared texts over (n_triangles, degree) and (tri_total, wedges).
+_CC_LOCAL = """CASE WHEN degree < 2 THEN 0.0
+              ELSE 2.0 * CAST(n_triangles AS DOUBLE)
+                   / (CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - 1.0))
+              END"""
+_CC_GLOBAL = """CASE WHEN wedges = 0 THEN 0.0
+               ELSE 3.0 * CAST(tri_total AS DOUBLE)
+                    / CAST(wedges AS DOUBLE) END"""
+
+
+def _clustering_oracle() -> str:
+    from datalakes_and_data_integration_spark.plans.dedup import (
+        _minhash_oracle,
+    )
+
+    return f"""
+    WITH pairs AS MATERIALIZED ({_minhash_oracle()}),
+    e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs),
+    deg AS MATERIALIZED (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY node
+    ),
+    tri AS MATERIALIZED (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    pertri AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY node
+    ),
+    gstats AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM tri) AS tri_total,
+             (SELECT CAST(coalesce(sum(degree * (degree - 1) // 2), 0)
+                          AS BIGINT) FROM deg) AS wedges
+    )
+    SELECT d.node, d.degree,
+           CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           {_cc_r6(_CC_LOCAL.replace("n_triangles", "coalesce(t.n_triangles, 0)")
+                            .replace("degree", "d.degree"))} AS clustering_coeff,
+           g.tri_total, g.wedges,
+           {_cc_r6(_CC_GLOBAL.replace("tri_total", "g.tri_total")
+                             .replace("wedges", "g.wedges"))} AS transitivity
+    FROM deg d LEFT JOIN pertri t ON t.node = d.node CROSS JOIN gstats g
+    """
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle=_clustering_oracle(),
+    description="Watts-Strogatz clustering coefficients over the "
+    "MinHash near-dup graph: per node, triangles / wedges (2T/deg·"
+    "(deg-1)) — the local-density score separating genuine template "
+    "families (dense, coefficient near 1) from chains of borderline "
+    "pairs (star-shaped, near 0) — plus the global transitivity "
+    "3·triangles/wedges on every row. Extends neardup_triangle_count "
+    "(same oriented a<b<c triangle enumeration, counted once) with "
+    "the degree normalization; all counts are exact integers and the "
+    "two ratio texts are shared, rounded through the DECIMAL(27,12) "
+    "recipe. Scale: two edge-keyed hash joins bounded by the "
+    "candidate-pair count (never the corpus), one union-count per "
+    "node, and the global pair is a 1-row broadcast.",
+    tags=("graph", "dedup", "triangles", "llm-pipeline"),
+)
+def graph_clustering_coefficient(spark, sf_dir):
+    from datalakes_and_data_integration_spark.plans.dedup import (
+        dedup_minhash_lsh,
+    )
+
+    e = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .persist()  # degree, triangle and wedge passes share the edge set
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+        .persist()  # per-node counts + the global total share it
+    )
+    pertri = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    glob = (
+        tri.agg(F.count("*").cast("long").alias("tri_total"))
+        .crossJoin(  # scale-ok: 1-row x 1-row global stats
+            F.broadcast(
+                deg.agg(
+                    F.coalesce(
+                        F.sum(F.expr("degree * (degree - 1) div 2")),
+                        F.lit(0),
+                    )
+                    .cast("long")
+                    .alias("wedges")
+                )
+            )
+        )
+    )
+    return (
+        deg.join(pertri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+        )
+        .crossJoin(F.broadcast(glob))  # scale-ok: node frame x 1-row stats
+        .selectExpr(
+            "node",
+            "degree",
+            "n_triangles",
+            f"{_cc_r6(_CC_LOCAL)} AS clustering_coeff",
+            "tri_total",
+            "wedges",
+            f"{_cc_r6(_CC_GLOBAL)} AS transitivity",
+        )
+    )

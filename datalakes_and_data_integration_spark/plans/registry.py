@@ -244,6 +244,9 @@ def register(
 # BATCH 17: lang_source_mutual_information (the dependence scalar
 # beside chi2_lang_source; triple-SF + bare gated in-session);
 # lag6_diff yields. 37 + 13 = 50.
+# BATCH 18: graph_clustering_coefficient (Watts-Strogatz local
+# clustering + global transitivity over the near-dup graph; triple-SF
+# + bare gated in-session); intradoc_repetition yields. 38 + 12 = 50.
 WINDOW_ROUND = 9  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # round-9 changed/new (see the ROUND-9 WINDOW note above)
@@ -284,6 +287,7 @@ ROUND_CHANGED: list[str] = [
     "encoding_efficiency_audit",
     "mann_kendall_theil_sen",
     "lang_source_mutual_information",
+    "graph_clustering_coefficient",
 ]
 WINDOW_PRIORITY: list[str] = [
     *ROUND_CHANGED,
@@ -301,7 +305,6 @@ WINDOW_PRIORITY: list[str] = [
     "embedding_near_dup",
     "embedding_near_dup_hybrid",
     "gapfill_hourly_locf",
-    "intradoc_repetition",
 ]
 
 

@@ -598,3 +598,56 @@ def test_mutual_information_matches_python_recompute(spark):
     assert got.nmi == pytest.approx(mi / math.sqrt(hl * hs), abs=1.5e-6)
     assert -1e-9 <= got.mi_nats <= min(got.h_lang, got.h_source) + 1e-9
     assert 0.0 <= got.nmi <= 1.0
+
+
+def test_clustering_coefficient_matches_python_recompute(spark):
+    """Per-node coefficients and global transitivity must equal a
+    from-scratch Python recompute over the same pair list."""
+    from collections import defaultdict
+
+    from datalakes_and_data_integration_spark.plans.dedup import (
+        dedup_minhash_lsh,
+    )
+    from datalakes_and_data_integration_spark.plans.graph import (
+        graph_clustering_coefficient,
+    )
+
+    got = {
+        r.node: r for r in graph_clustering_coefficient(spark, SF).collect()
+    }
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dedup_minhash_lsh(spark, SF)
+        .select("doc_a", "doc_b")
+        .collect()
+    ]
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = defaultdict(int)
+    tri_total = 0
+    nodes = sorted(adj)
+    for v in nodes:
+        for u in adj[v]:
+            if u <= v:
+                continue
+            for w in adj[v] & adj[u]:
+                if w > u:
+                    tri_total += 1
+                    tri[v] += 1
+                    tri[u] += 1
+                    tri[w] += 1
+    wedges = sum(len(adj[v]) * (len(adj[v]) - 1) // 2 for v in nodes)
+    trans = 3 * tri_total / wedges if wedges else 0.0
+    assert set(got) == set(nodes)
+    for v in nodes:
+        g = got[v]
+        deg = len(adj[v])
+        assert (g.degree, g.n_triangles) == (deg, tri[v]), v
+        cc = 2 * tri[v] / (deg * (deg - 1)) if deg >= 2 else 0.0
+        assert g.clustering_coeff == pytest.approx(cc, abs=1.5e-6)
+        assert g.tri_total == tri_total and g.wedges == wedges
+        assert g.transitivity == pytest.approx(trans, abs=1.5e-6)
+    # the fixture's near-dup graph carries real triangle structure
+    assert tri_total > 0

@@ -82,6 +82,7 @@ LADDER = [
     "naive_bayes_classifier_eval",
     "token_pmi_collocations",
     "lang_source_mutual_information",
+    "graph_clustering_coefficient",
 ]
 
 

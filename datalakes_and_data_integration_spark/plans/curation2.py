@@ -338,16 +338,11 @@ def _triangle_oracle() -> str:
     from datalakes_and_data_integration_spark.plans.dedup import (
         _minhash_oracle,
     )
+    from datalakes_and_data_integration_spark.plans.graph import tri_sql
 
     return f"""
     WITH pairs AS ({_minhash_oracle()}),
-    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
-    tri AS (
-      SELECT e1.a AS x, e1.b AS y, e2.b AS z
-      FROM e e1
-      JOIN e e2 ON e2.a = e1.b
-      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
-    ),
+    {tri_sql()},
     nodes AS (
       SELECT x AS node FROM tri
       UNION ALL SELECT y FROM tri
@@ -375,25 +370,14 @@ def neardup_triangle_count(spark, sf_dir):
         dedup_minhash_lsh,
     )
 
+    from datalakes_and_data_integration_spark.plans.graph import tri_frame
+
     e = (
         dedup_minhash_lsh(spark, sf_dir)
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .persist()
     )
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
-        .join(
-            e3,
-            (F.col("e3.a") == F.col("e1.a"))
-            & (F.col("e3.b") == F.col("e2.b")),
-        )
-        .select(
-            F.col("e1.a").alias("x"),
-            F.col("e1.b").alias("y"),
-            F.col("e2.b").alias("z"),
-        )
-    )
+    tri = tri_frame(e)
     nodes = (
         tri.select(F.col("x").alias("node"))
         .unionAll(tri.select(F.col("y").alias("node")))

@@ -520,6 +520,40 @@ def label_propagation_communities(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def tri_sql(mat: str = "") -> str:
+    """Shared oriented a<b<c triangle CTE pair over a ``pairs`` CTE
+    (doc_a < doc_b): used by graph_clustering_coefficient here and
+    neardup_triangle_count in curation2 — one definition, so an edge-
+    source or join-shape change cannot make the two disagree. ``mat``
+    is " MATERIALIZED" where the caller's dialect wants it."""
+    return f"""e AS{mat} (SELECT doc_a AS a, doc_b AS b FROM pairs),
+    tri AS{mat} (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )"""
+
+
+def tri_frame(e):
+    """Shared Spark twin of :func:`tri_sql`: oriented triangle frame
+    (x, y, z) from the a<b edge frame."""
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+
+
 def _cc_r6(expr: str) -> str:
     return f"CAST(ROUND(CAST({expr} AS DECIMAL(27,12)), 6) AS DOUBLE)"
 
@@ -541,17 +575,11 @@ def _clustering_oracle() -> str:
 
     return f"""
     WITH pairs AS MATERIALIZED ({_minhash_oracle()}),
-    e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs),
+    {tri_sql(" MATERIALIZED")},
     deg AS MATERIALIZED (
       SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
         SELECT a AS node FROM e UNION ALL SELECT b FROM e
       ) GROUP BY node
-    ),
-    tri AS MATERIALIZED (
-      SELECT e1.a AS x, e1.b AS y, e2.b AS z
-      FROM e e1
-      JOIN e e2 ON e2.a = e1.b
-      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
     ),
     pertri AS (
       SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
@@ -609,21 +637,7 @@ def graph_clustering_coefficient(spark, sf_dir):
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("degree"))
     )
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
-        .join(
-            e3,
-            (F.col("e3.a") == F.col("e1.a"))
-            & (F.col("e3.b") == F.col("e2.b")),
-        )
-        .select(
-            F.col("e1.a").alias("x"),
-            F.col("e1.b").alias("y"),
-            F.col("e2.b").alias("z"),
-        )
-        .persist()  # per-node counts + the global total share it
-    )
+    tri = tri_frame(e).persist()  # per-node counts + global total share it
     pertri = (
         tri.select(F.col("x").alias("node"))
         .unionAll(tri.select(F.col("y").alias("node")))

@@ -247,6 +247,12 @@ def register(
 # BATCH 18: graph_clustering_coefficient (Watts-Strogatz local
 # clustering + global transitivity over the near-dup graph; triple-SF
 # + bare gated in-session); intradoc_repetition yields. 38 + 12 = 50.
+# POST-BATCH CODE-REVIEW: the duplicated oriented-triangle enumeration
+# (Spark 3-way join + SQL CTE pair) extracted to graph.tri_frame /
+# graph.tri_sql — neardup_triangle_count now shares one definition
+# with graph_clustering_coefficient, so its changed code takes a
+# clause-(a) slot (both re-gated at 3 SFs in-session);
+# gapfill_hourly_locf yields. 39 + 11 = 50.
 WINDOW_ROUND = 9  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # round-9 changed/new (see the ROUND-9 WINDOW note above)
@@ -288,6 +294,7 @@ ROUND_CHANGED: list[str] = [
     "mann_kendall_theil_sen",
     "lang_source_mutual_information",
     "graph_clustering_coefficient",
+    "neardup_triangle_count",
 ]
 WINDOW_PRIORITY: list[str] = [
     *ROUND_CHANGED,
@@ -304,7 +311,6 @@ WINDOW_PRIORITY: list[str] = [
     "doc_top_terms",
     "embedding_near_dup",
     "embedding_near_dup_hybrid",
-    "gapfill_hourly_locf",
 ]
 
 

@@ -2413,3 +2413,226 @@ def ab_anova_oneway(spark, sf_dir):
             f"{_r6(_ANOVA_ETA)} AS eta_squared",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test between the experiment arms (round-9 third session):
+# the censoring-aware answer to "does treatment change user lifetime"
+# — comparing arm means of lifespan ignores censoring and is biased at
+# the observation edge; the log-rank statistic compares the arms'
+# entire hazard trajectories using exactly the KM risk-set/event
+# tables (km_hazard_table's construction, split by arm). O-E and the
+# hypergeometric variance accumulate over the bounded day grid.
+# ---------------------------------------------------------------------------
+
+
+def _logrank_oracle() -> str:
+    from datalakes_and_data_integration_spark.plans.temporal import (
+        _KM_CENSOR_DAYS,
+        _SURV_DAYS,
+    )
+
+    return f"""
+    WITH horizon AS (
+      SELECT CAST(max(ts) AS DATE) - {_KM_CENSOR_DAYS} AS h FROM events
+    ),
+    life AS MATERIALIZED (
+      SELECT user_id, {_arm_duck()} AS arm,
+             datediff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+               AS span_days,
+             CAST(max(ts) AS DATE) > (SELECT h FROM horizon) AS censored
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    hist AS (
+      SELECT arm, span_days, censored, CAST(count(*) AS BIGINT) AS c
+      FROM life GROUP BY 1, 2, 3
+    ),
+    grid AS (SELECT unnest(range(0, {_SURV_DAYS})) AS day_offset),
+    daily AS (
+      SELECT g.day_offset,
+             CAST(coalesce(sum(CASE WHEN h.arm = 'treatment'
+                               AND h.span_days >= g.day_offset
+                               THEN h.c END), 0) AS BIGINT) AS n1,
+             CAST(coalesce(sum(CASE WHEN h.span_days >= g.day_offset
+                               THEN h.c END), 0) AS BIGINT) AS nt,
+             CAST(coalesce(sum(CASE WHEN h.arm = 'treatment'
+                               AND h.span_days = g.day_offset
+                               AND NOT h.censored
+                               THEN h.c END), 0) AS BIGINT) AS d1,
+             CAST(coalesce(sum(CASE WHEN h.span_days = g.day_offset
+                               AND NOT h.censored
+                               THEN h.c END), 0) AS BIGINT) AS dt
+      FROM grid g CROSS JOIN hist h
+      GROUP BY g.day_offset
+    ),
+    acc AS (
+      SELECT
+        CAST(coalesce(sum(d1), 0) AS BIGINT) AS o1,
+        CAST(coalesce(sum(CAST(CASE WHEN nt = 0 THEN 0.0
+             ELSE CAST(dt AS DOUBLE) * CAST(n1 AS DOUBLE)
+                  / CAST(nt AS DOUBLE) END
+             AS DECIMAL(38,12))), 0) AS DOUBLE) AS e1,
+        CAST(coalesce(sum(CAST(CASE WHEN nt <= 1 THEN 0.0
+             ELSE CAST(dt AS DOUBLE)
+                  * (CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+                  * (1.0 - CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+                  * (CAST(nt - dt AS DOUBLE) / CAST(nt - 1 AS DOUBLE)) END
+             AS DECIMAL(38,12))), 0) AS DOUBLE) AS v
+      FROM daily
+    ),
+    arms AS (
+      SELECT CAST(coalesce(sum(CASE WHEN arm = 'control' THEN 1 END), 0)
+                  AS BIGINT) AS n_control,
+             CAST(coalesce(sum(CASE WHEN arm = 'treatment' THEN 1 END), 0)
+                  AS BIGINT) AS n_treatment
+      FROM life
+    )
+    SELECT a.n_control, a.n_treatment, x.o1 AS observed_treatment,
+           CAST(ROUND(CAST(x.e1 AS DECIMAL(27,12)), 6) AS DOUBLE)
+             AS expected_treatment,
+           CAST(ROUND(CAST(x.v AS DECIMAL(27,12)), 6) AS DOUBLE)
+             AS variance,
+           CAST(ROUND(CAST(CASE WHEN x.v <= 0.0 THEN 0.0
+                ELSE (CAST(x.o1 AS DOUBLE) - x.e1) / sqrt(x.v) END
+                AS DECIMAL(27,12)), 6) AS DOUBLE) AS z_score,
+           CASE WHEN x.v <= 0.0 THEN FALSE
+                ELSE abs((CAST(x.o1 AS DOUBLE) - x.e1) / sqrt(x.v))
+                     > {_Z_ALPHA} END AS significant_95
+    FROM acc x CROSS JOIN arms a
+    """
+
+
+@register(
+    "ab_logrank_test",
+    oracle=_logrank_oracle(),
+    description="Log-rank (Mantel-Cox) test between the experiment "
+    "arms over right-censored purchase lifespans — the censoring-aware "
+    "member of the experiment panel: comparing arm mean lifespans "
+    "counts still-active users as churned at the observation edge; "
+    "the log-rank statistic compares the full hazard trajectories "
+    "using km_hazard_table's risk-set construction split by arm "
+    "(same censor horizon, same purchase-lifespan basis). O1 is an "
+    "exact integer; E1 and the hypergeometric variance accumulate "
+    "per-day double terms through DECIMAL(38,12) (day order cannot "
+    "perturb them); the z epilogue shares the panel's 1.959964 "
+    "critical value. Scale: one per-user purchase aggregate touches "
+    "the corpus; every statistic lives on the bounded (day x arm x "
+    "censored) histogram crossed with the 30-day grid.",
+    tags=("experiment", "ab-test", "survival", "stats"),
+)
+def ab_logrank_test(spark, sf_dir):
+    from datalakes_and_data_integration_spark.plans.temporal import (
+        _KM_CENSOR_DAYS,
+        _SURV_DAYS,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    horizon = F.broadcast(
+        ev.agg(
+            F.date_sub(F.max("ts").cast("date"), _KM_CENSOR_DAYS).alias(
+                "h"
+            )
+        )
+    )
+    life = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id"), _arm_spark().alias("arm"))
+        .agg(
+            F.datediff(
+                F.max("ts").cast("date"), F.min("ts").cast("date")
+            ).alias("span_days"),
+            F.max("ts").cast("date").alias("last_day"),
+        )
+        .crossJoin(horizon)  # scale-ok: 1-row horizon scalar
+        .select(
+            "arm",
+            "span_days",
+            (F.col("last_day") > F.col("h")).alias("censored"),
+        )
+        .persist()  # histogram + arm counts read it
+    )
+    hist = life.groupBy("arm", "span_days", "censored").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    grid = spark.range(0, _SURV_DAYS).select(
+        F.col("id").cast("long").alias("day_offset")
+    )
+    is_t = F.col("arm") == "treatment"
+    at_risk = F.col("span_days") >= F.col("day_offset")
+    ev_day = (F.col("span_days") == F.col("day_offset")) & ~F.col(
+        "censored"
+    )
+    daily = (
+        grid.crossJoin(hist)  # scale-ok: 30-day grid x bounded histogram
+        .groupBy("day_offset")
+        .agg(
+            F.coalesce(F.sum(F.when(is_t & at_risk, F.col("c"))), F.lit(0))
+            .cast("long")
+            .alias("n1"),
+            F.coalesce(F.sum(F.when(at_risk, F.col("c"))), F.lit(0))
+            .cast("long")
+            .alias("nt"),
+            F.coalesce(F.sum(F.when(is_t & ev_day, F.col("c"))), F.lit(0))
+            .cast("long")
+            .alias("d1"),
+            F.coalesce(F.sum(F.when(ev_day, F.col("c"))), F.lit(0))
+            .cast("long")
+            .alias("dt"),
+        )
+    )
+    acc = daily.agg(
+        F.coalesce(F.sum("d1"), F.lit(0)).cast("long").alias("o1"),
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    "CAST(CASE WHEN nt = 0 THEN 0.0"
+                    " ELSE CAST(dt AS DOUBLE) * CAST(n1 AS DOUBLE)"
+                    " / CAST(nt AS DOUBLE) END AS DECIMAL(38,12))"
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("double")
+        .alias("e1"),
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    "CAST(CASE WHEN nt <= 1 THEN 0.0"
+                    " ELSE CAST(dt AS DOUBLE)"
+                    " * (CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))"
+                    " * (1.0 - CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))"
+                    " * (CAST(nt - dt AS DOUBLE)"
+                    " / CAST(nt - 1 AS DOUBLE)) END AS DECIMAL(38,12))"
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("double")
+        .alias("v"),
+    )
+    arms = life.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == "control", 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_control"),
+        F.coalesce(F.sum(F.when(is_t, 1)), F.lit(0))
+        .cast("long")
+        .alias("n_treatment"),
+    )
+    return (
+        acc.crossJoin(F.broadcast(arms))  # scale-ok: 1-row frames
+        .selectExpr(
+            "n_control",
+            "n_treatment",
+            "o1 AS observed_treatment",
+            f"{_r6('e1')} AS expected_treatment",
+            f"{_r6('v')} AS variance",
+            f"""{_r6("CASE WHEN v <= 0.0 THEN 0.0"
+                " ELSE (CAST(o1 AS DOUBLE) - e1) / sqrt(v) END")}
+              AS z_score""",
+            f"""CASE WHEN v <= 0.0 THEN FALSE
+                ELSE abs((CAST(o1 AS DOUBLE) - e1) / sqrt(v))
+                     > {_Z_ALPHA} END AS significant_95""",
+        )
+    )

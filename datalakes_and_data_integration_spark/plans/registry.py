@@ -253,6 +253,10 @@ def register(
 # with graph_clustering_coefficient, so its changed code takes a
 # clause-(a) slot (both re-gated at 3 SFs in-session);
 # gapfill_hourly_locf yields. 39 + 11 = 50.
+# BATCH 19: ab_logrank_test (censoring-aware Mantel-Cox survival
+# comparison between the arms, km_hazard_table's risk-set
+# construction; triple-SF + bare gated in-session);
+# embedding_near_dup_hybrid yields. 40 + 10 = 50.
 WINDOW_ROUND = 9  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # round-9 changed/new (see the ROUND-9 WINDOW note above)
@@ -295,6 +299,7 @@ ROUND_CHANGED: list[str] = [
     "lang_source_mutual_information",
     "graph_clustering_coefficient",
     "neardup_triangle_count",
+    "ab_logrank_test",
 ]
 WINDOW_PRIORITY: list[str] = [
     *ROUND_CHANGED,
@@ -310,7 +315,6 @@ WINDOW_PRIORITY: list[str] = [
     "doc_chunking",
     "doc_top_terms",
     "embedding_near_dup",
-    "embedding_near_dup_hybrid",
 ]
 
 

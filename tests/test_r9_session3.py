@@ -651,3 +651,62 @@ def test_clustering_coefficient_matches_python_recompute(spark):
         assert g.transitivity == pytest.approx(trans, abs=1.5e-6)
     # the fixture's near-dup graph carries real triangle structure
     assert tri_total > 0
+
+
+def test_logrank_matches_python_recompute(spark):
+    """O1, E1, V and z must equal a from-scratch Python log-rank over
+    the same per-user (arm, span, censored) frame."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans.experiment import (
+        _arm_spark,
+        ab_logrank_test,
+    )
+    from datalakes_and_data_integration_spark.plans.temporal import (
+        _KM_CENSOR_DAYS,
+        _SURV_DAYS,
+    )
+
+    got = ab_logrank_test(spark, SF).collect()[0]
+    ev = T(spark, SF, "events")
+    h = ev.agg(
+        F.date_sub(F.max("ts").cast("date"), _KM_CENSOR_DAYS).alias("h")
+    ).collect()[0].h
+    life = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", _arm_spark().alias("arm"))
+        .agg(
+            F.datediff(
+                F.max("ts").cast("date"), F.min("ts").cast("date")
+            ).alias("span"),
+            F.max("ts").cast("date").alias("last_day"),
+        )
+        .collect()
+    )
+    rows = [(r.arm, r.span, r.last_day > h) for r in life]
+    o1 = e1 = v = 0.0
+    for t in range(_SURV_DAYS):
+        n1 = sum(1 for a, s, _c in rows if a == "treatment" and s >= t)
+        nt = sum(1 for _a, s, _c in rows if s >= t)
+        d1 = sum(
+            1 for a, s, c in rows if a == "treatment" and s == t and not c
+        )
+        dt = sum(1 for _a, s, c in rows if s == t and not c)
+        o1 += d1
+        if nt > 0:
+            e1 += dt * n1 / nt
+        if nt > 1:
+            v += dt * (n1 / nt) * (1 - n1 / nt) * (nt - dt) / (nt - 1)
+    z = (o1 - e1) / math.sqrt(v) if v > 0 else 0.0
+    assert got.n_control + got.n_treatment == len(rows)
+    assert got.observed_treatment == o1
+    assert got.expected_treatment == pytest.approx(e1, abs=1.5e-6)
+    assert got.variance == pytest.approx(v, abs=1.5e-6)
+    assert got.z_score == pytest.approx(z, abs=1.5e-6)
+    assert got.significant_95 == (abs(z) > 1.959964)
+    # assignment is a fair coin on a null effect: the statistic should
+    # exist (non-degenerate risk sets) on the real corpus
+    assert got.variance > 0.0

@@ -98,6 +98,7 @@ LADDER = [
     "ab_anova_oneway",
     "streaming_quantile_maintenance",
     "mann_kendall_theil_sen",
+    "ab_logrank_test",
 ]
 
 

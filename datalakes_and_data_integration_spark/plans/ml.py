@@ -1855,3 +1855,188 @@ def ols_two_factor_regression(spark, sf_dir):
         f"{_ols_r6(_OLS_R2)} AS r_squared",
         f"{_ols_r6(_OLS_RMSE)} AS rmse",
     )
+
+
+# ---------------------------------------------------------------------------
+# Brier score with the Murphy (1973) decomposition (round-9 third
+# session): the proper-scoring-rule companion to the reliability
+# diagram — Brier = reliability - resolution + uncertainty
+# (+ within-bin forecast variance for the unbinned score). Reliability
+# says how far the predicted probabilities sit from observed rates
+# (what isotonic calibration fixes), resolution says how much the
+# bins actually separate outcomes (what calibration CANNOT add), and
+# uncertainty is the outcome base rate's own entropy-like floor.
+# ---------------------------------------------------------------------------
+
+def _br_r6(expr: str) -> str:
+    return f"CAST(ROUND(CAST({expr} AS DECIMAL(27,12)), 6) AS DOUBLE)"
+
+
+# Shared per-bin texts over (n, n_pos, sp) and the global obar.
+_BR_PB = "(sp / CAST(n AS DOUBLE))"
+_BR_OB = "(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))"
+_BR_REL_T = (
+    f"CAST(CAST(n AS DOUBLE) * ({_BR_PB} - {_BR_OB})"
+    f" * ({_BR_PB} - {_BR_OB}) AS DECIMAL(38,12))"
+)
+_BR_RES_T = (
+    f"CAST(CAST(n AS DOUBLE) * ({_BR_OB} - obar)"
+    f" * ({_BR_OB} - obar) AS DECIMAL(38,12))"
+)
+
+
+def _brier_oracle() -> str:
+    train_pred, test_pred = _split_pred_duck()
+    return (
+        _trained_with_block(train_pred)
+        + f""",
+    test_rows AS (
+      SELECT vec_id, CAST(label = {_POS_LABEL} AS INT) AS y,
+             embedding AS emb
+      FROM embeddings
+      WHERE {test_pred}
+    ),
+    scored AS (
+      SELECT y, ({_oracle_z_chain("wrowF")}) AS z
+      FROM test_rows CROSS JOIN wrowF
+    ),
+    binned AS (
+      SELECT CAST(greatest(least(floor(1000.0 * z), 7), -8) AS BIGINT)
+               AS bin,
+             y, 1.0 / (1.0 + exp(0.0 - z)) AS p
+      FROM scored
+    ),
+    bins AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(CAST(p AS DECIMAL(38,18))) AS DOUBLE) AS sp
+      FROM binned GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS nn,
+             CAST(sum(y) AS BIGINT) AS npos,
+             CAST(sum(y) AS DOUBLE) / count(*) AS obar,
+             CAST(sum(CAST((p - CAST(y AS DOUBLE))
+                           * (p - CAST(y AS DOUBLE))
+                           AS DECIMAL(38,18))) AS DOUBLE) / count(*)
+               AS brier
+      FROM binned
+    ),
+    decomp AS (
+      SELECT CAST(coalesce(sum({_BR_REL_T}), 0) AS DOUBLE)
+               / (SELECT nn FROM tot) AS reliability,
+             CAST(coalesce(sum({_BR_RES_T}), 0) AS DOUBLE)
+               / (SELECT nn FROM tot) AS resolution
+      FROM bins CROSS JOIN tot
+    )
+    SELECT b.bin, b.n, b.n_pos,
+           {_br_r6(_BR_PB.replace("sp", "b.sp").replace("(n ", "(b.n "))}
+             AS mean_pred,
+           {_br_r6(_BR_OB.replace("n_pos", "b.n_pos").replace("(n ", "(b.n "))}
+             AS obs_rate,
+           {_br_r6("t.brier")} AS brier,
+           {_br_r6("d.reliability")} AS reliability,
+           {_br_r6("d.resolution")} AS resolution,
+           {_br_r6("t.obar * (1.0 - t.obar)")} AS uncertainty
+    FROM bins b CROSS JOIN tot t CROSS JOIN decomp d
+    """
+    )
+
+
+@register(
+    "logreg_brier_decomposition",
+    oracle=_brier_oracle(),
+    description="Brier score of the held-out classifier with Murphy's "
+    "decomposition over the clamped milli-logit bin grid (the "
+    "calibration query's 16 cells, sized to the 3-iteration weight "
+    "scale — equal-width probability bins degenerate to one cell "
+    "here): "
+    "Brier = reliability - resolution + uncertainty, up to the "
+    "within-bin forecast variance and forecast-outcome covariance "
+    "(the exact identity is pinned by test) — the proper-scoring "
+    "companion to the "
+    "reliability diagram that separates what recalibration can fix "
+    "(reliability) from what it cannot add (resolution) against the "
+    "base-rate floor (uncertainty). Probabilities are sigmoids of the "
+    "shared fixed-order logit chain; per-row squared errors and "
+    "per-row probabilities sum through DECIMAL(38,18) (the logreg "
+    "gradient rule) and the 16-cell decomposition terms through "
+    "DECIMAL(38,12). Scale: one scored scan over the 10% split on "
+    "top of the shared training iterations; all decomposition state "
+    "is the 16-cell bin grid.",
+    tags=("ml", "evaluation", "calibration", "llm-pipeline"),
+)
+def logreg_brier_decomposition(spark, sf_dir):
+    train_pred, test_pred = _split_pred_spark()
+    e, w, b = _train(spark, sf_dir, where=train_pred)
+    z = _spark_z_chain(w, b)
+    binned = (
+        T(spark, sf_dir, "embeddings")
+        .where(test_pred)
+        .select(
+            (F.col("label") == _POS_LABEL).cast("int").alias("y"),
+            F.expr(z).alias("z"),
+        )
+        .select(
+            "y",
+            F.expr("1.0 / (1.0 + exp(0.0 - z))").alias("p"),
+            F.expr(
+                "CAST(greatest(least(floor(1000.0 * z), 7), -8)"
+                " AS BIGINT)"
+            ).alias("bin"),
+        )
+        .persist()  # bins + totals read the scored split
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(F.expr("CAST(p AS DECIMAL(38,18))"))
+        .cast("double")
+        .alias("sp"),
+    )
+    tot = binned.agg(
+        F.count("*").cast("long").alias("nn"),
+        F.sum("y").cast("long").alias("npos"),
+        (F.sum("y").cast("double") / F.count("*")).alias("obar"),
+        (
+            F.sum(
+                F.expr(
+                    "CAST((p - CAST(y AS DOUBLE))"
+                    " * (p - CAST(y AS DOUBLE)) AS DECIMAL(38,18))"
+                )
+            ).cast("double")
+            / F.count("*")
+        ).alias("brier"),
+    )
+    decomp = (
+        bins.crossJoin(F.broadcast(tot))  # scale-ok: 16 bins x 1-row total
+        .agg(
+            (
+                F.coalesce(F.sum(F.expr(_BR_REL_T)), F.lit(0)).cast(
+                    "double"
+                )
+                / F.first(F.col("nn").cast("double"))
+            ).alias("reliability"),
+            (
+                F.coalesce(F.sum(F.expr(_BR_RES_T)), F.lit(0)).cast(
+                    "double"
+                )
+                / F.first(F.col("nn").cast("double"))
+            ).alias("resolution"),
+        )
+    )
+    return (
+        bins.crossJoin(F.broadcast(tot))  # scale-ok: 16 bins x 1-row
+        .crossJoin(F.broadcast(decomp))  # scale-ok: 1-row decomposition
+        .selectExpr(
+            "bin",
+            "n",
+            "n_pos",
+            f"{_br_r6(_BR_PB)} AS mean_pred",
+            f"{_br_r6(_BR_OB)} AS obs_rate",
+            f"{_br_r6('brier')} AS brier",
+            f"{_br_r6('reliability')} AS reliability",
+            f"{_br_r6('resolution')} AS resolution",
+            f"{_br_r6('obar * (1.0 - obar)')} AS uncertainty",
+        )
+    )

@@ -257,6 +257,9 @@ def register(
 # comparison between the arms, km_hazard_table's risk-set
 # construction; triple-SF + bare gated in-session);
 # embedding_near_dup_hybrid yields. 40 + 10 = 50.
+# BATCH 20: logreg_brier_decomposition (Murphy decomposition over the
+# calibration bin grid; triple-SF + bare gated in-session);
+# embedding_near_dup yields. 41 + 9 = 50.
 WINDOW_ROUND = 9  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # round-9 changed/new (see the ROUND-9 WINDOW note above)
@@ -300,6 +303,7 @@ ROUND_CHANGED: list[str] = [
     "graph_clustering_coefficient",
     "neardup_triangle_count",
     "ab_logrank_test",
+    "logreg_brier_decomposition",
 ]
 WINDOW_PRIORITY: list[str] = [
     *ROUND_CHANGED,
@@ -314,7 +318,6 @@ WINDOW_PRIORITY: list[str] = [
     "dedup_simhash_pairs",
     "doc_chunking",
     "doc_top_terms",
-    "embedding_near_dup",
 ]
 
 

@@ -710,3 +710,99 @@ def test_logrank_matches_python_recompute(spark):
     # assignment is a fair coin on a null effect: the statistic should
     # exist (non-degenerate risk sets) on the real corpus
     assert got.variance > 0.0
+
+
+def test_brier_decomposition_matches_python_recompute(spark):
+    """Brier, reliability, resolution, uncertainty and the per-bin
+    stats must equal a from-scratch Python recompute on the sf0.01
+    corpus (sf0.001's test split collapses to one bin), and the Murphy
+    identity Brier = REL - RES + UNC + within-bin-variance must hold."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans.ml import (
+        _POS_LABEL,
+        _spark_z_chain,
+        _split_pred_spark,
+        _train,
+        logreg_brier_decomposition,
+    )
+
+    SF01 = "/root/testdata/sf0.01"
+    out = logreg_brier_decomposition(spark, SF01).collect()
+    assert len(out) > 1  # the milli-logit grid is non-degenerate here
+    got = {r.bin: r for r in out}
+
+    train_pred, test_pred = _split_pred_spark()
+    _, w, b = _train(spark, SF01, where=train_pred)
+    rows = (
+        T(spark, SF01, "embeddings")
+        .where(test_pred)
+        .select(
+            (F.col("label") == _POS_LABEL).cast("int").alias("y"),
+            F.expr(_spark_z_chain(w, b)).alias("z"),
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    bins = defaultdict(list)
+    for r in rows:
+        p = 1.0 / (1.0 + math.exp(-r.z))
+        bins[max(min(math.floor(1000.0 * r.z), 7), -8)].append((r.y, p))
+    n = len(rows)
+    obar = sum(y for r in rows for y in [r.y]) / n
+    brier = (
+        sum(
+            (p - y) ** 2
+            for grp in bins.values()
+            for y, p in grp
+        )
+        / n
+    )
+    rel = sum(
+        len(g)
+        * (sum(p for _y, p in g) / len(g) - sum(y for y, _p in g) / len(g))
+        ** 2
+        for g in bins.values()
+    ) / n
+    res = sum(
+        len(g) * (sum(y for y, _p in g) / len(g) - obar) ** 2
+        for g in bins.values()
+    ) / n
+    wbv = sum(
+        sum((p - sum(pp for _y, pp in g) / len(g)) ** 2 for _y, p in g)
+        for g in bins.values()
+    ) / n
+    assert set(got) == set(bins)
+    any_row = next(iter(got.values()))
+    assert any_row.brier == pytest.approx(brier, abs=1.5e-6)
+    assert any_row.reliability == pytest.approx(rel, abs=1.5e-6)
+    assert any_row.resolution == pytest.approx(res, abs=1.5e-6)
+    assert any_row.uncertainty == pytest.approx(
+        obar * (1 - obar), abs=1.5e-6
+    )
+    for k, g in bins.items():
+        assert got[k].n == len(g)
+        assert got[k].n_pos == sum(y for y, _p in g)
+        assert got[k].mean_pred == pytest.approx(
+            sum(p for _y, p in g) / len(g), abs=1.5e-6
+        )
+    # Exact Murphy identity: the binned decomposition plus the
+    # within-bin variance AND the within-bin forecast-outcome
+    # covariance (the term the textbook form drops by assuming
+    # constant forecasts per bin)
+    wcov = sum(
+        sum(
+            (p - sum(pp for _y, pp in g) / len(g))
+            * (y - sum(yy for yy, _p in g) / len(g))
+            for y, p in g
+        )
+        for g in bins.values()
+    ) / n
+    assert brier == pytest.approx(
+        rel - res + obar * (1 - obar) + wbv - 2 * wcov, abs=1e-9
+    )
+    assert wbv >= 0.0 and res >= 0.0 and rel >= 0.0

@@ -58,6 +58,7 @@ LADDER = [
     "logreg_isotonic_calibration",
     "conformal_prediction_audit",
     "logreg_kfold_cv",
+    "logreg_brier_decomposition",
     "coreset_kcenter_selection",
     "ann_hard_negatives",
     "embedding_near_dup",

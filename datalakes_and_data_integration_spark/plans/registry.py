@@ -260,6 +260,9 @@ def register(
 # BATCH 20: logreg_brier_decomposition (Murphy decomposition over the
 # calibration bin grid; triple-SF + bare gated in-session);
 # embedding_near_dup yields. 41 + 9 = 50.
+# BATCH 21: daily_cross_correlation (lead-lag Pearson CCF on the
+# span-bounded day grid; triple-SF + bare gated in-session);
+# doc_top_terms yields. 42 + 8 = 50.
 WINDOW_ROUND = 9  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # round-9 changed/new (see the ROUND-9 WINDOW note above)
@@ -304,6 +307,7 @@ ROUND_CHANGED: list[str] = [
     "neardup_triangle_count",
     "ab_logrank_test",
     "logreg_brier_decomposition",
+    "daily_cross_correlation",
 ]
 WINDOW_PRIORITY: list[str] = [
     *ROUND_CHANGED,
@@ -317,7 +321,6 @@ WINDOW_PRIORITY: list[str] = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "doc_chunking",
-    "doc_top_terms",
 ]
 
 

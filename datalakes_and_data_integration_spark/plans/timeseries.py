@@ -1184,3 +1184,152 @@ def mann_kendall_theil_sen(spark, sf_dir):
             f"{_mk_r6('sen_slope')} AS sen_slope",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily cross-correlation function (round-9 third session): does view
+# activity LEAD purchase activity? Pearson r between the daily view
+# series and the purchase series shifted by each lag in [-7, +7] —
+# the classic lead-lag diagnostic (value_autocorrelation_lag1's
+# two-series generalization). Everything after the daily aggregate
+# lives on the span-bounded day grid; per-lag moments are decimal-
+# routed so day order cannot perturb r.
+# ---------------------------------------------------------------------------
+
+_CCF_MAX_LAG = 7
+
+
+def _ccf_r6(expr: str) -> str:
+    return f"CAST(ROUND(CAST({expr} AS DECIMAL(27,12)), 6) AS DOUBLE)"
+
+
+# Shared Pearson text over per-lag moments (nn, sx, sy, sxx, syy, sxy).
+_CCF_R = """CASE WHEN nn < 2
+                OR (nn * sxx - sx * sx) <= 0.0
+                OR (nn * syy - sy * sy) <= 0.0 THEN 0.0
+           ELSE (nn * sxy - sx * sy)
+                / sqrt((nn * sxx - sx * sx) * (nn * syy - sy * sy)) END"""
+
+
+def _ccf_oracle() -> str:
+    return f"""
+    WITH daily AS MATERIALIZED (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di,
+             CAST(coalesce(sum(CASE WHEN event_type = 'view'
+                   THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE)
+               AS x,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                   THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE)
+               AS y
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(-{_CCF_MAX_LAG}, {_CCF_MAX_LAG + 1}))
+               AS lag),
+    pairs AS (
+      SELECT l.lag, a.x, b.y
+      FROM lags l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.di = a.di + l.lag
+    ),
+    mom AS (
+      SELECT lag,
+             CAST(count(*) AS DOUBLE) AS nn,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n_days,
+           {_ccf_r6(_CCF_R)} AS ccf_r
+    FROM mom
+    """
+
+
+@register(
+    "daily_cross_correlation",
+    oracle=_ccf_oracle(),
+    description=f"Lead-lag cross-correlation: Pearson r between the "
+    f"daily view-value series and the purchase-value series at every "
+    f"lag in [-{_CCF_MAX_LAG}, +{_CCF_MAX_LAG}] — the diagnostic that "
+    "says whether browsing activity LEADS buying (positive-lag peak) "
+    "or merely co-moves; value_autocorrelation_lag1's two-series "
+    "generalization. One map-side-combined daily aggregate touches "
+    "the corpus; the lag x day pair stage and the per-lag moment "
+    "reduction live on the span-bounded day grid (~30 x 15 rows), "
+    "with double terms routed through DECIMAL(38,12) so day order "
+    "cannot perturb r; the Pearson epilogue is one shared guarded "
+    "text.",
+    tags=("timeseries", "correlation", "stats", "analytics"),
+)
+def daily_cross_correlation(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).alias(
+                "di"
+            )
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "view",
+                        F.col("value").cast("decimal(18,6)"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("double")
+            .alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.col("value").cast("decimal(18,6)"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("double")
+            .alias("y"),
+        )
+        .persist()  # span-bounded day grid: both sides of the lag join
+    )
+    lags = spark.range(-_CCF_MAX_LAG, _CCF_MAX_LAG + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    a = daily.select(F.col("di").alias("ai"), "x")
+    b = daily.select(F.col("di").alias("bi"), "y")
+    pairs = (
+        lags.crossJoin(F.broadcast(a))  # scale-ok: 15 lags x day grid
+        .join(
+            F.broadcast(b),
+            F.col("bi") == F.col("ai") + F.col("lag"),
+        )
+        .select("lag", "x", "y")
+    )
+    mom = pairs.groupBy("lag").agg(
+        F.count("*").cast("double").alias("nn"),
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,12))"))
+        .cast("double")
+        .alias("sx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,12))"))
+        .cast("double")
+        .alias("sy"),
+        F.sum(F.expr("CAST(x * x AS DECIMAL(38,12))"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.expr("CAST(y * y AS DECIMAL(38,12))"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.expr("CAST(x * y AS DECIMAL(38,12))"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    return mom.selectExpr(
+        "lag", "n_days", f"{_ccf_r6(_CCF_R)} AS ccf_r"
+    )

@@ -806,3 +806,87 @@ def test_brier_decomposition_matches_python_recompute(spark):
         rel - res + obar * (1 - obar) + wbv - 2 * wcov, abs=1e-9
     )
     assert wbv >= 0.0 and res >= 0.0 and rel >= 0.0
+
+
+def test_ccf_matches_python_recompute(spark):
+    """Each lag's Pearson r must equal a from-scratch Python CCF on
+    the same daily (view, purchase) value series, lag 0 must equal
+    the plain correlation, and r(+k) on (x, y) must equal r(-k) on
+    the series swapped."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans.timeseries import (
+        _CCF_MAX_LAG,
+        daily_cross_correlation,
+    )
+
+    got = {r.lag: r for r in daily_cross_correlation(spark, SF).collect()}
+    daily = (
+        T(spark, SF, "events")
+        .groupBy(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).alias(
+                "di"
+            )
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "view",
+                        F.col("value").cast("decimal(18,6)"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("double")
+            .alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.col("value").cast("decimal(18,6)"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("double")
+            .alias("y"),
+        )
+        .collect()
+    )
+    xs = {r.di: r.x for r in daily}
+    ys = {r.di: r.y for r in daily}
+
+    def pearson(pairs):
+        n = len(pairs)
+        if n < 2:
+            return 0.0
+        sx = sum(p[0] for p in pairs)
+        sy = sum(p[1] for p in pairs)
+        sxx = sum(p[0] ** 2 for p in pairs)
+        syy = sum(p[1] ** 2 for p in pairs)
+        sxy = sum(p[0] * p[1] for p in pairs)
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        if vx <= 0 or vy <= 0:
+            return 0.0
+        return (n * sxy - sx * sy) / math.sqrt(vx * vy)
+
+    assert set(got) == set(range(-_CCF_MAX_LAG, _CCF_MAX_LAG + 1))
+    for lag in got:
+        pairs = [
+            (xs[d], ys[d + lag]) for d in xs if (d + lag) in ys
+        ]
+        assert got[lag].n_days == len(pairs), lag
+        assert got[lag].ccf_r == pytest.approx(
+            pearson(pairs), abs=1.5e-6
+        ), lag
+    # antisymmetry of the lag convention: r_{xy}(+k) == r_{yx}(-k)
+    k = 3
+    swapped = [(ys[d], xs[d - k]) for d in ys if (d - k) in xs]
+    assert got[k].ccf_r == pytest.approx(
+        pearson([(b, a) for a, b in swapped]), abs=1.5e-6
+    )

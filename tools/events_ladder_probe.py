@@ -99,6 +99,7 @@ LADDER = [
     "streaming_quantile_maintenance",
     "mann_kendall_theil_sen",
     "ab_logrank_test",
+    "daily_cross_correlation",
 ]
 
 

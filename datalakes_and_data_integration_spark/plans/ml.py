@@ -1872,9 +1872,21 @@ def _br_r6(expr: str) -> str:
     return f"CAST(ROUND(CAST({expr} AS DECIMAL(27,12)), 6) AS DOUBLE)"
 
 
-# Shared per-bin texts over (n, n_pos, sp) and the global obar.
-_BR_PB = "(sp / CAST(n AS DOUBLE))"
-_BR_OB = "(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))"
+# Shared per-bin texts over (n, n_pos, sp) and the global obar; ``p``
+# is the table prefix for the oracle's qualified references (one
+# template, no .replace chains).
+
+
+def _br_pb(p: str = "") -> str:
+    return f"({p}sp / CAST({p}n AS DOUBLE))"
+
+
+def _br_ob(p: str = "") -> str:
+    return f"(CAST({p}n_pos AS DOUBLE) / CAST({p}n AS DOUBLE))"
+
+
+_BR_PB = _br_pb()
+_BR_OB = _br_ob()
 _BR_REL_T = (
     f"CAST(CAST(n AS DOUBLE) * ({_BR_PB} - {_BR_OB})"
     f" * ({_BR_PB} - {_BR_OB}) AS DECIMAL(38,12))"
@@ -1930,10 +1942,8 @@ def _brier_oracle() -> str:
       FROM bins CROSS JOIN tot
     )
     SELECT b.bin, b.n, b.n_pos,
-           {_br_r6(_BR_PB.replace("sp", "b.sp").replace("(n ", "(b.n "))}
-             AS mean_pred,
-           {_br_r6(_BR_OB.replace("n_pos", "b.n_pos").replace("(n ", "(b.n "))}
-             AS obs_rate,
+           {_br_r6(_br_pb("b."))} AS mean_pred,
+           {_br_r6(_br_ob("b."))} AS obs_rate,
            {_br_r6("t.brier")} AS brier,
            {_br_r6("d.reliability")} AS reliability,
            {_br_r6("d.resolution")} AS resolution,

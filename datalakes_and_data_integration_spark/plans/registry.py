@@ -263,6 +263,11 @@ def register(
 # BATCH 21: daily_cross_correlation (lead-lag Pearson CCF on the
 # span-bounded day grid; triple-SF + bare gated in-session);
 # doc_top_terms yields. 42 + 8 = 50.
+# BATCH 22: streaming_ccf_maintenance (per-day decimal sums behind the
+# ledgered sum-merge, readout shared with the batch twin via the
+# _ccf_readout extraction — daily_cross_correlation's refactored code
+# is already clause (a); both re-gated triple-SF + bare in-session);
+# doc_chunking yields. 43 + 7 = 50.
 WINDOW_ROUND = 9  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
     # round-9 changed/new (see the ROUND-9 WINDOW note above)
@@ -308,6 +313,7 @@ ROUND_CHANGED: list[str] = [
     "ab_logrank_test",
     "logreg_brier_decomposition",
     "daily_cross_correlation",
+    "streaming_ccf_maintenance",
 ]
 WINDOW_PRIORITY: list[str] = [
     *ROUND_CHANGED,
@@ -320,7 +326,6 @@ WINDOW_PRIORITY: list[str] = [
     "dedup_kept_corpus",
     "dedup_simhash",
     "dedup_simhash_pairs",
-    "doc_chunking",
 ]
 
 

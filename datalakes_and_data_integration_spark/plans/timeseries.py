@@ -1266,38 +1266,52 @@ def _ccf_oracle() -> str:
 )
 def daily_cross_correlation(spark, sf_dir):
     ev = T(spark, sf_dir, "events")
-    daily = (
-        ev.groupBy(
-            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).alias(
-                "di"
-            )
+    return _ccf_readout(spark, _ccf_daily_dec(ev))
+
+
+def _ccf_daily_dec(ev):
+    """Per-day exact DECIMAL(38,6) view/purchase value sums keyed by
+    epoch day — additive across ANY row partitioning of the events,
+    the property the streaming maintenance twin sum-merges on."""
+    return ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).alias(
+            "di"
         )
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        F.col("event_type") == "view",
-                        F.col("value").cast("decimal(18,6)"),
-                    )
-                ),
-                F.lit(0),
-            )
-            .cast("double")
-            .alias("x"),
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        F.col("event_type") == "purchase",
-                        F.col("value").cast("decimal(18,6)"),
-                    )
-                ),
-                F.lit(0),
-            )
-            .cast("double")
-            .alias("y"),
+    ).agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "view",
+                    F.col("value").cast("decimal(18,6)"),
+                )
+            ),
+            F.lit(0),
         )
-        .persist()  # span-bounded day grid: both sides of the lag join
+        .cast("decimal(38,6)")
+        .alias("x"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(18,6)"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("decimal(38,6)")
+        .alias("y"),
     )
+
+
+def _ccf_readout(spark, daily_dec):
+    """Lag sweep + per-lag Pearson over a (di, x, y) decimal day frame
+    — one definition shared by the batch query and the maintained-
+    state twin, so incremental and batch CCF cannot fork."""
+    daily = daily_dec.select(
+        "di",
+        F.col("x").cast("double").alias("x"),
+        F.col("y").cast("double").alias("y"),
+    ).persist()  # span-bounded day grid: both sides of the lag join
     lags = spark.range(-_CCF_MAX_LAG, _CCF_MAX_LAG + 1).select(
         F.col("id").cast("long").alias("lag")
     )
@@ -1333,3 +1347,54 @@ def daily_cross_correlation(spark, sf_dir):
     return mom.selectExpr(
         "lag", "n_days", f"{_ccf_r6(_CCF_R)} AS ccf_r"
     )
+
+
+@register(
+    "streaming_ccf_maintenance",
+    oracle=_ccf_oracle(),
+    description="Incremental lead-lag cross-correlation: the per-day "
+    "exact decimal (view, purchase) value sums are maintained across "
+    "span-derived weekly event batches by the shared ledgered "
+    "sum-merge (per-day sums are purely additive — the same merge "
+    "algebra as the histogram-quantile and A/B-moment state; "
+    "exactly-once lives in the atomic sketch+ledger commit), then the "
+    "full [-7, +7] CCF is read from the MAINTAINED state through the "
+    "batch query's own _ccf_readout — one readout definition, so "
+    "incremental and batch correlations cannot fork, and the shared "
+    "oracle proves maintained == batch-built. Scale: state is "
+    "O(span days) narrow rows forever; each weekly merge reads only "
+    "its increment; the readout is the span-bounded day-grid "
+    "arithmetic of the batch twin.",
+    tags=("timeseries", "streaming", "incremental", "correlation"),
+)
+def streaming_ccf_maintenance(spark, sf_dir):
+    from datalakes_and_data_integration_spark.plans._util import state_tmp
+    from datalakes_and_data_integration_spark.plans.streaming_extra import (
+        _weekly_bounds,
+    )
+    from datalakes_and_data_integration_spark.streaming.sketch_maintenance import (
+        ledgered_sum_merge,
+    )
+
+    ev = T(spark, sf_dir, "events").select("event_type", "value", "ts")
+    state = state_tmp("ccf_maint_q")
+    daily = None
+    weeks = _weekly_bounds(ev)
+    for i, (lo, hi) in enumerate(zip(weeks, weeks[1:])):
+        batch = _ccf_daily_dec(
+            ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        )
+        daily = ledgered_sum_merge(
+            spark,
+            state,
+            batch,
+            batch_id=i,
+            key_cols=["di"],
+            sum_cols=["x", "y"],
+            collect_note="O(span days) state rows",
+        )
+    if daily is None:  # empty events table -> zero batches, empty report
+        return spark.createDataFrame(
+            [], "lag BIGINT, n_days BIGINT, ccf_r DOUBLE"
+        )
+    return _ccf_readout(spark, daily)

@@ -890,3 +890,64 @@ def test_ccf_matches_python_recompute(spark):
     assert got[k].ccf_r == pytest.approx(
         pearson([(b, a) for a, b in swapped]), abs=1.5e-6
     )
+
+
+def test_ccf_maintained_state_is_batching_invariant(spark, tmp_path):
+    """Weekly batching, a single batch, and a replayed batch id must
+    all land on the identical CCF readout (maintained == batch plus
+    the ledger no-op, at the readout level — the quantile-maintenance
+    pin applied to the correlation state)."""
+    from pyspark.sql import functions as F
+
+    from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans.streaming_extra import (
+        _weekly_bounds,
+    )
+    from datalakes_and_data_integration_spark.plans.timeseries import (
+        _ccf_daily_dec,
+        _ccf_readout,
+        daily_cross_correlation,
+    )
+    from datalakes_and_data_integration_spark.streaming.sketch_maintenance import (
+        ledgered_sum_merge,
+    )
+
+    ev = T(spark, SF, "events").select("event_type", "value", "ts")
+    weekly_state = str(tmp_path / "weekly")
+    daily = None
+    for i, (lo, hi) in enumerate(
+        zip(_weekly_bounds(ev), _weekly_bounds(ev)[1:])
+    ):
+        daily = ledgered_sum_merge(
+            spark,
+            weekly_state,
+            _ccf_daily_dec(
+                ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+            ),
+            batch_id=i,
+            key_cols=["di"],
+            sum_cols=["x", "y"],
+        )
+    weekly = {
+        r.lag: (r.n_days, r.ccf_r)
+        for r in _ccf_readout(spark, daily).collect()
+    }
+    batch = {
+        r.lag: (r.n_days, r.ccf_r)
+        for r in daily_cross_correlation(spark, SF).collect()
+    }
+    assert weekly == batch and len(weekly) == 15
+
+    replayed = ledgered_sum_merge(
+        spark,
+        weekly_state,
+        _ccf_daily_dec(ev),  # would double every day if the ledger failed
+        batch_id=0,
+        key_cols=["di"],
+        sum_cols=["x", "y"],
+    )
+    after = {
+        r.lag: (r.n_days, r.ccf_r)
+        for r in _ccf_readout(spark, replayed).collect()
+    }
+    assert after == weekly

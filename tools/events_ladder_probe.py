@@ -100,6 +100,7 @@ LADDER = [
     "mann_kendall_theil_sen",
     "ab_logrank_test",
     "daily_cross_correlation",
+    "streaming_ccf_maintenance",
 ]
 
 

@@ -40,7 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from datalakes_and_data_integration_spark.plans._util import T
+from datalakes_and_data_integration_spark.plans._util import T, spread
 from datalakes_and_data_integration_spark.plans.registry import register
 
 _DIM = 64
@@ -1373,6 +1373,43 @@ def _spark_fold_chain(w: list[list[float]], b: list[float], f: int) -> str:
     )
 
 
+_NCHUNKS = _DIM // _CHUNK
+
+
+def _warr_sql(wf: list[float]) -> str:
+    """The fold's weight vector as ONE array literal expression."""
+    return "array(" + ", ".join(f"{v!r}D" for v in wf) + ")"
+
+
+def _hof_terms(warr: str) -> str:
+    """``w_j * x_j`` terms array — the same per-term double product as
+    the literal chain, with weights read from an array expression."""
+    return f"zip_with({warr}, embedding, (wt, x) -> wt * CAST(x AS DOUBLE))"
+
+
+def _hof_z(tcol: str, bias: str) -> str:
+    """Bit-identical higher-order twin of ``_assoc_chain`` over a terms
+    column: the same ``((b + c0) + c1) + ...`` two-level left fold,
+    where chunk ``c_i`` left-folds ``t[8i+1..]`` seeded from ``t[8i]``
+    (seeding from the first term, NOT from 0.0, reproduces the
+    parenthesized chunk exactly — no extra IEEE add).
+
+    Why this exists (OPTIMIZATION_r09.md, logreg_kfold_cv): inlining
+    5 x 64 weight literals regenerates ~60 KB of unique codegen source
+    per GD iteration, and Spark's codegen cache keys on source text
+    (fresh expr-ids => guaranteed miss), so every iteration of every run
+    paid a ~3.5 s Janino compile for a 0.6 s aggregation. The HOF form
+    keeps the per-iteration plan a few hundred bytes; measured
+    bit-identical to the literal chain on all fixtures (z, sigma(z), and
+    the decimal gradient sums)."""
+    chunks = (
+        f"transform(sequence(0, {_NCHUNKS - 1}), i -> "
+        f"aggregate(slice({tcol}, {_CHUNK} * i + 2, {_CHUNK - 1}), "
+        f"{tcol}[{_CHUNK} * i], (a, v) -> a + v))"
+    )
+    return f"aggregate({chunks}, {bias}, (acc, c) -> acc + c)"
+
+
 @register(
     "logreg_kfold_cv",
     oracle=_kfold_oracle(),
@@ -1393,80 +1430,132 @@ def _spark_fold_chain(w: list[list[float]], b: list[float], f: int) -> str:
     bench=True,  # round-9 second-session flagship: K models, one scan/iter
 )
 def logreg_kfold_cv(spark, sf_dir):
-    e = T(spark, sf_dir, "embeddings").selectExpr(
+    # Optimization round r09: same computation, restructured for plan
+    # overhead — the old form (5 x 64 weight literals inlined into the
+    # sigmoid chains + a 320-column decimal aggregate) generated ~60 KB
+    # of never-cache-hitting codegen source per iteration; Janino
+    # compile dominated (measured 3.5-4 s/iter on a 0.6 s aggregation,
+    # 15.6 s warm total). Now: (1) weights ride in ONE array literal
+    # per fold consumed by bit-identical HOF folds (_hof_z); (2) the
+    # gradient aggregate is posexplode(embedding) + groupBy(dim) with
+    # {_FOLDS} sums per row-grain — decimal SUM is exact and
+    # order-independent, so regrouping the identical addend multiset is
+    # bit-identical; (3) fold counts ride iteration 1's aggregate (one
+    # job saved). Every per-row double op (product order, sigmoid,
+    # decimal cast) is unchanged; the oracle is untouched.
+    # spread: the single-row-group local file scans as ONE partition, so
+    # without it the md5 fold hash, the 5 sigmoid folds, the explode and
+    # the partial aggregate all run on one core (measured ~1.0 s/iter
+    # serial vs ~0.2 s spread; no-op on a real cluster where the scan
+    # already has >= cores splits).
+    e = spread(
+        T(spark, sf_dir, "embeddings"), spark, by="vec_id"
+    ).selectExpr(
         "vec_id",
         "embedding",
         f"CAST(label = {_POS_LABEL} AS INT) AS y",
         f"{_fold_sql_spark()} AS fold",
-    ).persist()  # fold counts + 3 GD iterations + scoring share the hashed scan
-    counts = {
-        r.fold: r.cnt
-        for r in e.groupBy("fold")
-        .agg(F.count("*").alias("cnt"))
-        .collect()  # scale-ok: K fold-count scalars
-    }
-    total = sum(counts.values())
-    n_train = [max(total - counts.get(f, 0), 1) for f in range(_FOLDS)]
+    ).persist()  # 3 GD iterations + scoring share the hashed scan
     w = [[0.0] * _DIM for _ in range(_FOLDS)]
     b = [0.0] * _FOLDS
-    for _ in range(_ITERS):
-        sig = e.select(
-            "embedding",
+    n_train: list[int] | None = None
+    for it in range(_ITERS):
+        cf = e.selectExpr(
             "y",
             "fold",
+            "embedding",
+            *[f"{_hof_terms(_warr_sql(w[f]))} AS t{f}" for f in range(_FOLDS)],
+        ).selectExpr(
+            "y",
+            "fold",
+            "embedding",
             *[
-                F.expr(
-                    f"1.0D / (1.0D + exp(-({_spark_fold_chain(w, b, f)})))"
-                ).alias(f"sig{f}")
+                f"1.0D / (1.0D + exp(-({_hof_z(f't{f}', f'{b[f]!r}D')})))"
+                f" AS sig{f}"
+                for f in range(_FOLDS)
+            ],
+        ).selectExpr(
+            "fold",
+            "embedding",
+            *[
+                f"((CASE WHEN y = 1 THEN {_POS_WEIGHT!r} ELSE 1.0 END)"
+                f" * (sig{f} - CAST(y AS DOUBLE))) AS c{f}"
                 for f in range(_FOLDS)
             ],
         )
-        grads = sig.agg(
+        ex = cf.select(
+            "fold",
+            *[f"c{f}" for f in range(_FOLDS)],
+            F.posexplode("embedding").alias("dim", "x"),
+        )
+        rows = ex.groupBy("dim").agg(
             *[
                 F.expr(
                     f"sum(CASE WHEN fold <> {f} THEN "
-                    f"CAST(((CASE WHEN y = 1 THEN {_POS_WEIGHT!r} "
-                    f"ELSE 1.0 END)"
-                    f" * (sig{f} - CAST(y AS DOUBLE))) "
-                    f"* CAST(embedding[{j}] AS DOUBLE) "
+                    f"CAST(c{f} * CAST(x AS DOUBLE) "
                     f"AS DECIMAL(38,18)) END)"
-                ).alias(f"g{f}_{j}")
+                ).alias(f"g{f}")
                 for f in range(_FOLDS)
-                for j in range(_DIM)
             ],
+            # dim = 0 selects exactly one exploded row per input row
+            # (embeddings are fixed {_DIM}-wide), so these are the
+            # whole-table bias sums / fold counts of the old form.
             *[
                 F.expr(
-                    f"sum(CASE WHEN fold <> {f} THEN "
-                    f"CAST((CASE WHEN y = 1 THEN {_POS_WEIGHT!r} "
-                    f"ELSE 1.0 END)"
-                    f" * (sig{f} - CAST(y AS DOUBLE)) "
-                    f"AS DECIMAL(38,18)) END)"
+                    f"sum(CASE WHEN dim = 0 AND fold <> {f} THEN "
+                    f"CAST(c{f} AS DECIMAL(38,18)) END)"
                 ).alias(f"gb{f}")
                 for f in range(_FOLDS)
             ],
-        ).collect()[0]  # scale-ok: one K x dim gradient row per iteration
+            *(
+                [
+                    F.expr(
+                        f"sum(CASE WHEN dim = 0 AND fold = {f} "
+                        f"THEN 1 END)"
+                    ).alias(f"cnt{f}")
+                    for f in range(_FOLDS)
+                ]
+                if it == 0
+                else []
+            ),
+        ).collect()  # scale-ok: dim x fold gradient rows per iteration
+        byd = {r["dim"]: r for r in rows}
+        if n_train is None:
+            counts = [int(byd[0][f"cnt{f}"] or 0) for f in range(_FOLDS)]
+            total = sum(counts)
+            n_train = [max(total - counts[f], 1) for f in range(_FOLDS)]
         w = [
             [
                 w[f][j]
-                - _LR * (float(grads[f"g{f}_{j}"] or 0) / n_train[f])
+                - _LR * (float(byd[j][f"g{f}"] or 0) / n_train[f])
                 for j in range(_DIM)
             ]
             for f in range(_FOLDS)
         ]
         b = [
-            b[f] - _LR * (float(grads[f"gb{f}"] or 0) / n_train[f])
+            b[f] - _LR * (float(byd[0][f"gb{f}"] or 0) / n_train[f])
             for f in range(_FOLDS)
         ]
     pred_case = (
         "(CASE fold "
-        + " ".join(
-            f"WHEN {f} THEN ({_spark_fold_chain(w, b, f)}) >= 0.0D"
-            for f in range(_FOLDS)
-        )
+        + " ".join(f"WHEN {f} THEN (z{f} >= 0.0D)" for f in range(_FOLDS))
         + " END)"
     )
     return (
-        e.selectExpr("fold", "y AS label_true", f"{pred_case} AS pred_pos")
+        e.selectExpr(
+            "fold",
+            "y",
+            *[f"{_hof_terms(_warr_sql(w[f]))} AS t{f}" for f in range(_FOLDS)],
+        )
+        .selectExpr(
+            "fold",
+            "y",
+            *[
+                f"{_hof_z(f't{f}', f'{b[f]!r}D')} AS z{f}"
+                for f in range(_FOLDS)
+            ],
+        )
+        .selectExpr("fold", "y AS label_true", f"{pred_case} AS pred_pos")
         .groupBy("fold", "label_true", "pred_pos")
         .agg(F.count("*").cast("long").alias("n"))
     )

@@ -873,49 +873,42 @@ def _grouped_median(df):
     """Per-type exact median of df(event_type, v) -> (event_type, n, med);
     the Spark twin of _med_cte_duck (distinct-value rank selection).
 
-    Round 9 (VERDICT r8 #8): the rank-selection sides are grain-aware —
-    grp (the distinct-value frame) persists so the n rollup doesn't
-    re-aggregate the input, and tgt (one row PER TYPE) broadcasts into
-    both rank-window joins, so the only corpus-scale exchanges left are
-    the distinct-value aggregate and the per-type sort under the
-    cumulative window."""
+    r09 optimization round: the round-9 shape (persisted grp + n rollup
+    + one-row-per-type broadcast into TWO rank-window joins) ran ~6
+    jobs per median call — 21 jobs / 50 stages for the whole MAD query.
+    The rank selection needs no join at all: n rides the same per-type
+    window partition as the cumulative count (an unbounded frame next
+    to the ordered frame, one exchange), and v_lo / v_hi are
+    conditional MAXes over the rank predicate — exactly one distinct-v
+    row matches each, so the aggregate IS the join. Same arithmetic on
+    the same inputs (lo/frac from the identical half expression, med =
+    v_lo + frac * (v_hi - v_lo)), so the value is bit-identical to the
+    oracle's join form; only the job count changes (2 exchanges, 0
+    broadcasts per median). At 100 TB the exchanges still carry only
+    distinct (type, v, c) rows — the partial-aggregation shape is
+    unchanged."""
     grp = df.groupBy("event_type", "v").agg(F.count("*").alias("c"))
-    grp = grp.persist()  # two consumers: the cum window and the n rollup
     wo = Window.partitionBy("event_type").orderBy("v")
+    wall = Window.partitionBy("event_type")
     win = grp.select(
-        "event_type", "v", "c", F.sum("c").over(wo).cast("long").alias("cum")
-    )
-    n = grp.groupBy("event_type").agg(F.sum("c").cast("long").alias("n"))
-    half = F.lit(0.5) * (F.col("n") - 1)
-    tgt = n.select(
         "event_type",
-        "n",
-        F.floor(half).cast("long").alias("lo"),
-        (half - F.floor(half)).alias("frac"),
+        "v",
+        "c",
+        F.sum("c").over(wo).cast("long").alias("cum"),
+        F.sum("c").over(wall).cast("long").alias("n"),
     )
-    w, t = win.alias("w"), F.broadcast(tgt).alias("t")
-    vlo = t.join(
-        w,
-        (F.col("w.event_type") == F.col("t.event_type"))
-        & (F.col("t.lo") >= F.col("w.cum") - F.col("w.c"))
-        & (F.col("t.lo") <= F.col("w.cum") - 1),
-    ).select(
-        F.col("t.event_type").alias("event_type"),
-        F.col("t.n").alias("n"),
-        F.col("t.frac").alias("frac"),
-        F.col("w.v").alias("v_lo"),
+    half = F.lit(0.5) * (F.col("n") - 1)
+    lo = F.floor(half).cast("long")
+    hi = F.least(lo + 1, F.col("n") - 1)
+    lo_match = (lo >= F.col("cum") - F.col("c")) & (lo <= F.col("cum") - 1)
+    hi_match = (hi >= F.col("cum") - F.col("c")) & (hi <= F.col("cum") - 1)
+    sel = win.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(lo_match, F.col("v"))).alias("v_lo"),
+        F.max(F.when(hi_match, F.col("v"))).alias("v_hi"),
+        F.max(F.when(lo_match, half - F.floor(half))).alias("frac"),
     )
-    hi = F.least(F.col("t.lo") + 1, F.col("t.n") - 1)
-    vhi = t.join(
-        w,
-        (F.col("w.event_type") == F.col("t.event_type"))
-        & (hi >= F.col("w.cum") - F.col("w.c"))
-        & (hi <= F.col("w.cum") - 1),
-    ).select(
-        F.col("t.event_type").alias("event_type"),
-        F.col("w.v").alias("v_hi"),
-    )
-    return vlo.join(F.broadcast(vhi), "event_type").select(
+    return sel.select(
         "event_type",
         "n",
         (F.col("v_lo") + F.col("frac") * (F.col("v_hi") - F.col("v_lo"))).alias(

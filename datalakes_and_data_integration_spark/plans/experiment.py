@@ -982,15 +982,19 @@ def ab_bootstrap_diff_ci(spark, sf_dir):
         .over(Window.orderBy("diff", "r"))  # scale-ok: 64-row replicate frame
         .alias("rn"),
     )
-    lo = ranked.where(F.col("rn") == _BOOT_LO).select(
-        F.col("diff").alias("lo_d")
-    )
-    hi = ranked.where(F.col("rn") == _BOOT_HI).select(
-        F.col("diff").alias("hi_d")
+    # r09 optimization: one conditional aggregate instead of two filtered
+    # subtrees — the lo/hi order statistics used to broadcast separately,
+    # each dragging the ranked lineage into its own exchange/job (9 jobs
+    # / 24 stages measured for the query). max() of the single matching
+    # row per bound is the row itself, so values are identical.
+    band = ranked.where(
+        F.col("rn").isin(_BOOT_LO, _BOOT_HI)
+    ).agg(
+        F.max(F.when(F.col("rn") == _BOOT_LO, F.col("diff"))).alias("lo_d"),
+        F.max(F.when(F.col("rn") == _BOOT_HI, F.col("diff"))).alias("hi_d"),
     )
     return (
-        point.crossJoin(F.broadcast(lo))  # scale-ok: 1-row stats frames
-        .crossJoin(F.broadcast(hi))  # scale-ok: 1-row stats frames
+        point.crossJoin(F.broadcast(band))  # scale-ok: 1-row stats frames
         .selectExpr(
             f"CAST({_BOOT_REPS} AS BIGINT) AS n_reps",
             "nc AS n_control",

@@ -1865,7 +1865,13 @@ def _ols_oracle() -> str:
     bench=True,  # promoted r9 third session: the closed-form-regression flagship
 )
 def ols_two_factor_regression(spark, sf_dir):
-    li = T(spark, sf_dir, "lineitem")
+    # r09 optimization: keyed spread off the single-row-group scan
+    # partition — the 11 decimal moment products otherwise accumulate on
+    # one core (measured 1.27 -> 0.48 s warm; decimal sums are exact, so
+    # the regrouping cannot change a bit). Keyed by a column the moments
+    # already read (keeps ReadSchema minimal and works on the projected
+    # singular-design fixture); no-op on a real cluster.
+    li = spread(T(spark, sf_dir, "lineitem"), spark, by="l_extendedprice")
     moments = li.agg(
         F.count("*").cast("long").alias("n_rows"),
         F.count("*").cast("double").alias("nn"),

@@ -117,6 +117,16 @@ def main() -> None:
     cold: dict[str, float] = {}
     bench_qs = [(n, q) for n, q in plans.QUERIES.items() if q.bench]
     for rnd in range(4):
+        # Round-10 methodology fix (VERDICT r9 "what's wrong" #1): queries
+        # with internal .persist() left their subtrees in the SQL cache, and
+        # a plan-identical fresh DataFrame in a later round could be served
+        # from Spark's CacheManager — warm numbers partly measured cache
+        # hits, not recomputation. Clearing the cache at the top of EVERY
+        # round (outside any per-query timer) makes each round recompute
+        # from the parquet inputs. Warm numbers rise slightly vs the r9
+        # methodology (BENCH_DETAIL_r9.json keeps the old-methodology
+        # capture); the timed region itself is unchanged.
+        spark.catalog.clearCache()
         for name, q in bench_qs:
             t0 = time.time()
             df = q.spark(spark, sf_dir)
@@ -183,6 +193,13 @@ def build_outputs(
         "cpu_calib_par_sec": calib_par,
         "calib_par_ratio": par_ratio,
         "throttled_window": bool(par_ratio > 1.5),
+        # Round-over-round comparison note (VERDICT r9 "what's wrong" #2):
+        # the declared-query window rotates every round, so PERF's
+        # per-query channel can go empty — the BENCH key set is the
+        # stable cohort; compare this map against BENCH_DETAIL_r{N}.json
+        # (keys are only ever ADDED, never removed or renamed).
+        "comparison_cohort": "bench keys (stable; additions only)",
+        "sql_cache_cleared_between_rounds": True,
     }
     summary = {
         "metric": "headline_queries_wall_clock",

@@ -77,9 +77,65 @@ def spread(df: DataFrame, spark: SparkSession, *, by: str | None = None) -> Data
     # session with the default 200 shuffle partitions (e.g. a harness-built
     # one) would otherwise pay 200-task scheduling overhead per tiny stage.
     n = min(int(spark.conf.get("spark.sql.shuffle.partitions")), 64)
-    if df.rdd.getNumPartitions() >= n:
+    if _est_scan_partitions(df, spark) >= n:
         return df
     return df.repartition(n, by) if by else df.repartition(n)
+
+
+def _size_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value ("134217728", "128m", "4m",
+    "1g", with optional trailing 'b')."""
+    s = v.strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = 1
+    if s and s[-1] in "kmgt":
+        mult = 1024 ** ("kmgt".index(s[-1]) + 1)
+        s = s[:-1]
+    return int(float(s) * mult)
+
+
+def _est_scan_partitions(df: DataFrame, spark: SparkSession) -> int:
+    """Partition count of ``df``'s scan estimated from its input files
+    with Spark's own FilePartition packing arithmetic — NOT from
+    ``df.rdd.getNumPartitions()``, which forces a second full
+    analysis + physical planning of the tree on every call (VERDICT
+    r9 #7: twice per query per pass on wide plans). The guard only
+    needs the two regimes to be right, and they are exact here: a
+    tiny local file packs into a handful of splits (→ repartition
+    fires, same as before) and a real cluster's table has >= cores
+    splits (→ no-op, same as before). Frames with no file source
+    (in-memory fixtures) keep the old RDD probe — their plans are
+    trivially cheap to plan twice."""
+    import math
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        return df.rdd.getNumPartitions()
+    total = 0
+    for f in files:
+        path = unquote(urlparse(f).path) if "://" in f or f.startswith(
+            "file:"
+        ) else f
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return df.rdd.getNumPartitions()
+    open_cost = _size_bytes(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+    )
+    mpb = _size_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    par = spark.sparkContext.defaultParallelism
+    weighted = total + len(files) * open_cost
+    # org.apache.spark.sql.execution.FilePartition.maxSplitBytes
+    max_split = min(mpb, max(open_cost, weighted // max(par, 1)))
+    return max(1, math.ceil(weighted / max(max_split, 1)))
 
 
 def dec(col, p: int = 12, s: int = 2):

@@ -387,7 +387,7 @@ def _cuped_oracle() -> str:
     """
 
 
-def _ab_per_user(ev, exp_start):
+def _ab_per_user(ev, exp_start, extra: tuple = ()):
     """Per-(user, arm) exact decimal covariate/metric sums: x = value in
     the pre-period, y = value in the experiment period. Additive across
     any row partitioning of the events — the property the streaming
@@ -402,10 +402,14 @@ def _ab_per_user(ev, exp_start):
     >3 decimal digits (round-9 ADVICE finding, regression-pinned in
     tests/test_experiment.py). (18,6) leaves 12 integer digits for a
     per-user period sum — 10^12, orders of magnitude above any
-    per-user event-value total."""
+    per-user event-value total.
+
+    ``extra`` names pass-through grouping columns (the batched
+    maintenance path labels rows with a batch id and builds every
+    weekly increment in one scan); the default path is unchanged."""
     return (
         ev.crossJoin(exp_start)  # scale-ok: 1-row broadcast scalar
-        .groupBy(F.col("user_id"), _arm_spark().alias("arm"))
+        .groupBy(*extra, F.col("user_id"), _arm_spark().alias("arm"))
         .agg(
             F.coalesce(
                 F.sum(
@@ -568,31 +572,18 @@ def ab_metric_cuped_adjustment(spark, sf_dir):
 def streaming_ab_moments_maintenance(spark, sf_dir):
     from datalakes_and_data_integration_spark.plans._util import state_tmp
     from datalakes_and_data_integration_spark.plans.streaming_extra import (
+        _week_bid,
         _weekly_bounds,
     )
     from datalakes_and_data_integration_spark.streaming.sketch_maintenance import (
-        ledgered_sum_merge,
+        ledgered_sum_merge_batched,
     )
 
     ev = T(spark, sf_dir, "events")
     exp_start = _exp_start(ev)
     state = state_tmp("ab_moments_q")
     weeks = _weekly_bounds(ev)
-    merged = None
-    for i, (lo, hi) in enumerate(zip(weeks, weeks[1:])):
-        batch = _ab_per_user(
-            ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)), exp_start
-        )
-        merged = ledgered_sum_merge(
-            spark,
-            state,
-            batch,
-            batch_id=i,
-            key_cols=["user_id", "arm"],
-            sum_cols=["x", "y"],
-            collect_note="O(users) narrow metric-state rows",
-        )
-    if merged is None:  # empty events table -> zero batches, empty state;
+    if not weeks:  # empty events table -> zero batches, empty state;
         # the readout of an empty per-user frame is the oracle's 0 rows
         return _cuped_readout(
             spark.createDataFrame(
@@ -601,6 +592,25 @@ def streaming_ab_moments_maintenance(spark, sf_dir):
                 " y DECIMAL(18,6)",
             )
         )
+    # Every weekly per-(user, arm) increment in ONE scan (batch-labeled
+    # grouping through the shared _ab_per_user), merged in ONE ledgered
+    # state transition — exact decimal sums are associative, so the
+    # single transition equals the per-week fold (guide §2.4 /
+    # VERDICT r9 #1: the fold paid the collect+write job rounds 5x).
+    inc = _ab_per_user(
+        ev.withColumn("__bid", _week_bid(weeks)),
+        exp_start,
+        extra=("__bid",),
+    )
+    merged = ledgered_sum_merge_batched(
+        spark,
+        state,
+        inc,
+        batch_ids=list(range(len(weeks) - 1)),
+        key_cols=["user_id", "arm"],
+        sum_cols=["x", "y"],
+        collect_note="O(users) narrow metric-state rows",
+    )
     # merge widened the decimals (sum(DECIMAL(18,6)) -> (28,6)); restore
     # the per-user schema the readout's moment casts expect
     per_user = merged.select(
@@ -1159,17 +1169,20 @@ def ab_sequential_msprt(spark, sf_dir):
     return _msprt_readout(spark, _msprt_per_user(ev, _exp_start(ev)))
 
 
-def _msprt_per_user(ev, exp_start):
+def _msprt_per_user(ev, exp_start, extra: tuple = ()):
     """Per-(user, arm) week triple: first experiment-period event week
     (enrollment), first qualifying-purchase week (conversion, nullable),
     and last event week (so the maintained twin can reconstruct the
     batch query's calendar grid). All three merge idempotently —
     min/min/max — which is what makes the streaming twin's replay a
-    no-op by algebra."""
+    no-op by algebra. ``extra`` names pass-through grouping columns
+    (the batched maintenance path labels rows with a batch id and
+    builds every weekly increment in one scan); default unchanged."""
     return (
         ev.crossJoin(exp_start)  # scale-ok: 1-row broadcast scalar
         .where(F.col("ts") >= F.col("exp_start"))
         .select(
+            *extra,
             "user_id",
             _arm_spark().alias("arm"),
             "event_type",
@@ -1179,7 +1192,7 @@ def _msprt_per_user(ev, exp_start):
                 " CAST(exp_start AS DATE)) / 7) AS BIGINT)"
             ).alias("week"),
         )
-        .groupBy("user_id", "arm")
+        .groupBy(*extra, "user_id", "arm")
         .agg(
             F.min("week").cast("long").alias("enroll_week"),
             F.min(
@@ -1951,32 +1964,18 @@ def ab_ratio_metric_delta_method(spark, sf_dir):
 def streaming_ab_msprt_maintenance(spark, sf_dir):
     from datalakes_and_data_integration_spark.plans._util import state_tmp
     from datalakes_and_data_integration_spark.plans.streaming_extra import (
+        _week_bid,
         _weekly_bounds,
     )
     from datalakes_and_data_integration_spark.streaming.sketch_maintenance import (
-        ledgered_minmax_merge,
+        ledgered_minmax_merge_batched,
     )
 
     ev = T(spark, sf_dir, "events")
     exp_start = _exp_start(ev)
     state = state_tmp("ab_msprt_q")
     weeks = _weekly_bounds(ev)
-    merged = None
-    for i, (lo, hi) in enumerate(zip(weeks, weeks[1:])):
-        batch = _msprt_per_user(
-            ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)), exp_start
-        )
-        merged = ledgered_minmax_merge(
-            spark,
-            state,
-            batch,
-            batch_id=i,
-            key_cols=["user_id", "arm"],
-            min_cols=["enroll_week", "conv_week"],
-            max_cols=["last_week"],
-            collect_note="O(users) narrow week-state rows",
-        )
-    if merged is None:  # empty events -> zero batches -> empty report
+    if not weeks:  # empty events -> zero batches -> empty report
         return _msprt_readout(
             spark,
             spark.createDataFrame(
@@ -1985,6 +1984,26 @@ def streaming_ab_msprt_maintenance(spark, sf_dir):
                 " conv_week BIGINT, last_week BIGINT",
             ),
         )
+    # Every weekly per-(user, arm) week-triple increment in ONE scan
+    # (batch-labeled grouping through the shared _msprt_per_user),
+    # min/max-merged in ONE ledgered state transition — min/min/max are
+    # associative AND idempotent, so the single transition equals the
+    # per-week fold by algebra (guide §2.4 / VERDICT r9 #1).
+    inc = _msprt_per_user(
+        ev.withColumn("__bid", _week_bid(weeks)),
+        exp_start,
+        extra=("__bid",),
+    )
+    merged = ledgered_minmax_merge_batched(
+        spark,
+        state,
+        inc,
+        batch_ids=list(range(len(weeks) - 1)),
+        key_cols=["user_id", "arm"],
+        min_cols=["enroll_week", "conv_week"],
+        max_cols=["last_week"],
+        collect_note="O(users) narrow week-state rows",
+    )
     return _msprt_readout(spark, merged)
 
 

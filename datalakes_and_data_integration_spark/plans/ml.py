@@ -1374,6 +1374,10 @@ def _spark_fold_chain(w: list[list[float]], b: list[float], f: int) -> str:
 
 
 _NCHUNKS = _DIM // _CHUNK
+# _hof_z folds exactly _NCHUNKS full chunks; a partial final chunk would
+# be silently DROPPED from z (ADVICE r9) — unlike _assoc_chain, which
+# handles a remainder. Fail loudly if either constant ever changes.
+assert _DIM % _CHUNK == 0, "_hof_z requires _DIM to be a multiple of _CHUNK"
 
 
 def _warr_sql(wf: list[float]) -> str:
@@ -1520,6 +1524,12 @@ def logreg_kfold_cv(spark, sf_dir):
             ),
         ).collect()  # scale-ok: dim x fold gradient rows per iteration
         byd = {r["dim"]: r for r in rows}
+        if not byd:  # empty/all-null embeddings: posexplode yields zero
+            # rows, so there is no gradient — weights stay at init and
+            # the scoring epilogue below degrades gracefully (ADVICE r9:
+            # byd[0] raised KeyError here where the old agg-row path
+            # returned a null row).
+            break
         if n_train is None:
             counts = [int(byd[0][f"cnt{f}"] or 0) for f in range(_FOLDS)]
             total = sum(counts)

@@ -860,21 +860,25 @@ def join_cardinality_estimate_audit(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-def bitmap_word_rows(df, group_col: str, key_col: str):
+def bitmap_word_rows(df, group_col: str, key_col: str, extra: tuple = ()):
     """(grp, w, bits) 63-bit bitmap word file for distinct ``key_col``
     per ``group_col`` — THE single copy of the word-building idiom
     (bitmap_distinct_rollup, the rolling-window query, and the
     streaming maintenance module all route through it, so the
-    maintained state can never fork from the query path)."""
+    maintained state can never fork from the query path). ``extra``
+    names pass-through grouping columns (the batched maintenance path
+    labels rows with a batch id and builds every weekly word-file
+    increment in one scan); the default path's plan is unchanged."""
     return (
         df.select(
+            *extra,
             F.col(group_col).alias("grp"),
             F.expr(f"{key_col} div 63").alias("w"),
             F.expr(
                 f"shiftleft(CAST(1 AS BIGINT), CAST({key_col} % 63 AS INT))"
             ).alias("bit"),
         )
-        .groupBy("grp", "w")
+        .groupBy(*extra, "grp", "w")
         .agg(F.expr("bit_or(bit)").alias("bits"))
     )
 

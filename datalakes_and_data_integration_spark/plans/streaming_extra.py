@@ -814,6 +814,22 @@ def _weekly_bounds(ev) -> list[str]:
     return bounds
 
 
+def _week_bid(weeks: list[str]):
+    """Batch-index column assigning each event row to its weekly batch:
+    ``floor(days since weeks[0] / 7)``. Equal to the index of the
+    sequential ``[lo, hi)`` filter loop over ``_weekly_bounds`` by
+    construction — bounds are date-aligned 7 days apart from weeks[0]
+    (min-ts date), the final possibly-short batch [weeks[-2], end) maps
+    to the last index by the same floor arithmetic, and no event falls
+    outside [weeks[0], end). Lets the maintenance queries build EVERY
+    weekly increment in ONE scan (groupBy the label) instead of one
+    filtered scan per week — guide §2.4 via VERDICT r9 #1."""
+    return F.expr(
+        f"CAST(floor(datediff(CAST(ts AS DATE), DATE '{weeks[0]}') / 7)"
+        " AS INT)"
+    )
+
+
 def _stream_cms_oracle() -> str:
     from datalakes_and_data_integration_spark.functions.hashing import (
         hash60_sql_duck,
@@ -896,22 +912,35 @@ def streaming_heavy_hitters_cms(spark, sf_dir):
     from datalakes_and_data_integration_spark.streaming.sketch_maintenance import (
         cms_lookup,
         cms_rows,
-        merge_cms_state,
+        ledgered_sum_merge_batched,
     )
 
     ev = T(spark, sf_dir, "events").select("user_id", "ts")
     state = state_tmp("cms_maint_q")
-    sketch = None
     weeks = _weekly_bounds(ev)
-    for i, (lo, hi) in enumerate(zip(weeks, weeks[1:])):
-        batch = ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
-        sketch = merge_cms_state(
-            spark, state, cms_rows(batch, "user_id"), batch_id=i
-        )
-    if sketch is None:  # empty events table -> zero batches, empty report
+    if not weeks:  # empty events table -> zero batches, empty report
         return spark.createDataFrame(
             [], "user_id BIGINT, exact_freq BIGINT, cms_est BIGINT"
         )
+    # Every weekly CMS increment in ONE scan (batch-labeled grouping
+    # through the shared cms_rows), sum-merged into the ledgered sketch
+    # in ONE state transition — bucket-wise sums are associative, so
+    # the single transition equals the per-week fold (guide §2.4 /
+    # VERDICT r9 #1); the merge keys/cols are merge_cms_state's.
+    inc = cms_rows(
+        ev.withColumn("__bid", _week_bid(weeks)),
+        "user_id",
+        extra=("__bid",),
+    )
+    sketch = ledgered_sum_merge_batched(
+        spark,
+        state,
+        inc,
+        batch_ids=list(range(len(weeks) - 1)),
+        key_cols=["seed", "bucket"],
+        sum_cols=["total"],
+        collect_note="O(d x w) sketch rows (<= 4096)",
+    )
     top = (
         ev.groupBy("user_id")
         .agg(F.count("*").alias("cnt"))
@@ -951,27 +980,36 @@ def streaming_heavy_hitters_cms(spark, sf_dir):
 )
 def streaming_bitmap_distinct_maintenance(spark, sf_dir):
     from datalakes_and_data_integration_spark.plans._util import T
+    from datalakes_and_data_integration_spark.plans.sketches import (
+        bitmap_word_rows,
+    )
     from datalakes_and_data_integration_spark.streaming.sketch_maintenance import (
-        bitmap_words,
-        merge_bitmap_state,
+        merge_bitmap_state_batched,
     )
 
     import os
 
     ev = T(spark, sf_dir, "events").select("event_type", "user_id", "ts")
     state = os.path.join(state_tmp("bitmap_maint_q"), "words")
-    words = None
     weeks = _weekly_bounds(ev)
-    for lo, hi in zip(weeks, weeks[1:]):
-        batch = ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
-        words = merge_bitmap_state(
-            spark, state, bitmap_words(batch, "event_type", "user_id")
-        )
-    if words is None:  # empty events table -> zero batches; the oracle's
+    if not weeks:  # empty events table -> zero batches; the oracle's
         # ungrouped count(DISTINCT) still emits the __all__ row with 0
         return spark.createDataFrame(
             [("__all__", 0)], "event_type STRING, n_users BIGINT"
         )
+    # Every weekly word-file increment in ONE scan (batch-labeled
+    # grouping through the shared bitmap_word_rows); the single
+    # merge_bitmap_state_batched call re-ORs across the weekly labels —
+    # bit_or is associative AND idempotent, so one state transition
+    # equals the per-week fold by algebra (guide §2.4 / VERDICT r9 #1;
+    # no ledger, as before).
+    inc = bitmap_word_rows(
+        ev.withColumn("__bid", _week_bid(weeks)),
+        "event_type",
+        "user_id",
+        extra=("__bid",),
+    )
+    words = merge_bitmap_state_batched(spark, state, inc.drop("__bid"))
     from datalakes_and_data_integration_spark.plans.sketches import (
         bitmap_popcount_report,
     )
@@ -1068,36 +1106,37 @@ def _sqm_oracle() -> str:
 def streaming_quantile_maintenance(spark, sf_dir):
     from datalakes_and_data_integration_spark.plans._util import T
     from datalakes_and_data_integration_spark.streaming.sketch_maintenance import (
-        ledgered_sum_merge,
+        ledgered_sum_merge_batched,
     )
 
     ev = T(spark, sf_dir, "events").select("value", "ts")
     state = state_tmp("quantile_maint_q")
-    hist = None
     weeks = _weekly_bounds(ev)
-    for i, (lo, hi) in enumerate(zip(weeks, weeks[1:])):
-        batch = (
-            ev.filter(
-                (F.col("ts") >= lo)
-                & (F.col("ts") < hi)
-                & F.col("value").isNotNull()
-            )
-            .groupBy(F.expr(_SQM_BUCKET).alias("b"))
-            .agg(F.count("*").cast("long").alias("cnt"))
-        )
-        hist = ledgered_sum_merge(
-            spark,
-            state,
-            batch,
-            batch_id=i,
-            key_cols=["b"],
-            sum_cols=["cnt"],
-            collect_note="<= 128 histogram buckets",
-        )
-    if hist is None:  # empty events table -> zero batches, empty report
+    if not weeks:  # empty events table -> zero batches, empty report
         return spark.createDataFrame(
             [], "q DOUBLE, n BIGINT, est_value DOUBLE"
         )
+    # Every weekly bucket-count increment in ONE scan (grouped by the
+    # batch label), merged into the ledgered state in ONE transition —
+    # the per-batch fold paid the fixed collect+write+read job rounds
+    # once PER WEEK (guide §2.4 / VERDICT r9 #1); sum associativity
+    # makes the single transition land on the identical state.
+    inc = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(
+            _week_bid(weeks).alias("__bid"), F.expr(_SQM_BUCKET).alias("b")
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    hist = ledgered_sum_merge_batched(
+        spark,
+        state,
+        inc,
+        batch_ids=list(range(len(weeks) - 1)),
+        key_cols=["b"],
+        sum_cols=["cnt"],
+        collect_note="<= 128 histogram buckets",
+    )
     return _sqm_readout(spark, hist)
 
 

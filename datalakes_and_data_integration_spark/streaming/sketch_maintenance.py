@@ -124,13 +124,18 @@ def _cms_bucket_exprs(h_col: str) -> list:
     ]
 
 
-def cms_rows(df: DataFrame, key_col: str) -> DataFrame:
+def cms_rows(
+    df: DataFrame, key_col: str, extra: tuple[str, ...] = ()
+) -> DataFrame:
     """(seed, bucket, total) CMS increment for the batch: per-key counts
     first (map-side combined — rows never carry hashes), then one md5
     per distinct key fanned into the d double-hashed buckets, summed.
-    Mergeable by summing."""
+    Mergeable by summing. ``extra`` names pass-through grouping columns
+    (the batched maintenance path labels rows with a batch id and
+    builds every weekly increment in one scan); the default path's
+    plan is unchanged."""
     keyed = (
-        df.groupBy(F.col(key_col).cast("string").alias("k"))
+        df.groupBy(*extra, F.col(key_col).cast("string").alias("k"))
         .agg(F.count("*").alias("cnt"))
         .withColumn(
             "h", F.expr(hash60_sql_spark("k", seed=_CMS_MAINT_SEED0))
@@ -138,11 +143,13 @@ def cms_rows(df: DataFrame, key_col: str) -> DataFrame:
     )
     return (
         keyed.select(
-            "cnt", F.posexplode(F.array(*_cms_bucket_exprs("h"))).alias(
+            *extra,
+            "cnt",
+            F.posexplode(F.array(*_cms_bucket_exprs("h"))).alias(
                 "seed", "bucket"
-            )
+            ),
         )
-        .groupBy("seed", "bucket")
+        .groupBy(*extra, "seed", "bucket")
         .agg(F.sum("cnt").alias("total"))
     )
 
@@ -212,6 +219,149 @@ def ledgered_minmax_merge(
         + [F.max(c).alias(c) for c in max_cols],
         collect_note,
     )
+
+
+def ledgered_sum_merge_batched(
+    spark: SparkSession,
+    state_dir: str,
+    increments: DataFrame,
+    batch_ids: list[int],
+    key_cols: list[str],
+    sum_cols: list[str],
+    bid_col: str = "__bid",
+    collect_note: str = "bounded state rows",
+) -> DataFrame:
+    """Apply MANY sum-merge batches in ONE state transition.
+
+    ``increments`` carries every batch's key-grouped increment rows,
+    labeled by ``bid_col`` (one label per entry of ``batch_ids``; a
+    batch with no rows is still recorded as applied — exactly like
+    sequentially merging its empty frame). Equivalence to the
+    sequential ``ledgered_sum_merge`` fold is algebra, not luck: SUM
+    over exact decimals/longs is associative and commutative, so
+    `groupBy(keys).sum` over (state ∪ all unapplied increments) lands
+    on the identical state the per-batch fold reaches — pinned
+    value-identical by tests/test_r10_opt.py. Already-applied ids are
+    filtered OUT before the merge (replay keeps exactly-once), and the
+    commit records every newly applied id atomically with the state,
+    same staged-commit machinery as the per-batch form. The point
+    (guide §2.4, VERDICT r9 #1): the per-batch fold pays the fixed
+    job-round floor (collect + parquet write + read) once PER BATCH;
+    this pays it once per replay point."""
+    return _ledgered_merge_batched(
+        spark,
+        state_dir,
+        increments,
+        batch_ids,
+        key_cols,
+        [F.sum(c).alias(c) for c in sum_cols],
+        bid_col,
+        collect_note,
+    )
+
+
+def ledgered_minmax_merge_batched(
+    spark: SparkSession,
+    state_dir: str,
+    increments: DataFrame,
+    batch_ids: list[int],
+    key_cols: list[str],
+    min_cols: list[str],
+    max_cols: list[str],
+    bid_col: str = "__bid",
+    collect_note: str = "bounded state rows",
+) -> DataFrame:
+    """Batched twin of ``ledgered_minmax_merge`` — min/max are
+    associative, commutative AND idempotent, so the one-transition
+    merge is equal to the per-batch fold by even stronger algebra
+    than the sum case (duplicate delivery inside ``increments`` would
+    not even matter)."""
+    return _ledgered_merge_batched(
+        spark,
+        state_dir,
+        increments,
+        batch_ids,
+        key_cols,
+        [F.min(c).alias(c) for c in min_cols]
+        + [F.max(c).alias(c) for c in max_cols],
+        bid_col,
+        collect_note,
+    )
+
+
+def _ledgered_merge_batched(
+    spark: SparkSession,
+    state_dir: str,
+    increments: DataFrame,
+    batch_ids: list[int],
+    key_cols: list[str],
+    agg_exprs: list,
+    bid_col: str,
+    collect_note: str,
+) -> DataFrame:
+    """One staged-commit state transition applying every unapplied id
+    in ``batch_ids``: filter ``increments`` to the unapplied labels,
+    union with the current state, ONE groupBy(keys) re-aggregate, ONE
+    collect/write/commit. The commit flips the active-state pointer
+    and the whole newly-applied id set in a single ``os.replace`` —
+    the same crash-consistency contract as ``_ledgered_merge`` (a
+    crash before the flip leaves the previous (state, ledger) pair;
+    replay re-merges ALL the ids it never recorded)."""
+    import json
+    import shutil
+
+    os.makedirs(state_dir, exist_ok=True)
+    commit_path = os.path.join(state_dir, "COMMIT.json")
+    applied: set[str] = set()
+    cur_name = None
+    if os.path.exists(commit_path):
+        with open(commit_path) as fh:
+            commit = json.load(fh)
+        applied = set(commit["applied"])
+        cur_name = commit["sketch"]
+    cur_dir = os.path.join(state_dir, cur_name) if cur_name else None
+    for entry in os.listdir(state_dir):  # entry GC, as in _ledgered_merge
+        if entry.startswith("sketch-") and entry != cur_name:
+            shutil.rmtree(
+                os.path.join(state_dir, entry), ignore_errors=True
+            )
+    new_ids = [b for b in batch_ids if str(b) not in applied]
+    if not new_ids:
+        return spark.read.parquet(cur_dir)
+    inc = increments.filter(
+        F.col(bid_col).isin([*new_ids])
+    ).drop(bid_col)
+    if cur_dir is not None:
+        merged = (
+            spark.read.parquet(cur_dir)
+            .unionByName(inc)
+            .groupBy(*key_cols)
+            .agg(*agg_exprs)
+        )
+    else:
+        merged = inc.groupBy(*key_cols).agg(*agg_exprs)
+    rows = merged.collect()  # scale-ok: see collect_note per consumer
+    _ = collect_note
+    new_name = f"sketch-{len(applied):06d}-{max(new_ids)}"
+    new_dir = os.path.join(state_dir, new_name)
+    spark.createDataFrame(rows, merged.schema).write.mode(
+        "overwrite"
+    ).parquet(new_dir)
+    tmp = commit_path + ".staged"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "applied": sorted(
+                    applied | {str(b) for b in new_ids}
+                ),
+                "sketch": new_name,
+            },
+            fh,
+        )
+    os.replace(tmp, commit_path)  # the atomic commit point
+    if cur_dir is not None:  # superseded generation, post-commit GC
+        shutil.rmtree(cur_dir, ignore_errors=True)
+    return spark.read.parquet(new_dir)
 
 
 def _ledgered_merge(
@@ -351,6 +501,28 @@ def bitmap_words(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
     )
 
     return bitmap_word_rows(df, group_col, key_col)
+
+
+def merge_bitmap_state_batched(
+    spark: SparkSession, state_dir: str, increments: DataFrame
+) -> DataFrame:
+    """bit_or-merge MANY batch word files (one frame holding every
+    increment's rows — several rows per (grp, w) are expected) into
+    the persisted state in ONE transition. Unlike the per-batch
+    ``merge_bitmap_state`` — whose no-prior-state path can adopt the
+    already-grouped batch as-is — this ALWAYS re-ORs, because the
+    combined increments are not a grouped word file. bit_or is
+    associative and idempotent, so one transition equals the
+    per-batch fold by algebra (guide §2.4 / VERDICT r9 #1)."""
+    inc = increments
+    if os.path.isdir(state_dir):
+        inc = spark.read.parquet(state_dir).unionByName(inc)
+    merged = inc.groupBy("grp", "w").agg(F.expr("bit_or(bits)").alias("bits"))
+    rows = merged.collect()  # scale-ok: word-compressed state (63 keys/row)
+    spark.createDataFrame(rows, merged.schema).write.mode(
+        "overwrite"
+    ).parquet(state_dir)
+    return spark.read.parquet(state_dir)
 
 
 def merge_bitmap_state(

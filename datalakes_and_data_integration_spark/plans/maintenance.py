@@ -1044,37 +1044,56 @@ def table_diff_merkle(spark, sf_dir):
     bucket = (
         hash60_seeded(F.col("user_id").cast("string"), 0) % _DIFF_BUCKETS
     )
+    content_b = F.concat(
+        content_a, F.when(restated, F.lit("#v2")).otherwise(F.lit(""))
+    )
     a = ev.select(
         "event_id", bucket.alias("bucket"), content_a.alias("content")
     )
     b = ev.filter(~erased).select(
-        "event_id",
-        bucket.alias("bucket"),
-        F.concat(
-            content_a, F.when(restated, F.lit("#v2")).otherwise(F.lit(""))
-        ).alias("content"),
+        "event_id", bucket.alias("bucket"), content_b.alias("content")
     )
 
     from datalakes_and_data_integration_spark.functions.hashing import (
         hash60_sql_spark,
     )
 
-    content_hash = hash60_sql_spark("content", seed=1)
-
-    def digest(df, n_name, d_name):
-        return df.groupBy("bucket").agg(
-            F.count("*").alias(n_name),
-            F.expr(f"bit_xor({content_hash})").alias(d_name),
+    # Round-10 job-floor collapse (guide §2.4 / VERDICT r9 #4): both
+    # versions' digests ride ONE events pass — version B is version A
+    # minus the erased rows, so its count/digest are FILTER-clause
+    # aggregates of the same row stream (empty B-groups yield NULL
+    # dig_b / 0 n_rows_b, exactly what the old left join + coalesce
+    # produced for missing buckets). Halves the digest scans and
+    # removes the 64-row digest join + its persist.
+    tagged = ev.select(
+        bucket.alias("bucket"),
+        content_a.alias("ca"),
+        content_b.alias("cb"),
+        (~erased).alias("in_b"),
+    )
+    cmp_ = (
+        tagged.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows_a"),
+            F.expr(f"bit_xor({hash60_sql_spark('ca', seed=1)})").alias(
+                "dig_a"
+            ),
+            F.expr("count(*) FILTER (WHERE in_b)")
+            .cast("long")
+            .alias("n_rows_b"),
+            F.expr(
+                f"bit_xor({hash60_sql_spark('cb', seed=1)})"
+                " FILTER (WHERE in_b)"
+            ).alias("dig_b"),
         )
-
-    da = digest(a, "n_rows_a", "dig_a").persist()  # 64 digest rows
-    db = digest(b, "n_rows_b", "dig_b")
-    cmp_ = da.join(db, "bucket", "left").select(
-        "bucket",
-        "n_rows_a",
-        F.coalesce("n_rows_b", F.lit(0)).cast("long").alias("n_rows_b"),
-        F.col("dig_b").eqNullSafe(F.col("dig_a")).alias("digest_match"),
-    ).persist()  # consumed by the result AND the drill bucket list
+        .select(
+            "bucket",
+            "n_rows_a",
+            "n_rows_b",
+            F.col("dig_b").eqNullSafe(F.col("dig_a")).alias("digest_match"),
+        )
+        .persist()  # consumed by the result AND the drill bucket list
+    )
     bad = cmp_.filter(~F.col("digest_match")).select("bucket")
     # drill ONLY the mismatched buckets: both sides semi-join the
     # 64-row-max failed list before the key-level full outer join

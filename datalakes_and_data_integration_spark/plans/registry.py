@@ -268,64 +268,94 @@ def register(
 # _ccf_readout extraction — daily_cross_correlation's refactored code
 # is already clause (a); both re-gated triple-SF + bare in-session);
 # doc_chunking yields. 43 + 7 = 50.
-WINDOW_ROUND = 9  # the driver round this window was built for
+# ROUND-10 WINDOW (optimization round 2 of 2). Clause (a) — changed
+# code carries fresh driver evidence:
+#   - the six streaming-maintenance queries whose per-week ledgered
+#     merge loops collapsed into ONE batched state transition
+#     (OPTIMIZATION_r10.md #1; bit-identical by merge algebra, pinned
+#     by tests/test_r10_opt.py and the full 330/330 gate);
+#   - er_quality_threshold_sweep (one grid aggregate carries total +
+#     per-score; persist moved off the corpus-scale ER frame) and
+#     table_diff_merkle (both versions' digests in one FILTER-clause
+#     events pass);
+#   - logreg_kfold_cv (ADVICE r9: _DIM%_CHUNK assert + empty-gradient
+#     guard — degenerate-path only, but changed code is changed code);
+#   - the direct consumers of the aggregate builders that gained the
+#     pass-through `extra` grouping parameter (default path
+#     plan-identical, clause (a) by the r9 shared-builder precedent):
+#     ab_metric_cuped_adjustment + ab_power_mde_report (_ab_per_user),
+#     ab_sequential_msprt (_msprt_per_user), daily_cross_correlation
+#     (_ccf_daily_dec), bitmap_distinct_rollup +
+#     rolling_exact_distinct_users_7d (bitmap_word_rows);
+#   - VERDICT r9 #8's named trio whose round-9 optimization commits
+#     never got a driver row: tpch_q1_pricing_summary,
+#     tpch_q18_large_orders, full_outer_merge_events (builder-gated at
+#     triple SF in r9; driver evidence lands this round).
+# The spread()/_util change (file-size scan-width estimate replacing
+# df.rdd.getNumPartitions()) touches ~68 call sites; it is covered by
+# the full-gate run and the bench A/B rather than window slots — the
+# decision it makes is unchanged in both regimes (see
+# OPTIMIZATION_r10.md #7).
+# Clause (b) — the 32 remaining slots take the oldest-green cohort:
+# the full 23-name round-2 remainder and the first 9 of the round-3
+# cohort alphabetically (through doc_stats_cube).  18 + 32 = 50.
+WINDOW_ROUND = 10  # the driver round this window was built for
 ROUND_CHANGED: list[str] = [
-    # round-9 changed/new (see the ROUND-9 WINDOW note above)
-    "logreg_roc_auc",
-    "logreg_isotonic_calibration",
-    "conformal_prediction_audit",
-    "ab_bootstrap_diff_ci",
-    "ab_sequential_msprt",
-    "ab_power_mde_report",
-    "item_item_cosine_topk",
-    "logreg_kfold_cv",
-    "ab_segment_heterogeneity",
-    "ab_ratio_metric_delta_method",
-    "streaming_ab_msprt_maintenance",
-    "interval_overlap_join_sessions",
-    "coreset_kcenter_selection",
-    "ab_segment_fdr_bh",
-    "ab_metric_cuped_adjustment",
+    "streaming_quantile_maintenance",
+    "streaming_ccf_maintenance",
     "streaming_ab_moments_maintenance",
+    "streaming_ab_msprt_maintenance",
     "streaming_heavy_hitters_cms",
     "streaming_bitmap_distinct_maintenance",
-    "ann_topk_graph_search",
-    "knn_graph_degree_stats",
-    "knn_graph_build_quality",
-    "dedup_exact_substring_spans",
-    "dedup_exact_substring_rewrite",
-    "ab_proportion_ztest",
-    "ann_mmr_diversified_topk",
-    "ab_mann_whitney_u",
-    "robust_scaling_mad",
-    "ab_anova_oneway",
-    "ols_two_factor_regression",
-    "label_propagation_communities",
-    "streaming_quantile_maintenance",
     "er_quality_threshold_sweep",
-    "naive_bayes_classifier_eval",
-    "token_pmi_collocations",
-    "encoding_efficiency_audit",
-    "mann_kendall_theil_sen",
-    "lang_source_mutual_information",
-    "graph_clustering_coefficient",
-    "neardup_triangle_count",
-    "ab_logrank_test",
-    "logreg_brier_decomposition",
+    "table_diff_merkle",
+    "logreg_kfold_cv",
+    "ab_metric_cuped_adjustment",
+    "ab_power_mde_report",
+    "ab_sequential_msprt",
     "daily_cross_correlation",
-    "streaming_ccf_maintenance",
+    "bitmap_distinct_rollup",
+    "rolling_exact_distinct_users_7d",
+    "tpch_q1_pricing_summary",
+    "tpch_q18_large_orders",
+    "full_outer_merge_events",
 ]
 WINDOW_PRIORITY: list[str] = [
     *ROUND_CHANGED,
-    # clause (b): the full 30-name round-2 cohort (newest green row
-    # = r2), then the first 11 of the round-3 cohort, alphabetical
-    "cross_source_duplication",
-    "curation_funnel",
-    "customer_spend_quartiles",
-    "dataset_split_assignment",
-    "dedup_kept_corpus",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
+    # clause (b): the 23-name round-2 remainder (newest green row = r2)
+    "doc_chunking",
+    "doc_top_terms",
+    "embedding_near_dup",
+    "embedding_near_dup_hybrid",
+    "gapfill_hourly_locf",
+    "intradoc_repetition",
+    "lag6_diff",
+    "lag6_pct_change",
+    "mean_impute",
+    "minhash_jaccard_calibration",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "multimodal_metadata_stats",
+    "rolling_1h_value_sum",
+    "stratified_sample_per_lang",
+    "streaming_dedup_first_event",
+    "streaming_hourly_agg",
+    "streaming_sliding_agg",
+    "streaming_stateful_sessions",
+    "streaming_stream_stream_join",
+    "tfidf_top_terms",
+    "tumbling_hourly_agg",
+    "unit_convert_horizontal_total",
+    # then the first 9 of the round-3 cohort, alphabetical
+    "ann_lsh_recall_audit",
+    "benchmark_ngram_contamination",
+    "bloom_prefilter_audit",
+    "boxplot_stats_by_type",
+    "chi2_lang_source",
+    "cross_source_neardup_rate",
+    "data_quality_report",
+    "dedup_cluster_largestar",
+    "doc_stats_cube",
 ]
 
 

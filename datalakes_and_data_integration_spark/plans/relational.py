@@ -2479,16 +2479,26 @@ def _er_sweep_oracle() -> str:
     bench=True,  # promoted r9 third session: the decision-curve flagship
 )
 def er_quality_threshold_sweep(spark, sf_dir):
-    er = entity_resolution_blocked(spark, sf_dir).persist()
-    # (score, correct) grid: bounded by the integer score domain
-    per_score = (
-        er.filter(F.col("match_class") != "no_candidate")
+    # Round-10 job-floor collapse (guide §2.4 / VERDICT r9 #4): the ER
+    # pipeline previously persisted at corpus grain and fed TWO
+    # consumers (the (score, correct) grid and the total count). ONE
+    # grid aggregate — keyed additionally by the candidate flag — now
+    # carries both: total = sum of ALL cells, per_score = the candidate
+    # cells. The persist moves from the corpus-scale ER frame to the
+    # bounded grid (<= score-domain x 4 rows), so the pipeline runs
+    # exactly once and nothing corpus-sized is cached (guide §5).
+    grid = (
+        entity_resolution_blocked(spark, sf_dir)
         .groupBy(
-            "score", F.coalesce(F.col("correct"), F.lit(False)).alias("ok")
+            "score",
+            F.coalesce(F.col("correct"), F.lit(False)).alias("ok"),
+            (F.col("match_class") != "no_candidate").alias("cand"),
         )
         .agg(F.count("*").cast("long").alias("c"))
+        .persist()  # scale-ok: bounded (score, ok, cand) grid
     )
-    total = er.agg(F.count("*").cast("long").alias("n_true"))
+    per_score = grid.filter(F.col("cand")).select("score", "ok", "c")
+    total = grid.agg(F.sum("c").cast("long").alias("n_true"))
     probes = spark.createDataFrame(
         [(t,) for t in _ER_SWEEP_TS], "threshold long"
     )

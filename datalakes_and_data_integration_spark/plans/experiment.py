@@ -554,7 +554,7 @@ def ab_metric_cuped_adjustment(spark, sf_dir):
     "— per-(user, arm) exact decimal covariate/metric sums — is "
     "maintained across span-derived weekly event batches by the shared "
     "ledgered sum-merge (streaming/sketch_maintenance.ledgered_sum_"
-    "merge: sum-merge is NOT idempotent, so exactly-once lives in the "
+    "merge_batched: sum-merge is NOT idempotent, so exactly-once lives in the "
     "applied-batch ledger committed atomically with the state — the "
     "same design point as the CMS sketch, fourth member of the merge-"
     "algebra family), then the CUPED readout runs on the MAINTAINED "
@@ -564,8 +564,10 @@ def ab_metric_cuped_adjustment(spark, sf_dir):
     "maintained == batch-built: per-user decimal sums are associative, "
     "so any batching of the event log lands on identical state. Scale: "
     "state is O(users) narrow rows (the per-key-state shape of the "
-    "streaming dedup/SCD2 twins), each weekly merge reads only its "
-    "increment, and a replayed batch is a ledger no-op (pinned by "
+    "streaming dedup/SCD2 twins), the merge reads only the weekly "
+    "increments — built in one batch-labeled scan and applied in ONE "
+    "ledgered state transition, fold-identical by sum associativity — "
+    "and a replayed batch is a ledger no-op (pinned by "
     "test).",
     tags=("experiment", "ab-test", "streaming", "incremental", "stats"),
 )
@@ -1947,7 +1949,7 @@ def ab_ratio_metric_delta_method(spark, sf_dir):
     "week state — (first experiment-period event week, first "
     "qualifying-purchase week, last event week) — is maintained across "
     "span-derived weekly event batches by the IDEMPOTENT min/max merge "
-    "(streaming/sketch_maintenance.ledgered_minmax_merge — fifth "
+    "(streaming/sketch_maintenance.ledgered_minmax_merge_batched — fifth "
     "member of the merge-algebra family, and the first where replay is "
     "a no-op BY ALGEBRA, not by ledger: min/min/max are idempotent, so "
     "the applied-batch ledger is a skip-work optimization; pinned by a "
@@ -1956,8 +1958,10 @@ def ab_ratio_metric_delta_method(spark, sf_dir):
     "EXACT code path of ab_sequential_msprt (_msprt_readout — one "
     "definition, so the weekly platform job cannot fork from the batch "
     "query), and the shared oracle proves maintained == batch at every "
-    "week row. Scale: state is O(users) narrow rows; each weekly merge "
-    "reads only its increment; the grid epilogue is calendar-sized.",
+    "week row. Scale: state is O(users) narrow rows; the merge reads "
+    "only the weekly increments (one batch-labeled scan, ONE state "
+    "transition — fold-identical by min/max idempotence); the grid "
+    "epilogue is calendar-sized.",
     tags=("experiment", "ab-test", "streaming", "incremental",
           "sequential"),
 )

@@ -888,10 +888,13 @@ def _stream_cms_oracle() -> str:
     "streaming_heavy_hitters_cms",
     oracle=_stream_cms_oracle(),
     description="Streaming heavy-hitter maintenance (streaming/"
-    "sketch_maintenance.py cms_rows/merge_cms_state): the events table "
+    "sketch_maintenance.py cms_rows/ledgered_sum_merge_batched): the "
+    "events table "
     "is applied as weekly CMS batches (bounds derived from its own ts "
-    "span, so coverage is total at any fixture) sum-merged into a "
-    "persisted "
+    "span, so coverage is total at any fixture; all weekly increments "
+    "are built in one batch-labeled scan and applied in ONE ledgered "
+    "state transition — sequential-fold-identical by sum "
+    "associativity) sum-merged into a persisted "
     "4x1024 sketch (ONE md5 per distinct key per batch: per-key counts "
     "pre-aggregate map-side, then Kirsch-Mitzenmacher double hashing "
     "derives all 4 row buckets from that single hash), then the top-20 "
@@ -963,9 +966,12 @@ def streaming_heavy_hitters_cms(spark, sf_dir):
     SELECT '__all__' AS event_type, count(DISTINCT user_id) AS n_users
     FROM events
     """,
-    description="Exact-distinct bitmap maintenance (streaming/"
-    "sketch_maintenance.py bitmap_words/merge_bitmap_state): the events "
-    "table applied as span-derived weekly word-file batches "
+    description="Exact-distinct bitmap maintenance (plans/sketches."
+    "bitmap_word_rows + streaming/sketch_maintenance.py "
+    "merge_bitmap_state_batched): the events "
+    "table applied as span-derived weekly word-file batches — built in "
+    "one batch-labeled scan, bit_or-merged in one state transition "
+    "(fold-identical by OR idempotence) — "
     "bit_or-merged into "
     "persisted per-(type, word) state, then bitmap_distinct_rollup's "
     "report (per-type + OR-merged __all__) served from the MAINTAINED "
@@ -1098,8 +1104,10 @@ def _sqm_oracle() -> str:
     "== batch-built; the design trade vs histogram_quantile_audit's "
     "data-derived bounds (tighter buckets, but min/max are not "
     "incrementally maintainable) is the point of the twin. Scale: "
-    "state is <= 128 rows forever, each weekly merge reads only its "
-    "increment (map-side combined to <= 128 partials), and the readout "
+    "state is <= 128 rows forever, the merge reads only the weekly "
+    "increments (one batch-labeled scan, map-side combined to <= 128 "
+    "partials per week, applied in ONE ledgered transition — "
+    "fold-identical by sum associativity), and the readout "
     "is arithmetic over the state rows.",
     tags=("streaming", "sketch", "quantile", "incremental", "scale"),
 )

@@ -1366,7 +1366,9 @@ def _ccf_readout(spark, daily_dec):
     "batch query's own _ccf_readout — one readout definition, so "
     "incremental and batch correlations cannot fork, and the shared "
     "oracle proves maintained == batch-built. Scale: state is "
-    "O(span days) narrow rows forever; each weekly merge reads only "
+    "O(span days) narrow rows forever; the one-transition merge "
+    "(batch-labeled scan, fold-identical by sum associativity) reads "
+    "only "
     "its increment; the readout is the span-bounded day-grid "
     "arithmetic of the batch twin.",
     tags=("timeseries", "streaming", "incremental", "correlation"),
